@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators reproducing the reference's semantics.
+  *
+  * Two distinct semantics exist in the reference (SURVEY.md §2.4, §7.3):
+  *
+  *  1. v2 "keep-set" dedup (cloud/bq/ops.go:190-218): a DELETE keeps every
+  *     row whose (partition keys, order key) equals the winning order key —
+  *     ALL rows tying on the max order key survive. Implemented as a
+  *     max-over-window + filter: one shuffle, no global sort, no row
+  *     explosion; ties are preserved exactly.
+  *  2. legacy ranked dedup (cloud/bq/dedup.go): ROW_NUMBER() = 1 over a
+  *     multi-key priority order — exactly one row per key survives.
+  *
+  * Scale notes: both are a single hash-partition shuffle on the dedup keys.
+  * The keep-set form uses an unordered window aggregate (max), so Spark's
+  * WindowExec sorts only by partition keys within each shuffle partition.
+  * At 100 TB, dedup cost is proportional to the partition being cleaned
+  * (the reference observes the same: cloud/bq/ops.go:186-189); AQE handles
+  * skewed ids.
+  */
+object Dedup {
+
+  /** v2 keep-set dedup: keep rows where `orderKey` equals the max over the
+    * partition keys. Ties on the max all survive — matching the reference's
+    * NOT EXISTS delete (cloud/bq/ops.go:214-217).
+    */
+  def keepLatest(df: DataFrame, partitionKeys: Seq[String], orderKey: Column): DataFrame = {
+    val w = Window.partitionBy(partitionKeys.map(col): _*)
+    df.withColumn("__max_order_key", max(orderKey).over(w))
+      .filter(orderKey === col("__max_order_key"))
+      .drop("__max_order_key")
+  }
+
+  /** Legacy ranked dedup: exactly one row per key, first in `ordering`.
+    * Reference: cloud/bq/dedup.go:23-38 (ndt), :41-53 (sidestream),
+    * :55-68 (traceroute). Callers must make `ordering` total if they need
+    * deterministic output.
+    */
+  def rankedFirst(df: DataFrame, partitionKeys: Seq[Column], ordering: Seq[Column]): DataFrame = {
+    val w = Window.partitionBy(partitionKeys: _*).orderBy(ordering: _*)
+    df.withColumn("__row_number", row_number().over(w))
+      .filter(col("__row_number") === 1)
+      .drop("__row_number")
+  }
+
+  /** The deleted set of a keep-set dedup — rows the reference's DELETE would
+    * remove (anti-join semantics, SURVEY.md §2.3 J2). Useful for audits.
+    */
+  def deletedSet(df: DataFrame, partitionKeys: Seq[String], orderKey: Column): DataFrame = {
+    val w = Window.partitionBy(partitionKeys.map(col): _*)
+    df.withColumn("__max_order_key", max(orderKey).over(w))
+      .filter(orderKey =!= col("__max_order_key"))
+      .drop("__max_order_key")
+  }
+
+  /** Duplicate-stats pre-check: keys whose group holds more than one distinct
+    * order-key value — i.e. groups a keep-set dedup would actually shrink.
+    * The reference gets "very cheap if no duplicates" for free from DELETE
+    * semantics (cloud/bq/ops.go:188); we expose the check so callers can skip
+    * the partition rewrite entirely when it would be a no-op — a map-side-
+    * combined aggregate, far cheaper than rewriting the partition.
+    */
+  def duplicateStats(df: DataFrame, partitionKeys: Seq[String], orderKey: Column): DataFrame =
+    df.groupBy(partitionKeys.map(col): _*)
+      .agg(count(lit(1)).as("rows"), countDistinct(orderKey).as("versions"))
+      .filter(col("versions") > 1)
+
+  /** True iff a keep-set dedup would change nothing (cheap pre-check). */
+  def isClean(df: DataFrame, partitionKeys: Seq[String], orderKey: Column): Boolean =
+    duplicateStats(df, partitionKeys, orderKey).isEmpty
+}

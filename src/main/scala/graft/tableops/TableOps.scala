@@ -1,0 +1,175 @@
+package graft.tableops
+
+import java.time.LocalDate
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Job
+import graft.operators.{AnnotationJoin, Dedup}
+
+/** Warehouse layout: date-partitioned parquet tables under
+  * `root/<dataset>/<datatype>/date=YYYY-MM-DD/`. The dataset names come from
+  * Job.datasets (tmp/raw/join namespaces, reference: tracker/job.go:41-45).
+  */
+final case class Warehouse(root: String) {
+  def tablePath(dataset: String, datatype: String): String =
+    s"$root/$dataset/$datatype"
+}
+
+/** Per-datatype dedup key configuration.
+  * Reference: cloud/bq/ops.go:53-83 — every current v2 datatype deduplicates
+  * on {id} within the date partition, ordered by parser.Time. The map is kept
+  * configurable exactly like the reference's PartitionKeys/OrderKeys.
+  */
+final case class DatatypeSpec(partitionKeys: Seq[String], orderKey: String)
+
+object DatatypeSpec {
+  val default: DatatypeSpec = DatatypeSpec(Seq("id", "date"), "parser.Time")
+  val byDatatype: Map[String, DatatypeSpec] = Map(
+    "ndt5" -> default, "ndt7" -> default, "tcpinfo" -> default,
+    "pcap" -> default, "scamper1" -> default, "switch" -> default,
+    "annotation2" -> default, "hopannotation2" -> default
+  )
+  def forDatatype(dt: String): DatatypeSpec = byDatatype.getOrElse(dt, default)
+}
+
+/** Result stats for detail messages (reference parses BQ job statistics,
+  * ops/actions.go:150-170; here we count what we wrote).
+  */
+final case class OpStats(rowsIn: Long, rowsOut: Long) {
+  def detail: String = s"in=$rowsIn out=$rowsOut"
+}
+
+/** The five table operations of the reference (SURVEY.md §2.1-2.4), as pure
+  * DataFrame programs over a parquet warehouse.
+  *
+  *   loadToTmp — S1, GCS JSON scan → tmp append     (cloud/bq/ops.go:130-155)
+  *   dedup     — W1+J2, keep-set partition rewrite   (cloud/bq/ops.go:184-218)
+  *   copyToRaw — S2, partition copy with truncate    (cloud/bq/ops.go:158-176)
+  *   deleteTmp — S3, partition drop                  (cloud/bq/ops.go:221-228)
+  *   join      — S4+J1, annotation materialization   (cloud/bq/ops.go:234-295)
+  *
+  * Every write is append (load) or partition-truncate (dedup/copy/join), so a
+  * re-run of any date converges — the reference's idempotency model
+  * (SURVEY.md §7.3). All ops scope to `WHERE date = job.date`; other dates in
+  * the same table are never touched.
+  */
+final class TableOps(spark: SparkSession, job: Job, wh: Warehouse) {
+  import TableOps._
+
+  private val spec = DatatypeSpec.forDatatype(job.datatype)
+  private val tmpPath = wh.tablePath(job.datasets.tmp, job.datatype)
+  private val rawPath = wh.tablePath(job.datasets.raw, job.datatype)
+  private val joinPath =
+    if (job.datasets.hasJoin) wh.tablePath(job.datasets.join, job.datatype) else ""
+
+  private def dateLit = lit(java.sql.Date.valueOf(job.date))
+
+  private def readPartition(path: String, d: LocalDate): DataFrame =
+    spark.read.parquet(path).filter(col("date") === lit(java.sql.Date.valueOf(d)))
+
+  /** S1: bulk-load newline-delimited JSON under the job's archive prefix into
+    * the tmp table, append mode. Schema is inferred (the reference's loads are
+    * schema-on-read with evolution tolerated, ops/actions.go:215-225); pass
+    * `schema` to pin it. Returns rows loaded.
+    */
+  def loadToTmp(glob: String, schema: Option[org.apache.spark.sql.types.StructType] = None): OpStats = {
+    val reader = spark.read
+      .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX")
+    val df0 = schema.map(reader.schema).getOrElse(reader).json(glob)
+    // JSON carries date as a string; normalize to DateType partition column.
+    val df = df0.withColumn("date", col("date").cast("date"))
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write.mode(SaveMode.Append).partitionBy("date").parquet(tmpPath)
+    val n = obs.get("rows").asInstanceOf[Long]
+    OpStats(n, n)
+  }
+
+  /** W1/J2: keep-set dedup of the job's tmp date partition, in place.
+    * Keeps, per (id, date), every row whose parser.Time equals the max —
+    * ties all survive (NOT EXISTS delete semantics, cloud/bq/ops.go:214-217).
+    * Implemented as partition-truncate rewrite (Spark parquet has no DELETE).
+    * Skips the rewrite when the partition is already clean — the "very cheap
+    * if no duplicates" property (cloud/bq/ops.go:188) by explicit pre-check.
+    */
+  def dedup(dryRun: Boolean = false): OpStats = {
+    val part = readPartition(tmpPath, job.date)
+    val kept = Dedup.keepLatest(part, spec.partitionKeys, col(spec.orderKey))
+    if (dryRun) { kept.queryExecution.analyzed; return OpStats(0, 0) }
+    if (Dedup.isClean(part, spec.partitionKeys, col(spec.orderKey))) {
+      val n = part.count()
+      OpStats(n, n)
+    } else {
+      // Spark cannot overwrite a path it is reading from, so the rewrite
+      // goes through a staging dir + atomic-ish partition swap — the same
+      // pattern a DELETE-less object-store rewrite uses.
+      val rowsIn = part.count()
+      val staging = s"$tmpPath.__dedup_staging"
+      val rowsOut = overwritePartition(kept, staging)
+      val fs = new Path(tmpPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val partDir = s"date=${job.date}"
+      fs.delete(new Path(s"$tmpPath/$partDir"), true)
+      fs.rename(new Path(s"$staging/$partDir"), new Path(s"$tmpPath/$partDir"))
+      fs.delete(new Path(staging), true)
+      OpStats(rowsIn, rowsOut)
+    }
+  }
+
+  /** S2: copy the tmp date partition to raw, replacing the destination
+    * partition (WriteTruncate, cloud/bq/ops.go:171).
+    */
+  def copyToRaw(dryRun: Boolean = false): OpStats = {
+    val part = readPartition(tmpPath, job.date)
+    if (dryRun) { part.queryExecution.analyzed; return OpStats(0, 0) }
+    val n = overwritePartition(part, rawPath)
+    OpStats(n, n)
+  }
+
+  /** S3: drop the tmp date partition (ALTER TABLE DROP PARTITION semantics,
+    * cloud/bq/ops.go:221-228). A pure metadata/filesystem operation — no scan.
+    */
+  def deleteTmp(): Unit = {
+    val dir = new Path(s"$tmpPath/date=${job.date}")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir, true)
+  }
+
+  /** S4/J1: annotation LEFT JOIN materialization into the join dataset,
+    * replacing the date partition, with schema merge on read (the reference
+    * allows field addition/relaxation, cloud/bq/ops.go:280-282).
+    * No-op when the datatype has no join dataset (ops/actions.go:371-374).
+    */
+  def join(annDatatype: String = "annotation2", dryRun: Boolean = false): OpStats = {
+    if (!job.datasets.hasJoin) return OpStats(0, 0)
+    val annPath = wh.tablePath(job.datasets.raw, annDatatype)
+    val m = spark.read.option("mergeSchema", "true").parquet(rawPath)
+    val ann = spark.read.option("mergeSchema", "true").parquet(annPath)
+    val out = AnnotationJoin.annotatePartition(m, ann, job.date)
+    if (dryRun) { out.queryExecution.analyzed; return OpStats(0, 0) }
+    val n = overwritePartition(out, joinPath)
+    OpStats(n, n)
+  }
+
+  /** Row count of one raw partition (status/detail helper). */
+  def rawPartitionCount(): Long = readPartition(rawPath, job.date).count()
+
+  private def overwritePartition(df: DataFrame, destPath: String): Long = {
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date")
+      .parquet(destPath)
+    obs.get("rows").asInstanceOf[Long]
+  }
+}
+
+object TableOps {
+  /** Dynamic partition overwrite must be on for partition-truncate writes. */
+  def configure(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+}

@@ -1,0 +1,74 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Keep-set dedup semantics per SURVEY.md §7.3 / reference cloud/bq/ops.go:190-218. */
+class DedupSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def d(s: String) = Date.valueOf(s)
+
+  // (id, date, time, payload)
+  private def fixture = Seq(
+    ("a", d("2024-01-01"), ts("2024-01-01 10:00:00"), "old"),
+    ("a", d("2024-01-01"), ts("2024-01-01 12:00:00"), "new"),
+    ("b", d("2024-01-01"), ts("2024-01-01 11:00:00"), "tie1"),
+    ("b", d("2024-01-01"), ts("2024-01-01 11:00:00"), "tie2"),
+    ("a", d("2024-01-02"), ts("2024-01-02 09:00:00"), "otherdate"),
+    ("c", d("2024-01-01"), ts("2024-01-01 08:00:00"), "single")
+  ).toDF("id", "date", "time", "payload")
+
+  test("latest parser.Time wins per (id, date)") {
+    val out = Dedup.keepLatest(fixture, Seq("id", "date"), col("time"))
+    val aRows = out.filter($"id" === "a" && $"date" === d("2024-01-01"))
+      .select("payload").as[String].collect()
+    assert(aRows.toSeq == Seq("new"))
+  }
+
+  test("ALL rows tying on the winning time survive (keep-set NOT EXISTS semantics)") {
+    val out = Dedup.keepLatest(fixture, Seq("id", "date"), col("time"))
+    val bRows = out.filter($"id" === "b").select("payload").as[String].collect().sorted
+    assert(bRows.toSeq == Seq("tie1", "tie2"))
+  }
+
+  test("other dates of the same id are independent partitions") {
+    val out = Dedup.keepLatest(fixture, Seq("id", "date"), col("time"))
+    assert(out.filter($"payload" === "otherdate").count() == 1)
+    assert(out.count() == 5) // 6 in, only "old" removed
+  }
+
+  test("dedup is idempotent") {
+    val once = Dedup.keepLatest(fixture, Seq("id", "date"), col("time"))
+    val twice = Dedup.keepLatest(once, Seq("id", "date"), col("time"))
+    assert(twice.count() == once.count())
+    assert(twice.except(once).isEmpty && once.except(twice).isEmpty)
+  }
+
+  test("deletedSet is the exact complement of the kept set") {
+    val kept = Dedup.keepLatest(fixture, Seq("id", "date"), col("time"))
+    val deleted = Dedup.deletedSet(fixture, Seq("id", "date"), col("time"))
+    assert(kept.count() + deleted.count() == fixture.count())
+    assert(deleted.select("payload").as[String].collect().toSeq == Seq("old"))
+  }
+
+  test("isClean: true only when no group would shrink") {
+    assert(!Dedup.isClean(fixture, Seq("id", "date"), col("time")))
+    val clean = Dedup.keepLatest(fixture, Seq("id", "date"), col("time"))
+    // ties remain but share one time value per group => clean
+    assert(Dedup.isClean(clean, Seq("id", "date"), col("time")))
+  }
+
+  test("rankedFirst keeps exactly one row per key in priority order") {
+    val out = Dedup.rankedFirst(fixture,
+      Seq(col("id"), col("date")),
+      Seq(col("time").desc, col("payload").asc))
+    assert(out.count() == 4) // one per (id,date) group
+    val b = out.filter($"id" === "b").select("payload").as[String].collect()
+    assert(b.toSeq == Seq("tie1")) // tie broken by payload asc
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import java.time.LocalDate
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.model.{Datasets, Job}
+import graft.tableops.{TableOps, Warehouse}
+
+/** End-to-end slice (SURVEY.md §7.2): JSONL fixture → loadToTmp → dedup →
+  * copyToRaw → deleteTmp → join, asserting the reference's partition-grain
+  * semantics.
+  */
+class TableOpsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private def writeJsonl(dir: Path, name: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(name), lines.asJava)
+  }
+
+  private def mkJob(root: String, datatype: String, date: String, join: String = "joined") =
+    Job("bucket", "exp", datatype, LocalDate.parse(date),
+      datasets = Datasets(tmp = "tmp_exp", raw = "raw_exp", join = join))
+
+  test("full pipeline: load, dedup (ties survive), copy, delete, join") {
+    val root = Files.createTempDirectory("graft-wh").toString
+    val src = Files.createTempDirectory("graft-src")
+    val wh = Warehouse(root)
+
+    // ndt7 measurements for 2024-01-01: id m1 has old+new, id m2 has a tie,
+    // plus a row of a DIFFERENT date in the same load (must be untouched).
+    writeJsonl(src, "meas.json", Seq(
+      """{"id":"m1","date":"2024-01-01","parser":{"Time":"2024-01-01T10:00:00Z"},"val":1}""",
+      """{"id":"m1","date":"2024-01-01","parser":{"Time":"2024-01-01T12:00:00Z"},"val":2}""",
+      """{"id":"m2","date":"2024-01-01","parser":{"Time":"2024-01-01T11:00:00Z"},"val":3}""",
+      """{"id":"m2","date":"2024-01-01","parser":{"Time":"2024-01-01T11:00:00Z"},"val":4}""",
+      """{"id":"m3","date":"2024-01-02","parser":{"Time":"2024-01-02T09:00:00Z"},"val":5}"""
+    ))
+    // annotation2 rows: m1 annotated on date and date-1 (row multiplication!),
+    // m2 has no annotation (LEFT JOIN null check).
+    writeJsonl(src, "ann.json", Seq(
+      """{"id":"m1","date":"2024-01-01","parser":{"Time":"2024-01-01T01:00:00Z"},"geo":"US"}""",
+      """{"id":"m1","date":"2023-12-31","parser":{"Time":"2023-12-31T01:00:00Z"},"geo":"DE"}""",
+      """{"id":"zz","date":"2024-01-01","parser":{"Time":"2024-01-01T01:00:00Z"},"geo":"FR"}"""
+    ))
+
+    val job = mkJob(root, "ndt7", "2024-01-01")
+    val ops = new TableOps(spark, job, wh)
+
+    // S1 load
+    val load = ops.loadToTmp(s"$src/meas.json")
+    assert(load.rowsOut == 5)
+
+    // W1 dedup: m1 keeps latest only; m2 ties BOTH survive; m3 (other date) untouched
+    val dd = ops.dedup()
+    assert(dd.rowsIn == 4)  // only the 2024-01-01 partition
+    assert(dd.rowsOut == 3) // m1(new) + m2 tie1 + m2 tie2
+    val tmpAfter = spark.read.parquet(s"$root/tmp_exp/ndt7")
+    assert(tmpAfter.count() == 4) // 3 kept + m3 other date
+    assert(tmpAfter.filter($"date" === lit(java.sql.Date.valueOf("2024-01-02"))).count() == 1)
+    assert(tmpAfter.filter($"id" === "m2").count() == 2)
+
+    // dedup is idempotent (clean pre-check path)
+    val dd2 = ops.dedup()
+    assert(dd2.rowsIn == 3 && dd2.rowsOut == 3)
+
+    // S2 copy to raw (partition truncate)
+    val cp = ops.copyToRaw()
+    assert(cp.rowsOut == 3)
+    assert(ops.rawPartitionCount() == 3)
+    // re-copy converges (idempotent truncate)
+    ops.copyToRaw()
+    assert(ops.rawPartitionCount() == 3)
+
+    // S3 delete tmp partition; other dates survive
+    ops.deleteTmp()
+    val tmpLeft = spark.read.parquet(s"$root/tmp_exp/ndt7")
+    assert(tmpLeft.count() == 1)
+    assert(tmpLeft.select("id").as[String].head() == "m3")
+
+    // annotation2 pipeline for the same date
+    val annJob = mkJob(root, "annotation2", "2024-01-01", join = "")
+    val annOps = new TableOps(spark, annJob, wh)
+    annOps.loadToTmp(s"$src/ann.json")
+    annOps.dedup()
+    annOps.copyToRaw()
+    // the 2023-12-31 partition is its own job (one job per date)
+    val annJobPrev = mkJob(root, "annotation2", "2023-12-31", join = "")
+    val annOpsPrev = new TableOps(spark, annJobPrev, wh)
+    annOpsPrev.dedup()
+    annOpsPrev.copyToRaw()
+    // ann raw now has 2023-12-31 and 2024-01-01 partitions
+    assert(spark.read.parquet(s"$root/raw_exp/annotation2").count() == 3)
+
+    // S4/J1 join: m1 matches TWO ann rows (as-of window d-1..d => row
+    // multiplication), m2 gets nulls
+    val jn = ops.join()
+    assert(jn.rowsOut == 4) // m1 x2 + m2 tie rows x1 each (null ann)
+    val joined = spark.read.parquet(s"$root/joined/ndt7")
+    assert(joined.filter($"id" === "m1").count() == 2)
+    assert(joined.filter($"id" === "m2" && $"geo".isNull).count() == 2)
+    // key-columns-first output order (cloud/bq/ops.go:250-251)
+    assert(joined.columns.take(2).toSeq == Seq("id", "parser"))
+    // join skip rule: Datasets.Join == "" => success no-op
+    assert(annOps.join().rowsOut == 0)
+  }
+
+  test("load appends; re-load then dedup converges (idempotent redo)") {
+    val root = Files.createTempDirectory("graft-wh2").toString
+    val src = Files.createTempDirectory("graft-src2")
+    writeJsonl(src, "m.json", Seq(
+      """{"id":"x","date":"2024-02-01","parser":{"Time":"2024-02-01T10:00:00Z"},"v":1}"""
+    ))
+    val job = mkJob(root, "ndt7", "2024-02-01")
+    val ops = new TableOps(spark, job, Warehouse(root))
+    ops.loadToTmp(s"$src/m.json")
+    ops.loadToTmp(s"$src/m.json") // crash-retry double append
+    val tmp = spark.read.parquet(s"$root/tmp_exp/ndt7")
+    assert(tmp.count() == 2)
+    ops.dedup() // exact duplicate rows tie on Time => keep-set keeps both
+    assert(spark.read.parquet(s"$root/tmp_exp/ndt7").count() == 2)
+    ops.copyToRaw()
+    ops.copyToRaw() // partition truncate: no double counting
+    assert(ops.rawPartitionCount() == 2)
+  }
+}
