@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnotationJoin, Dedup}
+import graft.operators.{AnnotationJoin, Dedup, Multimodal, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -120,12 +120,122 @@ object SparkEntry {
         .groupBy(date_trunc("hour", col("ts")).as("hour"))
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
-          sum(floor(col("value") * 10000).cast("long")).as("sum_value_e4")))
+          sum(floor(col("value") * 10000).cast("long")).as("sum_value_e4"))),
+
+    // ======== scale extensions (SURVEY.md §7.5) ========
+
+    // ---- text analysis ----
+    "tx_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
+        col("n_chars"))),
+
+    "tx_language_id" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+      val scores = TextAnalysis.langOrder.map(l =>
+        TextAnalysis.langScore(col("text"), l).as(s"score_${l}_e4"))
+      d.select((col("doc_id") +: col("lang").as("lang_label") +: scores) :+
+        TextAnalysis.langPredict(col("text")).as("lang_pred"): _*)
+    }),
+
+    "tx_quality" -> ((s, dir) =>
+      TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text")
+        .select("doc_id", "n_tokens", "mean_tok_len_e2", "distinct_ratio_e4",
+          "stopword_ratio_e4", "quality_e4")),
+
+    "tx_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"))),
+
+    // ---- dedup family ----
+    "dd_exact" -> ((s, dir) =>
+      TextDedup.exactDedup(Tables.documents(s, dir), "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    "dd_ngram_jaccard" -> ((s, dir) =>
+      TextDedup.lengthBandedJaccardPairs(Tables.documents(s, dir), "doc_id",
+        "text", "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L)),
+
+    // hash-based tiers: not SQL-portable => rows-only driver check
+    "dd_minhash_lsh" -> ((s, dir) =>
+      TextDedup.minhashDedupPairs(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 32, bands = 8, minJaccardE4 = 5000L)),
+
+    "dd_simhash" -> ((s, dir) =>
+      TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 6)),
+
+    // ---- similarity search ----
+    "sim_cosine_topk" -> ((s, dir) =>
+      Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)),
+
+    "sim_ivf_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)
+    }),
+
+    // ---- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ----
+    "mm_decode_meta" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromText(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF().select("media_id", "sizeBytes", "width", "height", "nFrames")),
+
+    "mm_resize_plan" -> ((s, dir) =>
+      Multimodal.resize(
+        Multimodal.extractFeatures(
+          Multimodal.mediaFromText(Tables.documents(s, dir), "doc_id", "text")),
+        maxDim = 256)
+        .select("media_id", "width", "height", "scale_e4", "out_width", "out_height"))
   )
 
   private val M = Tables.measurementsMonthlySql
   private val D = Tables.measurementsDailySql
   private val A = Tables.annotationsDailySql
+
+  // ---- DuckDB fragments for the extension oracles (single source of
+  //      truth: generated from the same constants the Spark side uses) ----
+
+  /** DuckDB tokens expression (parity with TextAnalysis.tokens). */
+  private val W = raw"string_split_regex(text, '\s+')"
+
+  /** DuckDB 3-gram shingle expression over a token-list column `w`
+    * (parity with TextDedup.shingles). */
+  private val ShingleSql =
+    """(CASE WHEN len(w) >= 3
+      | THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+      |                     for i in range(1, len(w)-1)])
+      | ELSE list_distinct(w) END)""".stripMargin
+
+  private def markerListSql(lang: String): String =
+    TextAnalysis.langMarkers(lang).map(m => s"'$m'").mkString("[", ", ", "]")
+
+  private def langScoreSql(lang: String): String =
+    s"""CAST(floor(len(list_filter($W, x -> list_contains(${markerListSql(lang)}, x)))
+       | * 10000.0 / len($W)) AS BIGINT)""".stripMargin
+
+  /** Stub-decode arithmetic shared by the multimodal oracles
+    * (parity with Multimodal.decodeStub). */
+  private val MmN = "octet_length(CAST(text AS BLOB))"
+  private val MmFirst = "ascii(substr(text, 1, 1))"
+  private val MmWidth = s"CAST(16 + ($MmN % 640) AS INT)"
+  private val MmHeight = s"CAST(16 + (($MmN * 31 + $MmFirst) % 480) AS INT)"
+  private val MmFrames = s"CAST(1 + ($MmFirst % 30) AS INT)"
+
+  /** DuckDB double-precision left-fold cosine (parity with Similarity:
+    * list_reduce starts from the first element, and 0.0 + x == x exactly,
+    * so the fold matches Spark's aggregate-with-zero-init bit for bit). */
+  private def cosE6Sql(a: String, b: String): String =
+    s"""CAST(floor(
+       |  list_reduce([CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |               for i in range(1, len($a)+1)], (x, y) -> x + y)
+       |  / (sqrt(list_reduce([CAST($a[i] AS DOUBLE) * CAST($a[i] AS DOUBLE)
+       |                       for i in range(1, len($a)+1)], (x, y) -> x + y))
+       |   * sqrt(list_reduce([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
+       |                       for i in range(1, len($b)+1)], (x, y) -> x + y)))
+       |  * 1000000.0) AS BIGINT)""".stripMargin
 
   private val mCols =
     """id, "date", parser_time, l_orderkey, l_partkey, l_suppkey, l_linenumber,
@@ -213,6 +323,111 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,
         |  sum(CAST(floor(value * 10000) AS BIGINT)) AS sum_value_e4
-        |FROM events GROUP BY 1""".stripMargin
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "tx_token_count" ->
+      s"""SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens, n_chars
+         |FROM documents""".stripMargin,
+
+    "tx_language_id" -> {
+      val scoreCols = TextAnalysis.langOrder
+        .map(l => s"${langScoreSql(l)} AS score_${l}_e4").mkString(",\n  ")
+      val best = TextAnalysis.langOrder.map(l => s"score_${l}_e4")
+        .reduce((a, b) => s"greatest($a, $b)")
+      val cases = TextAnalysis.langOrder
+        .map(l => s"WHEN score_${l}_e4 = $best THEN '$l'").mkString(" ")
+      s"""WITH s AS (SELECT doc_id, lang AS lang_label, $scoreCols FROM documents)
+         |SELECT *, CASE WHEN $best <= 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+         |FROM s""".stripMargin
+    },
+
+    "tx_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len($W) AS BIGINT) AS n_tokens,
+         |  CAST(floor((length(text) - len($W) + 1) * 100.0 / len($W)) AS BIGINT)
+         |    AS mean_tok_len_e2,
+         |  CAST(floor(len(list_distinct($W)) * 10000.0 / len($W)) AS BIGINT)
+         |    AS distinct_ratio_e4,
+         |  CAST(floor(len(list_filter($W, x -> list_contains(
+         |      ${TextAnalysis.langMarkers.values.flatten.toSeq.distinct.map(m => s"'$m'").mkString("[", ", ", "]")},
+         |      x))) * 10000.0 / len($W)) AS BIGINT) AS stopword_ratio_e4,
+         |  CAST(floor(len(list_distinct($W)) * 10000.0 / len($W))
+         |    + (CASE WHEN floor(len(list_filter($W, x -> list_contains(
+         |        ${TextAnalysis.langMarkers.values.flatten.toSeq.distinct.map(m => s"'$m'").mkString("[", ", ", "]")},
+         |        x))) * 10000.0 / len($W)) > 0 THEN 500 ELSE 0 END)
+         |    - (CASE WHEN floor((length(text) - len($W) + 1) * 100.0 / len($W)) > 1200
+         |        THEN 1000 ELSE 0 END) AS BIGINT) AS quality_e4
+         |FROM documents""".stripMargin,
+
+    "tx_fingerprint" ->
+      "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+
+    "dd_exact" ->
+      """WITH r AS (SELECT *, min(doc_id) OVER (
+        |    PARTITION BY md5(lower(trim(text)))) AS keep_id FROM documents)
+        |SELECT doc_id, lang, source, n_chars FROM r WHERE doc_id = keep_id""".stripMargin,
+
+    "dd_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, n_chars, $W AS w FROM documents),
+         |s AS (SELECT doc_id, n_chars, $ShingleSql AS sh,
+         |        CAST(floor(n_chars / 32.0) AS BIGINT) AS b0 FROM t),
+         |bl AS (SELECT s.*, u.bucket FROM s,
+         |        unnest([s.b0, s.b0 + 1]) AS u(bucket)),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(floor(len(list_intersect(a.sh, b.sh)) * 10000.0
+         |    / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_e4
+         |  FROM bl a JOIN bl b ON a.bucket = b.bucket
+         |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 32
+         |    AND a.bucket = greatest(a.b0, b.b0))
+         |SELECT * FROM p WHERE jaccard_e4 >= 5000""".stripMargin,
+
+    "sim_cosine_topk" -> {
+      val cos = cosE6Sql("q.qv", "e.embedding")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id < 10),
+         |scored AS (SELECT q.qid AS query_id, e.vec_id AS nbr_id, $cos AS cos_e6
+         |           FROM embeddings e JOIN q ON q.qid <> e.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
+         |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "sim_ivf_topk" -> {
+      val cosAssign = cosE6Sql("e.embedding", "c.embedding")
+      val cosScore = cosE6Sql("q.qv", "n.v")
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+         |           WHERE vec_id % 50 = 0),
+         |assign0 AS (SELECT e.vec_id, c.cent_id, e.embedding AS v,
+         |    $cosAssign AS cos_e6 FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT vec_id, cent_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM assign0)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, cent_id, v AS qv FROM assign
+         |      WHERE vec_id < 10),
+         |scored AS (SELECT q.qid AS query_id, n.vec_id AS nbr_id, $cosScore AS cos_e6
+         |           FROM assign n JOIN q ON n.cent_id = q.cent_id
+         |           WHERE q.qid <> n.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
+         |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "mm_decode_meta" ->
+      s"""SELECT doc_id AS media_id,
+         |  CAST($MmN AS BIGINT) AS "sizeBytes",
+         |  $MmWidth AS width, $MmHeight AS height, $MmFrames AS "nFrames"
+         |FROM documents""".stripMargin,
+
+    "mm_resize_plan" ->
+      s"""WITH m AS (SELECT doc_id AS media_id, $MmWidth AS width,
+         |                  $MmHeight AS height FROM documents),
+         |s AS (SELECT *, CASE WHEN greatest(width, height) <= 256 THEN CAST(10000 AS BIGINT)
+         |        ELSE CAST(floor(256 * 10000.0 / greatest(width, height)) AS BIGINT) END
+         |        AS scale_e4 FROM m)
+         |SELECT media_id, width, height, scale_e4,
+         |  CAST(floor(width * scale_e4 / 10000.0) AS INT) AS out_width,
+         |  CAST(floor(height * scale_e4 / 10000.0) AS INT) AS out_height
+         |FROM s""".stripMargin
   )
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (Array[Float]) — SURVEY.md §7.5 extension surface.
+  *
+  * Baseline: brute-force cosine top-k (exact). Scale path: IVF — vectors
+  * are bucketed by nearest centroid and only same-bucket pairs are scored;
+  * with C centroids the scored-pair volume drops by ~C×.
+  *
+  * All vector math is built from codegen'd higher-order functions
+  * (zip_with + aggregate folds) over doubles — no UDFs, deterministic
+  * left-to-right summation (matches an oracle doing the same fold).
+  *
+  * At 100 TB: broadcast the (small) query set / centroid set; the corpus
+  * side streams map-only until the final per-query top-k aggregation,
+  * which shuffles only k rows per query per partition (window over
+  * query_id after a partial sort would be the next step; the groupBy-based
+  * top-k here keeps shuffle volume at candidates, acceptable for k ≪ n).
+  */
+object Similarity {
+
+  /** Left-to-right dot product of two double arrays. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column =
+    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  /** Exact brute-force top-k cosine neighbors for a query subset.
+    *
+    * @param embeddings (idCol, vecCol) corpus
+    * @param queryPred  picks the query rows (e.g. vec_id < 10)
+    * @param k          neighbors per query
+    * Deterministic: ranked by (floor-scaled cosine desc, neighbor id asc).
+    */
+  def cosineTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int
+  ): DataFrame = {
+    val corpus = embeddings.select(col(idCol).as("nbr_id"),
+      asDouble(col(vecCol)).as("nbr_vec"))
+    val queries = broadcast(embeddings.filter(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec")))
+    val scored = corpus.join(queries, col("query_id") =!= col("nbr_id"))
+      .withColumn("cos_e6",
+        floor(cosine(col("q_vec"), col("nbr_vec")) * 1e6).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cos_e6", "rank")
+  }
+
+  /** IVF assignment: each vector gets the id of its nearest centroid
+    * (max cosine; ties → lowest centroid id). Centroids are broadcast.
+    */
+  def ivfAssign(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cIdCol: String, cVecCol: String
+  ): DataFrame = {
+    val cents = broadcast(centroids.select(col(cIdCol).as("cent_id"),
+      asDouble(col(cVecCol)).as("cent_vec")))
+    val scored = embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
+      .crossJoin(cents)
+      .withColumn("cos_e6", floor(cosine(col("v"), col("cent_vec")) * 1e6).cast("long"))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cos_e6").desc, col("cent_id").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col(idCol), col("cent_id"), col("v"))
+  }
+
+  /** IVF top-k: probe only the query's own centroid bucket. Approximate —
+    * misses neighbors assigned to other centroids; that trade is the point.
+    */
+  def ivfTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cIdCol: String, cVecCol: String,
+      queryPred: Column, k: Int
+  ): DataFrame = {
+    val assigned = ivfAssign(embeddings, idCol, vecCol, centroids, cIdCol, cVecCol)
+    val queries = broadcast(
+      assigned.join(embeddings.filter(queryPred).select(col(idCol)), Seq(idCol))
+        .select(col(idCol).as("query_id"), col("cent_id"), col("v").as("q_vec")))
+    val scored = assigned
+      .select(col(idCol).as("nbr_id"), col("cent_id"), col("v").as("nbr_vec"))
+      .join(queries, Seq("cent_id"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos_e6",
+        floor(cosine(col("q_vec"), col("nbr_vec")) * 1e6).cast("long"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos_e6").desc, col("nbr_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "nbr_id", "cos_e6", "rank")
+  }
+}

@@ -1,0 +1,90 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token counting, language identification, quality scoring, document
+  * fingerprinting. All pure column expressions (whole-stage codegen, no
+  * UDFs) — at 100 TB these run map-side with zero shuffle.
+  *
+  * Cross-engine determinism rules (shared with the DuckDB oracle):
+  * ratios are floor-scaled integers (`floor(x * 10^k)` as BIGINT), token
+  * splitting is a single regex, and fingerprints are md5 hex strings.
+  */
+object TextAnalysis {
+
+  /** Tokens = maximal runs of non-whitespace. */
+  def tokens(text: Column): Column = split(text, "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** Marker stopwords per language for the n-gram/stopword language-ID
+    * heuristic. Deterministic, tiny, SQL-expressible.
+    */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to"),
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "fr" -> Seq("le", "la", "les", "et", "est"),
+    "es" -> Seq("el", "los", "las", "y", "es"),
+    "zh" -> Seq("de", "shi", "bu", "le", "zai")
+  )
+  val langOrder: Seq[String] = Seq("en", "de", "fr", "es", "zh")
+
+  /** Per-language score: floor(1e4 * markerHits / tokenCount). */
+  def langScore(text: Column, lang: String): Column = {
+    val markers = array(langMarkers(lang).map(lit): _*)
+    val hits = size(filter(tokens(text), t => array_contains(markers, t)))
+    floor(hits * lit(10000.0) / tokenCount(text)).cast("long")
+  }
+
+  /** Predicted language: argmax of the marker scores, ties broken by
+    * [[langOrder]]; "und" (undetermined) when no marker hits at all.
+    */
+  def langPredict(text: Column): Column = {
+    val scores = langOrder.map(l => l -> langScore(text, l))
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // first language in langOrder reaching `best` wins ties
+    val ordered = scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
+      when(s === best, lit(l)).otherwise(acc)
+    }
+    when(best <= 0, lit("und")).otherwise(ordered)
+  }
+
+  /** Quality features + a linear score, all floor-scaled integers:
+    *   n_tokens, n_chars, mean token length (e2), distinct-token ratio (e4),
+    *   stopword ratio (e4), quality = distinct_ratio + stopword presence.
+    */
+  def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val toks = tokens(t)
+    val nTok = size(toks)
+    val allMarkers = array(langMarkers.values.flatten.toSeq.distinct.map(lit): _*)
+    val stopHits = size(filter(toks, x => array_contains(allMarkers, x)))
+    df.withColumn("n_tokens", nTok.cast("long"))
+      .withColumn("n_chars_m", length(t).cast("long"))
+      .withColumn("mean_tok_len_e2",
+        floor((length(t) - nTok + 1) * lit(100.0) / nTok).cast("long"))
+      .withColumn("distinct_ratio_e4",
+        floor(size(array_distinct(toks)) * lit(10000.0) / nTok).cast("long"))
+      .withColumn("stopword_ratio_e4",
+        floor(stopHits * lit(10000.0) / nTok).cast("long"))
+      .withColumn("quality_e4",
+        (col("distinct_ratio_e4") +
+          when(col("stopword_ratio_e4") > 0, lit(500L)).otherwise(lit(0L)) -
+          when(col("mean_tok_len_e2") > 1200, lit(1000L)).otherwise(lit(0L))).cast("long"))
+  }
+
+  /** Exact content fingerprint: md5 of the normalized text (lower + trim).
+    * Identical hex in every engine.
+    */
+  def fingerprint(text: Column): Column = md5(lower(trim(text)))
+
+  /** 64-bit rolling (polynomial) fingerprint over tokens — Spark-side
+    * (xxhash64 seeds the rolling state; not portable SQL, so not oracled).
+    * aggregate() keeps it a codegen'd fold, no UDF.
+    */
+  def rollingFingerprint(text: Column): Column =
+    aggregate(tokens(text), lit(1125899906842597L),
+      (acc, tok) => acc * lit(31L) + xxhash64(tok))
+}

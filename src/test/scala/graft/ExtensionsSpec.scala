@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+
+/** Scale-extension operators: dedup family, similarity search, text
+  * analysis, multimodal plumbing (SURVEY.md §7.5).
+  */
+class ExtensionsSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog", 43L),
+    (2L, "the quick brown fox jumps over the lazy dog", 43L),     // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat", 43L),     // near dup of 1
+    (4L, "completely different content about spark engines here", 53L),
+    (5L, "der schnelle braune fuchs und der faule hund ist da", 51L)
+  ).toDF("doc_id", "text", "n_chars")
+
+  test("exactDedup keeps lowest id per identical content") {
+    val out = TextDedup.exactDedup(docs, "doc_id", "text")
+    assert(out.select("doc_id").as[Long].collect().sorted.toSeq == Seq(1L, 3L, 4L, 5L))
+  }
+
+  test("length-banded jaccard finds near-dups, including across bucket edges") {
+    // ids 1/2/3 all have n_chars ~43; bucketWidth 32 puts 43 in bucket 1,
+    // and the overlap bucket 2. A doc at len 63 vs 65 would straddle: check
+    // the pair (1,3) near-dup is found and scored high.
+    val pairs = TextDedup.lengthBandedJaccardPairs(docs, "doc_id", "text",
+      "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L))) // exact dup => jaccard 10000
+    assert(pairs.contains((1L, 3L))) // near dup
+    assert(!pairs.exists(p => p._1 == 4L || p._2 == 4L))
+  }
+
+  test("bucket-edge pair is caught by the overlap bucket") {
+    val edge = Seq(
+      (10L, "a b c d e f g h i j k l m n o p", 31L),  // bucket 0 (+1)
+      (11L, "a b c d e f g h i j k l m n o q", 33L)   // bucket 1 (+2)
+    ).toDF("doc_id", "text", "n_chars")
+    val pairs = TextDedup.lengthBandedJaccardPairs(edge, "doc_id", "text",
+      "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((10L, 11L)))
+  }
+
+  test("minhash signatures are identical for identical text, and LSH finds near-dups") {
+    val sigs = TextDedup.minhashSignatures(docs, "doc_id", "text", numHashes = 32)
+    val s = sigs.select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(s(1L) == s(2L))
+    assert(s(1L) != s(4L))
+    val pairs = TextDedup.minhashDedupPairs(docs, "doc_id", "text",
+      numHashes = 32, bands = 8, minJaccardE4 = 5000)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("simhash: identical text => distance 0; near dup close; unrelated far") {
+    val sh = TextDedup.simhash(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) == 0)
+    assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
+  }
+
+  test("cosineTopK is exact on hand-checkable vectors") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(-1f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val out = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      col("vec_id") === 0, k = 2)
+      .select("rank", "nbr_id").as[(Int, Long)].collect().toMap
+    assert(out(1) == 1L) // closest: (0.9, 0.1)
+    assert(out(2) == 2L) // orthogonal beats opposite
+  }
+
+  test("ivfTopK probes only the query's centroid bucket") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.95f, 0.05f)), (2L, Array(0.9f, 0.1f)),
+      (50L, Array(0f, 1f)), (51L, Array(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+    val out = Similarity.ivfTopK(emb, "vec_id", "embedding", cents,
+      "vec_id", "embedding", col("vec_id") === 1, k = 10)
+      .select("nbr_id").as[Long].collect().toSet
+    // bucket of centroid 0 holds {0,1,2}; 50/51 are in the other bucket
+    assert(out == Set(0L, 2L))
+  }
+
+  test("language-id & quality are deterministic and sane") {
+    val out = docs.select(col("doc_id"),
+      TextAnalysis.langPredict(col("text")).as("pred"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "en")
+    assert(out(5L) == "de")
+    val q = TextAnalysis.qualityFeatures(docs, "text")
+    assert(q.filter($"doc_id" === 1L).select("n_tokens").as[Long].head() == 9L)
+  }
+
+  test("multimodal: batched decode plumbing preserves ids and is deterministic") {
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+    assert(media.schema("media").dataType.typeName == "binary")
+    val decoded = Multimodal.extractFeatures(media, batchSize = 2)
+    val rows = decoded.collect()
+    assert(rows.map(_.media_id).sorted.toSeq == Seq(1L, 2L, 3L, 4L, 5L))
+    // identical payloads decode identically
+    val byId = rows.map(r => r.media_id -> (r.width, r.height, r.nFrames)).toMap
+    assert(byId(1L) == byId(2L))
+    // sizeBytes round-trips the payload length
+    assert(rows.find(_.media_id == 1L).get.sizeBytes == 43L)
+    val resized = Multimodal.resize(decoded, maxDim = 256)
+    assert(resized.filter(col("out_width") > 256 || col("out_height") > 256).count() == 0)
+  }
+}
