@@ -1,0 +1,79 @@
+package graft.cmd
+
+import java.nio.file.{Files, Paths}
+import java.time.Duration
+
+import org.apache.spark.sql.SparkSession
+
+import graft.api.JobsApi
+import graft.config.GardenerConfig
+import graft.gardenerops.{Monitor, StandardPipeline}
+import graft.jobservice._
+import graft.model.{Job, Outcome}
+import graft.persistence.LocalNamedSaver
+import graft.tableops.{TableOps, Warehouse}
+import graft.tracker.Tracker
+
+/** Main wiring (reference: cmd/gardener/gardener.go:222-309): config →
+  * tracker (restored from snapshot) → monitor with the standard pipeline
+  * driving Spark TableOps → job service with daily + historical iterators →
+  * Jobs HTTP API.
+  *
+  * Usage: Gardener <config.yml> <stateDir> <archiveRoot> <warehouseRoot> [port]
+  */
+object Gardener {
+
+  def main(args: Array[String]): Unit = {
+    val configPath = args(0)
+    val stateDir = Paths.get(args(1))
+    val archiveRoot = args(2)
+    val warehouseRoot = args(3)
+    val port = if (args.length > 4) args(4).toInt else 8080
+
+    val config = GardenerConfig.parse(Files.readString(Paths.get(configPath)))
+
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
+      .appName("gardener")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // the monitor runs concurrent per-job Spark actions; FAIR scheduling
+      // keeps one long dedup from starving the small copy/delete jobs
+      .config("spark.scheduler.mode", "FAIR")
+      .getOrCreate()
+    TableOps.configure(spark)
+
+    val saver = new LocalNamedSaver(stateDir)
+    val tracker = new Tracker(saver)
+    tracker.saveEvery(60000)
+
+    val wh = Warehouse(warehouseRoot)
+    def tableOp(f: TableOps => Unit): Job => Outcome = job =>
+      try { f(new TableOps(spark, job, wh)); Outcome.Success() }
+      catch { case e: Exception => Outcome.Failure(e.getMessage) }
+
+    val monitor = new Monitor(tracker, StandardPipeline.actions(
+      load = job => tableOp(ops => { ops.loadToTmp(s"$archiveRoot/${job.prefix}*"); () })(job),
+      dedup = tableOp(ops => { ops.dedup(); () }),
+      copy = tableOp(ops => { ops.copyToRaw(); () }),
+      delete = tableOp(_.deleteTmp()),
+      join = tableOp(ops => { ops.join(); () })
+    ))
+    monitor.watch(config.pollingInterval.toMillis)
+
+    val daily = new JobIterator(
+      new DailyIterator(saver), config.sources.filter(_.dailyOnly))
+    val historical = new JobIterator(
+      new HistoricalIterator(saver, config.startDate),
+      config.sources.filterNot(_.dailyOnly))
+    val service = new JobService(daily, historical, config.sources.size,
+      job => PrefixStats.hasFiles(archiveRoot, job,
+        spark.sparkContext.hadoopConfiguration))
+
+    val api = new JobsApi(tracker, service, port)
+    val boundPort = api.start()
+    println(s"gardener listening on :$boundPort")
+    Thread.currentThread().join()
+  }
+}

@@ -1,0 +1,145 @@
+package graft.gardenerops
+
+import java.util.concurrent.{ConcurrentHashMap, Executors, TimeUnit}
+
+import scala.util.{Failure => TFailure, Success => TSuccess, Try}
+
+import graft.model._
+import graft.tracker.Tracker
+
+/** One state-machine action: run when a tracked job sits in `from` and
+  * `condition` holds; `run`'s Outcome drives the transition to `next`
+  * (Success), a stay-and-retry (Retry), or Failed (Failure).
+  * Reference: ops/ops.go:75-85 AddAction, ops/errors.go Outcome algebra.
+  */
+final case class Action(
+    from: State,
+    condition: (Map[String, (Job, Status)], Job) => Boolean,
+    run: Job => Outcome,
+    next: State,
+    annotation: String = ""
+)
+
+object Action {
+  def unconditional(from: State, run: Job => Outcome, next: State): Action =
+    Action(from, (_, _) => true, run, next)
+}
+
+/** Polling monitor (reference: ops/ops.go:198-221 Watch + :107-124 claims +
+  * :142-195 outcome dispatch). Every tick it snapshots the tracker, claims
+  * each actionable job, and runs its action on a bounded pool. Claims
+  * guarantee one in-flight action per job; Retry outcomes release the claim
+  * after a backoff so a later tick re-runs the same state.
+  */
+final class Monitor(
+    tracker: Tracker,
+    actions: Seq[Action],
+    retryMillis: Long = 120000,
+    poolSize: Int = 8,
+    clock: () => Long = () => System.currentTimeMillis()
+) {
+  private val actionTable: Map[State, Action] = actions.map(a => a.from -> a).toMap
+  private val claims = new ConcurrentHashMap[String, java.lang.Long]()
+  private val retryNotBefore = new ConcurrentHashMap[String, java.lang.Long]()
+  private val pool = Executors.newFixedThreadPool(poolSize, r => {
+    val t = new Thread(r, "monitor-action"); t.setDaemon(true); t
+  })
+  @volatile private var ticks: Long = 0
+
+  /** One polling pass. Visible for deterministic tests. */
+  def tick(): Unit = {
+    ticks += 1
+    val state = tracker.getState()
+    state.foreach { case (key, (job, status)) =>
+      actionTable.get(status.state).foreach { action =>
+        val nb = retryNotBefore.get(key)
+        val backoffOk = nb == null || clock() >= nb
+        if (backoffOk && action.condition(state, job) &&
+            claims.putIfAbsent(key, clock()) == null) {
+          pool.submit(new Runnable {
+            override def run(): Unit = applyAction(key, job, action)
+          })
+        }
+      }
+    }
+  }
+
+  private def applyAction(key: String, job: Job, action: Action): Unit = {
+    val outcome = Try(action.run(job)) match {
+      case TSuccess(o) => o
+      case TFailure(e) => Outcome.Failure(s"${e.getClass.getSimpleName}: ${e.getMessage}")
+    }
+    // Jobs can be expired/removed mid-action (ops/ops.go:176,210) — the
+    // tracker update may fail; tolerate it.
+    outcome match {
+      case Outcome.Success(detail) =>
+        retryNotBefore.remove(key)
+        tracker.setStatus(key, action.next, detail): Unit
+      case Outcome.Retry(detail) =>
+        retryNotBefore.put(key, clock() + retryMillis)
+        tracker.setDetail(key, s"retrying: $detail"): Unit
+      case Outcome.Failure(detail) =>
+        retryNotBefore.remove(key)
+        tracker.setStatus(key, State.Failed, detail): Unit
+    }
+    claims.remove(key)
+  }
+
+  /** Start the polling loop (reference poll period: 5 s in prod main). */
+  def watch(pollMillis: Long): AutoCloseable = {
+    val scheduler = Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "monitor-poll"); t.setDaemon(true); t
+    })
+    scheduler.scheduleAtFixedRate(() => tick(), pollMillis, pollMillis,
+      TimeUnit.MILLISECONDS)
+    () => { scheduler.shutdownNow(); pool.shutdown(); () }
+  }
+
+  /** In-flight action count (claims held). */
+  def inFlight: Int = claims.size()
+  def tickCount: Long = ticks
+}
+
+/** Standard pipeline wiring (reference: ops/actions.go:62-93):
+  * ParseComplete → Loading → Deduplicating → Copying → Deleting → Joining →
+  * Complete, with the join gated on the same-date annotation job and
+  * skipped entirely for datatypes without a join dataset.
+  */
+object StandardPipeline {
+
+  /** The cross-job join gate (ops/actions.go:31-54): join waits until the
+    * same-date annotation2 job is Complete; a missing annotation job (early
+    * dates / annotation's own pipeline) does not block.
+    */
+  def joinCondition(annotationDatatype: String = "annotation2")(
+      state: Map[String, (Job, Status)], job: Job): Boolean = {
+    if (job.datatype == annotationDatatype) true
+    else {
+      val pending = state.values.exists { case (j, st) =>
+        j.datatype == annotationDatatype && j.experiment == job.experiment &&
+          j.date == job.date && !st.isDone
+      }
+      !pending
+    }
+  }
+
+  /** Wire the six standard actions around TableOps-like functions. */
+  def actions(
+      load: Job => Outcome,
+      dedup: Job => Outcome,
+      copy: Job => Outcome,
+      delete: Job => Outcome,
+      join: Job => Outcome,
+      annotationDatatype: String = "annotation2"
+  ): Seq[Action] = Seq(
+    Action.unconditional(State.ParseComplete, _ => Outcome.Success("start postprocessing"),
+      State.Loading),
+    Action.unconditional(State.Loading, load, State.Deduplicating),
+    Action.unconditional(State.Deduplicating, dedup, State.Copying),
+    Action.unconditional(State.Copying, copy, State.Deleting),
+    Action.unconditional(State.Deleting, delete, State.Joining),
+    Action(State.Joining, joinCondition(annotationDatatype),
+      job => if (job.datasets.hasJoin) join(job) else Outcome.Success("join skipped"),
+      State.Complete)
+  )
+}

@@ -1,0 +1,146 @@
+package graft.tracker
+
+import java.util.concurrent.atomic.AtomicBoolean
+
+import graft.model._
+import graft.persistence.NamedSaver
+
+/** Thread-safe job tracker (reference: tracker/tracker.go).
+  *
+  * Holds the JobMap, appends state history, snapshots to a NamedSaver, and
+  * expires stale/complete jobs as a side effect of getState — all faithful
+  * to the reference's semantics:
+  *  - AddJob restarts Failed/Complete duplicates, rejects active ones
+  *    (tracker/tracker.go:221-246)
+  *  - getState deletes expired (no heartbeat/update for `expiry`) and
+  *    cleaned-up (Complete older than `cleanupDelay`) jobs
+  *    (tracker/tracker.go:353-377)
+  *  - snapshot persists only when modified (tracker/tracker.go:172-204)
+  */
+final class Tracker(
+    saver: NamedSaver,
+    snapshotName: String = "gardener-tracker-state-v2",
+    expiryMillis: Long = 24L * 3600 * 1000,
+    cleanupMillis: Long = 3L * 3600 * 1000,
+    clock: () => Long = () => System.currentTimeMillis()
+) {
+  private val lock = new Object
+  private var jobs: Map[String, (Job, Status)] = Map.empty
+  private val dirty = new AtomicBoolean(false)
+  @volatile private var completedCount: Long = 0
+
+  // restore persisted state on construction (cmd/gardener/gardener.go:188-202)
+  saver.load(snapshotName).foreach { json =>
+    jobs = Codec.snapshotFromJson(json)
+  }
+
+  /** Add a new job in Init state. Duplicate active jobs are rejected;
+    * Failed/Complete duplicates are replaced (restart).
+    */
+  def addJob(job: Job): Either[String, Unit] = lock.synchronized {
+    jobs.get(job.key) match {
+      case Some((_, st)) if !st.isDone =>
+        Left(s"job already active: ${job.key}")
+      case _ =>
+        jobs = jobs.updated(job.key, (job, Status.init(clock())))
+        dirty.set(true)
+        Right(())
+    }
+  }
+
+  /** Append a state transition to the job's history. */
+  def setStatus(key: String, state: State, detail: String = ""): Either[String, Unit] =
+    lock.synchronized {
+      jobs.get(key) match {
+        case None => Left(s"no such job: $key")
+        case Some((job, st)) =>
+          val now = clock()
+          var next = st.newState(state, now)
+          if (detail.nonEmpty) next = next.setDetail(detail, now)
+          if (state == State.Complete) completedCount += 1
+          jobs = jobs.updated(key, (job, next))
+          dirty.set(true)
+          Right(())
+      }
+    }
+
+  /** Update the detail of the current state without a transition (COW). */
+  def setDetail(key: String, detail: String): Either[String, Unit] =
+    lock.synchronized {
+      jobs.get(key) match {
+        case None => Left(s"no such job: $key")
+        case Some((job, st)) =>
+          jobs = jobs.updated(key, (job, st.setDetail(detail, clock())))
+          dirty.set(true)
+          Right(())
+      }
+    }
+
+  def heartbeat(key: String): Either[String, Unit] = lock.synchronized {
+    jobs.get(key) match {
+      case None => Left(s"no such job: $key")
+      case Some((job, st)) =>
+        jobs = jobs.updated(key, (job, st.heartbeat(clock())))
+        dirty.set(true)
+        Right(())
+    }
+  }
+
+  /** Parser-reported error → ParseError (terminal-by-neglect; expires). */
+  def setJobError(key: String, err: String): Either[String, Unit] =
+    setStatus(key, State.ParseError, err)
+
+  /** Snapshot of the JobMap. Side effect (faithful to the reference):
+    * removes expired jobs and Complete jobs past the cleanup delay.
+    */
+  def getState(): Map[String, (Job, Status)] = lock.synchronized {
+    val now = clock()
+    val (keep, drop) = jobs.partition { case (_, (_, st)) =>
+      val lastTouch = math.max(st.heartbeatTime,
+        st.history.lastOption.map(si => math.max(si.start, si.detailTime)).getOrElse(0L))
+      val expired = expiryMillis > 0 && now - lastTouch > expiryMillis
+      val cleaned = st.state == State.Complete &&
+        (cleanupMillis == 0 || now - lastTouch > cleanupMillis)
+      !(expired || cleaned)
+    }
+    if (drop.nonEmpty) { jobs = keep; dirty.set(true) }
+    keep
+  }
+
+  def numJobs: Int = lock.synchronized(jobs.size)
+
+  def numFailed: Int = lock.synchronized(
+    jobs.count { case (_, (_, st)) => st.state == State.Failed })
+
+  def completed: Long = completedCount
+
+  /** Persist the snapshot iff modified since the last sync. */
+  def sync(): Boolean = {
+    val snapshot = lock.synchronized {
+      if (!dirty.getAndSet(false)) None
+      else Some(Codec.snapshotToJson(clock(), jobs))
+    }
+    snapshot match {
+      case Some(json) =>
+        try { saver.save(snapshotName, json); true }
+        catch { case _: Exception => dirty.set(true); false }
+      case None => false
+    }
+  }
+
+  /** Background snapshot loop (reference snapshots every minute,
+    * cmd/gardener/gardener.go:191-195). Returns the running thread.
+    */
+  def saveEvery(intervalMillis: Long): Thread = {
+    val t = new Thread(() => {
+      var running = true
+      while (running && !Thread.currentThread().isInterrupted) {
+        try { Thread.sleep(intervalMillis); sync(); () }
+        catch { case _: InterruptedException => running = false }
+      }
+    }, "tracker-saver")
+    t.setDaemon(true)
+    t.start()
+    t
+  }
+}

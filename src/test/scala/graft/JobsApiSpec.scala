@@ -1,0 +1,100 @@
+package graft
+
+import java.net.URI
+import java.net.http.{HttpClient, HttpRequest, HttpResponse}
+import java.time.{Duration, Instant, LocalDate}
+
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.api.JobsApi
+import graft.jobservice._
+import graft.model._
+import graft.persistence.MemorySaver
+import graft.tracker.Tracker
+
+/** Full HTTP round trip against the Jobs API over a real socket (port of
+  * tracker/handler_test.go + client/v2 intents): routes, codes, payloads.
+  */
+class JobsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private val now = Instant.parse("2024-06-01T12:00:00Z")
+  private val saver = new MemorySaver
+  private val tracker = new Tracker(saver, clock = () => now.toEpochMilli)
+  private val spec = SourceSpec("bkt", "ndt", "ndt7",
+    datasets = Datasets("tmp_ndt", "raw_ndt", "ndt"), dailyOnly = true)
+  private val service = new JobService(
+    new JobIterator(new DailyIterator(saver, delay = Duration.ofHours(10),
+      clock = () => now), Seq(spec)),
+    new JobIterator(new HistoricalIterator(saver, LocalDate.parse("2024-05-30"),
+      saverName = "hist", clock = () => now), Seq.empty),
+    1, _ => true, clock = () => now)
+  private val api = new JobsApi(tracker, service)
+  private var port: Int = 0
+  private val client = HttpClient.newHttpClient()
+
+  override def beforeAll(): Unit = { port = api.start() }
+  override def afterAll(): Unit = api.stop()
+
+  private def post(path: String, form: String = ""): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path"))
+        .header("Content-Type", "application/x-www-form-urlencoded")
+        .POST(HttpRequest.BodyPublishers.ofString(form)).build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  private def get(path: String): HttpResponse[String] =
+    client.send(
+      HttpRequest.newBuilder(URI.create(s"http://localhost:$port$path")).GET.build(),
+      HttpResponse.BodyHandlers.ofString())
+
+  test("POST /v2/job/next returns a JobWithTarget and registers it") {
+    val resp = post("/v2/job/next")
+    assert(resp.statusCode() == 200)
+    val jt = Codec.jobWithTargetFromJson(resp.body())
+    assert(jt.job.datatype == "ndt7")
+    assert(jt.job.date == LocalDate.parse("2024-05-31"))
+    assert(jt.dailyOnly)
+    assert(jt.job.datasets == Datasets("tmp_ndt", "raw_ndt", "ndt"))
+    assert(tracker.getState().contains(jt.job.key))
+  }
+
+  test("update/heartbeat/error round trip with reference status codes") {
+    val key = tracker.getState().keys.head
+    // method not allowed
+    assert(get("/v2/job/update").statusCode() == 405)
+    // missing params
+    assert(post("/v2/job/update").statusCode() == 400)
+    // unknown state
+    assert(post("/v2/job/update", s"id=$key&state=nonsense").statusCode() == 422)
+    // happy path: parsing → postProcessing with detail
+    assert(post("/v2/job/update", s"id=$key&state=parsing&detail=50%25").statusCode() == 200)
+    assert(tracker.getState()(key)._2.state == State.Parsing)
+    assert(tracker.getState()(key)._2.detail == "50%")
+    assert(post("/v2/job/update", s"id=$key&state=postProcessing").statusCode() == 200)
+    assert(tracker.getState()(key)._2.state == State.ParseComplete)
+    // heartbeat
+    assert(post("/v2/job/heartbeat", s"id=$key").statusCode() == 200)
+    // unknown job → 410 Gone
+    assert(post("/v2/job/heartbeat", "id=nope").statusCode() == 410)
+    assert(post("/v2/job/update", "id=nope&state=parsing").statusCode() == 410)
+    // error route → ParseError
+    assert(post("/v2/job/error", s"id=$key&error=corrupt+archive").statusCode() == 200)
+    assert(tracker.getState()(key)._2.state == State.ParseError)
+    assert(post("/v2/job/error", "id=nope&error=x").statusCode() == 410)
+  }
+
+  test("next returns 500 when no work is available") {
+    // daily already consumed; historical iterator empty
+    val resp = post("/v2/job/next")
+    assert(resp.statusCode() == 500)
+  }
+
+  test("health and status endpoints") {
+    assert(get("/alive").statusCode() == 200)
+    assert(get("/ready").statusCode() == 200)
+    val st = get("/status")
+    assert(st.statusCode() == 200)
+    assert(st.body().startsWith("jobs="))
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import java.time.LocalDate
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.gardenerops.{Action, Monitor, StandardPipeline}
+import graft.model._
+import graft.persistence.MemorySaver
+import graft.tracker.Tracker
+
+/** State-machine tests with stubbed actions (port of ops/ops_test.go:38-79
+  * intent): drive jobs Init→…→Complete via deterministic ticks.
+  */
+class MonitorSpec extends AnyFunSuite {
+
+  private def mkJob(dt: String, date: String = "2024-01-01", join: String = "join") =
+    Job("b", "ndt", dt, LocalDate.parse(date),
+      datasets = Datasets("tmp", "raw", join))
+
+  /** Run ticks until the predicate holds or timeout (actions are async). */
+  private def until(m: Monitor, timeoutMs: Long = 10000)(p: => Boolean): Boolean = {
+    val deadline = System.currentTimeMillis() + timeoutMs
+    while (!p && System.currentTimeMillis() < deadline) {
+      m.tick(); Thread.sleep(10)
+    }
+    p
+  }
+
+  test("standard pipeline drains ParseComplete -> Complete") {
+    val tk = new Tracker(new MemorySaver, cleanupMillis = 3600_000)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def step(name: String): Job => Outcome =
+      _ => { seen.add(name); Outcome.Success(name) }
+    val m = new Monitor(tk, StandardPipeline.actions(
+      step("load"), step("dedup"), step("copy"), step("delete"), step("join")))
+    val j = mkJob("ndt7")
+    tk.addJob(j)
+    tk.setStatus(j.key, State.ParseComplete)
+    assert(until(m) { tk.getState().get(j.key).exists(_._2.state == State.Complete) })
+    assert(seen.toArray.toSeq == Seq("load", "dedup", "copy", "delete", "join"))
+  }
+
+  test("join is gated on the same-date annotation job completing") {
+    val tk = new Tracker(new MemorySaver, cleanupMillis = 3600_000)
+    def ok: Job => Outcome = _ => Outcome.Success()
+    val m = new Monitor(tk, StandardPipeline.actions(ok, ok, ok, ok, ok))
+    val meas = mkJob("ndt7")
+    val ann = mkJob("annotation2", join = "")
+    tk.addJob(meas); tk.addJob(ann)
+    tk.setStatus(meas.key, State.Joining)
+    // annotation job still active (Init) => gate blocks
+    (1 to 5).foreach(_ => { m.tick(); Thread.sleep(5) })
+    assert(tk.getState()(meas.key)._2.state == State.Joining)
+    // annotation pipeline runs to Complete (its own gate self-satisfies)
+    tk.setStatus(ann.key, State.ParseComplete)
+    assert(until(m) { tk.getState().get(ann.key).exists(_._2.state == State.Complete) })
+    assert(until(m) { tk.getState().get(meas.key).exists(_._2.state == State.Complete) })
+  }
+
+  test("Retry outcome stays in state with backoff; Failure moves to Failed") {
+    var now = 0L
+    val tk = new Tracker(new MemorySaver, cleanupMillis = 3600_000, clock = () => now)
+    val attempts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val retryAction = Action.unconditional(State.Loading,
+      _ => if (attempts.incrementAndGet() < 3) Outcome.Retry("wait")
+           else Outcome.Success("ok"),
+      State.Deduplicating)
+    val failAction = Action.unconditional(State.Deduplicating,
+      _ => Outcome.Failure("boom"), State.Copying)
+    val m = new Monitor(tk, Seq(retryAction, failAction),
+      retryMillis = 1000, clock = () => now)
+    val j = mkJob("ndt7")
+    tk.addJob(j)
+    tk.setStatus(j.key, State.Loading)
+    // attempt 1 → Retry; further ticks within backoff do nothing
+    assert(until(m) { attempts.get() == 1 })
+    (1 to 3).foreach(_ => { m.tick(); Thread.sleep(5) })
+    assert(attempts.get() == 1)
+    assert(tk.getState()(j.key)._2.state == State.Loading)
+    now += 1001 // backoff expires → attempt 2 → Retry
+    assert(until(m) { attempts.get() == 2 })
+    now += 1001 // attempt 3 → Success → Deduplicating → failAction → Failed
+    assert(until(m) { tk.getState().get(j.key).exists(_._2.state == State.Failed) })
+    assert(tk.getState()(j.key)._2.detail.contains("boom"))
+  }
+
+  test("action exceptions become Failure outcomes") {
+    val tk = new Tracker(new MemorySaver, cleanupMillis = 3600_000)
+    val m = new Monitor(tk, Seq(Action.unconditional(State.Loading,
+      _ => throw new RuntimeException("kaput"), State.Deduplicating)))
+    val j = mkJob("ndt7")
+    tk.addJob(j)
+    tk.setStatus(j.key, State.Loading)
+    assert(until(m) { tk.getState().get(j.key).exists(_._2.state == State.Failed) })
+    assert(tk.getState()(j.key)._2.detail.contains("kaput"))
+  }
+
+  test("claims: one in-flight action per job even with overlapping ticks") {
+    val tk = new Tracker(new MemorySaver, cleanupMillis = 3600_000)
+    val concurrent = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val slow = Action.unconditional(State.Loading, _ => {
+      val c = concurrent.incrementAndGet()
+      maxSeen.updateAndGet(m => math.max(m, c))
+      Thread.sleep(50)
+      concurrent.decrementAndGet()
+      Outcome.Success()
+    }, State.Complete)
+    val m = new Monitor(tk, Seq(slow))
+    val j = mkJob("ndt7")
+    tk.addJob(j); tk.setStatus(j.key, State.Loading)
+    (1 to 10).foreach(_ => m.tick()) // overlapping ticks while action runs
+    assert(until(m) { tk.getState().get(j.key).exists(_._2.state == State.Complete) })
+    assert(maxSeen.get() == 1)
+  }
+}
