@@ -130,13 +130,11 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         col("n_chars"))),
 
-    "tx_language_id" -> ((s, dir) => {
-      val d = Tables.documents(s, dir)
-      val scores = TextAnalysis.langOrder.map(l =>
-        TextAnalysis.langScore(col("text"), l).as(s"score_${l}_e4"))
-      d.select((col("doc_id") +: col("lang").as("lang_label") +: scores) :+
-        TextAnalysis.langPredict(col("text")).as("lang_pred"): _*)
-    }),
+    "tx_language_id" -> ((s, dir) =>
+      TextAnalysis.languageId(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang").as("lang_label"), col("text")),
+        "text").drop("text")),
 
     "tx_quality" -> ((s, dir) =>
       TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text")

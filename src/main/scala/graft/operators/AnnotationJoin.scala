@@ -49,8 +49,15 @@ object AnnotationJoin {
   /** Generalized all-partitions as-of annotation: every measurement row is
     * annotated from the window [date - windowDays, date] of the annotation
     * table. Equivalent to running [[annotatePartition]] for every date.
-    * Equi-join on id with the range as a residual condition — Spark plans a
-    * broadcast/sort-merge join on id, not a nested loop.
+    *
+    * Scale design: a naive `ON id AND ann.date BETWEEN …` range join
+    * degenerates when ids are coarse — every same-id pair is materialized
+    * before the date filter (measured 90M intermediate pairs on 600k rows).
+    * Since the window is small and bounded, we instead EXPLODE the
+    * annotation side into one row per covered date and join on the composite
+    * equi key (id, date): a plain shuffle/broadcast hash join, no blowup,
+    * AQE-optimizable. Annotation volume grows ×(windowDays+1), which is the
+    * cheap side of that trade at any scale.
     */
   def annotateAsOf(
       measurements: DataFrame,
@@ -60,16 +67,14 @@ object AnnotationJoin {
   ): DataFrame = {
     val m = measurements
     val ann0 = annotations
-      .withColumnRenamed("date", "ann_date")
       .drop("parser", "parser_time")
+      // each annotation row serves dates [date, date + windowDays]
+      .withColumn("date",
+        explode(transform(sequence(lit(0), lit(windowDays)),
+          i => date_add(col("date"), i))))
     val ann = if (broadcastAnn) broadcast(ann0) else ann0
-    val joined = m.join(
-      ann,
-      m("id") === ann("id") &&
-        ann("ann_date").between(date_sub(m("date"), windowDays), m("date")),
-      "left"
-    ).drop(ann("id")).drop("ann_date")
-    ordered(m, joined, ann0.drop("ann_date"))
+    val joined = m.join(ann, Seq("id", "date"), "left")
+    ordered(m, joined, ann0.drop("date"))
   }
 
   /** Key-columns-first output order: id, date, parser*, ann.*, rest.* */

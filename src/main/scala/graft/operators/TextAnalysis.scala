@@ -31,18 +31,27 @@ object TextAnalysis {
   )
   val langOrder: Seq[String] = Seq("en", "de", "fr", "es", "zh")
 
-  /** Per-language score: floor(1e4 * markerHits / tokenCount). */
-  def langScore(text: Column, lang: String): Column = {
+  /** Per-language score from a token-array column:
+    * floor(1e4 * markerHits / tokenCount).
+    */
+  def langScoreFromTokens(toks: Column, lang: String): Column = {
     val markers = array(langMarkers(lang).map(lit): _*)
-    val hits = size(filter(tokens(text), t => array_contains(markers, t)))
-    floor(hits * lit(10000.0) / tokenCount(text)).cast("long")
+    val hits = size(filter(toks, t => array_contains(markers, t)))
+    floor(hits * lit(10000.0) / size(toks)).cast("long")
   }
 
-  /** Predicted language: argmax of the marker scores, ties broken by
-    * [[langOrder]]; "und" (undetermined) when no marker hits at all.
+  /** Per-language score: floor(1e4 * markerHits / tokenCount).
+    * NOTE: inlines `split` twice per score — prefer [[languageId]] /
+    * [[langScoreFromTokens]] over a materialized token column in hot paths.
     */
-  def langPredict(text: Column): Column = {
-    val scores = langOrder.map(l => l -> langScore(text, l))
+  def langScore(text: Column, lang: String): Column =
+    langScoreFromTokens(tokens(text), lang)
+
+  /** Predicted language from a token-array column: argmax of the marker
+    * scores, ties broken by [[langOrder]]; "und" when no marker hits.
+    */
+  def langPredictFromTokens(toks: Column): Column = {
+    val scores = langOrder.map(l => l -> langScoreFromTokens(toks, l))
     val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
     // first language in langOrder reaching `best` wins ties
     val ordered = scores.reverse.foldLeft(lit("und")) { case (acc, (l, s)) =>
@@ -51,17 +60,37 @@ object TextAnalysis {
     when(best <= 0, lit("und")).otherwise(ordered)
   }
 
+  /** Predicted language (see [[langPredictFromTokens]]; same split-inlining
+    * caveat as [[langScore]]).
+    */
+  def langPredict(text: Column): Column = langPredictFromTokens(tokens(text))
+
+  /** Language-ID over a whole frame: appends score_<lang>_e4 per language
+    * and lang_pred, with the token array materialized ONCE in its own
+    * projection (the Column forms above re-split the text inside every
+    * lambda — ~10 splits/row for 5 languages + argmax).
+    */
+  def languageId(df: DataFrame, textCol: String): DataFrame = {
+    val scores = langOrder.map(l =>
+      langScoreFromTokens(col("__w"), l).as(s"score_${l}_e4"))
+    val out = (df.columns.map(col).toSeq ++ scores) :+
+      langPredictFromTokens(col("__w")).as("lang_pred")
+    df.withColumn("__w", tokens(col(textCol))).select(out: _*)
+  }
+
   /** Quality features + a linear score, all floor-scaled integers:
     *   n_tokens, n_chars, mean token length (e2), distinct-token ratio (e4),
     *   stopword ratio (e4), quality = distinct_ratio + stopword presence.
     */
   def qualityFeatures(df: DataFrame, textCol: String): DataFrame = {
     val t = col(textCol)
-    val toks = tokens(t)
+    // token array materialized once (same split-inlining trap as languageId)
+    val withW = df.withColumn("__w", tokens(t))
+    val toks = col("__w")
     val nTok = size(toks)
     val allMarkers = array(langMarkers.values.flatten.toSeq.distinct.map(lit): _*)
     val stopHits = size(filter(toks, x => array_contains(allMarkers, x)))
-    df.withColumn("n_tokens", nTok.cast("long"))
+    withW.withColumn("n_tokens", nTok.cast("long"))
       .withColumn("n_chars_m", length(t).cast("long"))
       .withColumn("mean_tok_len_e2",
         floor((length(t) - nTok + 1) * lit(100.0) / nTok).cast("long"))
@@ -73,6 +102,7 @@ object TextAnalysis {
         (col("distinct_ratio_e4") +
           when(col("stopword_ratio_e4") > 0, lit(500L)).otherwise(lit(0L)) -
           when(col("mean_tok_len_e2") > 1200, lit(1000L)).otherwise(lit(0L))).cast("long"))
+      .drop("__w")
   }
 
   /** Exact content fingerprint: md5 of the normalized text (lower + trim).
@@ -80,11 +110,13 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
-  /** 64-bit rolling (polynomial) fingerprint over tokens — Spark-side
-    * (xxhash64 seeds the rolling state; not portable SQL, so not oracled).
-    * aggregate() keeps it a codegen'd fold, no UDF.
+  /** 64-bit rolling fingerprint over tokens — Spark-side (not portable
+    * SQL, so not oracled). The fold chains xxhash64(acc, tok) rather than
+    * the classic acc*31+h polynomial: under ANSI mode (Spark 4's default)
+    * the multiply-add raises ARITHMETIC_OVERFLOW instead of wrapping.
+    * aggregate() keeps it an expression fold, no UDF.
     */
   def rollingFingerprint(text: Column): Column =
     aggregate(tokens(text), lit(1125899906842597L),
-      (acc, tok) => acc * lit(31L) + xxhash64(tok))
+      (acc, tok) => xxhash64(acc, tok))
 }

@@ -25,13 +25,50 @@ object TextDedup {
 
   // ---------- shingles ----------
 
-  /** Distinct k-token shingles of a text column (default 3-gram). */
+  /** Distinct k-token shingles of a text column (default 3-gram).
+    *
+    * PERFORMANCE TRAP: referencing this whole expression inlines the
+    * `split` into every lambda position — the text is then re-split once
+    * per shingle index (quadratic per doc; measured 4-9× slower than the
+    * two-projection form). Operators below use [[withHashedShingles]],
+    * which materializes the token array in its own projection first
+    * (CollapseProject keeps multiply-referenced non-cheap aliases
+    * unmerged). This Column form exists for small/one-off use.
+    */
   def shingles(text: org.apache.spark.sql.Column, k: Int = 3): org.apache.spark.sql.Column = {
     val w = split(text, "\\s+")
     val shingled = transform(sequence(lit(0), size(w) - k),
       i => concat_ws(" ", slice(w, i + 1, lit(k))))
     when(size(w) >= k, array_distinct(shingled)).otherwise(array_distinct(w))
   }
+
+  /** Distinct xxhash64-hashed k-shingles from a pre-materialized token
+    * array column. Hash values equal xxhash64(shingle string), so they are
+    * interchangeable with hashing [[shingles]] output; set distinctness is
+    * preserved modulo a ~2^-64 collision.
+    */
+  private def hashedShinglesFromTokens(
+      w: org.apache.spark.sql.Column, k: Int = 3): org.apache.spark.sql.Column =
+    when(size(w) >= k,
+      array_distinct(transform(sequence(lit(0), size(w) - k),
+        i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(k)))))))
+      .otherwise(array_distinct(transform(w, t => xxhash64(t))))
+
+  /** Projects `keepCols` plus `sh: array<long>` of distinct hashed
+    * k-shingles, via two separate projections so the tokenization runs
+    * once per row (see [[shingles]] scaladoc).
+    */
+  def withHashedShingles(
+      docs: DataFrame, keepCols: Seq[String], textCol: String, k: Int = 3
+  ): DataFrame =
+    // coalesce makes the whole token→shingle chain non-nullable, which
+    // stops InferFiltersFromConstraints from deriving isnotnull(size(sh))
+    // checks that predicate pushdown re-expands below the projection —
+    // re-running the full shingle expression per input row (null text ≡
+    // empty text here).
+    docs.select(keepCols.map(col) :+
+        split(coalesce(col(textCol), lit("")), "\\s+").as("__w"): _*)
+      .select(keepCols.map(col) :+ hashedShinglesFromTokens(col("__w"), k).as("sh"): _*)
 
   // ---------- tier 1: exact ----------
 
@@ -60,53 +97,63 @@ object TextDedup {
       blockCols: Seq[String],
       minJaccardE4: Long
   ): DataFrame = {
-    val base = docs.select(
-      (col(idCol) +: blockCols.map(col)) :+ shingles(col(textCol)).as("sh"): _*)
+    val base = withHashedShingles(docs, idCol +: blockCols, textCol)
     val a = base.toDF(base.columns.map(c => s"a_$c").toIndexedSeq: _*)
     val b = base.toDF(base.columns.map(c => s"b_$c").toIndexedSeq: _*)
     val blockCond = blockCols.map(c => a(s"a_$c") === b(s"b_$c")).reduce(_ && _)
     val inter = size(array_intersect(a("a_sh"), b("b_sh")))
-    val uni = size(array_union(a("a_sh"), b("b_sh")))
     a.join(b, blockCond && a(s"a_$idCol") < b(s"b_$idCol"))
       .select(
         a(s"a_$idCol").as("id_a"),
         b(s"b_$idCol").as("id_b"),
-        floor(inter * lit(10000.0) / uni).cast("long").as("jaccard_e4"))
+        floor(inter * lit(10000.0) /
+          (size(a("a_sh")) + size(b("b_sh")) - inter)).cast("long").as("jaccard_e4"))
       .filter(col("jaccard_e4") >= minJaccardE4)
   }
 
-  /** Length-banded all-pairs Jaccard: blocks on overlapping length buckets
-    * (each doc lands in floor(len/bw) and floor(len/bw)+1), so near-dups
-    * straddling a bucket edge are still compared; the
-    * `bucket = greatest(bucket_a, bucket_b)` condition counts each pair
-    * exactly once without a distinct. Equi-join on the bucket => plain
-    * shuffle hash join; the |Δlen| residual prunes pairs before the
-    * (expensive) shingle intersection is computed.
+  /** Length-banded all-pairs Jaccard. Semantics: emit (id_a < id_b,
+    * jaccard_e4) for every pair whose length buckets overlap (each doc
+    * covers buckets floor(len/bw) and floor(len/bw)+1, so bucket overlap
+    * ⟺ |Δbucket| ≤ 1), |Δlen| ≤ maxDelta, and 3-gram-shingle Jaccard ≥
+    * threshold. Near-dup texts rarely preserve metadata but always
+    * preserve approximate length — this blocking found 25/25 planted
+    * near-dups in the test corpus where (lang, source) blocking found 1/25.
     *
-    * Near-dup texts rarely preserve metadata but always preserve
-    * approximate length — this blocking found 25/25 planted near-dups in
-    * the test corpus where (lang, source) blocking found 1/25.
+    * Execution is an inverted shingle index, NOT a bucket-blocked
+    * array-vs-array join: shingles are hashed to longs once (distinctness
+    * preserved modulo a ~2^-64 xxhash64 collision), exploded, and
+    * self-joined on the shingle hash, so only pairs that actually share a
+    * shingle are ever materialized — a pair below the threshold with zero
+    * overlap costs nothing. |A ∩ B| falls out of a count per pair and
+    * |A ∪ B| = |A| + |B| − |A ∩ B|; no shingle array crosses the shuffle.
+    * Measured on the 5k-doc corpus: 203k shingle-pair rows vs ~5M
+    * in-bucket array comparisons for the blocked formulation. At scale the
+    * known hazard is hot-shingle skew (a shingle in f docs yields f² pair
+    * rows) — boilerplate shingles should be stop-listed by a frequency
+    * pre-pass before this operator when corpora make them likely.
     */
   def lengthBandedJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, lenCol: String,
       bucketWidth: Int = 32, maxDelta: Int = 32, minJaccardE4: Long = 5000
   ): DataFrame = {
-    val base = docs.select(col(idCol), col(lenCol),
-      shingles(col(textCol)).as("sh"),
-      floor(col(lenCol) / lit(bucketWidth.toDouble)).cast("long").as("b0"))
-    val blocked = base.withColumn("bucket",
-      explode(array(col("b0"), col("b0") + 1)))
-    val a = blocked.select(col(idCol).as("id_a"), col(lenCol).as("len_a"),
-      col("sh").as("sh_a"), col("b0").as("b0_a"), col("bucket"))
-    val b = blocked.select(col(idCol).as("id_b"), col(lenCol).as("len_b"),
-      col("sh").as("sh_b"), col("b0").as("b0_b"), col("bucket"))
-    a.join(b, Seq("bucket"))
+    val base = withHashedShingles(docs, Seq(idCol, lenCol), textCol)
+      .withColumn("b0", floor(col(lenCol) / lit(bucketWidth.toDouble)).cast("long"))
+      .withColumn("sz", size(col("sh")))
+    val ex = base.select(col(idCol), col(lenCol), col("b0"), col("sz"),
+      explode_outer(col("sh")).as("h"))
+    val a = ex.select(col(idCol).as("id_a"), col(lenCol).as("len_a"),
+      col("b0").as("b0_a"), col("sz").as("sz_a"), col("h"))
+    val b = ex.select(col(idCol).as("id_b"), col(lenCol).as("len_b"),
+      col("b0").as("b0_b"), col("sz").as("sz_b"), col("h"))
+    a.join(b, Seq("h"))
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDelta &&
-        col("bucket") === greatest(col("b0_a"), col("b0_b")))
+        abs(col("b0_a") - col("b0_b")) <= 1)
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
       .select(col("id_a"), col("id_b"),
-        floor(size(array_intersect(col("sh_a"), col("sh_b"))) * lit(10000.0) /
-          size(array_union(col("sh_a"), col("sh_b")))).cast("long").as("jaccard_e4"))
+        floor(col("inter") * lit(10000.0) /
+          (col("sz_a") + col("sz_b") - col("inter"))).cast("long").as("jaccard_e4"))
       .filter(col("jaccard_e4") >= minJaccardE4)
   }
 
@@ -120,28 +167,59 @@ object TextDedup {
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String, numHashes: Int = 32
   ): DataFrame = {
-    val exploded = docs.select(col(idCol), explode(shingles(col(textCol))).as("sh"))
-    val mins = (0 until numHashes).map(i => min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    // The variable-length shingle string is hashed ONCE (inside
+    // withHashedShingles); the numHashes seeded variants re-hash that
+    // fixed 8-byte value (xxhash64(seed, h0)) — far cheaper than
+    // numHashes string hashes, same minhash statistics. (A multiply-add
+    // universal family would be cheaper still but needs wrapping
+    // arithmetic, which ANSI mode — Spark 4's default — turns into
+    // overflow errors.)
+    val exploded = withHashedShingles(docs, Seq(idCol), textCol)
+      .select(col(idCol), explode_outer(col("sh")).as("h0"))
+    val mins = (0 until numHashes).map(i =>
+      min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
     exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
       .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
   }
 
   /** LSH candidate pairs from banded signatures: docs sharing any band
     * bucket. bands must divide numHashes.
+    *
+    * @param numHashes signature width; pass it explicitly when known —
+    *        the `<= 0` fallback discovers it with a `first()`, which
+    *        EXECUTES the whole upstream signature pipeline once just to
+    *        read one array length (and then again for the real run).
     */
-  def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 8): DataFrame = {
-    val numHashes = bands * (sigs.select(size(col("sig"))).first().getInt(0) / bands)
-    val rowsPerBand = numHashes / bands
+  def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 8,
+      numHashes: Int = -1): DataFrame = {
+    val nh =
+      if (numHashes > 0) numHashes
+      else bands * (sigs.select(size(col("sig"))).first().getInt(0) / bands)
+    val rowsPerBand = nh / bands
     val banded = sigs.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => xxhash64(b, concat_ws(",", slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand))))))
     ).select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
-    val a = banded.select(col(idCol).as("id_a"), col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b").distinct()
+    // Pairs are expanded per bucket from one collect_list, NOT via a
+    // banded self-join: a self-join would re-execute the whole signature
+    // pipeline once per branch (signatures aren't materialized), and here
+    // the groupBy shuffles only (band, bucket, id) — bytes, not arrays.
+    pairsWithinGroups(banded, Seq("band", "bucket"), idCol).distinct()
   }
+
+  /** (id_a < id_b) pairs of ids sharing identical values of groupCols —
+    * one shuffle, quadratic only inside a group.
+    */
+  private def pairsWithinGroups(
+      df: DataFrame, groupCols: Seq[String], idCol: String): DataFrame =
+    df.groupBy(groupCols.map(col): _*)
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"))
 
   /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     * exact-Jaccard verification against the shingle sets.
@@ -151,14 +229,16 @@ object TextDedup {
       numHashes: Int = 32, bands: Int = 8, minJaccardE4: Long = 8000
   ): DataFrame = {
     val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
-    val cands = lshCandidates(sigs, idCol, bands)
-    val sh = docs.select(col(idCol), shingles(col(textCol)).as("sh"))
+    val cands = lshCandidates(sigs, idCol, bands, numHashes)
+    // hashed-long shingles for the verify join (see lengthBandedJaccardPairs)
+    val sh = withHashedShingles(docs, Seq(idCol), textCol)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
     val verified = cands
       .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
       .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
       .withColumn("jaccard_e4",
-        floor(size(array_intersect(col("sh_a"), col("sh_b"))) * lit(10000.0) /
-          size(array_union(col("sh_a"), col("sh_b")))).cast("long"))
+        floor(inter * lit(10000.0) /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).cast("long"))
     verified.filter(col("jaccard_e4") >= minJaccardE4)
       .select("id_a", "id_b", "jaccard_e4")
   }
@@ -171,9 +251,8 @@ object TextDedup {
     * fingerprint bit set where the vote is positive. One explode+groupBy.
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol),
-      explode(shingles(col(textCol))).as("tok"))
-      .withColumn("h", xxhash64(col("tok")))
+    val toks = withHashedShingles(docs, Seq(idCol), textCol)
+      .select(col(idCol), explode_outer(col("sh")).as("h"))
     val votes = (0 until 64).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
@@ -194,13 +273,18 @@ object TextDedup {
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
       .select(col(idCol), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
-    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
-      col("band"), col("bucket"))
-    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
-      col("band"), col("bucket"))
-    a.join(b, Seq("band", "bucket")).filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+    // In-bucket pair expansion (see lshCandidates): one shuffle of
+    // (band, bucket, id, simhash); a banded self-join would run the
+    // 64-vote simhash aggregation twice.
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col(idCol).as("id"),
+        col("simhash").as("s")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + 2, greatest(size(col("xs")) - i - 1, lit(0))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            bit_count(x.getField("s").bitwiseXOR(y.getField("s"))).as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
