@@ -54,6 +54,36 @@ object SparkEntry {
         Seq(col("l_quantity").desc, col("l_returnflag").asc,
           col("parser_time").desc, col("l_orderkey").asc, col("l_linenumber").asc))),
 
+    // ---- P5: compound key-equality on NESTED fields — dedup keyed by
+    //      parser.Time inside a STRUCT, as the reference's templates do
+    //      (cloud/bq/ops.go:200-203,214-217) ----
+    "p5_dedup_nested_key" -> ((s, dir) => {
+      val m = mMonthly(s, dir)
+        .withColumn("parser", struct(col("parser_time").as("Time")))
+      Dedup.keepLatest(m, Seq("id", "date"), col("parser.Time")).drop("parser")
+    }),
+
+    // ---- W4: legacy traceroute dedup — stringified-timestamp concat key,
+    //      latest-parse-wins (cloud/bq/dedup.go:55-68) ----
+    "w4_dedup_ts_concat_key" -> ((s, dir) =>
+      Dedup.rankedFirst(
+        Tables.events(s, dir),
+        Seq(concat(date_trunc("hour", col("ts")).cast("string"), lit("|"),
+          col("user_id").cast("string"))),
+        Seq(col("ts").desc, col("event_id").asc))),
+
+    // ---- S1: schema'd newline-delimited-JSON scan (cloud/bq/ops.go:130-155,
+    //      SourceFormat=JSON). Stages the documents table as JSONL under
+    //      target/ (idempotent overwrite), then reads it back with an
+    //      explicit schema — the load path's scan; oracle reads the
+    //      original parquet, so the JSON round trip must be lossless ----
+    "s1_load_json" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stage = s"/root/repo/target/s1_stage/${new java.io.File(dir).getName}"
+      docs.write.mode("overwrite").json(stage)
+      s.read.schema(docs.schema).json(stage)
+    }),
+
     // ---- W3: legacy concat-composite-key dedup (cloud/bq/dedup.go:41-53) ----
     "w3_dedup_concat_key" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -256,6 +286,22 @@ object SparkEntry {
          |  ORDER BY l_quantity DESC, l_returnflag ASC, parser_time DESC,
          |           l_orderkey ASC, l_linenumber ASC) AS rn FROM m)
          |SELECT $mCols FROM r WHERE rn = 1""".stripMargin,
+
+    "p5_dedup_nested_key" ->
+      s"""WITH m AS ($M),
+         |r AS (SELECT *, max(parser_time) OVER (PARTITION BY id, "date") AS max_t FROM m)
+         |SELECT $mCols FROM r WHERE parser_time = max_t""".stripMargin,
+
+    "w4_dedup_ts_concat_key" ->
+      """WITH r AS (SELECT *, row_number() OVER (
+        |  PARTITION BY concat(CAST(date_trunc('hour', ts) AS VARCHAR), '|',
+        |               CAST(user_id AS VARCHAR))
+        |  ORDER BY ts DESC, event_id ASC) AS rn FROM events)
+        |SELECT event_id, ts, user_id, event_type, value, props
+        |FROM r WHERE rn = 1""".stripMargin,
+
+    "s1_load_json" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "w3_dedup_concat_key" ->
       s"""WITH r AS (SELECT *, row_number() OVER (

@@ -1,0 +1,95 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.types.StructType
+
+/** Structured Streaming expression of the reference's incremental model
+  * (SURVEY.md §2.7). The reference is date-partition batch with
+  * at-least-once redo — these operators are the streaming-native duals,
+  * for deployments that want the same semantics continuously instead of
+  * via the daily scheduler:
+  *
+  *  - [[jsonArchiveStream]] ≙ S1 (GCS JSON load, cloud/bq/ops.go:130-155)
+  *    as a file stream; with [[runAvailableNow]] it processes exactly the
+  *    files currently present and stops — the reference's per-day batch
+  *    trigger, with checkpointed exactly-once file tracking replacing
+  *    "append then dedup later".
+  *  - [[hourlyEventAgg]] ≙ the tumbling daily window + allowed-lateness
+  *    delay (job-service/iterators.go:69-73): event-time window +
+  *    watermark. countDistinct is not streaming-legal, so the user count
+  *    is approx_count_distinct (HLL) — the documented delta vs the batch
+  *    ev_hourly_agg query.
+  *  - [[keepLatestState]] ≙ W1 keep-latest dedup (cloud/bq/ops.go:196-210)
+  *    as keyed state: each key holds its current winner; every trigger
+  *    emits the updated winner (Update mode downstream).
+  *
+  * Scale notes: file streams shard listing + read across executors;
+  * watermarked window aggs keep state bounded by (watermark horizon ×
+  * key cardinality); keyed dedup state is one row per key — at 100 TB
+  * feed RocksDB state store and partition by the dedup key, which is the
+  * same shuffle the batch window dedup performs.
+  */
+object Streams {
+
+  /** Newline-delimited-JSON archive stream with an explicit schema (schema
+    * inference is illegal on streams, and the load schema is declared in
+    * the reference too).
+    */
+  def jsonArchiveStream(spark: SparkSession, schema: StructType, glob: String,
+      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
+    val r = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.json(glob)
+  }
+
+  /** Tumbling event-time window aggregate with watermark: rows later than
+    * `lateness` past the max seen event time are dropped, finalized
+    * windows are emitted once (Append mode).
+    */
+  def hourlyEventAgg(events: DataFrame, lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        sum(floor(col("value") * 10000).cast("long")).as("sum_value_e4"))
+      .select(col("window.start").as("hour"), col("n_events"),
+        col("n_users_approx"), col("sum_value_e4"))
+
+  /** Streaming keep-latest-per-key dedup: keyed state holds the current
+    * winner under `newer` (a total "is-newer" merge, e.g. max parser.Time
+    * — W1's order key); each trigger emits the key's winner after folding
+    * the new rows in.
+    */
+  def keepLatestState[T, K](ds: Dataset[T], key: T => K, newer: (T, T) => T)(
+      implicit ek: Encoder[K], et: Encoder[T]): Dataset[T] =
+    ds.groupByKey(key)
+      .mapGroupsWithState[T, T](GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[T]) =>
+          val winner = (state.getOption.iterator ++ rows).reduce(newer)
+          state.update(winner)
+          winner
+      }
+
+  /** Run a streaming DataFrame to a date-partitioned parquet sink with
+    * Trigger.AvailableNow — one checkpointed batch over whatever input
+    * exists, then stop. This is the reference's daily job as a stream:
+    * re-running after new files land processes ONLY the new files (the
+    * checkpoint remembers processed ones), where the batch path re-reads
+    * and re-dedups the partition.
+    */
+  def runAvailableNow(df: DataFrame, outPath: String, checkpoint: String,
+      partitionCol: String = "date"): Unit = {
+    val q = df.writeStream
+      .format("parquet")
+      .option("path", outPath)
+      .option("checkpointLocation", checkpoint)
+      .partitionBy(partitionCol)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+}

@@ -1,0 +1,114 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.streaming.Streams
+
+case class Ev(ts: Timestamp, user_id: Long, value: Double)
+case class Meas(id: String, parserTime: Timestamp, payload: Long)
+
+class StreamingSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("json archive stream: AvailableNow ingests exactly the present files, " +
+    "a second run picks up only new ones") {
+    val in = Files.createTempDirectory("graft_stream_in").toString
+    val out = Files.createTempDirectory("graft_stream_out").toString
+    val ckpt = Files.createTempDirectory("graft_stream_ckpt").toString
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("date", StringType),
+      StructField("v", LongType)))
+
+    Files.write(java.nio.file.Paths.get(in, "a.json"),
+      """{"id":"m1","date":"2023-05-01","v":1}
+        |{"id":"m2","date":"2023-05-01","v":2}""".stripMargin.getBytes)
+    val stream = Streams.jsonArchiveStream(spark, schema, in)
+    assert(stream.isStreaming)
+    Streams.runAvailableNow(stream, out, ckpt)
+    assert(spark.read.parquet(out).count() === 2)
+
+    // second batch: only the new file is processed (checkpointed file log)
+    Files.write(java.nio.file.Paths.get(in, "b.json"),
+      """{"id":"m3","date":"2023-05-02","v":3}""".getBytes)
+    Streams.runAvailableNow(
+      Streams.jsonArchiveStream(spark, schema, in), out, ckpt)
+    val rows = spark.read.parquet(out)
+    assert(rows.count() === 3)
+    // date-partitioned layout on disk
+    assert(new java.io.File(out).listFiles().map(_.getName)
+      .count(_.startsWith("date=")) === 2)
+  }
+
+  test("watermarked hourly agg emits finalized windows and drops late rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.hourlyEventAgg(mem.toDF(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("hourly")
+      .outputMode(OutputMode.Append).start()
+
+    mem.addData(
+      Ev(ts("2024-01-01 10:05:00"), 1, 1.0),
+      Ev(ts("2024-01-01 10:20:00"), 2, 2.0),
+      Ev(ts("2024-01-01 10:40:00"), 1, 3.0))
+    q.processAllAvailable()
+    // watermark = max(ts) - 1h = 09:40 < 11:00 => window [10,11) not final yet
+    assert(spark.table("hourly").count() === 0)
+
+    // advance event time past 12:00 => watermark 11:30 finalizes [10,11)
+    mem.addData(Ev(ts("2024-01-01 12:30:00"), 3, 5.0))
+    q.processAllAvailable()
+    val w10 = spark.table("hourly").filter($"hour" === ts("2024-01-01 10:00:00"))
+    assert(w10.count() === 1)
+    val r = w10.head()
+    assert(r.getAs[Long]("n_events") === 3)
+    assert(r.getAs[Long]("sum_value_e4") === 60000L)
+
+    // a row older than the watermark is dropped, not re-aggregated
+    mem.addData(Ev(ts("2024-01-01 10:50:00"), 9, 100.0))
+    q.processAllAvailable()
+    assert(spark.table("hourly")
+      .filter($"hour" === ts("2024-01-01 10:00:00")).head()
+      .getAs[Long]("n_events") === 3)
+    q.stop()
+  }
+
+  test("keyed keep-latest state mirrors W1 dedup across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Meas]
+    val deduped = Streams.keepLatestState[Meas, String](
+      mem.toDS(), _.id,
+      (a, b) => if (a.parserTime.after(b.parserTime)) a else b)
+    val q = deduped.writeStream.format("memory").queryName("latest")
+      .outputMode(OutputMode.Update).start()
+
+    mem.addData(
+      Meas("m1", ts("2023-05-01 10:00:00"), 1),
+      Meas("m1", ts("2023-05-01 12:00:00"), 2),
+      Meas("m2", ts("2023-05-01 11:00:00"), 7))
+    q.processAllAvailable()
+    // within one trigger the newer m1 row wins
+    val t1 = spark.table("latest").as[Meas].collect().map(m => m.id -> m.payload).toMap
+    assert(t1 === Map("m1" -> 2L, "m2" -> 7L))
+
+    // an older row arriving later does NOT displace the stored winner;
+    // a newer one does — state persists across triggers
+    mem.addData(
+      Meas("m1", ts("2023-05-01 09:00:00"), 99),
+      Meas("m2", ts("2023-05-01 23:00:00"), 8))
+    q.processAllAvailable()
+    val all = spark.table("latest").as[Meas].collect()
+    // the stale payload 99 never surfaces; m2's state advanced 7 -> 8
+    assert(all.filter(_.id == "m1").map(_.payload).toSet === Set(2L))
+    assert(all.filter(_.id == "m2").map(_.payload).toSet === Set(7L, 8L))
+    q.stop()
+  }
+}
