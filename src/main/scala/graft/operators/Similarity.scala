@@ -84,7 +84,12 @@ object Similarity {
       centroids: DataFrame, cIdCol: String, cVecCol: String,
       queryPred: Column, k: Int
   ): DataFrame = {
+    // The assignment feeds BOTH join sides below; unpersisted it would be
+    // recomputed per branch (centroid cross-join + per-vector top-1 window,
+    // the expensive part). Persisting it is building the IVF index — at
+    // warehouse scale the same thing, written to a table instead.
     val assigned = ivfAssign(embeddings, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val queries = broadcast(
       assigned.join(embeddings.filter(queryPred).select(col(idCol)), Seq(idCol))
         .select(col(idCol).as("query_id"), col("cent_id"), col("v").as("q_vec")))

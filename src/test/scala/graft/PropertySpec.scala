@@ -1,0 +1,135 @@
+package graft
+
+import java.sql.{Date, Timestamp}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.operators.{AnnotationJoin, Dedup}
+
+/** Property-based checks of the operator algebra (SURVEY.md §7.6), using
+  * scalacheck generators sampled with a fixed seed (the scalatest bridge
+  * artifact isn't in the offline cache, so sampling is hand-rolled —
+  * deterministic and replayable by seed).
+  *
+  * Generators deliberately draw ids/dates/times from tiny alphabets so
+  * collisions — the interesting case for dedup/join laws — are dense.
+  */
+case class Row0(id: String, date: Date, parserTime: Timestamp, payload: Long)
+
+class PropertySpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val genRow: Gen[Row0] = for {
+    id <- Gen.oneOf("a", "b", "c", "d")
+    day <- Gen.choose(1, 3)
+    hour <- Gen.choose(0, 4)
+    payload <- Gen.choose(0L, 999L)
+  } yield Row0(id, Date.valueOf(f"2023-05-$day%02d"),
+    Timestamp.valueOf(f"2023-05-$day%02d $hour%02d:00:00"), payload)
+
+  private val genRows: Gen[List[Row0]] = Gen.choose(0, 60).flatMap(n => Gen.listOfN(n, genRow))
+
+  /** Deterministic samples: seed walks per case. */
+  private def samples[T](gen: Gen[T], n: Int, seed: Long = 42L): Seq[T] =
+    (0 until n).flatMap(i => gen.apply(Gen.Parameters.default, Seed(seed + i)))
+
+  private def df(rows: List[Row0]): DataFrame =
+    rows.toDF("id", "date", "parserTime", "payload")
+
+  private def canon(d: DataFrame): Set[(String, Date, Timestamp, Long)] =
+    d.select("id", "date", "parserTime", "payload")
+      .collect().map(r => (r.getString(0), r.getDate(1), r.getTimestamp(2), r.getLong(3))).toSet
+
+  test("keep-set dedup is idempotent: dedup(dedup(x)) == dedup(x)") {
+    samples(genRows, 8).foreach { rows =>
+      val once = Dedup.keepLatest(df(rows), Seq("id", "date"), col("parserTime"))
+      val twice = Dedup.keepLatest(once, Seq("id", "date"), col("parserTime"))
+      assert(canon(twice) === canon(once))
+    }
+  }
+
+  test("keep-set ⊎ deleted-set partitions the input (as multisets)") {
+    samples(genRows, 8).foreach { rows =>
+      val d = df(rows)
+      val kept = Dedup.keepLatest(d, Seq("id", "date"), col("parserTime"))
+      val deleted = Dedup.deletedSet(d, Seq("id", "date"), col("parserTime"))
+      // disjoint on the (keys, orderKey) level and unioning back to the input
+      assert(kept.count() + deleted.count() === d.count())
+      assert(canon(kept.union(deleted)) === canon(d))
+      val keptKeys = kept.select("id", "date", "parserTime").distinct()
+      val delKeys = deleted.select("id", "date", "parserTime").distinct()
+      assert(keptKeys.join(delKeys, Seq("id", "date", "parserTime")).count() === 0)
+    }
+  }
+
+  test("keep-set keeps ALL max-time ties; every group keeps >= 1 row") {
+    samples(genRows, 8).foreach { rows =>
+      val kept = Dedup.keepLatest(df(rows), Seq("id", "date"), col("parserTime"))
+      val expected = rows.groupBy(r => (r.id, r.date))
+        .flatMap { case (_, g) =>
+          val maxT = g.map(_.parserTime.getTime).max
+          g.filter(_.parserTime.getTime == maxT)
+        }.toSet
+      assert(canon(kept) === expected.map(r => (r.id, r.date, r.parserTime, r.payload)))
+    }
+  }
+
+  test("ranked dedup keeps exactly one row per key") {
+    samples(genRows, 8).foreach { rows =>
+      val d = df(rows)
+      val ranked = Dedup.rankedFirst(d, Seq(col("id"), col("date")),
+        Seq(col("parserTime").desc, col("payload").asc))
+      val nKeys = d.select("id", "date").distinct().count()
+      assert(ranked.count() === nKeys)
+      assert(ranked.select("id", "date").distinct().count() === nKeys)
+    }
+  }
+
+  test("dedup is scoped: other (id,date) groups pass through untouched") {
+    samples(genRows, 5).foreach { rows =>
+      val d = df(rows)
+      val kept = Dedup.keepLatest(d, Seq("id", "date"), col("parserTime"))
+      // rows whose group has a single distinct time survive verbatim
+      val singleGroups = rows.groupBy(r => (r.id, r.date))
+        .filter(_._2.map(_.parserTime).distinct.size <= 1)
+        .values.flatten.map(r => (r.id, r.date, r.parserTime, r.payload)).toSet
+      assert(singleGroups.subsetOf(canon(kept)))
+    }
+  }
+
+  test("annotation join row-multiplication law: one output row per " +
+    "(measurement, matching-ann) pair, at least one per measurement") {
+    val genAnn: Gen[List[Row0]] = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, genRow))
+    samples(Gen.zip(genRows, genAnn), 6).foreach { case (mRows, aRows) =>
+      val m = df(mRows)
+      val ann = df(aRows).withColumnRenamed("payload", "geo")
+        .withColumnRenamed("parserTime", "parser_time")
+      val out = AnnotationJoin.annotateAsOf(m, ann, windowDays = 1)
+      // expected multiplicity per measurement row, computed independently
+      val annByIdDate = aRows.groupBy(a => a.id)
+      val expected = mRows.map { r =>
+        val matches = annByIdDate.getOrElse(r.id, Nil).count { a =>
+          val diff = r.date.toLocalDate.toEpochDay - a.date.toLocalDate.toEpochDay
+          diff >= 0 && diff <= 1
+        }
+        math.max(1, matches)
+      }.sum
+      assert(out.count() === expected)
+    }
+  }
+
+  test("copy-then-delete conserves rows across tables (partition move)") {
+    samples(genRows, 4).foreach { rows =>
+      val d = df(rows).withColumn("date", col("date"))
+      val total = d.count()
+      val target = Date.valueOf("2023-05-02")
+      val copied = d.filter(col("date") === lit(target))
+      val remaining = d.filter(col("date") =!= lit(target))
+      assert(copied.count() + remaining.count() === total)
+      assert(canon(copied.union(remaining)) === canon(d))
+    }
+  }
+}
