@@ -160,6 +160,13 @@ object SparkEntry {
         TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens"),
         col("n_chars"))),
 
+    // BPE-ish subword tokens: letter runs / digit runs / single punctuation
+    // (lookahead-free so the regex is portable to the RE2-based oracle)
+    "tx_token_count_bpe" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit(TextAnalysis.BpeishPattern), lit(0))).cast("long").as("n_subtokens"))),
+
     "tx_language_id" -> ((s, dir) =>
       TextAnalysis.languageId(
         Tables.documents(s, dir)
@@ -192,6 +199,13 @@ object SparkEntry {
     "dd_simhash" -> ((s, dir) =>
       TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 6)),
+
+    // ---- dedup family: embedding-cosine near-dup ----
+    // exact within a predicate-bounded subset (oracled); the scale path is
+    // Similarity.embedNearDupPairs (random-hyperplane LSH, spec-tested)
+    "dd_embed_cosine" -> ((s, dir) =>
+      Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("vec_id") < 500, minCosE6 = 350000L)),
 
     // ---- similarity search ----
     "sim_cosine_topk" -> ((s, dir) =>
@@ -424,6 +438,22 @@ object SparkEntry {
          |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 32
          |    AND a.bucket = greatest(a.b0, b.b0))
          |SELECT * FROM p WHERE jaccard_e4 >= 5000""".stripMargin,
+
+    // DuckDB quoted strings keep backslashes literal, so the shared
+    // pattern embeds verbatim
+    "tx_token_count_bpe" ->
+      s"""SELECT doc_id, CAST(len(regexp_extract_all(text,
+         |  '${TextAnalysis.BpeishPattern}')) AS BIGINT)
+         |  AS n_subtokens FROM documents""".stripMargin,
+
+    "dd_embed_cosine" -> {
+      val cos = cosE6Sql("a.v", "b.v")
+      s"""WITH e AS (SELECT vec_id AS id, embedding AS v FROM embeddings
+         |           WHERE vec_id < 500)
+         |SELECT a.id AS id_a, b.id AS id_b, $cos AS cos_e6
+         |FROM e a JOIN e b ON a.id < b.id
+         |WHERE $cos >= 350000""".stripMargin
+    },
 
     "sim_cosine_topk" -> {
       val cos = cosE6Sql("q.qv", "e.embedding")

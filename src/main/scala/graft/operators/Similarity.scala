@@ -59,6 +59,77 @@ object Similarity {
       .select("query_id", "nbr_id", "cos_e6", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs, exact: every (id_a < id_b)
+    * pair with cosine ≥ threshold. Quadratic — restrict with `pred` or use
+    * [[embedNearDupPairs]] at scale. One side broadcasts (the pair space
+    * is the cost, not the shuffle).
+    */
+  def cosineNearDupPairs(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      pred: Column, minCosE6: Long
+  ): DataFrame = {
+    val base = embeddings.filter(pred)
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    val a = base.select(col("id").as("id_a"), col("v").as("v_a"))
+    val b = broadcast(base.select(col("id").as("id_b"), col("v").as("v_b")))
+    a.join(b, col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        floor(cosine(col("v_a"), col("v_b")) * 1e6).cast("long").as("cos_e6"))
+      .filter(col("cos_e6") >= minCosE6)
+  }
+
+  /** Embedding near-dup pairs at scale: random-hyperplane LSH. Each vector
+    * gets `nBits` sign bits (sign of dot with a deterministic pseudo-random
+    * hyperplane), grouped into `bands` exact-match buckets; only same-bucket
+    * pairs are scored exactly. P[bit match] = 1 − θ/π, so near-identical
+    * vectors (θ≈0) collide in some band with high probability while the
+    * quadratic work stays inside tiny buckets — the vector analog of the
+    * text MinHash-LSH tier.
+    *
+    * Hyperplanes are derived, not stored: component j of plane i is a
+    * deterministic hash-to-[-1,1] of (i, j) — reproducible across runs and
+    * engines with no random state.
+    */
+  def embedNearDupPairs(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      minCosE6: Long, nBits: Int = 16, bands: Int = 4
+  ): DataFrame = {
+    val dim = embeddings.select(size(col(vecCol))).first().getInt(0)
+    val base = embeddings
+      .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    def plane(i: Int): Column = array((0 until dim).map { j =>
+      // deterministic pseudo-random in [-1, 1): splitmix-style integer mix
+      val h = java.lang.Long.rotateLeft((i.toLong * 0x9E3779B97F4A7C15L) ^
+        (j.toLong * 0xC2B2AE3D27D4EB4FL), 31) * 0x165667B19E3779F9L
+      lit((h >>> 11).toDouble / (1L << 52).toDouble - 1.0)
+    }: _*)
+    val bits = (0 until nBits).map(i =>
+      when(dot(col("v"), plane(i)) >= 0, lit(1L)).otherwise(lit(0L))
+        .as(s"bit$i"))
+    val bitsPerBand = nBits / bands
+    val withBits = base.select(col("id") +: col("v") +: bits: _*)
+    val bandCols = (0 until bands).map { b =>
+      (0 until bitsPerBand).map(i => col(s"bit${b * bitsPerBand + i}") * lit(1L << i))
+        .reduce(_ + _).as(s"band$b")
+    }
+    val banded = withBits.select(col("id") +: col("v") +: bandCols: _*)
+      .select(col("id"), col("v"),
+        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
+      .select(col("id"), col("v"), col("pos").as("band"), col("col").as("bucket"))
+    // in-bucket pair expansion, one shuffle (cf. TextDedup.lshCandidates)
+    banded.groupBy(col("band"), col("bucket"))
+      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("xs"))
+      .filter(size(col("xs")) > 1)
+      .select(explode(flatten(transform(col("xs"), (x, i) =>
+        transform(slice(col("xs"), i + 2, greatest(size(col("xs")) - i - 1, lit(0))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            floor(cosine(x.getField("v"), y.getField("v")) * 1e6).cast("long")
+              .as("cos_e6")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.cos_e6"))
+      .distinct()
+      .filter(col("cos_e6") >= minCosE6)
+  }
+
   /** IVF assignment: each vector gets the id of its nearest centroid
     * (max cosine; ties → lowest centroid id). Centroids are broadcast.
     */

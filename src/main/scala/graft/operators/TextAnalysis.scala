@@ -19,6 +19,17 @@ object TextAnalysis {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** BPE-ish subword pattern: letter runs, digit runs, single
+    * non-alphanumeric marks. Deliberately lookahead-free (real BPE
+    * pre-tokenizers use lookahead, which RE2-based engines reject) so the
+    * same pattern runs in Spark and the DuckDB oracle.
+    */
+  val BpeishPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** Subword token count under [[BpeishPattern]]. */
+  def subwordCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeishPattern), lit(0)))
+
   /** Marker stopwords per language for the n-gram/stopword language-ID
     * heuristic. Deterministic, tiny, SQL-expressible.
     */

@@ -77,6 +77,26 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out(2) == 2L) // orthogonal beats opposite
   }
 
+  test("embedding near-dup: exact pairs and LSH variant both find the " +
+    "planted near-identical pair, neither invents orthogonal ones") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0.99f, 0.01f, 0f, 0f)), // near-dup of 0
+      (2L, Array(0f, 1f, 0f, 0f)),
+      (3L, Array(0f, 0f, 1f, 0f)),
+      (4L, Array(-1f, 0f, 0f, 0f))
+    ).toDF("vec_id", "embedding")
+    val exact = Similarity.cosineNearDupPairs(emb, "vec_id", "embedding",
+      lit(true), minCosE6 = 900000L)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(exact === Set((0L, 1L)))
+    val lsh = Similarity.embedNearDupPairs(emb, "vec_id", "embedding",
+      minCosE6 = 900000L, nBits = 16, bands = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // near-identical vectors agree on every hyperplane sign => must collide
+    assert(lsh === Set((0L, 1L)))
+  }
+
   test("ivfTopK probes only the query's centroid bucket") {
     val emb = Seq(
       (0L, Array(1f, 0f)), (1L, Array(0.95f, 0.05f)), (2L, Array(0.9f, 0.1f)),
