@@ -23,12 +23,17 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Left-to-right dot product of two double arrays. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right dot product of two double arrays — the codegen'd
+    * [[graft.functions.VectorDot]] expression; bit-identical to the
+    * interpreted `aggregate(zip_with(...))` fold it replaces.
+    */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    ColumnBridge.column(graft.functions.VectorDot(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+  }
 
-  def norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, v) => acc + v * v))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -45,13 +50,17 @@ object Similarity {
       embeddings: DataFrame, idCol: String, vecCol: String,
       queryPred: Column, k: Int
   ): DataFrame = {
+    // per-vector norms precomputed on each side (see cosineNearDupPairs)
     val corpus = embeddings.select(col(idCol).as("nbr_id"),
       asDouble(col(vecCol)).as("nbr_vec"))
+      .withColumn("nbr_nrm", norm(col("nbr_vec")))
     val queries = broadcast(embeddings.filter(queryPred)
-      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec")))
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .withColumn("q_nrm", norm(col("q_vec"))))
     val scored = corpus.join(queries, col("query_id") =!= col("nbr_id"))
       .withColumn("cos_e6",
-        floor(cosine(col("q_vec"), col("nbr_vec")) * 1e6).cast("long"))
+        floor(dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")) * 1e6)
+          .cast("long"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_e6").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))
@@ -68,13 +77,19 @@ object Similarity {
       embeddings: DataFrame, idCol: String, vecCol: String,
       pred: Column, minCosE6: Long
   ): DataFrame = {
+    // norms are per-vector, so compute them BEFORE the pair join — inlined
+    // in the cosine they would be re-folded once per pair (n× each).
+    // norm_a * norm_b is the same multiply the inline form performs, so
+    // results stay bit-identical.
     val base = embeddings.filter(pred)
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    val a = base.select(col("id").as("id_a"), col("v").as("v_a"))
-    val b = broadcast(base.select(col("id").as("id_b"), col("v").as("v_b")))
+      .withColumn("nrm", norm(col("v")))
+    val a = base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val b = broadcast(base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")))
     a.join(b, col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        floor(cosine(col("v_a"), col("v_b")) * 1e6).cast("long").as("cos_e6"))
+        floor(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")) * 1e6)
+          .cast("long").as("cos_e6"))
       .filter(col("cos_e6") >= minCosE6)
   }
 
@@ -165,11 +180,13 @@ object Similarity {
       assigned.join(embeddings.filter(queryPred).select(col(idCol)), Seq(idCol))
         .select(col(idCol).as("query_id"), col("cent_id"), col("v").as("q_vec")))
     val scored = assigned
-      .select(col(idCol).as("nbr_id"), col("cent_id"), col("v").as("nbr_vec"))
+      .select(col(idCol).as("nbr_id"), col("cent_id"), col("v").as("nbr_vec"),
+        norm(col("v")).as("nbr_nrm"))
       .join(queries, Seq("cent_id"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos_e6",
-        floor(cosine(col("q_vec"), col("nbr_vec")) * 1e6).cast("long"))
+        floor(dot(col("q_vec"), col("nbr_vec")) / (norm(col("q_vec")) * col("nbr_nrm")) * 1e6)
+          .cast("long"))
     val w = Window.partitionBy(col("query_id"))
       .orderBy(col("cos_e6").desc, col("nbr_id").asc)
     scored.withColumn("rank", row_number().over(w))

@@ -42,33 +42,24 @@ object TextDedup {
     when(size(w) >= k, array_distinct(shingled)).otherwise(array_distinct(w))
   }
 
-  /** Distinct xxhash64-hashed k-shingles from a pre-materialized token
-    * array column. Hash values equal xxhash64(shingle string), so they are
-    * interchangeable with hashing [[shingles]] output; set distinctness is
-    * preserved modulo a ~2^-64 collision.
-    */
-  private def hashedShinglesFromTokens(
-      w: org.apache.spark.sql.Column, k: Int = 3): org.apache.spark.sql.Column =
-    when(size(w) >= k,
-      array_distinct(transform(sequence(lit(0), size(w) - k),
-        i => xxhash64(concat_ws(" ", slice(w, i + 1, lit(k)))))))
-      .otherwise(array_distinct(transform(w, t => xxhash64(t))))
-
   /** Projects `keepCols` plus `sh: array<long>` of distinct hashed
-    * k-shingles, via two separate projections so the tokenization runs
-    * once per row (see [[shingles]] scaladoc).
+    * k-shingles via the codegen'd [[graft.functions.ShingleHashes]]
+    * expression (one straight-line JVM call per row; the declarative HOF
+    * formulation is interpreted per element AND gets re-expanded by
+    * predicate pushdown — see [[shingles]] scaladoc and the expression's).
+    * Parity between the two forms is spec-enforced (ShingleHashesSpec).
+    *
+    * coalesce makes the chain non-nullable, which stops
+    * InferFiltersFromConstraints from deriving isnotnull(size(sh)) checks
+    * that pushdown would re-expand below the projection (null text ≡
+    * empty text here).
     */
   def withHashedShingles(
       docs: DataFrame, keepCols: Seq[String], textCol: String, k: Int = 3
   ): DataFrame =
-    // coalesce makes the whole token→shingle chain non-nullable, which
-    // stops InferFiltersFromConstraints from deriving isnotnull(size(sh))
-    // checks that predicate pushdown re-expands below the projection —
-    // re-running the full shingle expression per input row (null text ≡
-    // empty text here).
     docs.select(keepCols.map(col) :+
-        split(coalesce(col(textCol), lit("")), "\\s+").as("__w"): _*)
-      .select(keepCols.map(col) :+ hashedShinglesFromTokens(col("__w"), k).as("sh"): _*)
+      graft.functions.GraftFunctions
+        .shingleHashes(coalesce(col(textCol), lit("")), k).as("sh"): _*)
 
   // ---------- tier 1: exact ----------
 

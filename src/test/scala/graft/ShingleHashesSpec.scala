@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, ShingleHashes}
+import graft.operators.TextDedup
+
+class ShingleHashesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // gnarly tokenization cases: leading/trailing whitespace (empty tokens
+  // under Java split with limit -1), runs of mixed whitespace, short docs,
+  // empty and single-token strings, repeated shingles (distinctness)
+  private val texts = Seq(
+    "a b c d e",
+    "  leading space",
+    "trailing space ",
+    "tabs\tand\nnewlines mixed  runs",
+    "one",
+    "two words",
+    "",
+    " ",
+    "x y z x y z x y z",
+    "a a a a a"
+  )
+
+  test("expression output equals the declarative HOF formulation on edge cases") {
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    val viaExpr = df.select(col("id"),
+        GraftFunctions.shingleHashes(col("text"), 3).as("sh"))
+      .as[(Int, Seq[Long])].collect().toMap
+    // the reference formulation: string shingles hashed afterwards
+    val viaHof = df.select(col("id"),
+        transform(TextDedup.shingles(col("text"), 3), s => xxhash64(s)).as("sh"))
+      .as[(Int, Seq[Long])].collect().toMap
+    texts.indices.foreach { i =>
+      assert(viaExpr(i) === viaHof(i), s"text ${i}: '${texts(i)}'")
+    }
+  }
+
+  test("expression participates in whole-stage codegen (no fallback)") {
+    // spark.range keeps the projection in the executed plan (a local Seq
+    // would be constant-folded into a LocalTableScan at optimize time)
+    val df = spark.range(100)
+      .select(concat_ws(" ", lit("a b c"), col("id").cast("string")).as("text"))
+      .select(GraftFunctions.shingleHashes(col("text")).as("sh"))
+    // "*(n)" marks operators fused into a WholeStageCodegen stage
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), plan)
+    // evaluate through the generated path: 4 tokens => 2 distinct 3-grams
+    assert(df.agg(sum(size(col("sh")))).head().getLong(0) === 200L)
+  }
+
+  test("SQL registration: shingle_hashes usable from spark.sql") {
+    GraftFunctions.register(spark)
+    val n = spark.sql(
+      "SELECT size(shingle_hashes('a b c d', 3)) AS n").head().getInt(0)
+    assert(n === 2) // "a b c", "b c d"
+    val n1 = spark.sql(
+      "SELECT size(shingle_hashes('a b c d e f', 2)) AS n").head().getInt(0)
+    assert(n1 === 5)
+  }
+
+  test("withHashedShingles (operator path) matches the expression directly") {
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    val op = TextDedup.withHashedShingles(df, Seq("id"), "text")
+      .as[(Int, Seq[Long])].collect().toMap
+    val ex = df.select(col("id"),
+        GraftFunctions.shingleHashes(coalesce(col("text"), lit("")), 3).as("sh"))
+      .as[(Int, Seq[Long])].collect().toMap
+    texts.indices.foreach(i => assert(op(i) === ex(i)))
+  }
+}
