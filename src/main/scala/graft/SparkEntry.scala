@@ -230,7 +230,13 @@ object SparkEntry {
         Multimodal.extractFeatures(
           Multimodal.mediaFromText(Tables.documents(s, dir), "doc_id", "text")),
         maxDim = 256)
-        .select("media_id", "width", "height", "scale_e4", "out_width", "out_height"))
+        .select("media_id", "width", "height", "scale_e4", "out_width", "out_height")),
+
+    "mm_frame_sample" -> ((s, dir) =>
+      Multimodal.frameSamplePlan(
+        Multimodal.extractFeatures(
+          Multimodal.mediaFromText(Tables.documents(s, dir), "doc_id", "text")),
+        stride = 3))
   )
 
   private val M = Tables.measurementsMonthlySql
@@ -491,6 +497,11 @@ object SparkEntry {
       s"""SELECT doc_id AS media_id,
          |  CAST($MmN AS BIGINT) AS "sizeBytes",
          |  $MmWidth AS width, $MmHeight AS height, $MmFrames AS "nFrames"
+         |FROM documents""".stripMargin,
+
+    "mm_frame_sample" ->
+      s"""SELECT doc_id AS media_id,
+         |  range(0, $MmFrames, 3) AS frame_indices
          |FROM documents""".stripMargin,
 
     "mm_resize_plan" ->
