@@ -45,6 +45,11 @@ object SparkEntry {
     "j2_dedup_deleted_set" -> ((s, dir) =>
       Dedup.deletedSet(mMonthly(s, dir), Seq("id", "date"), col("parser_time"))),
 
+    // same keep-set semantics, skew-resistant physical shape
+    // (agg + AQE-splittable semi-join instead of a window sort)
+    "w1_dedup_keepset_skew" -> ((s, dir) =>
+      Dedup.keepLatestForSkew(mMonthly(s, dir), Seq("id", "date"), col("parser_time"))),
+
     // ---- W2: legacy ranked dedup, multi-key mixed-direction priority
     //      order (cloud/bq/dedup.go:23-38) ----
     "w2_dedup_ranked" -> ((s, dir) =>
@@ -299,6 +304,11 @@ object SparkEntry {
       s"""WITH m AS ($M),
          |r AS (SELECT *, max(parser_time) OVER (PARTITION BY id, "date") AS max_t FROM m)
          |SELECT $mCols FROM r WHERE parser_time <> max_t""".stripMargin,
+
+    "w1_dedup_keepset_skew" ->
+      s"""WITH m AS ($M),
+         |r AS (SELECT *, max(parser_time) OVER (PARTITION BY id, "date") AS max_t FROM m)
+         |SELECT $mCols FROM r WHERE parser_time = max_t""".stripMargin,
 
     "w2_dedup_ranked" ->
       s"""WITH m AS ($M),

@@ -48,6 +48,29 @@ object Dedup {
       .drop("__row_number")
   }
 
+  /** Keep-set dedup for SKEWED keys — identical semantics to
+    * [[keepLatest]], different physical shape. The window form sorts each
+    * hash partition by the dedup keys, so one hot key (a single id with
+    * millions of rows on a 100 TB day-partition) serializes into one
+    * task. This form computes the winning order key as a hash aggregate
+    * (partial aggregation combines map-side, so the hot key ships one
+    * pre-aggregated row per input partition) and semi-joins the winners
+    * back — a plain shuffle join that AQE's skew-join splitting can
+    * parallelize. Prefer [[keepLatest]] when keys are well distributed
+    * (one shuffle, no join); prefer this when a key can be hot.
+    */
+  def keepLatestForSkew(df: DataFrame, partitionKeys: Seq[String], orderKey: Column): DataFrame = {
+    val winners = df.groupBy(partitionKeys.map(col): _*)
+      .agg(max(orderKey).as("__max_order_key"))
+      .toDF(partitionKeys.map(k => s"__k_$k") :+ "__max_order_key": _*)
+    // <=> on keys: the window form groups null keys together, so the
+    // join-back must too; === on the order key matches keepLatest's
+    // filter (an all-null group keeps nothing in both forms).
+    val cond = partitionKeys.map(k => col(k) <=> col(s"__k_$k"))
+      .reduce(_ && _) && (orderKey === col("__max_order_key"))
+    df.join(winners, cond, "left_semi")
+  }
+
   /** The deleted set of a keep-set dedup — rows the reference's DELETE would
     * remove (anti-join semantics, SURVEY.md §2.3 J2). Useful for audits.
     */

@@ -77,6 +77,16 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("skew formulation equals the window formulation on every sample") {
+    samples(genRows, 8).foreach { rows =>
+      val d = df(rows)
+      val win = Dedup.keepLatest(d, Seq("id", "date"), col("parserTime"))
+      val skew = Dedup.keepLatestForSkew(d, Seq("id", "date"), col("parserTime"))
+      assert(canon(skew) === canon(win))
+      assert(skew.count() === win.count())
+    }
+  }
+
   test("ranked dedup keeps exactly one row per key") {
     samples(genRows, 8).foreach { rows =>
       val d = df(rows)
