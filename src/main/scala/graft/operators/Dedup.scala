@@ -93,6 +93,21 @@ object Dedup {
       .agg(count(lit(1)).as("rows"), countDistinct(orderKey).as("versions"))
       .filter(col("versions") > 1)
 
+  /** Sketch-based [[duplicateStats]] for the 100 TB pre-check:
+    * approx_count_distinct (HLL++) instead of exact countDistinct — the
+    * exact form keeps every distinct order key in the aggregation state,
+    * the sketch is constant-size per group. HLL++ is exact in its sparse
+    * range, so "more than one version" is still a reliable signal at any
+    * realistic rsd.
+    */
+  def duplicateStatsApprox(
+      df: DataFrame, partitionKeys: Seq[String], orderKey: Column,
+      rsd: Double = 0.05): DataFrame =
+    df.groupBy(partitionKeys.map(col): _*)
+      .agg(count(lit(1)).as("rows"),
+        approx_count_distinct(orderKey, rsd).as("versions_approx"))
+      .filter(col("versions_approx") > 1)
+
   /** True iff a keep-set dedup would change nothing (cheap pre-check). */
   def isClean(df: DataFrame, partitionKeys: Seq[String], orderKey: Column): Boolean =
     duplicateStats(df, partitionKeys, orderKey).isEmpty

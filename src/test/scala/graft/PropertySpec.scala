@@ -87,6 +87,18 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("approx duplicate stats flags the same groups as the exact form") {
+    samples(genRows, 6).foreach { rows =>
+      val d = df(rows)
+      val exact = Dedup.duplicateStats(d, Seq("id", "date"), col("parserTime"))
+        .select("id", "date").collect().map(r => (r.getString(0), r.getDate(1))).toSet
+      val approx = Dedup.duplicateStatsApprox(d, Seq("id", "date"), col("parserTime"))
+        .select("id", "date").collect().map(r => (r.getString(0), r.getDate(1))).toSet
+      // HLL++ is exact in its sparse range; at these group sizes the sets match
+      assert(approx === exact)
+    }
+  }
+
   test("ranked dedup keeps exactly one row per key") {
     samples(genRows, 8).foreach { rows =>
       val d = df(rows)
