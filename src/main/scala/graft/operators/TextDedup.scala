@@ -182,7 +182,7 @@ object TextDedup {
     *        read one array length (and then again for the real run).
     */
   def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 8,
-      numHashes: Int = -1): DataFrame = {
+      numHashes: Int = -1, maxBucketSize: Int = 0): DataFrame = {
     val nh =
       if (numHashes > 0) numHashes
       else bands * (sigs.select(size(col("sig"))).first().getInt(0) / bands)
@@ -196,21 +196,34 @@ object TextDedup {
     // banded self-join: a self-join would re-execute the whole signature
     // pipeline once per branch (signatures aren't materialized), and here
     // the groupBy shuffles only (band, bucket, id) — bytes, not arrays.
-    pairsWithinGroups(banded, Seq("band", "bucket"), idCol).distinct()
+    pairsWithinGroups(banded, Seq("band", "bucket"), idCol, maxBucketSize)
+      .distinct()
   }
 
   /** (id_a < id_b) pairs of ids sharing identical values of groupCols —
     * one shuffle, quadratic only inside a group.
+    *
+    * @param maxGroupSize skew guard: groups larger than this are DROPPED
+    *        (|g|² pair rows from one hot bucket land in one task — the
+    *        standard LSH mitigation, since a bucket shared by thousands of
+    *        docs carries no similarity signal anyway). <= 0 disables.
+    *        Callers that cap should surface the cap, not hide it.
     */
   private def pairsWithinGroups(
-      df: DataFrame, groupCols: Seq[String], idCol: String): DataFrame =
-    df.groupBy(groupCols.map(col): _*)
+      df: DataFrame, groupCols: Seq[String], idCol: String,
+      maxGroupSize: Int = 0): DataFrame = {
+    val grouped = df.groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
+    val bounded =
+      if (maxGroupSize > 0) grouped.filter(size(col("ids")) <= maxGroupSize)
+      else grouped
+    bounded
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
       .select(col("p.id_a"), col("p.id_b"))
+  }
 
   /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
     * exact-Jaccard verification against the shingle sets.
