@@ -22,8 +22,14 @@ final case class Warehouse(root: String) {
   * Reference: cloud/bq/ops.go:53-83 — every current v2 datatype deduplicates
   * on {id} within the date partition, ordered by parser.Time. The map is kept
   * configurable exactly like the reference's PartitionKeys/OrderKeys.
+  *
+  * @param skewedKeys physical hint: datatypes whose dedup key can be hot
+  *        (one id with a large share of a day's rows) dedup via
+  *        [[graft.operators.Dedup.keepLatestForSkew]] — same semantics,
+  *        AQE-splittable join instead of a per-key window sort.
   */
-final case class DatatypeSpec(partitionKeys: Seq[String], orderKey: String)
+final case class DatatypeSpec(partitionKeys: Seq[String], orderKey: String,
+    skewedKeys: Boolean = false)
 
 object DatatypeSpec {
   val default: DatatypeSpec = DatatypeSpec(Seq("id", "date"), "parser.Time")
@@ -97,7 +103,10 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse) {
     */
   def dedup(dryRun: Boolean = false): OpStats = {
     val part = readPartition(tmpPath, job.date)
-    val kept = Dedup.keepLatest(part, spec.partitionKeys, col(spec.orderKey))
+    val kept =
+      if (spec.skewedKeys)
+        Dedup.keepLatestForSkew(part, spec.partitionKeys, col(spec.orderKey))
+      else Dedup.keepLatest(part, spec.partitionKeys, col(spec.orderKey))
     if (dryRun) { kept.queryExecution.analyzed; return OpStats(0, 0) }
     if (Dedup.isClean(part, spec.partitionKeys, col(spec.orderKey))) {
       val n = part.count()
