@@ -61,12 +61,22 @@ object Similarity {
       .withColumn("cos_e6",
         floor(dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")) * 1e6)
           .cast("long"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_e6").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "nbr_id", "cos_e6", "rank")
+    rankedTopK(scored, k)
   }
+
+  /** Per-query top-k of scored candidates via the map-side-combining
+    * [[graft.functions.TopKByScore]] aggregate: only k rows per query per
+    * map partition cross the shuffle, where a row_number window would
+    * shuffle and sort every scored row. Same rows and ranks as the window
+    * form — (cos DESC, id ASC) is a total order.
+    */
+  private def rankedTopK(scored: DataFrame, k: Int): DataFrame =
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topKByScore(
+        struct(col("cos_e6"), col("nbr_id")), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("nbr_id"),
+        col("col.score").as("cos_e6"), (col("pos") + 1).cast("int").as("rank"))
 
   /** Embedding-cosine near-duplicate pairs, exact: every (id_a < id_b)
     * pair with cosine ≥ threshold. Quadratic — restrict with `pred` or use
@@ -187,10 +197,6 @@ object Similarity {
       .withColumn("cos_e6",
         floor(dot(col("q_vec"), col("nbr_vec")) / (norm(col("q_vec")) * col("nbr_nrm")) * 1e6)
           .cast("long"))
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("cos_e6").desc, col("nbr_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "nbr_id", "cos_e6", "rank")
+    rankedTopK(scored, k)
   }
 }
