@@ -97,4 +97,18 @@ class JobsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(st.statusCode() == 200)
     assert(st.body().startsWith("jobs="))
   }
+
+  test("JobsClient: typed round trip against the live server") {
+    val c = new graft.api.JobsClient(s"http://localhost:$port")
+    // work already exhausted by earlier tests => NoWork, not an error
+    assert(c.next() == Left(c.NoWork))
+    val id = tracker.getState().keys.head
+    assert(c.heartbeat(id) == c.Ok)
+    assert(c.update(id, State.Parsing, "via client") == c.Ok)
+    assert(tracker.getState()(id)._2.state == State.Parsing)
+    assert(c.update("bkt/none/x/20240101", State.Parsing) == c.JobGone)
+    assert(c.heartbeat("bkt/none/x/20240101") == c.JobGone)
+    assert(c.error(id, "boom") == c.Ok)
+    assert(tracker.getState()(id)._2.state == State.ParseError)
+  }
 }
