@@ -105,6 +105,21 @@ final class JobsApi(tracker: Tracker, jobService: JobService, port: Int = 0) {
   server.createContext("/alive", ex => respond(ex, 200, "ok"))
   server.createContext("/ready", ex => respond(ex, 200, "ok"))
 
+  // expvar-style JSON metrics (the reference exports Prometheus families,
+  // metrics/metrics.go:16-209; same observables, JSON transport)
+  server.createContext("/metrics", ex => {
+    val state = tracker.getState()
+    val byState = state.values.groupBy(_._2.state.name).map {
+      case (s, js) => s""""$s":${js.size}"""
+    }.mkString(",")
+    val updates = state.values.map(_._2.updateCount.toLong).sum
+    respond(ex, 200,
+      s"""{"jobs":${state.size},"failed":${tracker.numFailed},""" +
+        s""""completed":${tracker.completed},"updates":$updates,""" +
+        s""""jobs_by_state":{$byState}}""",
+      "application/json")
+  })
+
   server.createContext("/status", ex => {
     val rows = tracker.getState().toSeq
       .sortBy { case (_, (_, st)) => st.history.headOption.map(_.start).getOrElse(0L) }

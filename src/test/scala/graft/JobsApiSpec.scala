@@ -96,6 +96,9 @@ class JobsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val st = get("/status")
     assert(st.statusCode() == 200)
     assert(st.body().startsWith("jobs="))
+    val m = get("/metrics")
+    assert(m.statusCode() == 200)
+    assert(m.body().contains("\"jobs_by_state\""))
   }
 
   test("JobsClient: typed round trip against the live server") {
