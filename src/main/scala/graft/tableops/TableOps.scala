@@ -73,8 +73,14 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse) {
 
   private def dateLit = lit(java.sql.Date.valueOf(job.date))
 
+  // mergeSchema: the table's schema evolves across loads (the reference
+  // tolerates added fields, cloud/bq/ops.go:280-282 / ops/actions.go:215-225);
+  // without it the parquet reader samples ONE footer and a day whose rows
+  // carry a newer column than an older footer silently loses it through
+  // dedup/copy.
   private def readPartition(path: String, d: LocalDate): DataFrame =
-    spark.read.parquet(path).filter(col("date") === lit(java.sql.Date.valueOf(d)))
+    spark.read.option("mergeSchema", "true").parquet(path)
+      .filter(col("date") === lit(java.sql.Date.valueOf(d)))
 
   /** S1: bulk-load newline-delimited JSON under the job's archive prefix into
     * the tmp table, append mode. Schema is inferred (the reference's loads are

@@ -127,4 +127,37 @@ class TableOpsSpec extends SparkTestBase {
     ops.copyToRaw() // partition truncate: no double counting
     assert(ops.rawPartitionCount() == 2)
   }
+
+  test("array-of-struct payload and added columns survive the pipeline " +
+    "(schema evolution, cloud/bq/ops.go:280-282)") {
+    val root = Files.createTempDirectory("graft-wh3").toString
+    val src = Files.createTempDirectory("graft-src3")
+    // day 1: tcpinfo-style repeated snapshots payload
+    writeJsonl(src, "d1.json", Seq(
+      """{"id":"a","date":"2024-03-01","parser":{"Time":"2024-03-01T10:00:00Z"},"snaps":[{"x":1},{"x":2}]}"""
+    ))
+    // day 2: same datatype gained a field (schema evolves across days)
+    writeJsonl(src, "d2.json", Seq(
+      """{"id":"a","date":"2024-03-02","parser":{"Time":"2024-03-02T10:00:00Z"},"snaps":[{"x":3}],"extra":"new"}"""
+    ))
+    val wh = Warehouse(root)
+    val d1 = new TableOps(spark, mkJob(root, "tcp", "2024-03-01", join = ""), wh)
+    val d2 = new TableOps(spark, mkJob(root, "tcp", "2024-03-02", join = ""), wh)
+    d1.loadToTmp(s"$src/d1.json")
+    d2.loadToTmp(s"$src/d2.json")
+    // dedup + copy of day 2 must SEE the day-2-only column even though
+    // older footers in the same tmp table lack it
+    d2.dedup()
+    d2.copyToRaw()
+    d1.dedup()
+    d1.copyToRaw()
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$root/raw_exp/tcp")
+    assert(raw.columns.contains("extra"))
+    val day2 = raw.filter($"id" === "a" && $"extra" === "new")
+    assert(day2.count() == 1)
+    // the ARRAY<STRUCT> payload round-trips intact
+    assert(day2.select(expr("snaps[0].x")).head().getLong(0) == 3L)
+    // day-1 rows read as null for the later column
+    assert(raw.filter($"extra".isNull).count() == 1)
+  }
 }
