@@ -237,11 +237,15 @@ object SparkEntry {
         maxDim = 256)
         .select("media_id", "width", "height", "scale_e4", "out_width", "out_height")),
 
+    // exploded to scalar rows: the driver's compare sorts values with
+    // pandas, which cannot sort/hash array cells
     "mm_frame_sample" -> ((s, dir) =>
       Multimodal.frameSamplePlan(
         Multimodal.extractFeatures(
           Multimodal.mediaFromText(Tables.documents(s, dir), "doc_id", "text")),
-        stride = 3))
+        stride = 3)
+        .select(col("media_id"), explode(col("frame_indices")).as("frame_idx"))
+        .withColumn("frame_idx", col("frame_idx").cast("long")))
   )
 
   private val M = Tables.measurementsMonthlySql
@@ -381,22 +385,26 @@ object SparkEntry {
     "s5_partition_stats" ->
       s"""WITH m AS ($D)
          |SELECT "date", count(*) AS n_rows, count(DISTINCT id) AS n_ids,
-         |       sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_e2
+         |       CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+         |         AS sum_qty_e2
          |FROM m GROUP BY "date"""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
-        |  sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS sum_qty_e2,
-        |  sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS sum_base_price_e2,
-        |  sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
-        |    AS sum_disc_price_e2,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_e2,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_base_price_e2,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT))
+        |    AS BIGINT) AS sum_disc_price_e2,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "ev_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,
-        |  sum(CAST(floor(value * 10000) AS BIGINT)) AS sum_value_e4
+        |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_e4
         |FROM events GROUP BY 1""".stripMargin,
 
     "tx_token_count" ->
@@ -511,7 +519,7 @@ object SparkEntry {
 
     "mm_frame_sample" ->
       s"""SELECT doc_id AS media_id,
-         |  range(0, $MmFrames, 3) AS frame_indices
+         |  unnest(range(0, CAST($MmFrames AS BIGINT), 3)) AS frame_idx
          |FROM documents""".stripMargin,
 
     "mm_resize_plan" ->
