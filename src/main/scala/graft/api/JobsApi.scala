@@ -13,15 +13,16 @@ import graft.tracker.Tracker
   * routes, methods, form-encoded params, and status codes:
   *
   *   POST /v2/job/next      → JSON JobWithTarget | 500 when exhausted
-  *   POST /v2/job/update    ?id&state&detail → 200 | 400 | 404/410
-  *   POST /v2/job/heartbeat ?id → 200 | 400 | 404/410
-  *   POST /v2/job/error     ?id&error → 200 | 400 | 404/410
+  *   POST /v2/job/update    ?id&state&detail → 200 | 422 | 424 | 410
+  *   POST /v2/job/heartbeat ?id → 200 | 422 | 410
+  *   POST /v2/job/error     ?id&error → 200 | 422 | 424 | 410
   *   GET  /alive, /ready    → 200
   *   GET  /status           → text job table
   *
-  * Non-POST on the job routes → 405; missing params → 400; unknown job →
-  * 410 Gone (the reference returns Gone for update/heartbeat on missing
-  * jobs so parsers drop them).
+  * Non-POST on the job routes → 405; missing id → 422 Unprocessable
+  * Entity; missing state/error → 424 Failed Dependency; unknown job →
+  * 410 Gone (so parsers drop it). Any state string is accepted, as in the
+  * reference (State is a plain string type there).
   */
 final class JobsApi(tracker: Tracker, jobService: JobService, port: Int = 0) {
   private val server = HttpServer.create(new InetSocketAddress(port), 0)
@@ -65,40 +66,39 @@ final class JobsApi(tracker: Tracker, jobService: JobService, port: Int = 0) {
 
   server.createContext("/v2/job/update", ex => requirePost(ex) {
     val p = formParams(ex)
-    (p.get("id"), p.get("state")) match {
+    (p.get("id").filter(_.nonEmpty), p.get("state").filter(_.nonEmpty)) match {
+      case (None, _) => respond(ex, 422, "id required")
+      case (_, None) => respond(ex, 424, "state required")
       case (Some(id), Some(stateName)) =>
-        State.fromString(stateName) match {
-          case Some(state) =>
-            tracker.setStatus(id, state, p.getOrElse("detail", "")) match {
-              case Right(_) => respond(ex, 200, "ok")
-              case Left(_) => respond(ex, 410, "unknown job")
-            }
-          case None => respond(ex, 422, s"unknown state: $stateName")
+        tracker.setStatus(id, State.parse(stateName),
+          p.getOrElse("detail", "")) match {
+          case Right(_) => respond(ex, 200, "ok")
+          case Left(_) => respond(ex, 410, "unknown job")
         }
-      case _ => respond(ex, 400, "id and state required")
     }
   })
 
   server.createContext("/v2/job/heartbeat", ex => requirePost(ex) {
-    formParams(ex).get("id") match {
+    formParams(ex).get("id").filter(_.nonEmpty) match {
       case Some(id) =>
         tracker.heartbeat(id) match {
           case Right(_) => respond(ex, 200, "ok")
           case Left(_) => respond(ex, 410, "unknown job")
         }
-      case None => respond(ex, 400, "id required")
+      case None => respond(ex, 422, "id required")
     }
   })
 
   server.createContext("/v2/job/error", ex => requirePost(ex) {
     val p = formParams(ex)
-    (p.get("id"), p.get("error")) match {
+    (p.get("id").filter(_.nonEmpty), p.get("error").filter(_.nonEmpty)) match {
+      case (None, _) => respond(ex, 422, "id required")
+      case (_, None) => respond(ex, 424, "error required")
       case (Some(id), Some(err)) =>
         tracker.setJobError(id, err) match {
           case Right(_) => respond(ex, 200, "ok")
           case Left(_) => respond(ex, 410, "unknown job")
         }
-      case _ => respond(ex, 400, "id and error required")
     }
   })
 

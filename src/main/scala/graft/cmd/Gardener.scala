@@ -62,8 +62,12 @@ object Gardener {
     ))
     monitor.watch(config.pollingInterval.toMillis)
 
+    // ALL sources get daily jobs; DailyOnly only excludes a source from the
+    // historical sweep (reference: job-service/job-service.go puts every
+    // source in dailySpecs) — otherwise fresh data of non-dailyOnly sources
+    // would wait ~36h for the historical sweep to reach it.
     val daily = new JobIterator(
-      new DailyIterator(saver), config.sources.filter(_.dailyOnly))
+      new DailyIterator(saver), config.sources)
     val historical = new JobIterator(
       new HistoricalIterator(saver, config.startDate),
       config.sources.filterNot(_.dailyOnly))

@@ -44,8 +44,11 @@ final class DailyIterator(
     if (clock().isBefore(due)) None
     else {
       val d = date
-      // save BEFORE advancing
-      saver.save(saverName, Codec.iterStateToJson(date.plusDays(1)))
+      // Save the CURRENT date before advancing (reference:
+      // iterators.go:75-77): a crash after the save but before the job is
+      // dispatched re-yields d on restart — a date is re-done (ops are
+      // idempotent), never skipped.
+      saver.save(saverName, Codec.iterStateToJson(d))
       date = date.plusDays(1)
       Some(d)
     }
@@ -75,7 +78,8 @@ final class HistoricalIterator(
       date = startDate // restart the sweep
     }
     val d = date
-    saver.save(saverName, Codec.iterStateToJson(date.plusDays(1)))
+    // save the CURRENT date before advancing — see DailyIterator.next
+    saver.save(saverName, Codec.iterStateToJson(d))
     date = date.plusDays(1)
     Some(d)
   }

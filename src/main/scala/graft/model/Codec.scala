@@ -21,6 +21,23 @@ object Codec {
   private def dateFromJson(s: String): LocalDate =
     Instant.parse(s).atZone(ZoneOffset.UTC).toLocalDate
 
+  // Go marshals time.Time as an RFC3339 string, with the zero time as
+  // "0001-01-01T00:00:00Z" (tracker/job.go Status fields, saverStructV2
+  // SaveTime). Our model carries epoch millis; 0 maps to the Go zero time.
+  private val GoZeroTime = "0001-01-01T00:00:00Z"
+
+  private def timeToJson(millis: Long): String =
+    if (millis == 0L) GoZeroTime else Instant.ofEpochMilli(millis).toString
+
+  private def timeFromJson(n: JsonNode): Long =
+    if (n == null || n.isMissingNode) 0L
+    else if (n.isNumber) n.asLong(0) // tolerate pre-RFC3339 snapshots
+    else {
+      val s = n.asText("")
+      if (s.isEmpty || s == GoZeroTime) 0L
+      else Instant.parse(s).toEpochMilli
+    }
+
   // ---- Job ----
 
   def jobToNode(j: Job): ObjectNode = {
@@ -59,8 +76,8 @@ object Codec {
     val n = mapper.createObjectNode()
     n.put("ID", jt.id)
     n.set[ObjectNode]("Job", jobToNode(jt.job))
-    n.put("DailyOnly", jt.dailyOnly)
-    n.put("FullHistory", jt.fullHistory)
+    // DailyOnly/FullHistory are scheduling-internal: the reference tags
+    // them json:"-" so they never reach the wire (tracker/job.go:54-60)
     mapper.writeValueAsString(n)
   }
 
@@ -77,14 +94,14 @@ object Codec {
 
   def statusToNode(st: Status): ObjectNode = {
     val n = mapper.createObjectNode()
-    n.put("HeartbeatTime", st.heartbeatTime)
+    n.put("HeartbeatTime", timeToJson(st.heartbeatTime))
     n.put("UpdateCount", st.updateCount)
     val h = n.putArray("History")
     st.history.foreach { si =>
       val e = h.addObject()
       e.put("State", si.state.name)
-      e.put("Start", si.start)
-      e.put("DetailTime", si.detailTime)
+      e.put("Start", timeToJson(si.start))
+      e.put("DetailTime", timeToJson(si.detailTime))
       e.put("Detail", si.detail)
     }
     n
@@ -93,13 +110,13 @@ object Codec {
   def statusFromNode(n: JsonNode): Status = {
     val hist = Option(n.get("History")).map(_.elements().asScala.map { e =>
       StateInfo(
-        state = State.fromString(e.path("State").asText()).getOrElse(State.Init),
-        start = e.path("Start").asLong(0),
-        detailTime = e.path("DetailTime").asLong(0),
+        state = State.parse(e.path("State").asText()),
+        start = timeFromJson(e.get("Start")),
+        detailTime = timeFromJson(e.get("DetailTime")),
         detail = e.path("Detail").asText(""))
     }.toVector).getOrElse(Vector.empty)
     Status(
-      heartbeatTime = n.path("HeartbeatTime").asLong(0),
+      heartbeatTime = timeFromJson(n.get("HeartbeatTime")),
       updateCount = n.path("UpdateCount").asInt(0),
       history = hist)
   }
@@ -108,7 +125,7 @@ object Codec {
 
   def snapshotToJson(saveTime: Long, jobs: Map[String, (Job, Status)]): String = {
     val n = mapper.createObjectNode()
-    n.put("SaveTime", saveTime)
+    n.put("SaveTime", timeToJson(saveTime))
     val statuses = n.putObject("Statuses")
     val jobsNode = n.putObject("Jobs")
     jobs.foreach { case (key, (job, status)) =>

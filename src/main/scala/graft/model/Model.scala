@@ -81,6 +81,12 @@ object State {
   case object Failed        extends State("failed")
   case object Complete      extends State("complete")
 
+  /** Any other state string. The reference's State is a plain string type
+    * (tracker/job.go:189), so the API accepts arbitrary values; a custom
+    * state has no registered action and simply ages out of the tracker.
+    */
+  final case class Custom(label: String) extends State(label)
+
   val all: Seq[State] = Seq(Init, Parsing, ParseError, ParseComplete,
     Stabilizing, Loading, Deduplicating, Copying, Joining, Deleting,
     Finishing, Failed, Complete)
@@ -88,6 +94,11 @@ object State {
   private val byName: Map[String, State] = all.map(s => s.name -> s).toMap
 
   def fromString(s: String): Option[State] = byName.get(s)
+
+  /** Total parse: a known state, or [[Custom]] — string semantics like the
+    * reference's.
+    */
+  def parse(s: String): State = byName.getOrElse(s, Custom(s))
 
   /** Terminal states never re-enter the action table. */
   def isTerminal(s: State): Boolean = s == Failed || s == Complete

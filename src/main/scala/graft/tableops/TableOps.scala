@@ -108,6 +108,7 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse) {
     * if no duplicates" property (cloud/bq/ops.go:188) by explicit pre-check.
     */
   def dedup(dryRun: Boolean = false): OpStats = {
+    recoverStaging()
     val part = readPartition(tmpPath, job.date)
     val kept =
       if (spec.skewedKeys)
@@ -122,14 +123,32 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse) {
       // goes through a staging dir + atomic-ish partition swap — the same
       // pattern a DELETE-less object-store rewrite uses.
       val rowsIn = part.count()
-      val staging = s"$tmpPath.__dedup_staging"
-      val rowsOut = overwritePartition(kept, staging)
+      val rowsOut = overwritePartition(kept, stagingPath)
       val fs = new Path(tmpPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
       val partDir = s"date=${job.date}"
       fs.delete(new Path(s"$tmpPath/$partDir"), true)
-      fs.rename(new Path(s"$staging/$partDir"), new Path(s"$tmpPath/$partDir"))
-      fs.delete(new Path(staging), true)
+      fs.rename(new Path(s"$stagingPath/$partDir"), new Path(s"$tmpPath/$partDir"))
+      fs.delete(new Path(stagingPath), true)
       OpStats(rowsIn, rowsOut)
+    }
+  }
+
+  private def stagingPath = s"$tmpPath.__dedup_staging"
+
+  /** Crash recovery for the dedup partition swap: a crash between the
+    * delete and the rename leaves the tmp partition empty with the deduped
+    * rows stranded in staging — a restarted monitor would then see a
+    * "clean" empty partition and silently lose the day. If staging holds
+    * the partition and tmp does not, rename it back before proceeding.
+    */
+  private def recoverStaging(): Unit = {
+    val fs = new Path(tmpPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDir = s"date=${job.date}"
+    val stagedPart = new Path(s"$stagingPath/$partDir")
+    val tmpPart = new Path(s"$tmpPath/$partDir")
+    if (fs.exists(stagedPart) && !fs.exists(tmpPart)) {
+      fs.rename(stagedPart, tmpPart)
+      fs.delete(new Path(stagingPath), true)
     }
   }
 

@@ -54,7 +54,8 @@ class JobsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val jt = Codec.jobWithTargetFromJson(resp.body())
     assert(jt.job.datatype == "ndt7")
     assert(jt.job.date == LocalDate.parse("2024-05-31"))
-    assert(jt.dailyOnly)
+    // scheduling flags are json:"-" in the reference — never on the wire
+    assert(!resp.body().contains("DailyOnly"))
     assert(jt.job.datasets == Datasets("tmp_ndt", "raw_ndt", "ndt"))
     assert(tracker.getState().contains(jt.job.key))
   }
@@ -63,10 +64,16 @@ class JobsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     val key = tracker.getState().keys.head
     // method not allowed
     assert(get("/v2/job/update").statusCode() == 405)
-    // missing params
-    assert(post("/v2/job/update").statusCode() == 400)
-    // unknown state
-    assert(post("/v2/job/update", s"id=$key&state=nonsense").statusCode() == 422)
+    // missing id → 422 Unprocessable Entity (reference tracker/handler.go)
+    assert(post("/v2/job/update").statusCode() == 422)
+    assert(post("/v2/job/update", "state=parsing").statusCode() == 422)
+    // missing state → 424 Failed Dependency
+    assert(post("/v2/job/update", s"id=$key").statusCode() == 424)
+    assert(post("/v2/job/heartbeat").statusCode() == 422)
+    assert(post("/v2/job/error", s"id=$key").statusCode() == 424)
+    // any state string is accepted (State is a plain string in the reference)
+    assert(post("/v2/job/update", s"id=$key&state=nonsense").statusCode() == 200)
+    assert(tracker.getState()(key)._2.state.name == "nonsense")
     // happy path: parsing → postProcessing with detail
     assert(post("/v2/job/update", s"id=$key&state=parsing&detail=50%25").statusCode() == 200)
     assert(tracker.getState()(key)._2.state == State.Parsing)

@@ -30,8 +30,21 @@ class OrchestrationSpec extends AnyFunSuite {
   test("job json round trip") {
     val j = mkJob()
     assert(Codec.jobFromJson(Codec.jobToJson(j)) == j)
+    // DailyOnly/FullHistory never reach the wire (reference json:"-"),
+    // so a round trip preserves id+job and resets the scheduling flags
     val jt = JobWithTarget("id1", j, dailyOnly = true)
-    assert(Codec.jobWithTargetFromJson(Codec.jobWithTargetToJson(jt)) == jt)
+    val wire = Codec.jobWithTargetToJson(jt)
+    assert(!wire.contains("DailyOnly") && !wire.contains("FullHistory"))
+    assert(Codec.jobWithTargetFromJson(wire) == jt.copy(dailyOnly = false))
+  }
+
+  test("status times are RFC3339 strings on the wire, Go zero time for 0") {
+    val st = Status.init(5L).newState(State.Parsing, 6L)
+    val node = Codec.statusToNode(st.copy(heartbeatTime = 0L))
+    assert(node.get("HeartbeatTime").asText() == "0001-01-01T00:00:00Z")
+    assert(node.get("History").get(0).get("Start").asText()
+      == "1970-01-01T00:00:00.005Z")
+    assert(Codec.statusFromNode(node) == st.copy(heartbeatTime = 0L))
   }
 
   test("snapshot round trip drops jobs with empty Tmp dataset") {
@@ -134,17 +147,32 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(it.next().isEmpty) // next day not due yet
   }
 
-  test("daily iterator saves BEFORE advancing; restart re-does nothing skipped") {
+  test("daily iterator saves the CURRENT date; restart re-delivers, never skips") {
     var now = Instant.parse("2024-01-10T10:31:00Z")
     val saver = new MemorySaver
     val it = new DailyIterator(saver, delay = Duration.ofHours(10).plusMinutes(30),
       clock = () => now)
     assert(it.next().contains(LocalDate.parse("2024-01-09")))
-    // a new iterator from the same saver resumes at the advanced date
+    // a restart (new iterator, same saver) re-yields the saved date: a
+    // crash between save and dispatch re-does 01-09, never skips it
+    // (ops are idempotent; reference iterators.go:23-28)
     val it2 = new DailyIterator(saver, delay = Duration.ofHours(10).plusMinutes(30),
       clock = () => now)
-    assert(it2.current == LocalDate.parse("2024-01-10"))
+    assert(it2.current == LocalDate.parse("2024-01-09"))
+    assert(it2.next().contains(LocalDate.parse("2024-01-09")))
     assert(it2.next().isEmpty) // 2024-01-10 due tomorrow 10:30
+  }
+
+  test("historical iterator restart re-delivers the in-flight date") {
+    var now = Instant.parse("2020-06-01T00:00:00Z")
+    val saver = new MemorySaver
+    val it = new HistoricalIterator(saver, LocalDate.parse("2020-01-05"),
+      clock = () => now)
+    assert(it.next().contains(LocalDate.parse("2020-01-05")))
+    assert(it.next().contains(LocalDate.parse("2020-01-06")))
+    val it2 = new HistoricalIterator(saver, LocalDate.parse("2020-01-05"),
+      clock = () => now)
+    assert(it2.next().contains(LocalDate.parse("2020-01-06"))) // re-done
   }
 
   test("historical iterator sweeps and restarts near now") {

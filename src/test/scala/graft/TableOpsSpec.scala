@@ -128,6 +128,32 @@ class TableOpsSpec extends SparkTestBase {
     assert(ops.rawPartitionCount() == 2)
   }
 
+  test("dedup recovers a crashed partition swap (staging holds the day)") {
+    val root = Files.createTempDirectory("graft-wh4").toString
+    val src = Files.createTempDirectory("graft-src4")
+    writeJsonl(src, "m.json", Seq(
+      """{"id":"x","date":"2024-04-01","parser":{"Time":"2024-04-01T10:00:00Z"},"v":1}""",
+      """{"id":"x","date":"2024-04-01","parser":{"Time":"2024-04-01T11:00:00Z"},"v":2}"""
+    ))
+    val job = mkJob(root, "ndt7", "2024-04-01")
+    val ops = new TableOps(spark, job, Warehouse(root))
+    ops.loadToTmp(s"$src/m.json")
+    // Simulate a crash BETWEEN the swap's delete and rename: the deduped
+    // day sits in staging, the tmp partition is gone. Without recovery a
+    // re-run sees an empty (clean) partition and the day's rows are lost.
+    val tmpTable = Path.of(s"$root/tmp_exp/ndt7")
+    val staging = Path.of(s"$root/tmp_exp/ndt7.__dedup_staging")
+    Files.createDirectories(staging)
+    Files.move(tmpTable.resolve("date=2024-04-01"),
+      staging.resolve("date=2024-04-01"))
+    val dd = ops.dedup()
+    assert(dd.rowsIn == 2 && dd.rowsOut == 1) // recovered, then deduped
+    val tmp = spark.read.parquet(tmpTable.toString)
+    assert(tmp.count() == 1)
+    assert(tmp.select("v").as[Long].head() == 2L)
+    assert(!Files.exists(staging))
+  }
+
   test("array-of-struct payload and added columns survive the pipeline " +
     "(schema evolution, cloud/bq/ops.go:280-282)") {
     val root = Files.createTempDirectory("graft-wh3").toString
