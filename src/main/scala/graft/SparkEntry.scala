@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnotationJoin, Dedup, Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AnnotationJoin, Dedup, Multimodal, Sessions, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -224,6 +224,35 @@ object SparkEntry {
         col("vec_id") < 10, k = 5)
     }),
 
+    // ---- sessionization: gap-based event sessions (30 min) ----
+    "ev_sessionize" -> ((s, dir) =>
+      Sessions.sessionize(Tables.events(s, dir), "user_id", "ts")
+        .withColumn("session_idx", col("session_idx").cast("long"))),
+
+    // ---- corpus vocabulary: top-50 tokens by frequency ----
+    "tx_vocab_topk" -> ((s, dir) =>
+      TextAnalysis.vocabTopK(Tables.documents(s, dir), "text", k = 50)),
+
+    // ---- per-label centroid accumulators (k-means/IVF training step) ----
+    "emb_centroids" -> ((s, dir) =>
+      Similarity.centroidSums(Tables.embeddings(s, dir), "label", "embedding")),
+
+    // ---- near-dup clustering: connected components over jaccard pairs ----
+    "dd_cluster_minlabel" -> ((s, dir) =>
+      TextDedup.minLabelClusters(
+        TextDedup.lengthBandedJaccardPairs(Tables.documents(s, dir), "doc_id",
+          "text", "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L))),
+
+    // ---- md5-family verification tiers: same algorithms as the xxhash64
+    //      minhash/simhash above, hash family the oracle can recompute ----
+    "dd_minhash_lsh_md5" -> ((s, dir) =>
+      TextDedup.minhashMd5DedupPairs(Tables.documents(s, dir), "doc_id", "text",
+        numHashes = 16, bands = 4, minJaccardE4 = 5000L)),
+
+    "dd_simhash_md5" -> ((s, dir) =>
+      TextDedup.simhashMd5Pairs(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 6)),
+
     // ---- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ----
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -293,6 +322,29 @@ object SparkEntry {
        |   * sqrt(list_reduce([CAST($b[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)
        |                       for i in range(1, len($b)+1)], (x, y) -> x + y)))
        |  * 1000000.0) AS BIGINT)""".stripMargin
+
+  /** DuckDB analog of [[graft.operators.TextDedup.md5Long]]: 60-bit hash
+    * from the first 15 hex chars of md5 — bit-identical to Spark's
+    * conv(substring(md5(x),1,15),16,10).
+    */
+  private def md5LongSql(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Length-banded jaccard pair CTE chain ending in `p(id_a, id_b,
+    * jaccard_e4)` — shared by dd_ngram_jaccard and dd_cluster_minlabel.
+    */
+  private val JaccardPairCtes =
+    s"""t AS (SELECT doc_id, n_chars, $W AS w FROM documents),
+       |s AS (SELECT doc_id, n_chars, $ShingleSql AS sh,
+       |        CAST(floor(n_chars / 32.0) AS BIGINT) AS b0 FROM t),
+       |bl AS (SELECT s.*, u.bucket FROM s,
+       |        unnest([s.b0, s.b0 + 1]) AS u(bucket)),
+       |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  CAST(floor(len(list_intersect(a.sh, b.sh)) * 10000.0
+       |    / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_e4
+       |  FROM bl a JOIN bl b ON a.bucket = b.bucket
+       |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 32
+       |    AND a.bucket = greatest(a.b0, b.b0))""".stripMargin
 
   private val mCols =
     """id, "date", parser_time, l_orderkey, l_partkey, l_suppkey, l_linenumber,
@@ -450,18 +502,98 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM r WHERE doc_id = keep_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
-      s"""WITH t AS (SELECT doc_id, n_chars, $W AS w FROM documents),
-         |s AS (SELECT doc_id, n_chars, $ShingleSql AS sh,
-         |        CAST(floor(n_chars / 32.0) AS BIGINT) AS b0 FROM t),
-         |bl AS (SELECT s.*, u.bucket FROM s,
-         |        unnest([s.b0, s.b0 + 1]) AS u(bucket)),
-         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  CAST(floor(len(list_intersect(a.sh, b.sh)) * 10000.0
-         |    / len(list_distinct(list_concat(a.sh, b.sh)))) AS BIGINT) AS jaccard_e4
-         |  FROM bl a JOIN bl b ON a.bucket = b.bucket
-         |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 32
-         |    AND a.bucket = greatest(a.b0, b.b0))
+      s"""WITH $JaccardPairCtes
          |SELECT * FROM p WHERE jaccard_e4 >= 5000""".stripMargin,
+
+    // connected components of the jaccard pair graph: min reachable id
+    // per node via a recursive CTE (the Spark side iterates min-label
+    // propagation to the same fixpoint)
+    "dd_cluster_minlabel" ->
+      s"""WITH RECURSIVE $JaccardPairCtes,
+         |pr AS (SELECT id_a, id_b FROM p WHERE jaccard_e4 >= 5000),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pr
+         |      UNION SELECT id_b AS a, id_a AS b FROM pr),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT r.n, e2.b FROM reach r JOIN e e2 ON e2.a = r.m)
+         |SELECT n AS id, CAST(min(m) AS BIGINT) AS label
+         |FROM reach GROUP BY n""".stripMargin,
+
+    "ev_sessionize" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |g AS (SELECT user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev FROM e),
+        |n AS (SELECT user_id, ts,
+        |        CASE WHEN prev IS NULL
+        |               OR epoch_us(ts) - epoch_us(prev) > 1800000000
+        |             THEN 1 ELSE 0 END AS is_new FROM g),
+        |s AS (SELECT user_id, ts,
+        |        CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+        |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_idx FROM n)
+        |SELECT user_id, session_idx, min(ts) AS session_start,
+        |       max(ts) AS session_end, count(*) AS n_events
+        |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "tx_vocab_topk" ->
+      s"""WITH t AS (SELECT unnest($W) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS n FROM t GROUP BY token)
+         |SELECT token, n, rank FROM (
+         |  SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC)
+         |    AS INT) AS rank FROM c) r
+         |WHERE rank <= 50""".stripMargin,
+
+    "emb_centroids" ->
+      """SELECT label, CAST(i - 1 AS INT) AS dim,
+        |  CAST(sum(CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+        |    AS BIGINT)) AS BIGINT) AS sum_e6,
+        |  count(*) AS n
+        |FROM embeddings e, range(1, 65) r(i)
+        |GROUP BY label, dim""".stripMargin,
+
+    "dd_simhash_md5" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, $ShingleSql AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5LongSql("x")}) AS hl
+         |      FROM s),
+         |f AS (SELECT doc_id, CAST(list_sum([
+         |        CASE WHEN list_sum(list_transform(hl,
+         |               x -> CASE WHEN ((x >> i) & 1) = 1 THEN 1 ELSE -1 END)) > 0
+         |          THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END
+         |        for i in range(0, 60)]) AS BIGINT) AS fp FROM h),
+         |b AS (SELECT doc_id, fp, u.band, ((fp >> (u.band * 15)) & 32767) AS bucket
+         |      FROM f, unnest([0, 1, 2, 3]) AS u(band)),
+         |p AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b,
+         |        CAST(bit_count(xor(a.fp, b2.fp)) AS INT) AS hamming
+         |      FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
+         |        AND a.doc_id < b2.doc_id)
+         |SELECT id_a, id_b, hamming FROM p WHERE hamming <= 6""".stripMargin,
+
+    "dd_minhash_lsh_md5" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, $ShingleSql AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5LongSql("x")}) AS hl
+         |      FROM s),
+         |sg AS (SELECT doc_id,
+         |        [list_min(list_transform(hl, x -> CAST(concat('0x',
+         |           substr(md5(concat(CAST(i // 2 AS VARCHAR), '#',
+         |                             CAST(x AS VARCHAR))),
+         |                  1 + 15 * (i % 2), 15)) AS BIGINT)))
+         |         for i in range(0, 16)] AS sig
+         |       FROM h),
+         |b AS (SELECT doc_id, u.b AS band,
+         |        array_to_string(sig[u.b * 4 + 1 : u.b * 4 + 4], ',') AS bucket
+         |      FROM sg, unnest([0, 1, 2, 3]) AS u(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |         FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
+         |           AND a.doc_id < b2.doc_id),
+         |j AS (SELECT c.id_a, c.id_b,
+         |        CAST(floor(len(list_intersect(ha.hl, hb.hl)) * 10000.0 /
+         |          (len(ha.hl) + len(hb.hl) - len(list_intersect(ha.hl, hb.hl))))
+         |          AS BIGINT) AS jaccard_e4
+         |      FROM cand c JOIN h ha ON ha.doc_id = c.id_a
+         |                  JOIN h hb ON hb.doc_id = c.id_b)
+         |SELECT id_a, id_b, jaccard_e4 FROM j WHERE jaccard_e4 >= 5000""".stripMargin,
 
     // DuckDB quoted strings keep backslashes literal, so the shared
     // pattern embeds verbatim

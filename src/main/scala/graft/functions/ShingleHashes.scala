@@ -117,4 +117,18 @@ object GraftFunctions {
   def shingleHashes(text: Column, k: Int = 3): Column =
     org.apache.spark.sql.graftshim.ColumnBridge.column(
       ShingleHashes(org.apache.spark.sql.graftshim.ColumnBridge.expression(text), k))
+
+  /** Column-API forms of the md5-family expressions (Md5ShingleExprs). */
+  def shingleMd5Hashes(text: Column, k: Int = 3): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      ShingleMd5Hashes(org.apache.spark.sql.graftshim.ColumnBridge.expression(text), k))
+
+  def minhashMd5Signature(text: Column, numHashes: Int, k: Int = 3): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      MinhashMd5Signature(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text), k, numHashes))
+
+  def simhashMd5(text: Column, k: Int = 3): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      SimhashMd5(org.apache.spark.sql.graftshim.ColumnBridge.expression(text), k))
 }

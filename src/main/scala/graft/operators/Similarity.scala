@@ -199,4 +199,21 @@ object Similarity {
           .cast("long"))
     rankedTopK(scored, k)
   }
+
+  /** Per-group per-dimension centroid accumulators: (group, dim, sum_e6,
+    * n) with floor-scaled-integer sums — exact, order-independent, and a
+    * k-means/IVF training step's shuffle shape (posexplode then one hash
+    * aggregate on (group, dim); map-side combine collapses the dimension
+    * stream before the exchange, so shuffle volume is groups × dims, not
+    * rows × dims). Downstream divides sum_e6/n for the mean.
+    */
+  def centroidSums(
+      embeddings: DataFrame, groupCol: String, vecCol: String
+  ): DataFrame =
+    embeddings
+      .select(col(groupCol), posexplode(col(vecCol)))
+      .groupBy(col(groupCol), col("pos").cast("int").as("dim"))
+      .agg(
+        sum(floor(col("col").cast("double") * 1e6).cast("long")).as("sum_e6"),
+        count(lit(1)).as("n"))
 }

@@ -119,6 +119,23 @@ object TextAnalysis {
   /** Exact content fingerprint: md5 of the normalized text (lower + trim).
     * Identical hex in every engine.
     */
+  /** Corpus vocabulary with frequency ranks: top-k tokens by count
+    * (ties → lexicographic). The token count is one explode + hash
+    * aggregate (map-side combined, shuffle = vocabulary size, not token
+    * stream); the rank window then runs over the aggregated vocabulary —
+    * tiny relative to the corpus — so the single-partition window sort is
+    * bounded by |vocab|, not rows.
+    */
+  def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
+    val counts = df
+      .select(explode(tokens(coalesce(col(textCol), lit("")))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("n").desc, col("token").asc)
+    counts.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+  }
+
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
   /** 64-bit rolling fingerprint over tokens — Spark-side (not portable

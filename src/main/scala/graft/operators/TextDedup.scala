@@ -61,6 +61,33 @@ object TextDedup {
       graft.functions.GraftFunctions
         .shingleHashes(coalesce(col(textCol), lit("")), k).as("sh"): _*)
 
+  /** Projects `keepCols` plus `shs: array<string>` of distinct k-shingle
+    * STRINGS (two projections — tokens materialized first, see
+    * [[shingles]] scaladoc for the inlining trap). Used by the md5-based
+    * cross-engine-verifiable tiers, which must hash the shingle text with
+    * a function the SQL oracle also has.
+    */
+  def withShingleStrings(
+      docs: DataFrame, keepCols: Seq[String], textCol: String, k: Int = 3
+  ): DataFrame = {
+    val toks = docs.select(keepCols.map(col) :+
+      split(coalesce(col(textCol), lit("")), "\\s+").as("__w"): _*)
+    val w = col("__w")
+    val shingled = transform(sequence(lit(0), size(w) - k),
+      i => concat_ws(" ", slice(w, i + 1, lit(k))))
+    toks.select(keepCols.map(col) :+
+      when(size(w) >= k, array_distinct(shingled))
+        .otherwise(array_distinct(w)).as("shs"): _*)
+  }
+
+  /** 60-bit hash from the first 15 hex chars of md5 — the one hash family
+    * both Spark and ANSI-SQL oracles (DuckDB: CAST(concat('0x', substr(
+    * md5(x),1,15)) AS BIGINT)) can compute bit-identically. Slower than
+    * xxhash64; used only by the *_md5 verification tiers.
+    */
+  def md5Long(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
   // ---------- tier 1: exact ----------
 
   /** Exact dedup: keep the lowest-id document per identical (normalized)
@@ -249,37 +276,34 @@ object TextDedup {
 
   // ---------- tier 4: SimHash ----------
 
-  /** 64-bit SimHash per document over 3-gram shingles (raw tokens are far
-    * too coarse when the vocabulary is small — distinct-token sets collide
-    * across unrelated docs): per-shingle xxhash64, each bit votes ±1,
-    * fingerprint bit set where the vote is positive. One explode+groupBy.
+  /** Fingerprint from a (id, h) hash stream: each of `bits` bit positions
+    * votes ±1 per hash, bit set where the vote is positive. One
+    * explode+groupBy.
     */
-  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = withHashedShingles(docs, Seq(idCol), textCol)
-      .select(col(idCol), explode_outer(col("sh")).as("h"))
-    val votes = (0 until 64).map { i =>
+  private def simhashFromHashes(toks: DataFrame, idCol: String, bits: Int): DataFrame = {
+    val votes = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
     }
     toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
       .select(col(idCol),
-        (0 until 64).map(i =>
+        (0 until bits).map(i =>
           when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
         ).reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
   }
 
-  /** Near-dup pairs by SimHash hamming distance: candidates share at least
-    * one of 4 exact-matching 16-bit bands, verified with bit_count(xor).
+  /** Near-dup pairs from fingerprints: candidates share at least one
+    * exact-matching band of `bandBits` bits, verified with
+    * bit_count(xor) ≤ maxHamming. In-bucket pair expansion (see
+    * lshCandidates): one shuffle of (band, bucket, id, simhash); a banded
+    * self-join would run the vote aggregation once per branch.
     */
-  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3): DataFrame = {
-    val sh = simhash(docs, idCol, textCol)
+  private def simhashBandedPairs(sh: DataFrame, idCol: String, bands: Int,
+      bandBits: Int, maxHamming: Int): DataFrame = {
+    val mask = (1L << bandBits) - 1
     val banded = sh.select(col(idCol), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(0xFFFFL)): _*)))
+      posexplode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("simhash"), b * bandBits).bitwiseAND(mask)): _*)))
       .select(col(idCol), col("simhash"), col("pos").as("band"), col("col").as("bucket"))
-    // In-bucket pair expansion (see lshCandidates): one shuffle of
-    // (band, bucket, id, simhash); a banded self-join would run the
-    // 64-vote simhash aggregation twice.
     banded.groupBy(col("band"), col("bucket"))
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),
         col("simhash").as("s")))).as("xs"))
@@ -291,5 +315,129 @@ object TextDedup {
       .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** 64-bit SimHash per document over 3-gram shingles (raw tokens are far
+    * too coarse when the vocabulary is small — distinct-token sets collide
+    * across unrelated docs): per-shingle xxhash64, each bit votes ±1,
+    * fingerprint bit set where the vote is positive. One explode+groupBy.
+    */
+  def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    simhashFromHashes(
+      withHashedShingles(docs, Seq(idCol), textCol)
+        .select(col(idCol), explode_outer(col("sh")).as("h")),
+      idCol, bits = 64)
+
+  /** Near-dup pairs by SimHash hamming distance: candidates share at least
+    * one of 4 exact-matching 16-bit bands, verified with bit_count(xor).
+    */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3): DataFrame =
+    simhashBandedPairs(simhash(docs, idCol, textCol), idCol,
+      bands = 4, bandBits = 16, maxHamming = maxHamming)
+
+  /** Cross-engine-verifiable SimHash: 60-bit fingerprints from the md5
+    * hash family ([[md5Long]]) over shingle strings, 4 bands of 15 bits.
+    * Same algorithm as [[simhashPairs]]; exists so a plain-SQL oracle can
+    * recompute the output bit for bit (xxhash64 has no SQL equivalent).
+    *
+    * The fingerprint is a per-document scalar, so it is computed row-
+    * locally by the codegen'd [[graft.functions.SimhashMd5]] expression —
+    * no shingle explode, no 60-vote aggregate, no shuffle before banding
+    * (the declarative explode+groupBy formulation is spec-enforced
+    * equivalent). The xxhash64 tier remains the fast path.
+    */
+  def simhashMd5Pairs(docs: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 6): DataFrame =
+    simhashBandedPairs(
+      docs.select(col(idCol),
+        graft.functions.GraftFunctions
+          .simhashMd5(coalesce(col(textCol), lit(""))).as("simhash")),
+      idCol, bands = 4, bandBits = 15, maxHamming = maxHamming)
+
+  /** Cross-engine-verifiable MinHash-LSH: signatures from seeded md5
+    * re-hashes of the per-shingle md5 ([[md5Long]] — seed g hashes the
+    * decimal string "g#h0", and each 128-bit digest yields TWO 60-bit
+    * lanes, hex chars 1-15 and 16-30, so 16 minhash lanes cost 8 string
+    * hashes), banded into `bands` buckets, candidates verified with exact
+    * Jaccard over the md5-hashed shingle sets.
+    *
+    * A signature is a per-document scalar, so it is computed row-locally
+    * by the codegen'd [[graft.functions.MinhashMd5Signature]] expression —
+    * no shingle explode, no numHashes-way aggregate, no shuffle before
+    * banding (measured ~6× over the explode+groupBy formulation, which is
+    * spec-enforced equivalent). The verify join re-derives the shingle
+    * hash sets per branch via [[graft.functions.ShingleMd5Hashes]] — at
+    * warehouse scale, materialize that column once as the minhash index
+    * table instead. The xxhash64 tier remains the fast path.
+    */
+  def minhashMd5DedupPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, minJaccardE4: Long = 5000
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    require(numHashes % 2 == 0, "numHashes must be even (2 lanes per digest)")
+    val text = coalesce(col(textCol), lit(""))
+    val sigs = docs.select(col(idCol),
+      graft.functions.GraftFunctions.minhashMd5Signature(text, numHashes).as("sig"))
+    val hl = docs.select(col(idCol),
+      graft.functions.GraftFunctions.shingleMd5Hashes(text).as("hl"))
+    val rpb = numHashes / bands
+    val banded = sigs.select(col(idCol),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb))))))
+      .select(col(idCol), col("pos").as("band"), col("col").as("bucket"))
+    val cands = pairsWithinGroups(banded, Seq("band", "bucket"), idCol).distinct()
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cands
+      .join(hl.select(col(idCol).as("id_a"), col("hl").as("sh_a")), "id_a")
+      .join(hl.select(col(idCol).as("id_b"), col("hl").as("sh_b")), "id_b")
+      .withColumn("jaccard_e4",
+        floor(inter * lit(10000.0) /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).cast("long"))
+      .filter(col("jaccard_e4") >= minJaccardE4)
+      .select("id_a", "id_b", "jaccard_e4")
+  }
+
+  // ---------- near-dup clustering ----------
+
+  /** Connected components of an undirected (id_a, id_b) pair graph by
+    * min-label propagation: every node's label converges to the smallest
+    * id reachable from it — the canonical "keep one representative per
+    * near-dup cluster" step after any pair-producing tier above.
+    *
+    * Each sweep is one shuffle join + aggregate; convergence takes
+    * O(component diameter) sweeps. Near-dup clusters are shallow (a dup
+    * cluster's pair graph is dense), so real corpora converge in a few
+    * sweeps — the iteration count is a property of cluster shape, not
+    * corpus size, and each sweep is fully distributed. Labels and edges
+    * are persisted across sweeps (each iteration would otherwise
+    * re-execute the whole upstream pair pipeline).
+    */
+  def minLabelClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct().persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("label")).persist()
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nlabel"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      it += 1
+    }
+    edges.unpersist()
+    labels
   }
 }

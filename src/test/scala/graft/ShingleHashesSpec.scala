@@ -61,6 +61,56 @@ class ShingleHashesSpec extends SparkTestBase {
     assert(n1 === 5)
   }
 
+  test("md5 expressions equal the declarative md5Long formulations") {
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    // shingle hashes: expression vs string shingles + md5Long
+    val viaExpr = df.select(col("id"),
+        GraftFunctions.shingleMd5Hashes(col("text")).as("hl"))
+      .as[(Int, Seq[Long])].collect().toMap
+    val viaHof = TextDedup.withShingleStrings(df, Seq("id"), "text")
+      .select(col("id"), transform(col("shs"), s => TextDedup.md5Long(s)).as("hl"))
+      .as[(Int, Seq[Long])].collect().toMap
+    texts.indices.foreach(i => assert(viaExpr(i) === viaHof(i), s"'${texts(i)}'"))
+
+    // minhash signature: expression vs explode + seeded md5Long lanes
+    val sigExpr = df.select(col("id"),
+        GraftFunctions.minhashMd5Signature(col("text"), numHashes = 4).as("sig"))
+      .as[(Int, Seq[Long])].collect().toMap
+    val sigHof = TextDedup.withShingleStrings(df, Seq("id"), "text")
+      .select(col("id"), explode(col("shs")).as("s"))
+      .select(col("id"), TextDedup.md5Long(col("s")).cast("string").as("h0"))
+      .groupBy(col("id"))
+      .agg(
+        min(conv(substring(md5(concat(lit("0#"), col("h0"))), 1, 15), 16, 10)
+          .cast("long")).as("h0m"),
+        min(conv(substring(md5(concat(lit("0#"), col("h0"))), 16, 15), 16, 10)
+          .cast("long")).as("h1m"),
+        min(conv(substring(md5(concat(lit("1#"), col("h0"))), 1, 15), 16, 10)
+          .cast("long")).as("h2m"),
+        min(conv(substring(md5(concat(lit("1#"), col("h0"))), 16, 15), 16, 10)
+          .cast("long")).as("h3m"))
+      .select(col("id"), array(col("h0m"), col("h1m"), col("h2m"), col("h3m")).as("sig"))
+      .as[(Int, Seq[Long])].collect().toMap
+    texts.indices.foreach(i => assert(sigExpr(i) === sigHof(i), s"'${texts(i)}'"))
+
+    // simhash: expression vs explode + 60-vote aggregate
+    val fpExpr = df.select(col("id"),
+        GraftFunctions.simhashMd5(col("text")).as("fp"))
+      .as[(Int, Long)].collect().toMap
+    val toks = TextDedup.withShingleStrings(df, Seq("id"), "text")
+      .select(col("id"), explode(col("shs")).as("s"))
+      .select(col("id"), TextDedup.md5Long(col("s")).as("h"))
+    val votes = (0 until 60).map(i =>
+      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val fpHof = toks.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 60).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+      .as[(Int, Long)].collect().toMap
+    texts.indices.foreach(i => assert(fpExpr(i) === fpHof(i), s"'${texts(i)}'"))
+  }
+
   test("withHashedShingles (operator path) matches the expression directly") {
     val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
     val op = TextDedup.withHashedShingles(df, Seq("id"), "text")
