@@ -401,43 +401,85 @@ object TextDedup {
 
   // ---------- near-dup clustering ----------
 
-  /** Connected components of an undirected (id_a, id_b) pair graph by
-    * min-label propagation: every node's label converges to the smallest
-    * id reachable from it — the canonical "keep one representative per
-    * near-dup cluster" step after any pair-producing tier above.
+  /** Connected components of an undirected (id_a, id_b) pair graph:
+    * every node's label converges to the smallest id reachable from it —
+    * the canonical "keep one representative per near-dup cluster" step
+    * after any pair-producing tier above.
     *
-    * Each sweep is one shuffle join + aggregate; convergence takes
-    * O(component diameter) sweeps. Near-dup clusters are shallow (a dup
-    * cluster's pair graph is dense), so real corpora converge in a few
-    * sweeps — the iteration count is a property of cluster shape, not
-    * corpus size, and each sweep is fully distributed. Labels and edges
-    * are persisted across sweeps (each iteration would otherwise
-    * re-execute the whole upstream pair pipeline).
+    * Hybrid execution. The pair graph is the OUTPUT of dedup blocking —
+    * orders of magnitude smaller than the corpus — so it frequently fits
+    * the driver: at or below `localEdgeThreshold` edges (default 2^20 ≈
+    * 16 MB) components come from a single collect + union-find, paying
+    * one job instead of O(diameter) iterative sweeps (the sweep's
+    * fixed per-job latency dominates at that size; requires integral
+    * ids). Above the threshold, distributed min-label propagation: each
+    * sweep is one shuffle join + aggregate, converging in O(component
+    * diameter) sweeps — near-dup clusters are dense and shallow, so real
+    * corpora converge in a few. Labels and edges are persisted across
+    * sweeps (each iteration would otherwise re-execute the whole
+    * upstream pair pipeline).
     */
-  def minLabelClusters(pairs: DataFrame, maxIters: Int = 25): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+  def minLabelClusters(pairs: DataFrame, maxIters: Int = 25,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
+    val spark = pairs.sparkSession
+    // single-pass symmetrization: a union of two selects over `pairs`
+    // would execute the whole upstream pair pipeline once per branch
+    // (measured 2×); exploding both directions from one scan doesn't
+    val edges = pairs
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src"), col("e.dst"))
       .distinct().persist()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("label")).persist()
-    var changed = 1L
-    var it = 0
-    while (changed > 0 && it < maxIters) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
-        .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nlabel"))
-      val next = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels.unpersist()
-      labels = next
-      it += 1
+    val nEdges = edges.count()
+    val integralIds = edges.schema.fields.forall(f =>
+      f.dataType == org.apache.spark.sql.types.LongType ||
+        f.dataType == org.apache.spark.sql.types.IntegerType)
+    if (nEdges <= localEdgeThreshold && integralIds) {
+      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      edges.unpersist()
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        var r = x
+        while (parent(r) != r) r = parent(r)
+        var c = x
+        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+        r
+      }
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a)
+        parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      // min-id root: union always points the larger root at the smaller,
+      // so find() IS the component minimum
+      val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+      import spark.implicits._
+      out.toDF("id", "label")
+    } else {
+      var labels = edges.select(col("src").as("id")).distinct()
+        .select(col("id"), col("id").as("label")).persist()
+      var changed = 1L
+      var it = 0
+      while (changed > 0 && it < maxIters) {
+        val nbrMin = edges
+          .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+          .groupBy(col("src").as("id")).agg(min(col("dlabel")).as("nlabel"))
+        val next = labels.join(nbrMin, Seq("id"), "left")
+          .select(col("id"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .persist()
+        changed = next
+          .join(labels.select(col("id"), col("label").as("old")), "id")
+          .filter(col("label") =!= col("old")).count()
+        labels.unpersist()
+        labels = next
+        it += 1
+      }
+      edges.unpersist()
+      labels
     }
-    edges.unpersist()
-    labels
   }
 }

@@ -65,6 +65,18 @@ class ExtensionsSpec extends SparkTestBase {
     assert(ham(sh(1L), sh(3L)) < ham(sh(1L), sh(4L)))
   }
 
+  test("minLabelClusters: local union-find and distributed sweeps agree") {
+    // two components {1,2,3,10} (chained, diameter 3) and {7,8}
+    val pairs = Seq((2L, 1L), (2L, 3L), (3L, 10L), (7L, 8L)).toDF("id_a", "id_b")
+    val expected = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 1L, 7L -> 7L, 8L -> 7L)
+    val local = TextDedup.minLabelClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    val dist = TextDedup.minLabelClusters(pairs, localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(local == expected)
+    assert(dist == expected)
+  }
+
   test("cosineTopK is exact on hand-checkable vectors") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
