@@ -24,6 +24,9 @@ import org.apache.spark.sql.types.StructType
   *  - [[keepLatestState]] ≙ W1 keep-latest dedup (cloud/bq/ops.go:196-210)
   *    as keyed state: each key holds its current winner; every trigger
   *    emits the updated winner (Update mode downstream).
+  *  - [[sessionizeState]] ≙ the batch gap-based sessionization
+  *    (graft.operators.Sessions): keyed open-session state with an
+  *    event-time timeout closing sessions the watermark proves complete.
   *
   * Scale notes: file streams shard listing + read across executors;
   * watermarked window aggs keep state bounded by (watermark horizon ×
@@ -31,6 +34,17 @@ import org.apache.spark.sql.types.StructType
   * feed RocksDB state store and partition by the dedup key, which is the
   * same shuffle the batch window dedup performs.
   */
+/** One closed user session (streaming dual of
+  * [[graft.operators.Sessions.sessionize]]'s output rows). Top-level:
+  * object-nested case classes break encoder codegen (Janino resolves the
+  * inner constructor as a zero-arg method).
+  */
+final case class UserSession(
+    user_id: Long, session_start: java.sql.Timestamp,
+    session_end: java.sql.Timestamp, n_events: Long)
+
+private[streaming] final case class SessionAcc(startMs: Long, endMs: Long, n: Long)
+
 object Streams {
 
   /** Newline-delimited-JSON archive stream with an explicit schema (schema
@@ -72,6 +86,62 @@ object Streams {
           state.update(winner)
           winner
       }
+
+  /** Streaming gap-based sessionization ≙ the batch
+    * [[graft.operators.Sessions.sessionize]]: keyed state holds each
+    * user's open session; events within `gapMs` of the open session
+    * extend it, a larger gap closes it (emitted) and opens a new one, and
+    * the event-time timeout (watermark + gap) closes sessions no further
+    * event can extend — exactly the gap rule, enforced by the engine.
+    * Append-mode output: each session is emitted once, when it closes.
+    *
+    * State is one small accumulator per active user — bounded by active
+    * users, not events; the shuffle is the same user-key exchange the
+    * batch operator performs.
+    */
+  def sessionizeState(
+      events: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long = 30L * 60 * 1000,
+      lateness: String = "1 hour"
+  ): Dataset[UserSession] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF("user_id", "ts")
+      .withWatermark("ts", lateness)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[SessionAcc, UserSession](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state) =>
+          def emit(a: SessionAcc) = UserSession(user,
+            new java.sql.Timestamp(a.startMs), new java.sql.Timestamp(a.endMs), a.n)
+          if (state.hasTimedOut) {
+            val closed = emit(state.get)
+            state.remove()
+            Iterator.single(closed)
+          } else {
+            val sorted = rows.map(_._2.getTime).toArray.sorted
+            val closed = Vector.newBuilder[UserSession]
+            var cur = state.getOption
+            sorted.foreach { t =>
+              cur match {
+                case Some(a) if t - a.endMs <= gapMs =>
+                  cur = Some(a.copy(endMs = math.max(a.endMs, t), n = a.n + 1))
+                case Some(a) =>
+                  closed += emit(a)
+                  cur = Some(SessionAcc(t, t, 1))
+                case None =>
+                  cur = Some(SessionAcc(t, t, 1))
+              }
+            }
+            cur.foreach { a =>
+              state.update(a)
+              state.setTimeoutTimestamp(a.endMs + gapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
 
   /** Run a streaming DataFrame to a date-partitioned parquet sink with
     * Trigger.AvailableNow — one checkpointed batch over whatever input

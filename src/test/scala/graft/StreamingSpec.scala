@@ -80,6 +80,44 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming sessionization closes sessions by gap and by watermark timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = Streams.sessionizeState(mem.toDS(), gapMs = 30 * 60 * 1000,
+        lateness = "1 hour")
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode(OutputMode.Append).start()
+
+    // open sessions for u1 and u2 — nothing closes yet
+    mem.addData((1L, ts("2024-01-01 10:00:00")), (1L, ts("2024-01-01 10:10:00")),
+      (2L, ts("2024-01-01 10:05:00")))
+    q.processAllAvailable()
+    assert(spark.table("sessions").count() === 0)
+
+    // u1's 11:30 event exceeds the 30-min gap: session 1 closes in-stream
+    mem.addData((1L, ts("2024-01-01 11:30:00")))
+    q.processAllAvailable()
+    val s1 = spark.table("sessions").as[graft.streaming.UserSession].collect()
+    assert(s1.toSeq == Seq(graft.streaming.UserSession(1L,
+      ts("2024-01-01 10:00:00"), ts("2024-01-01 10:10:00"), 2)))
+
+    // advance the watermark far past every open session's timeout; the
+    // timeouts fire on the NEXT trigger after the watermark update
+    mem.addData((3L, ts("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    mem.addData((3L, ts("2024-01-01 15:01:00")))
+    q.processAllAvailable()
+    val byUser = spark.table("sessions").as[graft.streaming.UserSession].collect()
+      .groupBy(_.user_id)
+    // u2's lone-event session and u1's second session closed by timeout
+    assert(byUser(2L).toSeq == Seq(graft.streaming.UserSession(2L,
+      ts("2024-01-01 10:05:00"), ts("2024-01-01 10:05:00"), 1)))
+    assert(byUser(1L).map(s => (s.session_start, s.n_events)).toSet ===
+      Set((ts("2024-01-01 10:00:00"), 2L), (ts("2024-01-01 11:30:00"), 1L)))
+    q.stop()
+  }
+
   test("keyed keep-latest state mirrors W1 dedup across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
