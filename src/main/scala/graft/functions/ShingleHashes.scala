@@ -131,4 +131,14 @@ object GraftFunctions {
   def simhashMd5(text: Column, k: Int = 3): Column =
     org.apache.spark.sql.graftshim.ColumnBridge.column(
       SimhashMd5(org.apache.spark.sql.graftshim.ColumnBridge.expression(text), k))
+
+  /** Column-API forms of the xxhash64-family expressions (XxShingleExprs). */
+  def minhashXxSignature(text: Column, numHashes: Int, k: Int = 3): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      MinhashXxSignature(
+        org.apache.spark.sql.graftshim.ColumnBridge.expression(text), k, numHashes))
+
+  def simhashXx(text: Column, k: Int = 3): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      SimhashXx(org.apache.spark.sql.graftshim.ColumnBridge.expression(text), k))
 }

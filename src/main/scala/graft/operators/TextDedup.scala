@@ -178,27 +178,25 @@ object TextDedup {
   // ---------- tier 3: MinHash + LSH ----------
 
   /** MinHash signatures: one row per doc with `numHashes` min-hash values.
-    * Built by exploding shingles once and taking `numHashes` seeded
-    * xxhash64 minima in a single groupBy — shuffle volume is the shingle
-    * stream, map-side combined.
+    * Lane i is min over distinct shingles of xxhash64(i, h0), where h0 is
+    * the shingle-string xxhash64 — the variable-length string is hashed
+    * ONCE, the seeded variants re-hash the fixed 8-byte value, same
+    * minhash statistics. (A multiply-add universal family would be
+    * cheaper still but needs wrapping arithmetic, which ANSI mode —
+    * Spark 4's default — turns into overflow errors.)
+    *
+    * A signature is a per-document scalar, so it is computed row-locally
+    * by the codegen'd [[graft.functions.MinhashXxSignature]] expression —
+    * no shingle explode, no numHashes-way aggregate, no shuffle of the
+    * shingle stream (spec-enforced equal to that declarative
+    * formulation).
     */
   def minhashSignatures(
       docs: DataFrame, idCol: String, textCol: String, numHashes: Int = 32
-  ): DataFrame = {
-    // The variable-length shingle string is hashed ONCE (inside
-    // withHashedShingles); the numHashes seeded variants re-hash that
-    // fixed 8-byte value (xxhash64(seed, h0)) — far cheaper than
-    // numHashes string hashes, same minhash statistics. (A multiply-add
-    // universal family would be cheaper still but needs wrapping
-    // arithmetic, which ANSI mode — Spark 4's default — turns into
-    // overflow errors.)
-    val exploded = withHashedShingles(docs, Seq(idCol), textCol)
-      .select(col(idCol), explode_outer(col("sh")).as("h0"))
-    val mins = (0 until numHashes).map(i =>
-      min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
-    exploded.groupBy(col(idCol)).agg(mins.head, mins.tail: _*)
-      .select(col(idCol), array((0 until numHashes).map(i => col(s"h$i")): _*).as("sig"))
-  }
+  ): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.GraftFunctions
+        .minhashXxSignature(coalesce(col(textCol), lit("")), numHashes).as("sig"))
 
   /** LSH candidate pairs from banded signatures: docs sharing any band
     * bucket. bands must divide numHashes.
@@ -276,21 +274,6 @@ object TextDedup {
 
   // ---------- tier 4: SimHash ----------
 
-  /** Fingerprint from a (id, h) hash stream: each of `bits` bit positions
-    * votes ±1 per hash, bit set where the vote is positive. One
-    * explode+groupBy.
-    */
-  private def simhashFromHashes(toks: DataFrame, idCol: String, bits: Int): DataFrame = {
-    val votes = (0 until bits).map { i =>
-      sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i")
-    }
-    toks.groupBy(col(idCol)).agg(votes.head, votes.tail: _*)
-      .select(col(idCol),
-        (0 until bits).map(i =>
-          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L))
-        ).reduce((a, b) => a.bitwiseOR(b)).as("simhash"))
-  }
-
   /** Near-dup pairs from fingerprints: candidates share at least one
     * exact-matching band of `bandBits` bits, verified with
     * bit_count(xor) ≤ maxHamming. In-bucket pair expansion (see
@@ -320,13 +303,15 @@ object TextDedup {
   /** 64-bit SimHash per document over 3-gram shingles (raw tokens are far
     * too coarse when the vocabulary is small — distinct-token sets collide
     * across unrelated docs): per-shingle xxhash64, each bit votes ±1,
-    * fingerprint bit set where the vote is positive. One explode+groupBy.
+    * fingerprint bit set where the vote is positive. Computed row-locally
+    * by the codegen'd [[graft.functions.SimhashXx]] expression (a
+    * fingerprint is a per-document scalar; spec-enforced equal to the
+    * explode + 64-vote aggregate formulation).
     */
   def simhash(docs: DataFrame, idCol: String, textCol: String): DataFrame =
-    simhashFromHashes(
-      withHashedShingles(docs, Seq(idCol), textCol)
-        .select(col(idCol), explode_outer(col("sh")).as("h")),
-      idCol, bits = 64)
+    docs.select(col(idCol),
+      graft.functions.GraftFunctions
+        .simhashXx(coalesce(col(textCol), lit(""))).as("simhash"))
 
   /** Near-dup pairs by SimHash hamming distance: candidates share at least
     * one of 4 exact-matching 16-bit bands, verified with bit_count(xor).

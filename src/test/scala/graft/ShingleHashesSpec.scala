@@ -111,6 +111,35 @@ class ShingleHashesSpec extends SparkTestBase {
     texts.indices.foreach(i => assert(fpExpr(i) === fpHof(i), s"'${texts(i)}'"))
   }
 
+  test("xx expressions equal the declarative explode+aggregate formulations") {
+    val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
+    // minhash: expression vs explode + seeded xxhash64 minima
+    val sigExpr = df.select(col("id"),
+        GraftFunctions.minhashXxSignature(col("text"), numHashes = 8).as("sig"))
+      .as[(Int, Seq[Long])].collect().toMap
+    val exploded = df.select(col("id"),
+      explode(GraftFunctions.shingleHashes(col("text"), 3)).as("h0"))
+    val mins = (0 until 8).map(i => min(xxhash64(lit(i), col("h0"))).as(s"h$i"))
+    val sigHof = exploded.groupBy(col("id")).agg(mins.head, mins.tail: _*)
+      .select(col("id"), array((0 until 8).map(i => col(s"h$i")): _*).as("sig"))
+      .as[(Int, Seq[Long])].collect().toMap
+    texts.indices.foreach(i => assert(sigExpr(i) === sigHof(i), s"'${texts(i)}'"))
+
+    // simhash: expression vs explode + 64-vote aggregate
+    val fpExpr = df.select(col("id"),
+        GraftFunctions.simhashXx(col("text")).as("fp"))
+      .as[(Int, Long)].collect().toMap
+    val votes = (0 until 64).map(i =>
+      sum(when(shiftright(col("h0"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$i"))
+    val fpHof = exploded.groupBy(col("id")).agg(votes.head, votes.tail: _*)
+      .select(col("id"),
+        (0 until 64).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce((a, b) => a.bitwiseOR(b)).as("fp"))
+      .as[(Int, Long)].collect().toMap
+    texts.indices.foreach(i => assert(fpExpr(i) === fpHof(i), s"'${texts(i)}'"))
+  }
+
   test("withHashedShingles (operator path) matches the expression directly") {
     val df = texts.zipWithIndex.map(_.swap).toDF("id", "text")
     val op = TextDedup.withHashedShingles(df, Seq("id"), "text")
