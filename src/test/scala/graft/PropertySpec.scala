@@ -154,4 +154,77 @@ class PropertySpec extends SparkTestBase {
       assert(canon(copied.union(remaining)) === canon(d))
     }
   }
+
+  // ---- laws for the round-2 operators ----
+
+  test("sessionize conserves events, orders sessions, and respects the gap") {
+    import graft.operators.Sessions
+    val gapMs = 30L * 60 * 1000
+    samples(genRows, 6).foreach { rows =>
+      val ev = df(rows).select(col("id").as("user_id"), col("parserTime").as("ts"))
+      val sessions = Sessions.sessionize(ev, "user_id", "ts",
+          java.time.Duration.ofMillis(gapMs))
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getTimestamp(2), r.getTimestamp(3), r.getLong(4)))
+      // conservation: every event lands in exactly one session
+      assert(sessions.map(_._5).sum === ev.count())
+      sessions.groupBy(_._1).foreach { case (_, ss) =>
+        val byIdx = ss.sortBy(_._2)
+        // session_idx is 1..n and time-ordered
+        assert(byIdx.map(_._2).toSeq === (1L to ss.length).toSeq)
+        // within a session start <= end; consecutive sessions are
+        // separated by MORE than the gap (else they would have merged)
+        byIdx.foreach(s => assert(!s._3.after(s._4)))
+        byIdx.toSeq.sliding(2).foreach {
+          case Seq(a, b) =>
+            assert(b._3.getTime - a._4.getTime > gapMs)
+          case _ =>
+        }
+      }
+    }
+  }
+
+  test("minLabelClusters: labels are component minima, stable under edge order") {
+    import graft.operators.TextDedup
+    val genPairs = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.choose(0L, 12L); b <- Gen.choose(0L, 12L) if a != b
+    } yield (math.min(a, b), math.max(a, b))))
+    samples(genPairs, 6).filter(_.nonEmpty).foreach { pairs =>
+      val d = pairs.toDF("id_a", "id_b")
+      val labels = TextDedup.minLabelClusters(d).as[(Long, Long)].collect().toMap
+      // label <= id, and every label is itself in its own cluster root
+      labels.foreach { case (id, l) => assert(l <= id && labels(l) == l) }
+      // edge endpoints share a label (connectivity)
+      pairs.foreach { case (a, b) => assert(labels(a) == labels(b)) }
+      // permutation invariance: reversed edge list, distributed path
+      val rev = pairs.reverse.toDF("id_a", "id_b")
+      val labels2 = TextDedup.minLabelClusters(rev, localEdgeThreshold = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(labels2 === labels)
+    }
+  }
+
+  test("centroidSums conserves counts and scaled mass per group") {
+    import graft.operators.Similarity
+    val genVecs = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, for {
+      g <- Gen.oneOf("x", "y")
+      v <- Gen.listOfN(4, Gen.choose(-1000, 1000).map(_ / 1000.0f))
+    } yield (g, v)))
+    samples(genVecs, 6).foreach { vecs =>
+      val d = vecs.toDF("label", "embedding")
+      val out = Similarity.centroidSums(d, "label", "embedding")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      vecs.groupBy(_._1).foreach { case (g, vs) =>
+        val dims = out.filter(_._1 == g)
+        assert(dims.length === 4)
+        // every dim sees every vector of the group
+        assert(dims.forall(_._4 === vs.length.toLong))
+        // scaled mass matches a driver-side recompute exactly
+        (0 until 4).foreach { i =>
+          val expected = vs.map(v => math.floor(v._2(i).toDouble * 1e6).toLong).sum
+          assert(dims.find(_._2 == i).get._3 === expected)
+        }
+      }
+    }
+  }
 }
