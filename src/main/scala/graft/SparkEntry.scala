@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnotationJoin, Dedup, Multimodal, Sessions, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AnnotationJoin, Dedup, Multimodal, Sampling, Sessions, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -252,6 +252,12 @@ object SparkEntry {
     "dd_simhash_md5" -> ((s, dir) =>
       TextDedup.simhashMd5Pairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 6)),
+
+    // ---- deterministic stratified sampling (down-sample dominant lang) ----
+    "ds_stratified_sample" -> ((s, dir) =>
+      Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
+        Map("en" -> 3000L, "zh" -> 6000L), defaultRateE4 = 1500L)
+        .select("doc_id", "lang", "source")),
 
     // ---- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ----
     "mm_decode_meta" -> ((s, dir) =>
@@ -642,6 +648,12 @@ object SparkEntry {
          |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
          |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 5""".stripMargin
     },
+
+    "ds_stratified_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE (${md5LongSql("concat('samp#', CAST(doc_id AS VARCHAR))")}
+         |       % 10000) <
+         |  CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 6000 ELSE 1500 END""".stripMargin,
 
     "mm_decode_meta" ->
       s"""SELECT doc_id AS media_id,

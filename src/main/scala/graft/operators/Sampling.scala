@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic hash-based sampling — the reproducible subsetting step a
+  * training-data pipeline needs (down-sample a dominant language/source,
+  * carve out eval splits) where `df.sample()` would give a different
+  * subset per run and per partitioning.
+  *
+  * A row is kept iff md5Long(salt + "#" + key) mod 10000 < rate_e4: the
+  * decision is a pure function of (salt, key), so it is stable across
+  * runs, engines (md5 family — a plain-SQL oracle reproduces it
+  * bit-identically), cluster sizes, and row order; disjoint salts give
+  * independent samples (train/eval splits that provably can't leak by
+  * construction are `salt=split, rate+complement`). Execution is a
+  * narrow map-side filter — no shuffle, applied during the scan.
+  */
+object Sampling {
+
+  /** Keep rows where the salted key hash lands under `rateE4` (per-ten-
+    * thousand). `rateE4` may be any Column, enabling per-row rates.
+    */
+  def hashSample(df: DataFrame, keyCol: String, rateE4: Column,
+      salt: String = "samp"): DataFrame =
+    df.filter(
+      TextDedup.md5Long(concat(lit(salt + "#"), col(keyCol).cast("string")))
+        % 10000L < rateE4)
+
+  /** Stratified variant: per-stratum rates with a default for strata not
+    * in the map (e.g. down-sample the dominant language).
+    */
+  def stratifiedSample(df: DataFrame, keyCol: String, strataCol: String,
+      ratesE4: Map[String, Long], defaultRateE4: Long,
+      salt: String = "samp"): DataFrame = {
+    val rate = ratesE4.foldLeft(lit(defaultRateE4)) { case (acc, (s, r)) =>
+      when(col(strataCol) === s, lit(r)).otherwise(acc)
+    }
+    hashSample(df, keyCol, rate, salt)
+  }
+}

@@ -77,6 +77,23 @@ class ExtensionsSpec extends SparkTestBase {
     assert(dist == expected)
   }
 
+  test("hash sampling is deterministic, monotone in rate, and salt-independent") {
+    import graft.operators.Sampling
+    val ids = (0L until 400L).toDF("doc_id")
+    def keep(rateE4: Long, salt: String = "samp") =
+      Sampling.hashSample(ids, "doc_id", lit(rateE4), salt)
+        .as[Long].collect().toSet
+    val s30 = keep(3000)
+    // deterministic: same subset on re-evaluation
+    assert(keep(3000) == s30)
+    // monotone: raising the rate only adds rows
+    assert(s30.subsetOf(keep(7000)))
+    // roughly calibrated (uniform hash): 30% +- 7pp of 400
+    assert(math.abs(s30.size - 120) < 28, s"got ${s30.size}")
+    // a different salt draws an (almost surely) different subset
+    assert(keep(3000, "other") != s30)
+  }
+
   test("cosineTopK is exact on hand-checkable vectors") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(0.9f, 0.1f, 0f)),
