@@ -148,6 +148,23 @@ object SparkEntry {
           count(lit(1)).as("count_order"))
     }),
 
+    // ---- Multi-way star join: lineitem ⋈ orders ⋈ customer with
+    //      selective dimension filters (Catalyst broadcasts the filtered
+    //      dims; the fact table never shuffles before the aggregate) ----
+    "q3_shipping_priority" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      c.filter(col("c_mktsegment") === "BUILDING")
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .filter(col("o_orderdate") < lit(java.sql.Date.valueOf("1995-03-15")))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > lit(java.sql.Date.valueOf("1995-03-15")))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_e2"))
+    }),
+
     // ---- Events: tumbling-window aggregation (daily batch analog of the
     //      reference's per-day incremental model, SURVEY.md §2.7) ----
     "ev_hourly_agg" -> ((s, dir) =>
@@ -457,6 +474,18 @@ object SparkEntry {
         |    AS BIGINT) AS sum_disc_price_e2,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_e2
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < DATE '1995-03-15'
+        |  AND l_shipdate > DATE '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
 
     "ev_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,
