@@ -270,6 +270,26 @@ object SparkEntry {
       TextDedup.simhashMd5Pairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 6)),
 
+    // ---- per-stratum length distribution: discrete (value-at-rank)
+    //      percentiles — exact and engine-portable, unlike interpolated
+    //      quantiles whose float formulas differ across engines ----
+    "tx_len_quantiles" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("lang")).orderBy(col("n_chars"))
+      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+      Tables.documents(s, dir)
+        .select(col("lang"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(wc))
+        .groupBy(col("lang"))
+        .agg(
+          max(when(col("rn") === ceil(col("n") * 0.5).cast("long"),
+            col("n_chars"))).as("median_chars"),
+          max(when(col("rn") === ceil(col("n") * 0.9).cast("long"),
+            col("n_chars"))).as("p90_chars"),
+          max(col("n")).as("n_docs"))
+    }),
+
     // ---- deterministic stratified sampling (down-sample dominant lang) ----
     "ds_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
@@ -677,6 +697,18 @@ object SparkEntry {
          |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
          |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 5""".stripMargin
     },
+
+    "tx_len_quantiles" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n FROM documents)
+        |SELECT lang,
+        |  max(CASE WHEN rn = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END)
+        |    AS median_chars,
+        |  max(CASE WHEN rn = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END)
+        |    AS p90_chars,
+        |  CAST(max(n) AS BIGINT) AS n_docs
+        |FROM r GROUP BY lang""".stripMargin,
 
     "ds_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents
