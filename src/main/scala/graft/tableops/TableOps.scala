@@ -94,8 +94,10 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse) {
     // JSON carries date as a string; normalize to DateType partition column.
     val df = df0.withColumn("date", col("date").cast("date"))
     val obs = new org.apache.spark.sql.Observation()
-    df.observe(obs, count(lit(1)).as("rows"))
-      .write.mode(SaveMode.Append).partitionBy("date").parquet(tmpPath)
+    TableOps.withTableLock(tmpPath) {
+      df.observe(obs, count(lit(1)).as("rows"))
+        .write.mode(SaveMode.Append).partitionBy("date").parquet(tmpPath)
+    }
     val n = obs.get("rows").asInstanceOf[Long]
     OpStats(n, n)
   }
@@ -133,7 +135,13 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse) {
     }
   }
 
-  private def stagingPath = s"$tmpPath.__dedup_staging"
+  // Per-DATE staging root: the monitor runs one action per job
+  // concurrently, and several dates of the same datatype can be
+  // deduplicating at once — a shared staging root would let one date's
+  // final cleanup delete a sibling date's staged rows mid-swap (and
+  // concurrent Spark writes to one root race on _temporary). The
+  // reference gets this isolation for free from BigQuery's job model.
+  private def stagingPath = s"$tmpPath.__dedup_staging_date_${job.date}"
 
   /** Crash recovery for the dedup partition swap: a crash between the
     * delete and the rename leaves the tmp partition empty with the deduped
@@ -192,12 +200,14 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse) {
 
   private def overwritePartition(df: DataFrame, destPath: String): Long = {
     val obs = new org.apache.spark.sql.Observation()
-    df.observe(obs, count(lit(1)).as("rows"))
-      .write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("date")
-      .parquet(destPath)
+    TableOps.withTableLock(destPath) {
+      df.observe(obs, count(lit(1)).as("rows"))
+        .write
+        .mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(destPath)
+    }
     obs.get("rows").asInstanceOf[Long]
   }
 }
@@ -206,4 +216,20 @@ object TableOps {
   /** Dynamic partition overwrite must be on for partition-truncate writes. */
   def configure(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+
+  // Per-table commit locks: two Spark writes into the SAME table root
+  // (different dates of one datatype, dispatched concurrently by the
+  // monitor) share a single `_temporary` staging directory and corrupt
+  // each other's commits — a race the reference never sees because each
+  // BigQuery job commits transactionally on the server. Serializing
+  // commits per table path fixes it for the single-JVM gardener; a
+  // multi-driver deployment should use a transactional table format
+  // (e.g. Delta) instead. Writes to DIFFERENT tables stay parallel.
+  private val tableLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  private[tableops] def withTableLock[T](path: String)(body: => T): T = {
+    val lock = tableLocks.computeIfAbsent(path, _ => new Object)
+    lock.synchronized(body)
+  }
 }

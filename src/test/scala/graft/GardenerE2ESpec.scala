@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.{Files, Path}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+
+import graft.gardenerops.{Monitor, StandardPipeline}
+import graft.model.{Datasets, Job, Outcome, State}
+import graft.persistence.NamedSaver
+import graft.tableops.{TableOps, Warehouse}
+import graft.tracker.Tracker
+
+/** End-to-end state machine over REAL Spark table ops — the local analog
+  * of the reference's live integration walk (ops/actions_test.go:23-152):
+  * seed jobs at ParseComplete, let the monitor drive
+  * Loading → Deduplicating → Copying → Deleting → Joining → Complete
+  * against a parquet warehouse, one job expected to Fail (missing
+  * archive), and assert terminal counts plus actual table contents —
+  * including the cross-job join gate (ndt7's join must see the same-date
+  * annotation2 job complete first).
+  */
+class GardenerE2ESpec extends SparkTestBase {
+  import spark.implicits._
+
+  private object NoopSaver extends NamedSaver {
+    def save(name: String, contents: String): Unit = ()
+    def load(name: String): Option[String] = None
+  }
+
+  private def writeJsonl(dir: Path, name: String, lines: Seq[String]): Unit = {
+    Files.createDirectories(dir)
+    Files.write(dir.resolve(name), lines.asJava)
+  }
+
+  test("six jobs drain to terminal states through real table ops") {
+    val root = Files.createTempDirectory("graft-e2e-wh").toString
+    val archive = Files.createTempDirectory("graft-e2e-arc")
+    val wh = Warehouse(root)
+
+    def mkJob(datatype: String, date: String, join: String) =
+      Job("bucket", "exp", datatype, java.time.LocalDate.parse(date),
+        datasets = Datasets("tmp_exp", "raw_exp", join))
+
+    // archive layout: <datatype>/<date>/part.json
+    writeJsonl(archive.resolve("ndt7/2024-01-01"), "part.json", Seq(
+      """{"id":"m1","date":"2024-01-01","parser":{"Time":"2024-01-01T10:00:00Z"},"val":1}""",
+      """{"id":"m1","date":"2024-01-01","parser":{"Time":"2024-01-01T12:00:00Z"},"val":2}""",
+      """{"id":"m2","date":"2024-01-01","parser":{"Time":"2024-01-01T11:00:00Z"},"val":3}"""
+    ))
+    writeJsonl(archive.resolve("ndt7/2024-01-02"), "part.json", Seq(
+      """{"id":"m9","date":"2024-01-02","parser":{"Time":"2024-01-02T09:00:00Z"},"val":9}"""
+    ))
+    writeJsonl(archive.resolve("annotation2/2023-12-31"), "part.json", Seq(
+      """{"id":"m1","date":"2023-12-31","parser":{"Time":"2023-12-31T01:00:00Z"},"geo":"DE"}"""
+    ))
+    writeJsonl(archive.resolve("annotation2/2024-01-01"), "part.json", Seq(
+      """{"id":"m1","date":"2024-01-01","parser":{"Time":"2024-01-01T01:00:00Z"},"geo":"US"}"""
+    ))
+    writeJsonl(archive.resolve("annotation2/2024-01-02"), "part.json", Seq(
+      """{"id":"m9","date":"2024-01-02","parser":{"Time":"2024-01-02T01:00:00Z"},"geo":"FR"}"""
+    ))
+    // "broken" has NO archive files => load fails => job Failed
+
+    val jobs = Seq(
+      mkJob("annotation2", "2023-12-31", join = ""),
+      mkJob("annotation2", "2024-01-01", join = ""),
+      mkJob("annotation2", "2024-01-02", join = ""),
+      mkJob("ndt7", "2024-01-01", join = "joined"),
+      mkJob("ndt7", "2024-01-02", join = "joined"),
+      mkJob("broken", "2024-01-01", join = "")
+    )
+
+    val tracker = new Tracker(NoopSaver)
+    def tableOp(f: TableOps => Unit): Job => Outcome = job =>
+      try { f(new TableOps(spark, job, wh)); Outcome.Success() }
+      catch { case e: Exception => Outcome.Failure(s"${e.getMessage}") }
+    def glob(job: Job) =
+      s"$archive/${job.datatype}/${job.date}/*.json"
+    val monitor = new Monitor(tracker, StandardPipeline.actions(
+      load = job => tableOp(ops => { ops.loadToTmp(glob(job)); () })(job),
+      dedup = tableOp(ops => { ops.dedup(); () }),
+      copy = tableOp(ops => { ops.copyToRaw(); () }),
+      delete = tableOp(_.deleteTmp()),
+      join = tableOp(ops => { ops.join(); () })
+    ), retryMillis = 10)
+
+    jobs.foreach { j =>
+      assert(tracker.addJob(j).isRight)
+      assert(tracker.setStatus(j.key, State.ParseComplete).isRight)
+    }
+
+    // drive ticks until every job is terminal (budget: the reference's
+    // live test allows 300s for 6 jobs; local parquet should be far under)
+    val deadline = System.currentTimeMillis() + 120000
+    while (System.currentTimeMillis() < deadline &&
+      tracker.getState().values.exists(!_._2.isDone)) {
+      monitor.tick()
+      Thread.sleep(50)
+    }
+
+    val state = tracker.getState()
+    val byState = state.values.groupBy(_._2.state)
+    assert(byState(State.Complete).size === 5, s"states: ${state.values.map(v => v._1.key -> v._2.state)}")
+    assert(byState(State.Failed).size === 1)
+    assert(state(mkJob("broken", "2024-01-01", "").key)._2.state === State.Failed)
+
+    // warehouse contents: raw deduped (m1 latest wins), tmp partitions gone
+    val rawNdt = spark.read.option("mergeSchema", "true").parquet(s"$root/raw_exp/ndt7")
+    assert(rawNdt.count() === 3) // m1(latest) + m2 + m9
+    assert(rawNdt.filter($"id" === "m1").select("val").as[Long].head() === 2L)
+    assert(!Files.exists(Path.of(s"$root/tmp_exp/ndt7/date=2024-01-01")))
+
+    // join ran AFTER annotation2 completed and used the ±1-day window
+    val joined = spark.read.option("mergeSchema", "true").parquet(s"$root/joined/ndt7")
+    assert(joined.filter($"id" === "m1").select("geo").as[String].collect().toSet
+      === Set("US", "DE")) // date and date-1 annotation rows both matched
+    assert(joined.filter($"id" === "m9").select("geo").as[String].head() === "FR")
+  }
+}

@@ -142,7 +142,7 @@ class TableOpsSpec extends SparkTestBase {
     // day sits in staging, the tmp partition is gone. Without recovery a
     // re-run sees an empty (clean) partition and the day's rows are lost.
     val tmpTable = Path.of(s"$root/tmp_exp/ndt7")
-    val staging = Path.of(s"$root/tmp_exp/ndt7.__dedup_staging")
+    val staging = Path.of(s"$root/tmp_exp/ndt7.__dedup_staging_date_2024-04-01")
     Files.createDirectories(staging)
     Files.move(tmpTable.resolve("date=2024-04-01"),
       staging.resolve("date=2024-04-01"))
