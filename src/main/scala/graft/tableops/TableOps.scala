@@ -18,6 +18,14 @@ final case class Warehouse(root: String) {
     s"$root/$dataset/$datatype"
 }
 
+/** Optional content-level near-dup tier applied after the exact keep-set
+  * dedup: MinHash-LSH pairs over `textCol` at `minJaccardE4`, clustered,
+  * one representative (min id) kept per cluster — the training-data
+  * generalization of the reference's key dedup, run inside the same
+  * Deduplicating state.
+  */
+final case class ContentDedupSpec(textCol: String, minJaccardE4: Long = 8000L)
+
 /** Per-datatype dedup key configuration.
   * Reference: cloud/bq/ops.go:53-83 — every current v2 datatype deduplicates
   * on {id} within the date partition, ordered by parser.Time. The map is kept
@@ -27,9 +35,10 @@ final case class Warehouse(root: String) {
   *        (one id with a large share of a day's rows) dedup via
   *        [[graft.operators.Dedup.keepLatestForSkew]] — same semantics,
   *        AQE-splittable join instead of a per-key window sort.
+  * @param contentDedup opt-in near-dup content tier (see [[ContentDedupSpec]])
   */
 final case class DatatypeSpec(partitionKeys: Seq[String], orderKey: String,
-    skewedKeys: Boolean = false)
+    skewedKeys: Boolean = false, contentDedup: Option[ContentDedupSpec] = None)
 
 object DatatypeSpec {
   val default: DatatypeSpec = DatatypeSpec(Seq("id", "date"), "parser.Time")
@@ -62,10 +71,10 @@ final case class OpStats(rowsIn: Long, rowsOut: Long) {
   * (SURVEY.md §7.3). All ops scope to `WHERE date = job.date`; other dates in
   * the same table are never touched.
   */
-final class TableOps(spark: SparkSession, job: Job, wh: Warehouse) {
-  import TableOps._
+final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
+    specOverride: Option[DatatypeSpec] = None) {
 
-  private val spec = DatatypeSpec.forDatatype(job.datatype)
+  private val spec = specOverride.getOrElse(DatatypeSpec.forDatatype(job.datatype))
   private val tmpPath = wh.tablePath(job.datasets.tmp, job.datatype)
   private val rawPath = wh.tablePath(job.datasets.raw, job.datatype)
   private val joinPath =
@@ -112,12 +121,28 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse) {
   def dedup(dryRun: Boolean = false): OpStats = {
     recoverStaging()
     val part = readPartition(tmpPath, job.date)
-    val kept =
+    val keptExact =
       if (spec.skewedKeys)
         Dedup.keepLatestForSkew(part, spec.partitionKeys, col(spec.orderKey))
       else Dedup.keepLatest(part, spec.partitionKeys, col(spec.orderKey))
+    // opt-in content tier: near-dup clusters keep one representative
+    // (min id) — the §7.5 training-data generalization of the key dedup,
+    // inside the same Deduplicating state / partition rewrite
+    val kept = spec.contentDedup match {
+      case Some(cd) =>
+        val pairs = graft.operators.TextDedup.minhashDedupPairs(
+          keptExact, "id", cd.textCol, minJaccardE4 = cd.minJaccardE4)
+        val drop = graft.operators.TextDedup.minLabelClusters(pairs)
+          .filter(col("label") =!= col("id"))
+          .select(col("id").as("__drop_id"))
+        keptExact.join(drop, col("id") === col("__drop_id"), "left_anti")
+      case None => keptExact
+    }
     if (dryRun) { kept.queryExecution.analyzed; return OpStats(0, 0) }
-    if (Dedup.isClean(part, spec.partitionKeys, col(spec.orderKey))) {
+    // the cheap no-op shortcut only applies to the exact tier: a
+    // key-clean partition can still hold near-dup content
+    if (spec.contentDedup.isEmpty &&
+        Dedup.isClean(part, spec.partitionKeys, col(spec.orderKey))) {
       val n = part.count()
       OpStats(n, n)
     } else {

@@ -128,6 +128,26 @@ class TableOpsSpec extends SparkTestBase {
     assert(ops.rawPartitionCount() == 2)
   }
 
+  test("opt-in content tier drops near-dup texts, keeping the min-id representative") {
+    val root = Files.createTempDirectory("graft-wh5").toString
+    val src = Files.createTempDirectory("graft-src5")
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    writeJsonl(src, "m.json", Seq(
+      s"""{"id":"a1","date":"2024-05-01","parser":{"Time":"2024-05-01T10:00:00Z"},"text":"$base"}""",
+      s"""{"id":"a2","date":"2024-05-01","parser":{"Time":"2024-05-01T11:00:00Z"},"text":"${base}tail"}""",
+      s"""{"id":"b1","date":"2024-05-01","parser":{"Time":"2024-05-01T10:00:00Z"},"text":"completely different content about spark engines and catalyst planning here today"}"""
+    ))
+    val job = mkJob(root, "textlog", "2024-05-01", join = "")
+    val spec = graft.tableops.DatatypeSpec(Seq("id", "date"), "parser.Time",
+      contentDedup = Some(graft.tableops.ContentDedupSpec("text", minJaccardE4 = 8000L)))
+    val ops = new TableOps(spark, job, Warehouse(root), specOverride = Some(spec))
+    ops.loadToTmp(s"$src/m.json")
+    val dd = ops.dedup()
+    assert(dd.rowsIn === 3 && dd.rowsOut === 2) // a2 near-dups a1, a1 kept
+    val tmp = spark.read.parquet(s"$root/tmp_exp/textlog")
+    assert(tmp.select("id").as[String].collect().toSet === Set("a1", "b1"))
+  }
+
   test("dedup recovers a crashed partition swap (staging holds the day)") {
     val root = Files.createTempDirectory("graft-wh4").toString
     val src = Files.createTempDirectory("graft-src4")
