@@ -59,6 +59,13 @@ object SparkEntry {
         Seq(col("l_quantity").desc, col("l_returnflag").asc,
           col("parser_time").desc, col("l_orderkey").asc, col("l_linenumber").asc))),
 
+    // ---- duplicate-stats pre-check: groups a keep-set dedup would
+    //      shrink — the "very cheap if no duplicates" gate
+    //      (cloud/bq/ops.go:188) as a first-class query ----
+    "w5_duplicate_stats" -> ((s, dir) =>
+      Dedup.duplicateStats(mMonthly(s, dir), Seq("id", "date"),
+        col("parser_time"))),
+
     // ---- P5: compound key-equality on NESTED fields — dedup keyed by
     //      parser.Time inside a STRUCT, as the reference's templates do
     //      (cloud/bq/ops.go:200-203,214-217) ----
@@ -296,6 +303,23 @@ object SparkEntry {
         Map("en" -> 3000L, "zh" -> 6000L), defaultRateE4 = 1500L)
         .select("doc_id", "lang", "source")),
 
+    // ---- kNN classification: majority label of the 5 cosine-nearest
+    //      neighbors (ties → smallest label) ----
+    "emb_knn_classify" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val topk = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)
+      val votes = topk
+        .join(emb.select(col("vec_id").as("nbr_id"), col("label")), "nbr_id")
+        .groupBy(col("query_id"), col("label"))
+        .agg(count(lit(1)).as("votes"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("votes").desc, col("label").asc)
+      votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+        .select(col("query_id"), col("label").as("label_pred"), col("votes"))
+    }),
+
     // ---- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ----
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -415,6 +439,13 @@ object SparkEntry {
          |  ORDER BY l_quantity DESC, l_returnflag ASC, parser_time DESC,
          |           l_orderkey ASC, l_linenumber ASC) AS rn FROM m)
          |SELECT $mCols FROM r WHERE rn = 1""".stripMargin,
+
+    "w5_duplicate_stats" ->
+      s"""WITH m AS ($M)
+         |SELECT id, "date", count(*) AS rows,
+         |       count(DISTINCT parser_time) AS versions
+         |FROM m GROUP BY id, "date"
+         |HAVING count(DISTINCT parser_time) > 1""".stripMargin,
 
     "p5_dedup_nested_key" ->
       s"""WITH m AS ($M),
@@ -675,6 +706,23 @@ object SparkEntry {
          |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
          |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    "emb_knn_classify" -> {
+      val cos = cosE6Sql("q.qv", "e.embedding")
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |           WHERE vec_id < 10),
+         |scored AS (SELECT q.qid AS query_id, e.vec_id AS nbr_id, e.label,
+         |             $cos AS cos_e6
+         |           FROM embeddings e JOIN q ON q.qid <> e.vec_id),
+         |ranked AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_e6 DESC, nbr_id ASC) AS rank FROM scored),
+         |votes AS (SELECT query_id, label, count(*) AS votes FROM ranked
+         |          WHERE rank <= 5 GROUP BY query_id, label),
+         |best AS (SELECT *, row_number() OVER (PARTITION BY query_id
+         |           ORDER BY votes DESC, label ASC) AS rn FROM votes)
+         |SELECT query_id, label AS label_pred, votes FROM best
+         |WHERE rn = 1""".stripMargin
     },
 
     "sim_ivf_topk" -> {
