@@ -65,7 +65,11 @@ object Gardener {
     // ALL sources get daily jobs; DailyOnly only excludes a source from the
     // historical sweep (reference: job-service/job-service.go puts every
     // source in dailySpecs) — otherwise fresh data of non-dailyOnly sources
-    // would wait ~36h for the historical sweep to reach it.
+    // would wait ~36h for the historical sweep to reach it. The sweep DOES
+    // re-reach daily-dispatched dates: re-dispatching a completed date
+    // restarts it (at-least-once redo is the reference's model — idempotent
+    // ops converge), and an ACTIVE duplicate is rejected by the tracker
+    // (500/MsgJobExists to the parser, also reference behavior).
     val daily = new JobIterator(
       new DailyIterator(saver), config.sources)
     val historical = new JobIterator(

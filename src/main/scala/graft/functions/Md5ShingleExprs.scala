@@ -152,6 +152,10 @@ case class ShingleMd5Hashes(child: Expression, k: Int) extends UnaryExpression {
 /** array<long> of length numHashes: md5-family MinHash signature. */
 case class MinhashMd5Signature(child: Expression, k: Int, numHashes: Int)
     extends UnaryExpression {
+  // two lanes per digest: an odd count would leave the last lane stuck
+  // at Long.MaxValue for every document (all docs collide in its band)
+  require(numHashes > 0 && numHashes % 2 == 0,
+    s"numHashes must be positive and even, got $numHashes")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_md5_signature"
   override protected def nullSafeEval(input: Any): Any =

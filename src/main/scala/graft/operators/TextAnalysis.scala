@@ -116,9 +116,6 @@ object TextAnalysis {
       .drop("__w")
   }
 
-  /** Exact content fingerprint: md5 of the normalized text (lower + trim).
-    * Identical hex in every engine.
-    */
   /** Corpus vocabulary with frequency ranks: top-k tokens by count
     * (ties → lexicographic). The token count is one explode + hash
     * aggregate (map-side combined, shuffle = vocabulary size, not token
@@ -136,6 +133,9 @@ object TextAnalysis {
       .filter(col("rank") <= k)
   }
 
+  /** Exact content fingerprint: md5 of the normalized text (lower + trim).
+    * Identical hex in every engine.
+    */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
   /** 64-bit rolling fingerprint over tokens — Spark-side (not portable

@@ -417,32 +417,23 @@ object TextDedup {
       .select(col("e.src"), col("e.dst"))
       .distinct().persist()
     val nEdges = edges.count()
-    val integralIds = edges.schema.fields.forall(f =>
-      f.dataType == org.apache.spark.sql.types.LongType ||
-        f.dataType == org.apache.spark.sql.types.IntegerType)
-    if (nEdges <= localEdgeThreshold && integralIds) {
-      val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      edges.unpersist()
-      val parent = scala.collection.mutable.Map[Long, Long]()
-      def find(x: Long): Long = {
-        var r = x
-        while (parent(r) != r) r = parent(r)
-        var c = x
-        while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
-        r
-      }
-      es.foreach { case (a, b) =>
-        parent.getOrElseUpdate(a, a)
-        parent.getOrElseUpdate(b, b)
-        val (ra, rb) = (find(a), find(b))
-        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
-      }
-      // min-id root: union always points the larger root at the smaller,
-      // so find() IS the component minimum
-      val out = parent.keys.toSeq.sorted.map(n => (n, find(n)))
+    val idType = edges.schema.fields.head.dataType
+    val localizable = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.StringType).contains(idType)
+    if (nEdges <= localEdgeThreshold && localizable) {
       import spark.implicits._
-      out.toDF("id", "label")
+      if (idType == org.apache.spark.sql.types.StringType) {
+        val es = edges.as[(String, String)].collect()
+        edges.unpersist()
+        TextDedup.unionFindMinLabel(es).toDF("id", "label")
+      } else {
+        val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
+          .as[(Long, Long)].collect()
+        edges.unpersist()
+        TextDedup.unionFindMinLabel(es).toDF("id", "label")
+      }
     } else {
       var labels = edges.select(col("src").as("id")).distinct()
         .select(col("id"), col("id").as("label")).persist()
@@ -463,8 +454,37 @@ object TextDedup {
         labels = next
         it += 1
       }
+      if (changed > 0)
+        System.err.println(s"[minLabelClusters] WARNING: not converged after " +
+          s"$maxIters sweeps ($changed labels still moving) — a component's " +
+          "diameter exceeds maxIters; labels are an upper bound, not minima")
       edges.unpersist()
+      // NOTE: the returned frame is persisted (it is the loop's final
+      // frontier); long-lived callers should unpersist() it after use
       labels
     }
+  }
+
+  /** Driver-side union-find: every node labeled with its component's
+    * minimum. Union always points the larger root at the smaller, so
+    * find() of any node IS the component minimum.
+    */
+  private def unionFindMinLabel[A](es: Array[(A, A)])(
+      implicit ord: Ordering[A]): Seq[(A, A)] = {
+    val parent = scala.collection.mutable.Map[A, A]()
+    def find(x: A): A = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a)
+      parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ord.compare(ra, rb) != 0) parent(ord.max(ra, rb)) = ord.min(ra, rb)
+    }
+    parent.keys.toSeq.sorted.map(n => (n, find(n)))
   }
 }

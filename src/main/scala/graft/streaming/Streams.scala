@@ -98,6 +98,13 @@ object Streams {
     * State is one small accumulator per active user — bounded by active
     * users, not events; the shuffle is the same user-key exchange the
     * batch operator performs.
+    *
+    * Late-data semantics: an event within `gapMs` of the open session's
+    * [start, end] envelope merges into it (extending either end); an
+    * event older than start − gap belongs to a session that may already
+    * be emitted, so it closes immediately as its own single-event
+    * session — the documented best-effort divergence from the batch
+    * operator, which sees all events up front.
     */
   def sessionizeState(
       events: Dataset[(Long, java.sql.Timestamp)],
@@ -125,8 +132,20 @@ object Streams {
             var cur = state.getOption
             sorted.foreach { t =>
               cur match {
-                case Some(a) if t - a.endMs <= gapMs =>
-                  cur = Some(a.copy(endMs = math.max(a.endMs, t), n = a.n + 1))
+                // merge iff within gap of the session's [start, end]
+                // envelope — a late event far BEFORE the open session
+                // must not merge (t - endMs would be hugely negative)
+                case Some(a) if t >= a.startMs - gapMs && t <= a.endMs + gapMs =>
+                  cur = Some(a.copy(startMs = math.min(a.startMs, t),
+                    endMs = math.max(a.endMs, t), n = a.n + 1))
+                case Some(a) if t < a.startMs =>
+                  // late event older than the open session by more than
+                  // the gap: its true session may already be emitted —
+                  // close it immediately as its own session (documented
+                  // best-effort divergence from the batch operator, which
+                  // sees all events up front)
+                  closed += UserSession(user,
+                    new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
                 case Some(a) =>
                   closed += emit(a)
                   cur = Some(SessionAcc(t, t, 1))

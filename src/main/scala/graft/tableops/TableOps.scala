@@ -118,45 +118,70 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     * Skips the rewrite when the partition is already clean — the "very cheap
     * if no duplicates" property (cloud/bq/ops.go:188) by explicit pre-check.
     */
-  def dedup(dryRun: Boolean = false): OpStats = {
+  // The whole op holds the tmp-table lock (reentrant with the inner
+  // write): every phase — recovery, clean-check, content-tier jobs, the
+  // rewrite scan, the swap — reads or mutates the shared table root.
+  def dedup(dryRun: Boolean = false): OpStats = TableOps.withTableLock(tmpPath) {
     recoverStaging()
     val part = readPartition(tmpPath, job.date)
     val keptExact =
       if (spec.skewedKeys)
         Dedup.keepLatestForSkew(part, spec.partitionKeys, col(spec.orderKey))
       else Dedup.keepLatest(part, spec.partitionKeys, col(spec.orderKey))
+    // dry run validates the exact-tier plan only: the content tier below
+    // EXECUTES Spark jobs while being built (cluster fixpoint), which a
+    // dry run must not do
+    if (dryRun) { keptExact.queryExecution.analyzed; OpStats(0, 0) }
+    else dedupRewrite(part, keptExact)
+  }
+
+  private def dedupRewrite(part: DataFrame, keptExact: DataFrame): OpStats = {
     // opt-in content tier: near-dup clusters keep one representative
     // (min id) — the §7.5 training-data generalization of the key dedup,
     // inside the same Deduplicating state / partition rewrite
+    var clusterCache: Option[DataFrame] = None
     val kept = spec.contentDedup match {
       case Some(cd) =>
         val pairs = graft.operators.TextDedup.minhashDedupPairs(
           keptExact, "id", cd.textCol, minJaccardE4 = cd.minJaccardE4)
-        val drop = graft.operators.TextDedup.minLabelClusters(pairs)
+        val clusters = graft.operators.TextDedup.minLabelClusters(pairs)
+        clusterCache = Some(clusters)
+        val drop = clusters
           .filter(col("label") =!= col("id"))
           .select(col("id").as("__drop_id"))
         keptExact.join(drop, col("id") === col("__drop_id"), "left_anti")
       case None => keptExact
     }
-    if (dryRun) { kept.queryExecution.analyzed; return OpStats(0, 0) }
-    // the cheap no-op shortcut only applies to the exact tier: a
-    // key-clean partition can still hold near-dup content
-    if (spec.contentDedup.isEmpty &&
-        Dedup.isClean(part, spec.partitionKeys, col(spec.orderKey))) {
-      val n = part.count()
-      OpStats(n, n)
-    } else {
-      // Spark cannot overwrite a path it is reading from, so the rewrite
-      // goes through a staging dir + atomic-ish partition swap — the same
-      // pattern a DELETE-less object-store rewrite uses.
-      val rowsIn = part.count()
-      val rowsOut = overwritePartition(kept, stagingPath)
-      val fs = new Path(tmpPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val partDir = s"date=${job.date}"
-      fs.delete(new Path(s"$tmpPath/$partDir"), true)
-      fs.rename(new Path(s"$stagingPath/$partDir"), new Path(s"$tmpPath/$partDir"))
-      fs.delete(new Path(stagingPath), true)
-      OpStats(rowsIn, rowsOut)
+    try {
+      // the cheap no-op shortcut only applies to the exact tier: a
+      // key-clean partition can still hold near-dup content
+      if (spec.contentDedup.isEmpty &&
+          Dedup.isClean(part, spec.partitionKeys, col(spec.orderKey))) {
+        val n = part.count()
+        OpStats(n, n)
+      } else {
+        // Spark cannot overwrite a path it is reading from, so the rewrite
+        // goes through a staging dir + atomic-ish partition swap — the same
+        // pattern a DELETE-less object-store rewrite uses. The table lock
+        // spans the read-plus-swap: the rewrite scans the whole table root
+        // (mergeSchema footer reads), which must not race another date's
+        // commit in the same root.
+        TableOps.withTableLock(tmpPath) {
+          val rowsIn = part.count()
+          val rowsOut = overwritePartitionLocked(kept, stagingPath)
+          val fs = new Path(tmpPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val partDir = s"date=${job.date}"
+          fs.delete(new Path(s"$tmpPath/$partDir"), true)
+          fs.rename(new Path(s"$stagingPath/$partDir"), new Path(s"$tmpPath/$partDir"))
+          fs.delete(new Path(stagingPath), true)
+          OpStats(rowsIn, rowsOut)
+        }
+      }
+    } finally {
+      // the clustering loop returns a persisted frontier — release it
+      // once the rewrite has consumed it (long-running monitors would
+      // otherwise accumulate cached blocks per job)
+      clusterCache.foreach(_.unpersist())
     }
   }
 
@@ -191,17 +216,19 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   def copyToRaw(dryRun: Boolean = false): OpStats = {
     val part = readPartition(tmpPath, job.date)
     if (dryRun) { part.queryExecution.analyzed; return OpStats(0, 0) }
-    val n = overwritePartition(part, rawPath)
+    // lock the READ table too: the copy scans tmp's footers while a
+    // concurrent same-table dedup swap could be deleting them
+    val n = overwritePartition(part, rawPath, alsoLock = Seq(tmpPath))
     OpStats(n, n)
   }
 
   /** S3: drop the tmp date partition (ALTER TABLE DROP PARTITION semantics,
     * cloud/bq/ops.go:221-228). A pure metadata/filesystem operation — no scan.
     */
-  def deleteTmp(): Unit = {
+  def deleteTmp(): Unit = TableOps.withTableLock(tmpPath) {
     val dir = new Path(s"$tmpPath/date=${job.date}")
     val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dir, true)
+    fs.delete(dir, true): Unit
   }
 
   /** S4/J1: annotation LEFT JOIN materialization into the join dataset,
@@ -216,23 +243,36 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     val ann = spark.read.option("mergeSchema", "true").parquet(annPath)
     val out = AnnotationJoin.annotatePartition(m, ann, job.date)
     if (dryRun) { out.queryExecution.analyzed; return OpStats(0, 0) }
-    val n = overwritePartition(out, joinPath)
+    val n = overwritePartition(out, joinPath, alsoLock = Seq(rawPath, annPath))
     OpStats(n, n)
   }
 
   /** Row count of one raw partition (status/detail helper). */
-  def rawPartitionCount(): Long = readPartition(rawPath, job.date).count()
+  def rawPartitionCount(): Long = TableOps.withTableLock(rawPath) {
+    readPartition(rawPath, job.date).count()
+  }
 
-  private def overwritePartition(df: DataFrame, destPath: String): Long = {
-    val obs = new org.apache.spark.sql.Observation()
-    TableOps.withTableLock(destPath) {
-      df.observe(obs, count(lit(1)).as("rows"))
-        .write
-        .mode(SaveMode.Overwrite)
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("date")
-        .parquet(destPath)
+  /** Partition-truncate write, holding the destination's lock plus the
+    * locks of every table the plan READS (`alsoLock`): the scan's
+    * mergeSchema footer reads list every file under a source root, so a
+    * concurrent commit into that root (even for a disjoint date) is a
+    * FileNotFoundException mid-scan.
+    */
+  private def overwritePartition(df: DataFrame, destPath: String,
+      alsoLock: Seq[String] = Nil): Long =
+    TableOps.withTableLocks((destPath +: alsoLock).distinct) {
+      overwritePartitionLocked(df, destPath)
     }
+
+  /** The write itself — callers must hold the relevant table locks. */
+  private def overwritePartitionLocked(df: DataFrame, destPath: String): Long = {
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date")
+      .parquet(destPath)
     obs.get("rows").asInstanceOf[Long]
   }
 }
@@ -257,4 +297,11 @@ object TableOps {
     val lock = tableLocks.computeIfAbsent(path, _ => new Object)
     lock.synchronized(body)
   }
+
+  /** Acquire several table locks in sorted order (deadlock-free: every
+    * caller uses the same global order).
+    */
+  private[tableops] def withTableLocks[T](paths: Seq[String])(body: => T): T =
+    paths.distinct.sorted.foldRight(() => body)(
+      (p, inner) => () => withTableLock(p)(inner()))()
 }

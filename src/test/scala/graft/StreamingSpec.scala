@@ -118,6 +118,41 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("streaming sessionization: a late event beyond the open session's " +
+    "envelope does not corrupt it") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = Streams.sessionizeState(mem.toDS(), gapMs = 30 * 60 * 1000,
+        lateness = "4 hours")
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode(OutputMode.Append).start()
+
+    // open session at 15:00
+    mem.addData((1L, ts("2024-01-01 15:00:00")))
+    q.processAllAvailable()
+    // a late-but-valid event at 14:15 (within the 4h watermark, but more
+    // than the 30-min gap BEFORE the open session): must not merge into
+    // the 15:00 session — it closes as its own session
+    mem.addData((1L, ts("2024-01-01 14:15:00")))
+    q.processAllAvailable()
+    val late = spark.table("late_sessions").as[graft.streaming.UserSession].collect()
+    assert(late.toSeq == Seq(graft.streaming.UserSession(1L,
+      ts("2024-01-01 14:15:00"), ts("2024-01-01 14:15:00"), 1)))
+    // a late event WITHIN the gap of the open session extends it downward
+    mem.addData((1L, ts("2024-01-01 14:45:00")))
+    // close the open session via timeout
+    mem.addData((2L, ts("2024-01-01 23:00:00")))
+    q.processAllAvailable()
+    mem.addData((2L, ts("2024-01-01 23:01:00")))
+    q.processAllAvailable()
+    val all = spark.table("late_sessions").as[graft.streaming.UserSession].collect()
+    assert(all.filter(s => s.user_id == 1L && s.n_events == 2).toSeq ==
+      Seq(graft.streaming.UserSession(1L,
+        ts("2024-01-01 14:45:00"), ts("2024-01-01 15:00:00"), 2)))
+    q.stop()
+  }
+
   test("keyed keep-latest state mirrors W1 dedup across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

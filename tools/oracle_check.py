@@ -45,6 +45,10 @@ def main():
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    unknown = only - set(oracle)
+    if unknown:
+        print(f"FAIL unknown query names (not in oracle_sql.json): {sorted(unknown)}")
+        sys.exit(1)
     failed = []
     for name, sql in sorted(oracle.items()):
         if only and name not in only:
