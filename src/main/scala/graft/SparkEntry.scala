@@ -333,6 +333,15 @@ object SparkEntry {
         maxDim = 256)
         .select("media_id", "width", "height", "scale_e4", "out_width", "out_height")),
 
+    // the stub feature vector itself (floor-scaled): verifies the
+    // mapPartitions decode path end-to-end, not just the metadata
+    "mm_feature_vec" -> ((s, dir) =>
+      Multimodal.extractFeatures(
+        Multimodal.mediaFromText(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF().select(col("media_id"), posexplode(col("feature")))
+        .select(col("media_id"), col("pos").cast("int").as("dim"),
+          floor(col("col") * 1e6).cast("long").as("feat_e6"))),
+
     // exploded to scalar rows: the driver's compare sorts values with
     // pandas, which cannot sort/hash array cells
     "mm_frame_sample" -> ((s, dir) =>
@@ -774,6 +783,14 @@ object SparkEntry {
       s"""SELECT doc_id AS media_id,
          |  unnest(range(0, CAST($MmFrames AS BIGINT), 3)) AS frame_idx
          |FROM documents""".stripMargin,
+
+    // float32 division of identical integers is bit-identical across
+    // engines; the widen-to-double and floor-scale then match exactly
+    "mm_feature_vec" ->
+      s"""SELECT doc_id AS media_id, CAST(i - 1 AS INT) AS dim,
+         |  CAST(floor(CAST(CAST((($MmN * i + $MmFirst) % 997) AS FLOAT)
+         |    / CAST(997 AS FLOAT) AS DOUBLE) * 1000000.0) AS BIGINT) AS feat_e6
+         |FROM documents, range(1, 9) r(i)""".stripMargin,
 
     "mm_resize_plan" ->
       s"""WITH m AS (SELECT doc_id AS media_id, $MmWidth AS width,
