@@ -427,6 +427,13 @@ object TextDedup {
       if (idType == org.apache.spark.sql.types.StringType) {
         val es = edges.as[(String, String)].collect()
         edges.unpersist()
+        // order by UTF-8 BYTES, matching Spark's string min() — Java's
+        // UTF-16 compareTo disagrees on supplementary characters, which
+        // would pick a different representative than the distributed path
+        implicit val utf8Order: Ordering[String] =
+          (a: String, b: String) =>
+            org.apache.spark.unsafe.types.UTF8String.fromString(a)
+              .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
         TextDedup.unionFindMinLabel(es).toDF("id", "label")
       } else {
         val es = edges.select(col("src").cast("long"), col("dst").cast("long"))

@@ -99,12 +99,12 @@ object Streams {
     * users, not events; the shuffle is the same user-key exchange the
     * batch operator performs.
     *
-    * Late-data semantics: an event within `gapMs` of the open session's
-    * [start, end] envelope merges into it (extending either end); an
-    * event older than start − gap belongs to a session that may already
-    * be emitted, so it closes immediately as its own single-event
-    * session — the documented best-effort divergence from the batch
-    * operator, which sees all events up front.
+    * Late-data semantics: each trigger re-runs the batch merge over the
+    * open session plus the trigger's events, so late-but-valid events
+    * (inside the watermark) sessionize exactly as the batch operator
+    * would for all data still on hand; only events belonging to an
+    * ALREADY-EMITTED session diverge — they close as their own session,
+    * since append mode cannot retract prior output.
     */
   def sessionizeState(
       events: Dataset[(Long, java.sql.Timestamp)],
@@ -127,36 +127,26 @@ object Streams {
             state.remove()
             Iterator.single(closed)
           } else {
-            val sorted = rows.map(_._2.getTime).toArray.sorted
+            // Re-run the BATCH algorithm over everything on hand: the
+            // open session (as an interval) plus the batch's events,
+            // sorted, merged wherever the start-to-previous-end gap is
+            // within gapMs. This handles late-but-valid events exactly
+            // like the batch operator for all data still available —
+            // only events older than an ALREADY-EMITTED session diverge
+            // (they form their own session; append mode cannot retract).
+            val intervals = (state.getOption.toSeq ++
+              rows.map(r => SessionAcc(r._2.getTime, r._2.getTime, 1)))
+              .sortBy(a => (a.startMs, a.endMs))
             val closed = Vector.newBuilder[UserSession]
-            var cur = state.getOption
-            sorted.foreach { t =>
-              cur match {
-                // merge iff within gap of the session's [start, end]
-                // envelope — a late event far BEFORE the open session
-                // must not merge (t - endMs would be hugely negative)
-                case Some(a) if t >= a.startMs - gapMs && t <= a.endMs + gapMs =>
-                  cur = Some(a.copy(startMs = math.min(a.startMs, t),
-                    endMs = math.max(a.endMs, t), n = a.n + 1))
-                case Some(a) if t < a.startMs =>
-                  // late event older than the open session by more than
-                  // the gap: its true session may already be emitted —
-                  // close it immediately as its own session (documented
-                  // best-effort divergence from the batch operator, which
-                  // sees all events up front)
-                  closed += UserSession(user,
-                    new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1)
-                case Some(a) =>
-                  closed += emit(a)
-                  cur = Some(SessionAcc(t, t, 1))
-                case None =>
-                  cur = Some(SessionAcc(t, t, 1))
-              }
+            var cur = intervals.head
+            intervals.tail.foreach { iv =>
+              if (iv.startMs - cur.endMs <= gapMs)
+                cur = SessionAcc(cur.startMs,
+                  math.max(cur.endMs, iv.endMs), cur.n + iv.n)
+              else { closed += emit(cur); cur = iv }
             }
-            cur.foreach { a =>
-              state.update(a)
-              state.setTimeoutTimestamp(a.endMs + gapMs)
-            }
+            state.update(cur)
+            state.setTimeoutTimestamp(cur.endMs + gapMs)
             closed.result().iterator
           }
       }

@@ -103,7 +103,7 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     // JSON carries date as a string; normalize to DateType partition column.
     val df = df0.withColumn("date", col("date").cast("date"))
     val obs = new org.apache.spark.sql.Observation()
-    TableOps.withTableLock(tmpPath) {
+    TableOps.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
       df.observe(obs, count(lit(1)).as("rows"))
         .write.mode(SaveMode.Append).partitionBy("date").parquet(tmpPath)
     }
@@ -118,24 +118,49 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     * Skips the rewrite when the partition is already clean — the "very cheap
     * if no duplicates" property (cloud/bq/ops.go:188) by explicit pre-check.
     */
-  // The whole op holds the tmp-table lock (reentrant with the inner
-  // write): every phase — recovery, clean-check, content-tier jobs, the
-  // rewrite scan, the swap — reads or mutates the shared table root.
-  def dedup(dryRun: Boolean = false): OpStats = TableOps.withTableLock(tmpPath) {
-    recoverStaging()
-    val part = readPartition(tmpPath, job.date)
-    val keptExact =
-      if (spec.skewedKeys)
-        Dedup.keepLatestForSkew(part, spec.partitionKeys, col(spec.orderKey))
-      else Dedup.keepLatest(part, spec.partitionKeys, col(spec.orderKey))
-    // dry run validates the exact-tier plan only: the content tier below
-    // EXECUTES Spark jobs while being built (cluster fixpoint), which a
-    // dry run must not do
-    if (dryRun) { keptExact.queryExecution.analyzed; OpStats(0, 0) }
-    else dedupRewrite(part, keptExact)
+  // Locking: three phases. Recovery and the final swap MUTATE the table
+  // root (write lock); everything between — clean-check, content-tier
+  // jobs, the staging-write's scan of tmp — only READS it (read lock),
+  // so disjoint dates of one datatype stay concurrent except during
+  // commits. The gap between read release and swap acquire is safe:
+  // only this job's action touches this date's dirs (monitor claims
+  // guarantee one in-flight action per job).
+  def dedup(dryRun: Boolean = false): OpStats = {
+    TableOps.withTableLocks(reads = Nil, writes = Seq(tmpPath))(recoverStaging())
+    val staged = TableOps.withTableLocks(reads = Seq(tmpPath), writes = Nil) {
+      val part = readPartition(tmpPath, job.date)
+      val keptExact =
+        if (spec.skewedKeys)
+          Dedup.keepLatestForSkew(part, spec.partitionKeys, col(spec.orderKey))
+        else Dedup.keepLatest(part, spec.partitionKeys, col(spec.orderKey))
+      // dry run validates the exact-tier plan only: the content tier
+      // EXECUTES Spark jobs while being built (cluster fixpoint), which
+      // a dry run must not do
+      if (dryRun) { keptExact.queryExecution.analyzed; Left(OpStats(0, 0)) }
+      else dedupStage(part, keptExact)
+    }
+    staged match {
+      case Left(stats) => stats
+      case Right(stats) =>
+        // Spark cannot overwrite a path it is reading from, so the
+        // rewrite staged to a private dir; swap it in under the write
+        // lock — the same pattern a DELETE-less object-store rewrite uses
+        TableOps.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
+          val fs = new Path(tmpPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val partDir = s"date=${job.date}"
+          fs.delete(new Path(s"$tmpPath/$partDir"), true)
+          fs.rename(new Path(s"$stagingPath/$partDir"), new Path(s"$tmpPath/$partDir"))
+          fs.delete(new Path(stagingPath), true)
+          stats
+        }
+    }
   }
 
-  private def dedupRewrite(part: DataFrame, keptExact: DataFrame): OpStats = {
+  /** Compute + stage the deduped partition (holding the tmp READ lock).
+    * Left(stats) = nothing staged (dry run or clean shortcut);
+    * Right(stats) = staged, caller must swap.
+    */
+  private def dedupStage(part: DataFrame, keptExact: DataFrame): Either[OpStats, OpStats] = {
     // opt-in content tier: near-dup clusters keep one representative
     // (min id) — the §7.5 training-data generalization of the key dedup,
     // inside the same Deduplicating state / partition rewrite
@@ -158,24 +183,11 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
       if (spec.contentDedup.isEmpty &&
           Dedup.isClean(part, spec.partitionKeys, col(spec.orderKey))) {
         val n = part.count()
-        OpStats(n, n)
+        Left(OpStats(n, n))
       } else {
-        // Spark cannot overwrite a path it is reading from, so the rewrite
-        // goes through a staging dir + atomic-ish partition swap — the same
-        // pattern a DELETE-less object-store rewrite uses. The table lock
-        // spans the read-plus-swap: the rewrite scans the whole table root
-        // (mergeSchema footer reads), which must not race another date's
-        // commit in the same root.
-        TableOps.withTableLock(tmpPath) {
-          val rowsIn = part.count()
-          val rowsOut = overwritePartitionLocked(kept, stagingPath)
-          val fs = new Path(tmpPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val partDir = s"date=${job.date}"
-          fs.delete(new Path(s"$tmpPath/$partDir"), true)
-          fs.rename(new Path(s"$stagingPath/$partDir"), new Path(s"$tmpPath/$partDir"))
-          fs.delete(new Path(stagingPath), true)
-          OpStats(rowsIn, rowsOut)
-        }
+        val rowsIn = part.count()
+        val rowsOut = overwritePartitionLocked(kept, stagingPath)
+        Right(OpStats(rowsIn, rowsOut))
       }
     } finally {
       // the clustering loop returns a persisted frontier — release it
@@ -213,23 +225,28 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   /** S2: copy the tmp date partition to raw, replacing the destination
     * partition (WriteTruncate, cloud/bq/ops.go:171).
     */
-  def copyToRaw(dryRun: Boolean = false): OpStats = {
-    val part = readPartition(tmpPath, job.date)
-    if (dryRun) { part.queryExecution.analyzed; return OpStats(0, 0) }
-    // lock the READ table too: the copy scans tmp's footers while a
-    // concurrent same-table dedup swap could be deleting them
-    val n = overwritePartition(part, rawPath, alsoLock = Seq(tmpPath))
-    OpStats(n, n)
-  }
+  def copyToRaw(dryRun: Boolean = false): OpStats =
+    // the read must be CONSTRUCTED inside the lock too: parquet listing
+    // + mergeSchema footer reads happen eagerly at construction, racing
+    // a concurrent same-table commit if taken outside
+    TableOps.withTableLocks(reads = Seq(tmpPath), writes = Seq(rawPath)) {
+      val part = readPartition(tmpPath, job.date)
+      if (dryRun) { part.queryExecution.analyzed; OpStats(0, 0) }
+      else {
+        val n = overwritePartitionLocked(part, rawPath)
+        OpStats(n, n)
+      }
+    }
 
   /** S3: drop the tmp date partition (ALTER TABLE DROP PARTITION semantics,
     * cloud/bq/ops.go:221-228). A pure metadata/filesystem operation — no scan.
     */
-  def deleteTmp(): Unit = TableOps.withTableLock(tmpPath) {
-    val dir = new Path(s"$tmpPath/date=${job.date}")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(dir, true): Unit
-  }
+  def deleteTmp(): Unit =
+    TableOps.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
+      val dir = new Path(s"$tmpPath/date=${job.date}")
+      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(dir, true): Unit
+    }
 
   /** S4/J1: annotation LEFT JOIN materialization into the join dataset,
     * replacing the date partition, with schema merge on read (the reference
@@ -239,32 +256,29 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   def join(annDatatype: String = "annotation2", dryRun: Boolean = false): OpStats = {
     if (!job.datasets.hasJoin) return OpStats(0, 0)
     val annPath = wh.tablePath(job.datasets.raw, annDatatype)
-    val m = spark.read.option("mergeSchema", "true").parquet(rawPath)
-    val ann = spark.read.option("mergeSchema", "true").parquet(annPath)
-    val out = AnnotationJoin.annotatePartition(m, ann, job.date)
-    if (dryRun) { out.queryExecution.analyzed; return OpStats(0, 0) }
-    val n = overwritePartition(out, joinPath, alsoLock = Seq(rawPath, annPath))
-    OpStats(n, n)
+    // reads constructed inside the locks — see copyToRaw
+    TableOps.withTableLocks(reads = Seq(rawPath, annPath), writes = Seq(joinPath)) {
+      val m = spark.read.option("mergeSchema", "true").parquet(rawPath)
+      val ann = spark.read.option("mergeSchema", "true").parquet(annPath)
+      val out = AnnotationJoin.annotatePartition(m, ann, job.date)
+      if (dryRun) { out.queryExecution.analyzed; OpStats(0, 0) }
+      else {
+        val n = overwritePartitionLocked(out, joinPath)
+        OpStats(n, n)
+      }
+    }
   }
 
   /** Row count of one raw partition (status/detail helper). */
-  def rawPartitionCount(): Long = TableOps.withTableLock(rawPath) {
-    readPartition(rawPath, job.date).count()
-  }
-
-  /** Partition-truncate write, holding the destination's lock plus the
-    * locks of every table the plan READS (`alsoLock`): the scan's
-    * mergeSchema footer reads list every file under a source root, so a
-    * concurrent commit into that root (even for a disjoint date) is a
-    * FileNotFoundException mid-scan.
-    */
-  private def overwritePartition(df: DataFrame, destPath: String,
-      alsoLock: Seq[String] = Nil): Long =
-    TableOps.withTableLocks((destPath +: alsoLock).distinct) {
-      overwritePartitionLocked(df, destPath)
+  def rawPartitionCount(): Long =
+    TableOps.withTableLocks(reads = Seq(rawPath), writes = Nil) {
+      readPartition(rawPath, job.date).count()
     }
 
-  /** The write itself — callers must hold the relevant table locks. */
+  /** The write itself — callers must hold the destination's write lock
+    * plus read locks of every table the plan scans (parquet listing +
+    * mergeSchema footer reads race concurrent commits otherwise).
+    */
   private def overwritePartitionLocked(df: DataFrame, destPath: String): Long = {
     val obs = new org.apache.spark.sql.Observation()
     df.observe(obs, count(lit(1)).as("rows"))
@@ -282,26 +296,35 @@ object TableOps {
   def configure(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
 
-  // Per-table commit locks: two Spark writes into the SAME table root
-  // (different dates of one datatype, dispatched concurrently by the
-  // monitor) share a single `_temporary` staging directory and corrupt
-  // each other's commits — a race the reference never sees because each
-  // BigQuery job commits transactionally on the server. Serializing
-  // commits per table path fixes it for the single-JVM gardener; a
-  // multi-driver deployment should use a transactional table format
-  // (e.g. Delta) instead. Writes to DIFFERENT tables stay parallel.
-  private val tableLocks =
-    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // Per-table read/write locks. Two Spark writes into the SAME table
+  // root (different dates of one datatype, dispatched concurrently by
+  // the monitor) share a single `_temporary` staging directory and
+  // corrupt each other's commits; a scan (parquet listing + mergeSchema
+  // footer reads, which run eagerly at read construction) racing a
+  // commit in the same root dies with FileNotFoundException. Neither
+  // race exists in the reference — BigQuery commits transactionally
+  // server-side. Readers share (disjoint dates stay concurrent);
+  // commits exclude. A multi-driver deployment should use a
+  // transactional table format (e.g. Delta) instead.
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
 
-  private[tableops] def withTableLock[T](path: String)(body: => T): T = {
-    val lock = tableLocks.computeIfAbsent(path, _ => new Object)
-    lock.synchronized(body)
-  }
+  private def rwLock(path: String) =
+    tableLocks.computeIfAbsent(path,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
 
-  /** Acquire several table locks in sorted order (deadlock-free: every
-    * caller uses the same global order).
+  /** Acquire read locks on `reads` and write locks on `writes`, all in
+    * one globally-sorted path order (deadlock-free); write wins when a
+    * path appears in both. Callers must not nest acquisitions (no
+    * read→write upgrade exists).
     */
-  private[tableops] def withTableLocks[T](paths: Seq[String])(body: => T): T =
-    paths.distinct.sorted.foldRight(() => body)(
-      (p, inner) => () => withTableLock(p)(inner()))()
+  private[tableops] def withTableLocks[T](
+      reads: Seq[String], writes: Seq[String])(body: => T): T = {
+    val w = writes.toSet
+    val locks = (reads ++ writes).distinct.sorted.map { p =>
+      if (w(p)) rwLock(p).writeLock() else rwLock(p).readLock()
+    }
+    locks.foreach(_.lock())
+    try body finally locks.reverse.foreach(_.unlock())
+  }
 }

@@ -139,6 +139,13 @@ class StreamingSpec extends SparkTestBase {
     val late = spark.table("late_sessions").as[graft.streaming.UserSession].collect()
     assert(late.toSeq == Seq(graft.streaming.UserSession(1L,
       ts("2024-01-01 14:15:00"), ts("2024-01-01 14:15:00"), 1)))
+    // same-batch late events that chain within the gap merge as one
+    // session, exactly as batch would (14:00→14:29 chain below the open
+    // session's envelope start): user 3 gets ONE 2-event session later
+    mem.addData((3L, ts("2024-01-01 16:00:00")))
+    q.processAllAvailable()
+    mem.addData((3L, ts("2024-01-01 14:00:00")), (3L, ts("2024-01-01 14:29:00")))
+    q.processAllAvailable()
     // a late event WITHIN the gap of the open session extends it downward
     mem.addData((1L, ts("2024-01-01 14:45:00")))
     // close the open session via timeout
@@ -150,6 +157,12 @@ class StreamingSpec extends SparkTestBase {
     assert(all.filter(s => s.user_id == 1L && s.n_events == 2).toSeq ==
       Seq(graft.streaming.UserSession(1L,
         ts("2024-01-01 14:45:00"), ts("2024-01-01 15:00:00"), 2)))
+    assert(all.filter(_.user_id == 3L).toSet == Set(
+      graft.streaming.UserSession(3L,
+        ts("2024-01-01 14:00:00"), ts("2024-01-01 14:29:00"), 2),
+      // the open 16:00 session closed later via the watermark timeout
+      graft.streaming.UserSession(3L,
+        ts("2024-01-01 16:00:00"), ts("2024-01-01 16:00:00"), 1)))
     q.stop()
   }
 
