@@ -24,21 +24,29 @@ object Bench {
       }
       spark.stop(); return
     }
-    // Untimed warmup: absorb one-time JVM costs (codegen compiler,
-    // parquet reader, shuffle machinery — measured ~16s landing on
-    // whichever query happens to run first) so per-query numbers reflect
-    // operator steady state, as they would on a long-lived cluster.
-    Seq("q1_pricing_summary", "w1_dedup_keepset", "dd_simhash")
-      .foreach(q => try { SparkEntry.queries(q)(spark, sfDir).count() }
-        catch { case _: Throwable => () })
+    // Untimed warmup: run EVERY query once so each plan's one-time costs
+    // (codegen/JIT compilation, parquet footer reads, shuffle machinery —
+    // measured ~16s of JVM warmup landing on whichever query runs first,
+    // plus multi-second first-plan codegen on the wide dedup plans) are
+    // absorbed before timing. Per-query numbers then reflect operator
+    // steady state, as on a long-lived cluster. A failure here is a real
+    // failure: it propagates and fails the bench loudly — a broken query
+    // must never score ~0 s and "improve" the total.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try fn(spark, sfDir).count()
+      catch { case e: Throwable =>
+        throw new RuntimeException(s"bench warmup failed for $name: ${e.getMessage}", e)
+      }
+    }
     // Each query is timed twice back-to-back and reports the min: a single
     // timing is hostage to whatever GC pause or host contention lands on
     // it (observed 10x outliers on an otherwise-identical run), while the
-    // min of two is a stable steady-state figure.
+    // min of two is a stable steady-state figure. No exception handling in
+    // the timed closure — a throwing query fails the bench.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
       name -> math.min(once(), once())

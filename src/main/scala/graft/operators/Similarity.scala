@@ -114,12 +114,32 @@ object Similarity {
     * Hyperplanes are derived, not stored: component j of plane i is a
     * deterministic hash-to-[-1,1] of (i, j) — reproducible across runs and
     * engines with no random state.
+    *
+    * Scale shape: only (id, band, bucket) rides the bucketing shuffle —
+    * vectors do NOT travel inside the bucket structs (near-dup-heavy
+    * corpora produce hot buckets, and |g| vectors × dim in one
+    * aggregation buffer is an executor OOM). Candidate pairs are formed
+    * on ids alone, capped at `maxBucketSize` per bucket (a bucket shared
+    * by thousands of vectors carries no similarity signal — same
+    * mitigation as [[TextDedup.lshCandidates]]), then vectors are joined
+    * back BY ID for the exact-cosine verify. Per-vector norms are
+    * precomputed on the join side, so the scoring arithmetic
+    * (dot / (nrm_a * nrm_b)) is the same multiply chain as the in-bucket
+    * form — results are bit-identical where no bucket exceeds the cap.
+    *
+    * @param dim embedding dimensionality — a required parameter so plan
+    *        construction stays lazy (discovering it with `first()` would
+    *        execute a Spark job at plan-build time).
+    * @param maxBucketSize buckets larger than this are dropped; <= 0
+    *        disables the cap.
     */
   def embedNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      minCosE6: Long, nBits: Int = 16, bands: Int = 4
+      minCosE6: Long, dim: Int, nBits: Int = 16, bands: Int = 4,
+      maxBucketSize: Int = 4096
   ): DataFrame = {
-    val dim = embeddings.select(size(col(vecCol))).first().getInt(0)
+    require(dim > 0, "dim must be positive")
+    require(nBits % bands == 0, "bands must divide nBits")
     val base = embeddings
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
     def plane(i: Int): Column = array((0 until dim).map { j =>
@@ -132,26 +152,28 @@ object Similarity {
       when(dot(col("v"), plane(i)) >= 0, lit(1L)).otherwise(lit(0L))
         .as(s"bit$i"))
     val bitsPerBand = nBits / bands
-    val withBits = base.select(col("id") +: col("v") +: bits: _*)
+    val withBits = base.select(col("id") +: bits: _*)
     val bandCols = (0 until bands).map { b =>
       (0 until bitsPerBand).map(i => col(s"bit${b * bitsPerBand + i}") * lit(1L << i))
         .reduce(_ + _).as(s"band$b")
     }
-    val banded = withBits.select(col("id") +: col("v") +: bandCols: _*)
-      .select(col("id"), col("v"),
+    val banded = withBits.select(col("id") +: bandCols: _*)
+      .select(col("id"),
         posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
-      .select(col("id"), col("v"), col("pos").as("band"), col("col").as("bucket"))
-    // in-bucket pair expansion, one shuffle (cf. TextDedup.lshCandidates)
-    banded.groupBy(col("band"), col("bucket"))
-      .agg(sort_array(collect_list(struct(col("id"), col("v")))).as("xs"))
-      .filter(size(col("xs")) > 1)
-      .select(explode(flatten(transform(col("xs"), (x, i) =>
-        transform(slice(col("xs"), i + 2, greatest(size(col("xs")) - i - 1, lit(0))),
-          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            floor(cosine(x.getField("v"), y.getField("v")) * 1e6).cast("long")
-              .as("cos_e6")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.cos_e6"))
-      .distinct()
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+    // ids-only in-bucket pair expansion with the hot-bucket cap, one
+    // shuffle of (band, bucket, id) — bytes, not vectors
+    val cands = TextDedup.pairsWithinGroups(banded, Seq("band", "bucket"),
+      "id", maxBucketSize).distinct()
+    val vecs = base.withColumn("nrm", norm(col("v")))
+    cands
+      .join(vecs.select(col("id").as("id_a"), col("v").as("v_a"),
+        col("nrm").as("nrm_a")), "id_a")
+      .join(vecs.select(col("id").as("id_b"), col("v").as("v_b"),
+        col("nrm").as("nrm_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        floor(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")) * 1e6)
+          .cast("long").as("cos_e6"))
       .filter(col("cos_e6") >= minCosE6)
   }
 

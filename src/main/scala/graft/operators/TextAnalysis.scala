@@ -119,18 +119,26 @@ object TextAnalysis {
   /** Corpus vocabulary with frequency ranks: top-k tokens by count
     * (ties → lexicographic). The token count is one explode + hash
     * aggregate (map-side combined, shuffle = vocabulary size, not token
-    * stream); the rank window then runs over the aggregated vocabulary —
-    * tiny relative to the corpus — so the single-partition window sort is
-    * bounded by |vocab|, not rows.
+    * stream). The top-k itself is `orderBy(...).limit(k)` —
+    * TakeOrderedAndProject, a per-partition bounded heap + k-way driver
+    * merge, so NO task ever sorts the whole vocabulary (a global
+    * row_number window would sort 10⁸+ tokens of a 100 TB corpus in one
+    * partition). Ranks are then derived from the ≤ k surviving rows with
+    * a deterministic sort_array(collect_list) + posexplode — order
+    * independent of row arrival, no window, k-bounded memory.
     */
   def vocabTopK(df: DataFrame, textCol: String, k: Int): DataFrame = {
     val counts = df
       .select(explode(tokens(coalesce(col(textCol), lit("")))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("n").desc, col("token").asc)
-    counts.withColumn("rank", row_number().over(w).cast("int"))
-      .filter(col("rank") <= k)
+    counts.orderBy(col("n").desc, col("token").asc).limit(k)
+      // struct(-n, token) sorts ascending ⟺ (n desc, token asc); negation
+      // of a nonneg count is ANSI-safe
+      .select(struct((-col("n")).as("negn"), col("token").as("token")).as("s"))
+      .agg(sort_array(collect_list(col("s"))).as("xs"))
+      .select(posexplode(col("xs")))
+      .select(col("col.token").as("token"), (-col("col.negn")).as("n"),
+        (col("pos") + 1).cast("int").as("rank"))
   }
 
   /** Exact content fingerprint: md5 of the normalized text (lower + trim).

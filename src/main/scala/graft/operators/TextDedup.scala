@@ -145,20 +145,48 @@ object TextDedup {
     * overlap costs nothing. |A ∩ B| falls out of a count per pair and
     * |A ∪ B| = |A| + |B| − |A ∩ B|; no shingle array crosses the shuffle.
     * Measured on the 5k-doc corpus: 203k shingle-pair rows vs ~5M
-    * in-bucket array comparisons for the blocked formulation. At scale the
-    * known hazard is hot-shingle skew (a shingle in f docs yields f² pair
-    * rows) — boilerplate shingles should be stop-listed by a frequency
-    * pre-pass before this operator when corpora make them likely.
+    * in-bucket array comparisons for the blocked formulation.
+    *
+    * Hot-shingle skew guard: a shingle appearing in f docs emits f² pair
+    * rows into ONE join key — boilerplate shingles (license headers,
+    * navigation chrome) make f reach 10⁵+ on web corpora, so the first
+    * thing to die at 100× is that one task. A frequency stop-list
+    * pre-pass (one map-side-combined `groupBy(h).count`, shuffle =
+    * |distinct shingles|, then a broadcast anti-join of the few hot
+    * hashes) drops shingles with doc-freq > `maxShingleDocFreq` from the
+    * inverted index BEFORE the pair join. Semantics: a shingle shared by
+    * thousands of docs carries ~zero similarity signal, but dropping it
+    * does shave its contribution to |A ∩ B|, so a qualifying pair whose
+    * entire overlap is hot shingles would be missed — the standard
+    * stop-list trade. The default cap (128) is 5× the max doc-freq
+    * observed in the test corpus (25 at sf0.1), so test-scale results are
+    * bit-identical to the unguarded plan. Dropped-shingle stats are
+    * published through `Dataset.observe` under metric name
+    * "jaccard_stoplist" (`hot_shingles`, `dropped_postings`) — readable
+    * via a QueryExecutionListener with zero extra jobs.
     */
   def lengthBandedJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, lenCol: String,
-      bucketWidth: Int = 32, maxDelta: Int = 32, minJaccardE4: Long = 5000
+      bucketWidth: Int = 32, maxDelta: Int = 32, minJaccardE4: Long = 5000,
+      maxShingleDocFreq: Int = 128
   ): DataFrame = {
     val base = withHashedShingles(docs, Seq(idCol, lenCol), textCol)
       .withColumn("b0", floor(col(lenCol) / lit(bucketWidth.toDouble)).cast("long"))
       .withColumn("sz", size(col("sh")))
-    val ex = base.select(col(idCol), col(lenCol), col("b0"), col("sz"),
+    val ex0 = base.select(col(idCol), col(lenCol), col("b0"), col("sz"),
       explode_outer(col("sh")).as("h"))
+    // shingles are distinct within a doc, so count(h) IS doc-frequency
+    val ex =
+      if (maxShingleDocFreq <= 0) ex0
+      else {
+        val hot = ex0.groupBy(col("h"))
+          .agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDocFreq)
+          .observe("jaccard_stoplist",
+            count(lit(1)).as("hot_shingles"),
+            coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
+        ex0.join(broadcast(hot.select(col("h"))), Seq("h"), "left_anti")
+      }
     val a = ex.select(col(idCol).as("id_a"), col(lenCol).as("len_a"),
       col("b0").as("b0_a"), col("sz").as("sz_a"), col("h"))
     val b = ex.select(col(idCol).as("id_b"), col(lenCol).as("len_b"),
@@ -234,7 +262,7 @@ object TextDedup {
     *        docs carries no similarity signal anyway). <= 0 disables.
     *        Callers that cap should surface the cap, not hide it.
     */
-  private def pairsWithinGroups(
+  private[operators] def pairsWithinGroups(
       df: DataFrame, groupCols: Seq[String], idCol: String,
       maxGroupSize: Int = 0): DataFrame = {
     val grouped = df.groupBy(groupCols.map(col): _*)

@@ -120,10 +120,74 @@ class ExtensionsSpec extends SparkTestBase {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     assert(exact === Set((0L, 1L)))
     val lsh = Similarity.embedNearDupPairs(emb, "vec_id", "embedding",
-      minCosE6 = 900000L, nBits = 16, bands = 4)
+      minCosE6 = 900000L, dim = 4, nBits = 16, bands = 4)
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // near-identical vectors agree on every hyperplane sign => must collide
     assert(lsh === Set((0L, 1L)))
+  }
+
+  test("embedNearDupPairs: hot-bucket cap bounds pair explosion; plan " +
+    "construction runs no Spark job") {
+    // 8 identical vectors land in the SAME bucket of every band — the
+    // worst-case hot bucket a near-dup-heavy corpus produces
+    val hot = (0L until 8L).map(i => (i, Array(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val uncapped = Similarity.embedNearDupPairs(hot, "vec_id", "embedding",
+      minCosE6 = 900000L, dim = 4, maxBucketSize = 0)
+    assert(uncapped.count() == 28) // 8 choose 2
+    val capped = Similarity.embedNearDupPairs(hot, "vec_id", "embedding",
+      minCosE6 = 900000L, dim = 4, maxBucketSize = 4)
+    // every bucket holds all 8 ids > cap => dropped, zero pair rows
+    assert(capped.count() == 0)
+
+    // plan construction must not execute a job (dim is a parameter now,
+    // not a first() discovery): count job starts around a pure plan build,
+    // using a marker action to flush the listener bus
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    // the async bus may still deliver events from earlier actions: wait
+    // until the counter is quiet before taking the baseline
+    def quiesce(): Int = {
+      var last = -1
+      var cur = jobs
+      while (cur != last) { last = cur; Thread.sleep(200); cur = jobs }
+      cur
+    }
+    try {
+      // calibrate: how many jobs does the marker action itself post?
+      val base0 = quiesce()
+      spark.range(1).count()
+      val markerJobs = quiesce() - base0
+      val before = jobs
+      Similarity.embedNearDupPairs(hot, "vec_id", "embedding",
+        minCosE6 = 900000L, dim = 4) // plan only, no action
+      spark.range(1).count() // marker to flush the bus
+      assert(quiesce() == before + markerJobs,
+        "plan construction ran unexpected job(s)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
+  test("jaccard stop-list drops hot boilerplate shingles and bounds pair rows") {
+    // 12 docs share ONE boilerplate shingle ("common boiler plate") and are
+    // otherwise disjoint: every pair's overlap is exactly the hot shingle.
+    val boiler = (0L until 12L).map { i =>
+      (i, s"common boiler plate u${i}a u${i}b u${i}c", 40L)
+    }.toDF("doc_id", "text", "n_chars")
+    def pairs(cap: Int) =
+      TextDedup.lengthBandedJaccardPairs(boiler, "doc_id", "text", "n_chars",
+        bucketWidth = 32, maxDelta = 32, minJaccardE4 = 1000,
+        maxShingleDocFreq = cap)
+    // unguarded: the hot shingle alone emits 12² joined rows => 66 pairs
+    assert(pairs(0).count() == 66)
+    // guarded (df 12 > cap 8): the posting list is stop-listed before the
+    // join — zero pair rows, the f² blow-up never materializes
+    assert(pairs(8).count() == 0)
+    // a cap above the hottest doc-freq changes nothing (test-scale identity)
+    assert(pairs(100).count() == 66)
   }
 
   test("ivfTopK probes only the query's centroid bucket") {
