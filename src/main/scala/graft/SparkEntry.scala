@@ -278,24 +278,13 @@ object SparkEntry {
         maxHamming = 6)),
 
     // ---- per-stratum length distribution: discrete (value-at-rank)
-    //      percentiles — exact and engine-portable, unlike interpolated
-    //      quantiles whose float formulas differ across engines ----
-    "tx_len_quantiles" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("lang")).orderBy(col("n_chars"))
-      val wc = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
-      Tables.documents(s, dir)
-        .select(col("lang"), col("n_chars"))
-        .withColumn("rn", row_number().over(w))
-        .withColumn("n", count(lit(1)).over(wc))
-        .groupBy(col("lang"))
-        .agg(
-          max(when(col("rn") === ceil(col("n") * 0.5).cast("long"),
-            col("n_chars"))).as("median_chars"),
-          max(when(col("rn") === ceil(col("n") * 0.9).cast("long"),
-            col("n_chars"))).as("p90_chars"),
-          max(col("n")).as("n_docs"))
-    }),
+    //      percentiles over a per-(lang, length) histogram — no stratum
+    //      ever sorts in one task (see valueAtRankQuantiles scaladoc) ----
+    "tx_len_quantiles" -> ((s, dir) =>
+      TextAnalysis.valueAtRankQuantiles(
+        Tables.documents(s, dir).select(col("lang"), col("n_chars")),
+        "lang", "n_chars",
+        Seq("median_chars" -> 0.5, "p90_chars" -> 0.9), "n_docs")),
 
     // ---- deterministic stratified sampling (down-sample dominant lang) ----
     "ds_stratified_sample" -> ((s, dir) =>

@@ -194,23 +194,47 @@ object Similarity {
       .select(col(idCol), col("cent_id"), col("v"))
   }
 
-  /** IVF top-k: probe only the query's own centroid bucket. Approximate —
-    * misses neighbors assigned to other centroids; that trade is the point.
+  /** IVF top-k: probe the query's `nprobe` nearest centroid buckets.
+    * Approximate — misses neighbors assigned to unprobed centroids;
+    * `nprobe` is the recall-vs-cost knob every IVF index exposes: scored
+    * candidates grow ~linearly in nprobe (nprobe/C of the corpus), recall
+    * approaches exact as nprobe → C. nprobe=1 reproduces the classic
+    * "own bucket only" probe.
+    *
+    * A neighbor reachable through several probed buckets is scored once:
+    * candidate (query, nbr) pairs are distinct by construction — each
+    * corpus vector lives in exactly ONE bucket (its top-1 assignment), so
+    * the probe join emits each (query, nbr) at most once even when
+    * nprobe > 1.
     */
   def ivfTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cIdCol: String, cVecCol: String,
-      queryPred: Column, k: Int
+      queryPred: Column, k: Int, nprobe: Int = 1
   ): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
     // The assignment feeds BOTH join sides below; unpersisted it would be
     // recomputed per branch (centroid cross-join + per-vector top-1 window,
     // the expensive part). Persisting it is building the IVF index — at
     // warehouse scale the same thing, written to a table instead.
     val assigned = ivfAssign(embeddings, idCol, vecCol, centroids, cIdCol, cVecCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val queries = broadcast(
-      assigned.join(embeddings.filter(queryPred).select(col(idCol)), Seq(idCol))
-        .select(col(idCol).as("query_id"), col("cent_id"), col("v").as("q_vec")))
+    // probe list: each query's nprobe nearest centroids by the SAME
+    // (cos desc, cent_id asc) order the assignment uses, so probe #1 is
+    // exactly the query's own bucket and nprobe=1 degenerates to it.
+    // Queries are few (broadcast side), so the rank window partitions by
+    // query_id — no global sort.
+    val cents = broadcast(centroids.select(col(cIdCol).as("cent_id"),
+      asDouble(col(cVecCol)).as("cent_vec")))
+    val qScored = embeddings.filter(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .crossJoin(cents)
+      .withColumn("__cos", floor(cosine(col("q_vec"), col("cent_vec")) * 1e6).cast("long"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("cent_id").asc)
+    val queries = broadcast(qScored
+      .withColumn("__rn", row_number().over(wq)).filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("cent_id"), col("q_vec")))
     val scored = assigned
       .select(col(idCol).as("nbr_id"), col("cent_id"), col("v").as("nbr_vec"),
         norm(col("v")).as("nbr_nrm"))

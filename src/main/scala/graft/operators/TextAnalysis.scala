@@ -141,6 +141,49 @@ object TextAnalysis {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Discrete value-at-rank quantiles per stratum: for each fraction f,
+    * the value of the row at rank ceil(f · n) in ascending `valueCol`
+    * order — exact and engine-portable, unlike interpolated quantiles
+    * whose float formulas differ across engines.
+    *
+    * Scale shape: ranking each row (`row_number` per stratum) sorts every
+    * stratum in ONE task — a dominant language serializes a 100 TB corpus
+    * behind a single sort. Instead the rows are first collapsed to a
+    * per-(stratum, value) HISTOGRAM (one map-side-combined aggregate;
+    * shuffle = distinct values, and doc-length-like values are bounded),
+    * and value-at-rank r is recovered as the smallest value whose
+    * cumulative count reaches r. The cumulative window then runs over the
+    * histogram — |distinct values| rows per stratum, not |rows| — and the
+    * stratum total comes from a second frame over the SAME partitioning
+    * (no extra exchange), not from a join that would recompute the
+    * histogram per branch.
+    *
+    * @param quantiles (output column name, fraction) pairs
+    * @param nCol      output column for the per-stratum row count
+    */
+  def valueAtRankQuantiles(
+      df: DataFrame, strataCol: String, valueCol: String,
+      quantiles: Seq[(String, Double)], nCol: String
+  ): DataFrame = {
+    val hist = df.groupBy(col(strataCol), col(valueCol))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol)).orderBy(col(valueCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(strataCol))
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val qCols = quantiles.map { case (name, f) =>
+      min(when(col("__cum") >= ceil(col("__n") * f).cast("long"),
+        col(valueCol))).as(name)
+    }
+    cum.groupBy(col(strataCol))
+      .agg(qCols.head, qCols.tail :+ max(col("__n")).as(nCol): _*)
+  }
+
   /** Exact content fingerprint: md5 of the normalized text (lower + trim).
     * Identical hex in every engine.
     */

@@ -190,17 +190,40 @@ class ExtensionsSpec extends SparkTestBase {
     assert(pairs(100).count() == 66)
   }
 
-  test("ivfTopK probes only the query's centroid bucket") {
+  test("ivfTopK probes only the query's centroid bucket at nprobe=1, " +
+    "and nprobe=2 widens to the next-nearest bucket") {
     val emb = Seq(
       (0L, Array(1f, 0f)), (1L, Array(0.95f, 0.05f)), (2L, Array(0.9f, 0.1f)),
       (50L, Array(0f, 1f)), (51L, Array(0.05f, 0.95f))
     ).toDF("vec_id", "embedding")
     val cents = emb.filter(col("vec_id") % 50 === 0)
-    val out = Similarity.ivfTopK(emb, "vec_id", "embedding", cents,
-      "vec_id", "embedding", col("vec_id") === 1, k = 10)
+    def probe(np: Int) = Similarity.ivfTopK(emb, "vec_id", "embedding", cents,
+      "vec_id", "embedding", col("vec_id") === 1, k = 10, nprobe = np)
       .select("nbr_id").as[Long].collect().toSet
     // bucket of centroid 0 holds {0,1,2}; 50/51 are in the other bucket
-    assert(out == Set(0L, 2L))
+    assert(probe(1) == Set(0L, 2L))
+    // second probe reaches the (0,1) bucket too
+    assert(probe(2) == Set(0L, 2L, 50L, 51L))
+  }
+
+  test("ivf nprobe is a recall knob: monotone, exact when probing all buckets") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+    val nCents = cents.count().toInt
+    val truth = Similarity.cosineTopK(emb, "vec_id", "embedding",
+      col("vec_id") < 10, k = 5)
+      .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+    def recall(np: Int): Double = {
+      val got = Similarity.ivfTopK(emb, "vec_id", "embedding", cents,
+        "vec_id", "embedding", col("vec_id") < 10, k = 5, nprobe = np)
+        .select("query_id", "nbr_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val r1 = recall(1)
+    val r3 = recall(3)
+    assert(r1 <= r3, s"recall must not drop as nprobe grows: $r1 -> $r3")
+    // probing every bucket scores every candidate — identical to brute force
+    assert(recall(nCents) == 1.0)
   }
 
   test("language-id & quality are deterministic and sane") {
