@@ -105,30 +105,69 @@ final class JobsApi(tracker: Tracker, jobService: JobService, port: Int = 0) {
   server.createContext("/alive", ex => respond(ex, 200, "ok"))
   server.createContext("/ready", ex => respond(ex, 200, "ok"))
 
-  // expvar-style JSON metrics (the reference exports Prometheus families,
-  // metrics/metrics.go:16-209; same observables, JSON transport)
-  server.createContext("/metrics", ex => {
-    val state = tracker.getState()
-    val byState = state.values.groupBy(_._2.state.name).map {
-      case (s, js) => s""""$s":${js.size}"""
-    }.mkString(",")
-    val updates = state.values.map(_._2.updateCount.toLong).sum
-    respond(ex, 200,
-      s"""{"jobs":${state.size},"failed":${tracker.numFailed},""" +
-        s""""completed":${tracker.completed},"updates":$updates,""" +
-        s""""jobs_by_state":{$byState}}""",
-      "application/json")
-  })
+  // Prometheus text exposition (reference: metrics/metrics.go:16-209 via
+  // promhttp): counters + time-in-state histogram accumulated by the
+  // tracker, in-flight gauges derived from the live JobMap.
+  server.createContext("/metrics", ex =>
+    respond(ex, 200, PromFormat.render(tracker),
+      "text/plain; version=0.0.4; charset=utf-8"))
 
+  // HTML job table (reference: cmd/gardener/gardener.go:129-150 Status +
+  // tracker/job.go:381-443 WriteHTML): rows ordered by job start time;
+  // Init/postProcessing rows red (the states a healthy pipeline leaves
+  // quickly); the reference's os.Environ() dump is deliberately omitted
+  // (it leaks credentials-by-env on an unauthenticated port).
   server.createContext("/status", ex => {
+    val now = System.currentTimeMillis()
+    val fmt = java.time.format.DateTimeFormatter.ofPattern("MM/dd~HH:mm:ss")
+      .withZone(java.time.ZoneOffset.UTC)
+    def esc(s: String): String = s
+      .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
     val rows = tracker.getState().toSeq
       .sortBy { case (_, (_, st)) => st.history.headOption.map(_.start).getOrElse(0L) }
       .map { case (key, (_, st)) =>
-        s"$key\t${st.state}\t${st.detail}\tupdates=${st.updateCount}"
+        val start = st.history.headOption.map(_.start).getOrElse(now)
+        val elapsed = java.time.Duration.ofMillis(math.max(0L, now - start))
+        val updated = st.history.lastOption.map(_.detailTime).getOrElse(start)
+        val stateStyle =
+          if (st.state == State.Init || st.state == State.ParseComplete)
+            " style=\"color: red;\"" else ""
+        val error = if (st.state == State.Failed || st.state == State.ParseError)
+          st.detail else ""
+        s"""		<tr>
+           |			<td> ${esc(key)} </td>
+           |			<td> ${elapsed.toHours}h${elapsed.toMinutesPart}m${elapsed.toSecondsPart}s </td>
+           |			<td> ${fmt.format(java.time.Instant.ofEpochMilli(updated))} </td>
+           |			<td$stateStyle> ${esc(st.state.name)} </td>
+           |			<td> ${esc(st.detail)} </td>
+           |			<td> ${st.updateCount} </td>
+           |			<td> ${esc(error)} </td>
+           |		</tr>""".stripMargin
       }
-    respond(ex, 200,
-      s"jobs=${rows.size} failed=${tracker.numFailed} completed=${tracker.completed}\n" +
-        rows.mkString("\n"))
+    val body =
+      s"""<html><body>
+         |	<h1>Jobs</h1>
+         |	<style>
+         |	table, th, td {
+         |	  border: 2px solid black;
+         |	}
+         |	</style>
+         |	<table style="width:100%">
+         |		<tr>
+         |			<th> Job </th>
+         |			<th> Elapsed </th>
+         |			<th> Update Time </th>
+         |			<th> State </th>
+         |			<th> Detail </th>
+         |			<th> Updates </th>
+         |			<th> Error </th>
+         |		</tr>
+         |${rows.mkString("\n")}
+         |	</table>
+         |	<br>jobs=${rows.size} failed=${tracker.numFailed} completed=${tracker.completed}
+         |</body></html>
+         |""".stripMargin
+    respond(ex, 200, body, "text/html; charset=utf-8")
   })
 
   def start(): Int = { server.start(); server.getAddress.getPort }

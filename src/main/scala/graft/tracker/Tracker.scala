@@ -29,6 +29,27 @@ final class Tracker(
   private val dirty = new AtomicBoolean(false)
   @volatile private var completedCount: Long = 0
 
+  // ---- Prometheus-style accumulators (reference: metrics/metrics.go) ----
+  // Monotonic counters + a time-in-state histogram, accumulated at the
+  // transition points so they survive job expiry/cleanup (deriving them
+  // from the live JobMap would make the counters go backwards). Reset on
+  // restart, as Prometheus counters do; rates survive via rate().
+  private val startedBy =
+    scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+  private val completedBy =
+    scala.collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+  private val failedBy =
+    scala.collection.mutable.Map[(String, String, String), Long]().withDefaultValue(0L)
+  private val stateSeconds =
+    scala.collection.mutable.Map[(String, String, String), Tracker.HistAcc]()
+
+  private def observeStateTime(job: Job, st: Status, now: Long): Unit =
+    st.history.lastOption.foreach { last =>
+      stateSeconds.getOrElseUpdate(
+        (job.experiment, job.datatype, last.state.name), new Tracker.HistAcc)
+        .observe((now - last.start) / 1000.0)
+    }
+
   // restore persisted state on construction (cmd/gardener/gardener.go:188-202)
   saver.load(snapshotName).foreach { json =>
     jobs = Codec.snapshotFromJson(json)
@@ -43,6 +64,7 @@ final class Tracker(
         Left(s"job already active: ${job.key}")
       case _ =>
         jobs = jobs.updated(job.key, (job, Status.init(clock())))
+        startedBy((job.experiment, job.datatype)) += 1
         dirty.set(true)
         Right(())
     }
@@ -57,7 +79,15 @@ final class Tracker(
           val now = clock()
           var next = st.newState(state, now)
           if (detail.nonEmpty) next = next.setDetail(detail, now)
-          if (state == State.Complete) completedCount += 1
+          observeStateTime(job, st, now) // time spent in the state we leave
+          if (state == State.Complete) {
+            completedCount += 1
+            completedBy((job.experiment, job.datatype)) += 1
+          }
+          if (state == State.Failed || state == State.ParseError)
+            // label the failure with the state it failed OUT of — a bounded
+            // class, like the reference's coarse status label
+            failedBy((job.experiment, job.datatype, st.state.name)) += 1
           jobs = jobs.updated(key, (job, next))
           dirty.set(true)
           Right(())
@@ -107,6 +137,15 @@ final class Tracker(
     keep
   }
 
+  /** Consistent snapshot of the accumulated metric families (for the
+    * Prometheus text exposition in JobsApi).
+    */
+  def metricsSnapshot(): Tracker.Metrics = lock.synchronized(Tracker.Metrics(
+    started = startedBy.toMap,
+    completed = completedBy.toMap,
+    failed = failedBy.toMap,
+    stateSeconds = stateSeconds.map { case (k, v) => k -> v.snapshot }.toMap))
+
   def numJobs: Int = lock.synchronized(jobs.size)
 
   def numFailed: Int = lock.synchronized(
@@ -143,4 +182,49 @@ final class Tracker(
     t.start()
     t
   }
+}
+
+object Tracker {
+
+  /** Time-in-state histogram bucket upper bounds in seconds — the
+    * reference's StateTimeHistogram buckets (metrics/metrics.go:127-139).
+    */
+  val StateTimeBuckets: Array[Double] = Array(
+    0.1, 0.3, 1, 3, 10, 30,
+    100, 300, 1000, 1800, 3600, 2 * 3600, 4 * 3600, 8 * 3600, 12 * 3600)
+
+  /** Cumulative-bucket histogram accumulator (Prometheus semantics:
+    * bucket `le=b` counts observations ≤ b; +Inf bucket == count).
+    */
+  final class HistAcc {
+    private val counts = new Array[Long](StateTimeBuckets.length + 1)
+    private var total = 0L
+    private var sum = 0.0
+    def observe(v: Double): Unit = {
+      var i = 0
+      while (i < StateTimeBuckets.length && v > StateTimeBuckets(i)) i += 1
+      counts(i) += 1
+      total += 1
+      sum += v
+    }
+    def snapshot: Hist = {
+      val cum = new Array[Long](counts.length)
+      var acc = 0L
+      var i = 0
+      while (i < counts.length) { acc += counts(i); cum(i) = acc; i += 1 }
+      Hist(cum, sum, total)
+    }
+  }
+
+  /** Immutable histogram snapshot: `cumBuckets(i)` is the count of
+    * observations ≤ StateTimeBuckets(i); the last slot is +Inf (== count).
+    */
+  final case class Hist(cumBuckets: Array[Long], sum: Double, count: Long)
+
+  /** Snapshot of all accumulated families, keyed by label values. */
+  final case class Metrics(
+      started: Map[(String, String), Long],
+      completed: Map[(String, String), Long],
+      failed: Map[(String, String, String), Long],
+      stateSeconds: Map[(String, String, String), Hist])
 }
