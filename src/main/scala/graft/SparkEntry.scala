@@ -229,12 +229,31 @@ object SparkEntry {
       TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 6)),
 
+    // ---- benchmark decontamination: n-gram overlap vs an eval set ----
+    // every 100th doc plays the benchmark; the rest are "training"
+    "dd_decontaminate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextDedup.decontaminate(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0),
+        "doc_id", "text")
+    }),
+
     // ---- dedup family: embedding-cosine near-dup ----
     // exact within a predicate-bounded subset (oracled); the scale path is
-    // Similarity.embedNearDupPairs (random-hyperplane LSH, spec-tested)
+    // the random-hyperplane LSH below (rows-only driver check — the
+    // hyperplane hash mix needs wrapping 64-bit arithmetic the SQL oracle
+    // lacks; exactness where buckets collide is spec-enforced)
     "dd_embed_cosine" -> ((s, dir) =>
       Similarity.cosineNearDupPairs(Tables.embeddings(s, dir), "vec_id",
         "embedding", col("vec_id") < 500, minCosE6 = 350000L)),
+
+    // threshold is corpus-relative: the synthetic embeddings are near-
+    // orthogonal (max pairwise cosine ~0.51), so 0.45 plays the "near
+    // dup" band here; real corpora would run 0.95+ with the same plan
+    "dd_embed_neardup_lsh" -> ((s, dir) =>
+      Similarity.embedNearDupPairs(Tables.embeddings(s, dir), "vec_id",
+        "embedding", minCosE6 = 450000L, dim = 64)),
 
     // ---- similarity search ----
     "sim_cosine_topk" -> ((s, dir) =>
@@ -588,6 +607,17 @@ object SparkEntry {
     "dd_ngram_jaccard" ->
       s"""WITH $JaccardPairCtes
          |SELECT * FROM p WHERE jaccard_e4 >= 5000""".stripMargin,
+
+    // train/eval shingle overlap; the Spark side joins on xxhash64 of the
+    // shingle rather than the string (identical counts modulo a ~2^-64
+    // collision, same trade the jaccard tier documents)
+    "dd_decontaminate" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, $ShingleSql AS sh FROM t),
+         |ev AS (SELECT DISTINCT unnest(sh) AS g FROM s WHERE doc_id % 100 = 0),
+         |tr AS (SELECT doc_id, unnest(sh) AS g FROM s WHERE doc_id % 100 <> 0)
+         |SELECT tr.doc_id, count(*) AS n_hits
+         |FROM tr JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id""".stripMargin,
 
     // connected components of the jaccard pair graph: min reachable id
     // per node via a recursive CTE (the Spark side iterates min-label

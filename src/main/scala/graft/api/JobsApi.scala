@@ -114,7 +114,7 @@ final class JobsApi(tracker: Tracker, jobService: JobService, port: Int = 0) {
 
   // HTML job table (reference: cmd/gardener/gardener.go:129-150 Status +
   // tracker/job.go:381-443 WriteHTML): rows ordered by job start time;
-  // Init/postProcessing rows red (the states a healthy pipeline leaves
+  // Init/ParseComplete rows red (the states a healthy pipeline leaves
   // quickly); the reference's os.Environ() dump is deliberately omitted
   // (it leaks credentials-by-env on an unauthenticated port).
   server.createContext("/status", ex => {

@@ -45,7 +45,10 @@ object Gardener {
     TableOps.configure(spark)
 
     val saver = new LocalNamedSaver(stateDir)
-    val tracker = new Tracker(saver)
+    // reference: cmd/gardener/gardener.go:56,192-195 plumbs the configured
+    // expiration as the job-expiry horizon (config default 5h; the
+    // constructor's 24h default mirrors the reference flag default)
+    val tracker = new Tracker(saver, expiryMillis = config.trackerTimeout.toMillis)
     tracker.saveEvery(60000)
 
     val wh = Warehouse(warehouseRoot)

@@ -119,24 +119,32 @@ object Similarity {
     * vectors do NOT travel inside the bucket structs (near-dup-heavy
     * corpora produce hot buckets, and |g| vectors × dim in one
     * aggregation buffer is an executor OOM). Candidate pairs are formed
-    * on ids alone, capped at `maxBucketSize` per bucket (a bucket shared
-    * by thousands of vectors carries no similarity signal — same
-    * mitigation as [[TextDedup.lshCandidates]]), then vectors are joined
-    * back BY ID for the exact-cosine verify. Per-vector norms are
-    * precomputed on the join side, so the scoring arithmetic
-    * (dot / (nrm_a * nrm_b)) is the same multiply chain as the in-bucket
-    * form — results are bit-identical where no bucket exceeds the cap.
+    * on ids alone, optionally capped at `maxBucketSize` per bucket, then
+    * vectors are joined back BY ID for the exact-cosine verify.
+    * Per-vector norms are precomputed on the join side, so the scoring
+    * arithmetic (dot / (nrm_a * nrm_b)) is the same multiply chain as the
+    * in-bucket form — results are bit-identical where no bucket exceeds
+    * the cap.
     *
     * @param dim embedding dimensionality — a required parameter so plan
     *        construction stays lazy (discovering it with `first()` would
     *        execute a Spark job at plan-build time).
-    * @param maxBucketSize buckets larger than this are dropped; <= 0
-    *        disables the cap.
+    * @param maxBucketSize buckets larger than this are DROPPED; <= 0
+    *        (the default, matching [[TextDedup.lshCandidates]]) disables
+    *        the cap. A cluster of > cap near-identical vectors occupies
+    *        the same bucket in EVERY band, so capping drops that whole
+    *        cluster — zero recall on exactly the heaviest duplicate
+    *        clusters a dedup pass exists to find. Only enable the cap
+    *        after an exact-dup pre-pass (tier 1: byte/fingerprint
+    *        dedup) has removed identical-vector clusters, so no TRUE
+    *        duplicate cluster can exceed it; dropped buckets are then
+    *        surfaced via `Dataset.observe` ("lsh_bucket_cap_<n>", see
+    *        [[TextDedup.pairsWithinGroups]]).
     */
   def embedNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
       minCosE6: Long, dim: Int, nBits: Int = 16, bands: Int = 4,
-      maxBucketSize: Int = 4096
+      maxBucketSize: Int = 0
   ): DataFrame = {
     require(dim > 0, "dim must be positive")
     require(nBits % bands == 0, "bands must divide nBits")

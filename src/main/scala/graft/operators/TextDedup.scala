@@ -23,6 +23,10 @@ import org.apache.spark.sql.functions._
   */
 object TextDedup {
 
+  // per-invocation suffix for observed-metric names (must be unique
+  // within a single query plan)
+  private val obsId = new java.util.concurrent.atomic.AtomicInteger(0)
+
   // ---------- shingles ----------
 
   /** Distinct k-token shingles of a text column (default 3-gram).
@@ -154,16 +158,21 @@ object TextDedup {
     * pre-pass (one map-side-combined `groupBy(h).count`, shuffle =
     * |distinct shingles|, then a broadcast anti-join of the few hot
     * hashes) drops shingles with doc-freq > `maxShingleDocFreq` from the
-    * inverted index BEFORE the pair join. Semantics: a shingle shared by
-    * thousands of docs carries ~zero similarity signal, but dropping it
-    * does shave its contribution to |A ∩ B|, so a qualifying pair whose
-    * entire overlap is hot shingles would be missed — the standard
-    * stop-list trade. The default cap (128) is 5× the max doc-freq
-    * observed in the test corpus (25 at sf0.1), so test-scale results are
-    * bit-identical to the unguarded plan. Dropped-shingle stats are
-    * published through `Dataset.observe` under metric name
-    * "jaccard_stoplist" (`hot_shingles`, `dropped_postings`) — readable
-    * via a QueryExecutionListener with zero extra jobs.
+    * inverted index BEFORE the pair join. Semantics are the standard
+    * stop-list: BOTH sets are filtered, so Jaccard is computed over the
+    * surviving shingles only — |A ∩ B| from the pair counts and |A|,|B|
+    * recomputed from the surviving postings (keeping the pre-filter sizes
+    * would overstate |A ∪ B| by the shared hot shingles and bias the
+    * score low near the threshold). A shingle shared by thousands of docs
+    * carries ~zero similarity signal, but a qualifying pair whose entire
+    * overlap is hot shingles is missed — the standard stop-list trade.
+    * The default cap (128) is 5× the max doc-freq observed in the test
+    * corpus (25 at sf0.1), so test-scale results are bit-identical to the
+    * unguarded plan. Dropped-shingle stats are published through
+    * `Dataset.observe` under a per-invocation metric name
+    * "jaccard_stoplist_<n>" (`hot_shingles`, `dropped_postings`) —
+    * readable via a QueryExecutionListener matching the prefix, zero
+    * extra jobs.
     */
   def lengthBandedJaccardPairs(
       docs: DataFrame, idCol: String, textCol: String, lenCol: String,
@@ -173,19 +182,38 @@ object TextDedup {
     val base = withHashedShingles(docs, Seq(idCol, lenCol), textCol)
       .withColumn("b0", floor(col(lenCol) / lit(bucketWidth.toDouble)).cast("long"))
       .withColumn("sz", size(col("sh")))
-    val ex0 = base.select(col(idCol), col(lenCol), col("b0"), col("sz"),
-      explode_outer(col("sh")).as("h"))
     // shingles are distinct within a doc, so count(h) IS doc-frequency
     val ex =
-      if (maxShingleDocFreq <= 0) ex0
+      if (maxShingleDocFreq <= 0)
+        base.select(col(idCol), col(lenCol), col("b0"), col("sz"),
+          explode_outer(col("sh")).as("h"))
       else {
-        val hot = ex0.groupBy(col("h"))
+        // Observed-metric names must be unique within one query plan
+        // (composing two stop-listed pair sets into a single action would
+        // otherwise fail analysis), so each invocation gets a fresh
+        // "jaccard_stoplist_<n>" — listeners should match on the prefix.
+        val hot = base.select(explode(col("sh")).as("h"))
+          .groupBy(col("h"))
           .agg(count(lit(1)).as("df"))
           .filter(col("df") > maxShingleDocFreq)
-          .observe("jaccard_stoplist",
+          .observe(s"jaccard_stoplist_${obsId.getAndIncrement()}",
             count(lit(1)).as("hot_shingles"),
             coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
-        ex0.join(broadcast(hot.select(col("h"))), Seq("h"), "left_anti")
+        // Standard stop-list semantics filter BOTH sets: the hot hashes are
+        // collected into ONE row (bounded by |postings|/cap — broadcastable
+        // by construction), broadcast-cross-joined, and removed from each
+        // doc's shingle ARRAY before the explode, so both the surviving
+        // postings and the `sz` that enters the denominator come from the
+        // same filtered set. Keeping the pre-filter size(sh) would
+        // overstate |A ∪ B| by the shared hot shingles and bias Jaccard
+        // low exactly on the boilerplate-heavy pairs the guard targets.
+        // Zero shuffles beyond the unguarded plan's (the doc-freq groupBy
+        // replaces nothing but is map-side combined on |distinct shingles|).
+        val hotArr = hot.agg(collect_list(col("h")).as("hot_hs"))
+        base.crossJoin(broadcast(hotArr))
+          .withColumn("shf", array_except(col("sh"), col("hot_hs")))
+          .select(col(idCol), col(lenCol), col("b0"),
+            size(col("shf")).as("sz"), explode_outer(col("shf")).as("h"))
       }
     val a = ex.select(col(idCol).as("id_a"), col(lenCol).as("len_a"),
       col("b0").as("b0_a"), col("sz").as("sz_a"), col("h"))
@@ -201,6 +229,45 @@ object TextDedup {
         floor(col("inter") * lit(10000.0) /
           (col("sz_a") + col("sz_b") - col("inter"))).cast("long").as("jaccard_e4"))
       .filter(col("jaccard_e4") >= minJaccardE4)
+  }
+
+  // ---------- cross-corpus decontamination ----------
+
+  /** Benchmark decontamination: for each training document, the number of
+    * distinct k-gram shingles it shares with ANY document of an
+    * evaluation/benchmark corpus. The standard pre-training hygiene pass
+    * (largescale pipelines drop or flag training docs whose n-gram
+    * overlap with a benchmark exceeds a threshold); k=3 here at test
+    * scale where published pipelines use 8-13 — the plumbing is
+    * k-agnostic.
+    *
+    * Scale shape: benchmark suites are small relative to the training
+    * corpus (10³-10⁵ docs ⇒ ≤10⁷ distinct shingle hashes — tens of MB of
+    * longs), so the eval side is reduced to DISTINCT hashes and
+    * broadcast; the training side streams through a broadcast-hash inner
+    * join with NO shuffle of the (huge) training postings, and the only
+    * exchange is the map-side-combined count by doc id. Returns
+    * (idCol, n_hits) for contaminated docs only — n_hits is the distinct
+    * shared-shingle count since shingles are distinct within a doc.
+    *
+    * Set `broadcastEval = false` if the eval corpus is itself huge; the
+    * planner then falls back to a shuffled hash join keyed by shingle
+    * hash (hot boilerplate shingles in the TRAINING corpus are harmless
+    * here — a training posting matches at most one eval hash row, so no
+    * f² blow-up exists in this join).
+    */
+  def decontaminate(
+      train: DataFrame, eval: DataFrame, idCol: String, textCol: String,
+      k: Int = 3, broadcastEval: Boolean = true
+  ): DataFrame = {
+    val evalHashes = withHashedShingles(eval, Nil, textCol, k)
+      .select(explode(col("sh")).as("h")).distinct()
+    val ev = if (broadcastEval) broadcast(evalHashes) else evalHashes
+    withHashedShingles(train, Seq(idCol), textCol, k)
+      .select(col(idCol), explode(col("sh")).as("h"))
+      .join(ev, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_hits"))
   }
 
   // ---------- tier 3: MinHash + LSH ----------
@@ -260,7 +327,10 @@ object TextDedup {
     *        (|g|² pair rows from one hot bucket land in one task — the
     *        standard LSH mitigation, since a bucket shared by thousands of
     *        docs carries no similarity signal anyway). <= 0 disables.
-    *        Callers that cap should surface the cap, not hide it.
+    *        When enabled, dropped-bucket stats are published through
+    *        `Dataset.observe` under a per-invocation metric name
+    *        "lsh_bucket_cap_<n>" (`dropped_buckets`, `dropped_ids`) so
+    *        the cap is surfaced, not hidden.
     */
   private[operators] def pairsWithinGroups(
       df: DataFrame, groupCols: Seq[String], idCol: String,
@@ -269,8 +339,16 @@ object TextDedup {
       .agg(sort_array(collect_list(col(idCol))).as("ids"))
       .filter(size(col("ids")) > 1)
     val bounded =
-      if (maxGroupSize > 0) grouped.filter(size(col("ids")) <= maxGroupSize)
-      else grouped
+      if (maxGroupSize > 0) {
+        val over = size(col("ids")) > maxGroupSize
+        grouped
+          .observe(s"lsh_bucket_cap_${obsId.getAndIncrement()}",
+            coalesce(sum(when(over, lit(1L)).otherwise(lit(0L))), lit(0L))
+              .as("dropped_buckets"),
+            coalesce(sum(when(over, size(col("ids")).cast("long"))
+              .otherwise(lit(0L))), lit(0L)).as("dropped_ids"))
+          .filter(!over)
+      } else grouped
     bounded
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),

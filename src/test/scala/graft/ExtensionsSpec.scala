@@ -190,6 +190,59 @@ class ExtensionsSpec extends SparkTestBase {
     assert(pairs(100).count() == 66)
   }
 
+  test("jaccard stop-list: numerator AND denominator use the surviving sets") {
+    // "common boiler plate" is hot (doc-freq 6 > cap 4); docs 0/1 share it
+    // plus 3 genuine shingles out of 5 each. Filtered sets: |A'|=|B'|=4,
+    // inter'=3 => floor(3/5 * 1e4) = 6000. A pre-filter denominator would
+    // score 3/(5+5-3) = 4285 — BELOW the 5000 threshold, so the bias
+    // would falsely drop the pair the guard is supposed to preserve.
+    val corpus = (Seq(
+      (0L, "common boiler plate x1 x2 x3 x4", 40L),
+      (1L, "common boiler plate x1 x2 x3 x5", 40L)) ++
+      (10L until 14L).map(i => (i, s"common boiler plate u${i}a u${i}b u${i}c", 40L))
+    ).toDF("doc_id", "text", "n_chars")
+    val got = TextDedup.lengthBandedJaccardPairs(corpus, "doc_id", "text",
+      "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000,
+      maxShingleDocFreq = 4)
+      .select("id_a", "id_b", "jaccard_e4").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(got === Set((0L, 1L, 6000L)))
+  }
+
+  test("guarded pair sets compose into one action (observe names unique)") {
+    // Observed-metric names must be unique per plan; two stop-listed /
+    // capped invocations unioned into ONE action used to fail analysis.
+    val boiler = (0L until 6L).map { i =>
+      (i, s"common boiler plate u${i}a u${i}b u${i}c", 40L)
+    }.toDF("doc_id", "text", "n_chars")
+    def jp() = TextDedup.lengthBandedJaccardPairs(boiler, "doc_id", "text",
+      "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 1000,
+      maxShingleDocFreq = 4)
+    assert(jp().union(jp()).count() == 0)
+    val hot = (0L until 8L).map(i => (i, Array(1f, 0f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    def ep() = Similarity.embedNearDupPairs(hot, "vec_id", "embedding",
+      minCosE6 = 900000L, dim = 4, maxBucketSize = 4)
+    assert(ep().union(ep()).count() == 0)
+  }
+
+  test("decontaminate counts distinct shared shingles against the eval set") {
+    val train = Seq(
+      (1L, "alpha beta gamma delta"), // shares 2 of the eval 3-grams
+      (2L, "foo bar baz qux"),        // clean — must not appear
+      (3L, "alpha beta gamma")        // shares exactly 1
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val got = TextDedup.decontaminate(train, bench, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(1L -> 2L, 3L -> 1L))
+    // non-broadcast path computes the identical result
+    val shuffled = TextDedup.decontaminate(train, bench, "doc_id", "text",
+      broadcastEval = false).as[(Long, Long)].collect().toMap
+    assert(shuffled === got)
+  }
+
   test("ivfTopK probes only the query's centroid bucket at nprobe=1, " +
     "and nprobe=2 widens to the next-nearest bucket") {
     val emb = Seq(

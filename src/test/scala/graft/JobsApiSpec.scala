@@ -100,12 +100,21 @@ class JobsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("health and status endpoints") {
     assert(get("/alive").statusCode() == 200)
     assert(get("/ready").statusCode() == 200)
+    // HTML job table (reference: tracker/job.go:381-443 WriteHTML)
     val st = get("/status")
     assert(st.statusCode() == 200)
-    assert(st.body().startsWith("jobs="))
+    val html = st.body()
+    assert(html.contains("<table"))
+    assert(html.contains("<th> Job </th>"))
+    assert(html.contains("bkt/ndt/ndt7/20240531"))
+    // ParseError is not a red-highlighted state (only Init/ParseComplete)
+    assert(!html.contains("color: red"))
+    assert(html.contains("jobs=1"))
+    // Prometheus text exposition (reference: metrics/metrics.go via promhttp)
     val m = get("/metrics")
     assert(m.statusCode() == 200)
-    assert(m.body().contains("\"jobs_by_state\""))
+    assert(m.body().contains("# TYPE gardener_tasks_in_flight gauge"))
+    assert(m.body().contains("gardener_started_total"))
   }
 
   test("JobsClient: typed round trip against the live server") {
