@@ -207,6 +207,11 @@ object SparkEntry {
         .select("doc_id", "n_tokens", "mean_tok_len_e2", "distinct_ratio_e4",
           "stopword_ratio_e4", "quality_e4")),
 
+    // Gopher-style duplicate-n-gram repetition signal
+    "tx_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionFeatures(Tables.documents(s, dir), "text")
+        .select("doc_id", "rep2_e4", "rep3_e4")),
+
     "tx_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -598,6 +603,21 @@ object SparkEntry {
 
     "tx_fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
+
+    "tx_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |c AS (SELECT doc_id,
+         |  CASE WHEN len(w) >= 2 THEN len(w) - 1 ELSE len(w) END AS t2,
+         |  CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE len(w) END AS t3,
+         |  len(CASE WHEN len(w) >= 2
+         |      THEN list_distinct([w[i] || ' ' || w[i+1] for i in range(1, len(w))])
+         |      ELSE list_distinct(w) END) AS d2,
+         |  len($ShingleSql) AS d3
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST(floor((t2 - d2) * 10000.0 / t2) AS BIGINT) AS rep2_e4,
+         |  CAST(floor((t3 - d3) * 10000.0 / t3) AS BIGINT) AS rep3_e4
+         |FROM c""".stripMargin,
 
     "dd_exact" ->
       """WITH r AS (SELECT *, min(doc_id) OVER (

@@ -116,6 +116,34 @@ object TextAnalysis {
       .drop("__w")
   }
 
+  /** N-gram repetition ratios (the Gopher-style duplicate-n-gram
+    * quality signal: heavily templated/looping text repeats its n-grams;
+    * pipelines drop docs above a repetition threshold). For each k,
+    * `rep<k>_e4 = floor((total_k − distinct_k) / total_k · 10⁴)` where
+    * total_k is the n-gram OCCURRENCE count (|w| − k + 1; |w| below k
+    * tokens falls back to token occurrences, mirroring [[TextDedup
+    * .shingles]]) and distinct_k comes from the codegen'd
+    * [[graft.functions.ShingleHashes]] (distinct modulo a ~2⁻⁶⁴
+    * xxhash64 collision, the same trade the dedup tiers document).
+    *
+    * Zero shuffle: one straight-line expression per row per k; the token
+    * array is materialized once (split-inlining trap, see [[TextDedup
+    * .shingles]]).
+    */
+  def repetitionFeatures(df: DataFrame, textCol: String,
+      ks: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val withW = df.withColumn("__w", tokens(t))
+    val nTok = size(col("__w"))
+    val out = ks.foldLeft(withW) { (acc, k) =>
+      val total = when(nTok >= k, nTok - k + 1).otherwise(nTok)
+      val distinctK = size(graft.functions.GraftFunctions.shingleHashes(t, k))
+      acc.withColumn(s"rep${k}_e4",
+        floor((total - distinctK) * lit(10000.0) / total).cast("long"))
+    }
+    out.drop("__w")
+  }
+
   /** Corpus vocabulary with frequency ranks: top-k tokens by count
     * (ties → lexicographic). The token count is one explode + hash
     * aggregate (map-side combined, shuffle = vocabulary size, not token

@@ -94,21 +94,72 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   /** S1: bulk-load newline-delimited JSON under the job's archive prefix into
     * the tmp table, append mode. Schema is inferred (the reference's loads are
     * schema-on-read with evolution tolerated, ops/actions.go:215-225); pass
-    * `schema` to pin it. Returns rows loaded.
+    * `schema` to pin it. Returns OpStats(lines seen, rows loaded) — the
+    * difference is the quarantined count.
+    *
+    * Corrupt-record quarantine: a malformed line does NOT fail the load
+    * (one bad line in a 100 TB archive day must not sink the other
+    * billions of rows — the reference parser likewise skips unparseable
+    * rows and reports counts, with the tracker's ParseError state for
+    * the terminal case). PERMISSIVE-mode parsing captures bad lines in
+    * the corrupt-record column; good rows append to tmp as before, and
+    * bad raw lines append to `<tmp>__quarantine` partitioned by the
+    * job's date for operator inspection/replay. The quarantine pass is a
+    * SECOND read of the archive, but it only runs when the first pass
+    * observed a nonzero corrupt count — clean loads (the overwhelming
+    * case) stay one pass, same plan as before.
     */
   def loadToTmp(glob: String, schema: Option[org.apache.spark.sql.types.StructType] = None): OpStats = {
-    val reader = spark.read
+    val CR = "_corrupt_record"
+    def reader = spark.read
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX")
-    val df0 = schema.map(reader.schema).getOrElse(reader).json(glob)
+      .option("columnNameOfCorruptRecord", CR)
+    // a pinned schema must carry the corrupt-record field to capture (not
+    // null-out) malformed lines; inference adds it only when bad lines exist
+    val pinned = schema.map(s =>
+      if (s.fieldNames.contains(CR)) s
+      else s.add(CR, org.apache.spark.sql.types.StringType))
+    val df0 = pinned.map(reader.schema).getOrElse(reader).json(glob)
+    val quarantinePath = tmpPath + "__quarantine"
+
+    if (!df0.columns.contains("date")) {
+      // nothing parsed to the expected shape (e.g. every line malformed, so
+      // inference saw only the corrupt column): quarantine the raw text
+      val obs = new org.apache.spark.sql.Observation()
+      TableOps.withTableLocks(reads = Nil, writes = Seq(quarantinePath)) {
+        spark.read.text(glob).select(col("value").as("raw"))
+          .withColumn("date", dateLit)
+          .observe(obs, count(lit(1)).as("rows"))
+          .write.mode(SaveMode.Append).partitionBy("date").parquet(quarantinePath)
+      }
+      return OpStats(obs.get("rows").asInstanceOf[Long], 0L)
+    }
+
+    val hasCorrupt = df0.columns.contains(CR)
     // JSON carries date as a string; normalize to DateType partition column.
     val df = df0.withColumn("date", col("date").cast("date"))
     val obs = new org.apache.spark.sql.Observation()
     TableOps.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
-      df.observe(obs, count(lit(1)).as("rows"))
-        .write.mode(SaveMode.Append).partitionBy("date").parquet(tmpPath)
+      val observed = df.observe(obs, count(lit(1)).as("lines"),
+        (if (hasCorrupt) count(col(CR))
+         else count(when(lit(false), lit(1)))).as("corrupt"))
+      val good = if (hasCorrupt) observed.filter(col(CR).isNull).drop(CR)
+                 else observed
+      good.write.mode(SaveMode.Append).partitionBy("date").parquet(tmpPath)
     }
-    val n = obs.get("rows").asInstanceOf[Long]
-    OpStats(n, n)
+    val lines = obs.get("lines").asInstanceOf[Long]
+    val corrupt = obs.get("corrupt").asInstanceOf[Long]
+    if (corrupt > 0) {
+      TableOps.withTableLocks(reads = Nil, writes = Seq(quarantinePath)) {
+        // second column referenced alongside the corrupt column to satisfy
+        // Spark's raw-source corrupt-column query restriction
+        df0.filter(col(CR).isNotNull)
+          .select(col(CR).as("raw"), col("date").cast("string").as("claimed_date"))
+          .withColumn("date", dateLit)
+          .write.mode(SaveMode.Append).partitionBy("date").parquet(quarantinePath)
+      }
+    }
+    OpStats(lines, lines - corrupt)
   }
 
   /** W1/J2: keep-set dedup of the job's tmp date partition, in place.

@@ -279,6 +279,19 @@ class ExtensionsSpec extends SparkTestBase {
     assert(recall(nCents) == 1.0)
   }
 
+  test("repetition ratio flags templated text, zero for all-distinct") {
+    val docs = Seq(
+      // w=4: 3 bigram occurrences, 1 distinct => rep2 = floor(2/3*1e4);
+      //      2 trigram occurrences, 1 distinct => rep3 = 5000
+      (1L, "spam spam spam spam"),
+      (2L, "all tokens are different here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.repetitionFeatures(docs, "text")
+      .select("doc_id", "rep2_e4", "rep3_e4").as[(Long, Long, Long)]
+      .collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out === Map(1L -> (6666L, 5000L), 2L -> (0L, 0L)))
+  }
+
   test("language-id & quality are deterministic and sane") {
     val out = docs.select(col("doc_id"),
       TextAnalysis.langPredict(col("text")).as("pred"))

@@ -109,6 +109,45 @@ class TableOpsSpec extends SparkTestBase {
     assert(annOps.join().rowsOut == 0)
   }
 
+  test("load quarantines malformed lines instead of failing the day") {
+    val root = Files.createTempDirectory("graft-whq").toString
+    val src = Files.createTempDirectory("graft-srcq")
+    writeJsonl(src, "m.json", Seq(
+      """{"id":"a","date":"2024-03-01","parser":{"Time":"2024-03-01T10:00:00Z"},"v":1}""",
+      """{"id":"b","date":"2024-03-01","parser":{"Time":"2024-03-01T11:00:00Z"},"v":2""", // truncated
+      """this is not json""",
+      """{"id":"c","date":"2024-03-01","parser":{"Time":"2024-03-01T12:00:00Z"},"v":3}"""))
+    val job = mkJob(root, "ndt7", "2024-03-01")
+    val ops = new TableOps(spark, job, Warehouse(root))
+    val st = ops.loadToTmp(s"$src/m.json")
+    assert(st.rowsIn == 4 && st.rowsOut == 2) // 2 good, 2 quarantined
+    val tmp = spark.read.parquet(s"$root/tmp_exp/ndt7")
+    assert(tmp.count() == 2)
+    assert(!tmp.columns.contains("_corrupt_record"))
+    val q = spark.read.parquet(s"$root/tmp_exp/ndt7__quarantine")
+    assert(q.count() == 2)
+    val raws = q.select("raw").as[String].collect().toSet
+    assert(raws.exists(_.contains("this is not json")))
+    assert(raws.exists(_.startsWith("""{"id":"b"""")))
+    // quarantine rows are attributed to the job's date partition
+    assert(q.filter($"date" === lit(java.sql.Date.valueOf("2024-03-01"))).count() == 2)
+
+    // all lines malformed: schema inference sees no data shape at all —
+    // the whole file quarantines as raw text, zero rows load
+    writeJsonl(src, "bad.json", Seq("x", "{broken"))
+    val st2 = ops.loadToTmp(s"$src/bad.json")
+    assert(st2.rowsIn == 2 && st2.rowsOut == 0)
+    assert(spark.read.parquet(s"$root/tmp_exp/ndt7__quarantine").count() == 4)
+
+    // a pinned schema captures (not nulls-out) the malformed lines too
+    val root2 = Files.createTempDirectory("graft-whq2").toString
+    val ops2 = new TableOps(spark, mkJob(root2, "ndt7", "2024-03-01"), Warehouse(root2))
+    val schema = spark.read.json(s"$src/m.json").drop("_corrupt_record").schema
+    val st3 = ops2.loadToTmp(s"$src/m.json", Some(schema))
+    assert(st3.rowsIn == 4 && st3.rowsOut == 2)
+    assert(spark.read.parquet(s"$root2/tmp_exp/ndt7__quarantine").count() == 2)
+  }
+
   test("load appends; re-load then dedup converges (idempotent redo)") {
     val root = Files.createTempDirectory("graft-wh2").toString
     val src = Files.createTempDirectory("graft-src2")
