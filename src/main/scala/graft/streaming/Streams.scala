@@ -50,10 +50,24 @@ object Streams {
   /** Newline-delimited-JSON archive stream with an explicit schema (schema
     * inference is illegal on streams, and the load schema is declared in
     * the reference too).
+    *
+    * With `captureCorrupt` the schema gains the PERMISSIVE corrupt-record
+    * column `_corrupt_record` — the streaming dual of the batch load's
+    * quarantine (`TableOps.loadToTmp`): a malformed line must not kill a
+    * long-running ingest query. Callers split with a filter on the
+    * column (null ⇒ parsed row, non-null ⇒ raw bad line) — typically in
+    * `foreachBatch`, writing each side to its own sink so one source
+    * read feeds both.
     */
   def jsonArchiveStream(spark: SparkSession, schema: StructType, glob: String,
-      maxFilesPerTrigger: Option[Int] = None): DataFrame = {
-    val r = spark.readStream.schema(schema)
+      maxFilesPerTrigger: Option[Int] = None,
+      captureCorrupt: Boolean = false): DataFrame = {
+    val s =
+      if (captureCorrupt && !schema.fieldNames.contains("_corrupt_record"))
+        schema.add("_corrupt_record", org.apache.spark.sql.types.StringType)
+      else schema
+    val r = spark.readStream.schema(s)
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
     maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
     r.json(glob)
   }

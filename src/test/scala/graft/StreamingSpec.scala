@@ -46,6 +46,30 @@ class StreamingSpec extends SparkTestBase {
       .count(_.startsWith("date=")) === 2)
   }
 
+  test("json archive stream captures malformed lines instead of dying") {
+    val in = Files.createTempDirectory("graft_stream_q_in").toString
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("date", StringType),
+      StructField("v", LongType)))
+    Files.write(java.nio.file.Paths.get(in, "a.json"),
+      """{"id":"m1","date":"2023-05-01","v":1}
+        |{"id":"m2","date":"2023-05-01","v":2
+        |{"id":"m3","date":"2023-05-01","v":3}""".stripMargin.getBytes)
+    implicit val sqlCtx = spark.sqlContext
+    val stream = Streams.jsonArchiveStream(spark, schema, in,
+      captureCorrupt = true)
+    val q = stream.writeStream.format("memory").queryName("quarantine_split")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    val rows = spark.table("quarantine_split")
+    assert(rows.count() === 3)
+    // good/bad split is a filter on the corrupt column
+    assert(rows.filter(rows("_corrupt_record").isNull).count() === 2)
+    val bad = rows.filter(rows("_corrupt_record").isNotNull)
+      .select("_corrupt_record").collect().map(_.getString(0))
+    assert(bad.toSeq === Seq("""{"id":"m2","date":"2023-05-01","v":2"""))
+  }
+
   test("watermarked hourly agg emits finalized windows and drops late rows") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
