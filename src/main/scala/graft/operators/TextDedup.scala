@@ -143,13 +143,23 @@ object TextDedup {
     *
     * Execution is an inverted shingle index, NOT a bucket-blocked
     * array-vs-array join: shingles are hashed to longs once (distinctness
-    * preserved modulo a ~2^-64 xxhash64 collision), exploded, and
-    * self-joined on the shingle hash, so only pairs that actually share a
-    * shingle are ever materialized — a pair below the threshold with zero
-    * overlap costs nothing. |A ∩ B| falls out of a count per pair and
-    * |A ∪ B| = |A| + |B| − |A ∩ B|; no shingle array crosses the shuffle.
-    * Measured on the 5k-doc corpus: 203k shingle-pair rows vs ~5M
-    * in-bucket array comparisons for the blocked formulation.
+    * preserved modulo a ~2^-64 xxhash64 collision) and pairs are formed
+    * only between docs that actually share a shingle — a pair below the
+    * threshold with zero overlap costs nothing. |A ∩ B| falls out of a
+    * count per pair and |A ∪ B| = |A| + |B| − |A ∩ B|; no shingle array
+    * crosses the pair shuffle. Measured on the 5k-doc corpus: 203k
+    * shingle-pair rows vs ~5M in-bucket array comparisons for the
+    * blocked formulation.
+    *
+    * With the stop-list active (the default), the index is ONE
+    * `groupBy(h).collect_list` whose posting lists are bounded by the
+    * cap — hot shingles are removed BEFORE this aggregation, so no
+    * buffer can exceed `maxShingleDocFreq` entries — and pairs expand
+    * in-group: one corpus scan for the doc-freq count, one for the
+    * postings, no posting-vs-posting join and no duplicated plan branch.
+    * With the cap disabled, posting lists are unbounded, so the pair
+    * formation falls back to a plain self-join on the shingle hash
+    * (which never materializes a group in memory).
     *
     * Hot-shingle skew guard: a shingle appearing in f docs emits f² pair
     * rows into ONE join key — boilerplate shingles (license headers,
@@ -182,44 +192,7 @@ object TextDedup {
     val base = withHashedShingles(docs, Seq(idCol, lenCol), textCol)
       .withColumn("b0", floor(col(lenCol) / lit(bucketWidth.toDouble)).cast("long"))
       .withColumn("sz", size(col("sh")))
-    // shingles are distinct within a doc, so count(h) IS doc-frequency
-    val ex =
-      if (maxShingleDocFreq <= 0)
-        base.select(col(idCol), col(lenCol), col("b0"), col("sz"),
-          explode_outer(col("sh")).as("h"))
-      else {
-        // Observed-metric names must be unique within one query plan
-        // (composing two stop-listed pair sets into a single action would
-        // otherwise fail analysis), so each invocation gets a fresh
-        // "jaccard_stoplist_<n>" — listeners should match on the prefix.
-        val hot = base.select(explode(col("sh")).as("h"))
-          .groupBy(col("h"))
-          .agg(count(lit(1)).as("df"))
-          .filter(col("df") > maxShingleDocFreq)
-          .observe(s"jaccard_stoplist_${obsId.getAndIncrement()}",
-            count(lit(1)).as("hot_shingles"),
-            coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
-        // Standard stop-list semantics filter BOTH sets: the hot hashes are
-        // collected into ONE row (bounded by |postings|/cap — broadcastable
-        // by construction), broadcast-cross-joined, and removed from each
-        // doc's shingle ARRAY before the explode, so both the surviving
-        // postings and the `sz` that enters the denominator come from the
-        // same filtered set. Keeping the pre-filter size(sh) would
-        // overstate |A ∪ B| by the shared hot shingles and bias Jaccard
-        // low exactly on the boilerplate-heavy pairs the guard targets.
-        // Zero shuffles beyond the unguarded plan's (the doc-freq groupBy
-        // replaces nothing but is map-side combined on |distinct shingles|).
-        val hotArr = hot.agg(collect_list(col("h")).as("hot_hs"))
-        base.crossJoin(broadcast(hotArr))
-          .withColumn("shf", array_except(col("sh"), col("hot_hs")))
-          .select(col(idCol), col(lenCol), col("b0"),
-            size(col("shf")).as("sz"), explode_outer(col("shf")).as("h"))
-      }
-    val a = ex.select(col(idCol).as("id_a"), col(lenCol).as("len_a"),
-      col("b0").as("b0_a"), col("sz").as("sz_a"), col("h"))
-    val b = ex.select(col(idCol).as("id_b"), col(lenCol).as("len_b"),
-      col("b0").as("b0_b"), col("sz").as("sz_b"), col("h"))
-    a.join(b, Seq("h"))
+    def scorePairs(pairs: DataFrame): DataFrame = pairs
       .filter(col("id_a") < col("id_b") &&
         abs(col("len_a") - col("len_b")) <= maxDelta &&
         abs(col("b0_a") - col("b0_b")) <= 1)
@@ -229,6 +202,64 @@ object TextDedup {
         floor(col("inter") * lit(10000.0) /
           (col("sz_a") + col("sz_b") - col("inter"))).cast("long").as("jaccard_e4"))
       .filter(col("jaccard_e4") >= minJaccardE4)
+
+    if (maxShingleDocFreq <= 0) {
+      // unbounded posting lists: self-join on the shingle hash (never
+      // materializes a whole posting list in one buffer)
+      val ex = base.select(col(idCol), col(lenCol), col("b0"), col("sz"),
+        explode_outer(col("sh")).as("h"))
+      val a = ex.select(col(idCol).as("id_a"), col(lenCol).as("len_a"),
+        col("b0").as("b0_a"), col("sz").as("sz_a"), col("h"))
+      val b = ex.select(col(idCol).as("id_b"), col(lenCol).as("len_b"),
+        col("b0").as("b0_b"), col("sz").as("sz_b"), col("h"))
+      scorePairs(a.join(b, Seq("h")))
+    } else {
+      // Observed-metric names must be unique within one query plan
+      // (composing two stop-listed pair sets into a single action would
+      // otherwise fail analysis), so each invocation gets a fresh
+      // "jaccard_stoplist_<n>" — listeners should match on the prefix.
+      // shingles are distinct within a doc, so count(h) IS doc-frequency
+      val hot = base.select(explode(col("sh")).as("h"))
+        .groupBy(col("h"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDocFreq)
+        .observe(s"jaccard_stoplist_${obsId.getAndIncrement()}",
+          count(lit(1)).as("hot_shingles"),
+          coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
+      // Standard stop-list semantics filter BOTH sets: the hot hashes are
+      // collected into ONE row (bounded by |postings|/cap — broadcastable
+      // by construction), broadcast-cross-joined, and removed from each
+      // doc's shingle ARRAY before the explode, so both the surviving
+      // postings and the `sz` that enters the denominator come from the
+      // same filtered set. Keeping the pre-filter size(sh) would
+      // overstate |A ∪ B| by the shared hot shingles and bias Jaccard
+      // low exactly on the boilerplate-heavy pairs the guard targets.
+      val hotArr = hot.agg(collect_list(col("h")).as("hot_hs"))
+      val postings = base.crossJoin(broadcast(hotArr))
+        .withColumn("shf", array_except(col("sh"), col("hot_hs")))
+        .select(col(idCol).as("id"), col(lenCol).as("len"), col("b0"),
+          size(col("shf")).as("szf"), explode(col("shf")).as("h"))
+      // In-group pair expansion: every surviving shingle has doc-freq ≤
+      // cap, so the collect_list buffer is bounded and the f² blow-up is
+      // structurally impossible. One posting shuffle (groupBy h) replaces
+      // the self-join's two join exchanges + extra corpus scan; pairs
+      // leave each group as bare (id, len, b0, sz) pairs — bytes, not
+      // arrays. sort_array orders by id, so i<j gives id_a < id_b.
+      val groups = postings.groupBy(col("h"))
+        .agg(sort_array(collect_list(struct(col("id"), col("len"),
+          col("b0"), col("szf")))).as("ps"))
+        .filter(size(col("ps")) > 1)
+      val pairs = groups
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2,
+            greatest(size(col("ps")) - i - 1, lit(0))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+          col("p.a.len").as("len_a"), col("p.b.len").as("len_b"),
+          col("p.a.b0").as("b0_a"), col("p.b.b0").as("b0_b"),
+          col("p.a.szf").as("sz_a"), col("p.b.szf").as("sz_b"))
+      scorePairs(pairs)
+    }
   }
 
   // ---------- cross-corpus decontamination ----------
