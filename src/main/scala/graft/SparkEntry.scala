@@ -316,6 +316,16 @@ object SparkEntry {
         Map("en" -> 3000L, "zh" -> 6000L), defaultRateE4 = 1500L)
         .select("doc_id", "lang", "source")),
 
+    // ---- the full corpus-hygiene pipeline: quality → repetition →
+    //      near-dup dedup (min-id representative) → decontamination ----
+    "ds_corpus_clean" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      graft.operators.CorpusPipeline.clean(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0))
+        .select("doc_id", "lang", "quality_e4")
+    }),
+
     // ---- kNN classification: majority label of the 5 cosine-nearest
     //      neighbors (ties → smallest label) ----
     "emb_knn_classify" -> ((s, dir) => {
@@ -387,6 +397,12 @@ object SparkEntry {
   private def markerListSql(lang: String): String =
     TextAnalysis.langMarkers(lang).map(m => s"'$m'").mkString("[", ", ", "]")
 
+  /** DuckDB literal list of ALL language markers (the stopword set of
+    * qualityFeatures). */
+  private val AllMarkersSql: String =
+    TextAnalysis.langMarkers.values.flatten.toSeq.distinct
+      .map(m => s"'$m'").mkString("[", ", ", "]")
+
   private def langScoreSql(lang: String): String =
     s"""CAST(floor(len(list_filter($W, x -> list_contains(${markerListSql(lang)}, x)))
        | * 10000.0 / len($W)) AS BIGINT)""".stripMargin
@@ -420,10 +436,12 @@ object SparkEntry {
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 
   /** Length-banded jaccard pair CTE chain ending in `p(id_a, id_b,
-    * jaccard_e4)` — shared by dd_ngram_jaccard and dd_cluster_minlabel.
+    * jaccard_e4)` — shared by dd_ngram_jaccard, dd_cluster_minlabel and
+    * ds_corpus_clean (which runs it over a filtered CTE instead of the
+    * raw table).
     */
-  private val JaccardPairCtes =
-    s"""t AS (SELECT doc_id, n_chars, $W AS w FROM documents),
+  private def jaccardPairCtes(src: String): String =
+    s"""t AS (SELECT doc_id, n_chars, $W AS w FROM $src),
        |s AS (SELECT doc_id, n_chars, $ShingleSql AS sh,
        |        CAST(floor(n_chars / 32.0) AS BIGINT) AS b0 FROM t),
        |bl AS (SELECT s.*, u.bucket FROM s,
@@ -591,11 +609,11 @@ object SparkEntry {
          |  CAST(floor(len(list_distinct($W)) * 10000.0 / len($W)) AS BIGINT)
          |    AS distinct_ratio_e4,
          |  CAST(floor(len(list_filter($W, x -> list_contains(
-         |      ${TextAnalysis.langMarkers.values.flatten.toSeq.distinct.map(m => s"'$m'").mkString("[", ", ", "]")},
+         |      $AllMarkersSql,
          |      x))) * 10000.0 / len($W)) AS BIGINT) AS stopword_ratio_e4,
          |  CAST(floor(len(list_distinct($W)) * 10000.0 / len($W))
          |    + (CASE WHEN floor(len(list_filter($W, x -> list_contains(
-         |        ${TextAnalysis.langMarkers.values.flatten.toSeq.distinct.map(m => s"'$m'").mkString("[", ", ", "]")},
+         |        $AllMarkersSql,
          |        x))) * 10000.0 / len($W)) > 0 THEN 500 ELSE 0 END)
          |    - (CASE WHEN floor((length(text) - len($W) + 1) * 100.0 / len($W)) > 1200
          |        THEN 1000 ELSE 0 END) AS BIGINT) AS quality_e4
@@ -625,7 +643,7 @@ object SparkEntry {
         |SELECT doc_id, lang, source, n_chars FROM r WHERE doc_id = keep_id""".stripMargin,
 
     "dd_ngram_jaccard" ->
-      s"""WITH $JaccardPairCtes
+      s"""WITH ${jaccardPairCtes("documents")}
          |SELECT * FROM p WHERE jaccard_e4 >= 5000""".stripMargin,
 
     // train/eval shingle overlap; the Spark side joins on xxhash64 of the
@@ -643,7 +661,7 @@ object SparkEntry {
     // per node via a recursive CTE (the Spark side iterates min-label
     // propagation to the same fixpoint)
     "dd_cluster_minlabel" ->
-      s"""WITH RECURSIVE $JaccardPairCtes,
+      s"""WITH RECURSIVE ${jaccardPairCtes("documents")},
          |pr AS (SELECT id_a, id_b FROM p WHERE jaccard_e4 >= 5000),
          |e AS (SELECT id_a AS a, id_b AS b FROM pr
          |      UNION SELECT id_b AS a, id_a AS b FROM pr),
@@ -811,6 +829,48 @@ object SparkEntry {
          |WHERE (${md5LongSql("concat('samp#', CAST(doc_id AS VARCHAR))")}
          |       % 10000) <
          |  CASE lang WHEN 'en' THEN 3000 WHEN 'zh' THEN 6000 ELSE 1500 END""".stripMargin,
+
+    // the hygiene pipeline, stage by stage: quality+repetition gates →
+    // jaccard clusters over the survivors (min-id representative kept) →
+    // eval-overlap decontamination of the representatives
+    "ds_corpus_clean" ->
+      s"""WITH RECURSIVE
+         |q0 AS (SELECT doc_id, text, lang, n_chars, $W AS w FROM documents
+         |       WHERE doc_id % 100 <> 0),
+         |q1 AS (SELECT doc_id, text, lang, n_chars, w,
+         |  CAST(floor(len(list_distinct(w)) * 10000.0 / len(w))
+         |    + (CASE WHEN floor(len(list_filter(w, x -> list_contains(
+         |        $AllMarkersSql, x))) * 10000.0 / len(w)) > 0
+         |       THEN 500 ELSE 0 END)
+         |    - (CASE WHEN floor((length(text) - len(w) + 1) * 100.0 / len(w)) > 1200
+         |       THEN 1000 ELSE 0 END) AS BIGINT) AS quality_e4,
+         |  CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE len(w) END AS t3,
+         |  len($ShingleSql) AS d3
+         |  FROM q0),
+         |q AS (SELECT doc_id, text, lang, n_chars, quality_e4 FROM q1
+         |      WHERE quality_e4 >= 4000
+         |        AND CAST(floor((t3 - d3) * 10000.0 / t3) AS BIGINT) <= 500),
+         |${jaccardPairCtes("q")},
+         |pr AS (SELECT id_a, id_b FROM p WHERE jaccard_e4 >= 5000),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pr
+         |      UNION SELECT id_b AS a, id_a AS b FROM pr),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT r.n, e2.b FROM reach r JOIN e e2 ON e2.a = r.m),
+         |lab AS (SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS label
+         |        FROM reach GROUP BY n),
+         |dd AS (SELECT q.* FROM q LEFT JOIN lab USING (doc_id)
+         |       WHERE label IS NULL OR label = doc_id),
+         |ew AS (SELECT doc_id, $W AS w FROM documents WHERE doc_id % 100 = 0),
+         |ev AS (SELECT DISTINCT unnest($ShingleSql) AS g FROM ew),
+         |tw AS (SELECT doc_id, $W AS w FROM dd),
+         |tr AS (SELECT doc_id, unnest($ShingleSql) AS g FROM tw),
+         |hits AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr
+         |         JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id)
+         |SELECT dd.doc_id, dd.lang, dd.quality_e4
+         |FROM dd LEFT JOIN hits USING (doc_id)
+         |WHERE coalesce(n_hits, 0) < 2""".stripMargin,
 
     "mm_decode_meta" ->
       s"""SELECT doc_id AS media_id,

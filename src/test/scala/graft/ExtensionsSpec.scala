@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Multimodal, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{CorpusPipeline, Multimodal, Similarity, TextAnalysis, TextDedup}
 
 /** Scale-extension operators: dedup family, similarity search, text
   * analysis, multimodal plumbing (SURVEY.md §7.5).
@@ -277,6 +277,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(r1 <= r3, s"recall must not drop as nprobe grows: $r1 -> $r3")
     // probing every bucket scores every candidate — identical to brute force
     assert(recall(nCents) == 1.0)
+  }
+
+  test("corpus pipeline composes quality, repetition, dedup, decontamination") {
+    val train = Seq(
+      // near-dup pair: 31 is 30 plus one appended token (jaccard 7/8);
+      // min-id representative 30 must survive, 31 must not
+      (30L, "alpha beta gamma delta epsilon zeta eta theta the", 40L),
+      (31L, "alpha beta gamma delta epsilon zeta eta theta the iota", 44L),
+      // quality gate: one token repeated => distinct ratio 500 < 4000
+      (32L, Seq.fill(20)("spam").mkString(" "), 99L),
+      // repetition gate: 20-token cycle twice => quality 5000 passes but
+      // rep3 = floor(18/38*1e4) = 4736 > 500
+      (33L, ((0 until 20) ++ (0 until 20)).map(i => s"c$i").mkString(" "), 120L),
+      // decontamination: shares 3 trigrams with eval doc 100 (>= 2)
+      (40L, "foo bar baz qux quux grault the", 31L),
+      // clean survivor
+      (50L, "hello world this is a fine document the end", 44L)
+    ).toDF("doc_id", "text", "n_chars")
+    val evalDocs = Seq((100L, "foo bar baz qux quux corge the", 30L))
+      .toDF("doc_id", "text", "n_chars")
+    val out = CorpusPipeline.clean(train, evalDocs)
+    assert(out.select("doc_id").as[Long].collect().toSet === Set(30L, 50L))
+    // survivors carry the quality score for downstream filtering/weighting
+    assert(out.columns.contains("quality_e4"))
   }
 
   test("repetition ratio flags templated text, zero for all-distinct") {
