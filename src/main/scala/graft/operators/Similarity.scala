@@ -187,6 +187,14 @@ object Similarity {
 
   /** IVF assignment: each vector gets the id of its nearest centroid
     * (max cosine; ties → lowest centroid id). Centroids are broadcast.
+    *
+    * The per-vector argmax is a `min_by` AGGREGATE over the broadcast
+    * cross-join, not a row_number window: all k scored rows of a vector
+    * come off the same input row, so partial aggregation collapses them
+    * map-side and the exchange carries ONE row per vector — a window
+    * would shuffle (and sort) all n×k scored rows by id. min of
+    * (−cos, cent_id) ≡ (cos desc, cent_id asc) without requiring a
+    * numeric centroid id.
     */
   def ivfAssign(
       embeddings: DataFrame, idCol: String, vecCol: String,
@@ -197,9 +205,10 @@ object Similarity {
     val scored = embeddings.select(col(idCol), asDouble(col(vecCol)).as("v"))
       .crossJoin(cents)
       .withColumn("cos_e6", floor(cosine(col("v"), col("cent_vec")) * 1e6).cast("long"))
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cos_e6").desc, col("cent_id").asc)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-      .select(col(idCol), col("cent_id"), col("v"))
+    scored.groupBy(col(idCol))
+      .agg(min_by(struct(col("cent_id"), col("v")),
+        struct((-col("cos_e6")).as("neg_cos"), col("cent_id"))).as("best"))
+      .select(col(idCol), col("best.cent_id").as("cent_id"), col("best.v").as("v"))
   }
 
   /** IVF top-k: probe the query's `nprobe` nearest centroid buckets.
