@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnotationJoin, Dedup, Multimodal, Sampling, Sessions, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AnnotationJoin, Curation, Dedup, Multimodal, Packing, Sampling, Sessions, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -342,6 +342,52 @@ object SparkEntry {
       votes.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
         .select(col("query_id"), col("label").as("label_pred"), col("votes"))
     }),
+
+    // ---- sequence packing: sharded greedy next-fit into 256-token
+    //      training sequences (see Packing scaladoc for the scale shape) ----
+    "ds_pack_sequences" -> ((s, dir) =>
+      Packing.packGreedy(
+        Tables.documents(s, dir).select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 256L, nShards = 8)),
+
+    // ---- per-language quality quotas: top-30 docs per lang by quality,
+    //      via the map-side-combining TopKByScore aggregate (no stratum
+    //      ever sorts in one task) ----
+    "ds_quota_curate" -> ((s, dir) =>
+      Curation.quotaTopK(
+        TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text")
+          .select(col("doc_id"), col("lang"), col("quality_e4")),
+        "lang", "doc_id", "quality_e4", quota = 30)),
+
+    // ---- deterministic train/val/test hash split (90/5/5) ----
+    "ds_split_assign" -> ((s, dir) =>
+      Curation.assignSplits(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 9000L, "val" -> 500L, "test" -> 500L))
+        .select("doc_id", "lang", "split")),
+
+    // ---- data-mixture report: token/doc share per (source, lang) ----
+    "ds_domain_mix" -> ((s, dir) =>
+      Curation.domainMixture(Tables.documents(s, dir), "source", "lang",
+        TextAnalysis.tokenCount(col("text")))),
+
+    // ---- canonical normalization: NFC (custom codegen'd expression) +
+    //      lowercase + whitespace collapse ----
+    "tx_normalize" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("norm_text"))
+        .withColumn("n_norm_chars", length(col("norm_text")).cast("long"))),
+
+    // ---- PII scrub: email/IPv4 counts + redacted-text fingerprint ----
+    "tx_pii_redact" -> ((s, dir) =>
+      TextAnalysis.piiRedact(Tables.documents(s, dir), "text")
+        .select(col("doc_id"), col("n_emails"), col("n_ips"),
+          md5(col("redacted")).as("redacted_fp"))),
+
+    // ---- context-window chunking: 32-token windows, stride 24 ----
+    "tx_chunk" -> ((s, dir) =>
+      TextAnalysis.chunkFixed(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 32, stride = 24)),
 
     // ---- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ----
     "mm_decode_meta" -> ((s, dir) =>
@@ -871,6 +917,96 @@ object SparkEntry {
          |SELECT dd.doc_id, dd.lang, dd.quality_e4
          |FROM dd LEFT JOIN hits USING (doc_id)
          |WHERE coalesce(n_hits, 0) < 2""".stripMargin,
+
+    // sharded greedy next-fit packing: the per-shard sequential fold is a
+    // single-arm recursive CTE along the shard's row_number chain
+    "ds_pack_sequences" ->
+      s"""WITH RECURSIVE
+         |t0 AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens,
+         |         (${md5LongSql("concat('pack#', CAST(doc_id AS VARCHAR))")}
+         |          % 8) AS shard
+         |       FROM documents),
+         |t AS (SELECT *, row_number() OVER (PARTITION BY shard
+         |        ORDER BY doc_id) AS rn FROM t0),
+         |rec(shard, rn, doc_id, n_tokens, bin, bin_offset, fill) AS (
+         |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
+         |         CAST(0 AS BIGINT), n_tokens
+         |  FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+         |    CASE WHEN r.fill + t.n_tokens <= 256 THEN r.bin ELSE r.bin + 1 END,
+         |    CASE WHEN r.fill + t.n_tokens <= 256 THEN r.fill
+         |         ELSE CAST(0 AS BIGINT) END,
+         |    CASE WHEN r.fill + t.n_tokens <= 256 THEN r.fill + t.n_tokens
+         |         ELSE t.n_tokens END
+         |  FROM rec r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)
+         |SELECT doc_id, shard, CAST(bin AS BIGINT) AS bin,
+         |       bin_offset, n_tokens FROM rec""".stripMargin,
+
+    "ds_quota_curate" ->
+      s"""WITH q AS (SELECT doc_id, lang,
+         |  CAST(floor(len(list_distinct($W)) * 10000.0 / len($W))
+         |    + (CASE WHEN floor(len(list_filter($W, x -> list_contains(
+         |        $AllMarkersSql, x))) * 10000.0 / len($W)) > 0
+         |       THEN 500 ELSE 0 END)
+         |    - (CASE WHEN floor((length(text) - len($W) + 1) * 100.0 / len($W)) > 1200
+         |       THEN 1000 ELSE 0 END) AS BIGINT) AS quality_e4
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang
+         |        ORDER BY quality_e4 DESC, doc_id ASC) AS rank FROM q)
+         |SELECT lang, doc_id, quality_e4, CAST(rank AS BIGINT) AS rank
+         |FROM r WHERE rank <= 30""".stripMargin,
+
+    "ds_split_assign" -> {
+      val h = md5LongSql("concat('split#', CAST(doc_id AS VARCHAR))")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ($h % 10000) < 9000 THEN 'train'
+         |       WHEN ($h % 10000) < 9500 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
+
+    "ds_domain_mix" ->
+      s"""WITH a AS (SELECT source, lang, count(*) AS n_docs,
+         |             CAST(sum(CAST(len($W) AS BIGINT)) AS BIGINT) AS n_tokens
+         |           FROM documents GROUP BY source, lang),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS total FROM a)
+         |SELECT source, lang, n_docs, n_tokens,
+         |  CAST(floor(n_tokens * 1000000.0 / total) AS BIGINT) AS share_e6
+         |FROM a, t""".stripMargin,
+
+    "tx_normalize" -> {
+      val norm =
+        raw"regexp_replace(lower(trim(nfc_normalize(text))), '\s+', ' ', 'g')"
+      s"""SELECT doc_id, $norm AS norm_text,
+         |  CAST(length($norm) AS BIGINT) AS n_norm_chars
+         |FROM documents""".stripMargin
+    },
+
+    "tx_pii_redact" ->
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${TextAnalysis.EmailPattern}')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text,
+         |    '${TextAnalysis.Ipv4Pattern}')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(text,
+         |    '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g')) AS redacted_fp
+         |FROM documents""".stripMargin,
+
+    "tx_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |c AS (SELECT doc_id, len(w) AS n, w,
+         |        unnest(list_transform(
+         |          range(0, CAST(floor((len(w) - 1) / 24) AS BIGINT) + 1),
+         |          i -> i * 24)) AS chunk_start
+         |      FROM t)
+         |SELECT doc_id, CAST(chunk_start // 24 AS BIGINT) AS chunk_idx,
+         |  CAST(chunk_start AS BIGINT) AS chunk_start,
+         |  CAST(least(n - chunk_start, 32) AS BIGINT) AS n_chunk_tokens,
+         |  md5(array_to_string(w[chunk_start + 1 : chunk_start + 32], ' '))
+         |    AS chunk_fp
+         |FROM c""".stripMargin,
 
     "mm_decode_meta" ->
       s"""SELECT doc_id AS media_id,

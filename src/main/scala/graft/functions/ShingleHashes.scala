@@ -141,4 +141,9 @@ object GraftFunctions {
   def simhashXx(text: Column, k: Int = 3): Column =
     org.apache.spark.sql.graftshim.ColumnBridge.column(
       SimhashXx(org.apache.spark.sql.graftshim.ColumnBridge.expression(text), k))
+
+  /** Unicode NFC normalization (NormalizeExpr.scala). */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.graftshim.ColumnBridge.column(
+      NfcNormalize(org.apache.spark.sql.graftshim.ColumnBridge.expression(text)))
 }

@@ -217,6 +217,68 @@ object TextAnalysis {
     */
   def fingerprint(text: Column): Column = md5(lower(trim(text)))
 
+  /** Canonical text normalization: Unicode NFC (via the codegen'd
+    * [[graft.functions.NfcNormalize]] expression — Spark has no builtin),
+    * lowercase, whitespace runs collapsed to single spaces, trimmed.
+    * The canonical form every exact-dedup key and tokenizer should see;
+    * pure map-side column expression, zero shuffle.
+    */
+  def normalizeText(text: Column): Column =
+    regexp_replace(
+      lower(trim(graft.functions.GraftFunctions.nfcNormalize(text))),
+      "\\s+", " ")
+
+  /** PII patterns — deliberately lookahead-free so the same pattern runs
+    * under Java regex (Spark) and RE2 (the DuckDB oracle).
+    */
+  val EmailPattern: String =
+    "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val Ipv4Pattern: String =
+    "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** PII scrub: per-document match counts plus the redacted text
+    * (emails → `<EMAIL>`, IPv4 literals → `<IP>`; emails first so an
+    * address's host part is never half-redacted as an IP). Map-side
+    * regexp expressions, zero shuffle — at 100 TB this runs inside the
+    * scan like the rest of the tx_* family.
+    */
+  def piiRedact(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    df.withColumn("n_emails",
+        size(regexp_extract_all(t, lit(EmailPattern), lit(0))).cast("long"))
+      .withColumn("n_ips",
+        size(regexp_extract_all(t, lit(Ipv4Pattern), lit(0))).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(
+          regexp_replace(t, EmailPattern, "<EMAIL>"), Ipv4Pattern, "<IP>"))
+  }
+
+  /** Fixed-size overlapping token windows — context-window chunking for
+    * training/embedding: chunk i covers tokens [i·stride, i·stride +
+    * chunkTokens). The token array is materialized ONCE in its own
+    * projection (split-inlining trap, see [[languageId]]), chunk starts
+    * come from one `sequence` + `posexplode` (a generator, so rows fan
+    * out inside the scan stage — no shuffle), and each chunk's text is a
+    * single `slice` + `concat_ws` over the carried array.
+    *
+    * @return idCol, chunk_idx (0-based), chunk_start (token offset),
+    *         n_chunk_tokens, chunk_fp (md5 of the chunk text)
+    */
+  def chunkFixed(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int): DataFrame = {
+    require(chunkTokens > 0 && stride > 0, "chunkTokens and stride must be positive")
+    df.select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(0), size(col("__w")) - 1, lit(stride))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        col("col").cast("long").as("chunk_start"),
+        least(size(col("__w")) - col("col"), lit(chunkTokens))
+          .cast("long").as("n_chunk_tokens"),
+        md5(concat_ws(" ", slice(col("__w"), col("col") + 1, lit(chunkTokens))))
+          .as("chunk_fp"))
+  }
+
   /** 64-bit rolling fingerprint over tokens — Spark-side (not portable
     * SQL, so not oracled). The fold chains xxhash64(acc, tok) rather than
     * the classic acc*31+h polynomial: under ANSI mode (Spark 4's default)

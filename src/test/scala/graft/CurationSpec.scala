@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Curation, Packing, TextAnalysis}
+
+/** Curation-layer operators: sequence packing, quality quotas, split
+  * assignment, mixture reporting, normalization, PII scrub, chunking.
+  */
+class CurationSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 40 docs with varied lengths; lengths chosen so bins mix doc counts
+  private val docs = (1L to 40L)
+    .map(i => (i, 10L + (i * 7) % 90, if (i % 3 == 0) "de" else "en"))
+    .toDF("doc_id", "n_tokens", "lang")
+
+  test("packGreedy: every doc placed exactly once") {
+    val out = Packing.packGreedy(docs, "doc_id", "n_tokens",
+      budgetTokens = 128L, nShards = 4)
+    assert(out.count() == 40L)
+    assert(out.select("doc_id").distinct().count() == 40L)
+  }
+
+  test("packGreedy: multi-doc bins respect the budget; offsets are contiguous") {
+    val out = Packing.packGreedy(docs, "doc_id", "n_tokens",
+      budgetTokens = 128L, nShards = 4)
+      .select("doc_id", "shard", "bin", "bin_offset", "n_tokens")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val byBin = out.groupBy(r => (r._2, r._3))
+    byBin.foreach { case (_, rows) =>
+      val total = rows.map(_._5).sum
+      if (rows.length > 1) assert(total <= 128L)
+      // offsets = prefix sums of lengths in ascending doc_id order
+      val sorted = rows.sortBy(_._1)
+      sorted.foldLeft(0L) { (expect, r) =>
+        assert(r._4 == expect, s"offset mismatch for doc ${r._1}")
+        expect + r._5
+      }
+    }
+  }
+
+  test("packGreedy: an oversize doc occupies a bin alone") {
+    val withBig = docs.union(Seq((99L, 500L, "en")).toDF("doc_id", "n_tokens", "lang"))
+    val out = Packing.packGreedy(withBig, "doc_id", "n_tokens",
+      budgetTokens = 128L, nShards = 2)
+      .select("doc_id", "shard", "bin").as[(Long, Long, Long)].collect()
+    val bigBin = out.find(_._1 == 99L).map(r => (r._2, r._3)).get
+    assert(out.count(r => (r._2, r._3) == bigBin) == 1)
+  }
+
+  test("packGreedy: result is a pure function of ids+lengths (partitioning-independent)") {
+    val a = Packing.packGreedy(docs.repartition(1), "doc_id", "n_tokens",
+      budgetTokens = 128L, nShards = 4).collect().toSet
+    val b = Packing.packGreedy(docs.repartition(13), "doc_id", "n_tokens",
+      budgetTokens = 128L, nShards = 4).collect().toSet
+    assert(a == b)
+  }
+
+  test("quotaTopK matches the window formulation exactly") {
+    val scored = docs.withColumn("score", (col("doc_id") * 37) % 11)
+    val viaAgg = Curation.quotaTopK(scored, "lang", "doc_id", "score", quota = 5)
+      .select("lang", "doc_id", "score", "rank")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val viaWindow = scored
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 5)
+      .select("lang", "doc_id", "score", "rank")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(viaAgg == viaWindow)
+  }
+
+  test("assignSplits: total partition, deterministic, weights validated") {
+    val out = Curation.assignSplits(docs, "doc_id",
+      Seq("train" -> 8000L, "val" -> 1000L, "test" -> 1000L))
+    assert(out.count() == 40L)
+    val counts = out.groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum == 40L)
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.getOrElse("train", 0L) > counts.getOrElse("val", 0L))
+    // same (salt, key) => same split on a reshuffled frame
+    val again = Curation.assignSplits(docs.repartition(7), "doc_id",
+      Seq("train" -> 8000L, "val" -> 1000L, "test" -> 1000L))
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val first = out.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(again == first)
+    intercept[IllegalArgumentException] {
+      Curation.assignSplits(docs, "doc_id", Seq("a" -> 5000L, "b" -> 4000L))
+    }
+  }
+
+  test("domainMixture: shares are floor-exact fractions of the grand total") {
+    val mix = Curation.domainMixture(docs, "lang", "lang", col("n_tokens"))
+      .select("n_docs", "n_tokens", "share_e6").as[(Long, Long, Long)].collect()
+    val total = mix.map(_._2).sum
+    mix.foreach { case (_, t, share) =>
+      assert(share == math.floor(t * 1000000.0 / total).toLong)
+    }
+    assert(mix.map(_._1).sum == 40L)
+  }
+
+  test("normalizeText: NFC-composes, lowercases, collapses whitespace") {
+    // "e" + combining acute (U+0301) must compose to U+00E9
+    val df = Seq(
+      (1L, "Café  du   Monde"),
+      (2L, "  ALREADY   nfc  ")
+    ).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.normalizeText(col("text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "café du monde")
+    assert(out(2L) == "already nfc")
+    // idempotent
+    val twice = df.select(col("id"),
+      TextAnalysis.normalizeText(TextAnalysis.normalizeText(col("text"))).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(twice == out)
+  }
+
+  test("piiRedact: planted emails and IPs are counted and redacted") {
+    val df = Seq(
+      (1L, "contact alice@example.com or 10.0.0.1 now"),
+      (2L, "no pii here at all"),
+      (3L, "two mails: a@b.io c.d@e-f.org and 192.168.1.254")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.piiRedact(df, "text")
+      .select("doc_id", "n_emails", "n_ips", "redacted")
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(out(1L)._2 == 1L && out(1L)._3 == 1L)
+    assert(out(1L)._4 == "contact <EMAIL> or <IP> now")
+    assert(out(2L)._2 == 0L && out(2L)._3 == 0L && out(2L)._4 == "no pii here at all")
+    assert(out(3L)._2 == 2L && out(3L)._3 == 1L)
+    assert(!out(3L)._4.contains("a@b.io") && !out(3L)._4.contains("192.168.1.254"))
+  }
+
+  test("chunkFixed: windows tile the token stream with the given stride") {
+    val text = (1 to 100).map(i => s"t$i").mkString(" ") // 100 tokens
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkFixed(df, "doc_id", "text",
+      chunkTokens = 32, stride = 24)
+      .select("chunk_idx", "chunk_start", "n_chunk_tokens", "chunk_fp")
+      .as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    // starts 0,24,48,72,96 => 5 chunks
+    assert(out.map(_._2).toSeq == Seq(0L, 24L, 48L, 72L, 96L))
+    assert(out.map(_._3).toSeq == Seq(32L, 32L, 32L, 28L, 4L))
+    // first chunk fingerprint = md5 of tokens 1..32
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest((1 to 32).map(i => s"t$i").mkString(" ").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(out.head._4 == expected)
+  }
+}
