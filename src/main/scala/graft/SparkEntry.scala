@@ -289,7 +289,8 @@ object SparkEntry {
     "dd_cluster_minlabel" -> ((s, dir) =>
       TextDedup.minLabelClusters(
         TextDedup.lengthBandedJaccardPairs(Tables.documents(s, dir), "doc_id",
-          "text", "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L))),
+          "text", "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L),
+        pairsDistinct = true)),
 
     // ---- md5-family verification tiers: same algorithms as the xxhash64
     //      minhash/simhash above, hash family the oracle can recompute ----
@@ -359,6 +360,12 @@ object SparkEntry {
         TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text")
           .select(col("doc_id"), col("lang"), col("quality_e4")),
         "lang", "doc_id", "quality_e4", quota = 30)),
+
+    // ---- exactly-100 uniform sample: distributed top-k by salted hash
+    //      (TakeOrderedAndProject — no global sort, no shuffle) ----
+    "ds_sample_exact_n" -> ((s, dir) =>
+      Sampling.uniformSampleN(Tables.documents(s, dir), "doc_id", n = 100)
+        .select("doc_id", "lang", "source")),
 
     // ---- deterministic train/val/test hash split (90/5/5) ----
     "ds_split_assign" -> ((s, dir) =>
@@ -956,6 +963,12 @@ object SparkEntry {
          |        ORDER BY quality_e4 DESC, doc_id ASC) AS rank FROM q)
          |SELECT lang, doc_id, quality_e4, CAST(rank AS BIGINT) AS rank
          |FROM r WHERE rank <= 30""".stripMargin,
+
+    "ds_sample_exact_n" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |ORDER BY ${md5LongSql("concat('samp#', CAST(doc_id AS VARCHAR))")},
+         |         doc_id
+         |LIMIT 100""".stripMargin,
 
     "ds_split_assign" -> {
       val h = md5LongSql("concat('split#', CAST(doc_id AS VARCHAR))")

@@ -42,12 +42,22 @@ object CorpusPipeline {
     val q = TextAnalysis.qualityFeatures(train, textCol)
       .filter(col("quality_e4") >= minQualityE4)
       .select(train.columns.map(col) :+ col("quality_e4"): _*)
+    // The gated frame feeds FIVE downstream scans (stop-list count,
+    // postings, dedup join left side, decontamination shingles, final
+    // anti-join left side) — without a cache each re-runs the quality +
+    // repetition expression gates over the full corpus. minLabelClusters
+    // forces an action on the pair pipeline, so the cache is warm before
+    // the remaining branches execute. Persisted for the plan's lifetime
+    // (same contract as minLabelClusters' returned labels): long-lived
+    // callers should clean up via spark.catalog.clearCache() or recreate
+    // the session; one-shot pipeline runs let session teardown do it.
     val qr = TextAnalysis.repetitionFeatures(q, textCol, ks = Seq(3))
       .filter(col("rep3_e4") <= maxRep3E4)
       .drop("rep3_e4")
+      .persist()
     val pairs = TextDedup.lengthBandedJaccardPairs(
       qr, idCol, textCol, lenCol, minJaccardE4 = minJaccardE4)
-    val labels = TextDedup.minLabelClusters(pairs)
+    val labels = TextDedup.minLabelClusters(pairs, pairsDistinct = true)
     // keep docs with no cluster label (never in a qualifying pair) or
     // that ARE their cluster's min-id representative
     val deduped = qr.join(labels.withColumnRenamed("id", idCol), Seq(idCol), "left")

@@ -38,4 +38,25 @@ object Sampling {
     }
     hashSample(df, keyCol, rate, salt)
   }
+
+  /** EXACTLY-n uniform sample: the n rows with the smallest salted key
+    * hashes (ties broken by the key itself, so the order is total and
+    * the result a pure function of (salt, keys) — rate-based
+    * [[hashSample]] can only hit a target size in expectation).
+    *
+    * Scale shape: `orderBy(...).limit(n)` plans as TakeOrderedAndProject
+    * — each partition keeps an n-element bounded heap and the driver
+    * k-way-merges partition tops, so no global sort and no shuffle of
+    * the corpus; this is the same "top-k without sorting the world"
+    * discipline as TopKByScore/vocabTopK. Memory is O(n) per task —
+    * meant for samples that fit one task comfortably (eval carve-outs,
+    * inspection panels), not for down-sampling to billions of rows (use
+    * [[hashSample]] with a rate for that).
+    */
+  def uniformSampleN(df: DataFrame, keyCol: String, n: Int,
+      salt: String = "samp"): DataFrame =
+    df.orderBy(
+      TextDedup.md5Long(concat(lit(salt + "#"), col(keyCol).cast("string"))),
+      col(keyCol))
+      .limit(n)
 }

@@ -542,17 +542,22 @@ object TextDedup {
     * upstream pair pipeline).
     */
   def minLabelClusters(pairs: DataFrame, maxIters: Int = 25,
-      localEdgeThreshold: Long = 1L << 20): DataFrame = {
+      localEdgeThreshold: Long = 1L << 20,
+      pairsDistinct: Boolean = false): DataFrame = {
     val spark = pairs.sparkSession
     // single-pass symmetrization: a union of two selects over `pairs`
     // would execute the whole upstream pair pipeline once per branch
-    // (measured 2×); exploding both directions from one scan doesn't
-    val edges = pairs
+    // (measured 2×); exploding both directions from one scan doesn't.
+    // Every pair tier in this library emits unique (id_a < id_b) rows
+    // (they end in a groupBy or distinct), so callers pass
+    // pairsDistinct = true and skip a full-edge-set exchange; the
+    // defensive dedup remains the default for arbitrary input.
+    val sym = pairs
       .select(explode(array(
         struct(col("id_a").as("src"), col("id_b").as("dst")),
         struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
       .select(col("e.src"), col("e.dst"))
-      .distinct().persist()
+    val edges = (if (pairsDistinct) sym else sym.distinct()).persist()
     val nEdges = edges.count()
     val idType = edges.schema.fields.head.dataType
     val localizable = Set[org.apache.spark.sql.types.DataType](

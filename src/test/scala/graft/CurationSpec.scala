@@ -58,6 +58,21 @@ class CurationSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("uniformSampleN: exactly n rows, partitioning-independent, prefix-consistent") {
+    val s20 = graft.operators.Sampling.uniformSampleN(docs, "doc_id", 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s20.size == 20)
+    val reparted = graft.operators.Sampling.uniformSampleN(
+      docs.repartition(11), "doc_id", 20)
+      .select("doc_id").as[Long].collect().toSet
+    assert(reparted == s20)
+    // growing the sample only ADDS rows (hash order is a fixed total
+    // order, so samples are nested prefixes of it)
+    val s30 = graft.operators.Sampling.uniformSampleN(docs, "doc_id", 30)
+      .select("doc_id").as[Long].collect().toSet
+    assert(s20.subsetOf(s30))
+  }
+
   test("quotaTopK matches the window formulation exactly") {
     val scored = docs.withColumn("score", (col("doc_id") * 37) % 11)
     val viaAgg = Curation.quotaTopK(scored, "lang", "doc_id", "score", quota = 5)
