@@ -204,6 +204,57 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("packGreedy laws: placement partition, budget bound, next-fit offsets") {
+    import graft.operators.Packing
+    val genDocs = Gen.choose(1, 50).flatMap(n => Gen.listOfN(n, for {
+      len <- Gen.frequency(8 -> Gen.choose(1L, 60L), 1 -> Gen.choose(200L, 400L))
+    } yield len)).map(_.zipWithIndex.map { case (len, i) => (i.toLong, len) })
+    samples(genDocs, 8).foreach { docsL =>
+      val d = docsL.toDF("doc_id", "n_tokens")
+      val out = Packing.packGreedy(d, "doc_id", "n_tokens",
+        budgetTokens = 128L, nShards = 3)
+        .select("doc_id", "shard", "bin", "bin_offset", "n_tokens")
+        .as[(Long, Long, Long, Long, Long)].collect()
+      // placement is a partition of the input
+      assert(out.map(_._1).sorted.toSeq === docsL.map(_._1).sorted)
+      // lengths survive unchanged
+      assert(out.map(r => r._1 -> r._5).toMap === docsL.toMap)
+      out.groupBy(r => (r._2, r._3)).foreach { case (_, rows) =>
+        // multi-doc bins fit the budget; oversize docs sit alone
+        if (rows.length > 1) assert(rows.map(_._5).sum <= 128L)
+        // offsets are the next-fit prefix sums in ascending id order
+        rows.sortBy(_._1).foldLeft(0L) { (expect, r) =>
+          assert(r._4 === expect); expect + r._5
+        }
+      }
+      // bins within a shard are dense from 0 (no skipped bin index)
+      out.groupBy(_._2).foreach { case (_, rows) =>
+        val bins = rows.map(_._3).distinct.sorted
+        assert(bins === (0L until bins.length).toSeq)
+      }
+    }
+  }
+
+  test("assignSplits ∘ hashSample coherence: split sizes sum and stay disjoint") {
+    import graft.operators.Curation
+    val genIds = Gen.choose(1, 80).map(n => (0 until n).map(_.toLong).toList)
+    samples(genIds, 4).foreach { ids =>
+      val d = ids.toDF("doc_id")
+      val out = Curation.assignSplits(d, "doc_id",
+        Seq("train" -> 9000L, "val" -> 500L, "test" -> 500L))
+        .select("doc_id", "split").as[(Long, String)].collect()
+      assert(out.length === ids.length)
+      // each id appears once with exactly one split
+      assert(out.map(_._1).distinct.length === ids.length)
+      // the same weights re-expressed as cumulative hashSample thresholds
+      // give identical membership (the split IS the nested-prefix rule)
+      val h = graft.operators.TextDedup.md5Long(
+        concat(lit("split#"), col("doc_id").cast("string"))) % 10000L
+      val trainIds = d.filter(h < 9000L).as[Long].collect().toSet
+      assert(out.filter(_._2 == "train").map(_._1).toSet === trainIds)
+    }
+  }
+
   test("centroidSums conserves counts and scaled mass per group") {
     import graft.operators.Similarity
     val genVecs = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, for {
