@@ -409,6 +409,19 @@ object SparkEntry {
         maxDim = 256)
         .select("media_id", "width", "height", "scale_e4", "out_width", "out_height")),
 
+    // media near-dup dedup: the decode stub's feature vectors fed into
+    // the embedding near-dup operator — image/video dedup as the same
+    // pipeline shape as text dedup (decode → feature → pair → threshold);
+    // swapping the stub for a real perceptual embedding changes nothing
+    // downstream
+    "mm_neardup" -> ((s, dir) => {
+      val feats = Multimodal.extractFeatures(
+        Multimodal.mediaFromText(Tables.documents(s, dir), "doc_id", "text"))
+        .toDF().select(col("media_id"), col("feature"))
+      Similarity.cosineNearDupPairs(feats, "media_id", "feature",
+        col("media_id") < 500, minCosE6 = 999990L)
+    }),
+
     // the stub feature vector itself (floor-scaled): verifies the
     // mapPartitions decode path end-to-end, not just the metadata
     "mm_feature_vec" -> ((s, dir) =>
@@ -1031,6 +1044,17 @@ object SparkEntry {
       s"""SELECT doc_id AS media_id,
          |  unnest(range(0, CAST($MmFrames AS BIGINT), 3)) AS frame_idx
          |FROM documents""".stripMargin,
+
+    "mm_neardup" -> {
+      val cos = cosE6Sql("a.v", "b.v")
+      s"""WITH f AS (SELECT doc_id AS media_id,
+         |    [CAST(CAST((($MmN * i + $MmFirst) % 997) AS FLOAT)
+         |       / CAST(997 AS FLOAT) AS FLOAT) for i in range(1, 9)] AS v
+         |  FROM documents WHERE doc_id < 500)
+         |SELECT a.media_id AS id_a, b.media_id AS id_b, $cos AS cos_e6
+         |FROM f a JOIN f b ON a.media_id < b.media_id
+         |WHERE $cos >= 999990""".stripMargin
+    },
 
     // float32 division of identical integers is bit-identical across
     // engines; the widen-to-double and floor-scale then match exactly

@@ -340,4 +340,18 @@ class ExtensionsSpec extends SparkTestBase {
     val resized = Multimodal.resize(decoded, maxDim = 256)
     assert(resized.filter(col("out_width") > 256 || col("out_height") > 256).count() == 0)
   }
+
+  test("multimodal near-dup: identical payloads pair at cos 1.0 via the feature path") {
+    import spark.implicits._
+    val media = Multimodal.mediaFromText(docs, "doc_id", "text")
+    val feats = Multimodal.extractFeatures(media)
+      .toDF().select(col("media_id"), col("feature"))
+    val pairs = Similarity.cosineNearDupPairs(feats, "media_id", "feature",
+      lit(true), minCosE6 = 999990L)
+      .select("id_a", "id_b", "cos_e6").as[(Long, Long, Long)].collect()
+    // docs 1 and 2 are byte-identical payloads => identical stub features
+    // (cos_e6 may floor to 999999: dot/(sqrt(s)*sqrt(s)) != 1 exactly)
+    val dup = pairs.find(p => p._1 == 1L && p._2 == 2L)
+    assert(dup.exists(_._3 >= 999990L))
+  }
 }
