@@ -385,6 +385,12 @@ object SparkEntry {
         TextAnalysis.normalizeText(col("text")).as("norm_text"))
         .withColumn("n_norm_chars", length(col("norm_text")).cast("long"))),
 
+    // ---- corpus-adaptive quality: share of tokens in the corpus's own
+    //      top-200 vocabulary (integer-exact unigram-LM stand-in) ----
+    "tx_common_ratio" -> ((s, dir) =>
+      TextAnalysis.commonTokenRatio(Tables.documents(s, dir), "doc_id",
+        "text", k = 200)),
+
     // ---- PII scrub: email/IPv4 counts + redacted-text fingerprint ----
     "tx_pii_redact" -> ((s, dir) =>
       TextAnalysis.piiRedact(Tables.documents(s, dir), "text")
@@ -1008,6 +1014,17 @@ object SparkEntry {
          |  CAST(length($norm) AS BIGINT) AS n_norm_chars
          |FROM documents""".stripMargin
     },
+
+    "tx_common_ratio" ->
+      s"""WITH tk AS (SELECT unnest($W) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS n FROM tk GROUP BY token),
+         |v AS (SELECT list(token ORDER BY n DESC, token ASC) AS vocab
+         |      FROM (SELECT token, n FROM c
+         |            ORDER BY n DESC, token ASC LIMIT 200))
+         |SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens,
+         |  CAST(floor(len(list_filter($W, x -> list_contains(v.vocab, x)))
+         |    * 10000.0 / len($W)) AS BIGINT) AS common_ratio_e4
+         |FROM documents, v""".stripMargin,
 
     "tx_pii_redact" ->
       s"""SELECT doc_id,

@@ -212,6 +212,41 @@ object TextAnalysis {
       .agg(qCols.head, qCols.tail :+ max(col("__n")).as(nCol): _*)
   }
 
+  /** Corpus-adaptive common-token ratio: the fraction of each document's
+    * tokens that belong to the corpus's own top-`k` vocabulary — the
+    * integer-exact cousin of unigram-LM quality scoring (true LM logprob
+    * needs `log`, whose libm rounding differs across engines; a rank
+    * membership test is deterministic everywhere). Garbage/encoding-noise
+    * docs score near 0, natural text scores high.
+    *
+    * Two stages: (1) the top-k vocabulary via the same distributed top-k
+    * as [[vocabTopK]] (map-side-combined token counts; no global sort),
+    * collapsed to ONE array row; (2) a broadcast cross join of that row —
+    * k strings to every executor, never a shuffle of the corpus — and a
+    * per-row membership filter. The vocabulary is ordered (n DESC, token
+    * ASC), so the result is a pure function of the corpus.
+    *
+    * @return idCol, n_tokens, common_ratio_e4
+    */
+  def commonTokenRatio(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val toks = tokens(coalesce(col(textCol), lit("")))
+    val vocab = df
+      .select(explode(toks).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token").asc).limit(k)
+      .agg(sort_array(collect_list(struct((-col("n")).as("negn"),
+        col("token").as("token")))).as("vs"))
+      .select(transform(col("vs"), v => v.getField("token")).as("__vocab"))
+    df.select(col(idCol), toks.as("__w"))
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        floor(size(filter(col("__w"),
+          x => array_contains(col("__vocab"), x))) * lit(10000.0) /
+          size(col("__w"))).cast("long").as("common_ratio_e4"))
+  }
+
   /** Exact content fingerprint: md5 of the normalized text (lower + trim).
     * Identical hex in every engine.
     */

@@ -152,6 +152,22 @@ class CurationSpec extends SparkTestBase {
     assert(!out(3L)._4.contains("a@b.io") && !out(3L)._4.contains("192.168.1.254"))
   }
 
+  test("commonTokenRatio: corpus-frequent tokens score high, noise scores 0") {
+    val df = Seq(
+      (1L, "the cat and the dog and the cat"),
+      (2L, "the dog and the cat"),
+      (3L, "zq9x jkw7 vv0p qqa3")  // tokens that appear once each
+    ).toDF("doc_id", "text")
+    // k=4 vocabulary is {the, and, cat, dog} (freqs 5,3,3,2); noise tokens
+    // appear once and lose the (n desc, token asc) cut deterministically
+    val out = TextAnalysis.commonTokenRatio(df, "doc_id", "text", k = 4)
+      .select("doc_id", "n_tokens", "common_ratio_e4")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L)._3 == 10000L && out(2L)._3 == 10000L)
+    assert(out(3L)._3 == 0L)
+    assert(out(3L)._2 == 4L)
+  }
+
   test("chunkFixed: windows tile the token stream with the given stride") {
     val text = (1 to 100).map(i => s"t$i").mkString(" ") // 100 tokens
     val df = Seq((1L, text)).toDF("doc_id", "text")
