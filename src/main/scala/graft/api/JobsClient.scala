@@ -22,11 +22,12 @@ final class JobsClient(baseUrl: String,
 
   private val http = HttpClient.newBuilder().connectTimeout(timeout).build()
 
-  sealed trait Result
-  case object Ok extends Result
-  case object JobGone extends Result
-  case object NoWork extends Result
-  final case class Error(code: Int, body: String) extends Result
+  import JobsClient.{Error, Result}
+
+  // instance aliases so call sites can keep writing client.Ok etc.
+  val Ok: JobsClient.Ok.type = JobsClient.Ok
+  val JobGone: JobsClient.JobGone.type = JobsClient.JobGone
+  val NoWork: JobsClient.NoWork.type = JobsClient.NoWork
 
   private def post(path: String, params: Map[String, String]): (Int, String) = {
     val form = params.map { case (k, v) =>
@@ -74,4 +75,15 @@ final class JobsClient(baseUrl: String,
       case (410, _) => JobGone
       case (code, body) => Error(code, body)
     }
+}
+
+object JobsClient {
+  /** Typed call results (top-level: a class-nested ADT captures an outer
+    * reference that pattern matches can't check at run time).
+    */
+  sealed trait Result
+  case object Ok extends Result
+  case object JobGone extends Result
+  case object NoWork extends Result
+  final case class Error(code: Int, body: String) extends Result
 }

@@ -104,7 +104,7 @@ object Md5ShingleHash {
       val h0s = java.lang.Long.toString(h0)
       var g = 0
       while (2 * g + 1 < numHashes) {
-        val d = md5((g + "#" + h0s).getBytes(StandardCharsets.UTF_8))
+        val d = md5(s"$g#$h0s".getBytes(StandardCharsets.UTF_8))
         val a = lane0(d)
         val b = lane1(d)
         if (a < mins(2 * g)) mins(2 * g) = a

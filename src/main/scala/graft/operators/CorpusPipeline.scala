@@ -41,7 +41,7 @@ object CorpusPipeline {
   ): DataFrame = {
     val q = TextAnalysis.qualityFeatures(train, textCol)
       .filter(col("quality_e4") >= minQualityE4)
-      .select(train.columns.map(col) :+ col("quality_e4"): _*)
+      .select(train.columns.map(col).toIndexedSeq :+ col("quality_e4"): _*)
     // The gated frame feeds FIVE downstream scans (stop-list count,
     // postings, dedup join left side, decontamination shingles, final
     // anti-join left side) — without a cache each re-runs the quality +
