@@ -352,6 +352,17 @@ object SparkEntry {
           TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
         "doc_id", "n_tokens", budgetTokens = 256L, nShards = 8)),
 
+    // ---- chunk -> pack composition: context windows packed into
+    //      256-token training sequences (chunk_id = doc_id·100 + idx) ----
+    "ds_pack_chunks" -> ((s, dir) => {
+      val chunks = TextAnalysis.chunkFixed(Tables.documents(s, dir),
+        "doc_id", "text", chunkTokens = 32, stride = 24)
+        .select((col("doc_id") * 100 + col("chunk_idx")).as("chunk_id"),
+          col("n_chunk_tokens"))
+      Packing.packGreedy(chunks, "chunk_id", "n_chunk_tokens",
+        budgetTokens = 256L, nShards = 8, salt = "packc")
+    }),
+
     // ---- per-language quality quotas: top-30 docs per lang by quality,
     //      via the map-side-combining TopKByScore aggregate (no stratum
     //      ever sorts in one task) ----
@@ -506,6 +517,33 @@ object SparkEntry {
     */
   private def md5LongSql(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
+
+  /** Shared CTE chain for [[graft.operators.Packing.packGreedy]] oracles:
+    * shards `srcCte`(idCol, lenCol) by the salted hash, then folds each
+    * shard's id-ordered row chain through the greedy next-fit recurrence.
+    * Ends in `rec(shard, rn, pid, plen, bin, bin_offset, fill)`; callers
+    * must open WITH RECURSIVE.
+    */
+  private def packRecSql(srcCte: String, idCol: String, lenCol: String,
+      budget: Long, shards: Int, salt: String): String =
+    s"""t0 AS (SELECT $idCol AS pid, $lenCol AS plen,
+       |         (${md5LongSql(s"concat('$salt#', CAST($idCol AS VARCHAR))")}
+       |          % $shards) AS shard
+       |       FROM $srcCte),
+       |t AS (SELECT *, row_number() OVER (PARTITION BY shard
+       |        ORDER BY pid) AS rn FROM t0),
+       |rec(shard, rn, pid, plen, bin, bin_offset, fill) AS (
+       |  SELECT shard, rn, pid, plen, CAST(0 AS BIGINT),
+       |         CAST(0 AS BIGINT), plen
+       |  FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.shard, t.rn, t.pid, t.plen,
+       |    CASE WHEN r.fill + t.plen <= $budget THEN r.bin ELSE r.bin + 1 END,
+       |    CASE WHEN r.fill + t.plen <= $budget THEN r.fill
+       |         ELSE CAST(0 AS BIGINT) END,
+       |    CASE WHEN r.fill + t.plen <= $budget THEN r.fill + t.plen
+       |         ELSE t.plen END
+       |  FROM rec r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)""".stripMargin
 
   /** Length-banded jaccard pair CTE chain ending in `p(id_a, id_b,
     * jaccard_e4)` — shared by dd_ngram_jaccard, dd_cluster_minlabel and
@@ -948,26 +986,28 @@ object SparkEntry {
     // single-arm recursive CTE along the shard's row_number chain
     "ds_pack_sequences" ->
       s"""WITH RECURSIVE
-         |t0 AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens,
-         |         (${md5LongSql("concat('pack#', CAST(doc_id AS VARCHAR))")}
-         |          % 8) AS shard
-         |       FROM documents),
-         |t AS (SELECT *, row_number() OVER (PARTITION BY shard
-         |        ORDER BY doc_id) AS rn FROM t0),
-         |rec(shard, rn, doc_id, n_tokens, bin, bin_offset, fill) AS (
-         |  SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT),
-         |         CAST(0 AS BIGINT), n_tokens
-         |  FROM t WHERE rn = 1
-         |  UNION ALL
-         |  SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
-         |    CASE WHEN r.fill + t.n_tokens <= 256 THEN r.bin ELSE r.bin + 1 END,
-         |    CASE WHEN r.fill + t.n_tokens <= 256 THEN r.fill
-         |         ELSE CAST(0 AS BIGINT) END,
-         |    CASE WHEN r.fill + t.n_tokens <= 256 THEN r.fill + t.n_tokens
-         |         ELSE t.n_tokens END
-         |  FROM rec r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)
-         |SELECT doc_id, shard, CAST(bin AS BIGINT) AS bin,
-         |       bin_offset, n_tokens FROM rec""".stripMargin,
+         |src AS (SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens
+         |        FROM documents),
+         |${packRecSql("src", "doc_id", "n_tokens", 256L, 8, "pack")}
+         |SELECT pid AS doc_id, shard, CAST(bin AS BIGINT) AS bin,
+         |       bin_offset, plen AS n_tokens FROM rec""".stripMargin,
+
+    // chunk -> pack composition: the 32-token context windows of tx_chunk
+    // packed into 256-token training sequences
+    "ds_pack_chunks" ->
+      s"""WITH RECURSIVE
+         |tch AS (SELECT doc_id, $W AS w FROM documents),
+         |cch AS (SELECT doc_id, len(w) AS n,
+         |          unnest(list_transform(
+         |            range(0, CAST(floor((len(w) - 1) / 24) AS BIGINT) + 1),
+         |            i -> i * 24)) AS chunk_start
+         |        FROM tch),
+         |src AS (SELECT doc_id * 100 + (chunk_start // 24) AS chunk_id,
+         |          CAST(least(n - chunk_start, 32) AS BIGINT) AS n_chunk_tokens
+         |        FROM cch),
+         |${packRecSql("src", "chunk_id", "n_chunk_tokens", 256L, 8, "packc")}
+         |SELECT pid AS chunk_id, shard, CAST(bin AS BIGINT) AS bin,
+         |       bin_offset, plen AS n_chunk_tokens FROM rec""".stripMargin,
 
     "ds_quota_curate" ->
       s"""WITH q AS (SELECT doc_id, lang,
