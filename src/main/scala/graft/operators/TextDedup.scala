@@ -521,6 +521,91 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard_e4")
   }
 
+  // ---------- incremental (new-batch vs seen-corpus) dedup ----------
+
+  /** Incremental dedup: filter a NEW ingest batch against an already-
+    * ingested SEEN corpus — the continuous-ingest counterpart of the batch
+    * tiers above (the reference's incremental model is exactly this: each
+    * daily partition re-enters dedup against what is already in raw,
+    * SURVEY.md §2.7). A new document is dropped when
+    *
+    *   1. its exact content fingerprint already exists in the seen corpus
+    *      (tier 1: md5(lower(trim(text))) anti-join), or
+    *   2. a MinHash-LSH band bucket it occupies is shared with a seen
+    *      document whose exact shingle-set Jaccard is ≥ `minJaccardE4`
+    *      (tier 3 semantics, md5 hash family so a SQL oracle can recompute
+    *      the decision bit for bit).
+    *
+    * Returns the SURVIVING new documents with their original columns.
+    *
+    * Scale shape: the seen side's (fingerprint) and (band, bucket →
+    * doc, signature) tables are the persistent dedup INDEX — at warehouse
+    * scale they are materialized tables appended to as each batch lands,
+    * not recomputed per batch (here they are derived inline from
+    * `seenDocs`; the plan below the index boundary is identical). A daily
+    * batch is orders of magnitude smaller than the accumulated corpus, so
+    * the batch side broadcasts through both probes: the fingerprint
+    * anti-join and the band-bucket join stream the big index with NO
+    * shuffle of the seen corpus, and only candidate (new, seen) pairs —
+    * bucket collisions, near-linear by LSH design — reach the Jaccard
+    * verify join. Set `broadcastNew = false` when the batch itself is
+    * large; both probes then fall back to shuffled hash joins keyed by
+    * fingerprint / (band, bucket).
+    */
+  def incrementalNearDupFilter(
+      newDocs: DataFrame, seenDocs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, minJaccardE4: Long = 5000,
+      broadcastNew: Boolean = true
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def bc(df: DataFrame): DataFrame = if (broadcastNew) broadcast(df) else df
+
+    // tier 1: exact fingerprint. A direct (new LEFT ANTI seen) cannot
+    // broadcast-build on the small side (BroadcastHashJoin builds LeftAnti
+    // on the right, which here is the huge index), so the probe runs in
+    // two broadcast steps that keep the seen index map-only: (a) the
+    // batch's distinct fingerprints broadcast against the index → the
+    // matched subset (≤ |batch| rows by construction), (b) that matched
+    // subset broadcasts back as the anti-join build side.
+    val newFp = newDocs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val seenFps = seenDocs
+      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
+    val matchedFps = seenFps
+      .join(bc(newFp.select(col("__fp")).distinct()), Seq("__fp")).distinct()
+    val fresh = newFp.join(bc(matchedFps), Seq("__fp"), "left_anti").drop("__fp")
+
+    // tier 3: banded md5 MinHash signatures on both sides (row-local
+    // codegen'd expressions — no shingle explode before the band join)
+    val rpb = numHashes / bands
+    def sigBands(docs: DataFrame, outId: String): DataFrame =
+      docs.select(col(idCol),
+        graft.functions.GraftFunctions
+          .minhashMd5Signature(coalesce(col(textCol), lit("")), numHashes).as("sig"))
+        .select(col(idCol).as(outId),
+          posexplode(transform(sequence(lit(0), lit(bands - 1)),
+            b => concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb))))))
+        .select(col(outId), col("pos").as("band"), col("col").as("bucket"))
+    val cands = bc(sigBands(fresh, "new_id"))
+      .join(sigBands(seenDocs, "seen_id"), Seq("band", "bucket"))
+      .select(col("new_id"), col("seen_id")).distinct()
+
+    // exact-Jaccard verify over the md5-hashed shingle sets; only the
+    // candidate pairs' documents are touched
+    def hl(docs: DataFrame, outId: String, outHl: String): DataFrame =
+      docs.select(col(idCol).as(outId),
+        graft.functions.GraftFunctions
+          .shingleMd5Hashes(coalesce(col(textCol), lit(""))).as(outHl))
+    val inter = size(array_intersect(col("hl_a"), col("hl_b")))
+    val dupNewIds = cands
+      .join(hl(fresh, "new_id", "hl_a"), "new_id")
+      .join(hl(seenDocs, "seen_id", "hl_b"), "seen_id")
+      .filter(floor(inter * lit(10000.0) /
+        (size(col("hl_a")) + size(col("hl_b")) - inter)).cast("long") >= minJaccardE4)
+      .select(col("new_id")).distinct()
+
+    fresh.join(bc(dupNewIds), col(idCol) === col("new_id"), "left_anti")
+  }
+
   // ---------- near-dup clustering ----------
 
   /** Connected components of an undirected (id_a, id_b) pair graph:

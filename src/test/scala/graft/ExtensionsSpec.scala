@@ -243,6 +243,32 @@ class ExtensionsSpec extends SparkTestBase {
     assert(shuffled === got)
   }
 
+  test("incremental dedup drops exact and near dups vs the seen corpus, keeps the rest") {
+    val seen = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark engines shuffle data across the cluster nodes")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 0
+      (3L, "the quick brown fox jumps over the lazy cat"),  // near dup of 0
+      (5L, "completely unrelated text about garden vegetables here"),
+      (7L, "spark engines shuffle data across the cluster racks") // near dup of 2
+    ).toDF("doc_id", "text")
+    def run(bcast: Boolean) = TextDedup.incrementalNearDupFilter(
+      fresh, seen, "doc_id", "text", broadcastNew = bcast)
+      .select("doc_id").as[Long].collect().toSet
+    assert(run(true) == Set(5L))
+    // the shuffled-probe variant computes the identical survivor set
+    assert(run(false) == Set(5L))
+    // idempotence: surviving docs re-filtered against the same corpus survive
+    val survivors = fresh.filter(col("doc_id") === 5L)
+    assert(TextDedup.incrementalNearDupFilter(survivors, seen, "doc_id", "text")
+      .count() == 1L)
+    // an empty seen corpus keeps the whole batch
+    assert(TextDedup.incrementalNearDupFilter(fresh, seen.limit(0), "doc_id", "text")
+      .count() == 4L)
+  }
+
   test("ivfTopK probes only the query's centroid bucket at nprobe=1, " +
     "and nprobe=2 widens to the next-nearest bucket") {
     val emb = Seq(
