@@ -284,6 +284,28 @@ object SparkEntry {
         col("vec_id") < 10, k = 5)
     }),
 
+    // ---- semantic dedup (SemDeDup): cluster-bucketed embedding near-dup
+    //      removal, lowest id per near pair survives ----
+    "dd_semantic" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.semanticDedup(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        minCosE6 = 350000L)
+    }),
+
+    // ---- kNN graph: every vector's top-3 neighbors within its IVF
+    //      cluster (the self-join dual of sim_ivf_topk) ----
+    "sim_knn_graph" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.knnGraph(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 3)
+    }),
+
+    // ---- temperature-flattened mixture resampling (τ = 1/2 over lang) ----
+    "ds_temperature_sample" -> ((s, dir) =>
+      Sampling.temperatureSample(Tables.documents(s, dir), "doc_id", "lang")
+        .select("doc_id", "lang", "source")),
+
     // ---- sessionization: gap-based event sessions (30 min) ----
     "ev_sessionize" -> ((s, dir) =>
       Sessions.sessionize(Tables.events(s, dir), "user_id", "ts")
@@ -413,6 +435,11 @@ object SparkEntry {
     "tx_common_ratio" -> ((s, dir) =>
       TextAnalysis.commonTokenRatio(Tables.documents(s, dir), "doc_id",
         "text", k = 200)),
+
+    // ---- per-doc top-3 tf·idf terms (keyword extraction; log-free idf
+    //      so the oracle reproduces scores bit for bit) ----
+    "tx_tfidf_topk" -> ((s, dir) =>
+      TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)),
 
     // ---- PII scrub: email/IPv4 counts + redacted-text fingerprint ----
     "tx_pii_redact" -> ((s, dir) =>
@@ -968,6 +995,53 @@ object SparkEntry {
          |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 5""".stripMargin
     },
 
+    "dd_semantic" -> {
+      val cosAssign = cosE6Sql("e.embedding", "c.embedding")
+      val cosPair = cosE6Sql("a.v", "b.v")
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+         |           WHERE vec_id % 50 = 0),
+         |assign0 AS (SELECT e.vec_id, c.cent_id, e.embedding AS v,
+         |    $cosAssign AS cos_e6 FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT vec_id, cent_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM assign0)
+         |  WHERE rn = 1),
+         |drops AS (SELECT DISTINCT b.vec_id FROM assign a
+         |          JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |          WHERE $cosPair >= 350000)
+         |SELECT vec_id, cent_id FROM assign
+         |WHERE vec_id NOT IN (SELECT vec_id FROM drops)""".stripMargin
+    },
+
+    "sim_knn_graph" -> {
+      val cosAssign = cosE6Sql("e.embedding", "c.embedding")
+      val cosPair = cosE6Sql("a.v", "b.v")
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+         |           WHERE vec_id % 50 = 0),
+         |assign0 AS (SELECT e.vec_id, c.cent_id, e.embedding AS v,
+         |    $cosAssign AS cos_e6 FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT vec_id, cent_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM assign0)
+         |  WHERE rn = 1),
+         |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+         |             $cosPair AS cos_e6
+         |           FROM assign a JOIN assign b ON a.cent_id = b.cent_id
+         |             AND a.vec_id <> b.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
+         |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 3""".stripMargin
+    },
+
+    "ds_temperature_sample" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |mn AS (SELECT min(n) AS min_n FROM cnt),
+         |r AS (SELECT lang, CAST(floor(sqrt(CAST(min_n AS DOUBLE) / n) * 10000)
+         |        AS BIGINT) AS rate_e4 FROM cnt, mn)
+         |SELECT doc_id, lang, source FROM documents JOIN r USING (lang)
+         |WHERE (${md5LongSql("concat('temp#', CAST(doc_id AS VARCHAR))")}
+         |       % 10000) < rate_e4""".stripMargin,
+
     "tx_len_quantiles" ->
       """WITH r AS (SELECT lang, n_chars,
         |    row_number() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
@@ -1111,6 +1185,20 @@ object SparkEntry {
          |  CAST(floor(len(list_filter($W, x -> list_contains(v.vocab, x)))
          |    * 10000.0 / len($W)) AS BIGINT) AS common_ratio_e4
          |FROM documents, v""".stripMargin,
+
+    "tx_tfidf_topk" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($W) AS token FROM documents),
+         |tf AS (SELECT doc_id, token, count(*) AS tf FROM tk
+         |       GROUP BY doc_id, token),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+         |n AS (SELECT count(*) AS n_docs FROM documents),
+         |sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+         |         tf.tf * CAST(floor(n.n_docs * 10000.0 / dfq.df) AS BIGINT)
+         |           AS score_e4
+         |       FROM tf JOIN dfq USING (token), n),
+         |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score_e4 DESC, token ASC) AS INT) AS rank FROM sc)
+         |SELECT doc_id, token, tf, score_e4, rank FROM r WHERE rank <= 3""".stripMargin,
 
     "tx_pii_redact" ->
       s"""SELECT doc_id,

@@ -39,6 +39,42 @@ object Sampling {
     hashSample(df, keyCol, rate, salt)
   }
 
+  /** Temperature-flattened mixture resampling: down-sample each stratum
+    * (language, source domain) toward the τ-tempered distribution
+    * p_s ∝ n_s^τ — the standard knob for rebalancing a multi-source /
+    * multilingual training mixture (τ=1 keeps natural proportions, τ→0
+    * approaches uniform). This implements τ = 1/2: the keep rate for
+    * stratum s is sqrt(min_s n_s / n_s), so the SMALLEST stratum keeps
+    * everything and a stratum 100× larger keeps 10× the smallest's count
+    * — rates are all ≤ 1 (pure down-sampling; no row duplication), and
+    * expected kept counts are ∝ sqrt(n_s).
+    *
+    * sqrt is IEEE-754 correctly rounded in both the JVM and SQL engines,
+    * so the floor-scaled rate — unlike a pow(n, τ) for general τ — is
+    * bit-identical across engines and the sample is exactly reproducible
+    * (general-τ support would precompute rates driver-side instead).
+    *
+    * Scale shape: stratum counts are one map-side-combined groupBy whose
+    * output is |strata| rows (tiny — languages/domains, not documents);
+    * rates broadcast back and the keep decision is the same narrow
+    * map-side hash filter as [[hashSample]]. Two corpus scans total (one
+    * counting, one filtering), no corpus shuffle anywhere.
+    */
+  def temperatureSample(df: DataFrame, keyCol: String, strataCol: String,
+      salt: String = "temp"): DataFrame = {
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    val rates = counts
+      .crossJoin(broadcast(counts.agg(min(col("__n")).as("__min_n"))))
+      .select(col(strataCol),
+        floor(sqrt(col("__min_n").cast("double") / col("__n")) * 10000)
+          .cast("long").as("__rate_e4"))
+    df.join(broadcast(rates), strataCol)
+      .filter(
+        TextDedup.md5Long(concat(lit(salt + "#"), col(keyCol).cast("string")))
+          % 10000L < col("__rate_e4"))
+      .drop("__rate_e4")
+  }
+
   /** EXACTLY-n uniform sample: the n rows with the smallest salted key
     * hashes (ties broken by the key itself, so the order is total and
     * the result a pure function of (salt, keys) — rate-based

@@ -263,6 +263,91 @@ object Similarity {
     rankedTopK(scored, k)
   }
 
+  /** Semantic dedup (SemDeDup): embedding-space near-duplicate removal
+    * bucketed by cluster — each vector is assigned to its nearest
+    * centroid ([[ivfAssign]]), exact cosine is computed only WITHIN a
+    * cluster, and a vector is dropped when a lower-id vector of the same
+    * cluster sits at cosine ≥ `minCosE6` (keep-the-earliest, the same
+    * deterministic representative rule as the text tiers). Returns the
+    * survivors as (idCol, cent_id).
+    *
+    * This is the cluster-then-dedup shape of Abbas et al.'s SemDeDup:
+    * the O(n²) cosine matrix shrinks to Σ|cluster|² — with k centroids
+    * sized so clusters stay ~n/k, a k ∝ n choice holds per-cluster work
+    * constant. The pairwise rule is intentionally NOT a transitive
+    * closure (A~B, B~C does not drop C unless C is also near a kept
+    * vector's threshold): each drop decision depends only on (pair
+    * cosine, id order), so the output is a pure function of the input
+    * with no iteration. Chain [[graft.operators.TextDedup.minLabelClusters]]
+    * over the pair set instead when component semantics are wanted.
+    *
+    * Scale shape: one persisted assignment (the clustering index — at
+    * warehouse scale a materialized table), a self-join keyed by cent_id
+    * whose quadratic work is confined to clusters, and an anti-join of
+    * the dropped-id set, broadcast by default (the drop set is bounded
+    * by the duplicate count; set `broadcastDrops = false` on
+    * duplicate-heavy corpora where it won't fit an executor). A
+    * pathologically hot cluster (degenerate centroids) is the operator's
+    * skew mode — the fix is more/better centroids, which is why the
+    * centroid set is a parameter, not derived here.
+    */
+  def semanticDedup(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cIdCol: String, cVecCol: String,
+      minCosE6: Long, broadcastDrops: Boolean = true
+  ): DataFrame = {
+    val assigned = ivfAssign(embeddings, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withNrm = assigned.withColumn("nrm", norm(col("v")))
+    val l = withNrm.select(col("cent_id"), col(idCol).as("id_a"),
+      col("v").as("v_a"), col("nrm").as("nrm_a"))
+    val r = withNrm.select(col("cent_id"), col(idCol).as("id_b"),
+      col("v").as("v_b"), col("nrm").as("nrm_b"))
+    val drops = l.join(r, Seq("cent_id"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(floor(dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")) * 1e6)
+        .cast("long") >= minCosE6)
+      .select(col("id_b").as("__drop_id")).distinct()
+    assigned
+      .join(if (broadcastDrops) broadcast(drops) else drops,
+        col(idCol) === col("__drop_id"), "left_anti")
+      .select(col(idCol), col("cent_id"))
+  }
+
+  /** k-nearest-neighbor graph over the whole corpus, approximated by IVF
+    * bucketing: each vector's top-k cosine neighbors AMONG ITS OWN
+    * CLUSTER — the all-pairs self-join dual of [[ivfTopK]] (which serves
+    * a small broadcast query set; here every vector is a query, so
+    * neither side broadcasts and the join is keyed by cent_id). The kNN
+    * graph is the substrate for graph-based semantic clustering and ANN
+    * index construction (HNSW-style neighborhoods).
+    *
+    * Scale shape: one persisted assignment (shared by both join sides —
+    * unpersisted, the centroid cross-join would run twice), norms
+    * precomputed per side, quadratic work confined to clusters, and the
+    * per-vector top-k via the map-side-combining [[graft.functions
+    * .TopKByScore]] aggregate — only k rows per vector per map partition
+    * cross the final shuffle, not the |cluster|² scored stream.
+    */
+  def knnGraph(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cIdCol: String, cVecCol: String, k: Int
+  ): DataFrame = {
+    val assigned = ivfAssign(embeddings, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val withNrm = assigned.withColumn("nrm", norm(col("v")))
+    val q = withNrm.select(col("cent_id"), col(idCol).as("query_id"),
+      col("v").as("q_vec"), col("nrm").as("q_nrm"))
+    val n = withNrm.select(col("cent_id"), col(idCol).as("nbr_id"),
+      col("v").as("nbr_vec"), col("nrm").as("nbr_nrm"))
+    val scored = q.join(n, Seq("cent_id"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos_e6",
+        floor(dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")) * 1e6)
+          .cast("long"))
+    rankedTopK(scored, k)
+  }
+
   /** Per-group per-dimension centroid accumulators: (group, dim, sum_e6,
     * n) with floor-scaled-integer sums — exact, order-independent, and a
     * k-means/IVF training step's shuffle shape (posexplode then one hash

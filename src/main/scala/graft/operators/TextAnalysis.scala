@@ -247,6 +247,51 @@ object TextAnalysis {
           size(col("__w"))).cast("long").as("common_ratio_e4"))
   }
 
+  /** Per-document top-k terms by tf·idf — keyword extraction / salient-
+    * term indexing over the corpus. idf is the log-free floor-scaled
+    * reciprocal document frequency idf_e4 = floor(N·10⁴/df): a strictly
+    * decreasing function of df like ln(N/df), chosen because ln is not
+    * correctly rounded across engines while integer division is — the
+    * score is then exact in both Spark and a plain-SQL oracle (swap in
+    * the classic log idf at deployment if score VALUES, not ranks, must
+    * match a reference implementation).
+    *
+    * Scale shape: term frequencies are one map-side-combined groupBy of
+    * the exploded token stream, persisted because they feed BOTH the
+    * document-frequency aggregate and the scoring join (unpersisted, the
+    * corpus would re-scan and re-explode per branch). df rides a second
+    * map-side-combined groupBy (shuffle = distinct (doc, token) pairs
+    * collapsing to distinct tokens), and the tf ⋈ df join is keyed by
+    * token — an AQE-splittable shuffle join, NOT a window over token
+    * partitions (stopword tokens appear in nearly every document; a
+    * count-over-token window would sort |docs| rows in one task). The
+    * final per-document top-k window partitions by document id: groups
+    * are bounded by document length, so no task ever sorts more than one
+    * document's vocabulary.
+    *
+    * @return idCol, token, tf, score_e4, rank (1-based, (score desc,
+    *         token asc) — a total order, so deterministic)
+    */
+  def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(tokens(coalesce(col(textCol), lit("")))).as("token"))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
+    val scored = tf.join(dfreq, "token")
+      .crossJoin(broadcast(nDocs))
+      .select(col(idCol), col("token"), col("tf"),
+        (col("tf") * floor(col("__n_docs") * lit(10000.0) / col("df")).cast("long"))
+          .as("score_e4"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("score_e4").desc, col("token").asc)
+    scored.withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("score_e4"), col("rank"))
+  }
+
   /** Exact content fingerprint: md5 of the normalized text (lower + trim).
     * Identical hex in every engine.
     */

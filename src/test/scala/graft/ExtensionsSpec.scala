@@ -269,6 +269,73 @@ class ExtensionsSpec extends SparkTestBase {
       .count() == 4L)
   }
 
+  test("semanticDedup keeps the lowest id per in-cluster near pair, " +
+    "and never drops across clusters") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)),        // centroid A
+      (1L, Array(0.99f, 0.01f)),  // near 0 => dropped
+      (2L, Array(0.7f, 0.3f)),    // in A's cluster but below threshold
+      (50L, Array(0f, 1f)),       // centroid B
+      (51L, Array(0.01f, 0.99f))  // near 50 => dropped
+    ).toDF("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+    val kept = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", minCosE6 = 990000L)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 2L, 50L))
+    // identical survivors through the shuffled anti-join variant
+    val kept2 = Similarity.semanticDedup(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", minCosE6 = 990000L, broadcastDrops = false)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept2 == kept)
+  }
+
+  test("knnGraph ranks in-cluster neighbors and never crosses clusters") {
+    val emb = Seq(
+      (0L, Array(1f, 0f)), (1L, Array(0.95f, 0.05f)), (2L, Array(0.9f, 0.1f)),
+      (50L, Array(0f, 1f)), (51L, Array(0.05f, 0.95f))
+    ).toDF("vec_id", "embedding")
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+    val g = Similarity.knnGraph(emb, "vec_id", "embedding",
+      cents, "vec_id", "embedding", k = 2)
+      .select("query_id", "nbr_id", "rank").as[(Long, Long, Int)].collect()
+    val byQuery = g.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // vector 1's nearest in-cluster neighbor is 0 (cos highest), then 2
+    assert(byQuery(1L) == Seq(0L, 2L))
+    // cluster B members only see each other
+    assert(byQuery(50L) == Seq(51L) && byQuery(51L) == Seq(50L))
+    // no edge crosses the cluster boundary
+    assert(!g.exists(e => (e._1 < 50) != (e._2 < 50)))
+  }
+
+  test("temperatureSample keeps the smallest stratum whole and " +
+    "downsamples larger strata toward sqrt proportions") {
+    val rows = (1L to 400L).map(i => (i, if (i <= 100) "small" else "big"))
+      .toDF("doc_id", "lang")
+    val kept = graft.operators.Sampling.temperatureSample(rows, "doc_id", "lang")
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    // rate(small) = sqrt(100/100) = 1.0 => all 100 kept
+    assert(kept("small") == 100L)
+    // rate(big) = sqrt(100/300) ≈ 0.577 => expect ~173 of 300; the hash
+    // filter is deterministic, so assert a generous band around it
+    assert(kept("big") > 120L && kept("big") < 230L)
+  }
+
+  test("tfidfTopK ranks rare-but-frequent terms above common ones") {
+    val docs = Seq(
+      (1L, "zebra zebra zebra the the"),
+      (2L, "the quick fox"),
+      (3L, "the lazy dog")
+    ).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopK(docs, "doc_id", "text", k = 2)
+      .select("doc_id", "token", "rank").as[(Long, String, Int)].collect()
+    val d1 = top.filter(_._1 == 1L).sortBy(_._3).map(_._2).toSeq
+    // "zebra" (tf=3, df=1) outscores "the" (tf=2, df=3)
+    assert(d1.head == "zebra")
+    // every doc gets exactly k=2 ranked terms (3 distinct tokens each)
+    assert(top.groupBy(_._1).forall(_._2.length == 2))
+  }
+
   test("ivfTopK probes only the query's centroid bucket at nprobe=1, " +
     "and nprobe=2 widens to the next-nearest bucket") {
     val emb = Seq(
