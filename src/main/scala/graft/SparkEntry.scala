@@ -96,6 +96,16 @@ object SparkEntry {
       s.read.schema(docs.schema).json(stage)
     }),
 
+    // ---- S1 dual: delimited-text (CSV) scan — same load path as the
+    //      JSON scan, second wire format; oracle reads the original
+    //      parquet, so the CSV round trip must be lossless ----
+    "s1_load_csv" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stage = s"/root/repo/target/s1_stage_csv/${new java.io.File(dir).getName}"
+      docs.write.mode("overwrite").option("header", "true").csv(stage)
+      s.read.schema(docs.schema).option("header", "true").csv(stage)
+    }),
+
     // ---- W3: legacy concat-composite-key dedup (cloud/bq/dedup.go:41-53) ----
     "w3_dedup_concat_key" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -452,6 +462,12 @@ object SparkEntry {
       TextAnalysis.chunkFixed(Tables.documents(s, dir), "doc_id", "text",
         chunkTokens = 32, stride = 24)),
 
+    // ---- span-granular dedup: context windows duplicated across ≥2
+    //      distinct documents (boilerplate detection) ----
+    "dd_chunk_dups" -> ((s, dir) =>
+      TextAnalysis.duplicateChunks(Tables.documents(s, dir), "doc_id", "text",
+        chunkTokens = 32, stride = 24)),
+
     // ---- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ----
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -651,6 +667,25 @@ object SparkEntry {
 
     "s1_load_json" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "s1_load_csv" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "dd_chunk_dups" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |c AS (SELECT doc_id, len(w) AS n, w,
+         |        unnest(list_transform(
+         |          range(0, CAST(floor((len(w) - 1) / 24) AS BIGINT) + 1),
+         |          i -> i * 24)) AS chunk_start
+         |      FROM t),
+         |ch AS (SELECT doc_id, CAST(chunk_start // 24 AS BIGINT) AS chunk_idx,
+         |         md5(array_to_string(w[chunk_start + 1 : chunk_start + 32], ' '))
+         |           AS chunk_fp
+         |       FROM c),
+         |g AS (SELECT chunk_fp, count(DISTINCT doc_id) AS n_docs FROM ch
+         |      GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT ch.doc_id, ch.chunk_idx, ch.chunk_fp, g.n_docs
+         |FROM ch JOIN g USING (chunk_fp)""".stripMargin,
 
     "w3_dedup_concat_key" ->
       s"""WITH r AS (SELECT *, row_number() OVER (

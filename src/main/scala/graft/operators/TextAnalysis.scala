@@ -359,6 +359,37 @@ object TextAnalysis {
           .as("chunk_fp"))
   }
 
+  /** Cross-document duplicate context windows: every chunk (as produced
+    * by [[chunkFixed]]) whose fingerprint appears in at least `minDocs`
+    * DISTINCT documents — the span-granular dedup between document-level
+    * near-dup (whole doc drops) and nothing: repeated boilerplate
+    * (license headers, navigation chrome, quoted reply chains) shows up
+    * as identical windows inside otherwise-unique documents, and this
+    * emits exactly those spans, per document, for downstream excision or
+    * weighting. The CCNet paragraph-dedup idea at fixed-window
+    * granularity (paragraph boundaries don't survive tokenized corpora).
+    *
+    * Scale shape: the chunk stream is an explode of the corpus, consumed
+    * twice (the doc-frequency aggregate and the annotate join) — two
+    * corpus scans; the chunk stream is far wider than the aggregate
+    * (it carries per-window fingerprints), so re-scanning beats caching
+    * at warehouse scale and the aggregate side is map-side combined down
+    * to |distinct fps|. The join back is keyed by chunk_fp: a corpus-wide
+    * boilerplate fp is a hot key, which AQE skew-join splits (the build
+    * side is the small filtered aggregate).
+    *
+    * @return idCol, chunk_idx, chunk_fp, n_docs
+    */
+  def duplicateChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, stride: Int, minDocs: Int = 2): DataFrame = {
+    val chunks = chunkFixed(df, idCol, textCol, chunkTokens, stride)
+    val byFp = chunks.groupBy(col("chunk_fp"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+    chunks.join(byFp, "chunk_fp")
+      .select(col(idCol), col("chunk_idx"), col("chunk_fp"), col("n_docs"))
+  }
+
   /** 64-bit rolling fingerprint over tokens — Spark-side (not portable
     * SQL, so not oracled). The fold chains xxhash64(acc, tok) rather than
     * the classic acc*31+h polynomial: under ANSI mode (Spark 4's default)

@@ -269,6 +269,24 @@ class ExtensionsSpec extends SparkTestBase {
       .count() == 4L)
   }
 
+  test("duplicateChunks flags shared windows and leaves unique spans alone") {
+    val boiler = "standard copyright header all rights reserved"  // 6 tokens
+    val d = Seq(
+      (1L, s"$boiler unique article text one two three"),
+      (2L, s"$boiler different body entirely four five"),
+      (3L, "no shared content in this document at all")
+    ).toDF("doc_id", "text")
+    // 6-token windows, stride 6: chunk 0 of docs 1 and 2 is the header
+    val hits = TextAnalysis.duplicateChunks(d, "doc_id", "text",
+      chunkTokens = 6, stride = 6)
+      .select("doc_id", "chunk_idx", "n_docs").as[(Long, Long, Long)].collect()
+    assert(hits.toSet == Set((1L, 0L, 2L), (2L, 0L, 2L)))
+    // a window repeated WITHIN one doc does not count as cross-doc
+    val selfRep = Seq((9L, s"$boiler $boiler")).toDF("doc_id", "text")
+    assert(TextAnalysis.duplicateChunks(selfRep, "doc_id", "text",
+      chunkTokens = 6, stride = 6).count() == 0)
+  }
+
   test("semanticDedup keeps the lowest id per in-cluster near pair, " +
     "and never drops across clusters") {
     val emb = Seq(
