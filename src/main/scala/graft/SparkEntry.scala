@@ -106,6 +106,15 @@ object SparkEntry {
       s.read.schema(docs.schema).option("header", "true").csv(stage)
     }),
 
+    // ---- S1 dual: columnar ORC scan — third wire format through the
+    //      same load path ----
+    "s1_load_orc" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stage = s"/root/repo/target/s1_stage_orc/${new java.io.File(dir).getName}"
+      docs.write.mode("overwrite").orc(stage)
+      s.read.schema(docs.schema).orc(stage)
+    }),
+
     // ---- W3: legacy concat-composite-key dedup (cloud/bq/dedup.go:41-53) ----
     "w3_dedup_concat_key" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -669,6 +678,9 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "s1_load_csv" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "s1_load_orc" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "dd_chunk_dups" ->

@@ -101,6 +101,33 @@ object Streams {
           winner
       }
 
+  /** Streaming first-seen dedup: a key's row is emitted only the FIRST
+    * time the key appears across the whole stream — the streaming dual
+    * of [[graft.operators.TextDedup.incrementalNearDupFilter]]'s exact
+    * tier (the seen-corpus fingerprint index lives in keyed state instead
+    * of a table; earlier micro-batches ARE the seen corpus for later
+    * ones). Within one trigger, `pick` chooses the key's representative
+    * (e.g. min doc id — make it a total order for determinism); across
+    * triggers, first-seen wins, matching "the already-ingested corpus
+    * keeps its copy".
+    *
+    * State per key is one boolean — bounded by distinct keys, the same
+    * cardinality any exact-dedup index carries. At 100 TB: RocksDB state
+    * store, and the shuffle is the same fingerprint-key exchange the
+    * batch anti-join performs. Append-mode output.
+    */
+  def firstSeenState[T, K](ds: Dataset[T], key: T => K, pick: (T, T) => T)(
+      implicit ek: Encoder[K], et: Encoder[T]): Dataset[T] = {
+    implicit val eb: Encoder[Boolean] = org.apache.spark.sql.Encoders.scalaBoolean
+    ds.groupByKey(key)
+      .flatMapGroupsWithState[Boolean, T](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: K, rows: Iterator[T], state: GroupState[Boolean]) =>
+          if (state.exists) Iterator.empty
+          else { state.update(true); Iterator.single(rows.reduce(pick)) }
+      }
+  }
+
   /** Streaming gap-based sessionization ≙ the batch
     * [[graft.operators.Sessions.sessionize]]: keyed state holds each
     * user's open session; events within `gapMs` of the open session

@@ -221,4 +221,34 @@ class StreamingSpec extends SparkTestBase {
     assert(all.filter(_.id == "m2").map(_.payload).toSet === Set(7L, 8L))
     q.stop()
   }
+
+  test("first-seen state dedups across triggers: earlier batches are the " +
+    "seen corpus for later ones") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Meas]
+    // key = fingerprint stand-in (the id); representative = min payload
+    val firsts = Streams.firstSeenState[Meas, String](
+      mem.toDS(), _.id, (a, b) => if (a.payload <= b.payload) a else b)
+    val q = firsts.writeStream.format("memory").queryName("firstseen")
+      .outputMode(OutputMode.Append).start()
+
+    mem.addData(
+      Meas("f1", ts("2023-05-01 10:00:00"), 5),
+      Meas("f1", ts("2023-05-01 11:00:00"), 3),  // same key, min payload wins
+      Meas("f2", ts("2023-05-01 11:00:00"), 7))
+    q.processAllAvailable()
+    val t1 = spark.table("firstseen").as[Meas].collect().map(m => m.id -> m.payload)
+    assert(t1.toSet === Set("f1" -> 3L, "f2" -> 7L))
+
+    // a duplicate of f1 in a later trigger is dropped even though its
+    // payload would have won within one batch; a fresh key passes
+    mem.addData(
+      Meas("f1", ts("2023-05-01 12:00:00"), 1),
+      Meas("f3", ts("2023-05-01 12:00:00"), 9))
+    q.processAllAvailable()
+    val all = spark.table("firstseen").as[Meas].collect().map(m => m.id -> m.payload)
+    assert(all.toSet === Set("f1" -> 3L, "f2" -> 7L, "f3" -> 9L))
+    q.stop()
+  }
 }
