@@ -200,6 +200,17 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"),
           sum(floor(col("value") * 10000).cast("long")).as("sum_value_e4"))),
 
+    // ---- sliding-window aggregation: 1 h windows every 15 min (each
+    //      event lands in 4 overlapping windows) ----
+    "ev_sliding_agg" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          sum(floor(col("value") * 10000).cast("long")).as("sum_value_e4"))
+        .select(col("window.start").as("window_start"), col("n_events"),
+          col("n_users"), col("sum_value_e4"))),
+
     // ======== scale extensions (SURVEY.md §7.5) ========
 
     // ---- text analysis ----
@@ -454,6 +465,15 @@ object SparkEntry {
     "tx_common_ratio" -> ((s, dir) =>
       TextAnalysis.commonTokenRatio(Tables.documents(s, dir), "doc_id",
         "text", k = 200)),
+
+    // ---- quality-score calibration: global percentile rank via the
+    //      bounded-domain value histogram (no corpus sort) ----
+    "tx_quality_rank" -> ((s, dir) =>
+      TextAnalysis.percentileRankByValue(
+        TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text")
+          .select(col("doc_id"), col("quality_e4")),
+        "quality_e4")
+        .select("doc_id", "quality_e4", "pct_e4")),
 
     // ---- per-doc top-3 tf·idf terms (keyword extraction; log-free idf
     //      so the oracle reproduces scores bit for bit) ----
@@ -780,6 +800,33 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
         |    AS sum_value_e4
         |FROM events GROUP BY 1""".stripMargin,
+
+    "ev_sliding_agg" ->
+      """WITH w AS (SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
+        |             - k.k * INTERVAL '15 minutes' AS window_start,
+        |           user_id, value
+        |           FROM events, unnest([0, 1, 2, 3]) AS k(k))
+        |SELECT window_start, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
+        |    AS sum_value_e4
+        |FROM w GROUP BY window_start""".stripMargin,
+
+    "tx_quality_rank" ->
+      s"""WITH q AS (SELECT doc_id,
+         |  CAST(floor(len(list_distinct($W)) * 10000.0 / len($W))
+         |    + (CASE WHEN floor(len(list_filter($W, x -> list_contains(
+         |        $AllMarkersSql, x))) * 10000.0 / len($W)) > 0
+         |       THEN 500 ELSE 0 END)
+         |    - (CASE WHEN floor((length(text) - len($W) + 1) * 100.0 / len($W)) > 1200
+         |       THEN 1000 ELSE 0 END) AS BIGINT) AS quality_e4
+         |  FROM documents),
+         |r AS (SELECT doc_id, quality_e4,
+         |        rank() OVER (ORDER BY quality_e4) AS rk,
+         |        count(*) OVER () AS n FROM q)
+         |SELECT doc_id, quality_e4,
+         |  CAST(floor(10000.0 * (rk - 1) / n) AS BIGINT) AS pct_e4
+         |FROM r""".stripMargin,
 
     "tx_token_count" ->
       s"""SELECT doc_id, CAST(len($W) AS BIGINT) AS n_tokens, n_chars

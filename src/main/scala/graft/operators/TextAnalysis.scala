@@ -359,6 +359,42 @@ object TextAnalysis {
           .as("chunk_fp"))
   }
 
+  /** Global percentile rank of a bounded-domain value column — the
+    * calibration step that turns a raw quality score into "this document
+    * beats X% of the corpus" (threshold selection, quota curation, and
+    * mixture reweighting all consume ranks, not raw scores).
+    *
+    * pct_e4 = floor(10⁴ · |rows with strictly smaller value| / N), i.e.
+    * rank()−1 normalized — identical for ties, exact, engine-portable.
+    *
+    * NO global sort of the corpus: the rank comes from a cumulative sum
+    * over the VALUE HISTOGRAM (one map-side-combined groupBy to |distinct
+    * values| rows). The histogram window is a single partition, but its
+    * input is bounded by the value DOMAIN, not the corpus — floor-scaled
+    * ratio scores like quality_e4 live in [-10⁴, 2·10⁴], so the window
+    * sorts ≤ ~3·10⁴ rows at ANY corpus size (the same bounded-domain
+    * argument as [[valueAtRankQuantiles]], globally instead of per
+    * stratum). The ranked histogram then broadcasts back onto the corpus
+    * — a map-side join, no corpus shuffle anywhere. Do NOT use with
+    * unbounded-domain values (raw lengths at 100 TB: bucket first).
+    *
+    * @return df's columns plus `outCol`
+    */
+  def percentileRankByValue(df: DataFrame, valueCol: String,
+      outCol: String = "pct_e4"): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
+    val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+      .withColumn("__below", coalesce(sum(col("__c")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(
+        w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+      .select(col(valueCol),
+        floor(col("__below") * lit(10000.0) / col("__n")).cast("long").as(outCol))
+    df.join(broadcast(hist), valueCol)
+  }
+
   /** Cross-document duplicate context windows: every chunk (as produced
     * by [[chunkFixed]]) whose fingerprint appears in at least `minDocs`
     * DISTINCT documents — the span-granular dedup between document-level

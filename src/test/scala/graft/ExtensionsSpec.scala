@@ -339,6 +339,15 @@ class ExtensionsSpec extends SparkTestBase {
     assert(kept("big") > 120L && kept("big") < 230L)
   }
 
+  test("percentileRankByValue: ties share a rank, strictly-below counting") {
+    val d = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L))
+      .toDF("doc_id", "score")
+    val got = TextAnalysis.percentileRankByValue(d, "score")
+      .select("doc_id", "pct_e4").as[(Long, Long)].collect().toMap
+    // 0 of 4 below 10 => 0; 2 of 4 below 20 => 5000; 3 of 4 below 30 => 7500
+    assert(got === Map(1L -> 0L, 2L -> 0L, 3L -> 5000L, 4L -> 7500L))
+  }
+
   test("tfidfTopK ranks rare-but-frequent terms above common ones") {
     val docs = Seq(
       (1L, "zebra zebra zebra the the"),
