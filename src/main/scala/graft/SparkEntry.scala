@@ -345,6 +345,17 @@ object SparkEntry {
     "tx_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.documents(s, dir), "text", k = 50)),
 
+    // ---- frequency spectrum ("frequency of frequencies"): how many
+    //      tokens occur exactly n times — the Zipf curve behind vocab
+    //      sizing and Good-Turing smoothing. Two map-side-combined
+    //      aggregates; the second is keyed by frequency (heavy mass at
+    //      n=1 collapses map-side, so no hot-key shuffle) ----
+    "tx_freq_spectrum" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(coalesce(col("text"), lit("")), "\\s+")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .groupBy(col("freq")).agg(count(lit(1)).as("n_tokens"))),
+
     // ---- per-label centroid accumulators (k-means/IVF training step) ----
     "emb_centroids" -> ((s, dir) =>
       Similarity.centroidSums(Tables.embeddings(s, dir), "label", "embedding")),
@@ -929,6 +940,11 @@ object SparkEntry {
         |SELECT user_id, session_idx, min(ts) AS session_start,
         |       max(ts) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "tx_freq_spectrum" ->
+      s"""WITH t AS (SELECT unnest($W) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS freq FROM t GROUP BY token)
+         |SELECT freq, count(*) AS n_tokens FROM c GROUP BY freq""".stripMargin,
 
     "tx_vocab_topk" ->
       s"""WITH t AS (SELECT unnest($W) AS token FROM documents),

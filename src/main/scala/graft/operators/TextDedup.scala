@@ -572,7 +572,12 @@ object TextDedup {
       .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
     val matchedFps = seenFps
       .join(bc(newFp.select(col("__fp")).distinct()), Seq("__fp")).distinct()
+    // The tier-1 survivor batch feeds THREE consumers (its band table, its
+    // shingle-hash table, and the final anti-join); unpersisted, each
+    // branch re-runs the fingerprint anti-join and the batch scan. The
+    // batch is the SMALL side by assumption, so caching it is cheap.
     val fresh = newFp.join(bc(matchedFps), Seq("__fp"), "left_anti").drop("__fp")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // tier 3: banded md5 MinHash signatures on both sides (row-local
     // codegen'd expressions — no shingle explode before the band join)
