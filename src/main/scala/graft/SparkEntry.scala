@@ -255,6 +255,12 @@ object SparkEntry {
       TextDedup.lengthBandedJaccardPairs(Tables.documents(s, dir), "doc_id",
         "text", "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L)),
 
+    // ---- asymmetric containment: |A∩B|/min(|A|,|B|) catches a short doc
+    //      embedded in a long one, which Jaccard scores near 0 ----
+    "dd_containment" -> ((s, dir) =>
+      TextDedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        minContainE4 = 6000)),
+
     // hash-based tiers: not SQL-portable => rows-only driver check
     "dd_minhash_lsh" -> ((s, dir) =>
       TextDedup.minhashDedupPairs(Tables.documents(s, dir), "doc_id", "text",
@@ -899,6 +905,20 @@ object SparkEntry {
     "dd_ngram_jaccard" ->
       s"""WITH ${jaccardPairCtes("documents")}
          |SELECT * FROM p WHERE jaccard_e4 >= 5000""".stripMargin,
+
+    "dd_containment" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, $ShingleSql AS sh FROM t),
+         |sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         |e AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  CAST(floor(inter * 10000.0 / least(za.sz, zb.sz)) AS BIGINT)
+         |    AS contain_e4
+         |FROM p JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+         |WHERE floor(inter * 10000.0 / least(za.sz, zb.sz)) >= 6000""".stripMargin,
 
     // train/eval shingle overlap; the Spark side joins on xxhash64 of the
     // shingle rather than the string (identical counts modulo a ~2^-64

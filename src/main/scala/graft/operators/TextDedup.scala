@@ -262,6 +262,70 @@ object TextDedup {
     }
   }
 
+  /** Shingle-containment pairs: (id_a < id_b, contain_e4) where
+    * contain_e4 = floor(10⁴ · |A ∩ B| / min(|A|, |B|)) ≥ the threshold —
+    * the ASYMMETRIC overlap Jaccard misses: a short document wholly
+    * embedded in a much longer one (quoted article inside an aggregator
+    * page, excerpt inside a compilation) scores |A|/|A∪B| ≈ 0 on Jaccard
+    * but 10⁴ on containment. The standard companion pass to near-dup
+    * dedup in training-data pipelines.
+    *
+    * Execution mirrors [[lengthBandedJaccardPairs]]'s inverted-index
+    * form — postings grouped per shingle hash, in-group (id, size) pair
+    * expansion, one map-side-combined count per pair — WITHOUT the
+    * length banding (containment pairs have wildly different lengths by
+    * definition, so length blocking would throw away exactly the pairs
+    * sought). Candidate volume is therefore Σ_shingle df² rather than
+    * band-bounded: the doc-frequency stop-list is the load-bearing guard
+    * here (default cap 128, same filtered-set semantics — hot shingles
+    * removed from BOTH sets and sizes recomputed, drops published via
+    * `Dataset.observe`). With the cap disabled the pair stream falls
+    * back to a posting self-join that never materializes a group.
+    */
+  def containmentPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      minContainE4: Long = 6000, maxShingleDocFreq: Int = 128
+  ): DataFrame = {
+    val base = withHashedShingles(docs, Seq(idCol), textCol)
+    def score(pairs: DataFrame): DataFrame = pairs
+      .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))
+      .agg(count(lit(1)).as("inter"))
+      .select(col("id_a"), col("id_b"),
+        floor(col("inter") * lit(10000.0) / least(col("sz_a"), col("sz_b")))
+          .cast("long").as("contain_e4"))
+      .filter(col("contain_e4") >= minContainE4)
+    if (maxShingleDocFreq <= 0) {
+      val ex = base.select(col(idCol), size(col("sh")).as("sz"),
+        explode_outer(col("sh")).as("h"))
+      val a = ex.select(col(idCol).as("id_a"), col("sz").as("sz_a"), col("h"))
+      val b = ex.select(col(idCol).as("id_b"), col("sz").as("sz_b"), col("h"))
+      score(a.join(b, Seq("h")).filter(col("id_a") < col("id_b")))
+    } else {
+      val hot = base.select(explode(col("sh")).as("h"))
+        .groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > maxShingleDocFreq)
+        .observe(s"containment_stoplist_${obsId.getAndIncrement()}",
+          count(lit(1)).as("hot_shingles"),
+          coalesce(sum(col("df")), lit(0L)).as("dropped_postings"))
+      val hotArr = hot.agg(collect_list(col("h")).as("hot_hs"))
+      val postings = base.crossJoin(broadcast(hotArr))
+        .withColumn("shf", array_except(col("sh"), col("hot_hs")))
+        .select(col(idCol).as("id"), size(col("shf")).as("szf"),
+          explode(col("shf")).as("h"))
+      val groups = postings.groupBy(col("h"))
+        .agg(sort_array(collect_list(struct(col("id"), col("szf")))).as("ps"))
+        .filter(size(col("ps")) > 1)
+      val pairs = groups
+        .select(explode(flatten(transform(col("ps"), (x, i) =>
+          transform(slice(col("ps"), i + 2,
+            greatest(size(col("ps")) - i - 1, lit(0))),
+            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+          col("p.a.szf").as("sz_a"), col("p.b.szf").as("sz_b"))
+      score(pairs)
+    }
+  }
+
   // ---------- cross-corpus decontamination ----------
 
   /** Benchmark decontamination: for each training document, the number of

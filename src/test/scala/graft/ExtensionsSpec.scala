@@ -243,6 +243,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(shuffled === got)
   }
 
+  test("containmentPairs catches a short doc embedded in a long one " +
+    "that Jaccard misses") {
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = s"$short one two three four five six seven eight nine ten " +
+      "eleven twelve thirteen fourteen fifteen sixteen seventeen eighteen"
+    val d = Seq((1L, short, short.length.toLong), (2L, long, long.length.toLong),
+      (3L, "totally unrelated words here made up", 37L))
+      .toDF("doc_id", "text", "n_chars")
+    val cp = TextDedup.containmentPairs(d, "doc_id", "text", minContainE4 = 9000)
+      .select("id_a", "id_b", "contain_e4").as[(Long, Long, Long)].collect()
+    // all of the short doc's shingles appear in the long one => 10000
+    assert(cp.toSeq == Seq((1L, 2L, 10000L)))
+    // jaccard on the same pair is far below its threshold (lengths differ
+    // so the banded tier wouldn't even form the pair)
+    val jp = TextDedup.lengthBandedJaccardPairs(d, "doc_id", "text", "n_chars",
+      bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000)
+    assert(jp.count() == 0)
+    // the uncapped self-join path computes the identical pair set
+    val cp2 = TextDedup.containmentPairs(d, "doc_id", "text",
+      minContainE4 = 9000, maxShingleDocFreq = 0)
+      .select("id_a", "id_b", "contain_e4").as[(Long, Long, Long)].collect()
+    assert(cp2.toSeq == cp.toSeq)
+  }
+
   test("incremental dedup drops exact and near dups vs the seen corpus, keeps the rest") {
     val seen = Seq(
       (0L, "the quick brown fox jumps over the lazy dog"),
