@@ -503,6 +503,11 @@ object SparkEntry {
         .select(col("doc_id"), col("n_emails"), col("n_ips"),
           md5(col("redacted")).as("redacted_fp"))),
 
+    // ---- vocab-id encoding: top-20 corpus vocabulary, OOV -> 0 ----
+    "tx_tokenize" -> ((s, dir) =>
+      TextAnalysis.tokenize(Tables.documents(s, dir), "doc_id", "text",
+        vocabSize = 20)),
+
     // ---- context-window chunking: 32-token windows, stride 24 ----
     "tx_chunk" -> ((s, dir) =>
       TextAnalysis.chunkFixed(Tables.documents(s, dir), "doc_id", "text",
@@ -1340,6 +1345,19 @@ object SparkEntry {
          |    '${TextAnalysis.EmailPattern}', '<EMAIL>', 'g'),
          |    '${TextAnalysis.Ipv4Pattern}', '<IP>', 'g')) AS redacted_fp
          |FROM documents""".stripMargin,
+
+    "tx_tokenize" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |tk AS (SELECT unnest(w) AS token FROM t),
+         |c AS (SELECT token, count(*) AS n FROM tk GROUP BY token),
+         |v0 AS (SELECT token, row_number() OVER (ORDER BY n DESC, token ASC)
+         |         AS token_id FROM c),
+         |v AS (SELECT * FROM v0 WHERE token_id <= 20),
+         |px AS (SELECT doc_id, unnest(range(1, len(w)+1)) AS pos,
+         |         unnest(w) AS token FROM t)
+         |SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+         |  CAST(coalesce(v.token_id, 0) AS BIGINT) AS token_id
+         |FROM px LEFT JOIN v USING (token)""".stripMargin,
 
     "tx_chunk" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),

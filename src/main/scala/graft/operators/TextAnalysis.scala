@@ -359,6 +359,36 @@ object TextAnalysis {
           .as("chunk_fp"))
   }
 
+  /** Corpus-vocabulary tokenization: every token position mapped to its
+    * integer id in the corpus's own top-`vocabSize` vocabulary (rank by
+    * frequency, ties by token — [[vocabTopK]]'s order), out-of-vocabulary
+    * tokens to id 0 — the encode step between text curation and sequence
+    * packing. Emitted exploded as (id, pos, token_id) rather than as an
+    * array column so downstream ops (and the driver's row-wise compare)
+    * see scalar rows; `collect_list(token_id) over (partition by id order
+    * by pos)` re-assembles sequences when needed.
+    *
+    * Scale shape: the vocabulary is top-k by construction (bounded — real
+    * tokenizers fix V at 2¹⁵-2¹⁷), computed scale-safely by [[vocabTopK]]
+    * (TakeOrderedAndProject, no global sort) and BROADCAST back onto the
+    * exploded corpus: the encode pass is map-only, no corpus shuffle. A
+    * full-vocabulary id assignment would instead need a global rank over
+    * an unbounded set — that is the thing this operator deliberately
+    * does not do.
+    */
+  def tokenize(docs: DataFrame, idCol: String, textCol: String,
+      vocabSize: Int): DataFrame = {
+    val vocab = vocabTopK(docs, textCol, vocabSize)
+      .select(col("token"), col("rank").cast("long").as("__vid"))
+    docs.select(col(idCol),
+      posexplode(tokens(coalesce(col(textCol), lit("")))))
+      .select(col(idCol), (col("pos") + 1).cast("long").as("pos"),
+        col("col").as("token"))
+      .join(broadcast(vocab), Seq("token"), "left")
+      .select(col(idCol), col("pos"),
+        coalesce(col("__vid"), lit(0L)).as("token_id"))
+  }
+
   /** Global percentile rank of a bounded-domain value column — the
     * calibration step that turns a raw quality score into "this document
     * beats X% of the corpus" (threshold selection, quota curation, and

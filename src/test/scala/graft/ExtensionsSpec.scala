@@ -363,6 +363,19 @@ class ExtensionsSpec extends SparkTestBase {
     assert(kept("big") > 120L && kept("big") < 230L)
   }
 
+  test("tokenize maps positions to vocab ranks with OOV -> 0") {
+    val d = Seq(
+      (1L, "the the the fox fox rare"),
+      (2L, "the fox")
+    ).toDF("doc_id", "text")
+    // vocab k=2: the(5) -> 1, fox(3) -> 2; "rare" is OOV
+    val got = TextAnalysis.tokenize(d, "doc_id", "text", vocabSize = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got === Set(
+      (1L, 1L, 1L), (1L, 2L, 1L), (1L, 3L, 1L), (1L, 4L, 2L), (1L, 5L, 2L),
+      (1L, 6L, 0L), (2L, 1L, 1L), (2L, 2L, 2L)))
+  }
+
   test("percentileRankByValue: ties share a rank, strictly-below counting") {
     val d = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 30L))
       .toDF("doc_id", "score")
