@@ -255,6 +255,78 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("temperatureSample: subset, smallest stratum whole, rates match " +
+    "a driver-side recompute") {
+    import graft.operators.Sampling
+    val genDocs = Gen.choose(5, 120).flatMap(n => Gen.listOfN(n, for {
+      lang <- Gen.frequency(4 -> Gen.const("en"), 2 -> Gen.const("de"),
+        1 -> Gen.const("fr"))
+    } yield lang)).map(_.zipWithIndex.map { case (l, i) => (i.toLong, l) })
+    samples(genDocs, 5).foreach { docs =>
+      val d = docs.toDF("doc_id", "lang")
+      val out = Sampling.temperatureSample(d, "doc_id", "lang")
+        .select("doc_id", "lang").as[(Long, String)].collect()
+      // subset of the input, no duplication
+      assert(out.map(_._1).distinct.length === out.length)
+      assert(out.map(_._1).toSet.subsetOf(docs.map(_._1).toSet))
+      val counts = docs.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+      val minN = counts.values.min
+      // membership equals the explicit hashSample at the sqrt rate
+      counts.foreach { case (lang, n) =>
+        val rate = math.floor(math.sqrt(minN.toDouble / n) * 10000).toLong
+        val expected = Sampling.hashSample(
+          d.filter(col("lang") === lang), "doc_id", lit(rate), salt = "temp")
+          .select("doc_id").as[Long].collect().toSet
+        assert(out.filter(_._2 == lang).map(_._1).toSet === expected)
+        if (n == minN) assert(expected.size.toLong === n) // rate 10000 keeps all
+      }
+    }
+  }
+
+  test("percentileRankByValue matches the strictly-below definition on " +
+    "every sample and stays in [0, 10000)") {
+    import graft.operators.TextAnalysis
+    val genVals = Gen.choose(1, 100).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-50L, 50L)))
+      .map(_.zipWithIndex.map { case (v, i) => (i.toLong, v) })
+    samples(genVals, 5).foreach { rows =>
+      val d = rows.toDF("doc_id", "score")
+      val got = TextAnalysis.percentileRankByValue(d, "score")
+        .select("doc_id", "pct_e4").as[(Long, Long)].collect().toMap
+      val vals = rows.map(_._2)
+      rows.foreach { case (id, v) =>
+        val below = vals.count(_ < v).toLong
+        val expected = math.floor(below * 10000.0 / vals.length).toLong
+        assert(got(id) === expected)
+        assert(got(id) >= 0L && got(id) < 10000L)
+      }
+    }
+  }
+
+  test("tokenize conserves positions and ids stay within [0, V]") {
+    import graft.operators.TextAnalysis
+    val words = Seq("a", "b", "c", "d", "e", "f")
+    val genDocs = Gen.choose(1, 25).flatMap(n => Gen.listOfN(n,
+      Gen.choose(1, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(words)).map(_.mkString(" ")))))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    samples(genDocs, 5).foreach { docs =>
+      val d = docs.toDF("doc_id", "text")
+      val v = 3
+      val out = TextAnalysis.tokenize(d, "doc_id", "text", vocabSize = v)
+        .as[(Long, Long, Long)].collect()
+      docs.foreach { case (id, t) =>
+        val ps = out.filter(_._1 == id).map(_._2).sorted.toSeq
+        // every position 1..len(tokens) present exactly once
+        assert(ps === (1L to t.split("\\s+").length.toLong))
+      }
+      assert(out.forall(r => r._3 >= 0L && r._3 <= v.toLong))
+      // ids 1..V each belong to exactly ONE token string globally
+      val byId = out.filter(_._3 > 0).map(_._3).distinct
+      assert(byId.length <= v)
+    }
+  }
+
   test("centroidSums conserves counts and scaled mass per group") {
     import graft.operators.Similarity
     val genVecs = Gen.choose(1, 15).flatMap(n => Gen.listOfN(n, for {
