@@ -23,8 +23,18 @@ final case class Warehouse(root: String) {
   * one representative (min id) kept per cluster — the training-data
   * generalization of the reference's key dedup, run inside the same
   * Deduplicating state.
+  *
+  * @param vsRawCorpus also drop rows whose content near-dup-matches the
+  *        ALREADY-ARCHIVED raw table (other dates only — this date's raw
+  *        partition is about to be truncate-replaced by copy anyway):
+  *        [[graft.operators.TextDedup.incrementalNearDupFilter]] with raw
+  *        as the seen corpus. The reference's incremental model re-sweeps
+  *        dates continuously (SURVEY.md §2.7); this keeps a re-swept
+  *        day from re-admitting content an earlier day already archived.
+  *        No-op while the raw table does not exist yet.
   */
-final case class ContentDedupSpec(textCol: String, minJaccardE4: Long = 8000L)
+final case class ContentDedupSpec(textCol: String, minJaccardE4: Long = 8000L,
+    vsRawCorpus: Boolean = false)
 
 /** Per-datatype dedup key configuration.
   * Reference: cloud/bq/ops.go:53-83 — every current v2 datatype deduplicates
@@ -90,6 +100,11 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   private def readPartition(path: String, d: LocalDate): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(path)
       .filter(col("date") === lit(java.sql.Date.valueOf(d)))
+
+  private def tableExists(path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   /** S1: bulk-load newline-delimited JSON under the job's archive prefix into
     * the tmp table, append mode. Schema is inferred (the reference's loads are
@@ -178,7 +193,11 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   // guarantee one in-flight action per job).
   def dedup(dryRun: Boolean = false): OpStats = {
     TableOps.withTableLocks(reads = Nil, writes = Seq(tmpPath))(recoverStaging())
-    val staged = TableOps.withTableLocks(reads = Seq(tmpPath), writes = Nil) {
+    // the incremental content tier also READS the raw table
+    val readLocks =
+      if (spec.contentDedup.exists(_.vsRawCorpus)) Seq(tmpPath, rawPath)
+      else Seq(tmpPath)
+    val staged = TableOps.withTableLocks(reads = readLocks, writes = Nil) {
       val part = readPartition(tmpPath, job.date)
       val keptExact =
         if (spec.skewedKeys)
@@ -225,7 +244,19 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
         val drop = clusters
           .filter(col("label") =!= col("id"))
           .select(col("id").as("__drop_id"))
-        keptExact.join(drop, col("id") === col("__drop_id"), "left_anti")
+        val withinDay = keptExact
+          .join(drop, col("id") === col("__drop_id"), "left_anti")
+        // incremental tier: filter against the archived corpus (other
+        // dates). cacheBatch=false — the monitor is long-lived and this
+        // API exposes no unpersist handle; the recompute is bounded by
+        // the day partition (the small side).
+        if (cd.vsRawCorpus && tableExists(rawPath)) {
+          val seen = spark.read.option("mergeSchema", "true").parquet(rawPath)
+            .filter(col("date") =!= lit(java.sql.Date.valueOf(job.date)))
+          graft.operators.TextDedup.incrementalNearDupFilter(
+            withinDay, seen, "id", cd.textCol,
+            minJaccardE4 = cd.minJaccardE4, cacheBatch = false)
+        } else withinDay
       case None => keptExact
     }
     try {

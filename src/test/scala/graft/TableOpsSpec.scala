@@ -187,6 +187,39 @@ class TableOpsSpec extends SparkTestBase {
     assert(tmp.select("id").as[String].collect().toSet === Set("a1", "b1"))
   }
 
+  test("vsRawCorpus content tier drops a re-swept day's content the " +
+    "archive already holds, and no-ops before raw exists") {
+    val root = Files.createTempDirectory("graft-wh6").toString
+    val src = Files.createTempDirectory("graft-src6")
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    writeJsonl(src, "d1.json", Seq(
+      s"""{"id":"d1a","date":"2024-06-01","parser":{"Time":"2024-06-01T10:00:00Z"},"text":"$base"}"""
+    ))
+    writeJsonl(src, "d2.json", Seq(
+      s"""{"id":"d2a","date":"2024-06-02","parser":{"Time":"2024-06-02T10:00:00Z"},"text":"${base}tail"}""",
+      s"""{"id":"d2b","date":"2024-06-02","parser":{"Time":"2024-06-02T09:00:00Z"},"text":"fresh content about catalyst planning and shuffle exchanges entirely new today"}"""
+    ))
+    val spec = graft.tableops.DatatypeSpec(Seq("id", "date"), "parser.Time",
+      contentDedup = Some(graft.tableops.ContentDedupSpec("text",
+        minJaccardE4 = 8000L, vsRawCorpus = true)))
+    val wh = Warehouse(root)
+    val day1 = new TableOps(spark,
+      mkJob(root, "textlog", "2024-06-01", join = ""), wh, specOverride = Some(spec))
+    // day 1: raw does not exist yet -> incremental tier is a no-op
+    day1.loadToTmp(s"$src/d1.json")
+    val dd1 = day1.dedup()
+    assert(dd1.rowsIn === 1 && dd1.rowsOut === 1)
+    day1.copyToRaw(); day1.deleteTmp()
+    // day 2: d2a near-dups the archived d1a -> dropped; d2b survives
+    val day2 = new TableOps(spark,
+      mkJob(root, "textlog", "2024-06-02", join = ""), wh, specOverride = Some(spec))
+    day2.loadToTmp(s"$src/d2.json")
+    val dd2 = day2.dedup()
+    assert(dd2.rowsIn === 2 && dd2.rowsOut === 1)
+    val tmp = spark.read.parquet(s"$root/tmp_exp/textlog")
+    assert(tmp.select("id").as[String].collect().toSet === Set("d2b"))
+  }
+
   test("dedup recovers a crashed partition swap (staging holds the day)") {
     val root = Files.createTempDirectory("graft-wh4").toString
     val src = Files.createTempDirectory("graft-src4")
