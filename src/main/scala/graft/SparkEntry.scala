@@ -489,7 +489,7 @@ object SparkEntry {
       TextAnalysis.percentileRankByValue(
         TextAnalysis.qualityFeatures(Tables.documents(s, dir), "text")
           .select(col("doc_id"), col("quality_e4")),
-        "quality_e4")
+        "quality_e4", cacheInput = true)
         .select("doc_id", "quality_e4", "pct_e4")),
 
     // ---- per-doc top-3 tf·idf terms (keyword extraction; log-free idf

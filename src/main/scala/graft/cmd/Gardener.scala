@@ -52,8 +52,22 @@ object Gardener {
     tracker.saveEvery(60000)
 
     val wh = Warehouse(warehouseRoot)
+    // config-declared per-datatype dedup keys / content tiers override the
+    // built-in table (reference keeps these per-datatype too,
+    // cloud/bq/ops.go:53-83 — config is the Spark-native home for them)
+    val dtSpecs: Map[String, graft.tableops.DatatypeSpec] =
+      config.datatypes.map { case (dt, c) =>
+        dt -> graft.tableops.DatatypeSpec(c.partitionKeys, c.orderKey,
+          c.skewedKeys, c.contentDedup.map(cd =>
+            graft.tableops.ContentDedupSpec(cd.textCol, cd.minJaccardE4,
+              cd.vsRawCorpus)))
+      }
     def tableOp(f: TableOps => Unit): Job => Outcome = job =>
-      try { f(new TableOps(spark, job, wh)); Outcome.Success() }
+      try {
+        f(new TableOps(spark, job, wh,
+          specOverride = dtSpecs.get(job.datatype)))
+        Outcome.Success()
+      }
       catch { case e: Exception => Outcome.Failure(e.getMessage) }
 
     val monitor = new Monitor(tracker, StandardPipeline.actions(

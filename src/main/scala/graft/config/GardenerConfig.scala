@@ -26,11 +26,24 @@ import graft.jobservice.SourceSpec
   *   full_history: false
   * }}}
   */
+/** Per-datatype dedup configuration (reference: the per-datatype
+  * PartitionKeys/OrderKeys tables in cloud/bq/ops.go:53-83, lifted from
+  * code into config). Config-layer mirror of
+  * [[graft.tableops.DatatypeSpec]] — kept Spark-free here; `cmd.Gardener`
+  * converts.
+  */
+final case class ContentDedupConfig(
+    textCol: String, minJaccardE4: Long, vsRawCorpus: Boolean)
+final case class DatatypeConfig(
+    partitionKeys: Seq[String], orderKey: String, skewedKeys: Boolean,
+    contentDedup: Option[ContentDedupConfig])
+
 final case class GardenerConfig(
     startDate: LocalDate,
     trackerTimeout: Duration,
     pollingInterval: Duration,
-    sources: Seq[SourceSpec]
+    sources: Seq[SourceSpec],
+    datatypes: Map[String, DatatypeConfig] = Map.empty
 )
 
 object GardenerConfig {
@@ -93,6 +106,34 @@ object GardenerConfig {
         fullHistory = bool(m, "full_history"))
     }
 
-    GardenerConfig(startDate, trackerTimeout, polling, sources)
+    // per-datatype dedup keys + opt-in content tiers, e.g.
+    //   datatypes:
+    //     textlog:
+    //       partition_keys: [id, date]
+    //       order_key: parser.Time
+    //       skewed_keys: false
+    //       content_dedup: { text_col: text, min_jaccard_e4: 8000,
+    //                        vs_raw_corpus: true }
+    val datatypes = root.get("datatypes").map(sub).getOrElse(Map.empty)
+      .map { case (dt, o) =>
+        val m = sub(o)
+        val keys = m.get("partition_keys").toSeq.flatMap {
+          case l: java.util.List[_] => l.asScala.map(_.toString)
+          case v => Seq(v.toString)
+        }
+        val cd = m.get("content_dedup").map(sub).map { c =>
+          ContentDedupConfig(
+            textCol = str(c, "text_col", "text"),
+            minJaccardE4 = str(c, "min_jaccard_e4", "8000").toLong,
+            vsRawCorpus = bool(c, "vs_raw_corpus"))
+        }
+        dt -> DatatypeConfig(
+          partitionKeys = if (keys.nonEmpty) keys else Seq("id", "date"),
+          orderKey = str(m, "order_key", "parser.Time"),
+          skewedKeys = bool(m, "skewed_keys"),
+          contentDedup = cd)
+      }.toMap
+
+    GardenerConfig(startDate, trackerTimeout, polling, sources, datatypes)
   }
 }

@@ -408,10 +408,20 @@ object TextAnalysis {
     * — a map-side join, no corpus shuffle anywhere. Do NOT use with
     * unbounded-domain values (raw lengths at 100 TB: bucket first).
     *
+    * @param cacheInput persist `df` across its two consumers (histogram
+    *        + annotate join). Right when df is a SLIM projection over an
+    *        expensive upstream (the scores recompute twice otherwise) and
+    *        the caller is short-lived — there is no unpersist handle
+    *        through this API, so long-lived callers keep the default and
+    *        pay the second scan.
     * @return df's columns plus `outCol`
     */
-  def percentileRankByValue(df: DataFrame, valueCol: String,
-      outCol: String = "pct_e4"): DataFrame = {
+  def percentileRankByValue(df0: DataFrame, valueCol: String,
+      outCol: String = "pct_e4", cacheInput: Boolean = false): DataFrame = {
+    val df =
+      if (cacheInput)
+        df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df0
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
     val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
       .withColumn("__below", coalesce(sum(col("__c")).over(

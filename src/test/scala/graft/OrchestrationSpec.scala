@@ -263,6 +263,34 @@ class OrchestrationSpec extends AnyFunSuite {
     assert(!ann.datasets.hasJoin && ann.fullHistory)
   }
 
+  test("config: per-datatype dedup keys and content tier parse, with defaults") {
+    val cfg = GardenerConfig.parse(
+      """sources:
+        |- bucket: b
+        |  experiment: e
+        |  datatype: textlog
+        |  target_datasets: { tmp: tmp_e, raw: raw_e }
+        |datatypes:
+        |  textlog:
+        |    partition_keys: [id, date]
+        |    order_key: parser.Time
+        |    content_dedup: { text_col: text, min_jaccard_e4: 8000,
+        |                     vs_raw_corpus: true }
+        |  hotkeys:
+        |    skewed_keys: true
+        |""".stripMargin)
+    val tl = cfg.datatypes("textlog")
+    assert(tl.partitionKeys == Seq("id", "date"))
+    assert(tl.orderKey == "parser.Time")
+    assert(!tl.skewedKeys)
+    assert(tl.contentDedup.contains(
+      graft.config.ContentDedupConfig("text", 8000L, vsRawCorpus = true)))
+    // omitted fields default to the reference's v2 configuration
+    val hk = cfg.datatypes("hotkeys")
+    assert(hk.partitionKeys == Seq("id", "date") && hk.orderKey == "parser.Time")
+    assert(hk.skewedKeys && hk.contentDedup.isEmpty)
+  }
+
   test("config: go-style duration strings") {
     assert(GardenerConfig.parseDuration("90s") == Duration.ofSeconds(90))
     assert(GardenerConfig.parseDuration("1h30m") == Duration.ofMinutes(90))
