@@ -86,6 +86,24 @@ object Streams {
       .select(col("window.start").as("hour"), col("n_events"),
         col("n_users_approx"), col("sum_value_e4"))
 
+  /** Sliding event-time window aggregate — the streaming dual of the
+    * batch `ev_sliding_agg` query: each event lands in windowDur/slide
+    * overlapping windows, watermark finalizes each window once its end
+    * passes the horizon (Append mode). State is bounded by (watermark
+    * horizon / slide) open windows per key-space, the standard sliding-
+    * window cost — pick slide ≥ windowDur/8 or so to bound the fan-out.
+    */
+  def slidingEventAgg(events: DataFrame, windowDur: String, slide: String,
+      lateness: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowDur, slide))
+      .agg(count(lit(1)).as("n_events"),
+        approx_count_distinct(col("user_id")).as("n_users_approx"),
+        sum(floor(col("value") * 10000).cast("long")).as("sum_value_e4"))
+      .select(col("window.start").as("window_start"), col("n_events"),
+        col("n_users_approx"), col("sum_value_e4"))
+
   /** Streaming keep-latest-per-key dedup: keyed state holds the current
     * winner under `newer` (a total "is-newer" merge, e.g. max parser.Time
     * — W1's order key); each trigger emits the key's winner after folding

@@ -104,6 +104,28 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("sliding streaming agg: one event lands in every overlapping window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Ev]
+    val q = Streams.slidingEventAgg(mem.toDF(), "1 hour", "15 minutes",
+      lateness = "30 minutes")
+      .writeStream.format("memory").queryName("sliding")
+      .outputMode(OutputMode.Append).start()
+
+    // one event at 10:20 belongs to windows starting 09:30..10:15
+    mem.addData(Ev(ts("2024-01-01 10:20:00"), 1, 1.0))
+    // advance the watermark far enough to finalize all four
+    mem.addData(Ev(ts("2024-01-01 13:00:00"), 2, 2.0))
+    q.processAllAvailable()
+    val starts = spark.table("sliding")
+      .filter($"n_events" === 1 && $"window_start" < ts("2024-01-01 11:00:00"))
+      .select("window_start").as[Timestamp].collect().map(_.toString).sorted
+    assert(starts.toSeq == Seq("2024-01-01 09:30:00.0", "2024-01-01 09:45:00.0",
+      "2024-01-01 10:00:00.0", "2024-01-01 10:15:00.0"))
+    q.stop()
+  }
+
   test("streaming sessionization closes sessions by gap and by watermark timeout") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
