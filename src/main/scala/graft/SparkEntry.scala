@@ -200,6 +200,17 @@ object SparkEntry {
           countDistinct(col("user_id")).as("n_users"),
           sum(floor(col("value") * 10000).cast("long")).as("sum_value_e4"))),
 
+    // ---- semi-structured: JSON path extraction from the embedded props
+    //      column, aggregated per event type (codegen'd get_json_object —
+    //      no decode UDF, no shuffle before the partial agg) ----
+    "ev_props_extract" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), sum(col("k")).as("sum_k"),
+          min(col("k")).as("min_k"), max(col("k")).as("max_k"))),
+
     // ---- sliding-window aggregation: 1 h windows every 15 min (each
     //      event lands in 4 overlapping windows) ----
     "ev_sliding_agg" -> ((s, dir) =>
@@ -464,6 +475,18 @@ object SparkEntry {
       Curation.assignSplits(Tables.documents(s, dir), "doc_id",
         Seq("train" -> 9000L, "val" -> 500L, "test" -> 500L))
         .select("doc_id", "lang", "split")),
+
+    // ---- curated-corpus export: the split assignment written out
+    //      partitioned by split (the training-delivery layout) and read
+    //      back — the S4 partitioned-sink path for the curation layer ----
+    "ds_export_splits" -> ((s, dir) => {
+      val stage = s"/root/repo/target/ds_export/${new java.io.File(dir).getName}"
+      Curation.assignSplits(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 9000L, "val" -> 500L, "test" -> 500L))
+        .select(col("doc_id"), col("lang"), col("split"))
+        .write.mode("overwrite").partitionBy("split").parquet(stage)
+      s.read.parquet(stage).select("doc_id", "lang", "split")
+    }),
 
     // ---- data-mixture report: token/doc share per (source, lang) ----
     "ds_domain_mix" -> ((s, dir) =>
@@ -822,6 +845,24 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT)
         |    AS sum_value_e4
         |FROM events GROUP BY 1""".stripMargin,
+
+    "ev_props_extract" ->
+      """WITH e AS (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |           FROM events)
+        |SELECT event_type, count(*) AS n_events,
+        |  CAST(sum(k) AS BIGINT) AS sum_k,
+        |  min(k) AS min_k, max(k) AS max_k
+        |FROM e GROUP BY event_type""".stripMargin,
+
+    "ds_export_splits" -> {
+      val h = md5LongSql("concat('split#', CAST(doc_id AS VARCHAR))")
+      s"""SELECT doc_id, lang,
+         |  CASE WHEN ($h % 10000) < 9000 THEN 'train'
+         |       WHEN ($h % 10000) < 9500 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents""".stripMargin
+    },
 
     "ev_sliding_agg" ->
       """WITH w AS (SELECT time_bucket(INTERVAL '15 minutes', CAST(ts AS TIMESTAMP))
