@@ -1,0 +1,105 @@
+package graft
+
+/** Physical-plan regression tests: the 100 TB-relevant plan shapes that
+  * BASELINE.md's audit table claims (broadcasts on small sides, filter
+  * and column pushdown into the scan, bounded top-k instead of global
+  * windows/sorts) are asserted here so a refactor that silently degrades
+  * a plan — a broadcast falling back to sort-merge, a pruned scan going
+  * wide, a TakeOrderedAndProject becoming a global Sort — fails CI, not
+  * the next scale-up.
+  *
+  * Assertions run on the PLANNED (pre-execution) string at sf0.001:
+  * queries whose construction executes eager jobs (the clustering
+  * fixpoint, staged-write round trips) are exercised by their
+  * correctness rows instead.
+  */
+class PlanAuditSpec extends SparkTestBase {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def planned(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  private def formatted(name: String): String = {
+    val qe = SparkEntry.queries(name)(spark, dir).queryExecution
+    qe.explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+  }
+
+  test("q3 star join: both dims broadcast, fact side never sort-merges") {
+    val p = planned("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q1: aggregation is partial before the exchange (two HashAggregate levels)") {
+    val p = planned("q1_pricing_summary")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("as-of annotation join broadcasts the exploded annotation side") {
+    val p = planned("j1_asof_all_days")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("date filters reach the parquet scan (PushedFilters)") {
+    // s2's date is DERIVED (cast of l_shipdate) so its predicate cannot
+    // push below the projection — q3's dimension filters sit on raw
+    // parquet columns and must reach the scan
+    val f = formatted("q3_shipping_priority")
+    assert(f.contains("PushedFilters"))
+    assert(f.contains("GreaterThan(l_shipdate") || f.contains("LessThan(o_orderdate"))
+  }
+
+  test("column pruning reaches the scan: q3 reads only the needed lineitem columns") {
+    val f = formatted("q3_shipping_priority")
+    // the lineitem scan must NOT read all 16 columns — the ReadSchema for
+    // the fact table carries exactly the join key + filter + measure cols
+    val readSchemas = "ReadSchema: struct<[^>]*l_orderkey[^>]*>".r.findAllIn(f).toSeq
+    assert(readSchemas.nonEmpty)
+    assert(readSchemas.forall(s => !s.contains("l_comment") && !s.contains("l_tax")))
+  }
+
+  test("vocabulary top-k plans as TakeOrderedAndProject, not a global window") {
+    val p = planned("tx_vocab_topk")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!p.contains("Window"))
+  }
+
+  test("tokenize: bounded vocab broadcast onto the corpus, encode side map-only") {
+    val p = planned("tx_tokenize")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftOuter"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("incremental dedup: every index probe is a broadcast join, " +
+    "anti-joins build on the batch-derived side") {
+    val p = planned("dd_incremental")
+    // tree-form rendering: "BroadcastHashJoin [...], [...], LeftAnti, BuildRight"
+    assert("LeftAnti".r.findAllIn(p).size >= 2)
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 4)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("cosine top-k: per-query top-k is the map-side-combining aggregate, " +
+    "not a rank window over all scored rows") {
+    val p = planned("sim_cosine_topk")
+    assert(p.contains("top_k_by_score"))
+    assert(!p.contains("Window"))
+  }
+
+  test("quality percentile: histogram window is the only window, corpus side " +
+    "joins broadcast") {
+    val p = planned("tx_quality_rank")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("exact-N sample: bounded-heap top-k, no global Sort stage") {
+    val p = planned("ds_sample_exact_n")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(!"Sort \\[".r.findFirstIn(p).isDefined)
+  }
+}
