@@ -377,6 +377,17 @@ object SparkEntry {
     "emb_centroids" -> ((s, dir) =>
       Similarity.centroidSums(Tables.embeddings(s, dir), "label", "embedding")),
 
+    // ---- one full k-means (Lloyd) iteration: nearest-centroid assignment
+    //      composed with per-cluster centroid accumulators — the training
+    //      step that produces the IVF index the sim_* queries probe ----
+    "emb_kmeans_iter" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.centroidSums(
+        Similarity.ivfAssign(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding"),
+        "cent_id", "v")
+    }),
+
     // ---- near-dup clustering: connected components over jaccard pairs ----
     "dd_cluster_minlabel" -> ((s, dir) =>
       TextDedup.minLabelClusters(
@@ -1019,6 +1030,24 @@ object SparkEntry {
          |  SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC)
          |    AS INT) AS rank FROM c) r
          |WHERE rank <= 50""".stripMargin,
+
+    "emb_kmeans_iter" -> {
+      val cosAssign = cosE6Sql("e.embedding", "c.embedding")
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+         |           WHERE vec_id % 50 = 0),
+         |assign0 AS (SELECT e.vec_id, c.cent_id, e.embedding AS v,
+         |    $cosAssign AS cos_e6 FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT vec_id, cent_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM assign0)
+         |  WHERE rn = 1)
+         |SELECT cent_id, CAST(i - 1 AS INT) AS dim,
+         |  CAST(sum(CAST(floor(CAST(v[i] AS DOUBLE) * 1000000.0)
+         |    AS BIGINT)) AS BIGINT) AS sum_e6,
+         |  count(*) AS n
+         |FROM assign, range(1, 65) r(i)
+         |GROUP BY cent_id, dim""".stripMargin
+    },
 
     "emb_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim,
