@@ -377,6 +377,28 @@ object SparkEntry {
     "emb_centroids" -> ((s, dir) =>
       Similarity.centroidSums(Tables.embeddings(s, dir), "label", "embedding")),
 
+    // ---- dual-signal dedup verification: each text near-dup pair
+    //      annotated with its embedding cosine (doc_id ≡ vec_id) — the
+    //      standard two-signal confirmation before destructive dedup
+    //      (lexical overlap + semantic similarity must both clear) ----
+    "dd_dual_signal" -> ((s, dir) => {
+      val pairs = TextDedup.lengthBandedJaccardPairs(Tables.documents(s, dir),
+        "doc_id", "text", "n_chars", bucketWidth = 32, maxDelta = 32,
+        minJaccardE4 = 5000L)
+      val e = Tables.embeddings(s, dir)
+        .select(col("vec_id"),
+          transform(col("embedding"), x => x.cast("double")).as("v"))
+        .withColumn("nrm", Similarity.norm(col("v")))
+      pairs
+        .join(e.select(col("vec_id").as("id_a"), col("v").as("v_a"),
+          col("nrm").as("nrm_a")), "id_a")
+        .join(e.select(col("vec_id").as("id_b"), col("v").as("v_b"),
+          col("nrm").as("nrm_b")), "id_b")
+        .select(col("id_a"), col("id_b"), col("jaccard_e4"),
+          floor(Similarity.dot(col("v_a"), col("v_b")) /
+            (col("nrm_a") * col("nrm_b")) * 1e6).cast("long").as("cos_e6"))
+    }),
+
     // ---- one full k-means (Lloyd) iteration: nearest-centroid assignment
     //      composed with per-cluster centroid accumulators — the training
     //      step that produces the IVF index the sim_* queries probe ----
@@ -1030,6 +1052,15 @@ object SparkEntry {
          |  SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC)
          |    AS INT) AS rank FROM c) r
          |WHERE rank <= 50""".stripMargin,
+
+    "dd_dual_signal" -> {
+      val cos = cosE6Sql("ea.embedding", "eb.embedding")
+      s"""WITH ${jaccardPairCtes("documents")},
+         |pr AS (SELECT * FROM p WHERE jaccard_e4 >= 5000)
+         |SELECT pr.id_a, pr.id_b, pr.jaccard_e4, $cos AS cos_e6
+         |FROM pr JOIN embeddings ea ON ea.vec_id = pr.id_a
+         |        JOIN embeddings eb ON eb.vec_id = pr.id_b""".stripMargin
+    },
 
     "emb_kmeans_iter" -> {
       val cosAssign = cosE6Sql("e.embedding", "c.embedding")

@@ -23,6 +23,18 @@ import graft.tracker.Tracker
   */
 object Gardener {
 
+  /** Config-declared per-datatype dedup keys / content tiers as TableOps
+    * overrides (reference keeps these per-datatype too,
+    * cloud/bq/ops.go:53-83 — config is the Spark-native home for them).
+    */
+  def datatypeSpecs(config: GardenerConfig): Map[String, graft.tableops.DatatypeSpec] =
+    config.datatypes.map { case (dt, c) =>
+      dt -> graft.tableops.DatatypeSpec(c.partitionKeys, c.orderKey,
+        c.skewedKeys, c.contentDedup.map(cd =>
+          graft.tableops.ContentDedupSpec(cd.textCol, cd.minJaccardE4,
+            cd.vsRawCorpus)))
+    }
+
   def main(args: Array[String]): Unit = {
     val configPath = args(0)
     val stateDir = Paths.get(args(1))
@@ -52,16 +64,7 @@ object Gardener {
     tracker.saveEvery(60000)
 
     val wh = Warehouse(warehouseRoot)
-    // config-declared per-datatype dedup keys / content tiers override the
-    // built-in table (reference keeps these per-datatype too,
-    // cloud/bq/ops.go:53-83 — config is the Spark-native home for them)
-    val dtSpecs: Map[String, graft.tableops.DatatypeSpec] =
-      config.datatypes.map { case (dt, c) =>
-        dt -> graft.tableops.DatatypeSpec(c.partitionKeys, c.orderKey,
-          c.skewedKeys, c.contentDedup.map(cd =>
-            graft.tableops.ContentDedupSpec(cd.textCol, cd.minJaccardE4,
-              cd.vsRawCorpus)))
-      }
+    val dtSpecs = datatypeSpecs(config)
     def tableOp(f: TableOps => Unit): Job => Outcome = job =>
       try {
         f(new TableOps(spark, job, wh,

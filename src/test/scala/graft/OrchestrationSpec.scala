@@ -289,6 +289,13 @@ class OrchestrationSpec extends AnyFunSuite {
     val hk = cfg.datatypes("hotkeys")
     assert(hk.partitionKeys == Seq("id", "date") && hk.orderKey == "parser.Time")
     assert(hk.skewedKeys && hk.contentDedup.isEmpty)
+    // and the cmd wiring converts it into the TableOps override 1:1
+    val specs = graft.cmd.Gardener.datatypeSpecs(cfg)
+    assert(specs("textlog") == graft.tableops.DatatypeSpec(Seq("id", "date"),
+      "parser.Time", skewedKeys = false,
+      contentDedup = Some(graft.tableops.ContentDedupSpec("text", 8000L,
+        vsRawCorpus = true))))
+    assert(specs("hotkeys").skewedKeys && specs("hotkeys").contentDedup.isEmpty)
   }
 
   test("config: go-style duration strings") {
