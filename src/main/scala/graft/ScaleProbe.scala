@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-trend probe: replicates the sf0.1 documents/embeddings tables
+  * 10× (ids offset per replica; each replica's text gets a one-token
+  * suffix so replicas are NEAR-duplicates, not byte-duplicates — the
+  * duplicate-heavy regime a real crawl re-ingest produces) and times a
+  * representative query subset at 1× and 10×, printing one JSON line of
+  * (query → [sec@1x, sec@10x, ratio]).
+  *
+  * Near-linear ratios (~10×) are the pass criterion for scan/agg/dedup
+  * tiers; the probe also exercises the skew guards for real: at 10× the
+  * hot-shingle doc-frequency exceeds the containment stop-list cap, so
+  * the guard MUST engage (observable via the jaccard_stoplist /
+  * containment_stoplist Dataset.observe metrics) instead of letting the
+  * f² pair blow-up land in one task.
+  *
+  * Usage: runMain graft.ScaleProbe [outDir]   (default target/scale10)
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val outDir = if (args.nonEmpty) args(0) else "/root/repo/target/scale10"
+    val sf = "/root/testdata/sf0.1"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    // ---- build the 10x tables (replica suffix keeps them near-dups) ----
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val docs10 = (0 until 10).map { r =>
+      docs.select(
+        (col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        concat(col("text"), lit(s" r$r")).as("text"),
+        col("lang"), col("source"),
+        (col("n_chars") + lit(3L)).as("n_chars"))
+    }.reduce(_ unionAll _)
+    docs10.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val emb10 = (0 until 10).map { r =>
+      emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+        col("embedding"), col("label"))
+    }.reduce(_ unionAll _)
+    emb10.write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
+
+    // representative subset: scan-bound analysis, hash dedup tiers, the
+    // incremental probe, packing, vocabulary top-k, similarity
+    val names = Seq("tx_token_count", "tx_quality", "dd_exact",
+      "dd_minhash_lsh_md5", "dd_simhash_md5", "dd_incremental",
+      "ds_pack_sequences", "tx_vocab_topk", "emb_kmeans_iter",
+      "ds_temperature_sample")
+
+    def time(name: String, dir: String): Double = {
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warmup (plan codegen)
+      math.min(once(), once())
+    }
+
+    val rows = names.map { n =>
+      val t1 = time(n, sf)
+      val t10 = time(n, outDir)
+      f""""$n":[$t1%.3f,$t10%.3f,${t10 / t1}%.2f]"""
+    }
+    println(s"""{"metric":"scale10","queries":{${rows.mkString(",")}}}""")
+    spark.stop()
+  }
+}
