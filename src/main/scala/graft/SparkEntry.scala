@@ -503,6 +503,12 @@ object SparkEntry {
       Sampling.uniformSampleN(Tables.documents(s, dir), "doc_id", n = 100)
         .select("doc_id", "lang", "source")),
 
+    // ---- exactly-20-per-language sample: bounded per-stratum heaps via
+    //      TopKByScore (balanced eval carve-out; no stratum-wide sort) ----
+    "ds_stratified_exact_n" -> ((s, dir) =>
+      Sampling.stratifiedSampleN(Tables.documents(s, dir), "doc_id", "lang",
+        n = 20)),
+
     // ---- deterministic train/val/test hash split (90/5/5) ----
     "ds_split_assign" -> ((s, dir) =>
       Curation.assignSplits(Tables.documents(s, dir), "doc_id",
@@ -1384,6 +1390,12 @@ object SparkEntry {
          |ORDER BY ${md5LongSql("concat('samp#', CAST(doc_id AS VARCHAR))")},
          |         doc_id
          |LIMIT 100""".stripMargin,
+
+    "ds_stratified_exact_n" ->
+      s"""WITH r AS (SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+         |  ORDER BY ${md5LongSql("concat('samp#', CAST(doc_id AS VARCHAR))")},
+         |           doc_id) AS rn FROM documents)
+         |SELECT lang, doc_id FROM r WHERE rn <= 20""".stripMargin,
 
     "ds_split_assign" -> {
       val h = md5LongSql("concat('split#', CAST(doc_id AS VARCHAR))")

@@ -75,6 +75,31 @@ object Sampling {
       .drop("__rate_e4")
   }
 
+  /** EXACTLY-n PER-STRATUM sample: within each stratum, the n rows with
+    * the smallest salted key hashes (ties by key) — balanced eval
+    * carve-outs / per-language inspection panels, where the rate-based
+    * stratified sampler only hits sizes in expectation and the global
+    * [[uniformSampleN]] ignores strata.
+    *
+    * Requires an integral key column (the [[graft.functions.TopKByScore]]
+    * buffer is (long, long)). Scale shape: the map-side-combining
+    * aggregate keeps a bounded n-element heap per stratum per map
+    * partition, so only n·partitions rows per stratum cross the shuffle
+    * — no stratum ever sorts in one task (the row_number formulation
+    * would sort every stratum's rows; see quotaTopK).
+    */
+  def stratifiedSampleN(df: DataFrame, keyCol: String, strataCol: String,
+      n: Int, salt: String = "samp"): DataFrame = {
+    val h = TextDedup.md5Long(concat(lit(salt + "#"), col(keyCol).cast("string")))
+    df.select(col(strataCol), col(keyCol))
+      .withColumn("__negh", -h)
+      .groupBy(col(strataCol))
+      .agg(graft.functions.TopKByScore.topKByScore(
+        struct(col("__negh"), col(keyCol)), n).as("tk"))
+      .select(col(strataCol), explode(col("tk")).as("e"))
+      .select(col(strataCol), col("e.id").as(keyCol))
+  }
+
   /** EXACTLY-n uniform sample: the n rows with the smallest salted key
     * hashes (ties broken by the key itself, so the order is total and
     * the result a pure function of (salt, keys) — rate-based

@@ -267,7 +267,9 @@ object TextAnalysis {
     * count-over-token window would sort |docs| rows in one task). The
     * final per-document top-k window partitions by document id: groups
     * are bounded by document length, so no task ever sorts more than one
-    * document's vocabulary.
+    * document's vocabulary. (The tf cache has no unpersist handle through
+    * this API — one-shot analysis callers only; long-lived services
+    * should materialize tf as a table instead.)
     *
     * @return idCol, token, tf, score_e4, rank (1-based, (score desc,
     *         token asc) — a total order, so deterministic)

@@ -190,6 +190,38 @@ class ExtensionsSpec extends SparkTestBase {
     assert(pairs(100).count() == 66)
   }
 
+  test("containment stop-list drops hot shingles and bounds pair rows") {
+    // same planted-hot-shingle shape as the jaccard guard test: the only
+    // overlap of every pair is the boilerplate shingle, and containment
+    // has NO length banding, so the guard is the only thing between a
+    // hot shingle and df² pair rows
+    val boiler = (0L until 12L).map { i =>
+      (i, s"common boiler plate u${i}a u${i}b u${i}c", 40L)
+    }.toDF("doc_id", "text", "n_chars")
+    def pairs(cap: Int) = TextDedup.containmentPairs(boiler, "doc_id",
+      "text", minContainE4 = 1000, maxShingleDocFreq = cap)
+    assert(pairs(0).count() == 66)  // unguarded: 12 choose 2
+    assert(pairs(8).count() == 0)   // df 12 > cap 8: stop-listed
+    assert(pairs(100).count() == 66) // cap above hottest df: identity
+  }
+
+  test("ds stratified exact-N equals the per-stratum hash-rank definition") {
+    val d = (1L to 50L).map(i => (i, if (i % 2 == 0) "a" else "b"))
+      .toDF("doc_id", "lang")
+    val got = graft.operators.Sampling.stratifiedSampleN(d, "doc_id", "lang", n = 5)
+      .select("lang", "doc_id").as[(String, Long)].collect()
+    assert(got.count(_._1 == "a") == 5 && got.count(_._1 == "b") == 5)
+    // matches the window/rank formulation exactly
+    val h = graft.operators.TextDedup.md5Long(
+      concat(lit("samp#"), col("doc_id").cast("string")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(h, col("doc_id"))
+    val expected = d.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5).select("lang", "doc_id")
+      .as[(String, Long)].collect().toSet
+    assert(got.toSet === expected)
+  }
+
   test("jaccard stop-list: numerator AND denominator use the surviving sets") {
     // "common boiler plate" is hot (doc-freq 6 > cap 4); docs 0/1 share it
     // plus 3 genuine shingles out of 5 each. Filtered sets: |A'|=|B'|=4,
