@@ -106,6 +106,17 @@ object SparkEntry {
       s.read.schema(docs.schema).option("header", "true").csv(stage)
     }),
 
+    // ---- S1 dual: gzip-compressed JSONL — the reference's archives are
+    //      gzipped; Spark's text source decodes per file transparently
+    //      (.gz is unsplittable: one task per file, so archives must be
+    //      many small files — exactly the reference's layout) ----
+    "s1_load_json_gz" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stage = s"/root/repo/target/s1_stage_gz/${new java.io.File(dir).getName}"
+      docs.write.mode("overwrite").option("compression", "gzip").json(stage)
+      s.read.schema(docs.schema).json(stage)
+    }),
+
     // ---- S1 dual: columnar ORC scan — third wire format through the
     //      same load path ----
     "s1_load_orc" -> ((s, dir) => {
@@ -785,6 +796,9 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "s1_load_orc" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "s1_load_json_gz" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "dd_chunk_dups" ->
