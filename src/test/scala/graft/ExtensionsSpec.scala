@@ -275,6 +275,34 @@ class ExtensionsSpec extends SparkTestBase {
     assert(shuffled === got)
   }
 
+  test("round-6 operators tolerate empty and degenerate inputs") {
+    val noDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val noLang = Seq.empty[(Long, String)].toDF("doc_id", "lang")
+    val oneDoc = Seq((1L, "just one document here")).toDF("doc_id", "text")
+    assert(TextAnalysis.tfidfTopK(noDocs, "doc_id", "text", 3).count() == 0)
+    assert(TextAnalysis.tokenize(noDocs, "doc_id", "text", 5).count() == 0)
+    assert(TextAnalysis.duplicateChunks(noDocs, "doc_id", "text", 6, 6).count() == 0)
+    assert(graft.operators.Sampling.temperatureSample(noLang, "doc_id", "lang")
+      .count() == 0)
+    assert(graft.operators.Sampling.stratifiedSampleN(noLang, "doc_id", "lang", 5)
+      .count() == 0)
+    assert(TextAnalysis.percentileRankByValue(
+      Seq.empty[(Long, Long)].toDF("doc_id", "score"), "score").count() == 0)
+    // single doc: no pairs, all-zero percentile, full self-vocabulary
+    assert(TextDedup.containmentPairs(oneDoc, "doc_id", "text").count() == 0)
+    assert(TextDedup.incrementalNearDupFilter(oneDoc, noDocs, "doc_id", "text")
+      .count() == 1)
+    val pr = TextAnalysis.percentileRankByValue(
+      Seq((1L, 7L), (2L, 7L)).toDF("doc_id", "score"), "score")
+      .select("pct_e4").as[Long].collect()
+    assert(pr.toSeq == Seq(0L, 0L)) // one distinct value => everyone at 0
+    // a stratum smaller than n yields all its rows, no padding
+    val tiny = Seq((1L, "x"), (2L, "x"), (3L, "y")).toDF("doc_id", "lang")
+    val sn = graft.operators.Sampling.stratifiedSampleN(tiny, "doc_id", "lang", 5)
+      .select("lang").as[String].collect()
+    assert(sn.count(_ == "x") == 2 && sn.count(_ == "y") == 1)
+  }
+
   test("containmentPairs catches a short doc embedded in a long one " +
     "that Jaccard misses") {
     val short = "alpha beta gamma delta epsilon zeta"
