@@ -118,4 +118,61 @@ class GardenerE2ESpec extends SparkTestBase {
       === Set("US", "DE")) // date and date-1 annotation rows both matched
     assert(joined.filter($"id" === "m9").select("geo").as[String].head() === "FR")
   }
+
+  test("YAML-configured incremental content tier through the monitor: " +
+    "day 2's re-ingested near-dup is dropped against day 1's archive") {
+    val root = Files.createTempDirectory("graft-e2e-inc").toString
+    val archive = Files.createTempDirectory("graft-e2e-inc-arc")
+    val wh = Warehouse(root)
+    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+    writeJsonl(archive.resolve("textlog/2024-02-01"), "part.json", Seq(
+      s"""{"id":"d1","date":"2024-02-01","parser":{"Time":"2024-02-01T10:00:00Z"},"text":"$base"}"""))
+    writeJsonl(archive.resolve("textlog/2024-02-02"), "part.json", Seq(
+      s"""{"id":"d2","date":"2024-02-02","parser":{"Time":"2024-02-02T10:00:00Z"},"text":"${base}tail"}""",
+      s"""{"id":"d3","date":"2024-02-02","parser":{"Time":"2024-02-02T09:00:00Z"},"text":"fresh content about catalyst planning and shuffle exchanges entirely new today"}"""))
+
+    // the full config -> DatatypeSpec -> TableOps chain, as Gardener.main wires it
+    val cfg = graft.config.GardenerConfig.parse(
+      """sources: []
+        |datatypes:
+        |  textlog:
+        |    content_dedup: { text_col: text, min_jaccard_e4: 8000,
+        |                     vs_raw_corpus: true }
+        |""".stripMargin)
+    val specs = graft.cmd.Gardener.datatypeSpecs(cfg)
+
+    val tracker = new Tracker(NoopSaver)
+    def tableOp(f: TableOps => Unit): Job => Outcome = job =>
+      try {
+        f(new TableOps(spark, job, wh, specOverride = specs.get(job.datatype)))
+        Outcome.Success()
+      } catch { case e: Exception => Outcome.Failure(s"${e.getMessage}") }
+    val monitor = new Monitor(tracker, StandardPipeline.actions(
+      load = job => tableOp(ops => { ops.loadToTmp(
+        s"$archive/${job.datatype}/${job.date}/*.json"); () })(job),
+      dedup = tableOp(ops => { ops.dedup(); () }),
+      copy = tableOp(ops => { ops.copyToRaw(); () }),
+      delete = tableOp(_.deleteTmp()),
+      join = tableOp(ops => { ops.join(); () })
+    ), retryMillis = 10)
+
+    def mkJob(date: String) =
+      Job("bucket", "exp", "textlog", java.time.LocalDate.parse(date),
+        datasets = Datasets("tmp_exp", "raw_exp", ""))
+    def drain(j: Job): Unit = {
+      assert(tracker.addJob(j).isRight)
+      assert(tracker.setStatus(j.key, State.ParseComplete).isRight)
+      val deadline = System.currentTimeMillis() + 60000
+      while (System.currentTimeMillis() < deadline &&
+        tracker.getState().values.exists(!_._2.isDone)) {
+        monitor.tick(); Thread.sleep(50)
+      }
+      assert(tracker.getState()(j.key)._2.state === State.Complete)
+    }
+
+    drain(mkJob("2024-02-01")) // d1 archives into raw
+    drain(mkJob("2024-02-02")) // d2 near-dups the archive => dropped; d3 kept
+    val raw = spark.read.option("mergeSchema", "true").parquet(s"$root/raw_exp/textlog")
+    assert(raw.select("id").as[String].collect().toSet === Set("d1", "d3"))
+  }
 }
