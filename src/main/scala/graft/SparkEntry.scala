@@ -463,6 +463,24 @@ object SparkEntry {
         .select("doc_id", "lang", "quality_e4")
     }),
 
+    // ---- THE end-to-end training-data preparation pipeline as ONE
+    //      declarative plan: hygiene (quality → repetition → near-dup →
+    //      decontamination) → train-split carve-out → greedy packing
+    //      into 256-token sequences. What a user of this library ships. ----
+    "ds_prepare_training" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val cleaned = graft.operators.CorpusPipeline.clean(
+        docs.filter(col("doc_id") % 100 =!= 0),
+        docs.filter(col("doc_id") % 100 === 0))
+      val train = Curation.assignSplits(cleaned, "doc_id",
+        Seq("train" -> 9000L, "val" -> 500L, "test" -> 500L))
+        .filter(col("split") === "train")
+      Packing.packGreedy(
+        train.select(col("doc_id"),
+          TextAnalysis.tokenCount(col("text")).cast("long").as("n_tokens")),
+        "doc_id", "n_tokens", budgetTokens = 256L, nShards = 8, salt = "prep")
+    }),
+
     // ---- kNN classification: majority label of the 5 cosine-nearest
     //      neighbors (ties → smallest label) ----
     "emb_knn_classify" -> ((s, dir) => {
@@ -705,24 +723,24 @@ object SparkEntry {
     */
   private def packRecSql(srcCte: String, idCol: String, lenCol: String,
       budget: Long, shards: Int, salt: String): String =
-    s"""t0 AS (SELECT $idCol AS pid, $lenCol AS plen,
+    s"""pk0 AS (SELECT $idCol AS pid, $lenCol AS plen,
        |         (${md5LongSql(s"concat('$salt#', CAST($idCol AS VARCHAR))")}
        |          % $shards) AS shard
        |       FROM $srcCte),
-       |t AS (SELECT *, row_number() OVER (PARTITION BY shard
-       |        ORDER BY pid) AS rn FROM t0),
+       |pk AS (SELECT *, row_number() OVER (PARTITION BY shard
+       |        ORDER BY pid) AS rn FROM pk0),
        |rec(shard, rn, pid, plen, bin, bin_offset, fill) AS (
        |  SELECT shard, rn, pid, plen, CAST(0 AS BIGINT),
        |         CAST(0 AS BIGINT), plen
-       |  FROM t WHERE rn = 1
+       |  FROM pk WHERE rn = 1
        |  UNION ALL
-       |  SELECT t.shard, t.rn, t.pid, t.plen,
-       |    CASE WHEN r.fill + t.plen <= $budget THEN r.bin ELSE r.bin + 1 END,
-       |    CASE WHEN r.fill + t.plen <= $budget THEN r.fill
+       |  SELECT pk.shard, pk.rn, pk.pid, pk.plen,
+       |    CASE WHEN r.fill + pk.plen <= $budget THEN r.bin ELSE r.bin + 1 END,
+       |    CASE WHEN r.fill + pk.plen <= $budget THEN r.fill
        |         ELSE CAST(0 AS BIGINT) END,
-       |    CASE WHEN r.fill + t.plen <= $budget THEN r.fill + t.plen
-       |         ELSE t.plen END
-       |  FROM rec r JOIN t ON t.shard = r.shard AND t.rn = r.rn + 1)""".stripMargin
+       |    CASE WHEN r.fill + pk.plen <= $budget THEN r.fill + pk.plen
+       |         ELSE pk.plen END
+       |  FROM rec r JOIN pk ON pk.shard = r.shard AND pk.rn = r.rn + 1)""".stripMargin
 
   /** Length-banded jaccard pair CTE chain ending in `p(id_a, id_b,
     * jaccard_e4)` — shared by dd_ngram_jaccard, dd_cluster_minlabel and
@@ -1357,6 +1375,55 @@ object SparkEntry {
          |SELECT dd.doc_id, dd.lang, dd.quality_e4
          |FROM dd LEFT JOIN hits USING (doc_id)
          |WHERE coalesce(n_hits, 0) < 2""".stripMargin,
+
+    // the composed preparation pipeline: hygiene chain (as ds_corpus_clean,
+    // text carried through) → split hash < 9000 → greedy packing
+    "ds_prepare_training" -> {
+      val splitH = md5LongSql("concat('split#', CAST(doc_id AS VARCHAR))")
+      s"""WITH RECURSIVE
+         |q0 AS (SELECT doc_id, text, lang, n_chars, $W AS w FROM documents
+         |       WHERE doc_id % 100 <> 0),
+         |q1 AS (SELECT doc_id, text, lang, n_chars, w,
+         |  CAST(floor(len(list_distinct(w)) * 10000.0 / len(w))
+         |    + (CASE WHEN floor(len(list_filter(w, x -> list_contains(
+         |        $AllMarkersSql, x))) * 10000.0 / len(w)) > 0
+         |       THEN 500 ELSE 0 END)
+         |    - (CASE WHEN floor((length(text) - len(w) + 1) * 100.0 / len(w)) > 1200
+         |       THEN 1000 ELSE 0 END) AS BIGINT) AS quality_e4,
+         |  CASE WHEN len(w) >= 3 THEN len(w) - 2 ELSE len(w) END AS t3,
+         |  len($ShingleSql) AS d3
+         |  FROM q0),
+         |q AS (SELECT doc_id, text, lang, n_chars, quality_e4 FROM q1
+         |      WHERE quality_e4 >= 4000
+         |        AND CAST(floor((t3 - d3) * 10000.0 / t3) AS BIGINT) <= 500),
+         |${jaccardPairCtes("q")},
+         |pr AS (SELECT id_a, id_b FROM p WHERE jaccard_e4 >= 5000),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pr
+         |      UNION SELECT id_b AS a, id_a AS b FROM pr),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT r.n, e2.b FROM reach r JOIN e e2 ON e2.a = r.m),
+         |lab AS (SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS label
+         |        FROM reach GROUP BY n),
+         |dd AS (SELECT q.* FROM q LEFT JOIN lab USING (doc_id)
+         |       WHERE label IS NULL OR label = doc_id),
+         |ew AS (SELECT doc_id, $W AS w FROM documents WHERE doc_id % 100 = 0),
+         |ev AS (SELECT DISTINCT unnest($ShingleSql) AS g FROM ew),
+         |tw AS (SELECT doc_id, $W AS w FROM dd),
+         |tr AS (SELECT doc_id, unnest($ShingleSql) AS g FROM tw),
+         |hits AS (SELECT tr.doc_id, count(*) AS n_hits FROM tr
+         |         JOIN ev ON tr.g = ev.g GROUP BY tr.doc_id),
+         |kept AS (SELECT dd.doc_id, dd.text
+         |         FROM dd LEFT JOIN hits USING (doc_id)
+         |         WHERE coalesce(n_hits, 0) < 2),
+         |src AS (SELECT doc_id,
+         |          CAST(len($W) AS BIGINT) AS n_tokens
+         |        FROM kept WHERE ($splitH % 10000) < 9000),
+         |${packRecSql("src", "doc_id", "n_tokens", 256L, 8, "prep")}
+         |SELECT pid AS doc_id, shard, CAST(bin AS BIGINT) AS bin,
+         |       bin_offset, plen AS n_tokens FROM rec""".stripMargin
+    },
 
     // sharded greedy next-fit packing: the per-shard sequential fold is a
     // single-arm recursive CTE along the shard's row_number chain
