@@ -720,6 +720,12 @@ object SparkEntry {
     * shard's id-ordered row chain through the greedy next-fit recurrence.
     * Ends in `rec(shard, rn, pid, plen, bin, bin_offset, fill)`; callers
     * must open WITH RECURSIVE.
+    *
+    * `pk` is MATERIALIZED: the recursive `rec` joins it once per
+    * recursion step, and DuckDB inlines plain CTEs — with an expensive
+    * `srcCte` upstream (ds_prepare_training's whole hygiene chain) every
+    * step would re-evaluate it (observed: the sf0.1 oracle ran 30+ min
+    * before the hint, seconds after).
     */
   private def packRecSql(srcCte: String, idCol: String, lenCol: String,
       budget: Long, shards: Int, salt: String): String =
@@ -727,7 +733,7 @@ object SparkEntry {
        |         (${md5LongSql(s"concat('$salt#', CAST($idCol AS VARCHAR))")}
        |          % $shards) AS shard
        |       FROM $srcCte),
-       |pk AS (SELECT *, row_number() OVER (PARTITION BY shard
+       |pk AS MATERIALIZED (SELECT *, row_number() OVER (PARTITION BY shard
        |        ORDER BY pid) AS rn FROM pk0),
        |rec(shard, rn, pid, plen, bin, bin_offset, fill) AS (
        |  SELECT shard, rn, pid, plen, CAST(0 AS BIGINT),
@@ -1406,7 +1412,7 @@ object SparkEntry {
          |  SELECT r.n, e2.b FROM reach r JOIN e e2 ON e2.a = r.m),
          |lab AS (SELECT n AS doc_id, CAST(min(m) AS BIGINT) AS label
          |        FROM reach GROUP BY n),
-         |dd AS (SELECT q.* FROM q LEFT JOIN lab USING (doc_id)
+         |dd AS MATERIALIZED (SELECT q.* FROM q LEFT JOIN lab USING (doc_id)
          |       WHERE label IS NULL OR label = doc_id),
          |ew AS (SELECT doc_id, $W AS w FROM documents WHERE doc_id % 100 = 0),
          |ev AS (SELECT DISTINCT unnest($ShingleSql) AS g FROM ew),
