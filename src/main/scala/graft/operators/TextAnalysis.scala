@@ -275,11 +275,13 @@ object TextAnalysis {
     *         token asc) — a total order, so deterministic)
     */
   def tfidfTopK(docs: DataFrame, idCol: String, textCol: String,
-      k: Int): DataFrame = {
-    val tf = docs
+      k: Int, cacheTf: Boolean = true): DataFrame = {
+    val tf0 = docs
       .select(col(idCol), explode(tokens(coalesce(col(textCol), lit("")))).as("token"))
       .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tf =
+      if (cacheTf) tf0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else tf0
     val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("__n_docs"))
     val scored = tf.join(dfreq, "token")

@@ -146,6 +146,25 @@ object Streams {
       }
   }
 
+  /** Stream-static dedup: drop stream rows whose fingerprint exists in a
+    * STATIC seen-corpus table — the other half of incremental dedup's
+    * streaming story ([[firstSeenState]] handles duplicates WITHIN the
+    * stream; this anti-joins each micro-batch against the already-
+    * archived corpus, re-read per trigger so an external append between
+    * triggers is respected). Structured Streaming plans the stream-static
+    * left-anti join per micro-batch; with the static side a parquet
+    * table, each trigger sees its current contents.
+    *
+    * @param fp fingerprint expression over the stream columns (e.g.
+    *        [[graft.operators.TextAnalysis.fingerprint]] of the text col)
+    * @param seenFps static single-column ("__fp") fingerprint frame
+    */
+  def dropSeenStatic(stream: DataFrame, fp: org.apache.spark.sql.Column,
+      seenFps: DataFrame): DataFrame =
+    stream.withColumn("__fp", fp)
+      .join(seenFps.select(col("__fp")), Seq("__fp"), "left_anti")
+      .drop("__fp")
+
   /** Streaming gap-based sessionization ≙ the batch
     * [[graft.operators.Sessions.sessionize]]: keyed state holds each
     * user's open session; events within `gapMs` of the open session

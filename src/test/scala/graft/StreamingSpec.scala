@@ -244,6 +244,23 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("stream-static dedup drops rows whose fingerprint is archived") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val seen = Seq("the quick brown fox").toDF("text")
+      .select(graft.operators.TextAnalysis.fingerprint($"text").as("__fp"))
+    val mem = MemoryStream[String]
+    val out = Streams.dropSeenStatic(mem.toDF(),
+      graft.operators.TextAnalysis.fingerprint($"value"), seen)
+    val q = out.writeStream.format("memory").queryName("nostale")
+      .outputMode(OutputMode.Append).start()
+    mem.addData("the quick brown fox", "entirely fresh content")
+    q.processAllAvailable()
+    assert(spark.table("nostale").as[String].collect().toSeq ===
+      Seq("entirely fresh content"))
+    q.stop()
+  }
+
   test("first-seen state dedups across triggers: earlier batches are the " +
     "seen corpus for later ones") {
     import spark.implicits._
