@@ -292,6 +292,31 @@ object SparkEntry {
       TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 6)),
 
+    // ---- curation QA: near-dup rate per source — which source is
+    //      duplicate-heavy (docs appearing in ≥1 qualifying pair / docs) ----
+    "dd_dup_rate_by_source" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = TextDedup.lengthBandedJaccardPairs(docs, "doc_id", "text",
+        "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L)
+      val dupIds = pairs.select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      docs.join(dupIds.withColumn("__dup", lit(1L)), Seq("doc_id"), "left")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__dup"), lit(0L))).as("n_dup_docs"))
+        .withColumn("dup_rate_e4",
+          floor(col("n_dup_docs") * lit(10000.0) / col("n_docs")).cast("long"))
+    }),
+
+    // ---- classifier QA: language-ID confusion matrix (label vs pred) ----
+    "tx_lang_confusion" -> ((s, dir) =>
+      TextAnalysis.languageId(
+        Tables.documents(s, dir)
+          .select(col("doc_id"), col("lang").as("lang_label"), col("text")),
+        "text")
+        .groupBy(col("lang_label"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))),
+
     // ---- benchmark decontamination: n-gram overlap vs an eval set ----
     // every 100th doc plays the benchmark; the rest are "training"
     "dd_decontaminate" -> ((s, dir) => {
@@ -1042,6 +1067,34 @@ object SparkEntry {
          |    AS contain_e4
          |FROM p JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
          |WHERE floor(inter * 10000.0 / least(za.sz, zb.sz)) >= 6000""".stripMargin,
+
+    "dd_dup_rate_by_source" ->
+      s"""WITH ${jaccardPairCtes("documents")},
+         |pr AS (SELECT * FROM p WHERE jaccard_e4 >= 5000),
+         |ids AS (SELECT DISTINCT doc_id FROM (
+         |  SELECT id_a AS doc_id FROM pr UNION ALL SELECT id_b FROM pr)),
+         |d AS (SELECT d.source,
+         |        CASE WHEN ids.doc_id IS NULL THEN 0 ELSE 1 END AS dup
+         |      FROM documents d LEFT JOIN ids ON ids.doc_id = d.doc_id)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(dup) AS BIGINT) AS n_dup_docs,
+         |  CAST(floor(sum(dup) * 10000.0 / count(*)) AS BIGINT) AS dup_rate_e4
+         |FROM d GROUP BY source""".stripMargin,
+
+    "tx_lang_confusion" -> {
+      val best = TextAnalysis.langOrder.map(l => s"score_${l}_e4")
+        .reduce((a, b) => s"greatest($a, $b)")
+      val scoreCols = TextAnalysis.langOrder
+        .map(l => s"${langScoreSql(l)} AS score_${l}_e4").mkString(",\n  ")
+      val cases = TextAnalysis.langOrder
+        .map(l => s"WHEN score_${l}_e4 = $best THEN '$l'").mkString(" ")
+      s"""WITH s AS (SELECT lang AS lang_label, $scoreCols FROM documents),
+         |pred AS (SELECT lang_label,
+         |  CASE WHEN $best <= 0 THEN 'und' $cases ELSE 'und' END AS lang_pred
+         |  FROM s)
+         |SELECT lang_label, lang_pred, count(*) AS n_docs
+         |FROM pred GROUP BY lang_label, lang_pred""".stripMargin
+    },
 
     // train/eval shingle overlap; the Spark side joins on xxhash64 of the
     // shingle rather than the string (identical counts modulo a ~2^-64
