@@ -97,6 +97,30 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("sequence packing: ONE shard-key exchange, greedy fold in-partition") {
+    val p = planned("ds_pack_sequences")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+    assert(p.contains("MapPartitions"))
+  }
+
+  test("temperature resampling: rate table broadcasts, corpus never shuffles") {
+    val p = planned("ds_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!"Exchange hashpartitioning.*doc_id".r.findFirstIn(p).isDefined)
+  }
+
+  test("sessionization: one user-key exchange shared by windows and aggregate") {
+    val p = planned("ev_sessionize")
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
+  test("centroid sums: partial aggregation before the exchange") {
+    val p = planned("emb_centroids")
+    assert("HashAggregate".r.findAllIn(p).size >= 2)
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1)
+  }
+
   test("exact-N sample: bounded-heap top-k, no global Sort stage") {
     val p = planned("ds_sample_exact_n")
     assert(p.contains("TakeOrderedAndProject"))
