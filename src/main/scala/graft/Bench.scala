@@ -1,6 +1,23 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+
+  /** Release every persisted block — DataFrame cache entries AND raw
+    * persisted RDDs — so the next query starts against an empty block
+    * manager. Several operators persist intermediates for the lifetime
+    * of their plan (IVF assignments, the corpus-clean gated frame, tf
+    * tables); run back-to-back across 81 queries those blocks accumulate
+    * and late-suite queries pay eviction/GC pressure that has nothing to
+    * do with their own plan (round-6 driver bench recorded dd_dual_signal
+    * at 8.15 s vs 1.6-2.0 s isolated). Clearing between queries makes
+    * each timing a function of the query's plan alone.
+    */
+  private def clearPersisted(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = false))
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -33,7 +50,7 @@ object Bench {
     // failure: it propagates and fails the bench loudly — a broken query
     // must never score ~0 s and "improve" the total.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try fn(spark, sfDir).count()
+      try { fn(spark, sfDir).count(); clearPersisted(spark) }
       catch { case e: Throwable =>
         throw new RuntimeException(s"bench warmup failed for $name: ${e.getMessage}", e)
       }
@@ -42,14 +59,19 @@ object Bench {
     // timing is hostage to whatever GC pause or host contention lands on
     // it (observed 10x outliers on an otherwise-identical run), while the
     // min of two is a stable steady-state figure. No exception handling in
-    // the timed closure — a throwing query fails the bench.
+    // the timed closure — a throwing query fails the bench. Persisted
+    // state is cleared BETWEEN queries, not between the two reps: a
+    // query's own caches are part of its plan (rep 1 builds them, rep 2
+    // measures steady state), but no query may inherit another's blocks.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      name -> math.min(once(), once())
+      val v = math.min(once(), once())
+      clearPersisted(spark)
+      name -> v
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

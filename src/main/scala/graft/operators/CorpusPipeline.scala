@@ -37,7 +37,8 @@ object CorpusPipeline {
       idCol: String = "doc_id", textCol: String = "text",
       lenCol: String = "n_chars",
       minQualityE4: Long = 4000, maxRep3E4: Long = 500,
-      minJaccardE4: Long = 5000, minContamHits: Long = 2
+      minJaccardE4: Long = 5000, minContamHits: Long = 2,
+      cacheGated: Boolean = true
   ): DataFrame = {
     val q = TextAnalysis.qualityFeatures(train, textCol)
       .filter(col("quality_e4") >= minQualityE4)
@@ -48,13 +49,15 @@ object CorpusPipeline {
     // repetition expression gates over the full corpus. minLabelClusters
     // forces an action on the pair pipeline, so the cache is warm before
     // the remaining branches execute. Persisted for the plan's lifetime
-    // (same contract as minLabelClusters' returned labels): long-lived
-    // callers should clean up via spark.catalog.clearCache() or recreate
-    // the session; one-shot pipeline runs let session teardown do it.
-    val qr = TextAnalysis.repetitionFeatures(q, textCol, ks = Seq(3))
+    // (same contract as minLabelClusters' returned labels) with no
+    // unpersist handle through this API: one-shot pipeline runs let
+    // session teardown collect it; LONG-LIVED callers pass
+    // cacheGated = false (paying re-derivation per branch) or
+    // materialize the gated frame to a table and clean from there.
+    val qr0 = TextAnalysis.repetitionFeatures(q, textCol, ks = Seq(3))
       .filter(col("rep3_e4") <= maxRep3E4)
       .drop("rep3_e4")
-      .persist()
+    val qr = if (cacheGated) qr0.persist() else qr0
     val pairs = TextDedup.lengthBandedJaccardPairs(
       qr, idCol, textCol, lenCol, minJaccardE4 = minJaccardE4)
     val labels = TextDedup.minLabelClusters(pairs, pairsDistinct = true)

@@ -65,14 +65,69 @@ object Sampling {
     val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
     val rates = counts
       .crossJoin(broadcast(counts.agg(min(col("__n")).as("__min_n"))))
-      .select(col(strataCol),
+      .select(col(strataCol).as("__strata_r"),
         floor(sqrt(col("__min_n").cast("double") / col("__n")) * 10000)
           .cast("long").as("__rate_e4"))
-    df.join(broadcast(rates), strataCol)
+    // null-SAFE equality: a null stratum is a real group (counted above),
+    // so its rows must meet their own rate rather than vanish through a
+    // null-rejecting equi-join; <=> still plans as a broadcast hash join.
+    df.join(broadcast(rates), col(strataCol) <=> col("__strata_r"))
       .filter(
         TextDedup.md5Long(concat(lit(salt + "#"), col(keyCol).cast("string")))
           % 10000L < col("__rate_e4"))
-      .drop("__rate_e4")
+      .drop("__strata_r", "__rate_e4")
+  }
+
+  /** General-τ temperature resampling toward p_s ∝ n_s^τ: keep rate
+    * r_s = (min_s n_s / n_s)^(1−τ), so the smallest stratum keeps
+    * everything, τ=1 keeps natural proportions (all rates 1), τ=0
+    * approaches uniform, and τ=1/2 reproduces [[temperatureSample]]'s
+    * sqrt rates.
+    *
+    * Rates are PRECOMPUTED DRIVER-SIDE: the per-stratum counts collapse
+    * to |strata| rows (languages/domains — bounded by definition of a
+    * mixture knob, enforced by `maxStrata`), so collecting them is one
+    * tiny aggregate, and pow runs once per stratum on the driver. The
+    * keep decision stays the same narrow map-side hash filter against
+    * the resulting rate LITERALS — reproducibility is therefore a pure
+    * function of (salt, keys, the rate literals): an oracle re-deriving
+    * the rates needs a bit-identical pow, but one re-running with the
+    * same literals (they are plain longs, loggable/persistable) matches
+    * exactly on any engine. This is why sqrt-only [[temperatureSample]]
+    * remains the fully-declarative path: sqrt is the one power IEEE-754
+    * guarantees correctly rounded everywhere.
+    *
+    * Scale shape: one count aggregate (|strata| rows to the driver) +
+    * one map-side filter scan — identical to [[stratifiedSample]], which
+    * this delegates to. Null strata get the null-group rate via the
+    * null-safe `when` chain.
+    */
+  def temperatureSampleTau(df: DataFrame, keyCol: String, strataCol: String,
+      tau: Double, salt: String = "temp", maxStrata: Int = 100000): DataFrame = {
+    require(tau >= 0.0 && tau <= 1.0, "tau must be in [0, 1]")
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+      .limit(maxStrata + 1).collect()
+    require(counts.length <= maxStrata,
+      s"more than $maxStrata strata — not a mixture-rebalance column")
+    if (counts.isEmpty) return df
+    val ns = counts.map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1))
+    val minN = ns.map(_._2).min
+    val ratesE4: Seq[(Option[String], Long)] = ns.toSeq.map { case (s, n) =>
+      s -> math.floor(math.pow(minN.toDouble / n, 1.0 - tau) * 10000).toLong
+    }
+    // the rate literals ride a broadcast-joined literal table (a when-
+    // chain over thousands of strata would blow up the expression tree);
+    // matching on the STRING form of the stratum keeps the join key
+    // type-stable for any strata column type, null stratum included
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rates = broadcast(ratesE4.toDF("__strata_r", "__rate_e4")
+      .select(col("__strata_r"), col("__rate_e4")))
+    df.join(rates, col(strataCol).cast("string") <=> col("__strata_r"))
+      .filter(
+        TextDedup.md5Long(concat(lit(salt + "#"), col(keyCol).cast("string")))
+          % 10000L < col("__rate_e4"))
+      .drop("__strata_r", "__rate_e4")
   }
 
   /** EXACTLY-n PER-STRATUM sample: within each stratum, the n rows with

@@ -39,6 +39,10 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  private def maybeCache(df: DataFrame, cache: Boolean): DataFrame =
+    if (cache) df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /** Exact brute-force top-k cosine neighbors for a query subset.
     *
     * @param embeddings (idCol, vecCol) corpus
@@ -227,15 +231,22 @@ object Similarity {
   def ivfTopK(
       embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cIdCol: String, cVecCol: String,
-      queryPred: Column, k: Int, nprobe: Int = 1
+      queryPred: Column, k: Int, nprobe: Int = 1,
+      cacheAssignment: Boolean = true
   ): DataFrame = {
     require(nprobe >= 1, "nprobe must be >= 1")
     // The assignment feeds BOTH join sides below; unpersisted it would be
     // recomputed per branch (centroid cross-join + per-vector top-1 window,
     // the expensive part). Persisting it is building the IVF index — at
-    // warehouse scale the same thing, written to a table instead.
-    val assigned = ivfAssign(embeddings, idCol, vecCol, centroids, cIdCol, cVecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // warehouse scale the same thing, written to a table instead. The
+    // cache lives for the plan's lifetime with no unpersist handle, so
+    // LONG-LIVED callers (a serving loop issuing many top-k calls) should
+    // pass cacheAssignment = false — or better, materialize ivfAssign to
+    // a table once and probe that — rather than pin blocks per call
+    // (same contract as incrementalNearDupFilter's cacheBatch).
+    val assigned = maybeCache(
+      ivfAssign(embeddings, idCol, vecCol, centroids, cIdCol, cVecCol),
+      cacheAssignment)
     // probe list: each query's nprobe nearest centroids by the SAME
     // (cos desc, cent_id asc) order the assignment uses, so probe #1 is
     // exactly the query's own bucket and nprobe=1 degenerates to it.
@@ -294,10 +305,14 @@ object Similarity {
   def semanticDedup(
       embeddings: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, cIdCol: String, cVecCol: String,
-      minCosE6: Long, broadcastDrops: Boolean = true
+      minCosE6: Long, broadcastDrops: Boolean = true,
+      cacheAssignment: Boolean = true
   ): DataFrame = {
-    val assigned = ivfAssign(embeddings, idCol, vecCol, centroids, cIdCol, cVecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cacheAssignment: see ivfTopK — long-lived callers pass false (or
+    // materialize the assignment) to avoid pinning blocks per call.
+    val assigned = maybeCache(
+      ivfAssign(embeddings, idCol, vecCol, centroids, cIdCol, cVecCol),
+      cacheAssignment)
     val withNrm = assigned.withColumn("nrm", norm(col("v")))
     val l = withNrm.select(col("cent_id"), col(idCol).as("id_a"),
       col("v").as("v_a"), col("nrm").as("nrm_a"))
@@ -331,10 +346,14 @@ object Similarity {
     */
   def knnGraph(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, cIdCol: String, cVecCol: String, k: Int
+      centroids: DataFrame, cIdCol: String, cVecCol: String, k: Int,
+      cacheAssignment: Boolean = true
   ): DataFrame = {
-    val assigned = ivfAssign(embeddings, idCol, vecCol, centroids, cIdCol, cVecCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // cacheAssignment: see ivfTopK — long-lived callers pass false (or
+    // materialize the assignment) to avoid pinning blocks per call.
+    val assigned = maybeCache(
+      ivfAssign(embeddings, idCol, vecCol, centroids, cIdCol, cVecCol),
+      cacheAssignment)
     val withNrm = assigned.withColumn("nrm", norm(col("v")))
     val q = withNrm.select(col("cent_id"), col(idCol).as("query_id"),
       col("v").as("q_vec"), col("nrm").as("q_nrm"))

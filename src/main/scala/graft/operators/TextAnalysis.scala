@@ -268,8 +268,9 @@ object TextAnalysis {
     * final per-document top-k window partitions by document id: groups
     * are bounded by document length, so no task ever sorts more than one
     * document's vocabulary. (The tf cache has no unpersist handle through
-    * this API — one-shot analysis callers only; long-lived services
-    * should materialize tf as a table instead.)
+    * this API — one-shot analysis callers keep the default; long-lived
+    * services pass cacheTf = false, paying the second corpus scan, or
+    * materialize tf as a table instead.)
     *
     * @return idCol, token, tf, score_e4, rank (1-based, (score desc,
     *         token asc) — a total order, so deterministic)
@@ -418,7 +419,10 @@ object TextAnalysis {
     *        the caller is short-lived — there is no unpersist handle
     *        through this API, so long-lived callers keep the default and
     *        pay the second scan.
-    * @return df's columns plus `outCol`
+    * @return df's columns plus `outCol`. NULL-valued rows are preserved
+    *         with a NULL rank (they are excluded from the histogram too —
+    *         a null score is "unscored", not "smallest", so it must not
+    *         inflate other rows' below-counts or N).
     */
   def percentileRankByValue(df0: DataFrame, valueCol: String,
       outCol: String = "pct_e4", cacheInput: Boolean = false): DataFrame = {
@@ -427,7 +431,8 @@ object TextAnalysis {
         df0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else df0
     val w = org.apache.spark.sql.expressions.Window.orderBy(col(valueCol))
-    val hist = df.groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
+    val hist = df.filter(col(valueCol).isNotNull)
+      .groupBy(col(valueCol)).agg(count(lit(1)).as("__c"))
       .withColumn("__below", coalesce(sum(col("__c")).over(
         w.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
         lit(0L)))
@@ -436,7 +441,11 @@ object TextAnalysis {
           org.apache.spark.sql.expressions.Window.unboundedFollowing)))
       .select(col(valueCol),
         floor(col("__below") * lit(10000.0) / col("__n")).cast("long").as(outCol))
-    df.join(broadcast(hist), valueCol)
+    // LEFT join so null-valued rows survive (with null rank) instead of
+    // silently vanishing through the USING-join's null-rejecting equality;
+    // for non-null rows left ≡ inner, since every non-null value is in
+    // the histogram by construction — same broadcast-hash-join plan.
+    df.join(broadcast(hist), Seq(valueCol), "left")
   }
 
   /** Cross-document duplicate context windows: every chunk (as produced

@@ -391,17 +391,16 @@ object TextDedup {
   /** LSH candidate pairs from banded signatures: docs sharing any band
     * bucket. bands must divide numHashes.
     *
-    * @param numHashes signature width; pass it explicitly when known —
-    *        the `<= 0` fallback discovers it with a `first()`, which
-    *        EXECUTES the whole upstream signature pipeline once just to
-    *        read one array length (and then again for the real run).
+    * @param numHashes signature width — REQUIRED (every producer of a
+    *        signature frame knows it); a discover-from-data fallback
+    *        would execute the whole upstream signature pipeline at
+    *        plan-build time just to read one array length.
     */
-  def lshCandidates(sigs: DataFrame, idCol: String, bands: Int = 8,
-      numHashes: Int = -1, maxBucketSize: Int = 0): DataFrame = {
-    val nh =
-      if (numHashes > 0) numHashes
-      else bands * (sigs.select(size(col("sig"))).first().getInt(0) / bands)
-    val rowsPerBand = nh / bands
+  def lshCandidates(sigs: DataFrame, idCol: String, bands: Int,
+      numHashes: Int, maxBucketSize: Int = 0): DataFrame = {
+    require(numHashes > 0, "numHashes must be positive")
+    require(bands > 0 && numHashes % bands == 0, "bands must divide numHashes")
+    val rowsPerBand = numHashes / bands
     val banded = sigs.select(
       col(idCol),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),

@@ -150,10 +150,16 @@ object Streams {
     * STATIC seen-corpus table — the other half of incremental dedup's
     * streaming story ([[firstSeenState]] handles duplicates WITHIN the
     * stream; this anti-joins each micro-batch against the already-
-    * archived corpus, re-read per trigger so an external append between
-    * triggers is respected). Structured Streaming plans the stream-static
-    * left-anti join per micro-batch; with the static side a parquet
-    * table, each trigger sees its current contents.
+    * archived corpus).
+    *
+    * The static side is a SNAPSHOT TAKEN AT STREAM START: a path-based
+    * parquet DataFrame pins its file listing (InMemoryFileIndex) when
+    * the frame is created and Structured Streaming re-plans the join per
+    * micro-batch against that same listing — fingerprints archived AFTER
+    * the query starts are NOT seen, and their duplicates pass. When the
+    * seen corpus grows while the stream runs, use [[dropSeenInBatch]]
+    * inside `foreachBatch` (re-lists the path every batch) or back the
+    * static side with a snapshot-refreshing table format.
     *
     * @param fp fingerprint expression over the stream columns (e.g.
     *        [[graft.operators.TextAnalysis.fingerprint]] of the text col)
@@ -164,6 +170,27 @@ object Streams {
     stream.withColumn("__fp", fp)
       .join(seenFps.select(col("__fp")), Seq("__fp"), "left_anti")
       .drop("__fp")
+
+  /** [[dropSeenStatic]]'s refresh-per-trigger form, for use inside
+    * `foreachBatch`: re-reads the seen-fingerprint parquet path on EVERY
+    * call, so fingerprints archived between triggers are respected —
+    * each `spark.read.parquet` builds a fresh file index, which is the
+    * whole difference from the snapshot the stream-static join pins.
+    *
+    * {{{
+    * stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+    *   Streams.dropSeenInBatch(batch, fingerprint(col("text")), seenPath)
+    *     .write.mode("append").parquet(outPath)
+    * }
+    * }}}
+    *
+    * Listing cost is per-trigger — keep the fingerprint table compacted
+    * (few large files), as any per-batch-scanned side should be.
+    */
+  def dropSeenInBatch(batch: DataFrame, fp: org.apache.spark.sql.Column,
+      seenFpsPath: String): DataFrame =
+    dropSeenStatic(batch, fp,
+      batch.sparkSession.read.parquet(seenFpsPath).select(col("__fp")))
 
   /** Streaming gap-based sessionization ≙ the batch
     * [[graft.operators.Sessions.sessionize]]: keyed state holds each

@@ -42,12 +42,48 @@ final class Tracker(
     scala.collection.mutable.Map[(String, String, String), Long]().withDefaultValue(0L)
   private val stateSeconds =
     scala.collection.mutable.Map[(String, String, String), Tracker.HistAcc]()
+  // load-stats + query-cost families (metrics/metrics.go:152-209): files
+  // and bytes submitted per date (labeled by the date's YEAR, as the
+  // reference does — dates are unbounded, years are not) and per-op wall
+  // time. Observed by the load/monitor paths via the two methods below.
+  private val filesPerDate =
+    scala.collection.mutable.Map[(String, String, String), Tracker.HistAcc]()
+  private val bytesPerDate =
+    scala.collection.mutable.Map[(String, String, String), Tracker.HistAcc]()
+  private val queryCost =
+    scala.collection.mutable.Map[(String, String), Tracker.HistAcc]()
 
   private def observeStateTime(job: Job, st: Status, now: Long): Unit =
     st.history.lastOption.foreach { last =>
       stateSeconds.getOrElseUpdate(
-        (job.experiment, job.datatype, last.state.name), new Tracker.HistAcc)
+        (job.experiment, job.datatype, last.state.name),
+        new Tracker.HistAcc(Tracker.StateTimeBuckets))
         .observe((now - last.start) / 1000.0)
+    }
+
+  /** Record a load's input volume (gardener_files / gardener_bytes,
+    * metrics/metrics.go:152-191) — called by the load action with the
+    * OpStats the Spark load computed.
+    */
+  def observeLoadStats(job: Job, files: Long, bytes: Long): Unit =
+    lock.synchronized {
+      val key = (job.experiment, job.datatype, job.date.getYear.toString)
+      filesPerDate.getOrElseUpdate(key, new Tracker.HistAcc(Tracker.FilesBuckets))
+        .observe(files.toDouble)
+      bytesPerDate.getOrElseUpdate(key, new Tracker.HistAcc(Tracker.BytesBuckets))
+        .observe(bytes.toDouble)
+    }
+
+  /** Record one table-op's wall time (query_cost_seconds,
+    * metrics/metrics.go:193-209; the reference observes BigQuery slot
+    * seconds — the Spark analog of "what did this query cost" is wall
+    * time on the session's executors, observed by the monitor around
+    * every action).
+    */
+  def observeQueryCost(datatype: String, query: String, seconds: Double): Unit =
+    lock.synchronized {
+      queryCost.getOrElseUpdate((datatype, query),
+        new Tracker.HistAcc(Tracker.QueryCostBuckets)).observe(seconds)
     }
 
   // restore persisted state on construction (cmd/gardener/gardener.go:188-202)
@@ -144,7 +180,10 @@ final class Tracker(
     started = startedBy.toMap,
     completed = completedBy.toMap,
     failed = failedBy.toMap,
-    stateSeconds = stateSeconds.map { case (k, v) => k -> v.snapshot }.toMap))
+    stateSeconds = stateSeconds.map { case (k, v) => k -> v.snapshot }.toMap,
+    files = filesPerDate.map { case (k, v) => k -> v.snapshot }.toMap,
+    bytes = bytesPerDate.map { case (k, v) => k -> v.snapshot }.toMap,
+    queryCost = queryCost.map { case (k, v) => k -> v.snapshot }.toMap))
 
   def numJobs: Int = lock.synchronized(jobs.size)
 
@@ -193,16 +232,53 @@ object Tracker {
     0.1, 0.3, 1, 3, 10, 30,
     100, 300, 1000, 1800, 3600, 2 * 3600, 4 * 3600, 8 * 3600, 12 * 3600)
 
+  /** Files-per-date bucket bounds — the reference's FilesPerDateHistogram
+    * (metrics/metrics.go:152-165): a 1-2-3..-geometric ladder from 1 to
+    * 900k files.
+    */
+  val FilesBuckets: Array[Double] = Array[Double](1, 2, 3, 4, 5, 6, 7, 8, 9,
+    10, 12, 14, 17, 20, 24, 28, 32, 38, 44, 50, 60, 70, 80, 90,
+    100, 120, 140, 170, 200, 240, 280, 320, 380, 440, 500, 600, 700, 800, 900,
+    1000, 1200, 1400, 1700, 2000, 2400, 2800, 3200, 3800, 4400, 5000, 6000,
+    7000, 8000, 9000,
+    10000, 12000, 14000, 17000, 20000, 24000, 28000, 32000, 38000, 44000,
+    50000, 60000, 70000, 80000, 90000,
+    100000, 120000, 140000, 170000, 200000, 240000, 280000, 320000, 380000,
+    440000, 500000, 600000, 700000, 800000, 900000)
+
+  /** Bytes-per-date bucket bounds — the reference's BytesPerDateHistogram
+    * (metrics/metrics.go:167-191): ~1.4× ladder from 100 kB to 80 GB.
+    */
+  val BytesBuckets: Array[Double] = Array[Double](
+    100000, 140000, 200000, 280000, 400000, 560000, 800000,
+    1000000, 1400000, 2000000, 2800000, 4000000, 5600000, 8000000,
+    10000000, 14000000, 20000000, 28000000, 40000000, 56000000, 80000000,
+    100000000, 140000000, 200000000, 280000000, 400000000, 560000000,
+    800000000,
+    1000000000, 1400000000, 2000000000, 2800000000d, 4000000000d, 5600000000d,
+    8000000000d,
+    10000000000d, 14000000000d, 20000000000d, 28000000000d, 40000000000d,
+    56000000000d, 80000000000d)
+
+  /** Query-cost bucket bounds — the reference's QueryCostHistogram
+    * (metrics/metrics.go:193-209): half-decade ladder, 1 s to ~12k hours.
+    */
+  val QueryCostBuckets: Array[Double] = Array(
+    1.0, 2.15, 4.64, 10, 21.5, 46.4,
+    100, 215, 464, 1000, 2150, 4640,
+    10000, 21500, 46400, 100000, 215000, 464000,
+    1000000, 2150000, 4640000, 10000000, 21500000, 46400000)
+
   /** Cumulative-bucket histogram accumulator (Prometheus semantics:
     * bucket `le=b` counts observations ≤ b; +Inf bucket == count).
     */
-  final class HistAcc {
-    private val counts = new Array[Long](StateTimeBuckets.length + 1)
+  final class HistAcc(buckets: Array[Double]) {
+    private val counts = new Array[Long](buckets.length + 1)
     private var total = 0L
     private var sum = 0.0
     def observe(v: Double): Unit = {
       var i = 0
-      while (i < StateTimeBuckets.length && v > StateTimeBuckets(i)) i += 1
+      while (i < buckets.length && v > buckets(i)) i += 1
       counts(i) += 1
       total += 1
       sum += v
@@ -212,19 +288,23 @@ object Tracker {
       var acc = 0L
       var i = 0
       while (i < counts.length) { acc += counts(i); cum(i) = acc; i += 1 }
-      Hist(cum, sum, total)
+      Hist(buckets, cum, sum, total)
     }
   }
 
   /** Immutable histogram snapshot: `cumBuckets(i)` is the count of
-    * observations ≤ StateTimeBuckets(i); the last slot is +Inf (== count).
+    * observations ≤ `le(i)`; the last slot is +Inf (== count).
     */
-  final case class Hist(cumBuckets: Array[Long], sum: Double, count: Long)
+  final case class Hist(le: Array[Double], cumBuckets: Array[Long],
+      sum: Double, count: Long)
 
   /** Snapshot of all accumulated families, keyed by label values. */
   final case class Metrics(
       started: Map[(String, String), Long],
       completed: Map[(String, String), Long],
       failed: Map[(String, String, String), Long],
-      stateSeconds: Map[(String, String, String), Hist])
+      stateSeconds: Map[(String, String, String), Hist],
+      files: Map[(String, String, String), Hist],
+      bytes: Map[(String, String, String), Hist],
+      queryCost: Map[(String, String), Hist])
 }
