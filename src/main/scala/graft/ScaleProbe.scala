@@ -56,22 +56,45 @@ object ScaleProbe {
       "ds_pack_sequences", "tx_vocab_topk", "emb_kmeans_iter",
       "ds_temperature_sample")
 
-    def time(name: String, dir: String): Double = {
-      def once(): Double = {
+    def timed(q: () => Long): (Double, Long) = {
+      def once(): (Double, Long) = {
         val t0 = System.nanoTime()
-        SparkEntry.queries(name)(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
+        val n = q()
+        ((System.nanoTime() - t0) / 1e9, n)
       }
       once() // warmup (plan codegen)
-      math.min(once(), once())
+      val (ta, n) = once(); val (tb, _) = once()
+      (math.min(ta, tb), n)
     }
+    def time(name: String, dir: String): Double =
+      timed(() => SparkEntry.queries(name)(spark, dir).count())._1
 
     val rows = names.map { n =>
       val t1 = time(n, sf)
       val t10 = time(n, outDir)
       f""""$n":[$t1%.3f,$t10%.3f,${t10 / t1}%.2f]"""
     }
-    println(s"""{"metric":"scale10","queries":{${rows.mkString(",")}}}""")
+
+    // ---- embedding-LSH tier: sized per the operator's scaling law ----
+    // Bits-per-band must track log2(N) (Similarity.embedNearDupPairs
+    // scaladoc): 8 bits/band at 1x (20k vectors), 12 at 10x (200k), so
+    // background bucket occupancy stays ~flat and candidate pairs grow
+    // sub-quadratically. Threshold -1e6 admits EVERY candidate, so the
+    // row count IS the candidate-pair count — the growth the old 16/4
+    // sizing let go ~N²/8 — while the runtime covers the full plan
+    // (bit compute + bucket shuffle + exact-cosine verify join).
+    def lsh(dir: String, nBits: Int, bands: Int): () => Long = () =>
+      graft.operators.Similarity.embedNearDupPairs(
+        spark.read.parquet(s"$dir/embeddings.parquet"), "vec_id", "embedding",
+        minCosE6 = -1000000L, dim = 64, nBits = nBits, bands = bands).count()
+    val (lt1, lc1) = timed(lsh(sf, 64, 8))
+    val (lt10, lc10) = timed(lsh(outDir, 96, 8))
+    val lshRow =
+      f""""dd_embed_neardup_lsh":[$lt1%.3f,$lt10%.3f,${lt10 / lt1}%.2f]"""
+    val lshCands =
+      f""""lsh_candidates":[$lc1,$lc10,${lc10.toDouble / lc1}%.2f]"""
+
+    println(s"""{"metric":"scale10","queries":{${(rows :+ lshRow).mkString(",")}},$lshCands}""")
     spark.stop()
   }
 }

@@ -357,10 +357,17 @@ object SparkEntry {
 
     // threshold is corpus-relative: the synthetic embeddings are near-
     // orthogonal (max pairwise cosine ~0.51), so 0.45 plays the "near
-    // dup" band here; real corpora would run 0.95+ with the same plan
+    // dup" band here; real corpora would run 0.95+ with the same plan.
+    // Sizing keeps the operator's 8-bits-per-band discipline (256
+    // buckets/band — sub-quadratic candidate growth; see the operator
+    // scaladoc) and buys back the recall the fixture's low cosine band
+    // costs with more bands: at p = 1−θ/π ≈ 0.65 (cos 0.45), 28 bands of
+    // 8 bits give ~0.60 pair recall vs the old 16/4 sizing's ~0.54,
+    // without its N²/8 bucket blow-up. Real corpora (cos ≥ 0.95 ⇒
+    // p ≈ 0.90) reach 0.99 recall with the plain 64/8 defaults.
     "dd_embed_neardup_lsh" -> ((s, dir) =>
       Similarity.embedNearDupPairs(Tables.embeddings(s, dir), "vec_id",
-        "embedding", minCosE6 = 450000L, dim = 64)),
+        "embedding", minCosE6 = 450000L, dim = 64, nBits = 224, bands = 28)),
 
     // ---- similarity search ----
     "sim_cosine_topk" -> ((s, dir) =>

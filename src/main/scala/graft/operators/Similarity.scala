@@ -119,6 +119,17 @@ object Similarity {
     * deterministic hash-to-[-1,1] of (i, j) — reproducible across runs and
     * engines with no random state.
     *
+    * Sizing: each band hashes into 2^(nBits/bands) buckets, and on a
+    * corpus with no near-dup structure every bucket holds ~N/2^(nBits/
+    * bands) ids, so candidate pairs grow ~bands·N²/2^(nBits/bands+1) —
+    * bits-per-band is the quadratic-blowup throttle and must grow with
+    * log2(N) (defaults 64/8 ⇒ 256 buckets/band: 32× fewer background
+    * collisions than the old 16/4, right for ~10⁵-10⁶ vectors; at 10⁸+
+    * use ≥16 bits/band). `bands` is the recall knob: P[candidate] =
+    * 1−(1−p^(nBits/bands))^bands with p = 1−θ/π, so for a fixed
+    * bits-per-band more bands buys recall linearly in compute without
+    * touching bucket sizes.
+    *
     * Scale shape: only (id, band, bucket) rides the bucketing shuffle —
     * vectors do NOT travel inside the bucket structs (near-dup-heavy
     * corpora produce hot buckets, and |g| vectors × dim in one
@@ -147,7 +158,7 @@ object Similarity {
     */
   def embedNearDupPairs(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      minCosE6: Long, dim: Int, nBits: Int = 16, bands: Int = 4,
+      minCosE6: Long, dim: Int, nBits: Int = 64, bands: Int = 8,
       maxBucketSize: Int = 0
   ): DataFrame = {
     require(dim > 0, "dim must be positive")
