@@ -10,12 +10,16 @@ object Bench {
     * and late-suite queries pay eviction/GC pressure that has nothing to
     * do with their own plan (round-6 driver bench recorded dd_dual_signal
     * at 8.15 s vs 1.6-2.0 s isolated). Clearing between queries makes
-    * each timing a function of the query's plan alone.
+    * each timing a function of the query's plan alone. blocking=true:
+    * async removal would overlap the next query's first timed rep —
+    * residual cross-query interference in a mechanism whose whole point
+    * is timing isolation (the synchronous wait is microseconds against
+    * query times in seconds).
     */
   private def clearPersisted(spark: SparkSession): Unit = {
     spark.sharedState.cacheManager.clearCache()
     spark.sparkContext.getPersistentRDDs.values
-      .foreach(_.unpersist(blocking = false))
+      .foreach(_.unpersist(blocking = true))
   }
 
   def main(args: Array[String]): Unit = {
@@ -63,20 +67,46 @@ object Bench {
     // state is cleared BETWEEN queries, not between the two reps: a
     // query's own caches are part of its plan (rep 1 builds them, rep 2
     // measures steady state), but no query may inherit another's blocks.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      def once(): Double = {
-        val t0 = System.nanoTime()
-        fn(spark, sfDir).count()
-        (System.nanoTime() - t0) / 1e9
+    //
+    // Contention sentinel: when the two reps disagree by >3x, something
+    // external (GC storm, a concurrent JVM on the host — the round-7
+    // driver artifact carried a phantom 31x regression from exactly
+    // this) landed on one of them; re-measure up to twice more and keep
+    // the min. Queries that needed the rerun are reported under
+    // "contended" so a hot host is visible IN the artifact instead of
+    // masquerading as a plan regression.
+    val contended = scala.collection.mutable.ListBuffer[String]()
+    val results: Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        def once(): Double = {
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).count()
+          (System.nanoTime() - t0) / 1e9
+        }
+        var a = once(); var b = once()
+        var extra = 0
+        while (math.max(a, b) > 3 * math.min(a, b) && extra < 2) {
+          contended += name
+          a = math.min(a, b); b = once(); extra += 1
+        }
+        clearPersisted(spark)
+        name -> math.min(a, b)
       }
-      val v = math.min(once(), once())
-      clearPersisted(spark)
-      name -> v
-    }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val loadAvg = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val cont = contended.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$qs,"sf":"$sfDir","load_avg":$loadAvg,"contended":$cont}"""
+    println(json)
+    // The stdout line alone has twice been clipped/unparsable in the
+    // official per-round capture (BENCH_r06/r07 "parsed": null); the file
+    // copy under target/ is the durable artifact.
+    val out = java.nio.file.Paths.get("target/bench.json")
+    java.nio.file.Files.createDirectories(out.getParent)
+    java.nio.file.Files.writeString(out, json + "\n")
     spark.stop()
   }
 }
