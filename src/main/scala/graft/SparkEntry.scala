@@ -403,6 +403,16 @@ object SparkEntry {
       Sampling.temperatureSample(Tables.documents(s, dir), "doc_id", "lang")
         .select("doc_id", "lang", "source")),
 
+    // ---- general-τ variant at τ = 0 (flatten toward uniform). τ = 0 is
+    //      the one general-τ point an SQL oracle reproduces bit-
+    //      identically: its rate is floor(10000·min/n) — plain IEEE-754
+    //      division both engines round identically, where a general pow
+    //      is only within-1-ulp. The τ-law specs (identity at 1, ≡ sqrt
+    //      path at 1/2, nested kept-sets) pin the rest of the range. ----
+    "ds_temperature_sample_tau" -> ((s, dir) =>
+      Sampling.temperatureSampleTau(Tables.documents(s, dir), "doc_id", "lang",
+        tau = 0.0).select("doc_id", "lang", "source")),
+
     // ---- sessionization: gap-based event sessions (30 min) ----
     "ev_sessionize" -> ((s, dir) =>
       Sessions.sessionize(Tables.events(s, dir), "user_id", "ts")
@@ -1384,6 +1394,15 @@ object SparkEntry {
       s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
          |mn AS (SELECT min(n) AS min_n FROM cnt),
          |r AS (SELECT lang, CAST(floor(sqrt(CAST(min_n AS DOUBLE) / n) * 10000)
+         |        AS BIGINT) AS rate_e4 FROM cnt, mn)
+         |SELECT doc_id, lang, source FROM documents JOIN r USING (lang)
+         |WHERE (${md5LongSql("concat('temp#', CAST(doc_id AS VARCHAR))")}
+         |       % 10000) < rate_e4""".stripMargin,
+
+    "ds_temperature_sample_tau" ->
+      s"""WITH cnt AS (SELECT lang, count(*) AS n FROM documents GROUP BY lang),
+         |mn AS (SELECT min(n) AS min_n FROM cnt),
+         |r AS (SELECT lang, CAST(floor((CAST(min_n AS DOUBLE) / n) * 10000)
          |        AS BIGINT) AS rate_e4 FROM cnt, mn)
          |SELECT doc_id, lang, source FROM documents JOIN r USING (lang)
          |WHERE (${md5LongSql("concat('temp#', CAST(doc_id AS VARCHAR))")}

@@ -98,19 +98,25 @@ object Sampling {
     * guarantees correctly rounded everywhere.
     *
     * Scale shape: one count aggregate (|strata| rows to the driver) +
-    * one map-side filter scan — identical to [[stratifiedSample]], which
-    * this delegates to. Null strata get the null-group rate via the
-    * null-safe `when` chain.
+    * one map-side filter scan — identical to [[stratifiedSample]]. Null
+    * strata get the null-group rate via the null-safe join.
     */
   def temperatureSampleTau(df: DataFrame, keyCol: String, strataCol: String,
       tau: Double, salt: String = "temp", maxStrata: Int = 100000): DataFrame = {
     require(tau >= 0.0 && tau <= 1.0, "tau must be in [0, 1]")
-    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n"))
+    // counts are grouped on the SPARK-CAST string form of the stratum —
+    // the same expression the join below matches on. Collecting the raw
+    // values and stringifying them JVM-side would silently diverge for
+    // any type whose JVM toString differs from Spark's cast-to-string
+    // (java.sql.Timestamp appends ".0", arrays/structs differ wholesale),
+    // and every row of such a stratum would vanish through the join.
+    val counts = df.select(col(strataCol).cast("string").as("__s"))
+      .groupBy(col("__s")).agg(count(lit(1)).as("__n"))
       .limit(maxStrata + 1).collect()
     require(counts.length <= maxStrata,
       s"more than $maxStrata strata — not a mixture-rebalance column")
     if (counts.isEmpty) return df
-    val ns = counts.map(r => Option(r.get(0)).map(_.toString) -> r.getLong(1))
+    val ns = counts.map(r => Option(r.getString(0)) -> r.getLong(1))
     val minN = ns.map(_._2).min
     val ratesE4: Seq[(Option[String], Long)] = ns.toSeq.map { case (s, n) =>
       s -> math.floor(math.pow(minN.toDouble / n, 1.0 - tau) * 10000).toLong

@@ -423,6 +423,89 @@ class ExtensionsSpec extends SparkTestBase {
     assert(kept("big") > 120L && kept("big") < 230L)
   }
 
+  test("temperatureSampleTau laws: tau=1 identity, tau=1/2 matches " +
+    "temperatureSample, kept sets nest as tau falls") {
+    import graft.operators.Sampling
+    val rows = (1L to 400L).map(i => (i, if (i <= 100) "small" else "big"))
+      .toDF("doc_id", "lang")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("doc_id").as[Long].collect().toSet
+    // tau = 1: natural proportions — every rate is 10000, nothing dropped
+    assert(ids(Sampling.temperatureSampleTau(rows, "doc_id", "lang", tau = 1.0))
+      == (1L to 400L).toSet)
+    // tau = 1/2 reproduces the declarative sqrt path row-for-row
+    assert(ids(Sampling.temperatureSampleTau(rows, "doc_id", "lang", tau = 0.5))
+      == ids(Sampling.temperatureSample(rows, "doc_id", "lang")))
+    // monotone nesting: the same row hash meets a smaller rate threshold
+    // only if it met the larger one, so kept(tau') ⊆ kept(tau) for
+    // tau' <= tau — the subset chain IS the monotone-rates law
+    val taus = Seq(0.0, 0.25, 0.5, 0.75, 1.0)
+    val chain = taus.map(t =>
+      ids(Sampling.temperatureSampleTau(rows, "doc_id", "lang", tau = t)))
+    chain.sliding(2).foreach { case Seq(lo, hi) => assert(lo.subsetOf(hi)) }
+    // tau = 0 flattens toward uniform: the big stratum keeps ~min rows
+    val t0 = Sampling.temperatureSampleTau(rows, "doc_id", "lang", tau = 0.0)
+      .groupBy("lang").count().as[(String, Long)].collect().toMap
+    assert(t0("small") == 100L && t0("big") > 60L && t0("big") < 140L)
+  }
+
+  test("temperatureSampleTau: non-string strata (timestamp) and null " +
+    "strata sample instead of vanishing through the rate join") {
+    import graft.operators.Sampling
+    // java.sql.Timestamp.toString appends ".0" where Spark's cast-to-
+    // string does not — rate keys built from driver-side toString would
+    // match NO row of a timestamp stratum and silently drop them all
+    val ts = (1L to 60L).map { i =>
+      (i, java.sql.Timestamp.valueOf(s"2024-06-0${1 + (i % 3)} 00:00:00"))
+    }.toDF("doc_id", "day")
+    assert(Sampling.temperatureSampleTau(ts, "doc_id", "day", tau = 1.0)
+      .count() == 60L)
+    // a null stratum is a real group: it survives tau=1 whole too
+    val withNull = (1L to 40L)
+      .map(i => (i, if (i % 4 == 0) null else s"l${i % 3}"))
+      .toDF("doc_id", "lang")
+    val kept = Sampling.temperatureSampleTau(withNull, "doc_id", "lang", tau = 1.0)
+    assert(kept.count() == 40L)
+    assert(kept.filter(col("lang").isNull).count() == 10L)
+  }
+
+  test("sessionizePresplit equals sessionize on a hot-user corpus and " +
+    "bounds per-task group sizes") {
+    import graft.operators.Sessions
+    val gap = java.time.Duration.ofMinutes(30)
+    val bucket = java.time.Duration.ofHours(2)
+    // one user owns ~60% of events; increments are a deterministic mix
+    // of intra-session (< gap) and session-breaking (> gap) steps, so
+    // sessions repeatedly straddle the 2 h bucket edges the presplit
+    // path must merge across
+    def stream(user: String, n: Int, seed: Long): Seq[(String, java.sql.Timestamp)] = {
+      var t = java.sql.Timestamp.valueOf("2024-06-01 00:00:00").getTime
+      (1 to n).map { i =>
+        val r = (i * 7919L + seed * 104729L) % 97
+        t += (if (r < 60) r * 30 * 1000L          // ≤ ~30 min: same session
+              else (31 + r) * 60 * 1000L)          // > gap: new session
+        (user, new java.sql.Timestamp(t))
+      }
+    }
+    val events = (stream("hot", 300, 1) ++ stream("u1", 80, 2) ++
+      stream("u2", 80, 3) ++ stream("u3", 40, 4)).toDF("user_id", "ts")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("user_id", "session_idx", "session_start", "session_end",
+        "n_events").collect().map(_.toSeq).toSet
+    val plain = canon(Sessions.sessionize(events, "user_id", "ts", gap))
+    val split = canon(Sessions.sessionizePresplit(events, "user_id", "ts",
+      gap, bucket))
+    assert(split == plain)
+    // the guard's point: no (user, bucket) event group approaches the
+    // hot user's total — the per-task sort in pass 1 is bounded by the
+    // bucket span, not by the user's full history
+    val maxGroup = events
+      .groupBy(col("user_id"),
+        floor(unix_micros(col("ts")) / lit(bucket.toNanos / 1000)))
+      .count().agg(max("count")).as[Long].head()
+    assert(maxGroup < 40L, s"largest (user,bucket) group = $maxGroup")
+  }
+
   test("tokenize maps positions to vocab ranks with OOV -> 0") {
     val d = Seq(
       (1L, "the the the fox fox rare"),
