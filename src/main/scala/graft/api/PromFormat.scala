@@ -55,16 +55,45 @@ object PromFormat {
           s"gardener_tasks_in_flight${labels(Seq("experiment" -> exp, "datatype" -> dt, "state" -> state))} $n"
         }
     }
+    def histSamples(name: String, base: Seq[(String, String)],
+        h: Tracker.Hist): Seq[String] = {
+      val buckets = h.le.zipWithIndex.map { case (le, i) =>
+        s"${name}_bucket${labels(base :+ ("le" -> num(le)))} ${h.cumBuckets(i)}"
+      }.toSeq
+      buckets ++ Seq(
+        s"${name}_bucket${labels(base :+ ("le" -> "+Inf"))} ${h.count}",
+        s"${name}_sum${labels(base)} ${num(h.sum)}",
+        s"${name}_count${labels(base)} ${h.count}")
+    }
     family("gardener_state_time_histogram", "histogram", "time-in-state distributions.") {
       m.stateSeconds.toSeq.sortBy(_._1).flatMap { case ((exp, dt, state), h) =>
-        val base = Seq("experiment" -> exp, "datatype" -> dt, "state" -> state)
-        val buckets = Tracker.StateTimeBuckets.zipWithIndex.map { case (le, i) =>
-          s"gardener_state_time_histogram_bucket${labels(base :+ ("le" -> num(le)))} ${h.cumBuckets(i)}"
-        }.toSeq
-        buckets ++ Seq(
-          s"gardener_state_time_histogram_bucket${labels(base :+ ("le" -> "+Inf"))} ${h.count}",
-          s"gardener_state_time_histogram_sum${labels(base)} ${num(h.sum)}",
-          s"gardener_state_time_histogram_count${labels(base)} ${h.count}")
+        histSamples("gardener_state_time_histogram",
+          Seq("experiment" -> exp, "datatype" -> dt, "state" -> state), h)
+      }
+    }
+    // load-stats + query-cost families (reference: metrics/metrics.go:
+    // 152-209) — observed by the load action (files/bytes the load
+    // consumed, labeled by the date's YEAR: dates are unbounded, years
+    // are not) and by the monitor around every action's run.
+    family("gardener_files", "histogram",
+      "Histogram of number of files submitted per date.") {
+      m.files.toSeq.sortBy(_._1).flatMap { case ((exp, dt, year), h) =>
+        histSamples("gardener_files",
+          Seq("experiment" -> exp, "datatype" -> dt, "date" -> year), h)
+      }
+    }
+    family("gardener_bytes", "histogram",
+      "Histogram of total bytes submitted per date.") {
+      m.bytes.toSeq.sortBy(_._1).flatMap { case ((exp, dt, year), h) =>
+        histSamples("gardener_bytes",
+          Seq("experiment" -> exp, "datatype" -> dt, "date" -> year), h)
+      }
+    }
+    family("query_cost_seconds", "histogram",
+      "Distribution of query cost in seconds.") {
+      m.queryCost.toSeq.sortBy(_._1).flatMap { case ((dt, query), h) =>
+        histSamples("query_cost_seconds",
+          Seq("datatype" -> dt, "query" -> query), h)
       }
     }
     sb.toString

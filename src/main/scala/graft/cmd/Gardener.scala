@@ -74,7 +74,16 @@ object Gardener {
       catch { case e: Exception => Outcome.Failure(e.getMessage) }
 
     val monitor = new Monitor(tracker, StandardPipeline.actions(
-      load = job => tableOp(ops => { ops.loadToTmp(s"$archiveRoot/${job.prefix}*"); () })(job),
+      // the load action publishes its input volume as gardener_files /
+      // gardener_bytes (reference: metrics/metrics.go:152-191) — the
+      // archive listing the load consumed, via the same PrefixStats the
+      // has-files gate uses (driver-side metadata, no Spark job)
+      load = job => tableOp { ops =>
+        val (files, bytes) = PrefixStats.prefixStats(archiveRoot, job,
+          spark.sparkContext.hadoopConfiguration)
+        ops.loadToTmp(s"$archiveRoot/${job.prefix}*")
+        tracker.observeLoadStats(job, files, bytes)
+      }(job),
       dedup = tableOp(ops => { ops.dedup(); () }),
       copy = tableOp(ops => { ops.copyToRaw(); () }),
       delete = tableOp(_.deleteTmp()),

@@ -65,10 +65,19 @@ final class Monitor(
   }
 
   private def applyAction(key: String, job: Job, action: Action): Unit = {
+    val t0 = clock()
     val outcome = Try(action.run(job)) match {
       case TSuccess(o) => o
       case TFailure(e) => Outcome.Failure(s"${e.getClass.getSimpleName}: ${e.getMessage}")
     }
+    // every action's wall time feeds query_cost_seconds{datatype,query}
+    // (reference: metrics/metrics.go:193-209 — it observes BigQuery slot
+    // seconds; the Spark analog of "what did this query cost" is the
+    // action's wall time on the session's executors). The query label is
+    // the state the action ran FROM — the same bounded set of table ops
+    // the reference labels with (load/dedup/copy/delete/join).
+    tracker.observeQueryCost(job.datatype, action.from.name,
+      (clock() - t0) / 1000.0)
     // Jobs can be expired/removed mid-action (ops/ops.go:176,210) — the
     // tracker update may fail; tolerate it.
     outcome match {

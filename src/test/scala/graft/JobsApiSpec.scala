@@ -117,6 +117,37 @@ class JobsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.body().contains("gardener_started_total"))
   }
 
+  test("load-stats and query-cost families render with reference buckets") {
+    val job = tracker.getState().values.head._1
+    // observed by the load action / the monitor in production wiring
+    // (Gardener.main / Monitor.applyAction); fed directly here
+    tracker.observeLoadStats(job, files = 120L, bytes = 3_500_000_000L)
+    tracker.observeQueryCost(job.datatype, "deduplicating", 42.0)
+    val m = get("/metrics").body()
+    assert(m.contains("# TYPE gardener_files histogram"))
+    assert(m.contains("# TYPE gardener_bytes histogram"))
+    assert(m.contains("# TYPE query_cost_seconds histogram"))
+    val base = """{experiment="ndt",datatype="ndt7",date="2024""""
+    // observation lands in the right reference-ladder bucket…
+    assert(m.contains(s"""gardener_files_bucket${base},le="120"} 1"""))
+    assert(m.contains(s"""gardener_bytes_bucket${base},le="4000000000"} 1"""))
+    assert(m.contains(
+      """query_cost_seconds_bucket{datatype="ndt7",query="deduplicating",le="46.4"} 1"""))
+    // …below the preceding bound…
+    assert(m.contains(s"""gardener_files_bucket${base},le="100"} 0"""))
+    assert(m.contains(s"""gardener_bytes_bucket${base},le="2800000000"} 0"""))
+    assert(m.contains(
+      """query_cost_seconds_bucket{datatype="ndt7",query="deduplicating",le="21.5"} 0"""))
+    // …and the reference ladders' top bounds are all present
+    // (metrics/metrics.go:152-209: 900k files, 80 GB, 4.64e7 s)
+    assert(m.contains(s"""gardener_files_bucket${base},le="900000"} 1"""))
+    assert(m.contains(s"""gardener_bytes_bucket${base},le="80000000000"} 1"""))
+    assert(m.contains(
+      """query_cost_seconds_bucket{datatype="ndt7",query="deduplicating",le="46400000"} 1"""))
+    assert(m.contains(s"""gardener_files_count${base}} 1"""))
+    assert(m.contains(s"""gardener_bytes_sum${base}} 3500000000"""))
+  }
+
   test("JobsClient: typed round trip against the live server") {
     val c = new graft.api.JobsClient(s"http://localhost:$port")
     // work already exhausted by earlier tests => NoWork, not an error

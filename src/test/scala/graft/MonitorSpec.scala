@@ -39,6 +39,13 @@ class MonitorSpec extends AnyFunSuite {
     tk.setStatus(j.key, State.ParseComplete)
     assert(until(m) { tk.getState().get(j.key).exists(_._2.state == State.Complete) })
     assert(seen.toArray.toSeq == Seq("load", "dedup", "copy", "delete", "join"))
+    // every action's wall time was observed into query_cost_seconds,
+    // labeled (datatype, from-state) — the monitor times ALL actions
+    val qc = tk.metricsSnapshot().queryCost
+    Seq("postProcessing", "loading", "deduplicating", "copying", "deleting",
+      "joining").foreach { q =>
+      assert(qc.get(("ndt7", q)).exists(_.count == 1L), s"query cost for $q")
+    }
   }
 
   test("join is gated on the same-date annotation job completing") {
