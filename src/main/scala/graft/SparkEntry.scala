@@ -99,18 +99,18 @@ object SparkEntry {
     // ---- S1 dual: delimited-text (CSV) scan — same load path as the
     //      JSON scan, second wire format; oracle reads the original
     //      parquet, so the CSV round trip must be lossless. Losslessness
-    //      needs three non-default options: multiLine=true on the read
+    //      needs three non-default options — multiLine=true on the read
     //      (an embedded newline in a quoted text field must not split
     //      the record) and a distinct nullValue token on BOTH sides so
     //      a null text and an empty-string text survive the trip as
-    //      themselves instead of both collapsing to null ----
+    //      themselves — plus the backslash escape CsvLossless applies,
+    //      without which a data value literally equal to the null token
+    //      would be read back as null (quoting does not protect it) ----
     "s1_load_csv" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val stage = s"/root/repo/target/s1_stage_csv/${new java.io.File(dir).getName}"
-      docs.write.mode("overwrite").option("header", "true")
-        .option("nullValue", "\\N").csv(stage)
-      s.read.schema(docs.schema).option("header", "true")
-        .option("multiLine", "true").option("nullValue", "\\N").csv(stage)
+      graft.sources.CsvLossless.write(docs, stage)
+      graft.sources.CsvLossless.read(s, docs.schema, stage)
     }),
 
     // ---- S1 dual: gzip-compressed JSONL — the reference's archives are

@@ -469,6 +469,30 @@ class ExtensionsSpec extends SparkTestBase {
     assert(kept.filter(col("lang").isNull).count() == 10L)
   }
 
+  test("CSV round trip is lossless on every adversarial string shape") {
+    import graft.sources.CsvLossless
+    val rows = Seq(
+      (1L, "plain text"),
+      (2L, null.asInstanceOf[String]),          // null must stay null
+      (3L, ""),                                  // empty must stay empty
+      (4L, "line one\nline two"),                // embedded newline
+      (5L, "\\N"),                               // literally the null token
+      (6L, "\\\\N"),                             // backslash-backslash-N
+      (7L, "\\anything else with a lead slash"),
+      (8L, "has \"quotes\" and, commas"),
+      (9L, "trailing backslash \\")
+    )
+    val df = rows.toDF("id", "text")
+    val stage = "/root/repo/target/csv_lossless_spec"
+    CsvLossless.write(df, stage)
+    val back = CsvLossless.read(spark, df.schema, stage)
+      .as[(Long, String)].collect().toSet
+    assert(back == rows.toSet)
+    // null vs empty specifically: both present, distinct
+    val byId = back.toMap
+    assert(byId(2L) == null && byId(3L) == "")
+  }
+
   test("sessionizePresplit equals sessionize on a hot-user corpus and " +
     "bounds per-task group sizes") {
     import graft.operators.Sessions
