@@ -19,7 +19,11 @@ import graft.tracker.Tracker
   * driving Spark TableOps → job service with daily + historical iterators →
   * Jobs HTTP API.
   *
-  * Usage: Gardener <config.yml> <stateDir> <archiveRoot> <warehouseRoot> [port]
+  * Usage: Gardener <config.yml> <stateDir> <archiveRoot> <warehouseRoot>
+  *                 [port] [backend]
+  * `backend` is `path` (default — partitioned parquet dirs, JVM-local
+  * locks, single driver) or `tx` (transactional manifest-log tables,
+  * safe for multiple drivers — see [[graft.tableops.TxWarehouse]]).
   */
 object Gardener {
 
@@ -63,7 +67,8 @@ object Gardener {
     val tracker = new Tracker(saver, expiryMillis = config.trackerTimeout.toMillis)
     tracker.saveEvery(60000)
 
-    val wh = Warehouse(warehouseRoot)
+    val wh = Warehouse.forName(
+      if (args.length > 5) args(5) else "path", warehouseRoot)
     val dtSpecs = datatypeSpecs(config)
     def tableOp(f: TableOps => Unit): Job => Outcome = job =>
       try {

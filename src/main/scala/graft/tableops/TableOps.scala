@@ -2,21 +2,11 @@ package graft.tableops
 
 import java.time.LocalDate
 
-import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.model.Job
 import graft.operators.{AnnotationJoin, Dedup}
-
-/** Warehouse layout: date-partitioned parquet tables under
-  * `root/<dataset>/<datatype>/date=YYYY-MM-DD/`. The dataset names come from
-  * Job.datasets (tmp/raw/join namespaces, reference: tracker/job.go:41-45).
-  */
-final case class Warehouse(root: String) {
-  def tablePath(dataset: String, datatype: String): String =
-    s"$root/$dataset/$datatype"
-}
 
 /** Optional content-level near-dup tier applied after the exact keep-set
   * dedup: MinHash-LSH pairs over `textCol` at `minJaccardE4`, clustered,
@@ -68,7 +58,8 @@ final case class OpStats(rowsIn: Long, rowsOut: Long) {
 }
 
 /** The five table operations of the reference (SURVEY.md §2.1-2.4), as pure
-  * DataFrame programs over a parquet warehouse.
+  * DataFrame programs over a [[Warehouse]] backend (plain partitioned
+  * parquet, or the transactional manifest-log format — see Warehouse docs).
   *
   *   loadToTmp — S1, GCS JSON scan → tmp append     (cloud/bq/ops.go:130-155)
   *   dedup     — W1+J2, keep-set partition rewrite   (cloud/bq/ops.go:184-218)
@@ -92,19 +83,8 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
 
   private def dateLit = lit(java.sql.Date.valueOf(job.date))
 
-  // mergeSchema: the table's schema evolves across loads (the reference
-  // tolerates added fields, cloud/bq/ops.go:280-282 / ops/actions.go:215-225);
-  // without it the parquet reader samples ONE footer and a day whose rows
-  // carry a newer column than an older footer silently loses it through
-  // dedup/copy.
   private def readPartition(path: String, d: LocalDate): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(path)
-      .filter(col("date") === lit(java.sql.Date.valueOf(d)))
-
-  private def tableExists(path: String): Boolean = {
-    val p = new Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+    wh.readPartition(spark, path, d)
 
   /** S1: bulk-load newline-delimited JSON under the job's archive prefix into
     * the tmp table, append mode. Schema is inferred (the reference's loads are
@@ -141,11 +121,12 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
       // nothing parsed to the expected shape (e.g. every line malformed, so
       // inference saw only the corrupt column): quarantine the raw text
       val obs = new org.apache.spark.sql.Observation()
-      TableOps.withTableLocks(reads = Nil, writes = Seq(quarantinePath)) {
-        spark.read.text(glob).select(col("value").as("raw"))
-          .withColumn("date", dateLit)
-          .observe(obs, count(lit(1)).as("rows"))
-          .write.mode(SaveMode.Append).partitionBy("date").parquet(quarantinePath)
+      wh.withTableLocks(reads = Nil, writes = Seq(quarantinePath)) {
+        wh.append(spark,
+          spark.read.text(glob).select(col("value").as("raw"))
+            .withColumn("date", dateLit)
+            .observe(obs, count(lit(1)).as("rows")),
+          quarantinePath)
       }
       return OpStats(obs.get("rows").asInstanceOf[Long], 0L)
     }
@@ -154,24 +135,25 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     // JSON carries date as a string; normalize to DateType partition column.
     val df = df0.withColumn("date", col("date").cast("date"))
     val obs = new org.apache.spark.sql.Observation()
-    TableOps.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
+    wh.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
       val observed = df.observe(obs, count(lit(1)).as("lines"),
         (if (hasCorrupt) count(col(CR))
          else count(when(lit(false), lit(1)))).as("corrupt"))
       val good = if (hasCorrupt) observed.filter(col(CR).isNull).drop(CR)
                  else observed
-      good.write.mode(SaveMode.Append).partitionBy("date").parquet(tmpPath)
+      wh.append(spark, good, tmpPath)
     }
     val lines = obs.get("lines").asInstanceOf[Long]
     val corrupt = obs.get("corrupt").asInstanceOf[Long]
     if (corrupt > 0) {
-      TableOps.withTableLocks(reads = Nil, writes = Seq(quarantinePath)) {
+      wh.withTableLocks(reads = Nil, writes = Seq(quarantinePath)) {
         // second column referenced alongside the corrupt column to satisfy
         // Spark's raw-source corrupt-column query restriction
-        df0.filter(col(CR).isNotNull)
-          .select(col(CR).as("raw"), col("date").cast("string").as("claimed_date"))
-          .withColumn("date", dateLit)
-          .write.mode(SaveMode.Append).partitionBy("date").parquet(quarantinePath)
+        wh.append(spark,
+          df0.filter(col(CR).isNotNull)
+            .select(col(CR).as("raw"), col("date").cast("string").as("claimed_date"))
+            .withColumn("date", dateLit),
+          quarantinePath)
       }
     }
     OpStats(lines, lines - corrupt)
@@ -180,24 +162,27 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   /** W1/J2: keep-set dedup of the job's tmp date partition, in place.
     * Keeps, per (id, date), every row whose parser.Time equals the max —
     * ties all survive (NOT EXISTS delete semantics, cloud/bq/ops.go:214-217).
-    * Implemented as partition-truncate rewrite (Spark parquet has no DELETE).
+    * Implemented as a staged partition rewrite published through the
+    * warehouse backend (staging-dir swap on the path backend, manifest
+    * commit on the transactional one — Spark parquet has no DELETE).
     * Skips the rewrite when the partition is already clean — the "very cheap
     * if no duplicates" property (cloud/bq/ops.go:188) by explicit pre-check.
     */
-  // Locking: three phases. Recovery and the final swap MUTATE the table
-  // root (write lock); everything between — clean-check, content-tier
-  // jobs, the staging-write's scan of tmp — only READS it (read lock),
-  // so disjoint dates of one datatype stay concurrent except during
-  // commits. The gap between read release and swap acquire is safe:
-  // only this job's action touches this date's dirs (monitor claims
-  // guarantee one in-flight action per job).
+  // Locking (path backend; the tx backend makes these no-ops): recovery
+  // and the final publish MUTATE the table root (write lock); everything
+  // between — clean-check, content-tier jobs, the staging-write's scan
+  // of tmp — only READS it (read lock), so disjoint dates of one
+  // datatype stay concurrent except during commits. The gap between
+  // read release and publish acquire is safe: only this job's action
+  // touches this date's dirs (monitor claims guarantee one in-flight
+  // action per job).
   def dedup(dryRun: Boolean = false): OpStats = {
-    TableOps.withTableLocks(reads = Nil, writes = Seq(tmpPath))(recoverStaging())
+    wh.recoverSelfReplace(spark, tmpPath, job.date)
     // the incremental content tier also READS the raw table
     val readLocks =
       if (spec.contentDedup.exists(_.vsRawCorpus)) Seq(tmpPath, rawPath)
       else Seq(tmpPath)
-    val staged = TableOps.withTableLocks(reads = readLocks, writes = Nil) {
+    val staged = wh.withTableLocks(reads = readLocks, writes = Nil) {
       val part = readPartition(tmpPath, job.date)
       val keptExact =
         if (spec.skewedKeys)
@@ -211,26 +196,18 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     }
     staged match {
       case Left(stats) => stats
-      case Right(stats) =>
-        // Spark cannot overwrite a path it is reading from, so the
-        // rewrite staged to a private dir; swap it in under the write
-        // lock — the same pattern a DELETE-less object-store rewrite uses
-        TableOps.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
-          val fs = new Path(tmpPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-          val partDir = s"date=${job.date}"
-          fs.delete(new Path(s"$tmpPath/$partDir"), true)
-          fs.rename(new Path(s"$stagingPath/$partDir"), new Path(s"$tmpPath/$partDir"))
-          fs.delete(new Path(stagingPath), true)
-          stats
-        }
+      case Right((stats, token)) =>
+        wh.publishSelfReplace(spark, tmpPath, job.date, token)
+        stats
     }
   }
 
   /** Compute + stage the deduped partition (holding the tmp READ lock).
     * Left(stats) = nothing staged (dry run or clean shortcut);
-    * Right(stats) = staged, caller must swap.
+    * Right(stats, token) = staged, caller must publish.
     */
-  private def dedupStage(part: DataFrame, keptExact: DataFrame): Either[OpStats, OpStats] = {
+  private def dedupStage(part: DataFrame, keptExact: DataFrame):
+      Either[OpStats, (OpStats, String)] = {
     // opt-in content tier: near-dup clusters keep one representative
     // (min id) — the §7.5 training-data generalization of the key dedup,
     // inside the same Deduplicating state / partition rewrite
@@ -250,8 +227,8 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
         // dates). cacheBatch=false — the monitor is long-lived and this
         // API exposes no unpersist handle; the recompute is bounded by
         // the day partition (the small side).
-        if (cd.vsRawCorpus && tableExists(rawPath)) {
-          val seen = spark.read.option("mergeSchema", "true").parquet(rawPath)
+        if (cd.vsRawCorpus && wh.exists(spark, rawPath)) {
+          val seen = wh.read(spark, rawPath)
             .filter(col("date") =!= lit(java.sql.Date.valueOf(job.date)))
           graft.operators.TextDedup.incrementalNearDupFilter(
             withinDay, seen, "id", cd.textCol,
@@ -268,39 +245,14 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
         Left(OpStats(n, n))
       } else {
         val rowsIn = part.count()
-        val rowsOut = overwritePartitionLocked(kept, stagingPath)
-        Right(OpStats(rowsIn, rowsOut))
+        val (rowsOut, token) = wh.stageSelfReplace(spark, kept, tmpPath, job.date)
+        Right((OpStats(rowsIn, rowsOut), token))
       }
     } finally {
       // the clustering loop returns a persisted frontier — release it
       // once the rewrite has consumed it (long-running monitors would
       // otherwise accumulate cached blocks per job)
       clusterCache.foreach(_.unpersist())
-    }
-  }
-
-  // Per-DATE staging root: the monitor runs one action per job
-  // concurrently, and several dates of the same datatype can be
-  // deduplicating at once — a shared staging root would let one date's
-  // final cleanup delete a sibling date's staged rows mid-swap (and
-  // concurrent Spark writes to one root race on _temporary). The
-  // reference gets this isolation for free from BigQuery's job model.
-  private def stagingPath = s"$tmpPath.__dedup_staging_date_${job.date}"
-
-  /** Crash recovery for the dedup partition swap: a crash between the
-    * delete and the rename leaves the tmp partition empty with the deduped
-    * rows stranded in staging — a restarted monitor would then see a
-    * "clean" empty partition and silently lose the day. If staging holds
-    * the partition and tmp does not, rename it back before proceeding.
-    */
-  private def recoverStaging(): Unit = {
-    val fs = new Path(tmpPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val partDir = s"date=${job.date}"
-    val stagedPart = new Path(s"$stagingPath/$partDir")
-    val tmpPart = new Path(s"$tmpPath/$partDir")
-    if (fs.exists(stagedPart) && !fs.exists(tmpPart)) {
-      fs.rename(stagedPart, tmpPart)
-      fs.delete(new Path(stagingPath), true)
     }
   }
 
@@ -311,23 +263,21 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     // the read must be CONSTRUCTED inside the lock too: parquet listing
     // + mergeSchema footer reads happen eagerly at construction, racing
     // a concurrent same-table commit if taken outside
-    TableOps.withTableLocks(reads = Seq(tmpPath), writes = Seq(rawPath)) {
+    wh.withTableLocks(reads = Seq(tmpPath), writes = Seq(rawPath)) {
       val part = readPartition(tmpPath, job.date)
       if (dryRun) { part.queryExecution.analyzed; OpStats(0, 0) }
       else {
-        val n = overwritePartitionLocked(part, rawPath)
+        val n = wh.overwritePartition(spark, part, rawPath, job.date)
         OpStats(n, n)
       }
     }
 
   /** S3: drop the tmp date partition (ALTER TABLE DROP PARTITION semantics,
-    * cloud/bq/ops.go:221-228). A pure metadata/filesystem operation — no scan.
+    * cloud/bq/ops.go:221-228). A metadata/filesystem operation — no scan.
     */
   def deleteTmp(): Unit =
-    TableOps.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
-      val dir = new Path(s"$tmpPath/date=${job.date}")
-      val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.delete(dir, true): Unit
+    wh.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
+      wh.deletePartition(spark, tmpPath, job.date)
     }
 
   /** S4/J1: annotation LEFT JOIN materialization into the join dataset,
@@ -339,13 +289,13 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     if (!job.datasets.hasJoin) return OpStats(0, 0)
     val annPath = wh.tablePath(job.datasets.raw, annDatatype)
     // reads constructed inside the locks — see copyToRaw
-    TableOps.withTableLocks(reads = Seq(rawPath, annPath), writes = Seq(joinPath)) {
-      val m = spark.read.option("mergeSchema", "true").parquet(rawPath)
-      val ann = spark.read.option("mergeSchema", "true").parquet(annPath)
+    wh.withTableLocks(reads = Seq(rawPath, annPath), writes = Seq(joinPath)) {
+      val m = wh.read(spark, rawPath)
+      val ann = wh.read(spark, annPath)
       val out = AnnotationJoin.annotatePartition(m, ann, job.date)
       if (dryRun) { out.queryExecution.analyzed; OpStats(0, 0) }
       else {
-        val n = overwritePartitionLocked(out, joinPath)
+        val n = wh.overwritePartition(spark, out, joinPath, job.date)
         OpStats(n, n)
       }
     }
@@ -353,60 +303,13 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
 
   /** Row count of one raw partition (status/detail helper). */
   def rawPartitionCount(): Long =
-    TableOps.withTableLocks(reads = Seq(rawPath), writes = Nil) {
+    wh.withTableLocks(reads = Seq(rawPath), writes = Nil) {
       readPartition(rawPath, job.date).count()
     }
-
-  /** The write itself — callers must hold the destination's write lock
-    * plus read locks of every table the plan scans (parquet listing +
-    * mergeSchema footer reads race concurrent commits otherwise).
-    */
-  private def overwritePartitionLocked(df: DataFrame, destPath: String): Long = {
-    val obs = new org.apache.spark.sql.Observation()
-    df.observe(obs, count(lit(1)).as("rows"))
-      .write
-      .mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("date")
-      .parquet(destPath)
-    obs.get("rows").asInstanceOf[Long]
-  }
 }
 
 object TableOps {
   /** Dynamic partition overwrite must be on for partition-truncate writes. */
   def configure(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-
-  // Per-table read/write locks. Two Spark writes into the SAME table
-  // root (different dates of one datatype, dispatched concurrently by
-  // the monitor) share a single `_temporary` staging directory and
-  // corrupt each other's commits; a scan (parquet listing + mergeSchema
-  // footer reads, which run eagerly at read construction) racing a
-  // commit in the same root dies with FileNotFoundException. Neither
-  // race exists in the reference — BigQuery commits transactionally
-  // server-side. Readers share (disjoint dates stay concurrent);
-  // commits exclude. A multi-driver deployment should use a
-  // transactional table format (e.g. Delta) instead.
-  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[
-    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
-
-  private def rwLock(path: String) =
-    tableLocks.computeIfAbsent(path,
-      _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
-
-  /** Acquire read locks on `reads` and write locks on `writes`, all in
-    * one globally-sorted path order (deadlock-free); write wins when a
-    * path appears in both. Callers must not nest acquisitions (no
-    * read→write upgrade exists).
-    */
-  private[tableops] def withTableLocks[T](
-      reads: Seq[String], writes: Seq[String])(body: => T): T = {
-    val w = writes.toSet
-    val locks = (reads ++ writes).distinct.sorted.map { p =>
-      if (w(p)) rwLock(p).writeLock() else rwLock(p).readLock()
-    }
-    locks.foreach(_.lock())
-    try body finally locks.reverse.foreach(_.unlock())
-  }
 }

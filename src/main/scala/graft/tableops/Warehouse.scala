@@ -1,0 +1,454 @@
+package graft.tableops
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.time.LocalDate
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Storage backend seam for the table operations. The reference gets its
+  * write atomicity from BigQuery's server-side transactional job model
+  * (cloud/bq/ops.go); a parquet warehouse has to supply its own, and two
+  * implementations do:
+  *
+  *  - [[PathWarehouse]] — plain date-partitioned parquet directories.
+  *    Concurrency inside ONE driver JVM is handled with per-table
+  *    read/write locks (two Spark writes into one table root share a
+  *    `_temporary` dir and corrupt each other's commits; a scan racing a
+  *    commit dies on missing files). Simple, zero metadata, but the
+  *    locks are JVM-local: multi-driver deployments must not share a
+  *    table root.
+  *  - [[TxWarehouse]] — a minimal transactional table format: immutable
+  *    data files under unique directories plus an append-only commit log
+  *    of versioned manifests (the same shape Delta/Iceberg use, reduced
+  *    to exactly what the pipeline needs). Readers pin the file list of
+  *    the latest committed version (snapshot isolation — no read locks);
+  *    writers write fresh files and publish with one atomic
+  *    create-if-absent of the next log entry (optimistic concurrency,
+  *    retry on version collision); partition delete and the dedup
+  *    rewrite are metadata commits — a real DELETE, no staging swap, no
+  *    window where the day's rows exist nowhere. Safe for multiple
+  *    drivers against a filesystem with atomic no-overwrite rename
+  *    (HDFS; local FS keeps a tiny check-then-rename window, fine for
+  *    tests).
+  *
+  * All operations take the table's physical path (from [[tablePath]]);
+  * `date` is the partition grain, matching the reference's
+  * date-partitioned model (SURVEY.md §2.7).
+  */
+trait Warehouse {
+  def tablePath(dataset: String, datatype: String): String
+
+  /** Live-data read with schema merge across files. */
+  def read(spark: SparkSession, path: String): DataFrame
+
+  /** One date partition. Backends prune before the row filter. */
+  def readPartition(spark: SparkSession, path: String, date: LocalDate): DataFrame =
+    read(spark, path).filter(col("date") === lit(java.sql.Date.valueOf(date)))
+
+  def exists(spark: SparkSession, path: String): Boolean
+
+  /** Append `df` (which carries a `date` column, possibly several dates). */
+  def append(spark: SparkSession, df: DataFrame, path: String): Unit
+
+  /** Replace `date`'s partition with `df` (single-date, NOT scanning
+    * `path` itself). Returns rows written. Path-backend callers must
+    * hold the destination write lock plus read locks on scanned tables.
+    */
+  def overwritePartition(spark: SparkSession, df: DataFrame, path: String,
+      date: LocalDate): Long
+
+  /** Drop `date`'s partition. Metadata-only where the backend can. */
+  def deletePartition(spark: SparkSession, path: String, date: LocalDate): Unit
+
+  /** Phase 1 of a partition rewrite whose plan SCANS `path` itself (the
+    * dedup): materialize `df` without publishing. Returns (rows, token).
+    * Path-backend callers must hold `path`'s read lock throughout.
+    */
+  def stageSelfReplace(spark: SparkSession, df: DataFrame, path: String,
+      date: LocalDate): (Long, String)
+
+  /** Phase 2: atomically publish the staged rows as `date`'s partition. */
+  def publishSelfReplace(spark: SparkSession, path: String, date: LocalDate,
+      token: String): Unit
+
+  /** Crash recovery for an interrupted stage/publish of `date`. */
+  def recoverSelfReplace(spark: SparkSession, path: String, date: LocalDate): Unit
+
+  /** Table-level mutual exclusion where the backend needs it (see class
+    * docs). Acquire read locks on `reads`, write locks on `writes`.
+    */
+  def withTableLocks[T](reads: Seq[String], writes: Seq[String])(body: => T): T
+}
+
+object Warehouse {
+  /** Default backend — plain partitioned-parquet directories. */
+  def apply(root: String): Warehouse = new PathWarehouse(root)
+
+  /** Named construction for CLI wiring. */
+  def forName(name: String, root: String): Warehouse = name match {
+    case "path" => new PathWarehouse(root)
+    case "tx" => new TxWarehouse(root)
+    case other => throw new IllegalArgumentException(s"unknown warehouse backend: $other")
+  }
+}
+
+/** Plain `root/<dataset>/<datatype>/date=YYYY-MM-DD/` parquet layout with
+  * JVM-local per-table read/write locks (see [[Warehouse]] docs). The
+  * dataset names come from Job.datasets (tmp/raw/join namespaces,
+  * reference: tracker/job.go:41-45).
+  */
+final class PathWarehouse(val root: String) extends Warehouse {
+
+  def tablePath(dataset: String, datatype: String): String =
+    s"$root/$dataset/$datatype"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // mergeSchema: the table's schema evolves across loads (the reference
+  // tolerates added fields, cloud/bq/ops.go:280-282); without it the
+  // parquet reader samples ONE footer and a day whose rows carry a newer
+  // column than an older footer silently loses it through dedup/copy.
+  def read(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(path)
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(path))
+
+  def append(spark: SparkSession, df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).partitionBy("date").parquet(path)
+
+  def overwritePartition(spark: SparkSession, df: DataFrame, path: String,
+      date: LocalDate): Long = {
+    val obs = new org.apache.spark.sql.Observation()
+    df.observe(obs, count(lit(1)).as("rows"))
+      .write
+      .mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("date")
+      .parquet(path)
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Pure filesystem operation — no scan (ALTER TABLE DROP PARTITION
+    * semantics, cloud/bq/ops.go:221-228).
+    */
+  def deletePartition(spark: SparkSession, path: String, date: LocalDate): Unit = {
+    fs(spark, path).delete(new Path(s"$path/date=$date"), true): Unit
+  }
+
+  // Per-DATE staging root: several dates of one datatype can be
+  // deduplicating at once — a shared staging root would let one date's
+  // final cleanup delete a sibling date's staged rows mid-swap (and
+  // concurrent Spark writes to one root race on _temporary). The
+  // reference gets this isolation for free from BigQuery's job model.
+  private def stagingPath(path: String, date: LocalDate): String =
+    s"$path.__dedup_staging_date_$date"
+
+  /** Spark cannot overwrite a path it is reading from, so the rewrite
+    * stages to a private dir — the same pattern a DELETE-less
+    * object-store rewrite uses.
+    */
+  def stageSelfReplace(spark: SparkSession, df: DataFrame, path: String,
+      date: LocalDate): (Long, String) = {
+    val sp = stagingPath(path, date)
+    (overwritePartition(spark, df, sp, date), sp)
+  }
+
+  /** Swap the staged partition in under the table's write lock. */
+  def publishSelfReplace(spark: SparkSession, path: String, date: LocalDate,
+      token: String): Unit =
+    withTableLocks(reads = Nil, writes = Seq(path)) {
+      val f = fs(spark, path)
+      val partDir = s"date=$date"
+      f.delete(new Path(s"$path/$partDir"), true)
+      f.rename(new Path(s"$token/$partDir"), new Path(s"$path/$partDir"))
+      f.delete(new Path(token), true): Unit
+    }
+
+  /** A crash between the swap's delete and rename leaves the partition
+    * empty with the deduped rows stranded in staging — a restarted
+    * monitor would then see a "clean" empty partition and silently lose
+    * the day. If staging holds the partition and the table does not,
+    * rename it back before proceeding.
+    */
+  def recoverSelfReplace(spark: SparkSession, path: String, date: LocalDate): Unit =
+    withTableLocks(reads = Nil, writes = Seq(path)) {
+      val f = fs(spark, path)
+      val partDir = s"date=$date"
+      val stagedPart = new Path(s"${stagingPath(path, date)}/$partDir")
+      val tablePart = new Path(s"$path/$partDir")
+      if (f.exists(stagedPart) && !f.exists(tablePart)) {
+        f.rename(stagedPart, tablePart)
+        f.delete(new Path(stagingPath(path, date)), true): Unit
+      }
+    }
+
+  def withTableLocks[T](reads: Seq[String], writes: Seq[String])(body: => T): T =
+    PathWarehouse.withTableLocks(reads, writes)(body)
+}
+
+object PathWarehouse {
+  // Per-table read/write locks, global across Warehouse instances of one
+  // JVM (two instances over the same root must still exclude). Readers
+  // share (disjoint dates stay concurrent); commits exclude.
+  private val tableLocks = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.locks.ReentrantReadWriteLock]()
+
+  private def rwLock(path: String) =
+    tableLocks.computeIfAbsent(path,
+      _ => new java.util.concurrent.locks.ReentrantReadWriteLock())
+
+  /** Acquire read locks on `reads` and write locks on `writes`, all in
+    * one globally-sorted path order (deadlock-free); write wins when a
+    * path appears in both. Callers must not nest acquisitions (no
+    * read→write upgrade exists).
+    */
+  private[tableops] def withTableLocks[T](
+      reads: Seq[String], writes: Seq[String])(body: => T): T = {
+    val w = writes.toSet
+    val locks = (reads ++ writes).distinct.sorted.map { p =>
+      if (w(p)) rwLock(p).writeLock() else rwLock(p).readLock()
+    }
+    locks.foreach(_.lock())
+    try body finally locks.reverse.foreach(_.unlock())
+  }
+}
+
+/** Minimal transactional table format (see [[Warehouse]] docs): per table
+  *
+  * {{{
+  *   <path>/_graft_log/v<00000000000000000001>.txt   commit log (manifest deltas)
+  *   <path>/_graft_data/<uuid>/__p_date=<date>/part-*.parquet
+  * }}}
+  *
+  * Each log entry is a text manifest delta: `A <date> <relpath>` adds a
+  * live file, `R <relpath>` retires one. The live set at version v is the
+  * replay of entries 1..v. Data files are immutable and single-date by
+  * construction (writes re-partition on a duplicated `__p_date` dir
+  * column, so the real `date` column stays IN the data and each physical
+  * file belongs to exactly one partition — the manifest prunes partitions
+  * without touching footers).
+  *
+  * Commit = write the delta to a temp name, then rename to the next
+  * version number; the rename fails if the version exists (optimistic
+  * concurrency) and the writer recomputes its remove-set and retries.
+  * A crash before the rename leaves orphan data files that no manifest
+  * references — invisible to readers, reclaimable by a vacuum pass
+  * (listing `_graft_data` files absent from the live set; not needed for
+  * correctness). Retired files likewise stay on disk for time travel /
+  * vacuum, which is what makes [[deletePartition]] and the dedup rewrite
+  * pure metadata operations.
+  */
+final class TxWarehouse(val root: String) extends Warehouse {
+  import TxWarehouse._
+
+  def tablePath(dataset: String, datatype: String): String =
+    s"$root/$dataset/$datatype"
+
+  private def fs(spark: SparkSession, path: String): FileSystem =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** (latest version, live rel-file → date-string). (0, empty) when the
+    * table has no commits yet.
+    */
+  private def state(spark: SparkSession, path: String): (Long, Map[String, String]) = {
+    val f = fs(spark, path)
+    val logDir = new Path(s"$path/$LogDir")
+    if (!f.exists(logDir)) return (0L, Map.empty)
+    val versions = f.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.matches("v\\d{20}\\.txt")).sorted
+    var live = Map.empty[String, String]
+    versions.foreach { name =>
+      val in = f.open(new Path(logDir, name))
+      val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      text.linesIterator.filter(_.nonEmpty).foreach { line =>
+        if (line.startsWith("A ")) {
+          val rest = line.substring(2)
+          val sp = rest.indexOf(' ')
+          live += (rest.substring(sp + 1) -> rest.substring(0, sp))
+        } else if (line.startsWith("R ")) {
+          live -= line.substring(2)
+        }
+      }
+    }
+    val v = versions.lastOption.map(_.stripPrefix("v").stripSuffix(".txt").toLong)
+      .getOrElse(0L)
+    (v, live)
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean =
+    fs(spark, path).exists(new Path(s"$path/$LogDir"))
+
+  private def readFiles(spark: SparkSession, path: String,
+      rels: Iterable[String]): DataFrame = {
+    // an emptied (but existing) table reads as zero rows; schemaless is
+    // fine — every caller either counts or guards with exists()
+    if (rels.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", "true")
+      .parquet(rels.map(r => s"$path/$r").toSeq: _*)
+  }
+
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val (_, live) = state(spark, path)
+    require(live.nonEmpty || exists(spark, path), s"no such table: $path")
+    readFiles(spark, path, live.keys)
+  }
+
+  /** Partition pruning happens at the MANIFEST — only `date`'s files are
+    * opened (no footer reads of other days); the row filter stays as a
+    * belt for mixed-date files (which [[append]] never produces).
+    */
+  override def readPartition(spark: SparkSession, path: String,
+      date: LocalDate): DataFrame = {
+    val (_, live) = state(spark, path)
+    val mine = live.collect { case (rel, d) if d == date.toString => rel }
+    // no files for the date: keep the table's schema so downstream
+    // plans (dedup keys, joins) still analyze — read all live files,
+    // let the filter yield zero rows
+    val base = if (mine.isEmpty) readFiles(spark, path, live.keys)
+               else readFiles(spark, path, mine)
+    if (base.columns.isEmpty) base
+    else base.filter(col("date") === lit(java.sql.Date.valueOf(date)))
+  }
+
+  /** Write `df`'s rows as immutable files under a fresh uuid dir, split
+    * one-file-per-date via the duplicated `__p_date` dir column.
+    * Returns the written (relpath, date) manifest entries — NOT yet
+    * committed.
+    */
+  private def writeData(spark: SparkSession, df: DataFrame, path: String):
+      (Seq[(String, String)], String) = {
+    val dir = s"$DataDir/${UUID.randomUUID()}"
+    df.withColumn(PartCol, col("date").cast("string"))
+      .write.partitionBy(PartCol).parquet(s"$path/$dir")
+    (listData(spark, path, dir), dir)
+  }
+
+  /** (relpath, date) of every parquet file under `path`/`dir`. */
+  private def listData(spark: SparkSession, path: String, dir: String):
+      Seq[(String, String)] = {
+    val f = fs(spark, path)
+    val it = f.listFiles(new Path(s"$path/$dir"), true)
+    val out = scala.collection.mutable.ListBuffer[(String, String)]()
+    val prefix = f.makeQualified(new Path(path)).toString + "/"
+    while (it.hasNext) {
+      val st = it.next()
+      val full = st.getPath.toString
+      if (st.isFile && full.endsWith(".parquet")) {
+        val rel = full.stripPrefix(prefix)
+        val date = rel.split('/').collectFirst {
+          case seg if seg.startsWith(s"$PartCol=") =>
+            seg.stripPrefix(s"$PartCol=")
+        }.getOrElse("")
+        out += ((rel, date))
+      }
+    }
+    out.toList
+  }
+
+  def append(spark: SparkSession, df: DataFrame, path: String): Unit = {
+    val (adds, _) = writeData(spark, df, path)
+    commitRetry(spark, path)(_ => (adds, Nil))
+  }
+
+  def overwritePartition(spark: SparkSession, df: DataFrame, path: String,
+      date: LocalDate): Long = {
+    val obs = new org.apache.spark.sql.Observation()
+    val (adds, _) = writeData(spark,
+      df.observe(obs, count(lit(1)).as("rows")), path)
+    commitRetry(spark, path) { live =>
+      (adds, live.collect { case (rel, d) if d == date.toString => rel }.toSeq)
+    }
+    obs.get("rows").asInstanceOf[Long]
+  }
+
+  /** Pure metadata: retire the date's files from the manifest. */
+  def deletePartition(spark: SparkSession, path: String, date: LocalDate): Unit =
+    if (exists(spark, path))
+      commitRetry(spark, path) { live =>
+        (Nil, live.collect { case (rel, d) if d == date.toString => rel }.toSeq)
+      }
+
+  /** The self-replace needs no staging swap here: the plan's reads are
+    * pinned to the manifest version its construction saw, the new files
+    * land in a fresh uuid dir, and publish is one metadata commit. A
+    * crash at any point leaves either the old manifest (orphan new
+    * files) or the new one — never a window where the day is missing.
+    */
+  def stageSelfReplace(spark: SparkSession, df: DataFrame, path: String,
+      date: LocalDate): (Long, String) = {
+    val obs = new org.apache.spark.sql.Observation()
+    val (_, dir) = writeData(spark,
+      df.observe(obs, count(lit(1)).as("rows")), path)
+    (obs.get("rows").asInstanceOf[Long], dir)
+  }
+
+  def publishSelfReplace(spark: SparkSession, path: String, date: LocalDate,
+      token: String): Unit = {
+    val adds = listData(spark, path, token)
+    commitRetry(spark, path) { live =>
+      (adds, live.collect { case (rel, d) if d == date.toString => rel }.toSeq)
+    }
+  }
+
+  /** Nothing to recover: uncommitted files are invisible by design. */
+  def recoverSelfReplace(spark: SparkSession, path: String, date: LocalDate): Unit = ()
+
+  /** No locks: readers pin manifest versions (snapshot isolation),
+    * writers never share directories, commits are atomic create-if-
+    * absent. This is the property that makes the backend safe across
+    * DRIVERS, not just threads.
+    */
+  def withTableLocks[T](reads: Seq[String], writes: Seq[String])(body: => T): T =
+    body
+
+  /** Optimistic commit: compute the delta against the latest live set,
+    * try to own the next version number, recompute and retry on
+    * collision. `mk` returns (adds as (rel, date), removes as rel).
+    */
+  private def commitRetry(spark: SparkSession, path: String)(
+      mk: Map[String, String] => (Seq[(String, String)], Seq[String])): Unit = {
+    val f = fs(spark, path)
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val (v, live) = state(spark, path)
+      val (adds, removes) = mk(live)
+      if (adds.isEmpty && removes.isEmpty) return
+      val lines = adds.map { case (rel, d) => s"A $d $rel" } ++
+        removes.map(r => s"R $r")
+      if (tryCommit(f, path, v + 1, lines)) return
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"commit contention: $MaxCommitAttempts failed attempts on $path")
+  }
+
+  private def tryCommit(f: FileSystem, path: String, version: Long,
+      lines: Seq[String]): Boolean = {
+    val logDir = new Path(s"$path/$LogDir")
+    f.mkdirs(logDir)
+    val dest = new Path(logDir, f"v$version%020d.txt")
+    if (f.exists(dest)) return false
+    // full write to a temp name first, so a reader never sees a partial
+    // manifest; the rename is atomic-no-overwrite on HDFS (local FS
+    // keeps a tiny check-then-rename window — see class docs)
+    val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
+    val out = f.create(tmp, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
+    finally out.close()
+    if (f.exists(dest)) { f.delete(tmp, false); false }
+    else if (f.rename(tmp, dest)) true
+    else { f.delete(tmp, false); false }
+  }
+}
+
+object TxWarehouse {
+  private val LogDir = "_graft_log"
+  private val DataDir = "_graft_data"
+  private val PartCol = "__p_date"
+  private val MaxCommitAttempts = 50
+}

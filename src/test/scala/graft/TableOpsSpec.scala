@@ -8,11 +8,15 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.functions._
 
 import graft.model.{Datasets, Job}
-import graft.tableops.{TableOps, Warehouse}
+import graft.tableops.{TableOps, TxWarehouse, Warehouse}
 
 /** End-to-end slice (SURVEY.md §7.2): JSONL fixture → loadToTmp → dedup →
   * copyToRaw → deleteTmp → join, asserting the reference's partition-grain
-  * semantics.
+  * semantics — parameterized over BOTH warehouse backends (plain
+  * partitioned parquet with JVM locks, and the transactional manifest-log
+  * format), which must be behaviorally identical through the whole
+  * pipeline. Backend-specific crash semantics get their own tests at the
+  * bottom.
   */
 class TableOpsSpec extends SparkTestBase {
   import spark.implicits._
@@ -26,201 +30,254 @@ class TableOpsSpec extends SparkTestBase {
     Job("bucket", "exp", datatype, LocalDate.parse(date),
       datasets = Datasets(tmp = "tmp_exp", raw = "raw_exp", join = join))
 
-  test("full pipeline: load, dedup (ties survive), copy, delete, join") {
-    val root = Files.createTempDirectory("graft-wh").toString
-    val src = Files.createTempDirectory("graft-src")
-    val wh = Warehouse(root)
+  private val backends: Seq[(String, String => Warehouse)] = Seq(
+    "path" -> (root => Warehouse(root)),
+    "tx" -> (root => new TxWarehouse(root)))
 
-    // ndt7 measurements for 2024-01-01: id m1 has old+new, id m2 has a tie,
-    // plus a row of a DIFFERENT date in the same load (must be untouched).
-    writeJsonl(src, "meas.json", Seq(
-      """{"id":"m1","date":"2024-01-01","parser":{"Time":"2024-01-01T10:00:00Z"},"val":1}""",
-      """{"id":"m1","date":"2024-01-01","parser":{"Time":"2024-01-01T12:00:00Z"},"val":2}""",
-      """{"id":"m2","date":"2024-01-01","parser":{"Time":"2024-01-01T11:00:00Z"},"val":3}""",
-      """{"id":"m2","date":"2024-01-01","parser":{"Time":"2024-01-01T11:00:00Z"},"val":4}""",
-      """{"id":"m3","date":"2024-01-02","parser":{"Time":"2024-01-02T09:00:00Z"},"val":5}"""
-    ))
-    // annotation2 rows: m1 annotated on date and date-1 (row multiplication!),
-    // m2 has no annotation (LEFT JOIN null check).
-    writeJsonl(src, "ann.json", Seq(
-      """{"id":"m1","date":"2024-01-01","parser":{"Time":"2024-01-01T01:00:00Z"},"geo":"US"}""",
-      """{"id":"m1","date":"2023-12-31","parser":{"Time":"2023-12-31T01:00:00Z"},"geo":"DE"}""",
-      """{"id":"zz","date":"2024-01-01","parser":{"Time":"2024-01-01T01:00:00Z"},"geo":"FR"}"""
-    ))
+  for ((backend, mkWh) <- backends) {
 
-    val job = mkJob(root, "ndt7", "2024-01-01")
-    val ops = new TableOps(spark, job, wh)
+    test(s"[$backend] full pipeline: load, dedup (ties survive), copy, delete, join") {
+      val root = Files.createTempDirectory("graft-wh").toString
+      val src = Files.createTempDirectory("graft-src")
+      val wh = mkWh(root)
+      def table(ds: String, dt: String) = wh.read(spark, wh.tablePath(ds, dt))
 
-    // S1 load
-    val load = ops.loadToTmp(s"$src/meas.json")
-    assert(load.rowsOut == 5)
+      // ndt7 measurements for 2024-01-01: id m1 has old+new, id m2 has a tie,
+      // plus a row of a DIFFERENT date in the same load (must be untouched).
+      writeJsonl(src, "meas.json", Seq(
+        """{"id":"m1","date":"2024-01-01","parser":{"Time":"2024-01-01T10:00:00Z"},"val":1}""",
+        """{"id":"m1","date":"2024-01-01","parser":{"Time":"2024-01-01T12:00:00Z"},"val":2}""",
+        """{"id":"m2","date":"2024-01-01","parser":{"Time":"2024-01-01T11:00:00Z"},"val":3}""",
+        """{"id":"m2","date":"2024-01-01","parser":{"Time":"2024-01-01T11:00:00Z"},"val":4}""",
+        """{"id":"m3","date":"2024-01-02","parser":{"Time":"2024-01-02T09:00:00Z"},"val":5}"""
+      ))
+      // annotation2 rows: m1 annotated on date and date-1 (row multiplication!),
+      // m2 has no annotation (LEFT JOIN null check).
+      writeJsonl(src, "ann.json", Seq(
+        """{"id":"m1","date":"2024-01-01","parser":{"Time":"2024-01-01T01:00:00Z"},"geo":"US"}""",
+        """{"id":"m1","date":"2023-12-31","parser":{"Time":"2023-12-31T01:00:00Z"},"geo":"DE"}""",
+        """{"id":"zz","date":"2024-01-01","parser":{"Time":"2024-01-01T01:00:00Z"},"geo":"FR"}"""
+      ))
 
-    // W1 dedup: m1 keeps latest only; m2 ties BOTH survive; m3 (other date) untouched
-    val dd = ops.dedup()
-    assert(dd.rowsIn == 4)  // only the 2024-01-01 partition
-    assert(dd.rowsOut == 3) // m1(new) + m2 tie1 + m2 tie2
-    val tmpAfter = spark.read.parquet(s"$root/tmp_exp/ndt7")
-    assert(tmpAfter.count() == 4) // 3 kept + m3 other date
-    assert(tmpAfter.filter($"date" === lit(java.sql.Date.valueOf("2024-01-02"))).count() == 1)
-    assert(tmpAfter.filter($"id" === "m2").count() == 2)
+      val job = mkJob(root, "ndt7", "2024-01-01")
+      val ops = new TableOps(spark, job, wh)
 
-    // dedup is idempotent (clean pre-check path)
-    val dd2 = ops.dedup()
-    assert(dd2.rowsIn == 3 && dd2.rowsOut == 3)
+      // S1 load
+      val load = ops.loadToTmp(s"$src/meas.json")
+      assert(load.rowsOut == 5)
 
-    // S2 copy to raw (partition truncate)
-    val cp = ops.copyToRaw()
-    assert(cp.rowsOut == 3)
-    assert(ops.rawPartitionCount() == 3)
-    // re-copy converges (idempotent truncate)
-    ops.copyToRaw()
-    assert(ops.rawPartitionCount() == 3)
+      // W1 dedup: m1 keeps latest only; m2 ties BOTH survive; m3 (other date) untouched
+      val dd = ops.dedup()
+      assert(dd.rowsIn == 4)  // only the 2024-01-01 partition
+      assert(dd.rowsOut == 3) // m1(new) + m2 tie1 + m2 tie2
+      val tmpAfter = table("tmp_exp", "ndt7")
+      assert(tmpAfter.count() == 4) // 3 kept + m3 other date
+      assert(tmpAfter.filter($"date" === lit(java.sql.Date.valueOf("2024-01-02"))).count() == 1)
+      assert(tmpAfter.filter($"id" === "m2").count() == 2)
 
-    // S3 delete tmp partition; other dates survive
-    ops.deleteTmp()
-    val tmpLeft = spark.read.parquet(s"$root/tmp_exp/ndt7")
-    assert(tmpLeft.count() == 1)
-    assert(tmpLeft.select("id").as[String].head() == "m3")
+      // dedup is idempotent (clean pre-check path)
+      val dd2 = ops.dedup()
+      assert(dd2.rowsIn == 3 && dd2.rowsOut == 3)
 
-    // annotation2 pipeline for the same date
-    val annJob = mkJob(root, "annotation2", "2024-01-01", join = "")
-    val annOps = new TableOps(spark, annJob, wh)
-    annOps.loadToTmp(s"$src/ann.json")
-    annOps.dedup()
-    annOps.copyToRaw()
-    // the 2023-12-31 partition is its own job (one job per date)
-    val annJobPrev = mkJob(root, "annotation2", "2023-12-31", join = "")
-    val annOpsPrev = new TableOps(spark, annJobPrev, wh)
-    annOpsPrev.dedup()
-    annOpsPrev.copyToRaw()
-    // ann raw now has 2023-12-31 and 2024-01-01 partitions
-    assert(spark.read.parquet(s"$root/raw_exp/annotation2").count() == 3)
+      // S2 copy to raw (partition truncate)
+      val cp = ops.copyToRaw()
+      assert(cp.rowsOut == 3)
+      assert(ops.rawPartitionCount() == 3)
+      // re-copy converges (idempotent truncate)
+      ops.copyToRaw()
+      assert(ops.rawPartitionCount() == 3)
 
-    // S4/J1 join: m1 matches TWO ann rows (as-of window d-1..d => row
-    // multiplication), m2 gets nulls
-    val jn = ops.join()
-    assert(jn.rowsOut == 4) // m1 x2 + m2 tie rows x1 each (null ann)
-    val joined = spark.read.parquet(s"$root/joined/ndt7")
-    assert(joined.filter($"id" === "m1").count() == 2)
-    assert(joined.filter($"id" === "m2" && $"geo".isNull).count() == 2)
-    // key-columns-first output order (cloud/bq/ops.go:250-251)
-    assert(joined.columns.take(2).toSeq == Seq("id", "parser"))
-    // join skip rule: Datasets.Join == "" => success no-op
-    assert(annOps.join().rowsOut == 0)
+      // S3 delete tmp partition; other dates survive
+      ops.deleteTmp()
+      val tmpLeft = table("tmp_exp", "ndt7")
+      assert(tmpLeft.count() == 1)
+      assert(tmpLeft.select("id").as[String].head() == "m3")
+
+      // annotation2 pipeline for the same date
+      val annJob = mkJob(root, "annotation2", "2024-01-01", join = "")
+      val annOps = new TableOps(spark, annJob, wh)
+      annOps.loadToTmp(s"$src/ann.json")
+      annOps.dedup()
+      annOps.copyToRaw()
+      // the 2023-12-31 partition is its own job (one job per date)
+      val annJobPrev = mkJob(root, "annotation2", "2023-12-31", join = "")
+      val annOpsPrev = new TableOps(spark, annJobPrev, wh)
+      annOpsPrev.dedup()
+      annOpsPrev.copyToRaw()
+      // ann raw now has 2023-12-31 and 2024-01-01 partitions
+      assert(table("raw_exp", "annotation2").count() == 3)
+
+      // S4/J1 join: m1 matches TWO ann rows (as-of window d-1..d => row
+      // multiplication), m2 gets nulls
+      val jn = ops.join()
+      assert(jn.rowsOut == 4) // m1 x2 + m2 tie rows x1 each (null ann)
+      val joined = table("joined", "ndt7")
+      assert(joined.filter($"id" === "m1").count() == 2)
+      assert(joined.filter($"id" === "m2" && $"geo".isNull).count() == 2)
+      // key-columns-first output order (cloud/bq/ops.go:250-251). `date`
+      // is excluded from the check: it IS a key column, but the path
+      // backend's partitionBy-read appends it last (storage artifact)
+      // while the tx backend keeps it in the reference position
+      assert(joined.columns.filterNot(_ == "date").take(2).toSeq ==
+        Seq("id", "parser"))
+      // join skip rule: Datasets.Join == "" => success no-op
+      assert(annOps.join().rowsOut == 0)
+    }
+
+    test(s"[$backend] load quarantines malformed lines instead of failing the day") {
+      val root = Files.createTempDirectory("graft-whq").toString
+      val src = Files.createTempDirectory("graft-srcq")
+      val wh = mkWh(root)
+      writeJsonl(src, "m.json", Seq(
+        """{"id":"a","date":"2024-03-01","parser":{"Time":"2024-03-01T10:00:00Z"},"v":1}""",
+        """{"id":"b","date":"2024-03-01","parser":{"Time":"2024-03-01T11:00:00Z"},"v":2""", // truncated
+        """this is not json""",
+        """{"id":"c","date":"2024-03-01","parser":{"Time":"2024-03-01T12:00:00Z"},"v":3}"""))
+      val job = mkJob(root, "ndt7", "2024-03-01")
+      val ops = new TableOps(spark, job, wh)
+      val st = ops.loadToTmp(s"$src/m.json")
+      assert(st.rowsIn == 4 && st.rowsOut == 2) // 2 good, 2 quarantined
+      val tmp = wh.read(spark, wh.tablePath("tmp_exp", "ndt7"))
+      assert(tmp.count() == 2)
+      assert(!tmp.columns.contains("_corrupt_record"))
+      val q = wh.read(spark, wh.tablePath("tmp_exp", "ndt7") + "__quarantine")
+      assert(q.count() == 2)
+      val raws = q.select("raw").as[String].collect().toSet
+      assert(raws.exists(_.contains("this is not json")))
+      assert(raws.exists(_.startsWith("""{"id":"b"""")))
+      // quarantine rows are attributed to the job's date partition
+      assert(q.filter($"date" === lit(java.sql.Date.valueOf("2024-03-01"))).count() == 2)
+
+      // all lines malformed: schema inference sees no data shape at all —
+      // the whole file quarantines as raw text, zero rows load
+      writeJsonl(src, "bad.json", Seq("x", "{broken"))
+      val st2 = ops.loadToTmp(s"$src/bad.json")
+      assert(st2.rowsIn == 2 && st2.rowsOut == 0)
+      assert(wh.read(spark, wh.tablePath("tmp_exp", "ndt7") + "__quarantine")
+        .count() == 4)
+
+      // a pinned schema captures (not nulls-out) the malformed lines too
+      val root2 = Files.createTempDirectory("graft-whq2").toString
+      val wh2 = mkWh(root2)
+      val ops2 = new TableOps(spark, mkJob(root2, "ndt7", "2024-03-01"), wh2)
+      val schema = spark.read.json(s"$src/m.json").drop("_corrupt_record").schema
+      val st3 = ops2.loadToTmp(s"$src/m.json", Some(schema))
+      assert(st3.rowsIn == 4 && st3.rowsOut == 2)
+      assert(wh2.read(spark, wh2.tablePath("tmp_exp", "ndt7") + "__quarantine")
+        .count() == 2)
+    }
+
+    test(s"[$backend] load appends; re-load then dedup converges (idempotent redo)") {
+      val root = Files.createTempDirectory("graft-wh2").toString
+      val src = Files.createTempDirectory("graft-src2")
+      val wh = mkWh(root)
+      writeJsonl(src, "m.json", Seq(
+        """{"id":"x","date":"2024-02-01","parser":{"Time":"2024-02-01T10:00:00Z"},"v":1}"""
+      ))
+      val job = mkJob(root, "ndt7", "2024-02-01")
+      val ops = new TableOps(spark, job, wh)
+      ops.loadToTmp(s"$src/m.json")
+      ops.loadToTmp(s"$src/m.json") // crash-retry double append
+      val tmp = wh.read(spark, wh.tablePath("tmp_exp", "ndt7"))
+      assert(tmp.count() == 2)
+      ops.dedup() // exact duplicate rows tie on Time => keep-set keeps both
+      assert(wh.read(spark, wh.tablePath("tmp_exp", "ndt7")).count() == 2)
+      ops.copyToRaw()
+      ops.copyToRaw() // partition truncate: no double counting
+      assert(ops.rawPartitionCount() == 2)
+    }
+
+    test(s"[$backend] opt-in content tier drops near-dup texts, keeping the min-id representative") {
+      val root = Files.createTempDirectory("graft-wh5").toString
+      val src = Files.createTempDirectory("graft-src5")
+      val wh = mkWh(root)
+      val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+      writeJsonl(src, "m.json", Seq(
+        s"""{"id":"a1","date":"2024-05-01","parser":{"Time":"2024-05-01T10:00:00Z"},"text":"$base"}""",
+        s"""{"id":"a2","date":"2024-05-01","parser":{"Time":"2024-05-01T11:00:00Z"},"text":"${base}tail"}""",
+        s"""{"id":"b1","date":"2024-05-01","parser":{"Time":"2024-05-01T10:00:00Z"},"text":"completely different content about spark engines and catalyst planning here today"}"""
+      ))
+      val job = mkJob(root, "textlog", "2024-05-01", join = "")
+      val spec = graft.tableops.DatatypeSpec(Seq("id", "date"), "parser.Time",
+        contentDedup = Some(graft.tableops.ContentDedupSpec("text", minJaccardE4 = 8000L)))
+      val ops = new TableOps(spark, job, wh, specOverride = Some(spec))
+      ops.loadToTmp(s"$src/m.json")
+      val dd = ops.dedup()
+      assert(dd.rowsIn === 3 && dd.rowsOut === 2) // a2 near-dups a1, a1 kept
+      val tmp = wh.read(spark, wh.tablePath("tmp_exp", "textlog"))
+      assert(tmp.select("id").as[String].collect().toSet === Set("a1", "b1"))
+    }
+
+    test(s"[$backend] vsRawCorpus content tier drops a re-swept day's content the " +
+      "archive already holds, and no-ops before raw exists") {
+      val root = Files.createTempDirectory("graft-wh6").toString
+      val src = Files.createTempDirectory("graft-src6")
+      val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+      writeJsonl(src, "d1.json", Seq(
+        s"""{"id":"d1a","date":"2024-06-01","parser":{"Time":"2024-06-01T10:00:00Z"},"text":"$base"}"""
+      ))
+      writeJsonl(src, "d2.json", Seq(
+        s"""{"id":"d2a","date":"2024-06-02","parser":{"Time":"2024-06-02T10:00:00Z"},"text":"${base}tail"}""",
+        s"""{"id":"d2b","date":"2024-06-02","parser":{"Time":"2024-06-02T09:00:00Z"},"text":"fresh content about catalyst planning and shuffle exchanges entirely new today"}"""
+      ))
+      val spec = graft.tableops.DatatypeSpec(Seq("id", "date"), "parser.Time",
+        contentDedup = Some(graft.tableops.ContentDedupSpec("text",
+          minJaccardE4 = 8000L, vsRawCorpus = true)))
+      val wh = mkWh(root)
+      val day1 = new TableOps(spark,
+        mkJob(root, "textlog", "2024-06-01", join = ""), wh, specOverride = Some(spec))
+      // day 1: raw does not exist yet -> incremental tier is a no-op
+      day1.loadToTmp(s"$src/d1.json")
+      val dd1 = day1.dedup()
+      assert(dd1.rowsIn === 1 && dd1.rowsOut === 1)
+      day1.copyToRaw(); day1.deleteTmp()
+      // day 2: d2a near-dups the archived d1a -> dropped; d2b survives
+      val day2 = new TableOps(spark,
+        mkJob(root, "textlog", "2024-06-02", join = ""), wh, specOverride = Some(spec))
+      day2.loadToTmp(s"$src/d2.json")
+      val dd2 = day2.dedup()
+      assert(dd2.rowsIn === 2 && dd2.rowsOut === 1)
+      val tmp = wh.read(spark, wh.tablePath("tmp_exp", "textlog"))
+      assert(tmp.select("id").as[String].collect().toSet === Set("d2b"))
+    }
+
+    test(s"[$backend] array-of-struct payload and added columns survive the pipeline " +
+      "(schema evolution, cloud/bq/ops.go:280-282)") {
+      val root = Files.createTempDirectory("graft-wh3").toString
+      val src = Files.createTempDirectory("graft-src3")
+      // day 1: tcpinfo-style repeated snapshots payload
+      writeJsonl(src, "d1.json", Seq(
+        """{"id":"a","date":"2024-03-01","parser":{"Time":"2024-03-01T10:00:00Z"},"snaps":[{"x":1},{"x":2}]}"""
+      ))
+      // day 2: same datatype gained a field (schema evolves across days)
+      writeJsonl(src, "d2.json", Seq(
+        """{"id":"a","date":"2024-03-02","parser":{"Time":"2024-03-02T10:00:00Z"},"snaps":[{"x":3}],"extra":"new"}"""
+      ))
+      val wh = mkWh(root)
+      val d1 = new TableOps(spark, mkJob(root, "tcp", "2024-03-01", join = ""), wh)
+      val d2 = new TableOps(spark, mkJob(root, "tcp", "2024-03-02", join = ""), wh)
+      d1.loadToTmp(s"$src/d1.json")
+      d2.loadToTmp(s"$src/d2.json")
+      // dedup + copy of day 2 must SEE the day-2-only column even though
+      // older footers in the same tmp table lack it
+      d2.dedup()
+      d2.copyToRaw()
+      d1.dedup()
+      d1.copyToRaw()
+      val raw = wh.read(spark, wh.tablePath("raw_exp", "tcp"))
+      assert(raw.columns.contains("extra"))
+      val day2 = raw.filter($"id" === "a" && $"extra" === "new")
+      assert(day2.count() == 1)
+      // the ARRAY<STRUCT> payload round-trips intact
+      assert(day2.select(expr("snaps[0].x")).head().getLong(0) == 3L)
+      // day-1 rows read as null for the later column
+      assert(raw.filter($"extra".isNull).count() == 1)
+    }
   }
 
-  test("load quarantines malformed lines instead of failing the day") {
-    val root = Files.createTempDirectory("graft-whq").toString
-    val src = Files.createTempDirectory("graft-srcq")
-    writeJsonl(src, "m.json", Seq(
-      """{"id":"a","date":"2024-03-01","parser":{"Time":"2024-03-01T10:00:00Z"},"v":1}""",
-      """{"id":"b","date":"2024-03-01","parser":{"Time":"2024-03-01T11:00:00Z"},"v":2""", // truncated
-      """this is not json""",
-      """{"id":"c","date":"2024-03-01","parser":{"Time":"2024-03-01T12:00:00Z"},"v":3}"""))
-    val job = mkJob(root, "ndt7", "2024-03-01")
-    val ops = new TableOps(spark, job, Warehouse(root))
-    val st = ops.loadToTmp(s"$src/m.json")
-    assert(st.rowsIn == 4 && st.rowsOut == 2) // 2 good, 2 quarantined
-    val tmp = spark.read.parquet(s"$root/tmp_exp/ndt7")
-    assert(tmp.count() == 2)
-    assert(!tmp.columns.contains("_corrupt_record"))
-    val q = spark.read.parquet(s"$root/tmp_exp/ndt7__quarantine")
-    assert(q.count() == 2)
-    val raws = q.select("raw").as[String].collect().toSet
-    assert(raws.exists(_.contains("this is not json")))
-    assert(raws.exists(_.startsWith("""{"id":"b"""")))
-    // quarantine rows are attributed to the job's date partition
-    assert(q.filter($"date" === lit(java.sql.Date.valueOf("2024-03-01"))).count() == 2)
+  // ---- backend-specific crash semantics ----
 
-    // all lines malformed: schema inference sees no data shape at all —
-    // the whole file quarantines as raw text, zero rows load
-    writeJsonl(src, "bad.json", Seq("x", "{broken"))
-    val st2 = ops.loadToTmp(s"$src/bad.json")
-    assert(st2.rowsIn == 2 && st2.rowsOut == 0)
-    assert(spark.read.parquet(s"$root/tmp_exp/ndt7__quarantine").count() == 4)
-
-    // a pinned schema captures (not nulls-out) the malformed lines too
-    val root2 = Files.createTempDirectory("graft-whq2").toString
-    val ops2 = new TableOps(spark, mkJob(root2, "ndt7", "2024-03-01"), Warehouse(root2))
-    val schema = spark.read.json(s"$src/m.json").drop("_corrupt_record").schema
-    val st3 = ops2.loadToTmp(s"$src/m.json", Some(schema))
-    assert(st3.rowsIn == 4 && st3.rowsOut == 2)
-    assert(spark.read.parquet(s"$root2/tmp_exp/ndt7__quarantine").count() == 2)
-  }
-
-  test("load appends; re-load then dedup converges (idempotent redo)") {
-    val root = Files.createTempDirectory("graft-wh2").toString
-    val src = Files.createTempDirectory("graft-src2")
-    writeJsonl(src, "m.json", Seq(
-      """{"id":"x","date":"2024-02-01","parser":{"Time":"2024-02-01T10:00:00Z"},"v":1}"""
-    ))
-    val job = mkJob(root, "ndt7", "2024-02-01")
-    val ops = new TableOps(spark, job, Warehouse(root))
-    ops.loadToTmp(s"$src/m.json")
-    ops.loadToTmp(s"$src/m.json") // crash-retry double append
-    val tmp = spark.read.parquet(s"$root/tmp_exp/ndt7")
-    assert(tmp.count() == 2)
-    ops.dedup() // exact duplicate rows tie on Time => keep-set keeps both
-    assert(spark.read.parquet(s"$root/tmp_exp/ndt7").count() == 2)
-    ops.copyToRaw()
-    ops.copyToRaw() // partition truncate: no double counting
-    assert(ops.rawPartitionCount() == 2)
-  }
-
-  test("opt-in content tier drops near-dup texts, keeping the min-id representative") {
-    val root = Files.createTempDirectory("graft-wh5").toString
-    val src = Files.createTempDirectory("graft-src5")
-    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
-    writeJsonl(src, "m.json", Seq(
-      s"""{"id":"a1","date":"2024-05-01","parser":{"Time":"2024-05-01T10:00:00Z"},"text":"$base"}""",
-      s"""{"id":"a2","date":"2024-05-01","parser":{"Time":"2024-05-01T11:00:00Z"},"text":"${base}tail"}""",
-      s"""{"id":"b1","date":"2024-05-01","parser":{"Time":"2024-05-01T10:00:00Z"},"text":"completely different content about spark engines and catalyst planning here today"}"""
-    ))
-    val job = mkJob(root, "textlog", "2024-05-01", join = "")
-    val spec = graft.tableops.DatatypeSpec(Seq("id", "date"), "parser.Time",
-      contentDedup = Some(graft.tableops.ContentDedupSpec("text", minJaccardE4 = 8000L)))
-    val ops = new TableOps(spark, job, Warehouse(root), specOverride = Some(spec))
-    ops.loadToTmp(s"$src/m.json")
-    val dd = ops.dedup()
-    assert(dd.rowsIn === 3 && dd.rowsOut === 2) // a2 near-dups a1, a1 kept
-    val tmp = spark.read.parquet(s"$root/tmp_exp/textlog")
-    assert(tmp.select("id").as[String].collect().toSet === Set("a1", "b1"))
-  }
-
-  test("vsRawCorpus content tier drops a re-swept day's content the " +
-    "archive already holds, and no-ops before raw exists") {
-    val root = Files.createTempDirectory("graft-wh6").toString
-    val src = Files.createTempDirectory("graft-src6")
-    val base = "the quick brown fox jumps over the lazy dog again and again " * 3
-    writeJsonl(src, "d1.json", Seq(
-      s"""{"id":"d1a","date":"2024-06-01","parser":{"Time":"2024-06-01T10:00:00Z"},"text":"$base"}"""
-    ))
-    writeJsonl(src, "d2.json", Seq(
-      s"""{"id":"d2a","date":"2024-06-02","parser":{"Time":"2024-06-02T10:00:00Z"},"text":"${base}tail"}""",
-      s"""{"id":"d2b","date":"2024-06-02","parser":{"Time":"2024-06-02T09:00:00Z"},"text":"fresh content about catalyst planning and shuffle exchanges entirely new today"}"""
-    ))
-    val spec = graft.tableops.DatatypeSpec(Seq("id", "date"), "parser.Time",
-      contentDedup = Some(graft.tableops.ContentDedupSpec("text",
-        minJaccardE4 = 8000L, vsRawCorpus = true)))
-    val wh = Warehouse(root)
-    val day1 = new TableOps(spark,
-      mkJob(root, "textlog", "2024-06-01", join = ""), wh, specOverride = Some(spec))
-    // day 1: raw does not exist yet -> incremental tier is a no-op
-    day1.loadToTmp(s"$src/d1.json")
-    val dd1 = day1.dedup()
-    assert(dd1.rowsIn === 1 && dd1.rowsOut === 1)
-    day1.copyToRaw(); day1.deleteTmp()
-    // day 2: d2a near-dups the archived d1a -> dropped; d2b survives
-    val day2 = new TableOps(spark,
-      mkJob(root, "textlog", "2024-06-02", join = ""), wh, specOverride = Some(spec))
-    day2.loadToTmp(s"$src/d2.json")
-    val dd2 = day2.dedup()
-    assert(dd2.rowsIn === 2 && dd2.rowsOut === 1)
-    val tmp = spark.read.parquet(s"$root/tmp_exp/textlog")
-    assert(tmp.select("id").as[String].collect().toSet === Set("d2b"))
-  }
-
-  test("dedup recovers a crashed partition swap (staging holds the day)") {
+  test("[path] dedup recovers a crashed partition swap (staging holds the day)") {
     val root = Files.createTempDirectory("graft-wh4").toString
     val src = Files.createTempDirectory("graft-src4")
     writeJsonl(src, "m.json", Seq(
@@ -246,36 +303,49 @@ class TableOpsSpec extends SparkTestBase {
     assert(!Files.exists(staging))
   }
 
-  test("array-of-struct payload and added columns survive the pipeline " +
-    "(schema evolution, cloud/bq/ops.go:280-282)") {
-    val root = Files.createTempDirectory("graft-wh3").toString
-    val src = Files.createTempDirectory("graft-src3")
-    // day 1: tcpinfo-style repeated snapshots payload
-    writeJsonl(src, "d1.json", Seq(
-      """{"id":"a","date":"2024-03-01","parser":{"Time":"2024-03-01T10:00:00Z"},"snaps":[{"x":1},{"x":2}]}"""
+  test("[tx] uncommitted data files are invisible; partition delete is " +
+    "metadata-only; commits collide safely") {
+    val root = Files.createTempDirectory("graft-wh7").toString
+    val src = Files.createTempDirectory("graft-src7")
+    writeJsonl(src, "m.json", Seq(
+      """{"id":"x","date":"2024-07-01","parser":{"Time":"2024-07-01T10:00:00Z"},"v":1}""",
+      """{"id":"y","date":"2024-07-02","parser":{"Time":"2024-07-02T10:00:00Z"},"v":2}"""
     ))
-    // day 2: same datatype gained a field (schema evolves across days)
-    writeJsonl(src, "d2.json", Seq(
-      """{"id":"a","date":"2024-03-02","parser":{"Time":"2024-03-02T10:00:00Z"},"snaps":[{"x":3}],"extra":"new"}"""
-    ))
-    val wh = Warehouse(root)
-    val d1 = new TableOps(spark, mkJob(root, "tcp", "2024-03-01", join = ""), wh)
-    val d2 = new TableOps(spark, mkJob(root, "tcp", "2024-03-02", join = ""), wh)
-    d1.loadToTmp(s"$src/d1.json")
-    d2.loadToTmp(s"$src/d2.json")
-    // dedup + copy of day 2 must SEE the day-2-only column even though
-    // older footers in the same tmp table lack it
-    d2.dedup()
-    d2.copyToRaw()
-    d1.dedup()
-    d1.copyToRaw()
-    val raw = spark.read.option("mergeSchema", "true").parquet(s"$root/raw_exp/tcp")
-    assert(raw.columns.contains("extra"))
-    val day2 = raw.filter($"id" === "a" && $"extra" === "new")
-    assert(day2.count() == 1)
-    // the ARRAY<STRUCT> payload round-trips intact
-    assert(day2.select(expr("snaps[0].x")).head().getLong(0) == 3L)
-    // day-1 rows read as null for the later column
-    assert(raw.filter($"extra".isNull).count() == 1)
+    val wh = new TxWarehouse(root)
+    val job = mkJob(root, "ndt7", "2024-07-01")
+    val ops = new TableOps(spark, job, wh)
+    ops.loadToTmp(s"$src/m.json")
+    val tablePath = wh.tablePath("tmp_exp", "ndt7")
+    assert(wh.read(spark, tablePath).count() == 2)
+
+    // a crashed writer's files (written but never committed) are invisible
+    val orphanDir = Path.of(s"$tablePath/_graft_data/orphan/__p_date=2024-07-01")
+    Seq((99L, java.sql.Date.valueOf("2024-07-01"))).toDF("v", "date")
+      .write.parquet(orphanDir.toString)
+    assert(wh.read(spark, tablePath).count() == 2)
+    assert(wh.read(spark, tablePath).filter($"v" === 99).count() == 0)
+
+    // partition delete retires manifest entries without touching bytes:
+    // the data files all still exist on disk afterwards
+    def dataFiles() = java.nio.file.Files.walk(Path.of(s"$tablePath/_graft_data"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+    val before = dataFiles()
+    ops.deleteTmp()
+    assert(dataFiles() == before)                       // bytes untouched
+    val left = wh.read(spark, tablePath)
+    assert(left.count() == 1)                           // 07-01 gone
+    assert(left.select("id").as[String].head() == "y")
+
+    // optimistic concurrency: a commit that loses the version race
+    // recomputes and lands on the next number — simulate the collision
+    // by pre-creating the version the next commit will try first
+    val logDir = Path.of(s"$tablePath/_graft_log")
+    val versions0 = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("v")).toSeq.sorted
+    val next = versions0.last.stripPrefix("v").stripSuffix(".txt").toLong + 1
+    Files.writeString(logDir.resolve(f"v$next%020d.txt"), "")  // squatter
+    ops.loadToTmp(s"$src/m.json")                       // must retry past it
+    assert(wh.read(spark, tablePath)
+      .filter($"date" === lit(java.sql.Date.valueOf("2024-07-01"))).count() == 1)
   }
 }
