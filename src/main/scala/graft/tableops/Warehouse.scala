@@ -252,15 +252,17 @@ final class TxWarehouse(val root: String) extends Warehouse {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (latest version, live rel-file → date-string). (0, empty) when the
-    * table has no commits yet.
+  /** (latest version ≤ upTo, live rel-file → date-string at that
+    * version). (0, empty) when the table has no commits yet.
     */
-  private def state(spark: SparkSession, path: String): (Long, Map[String, String]) = {
+  private def state(spark: SparkSession, path: String,
+      upTo: Long = Long.MaxValue): (Long, Map[String, String]) = {
     val f = fs(spark, path)
     val logDir = new Path(s"$path/$LogDir")
     if (!f.exists(logDir)) return (0L, Map.empty)
     val versions = f.listStatus(logDir).map(_.getPath.getName)
       .filter(_.matches("v\\d{20}\\.txt")).sorted
+      .filter(_.stripPrefix("v").stripSuffix(".txt").toLong <= upTo)
     var live = Map.empty[String, String]
     versions.foreach { name =>
       val in = f.open(new Path(logDir, name))
@@ -278,6 +280,54 @@ final class TxWarehouse(val root: String) extends Warehouse {
     val v = versions.lastOption.map(_.stripPrefix("v").stripSuffix(".txt").toLong)
       .getOrElse(0L)
     (v, live)
+  }
+
+  /** Latest committed version (0 = no commits yet). */
+  def currentVersion(spark: SparkSession, path: String): Long =
+    state(spark, path)._1
+
+  /** Time travel: the table exactly as of `version` (immutable data
+    * files + replayable log make this free). Fails if the version's
+    * files have been [[vacuum]]ed away — retention bounds history depth.
+    */
+  def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
+    val (v, live) = state(spark, path, upTo = version)
+    require(v == version, s"no version $version of $path (latest ≤ is $v)")
+    readFiles(spark, path, live.keys)
+  }
+
+  /** Reclaim storage: delete data files that (a) are not referenced by
+    * any of the newest `keepVersions` manifests — retired by rewrites/
+    * deletes, or orphaned by crashed writers — and (b) are older than
+    * `minAgeMillis`. The age guard is what makes vacuum safe to run
+    * concurrently with writers: an in-flight writer's files are
+    * unreferenced by ANY manifest until its commit, so only files old
+    * enough that no live write can still own them are eligible (same
+    * retention discipline as Delta's VACUUM). Time travel reaches at
+    * most `keepVersions` back after a vacuum. Returns deleted file count.
+    */
+  def vacuum(spark: SparkSession, path: String, keepVersions: Int = 1,
+      minAgeMillis: Long = 7L * 24 * 3600 * 1000): Long = {
+    val f = fs(spark, path)
+    val (latest, _) = state(spark, path)
+    if (latest == 0L) return 0L
+    val retained = (math.max(1L, latest - keepVersions + 1) to latest)
+      .flatMap(v => state(spark, path, upTo = v)._2.keys).toSet
+    val dataDir = new Path(s"$path/$DataDir")
+    if (!f.exists(dataDir)) return 0L
+    val prefix = f.makeQualified(new Path(path)).toString + "/"
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    val it = f.listFiles(dataDir, true)
+    var deleted = 0L
+    while (it.hasNext) {
+      val st = it.next()
+      val rel = st.getPath.toString.stripPrefix(prefix)
+      if (st.isFile && !retained.contains(rel) &&
+          st.getModificationTime < cutoff) {
+        if (f.delete(st.getPath, false)) deleted += 1
+      }
+    }
+    deleted
   }
 
   def exists(spark: SparkSession, path: String): Boolean =

@@ -318,6 +318,14 @@ class TableOpsSpec extends SparkTestBase {
     val tablePath = wh.tablePath("tmp_exp", "ndt7")
     assert(wh.read(spark, tablePath).count() == 2)
 
+    // partition pruning happens at the MANIFEST: the two dates landed in
+    // two physical files, and a partition read opens exactly one — no
+    // footer reads of other days, the property that keeps a years-deep
+    // table's daily ops O(day) instead of O(table)
+    assert(wh.read(spark, tablePath).inputFiles.length == 2)
+    assert(wh.readPartition(spark, tablePath, LocalDate.parse("2024-07-01"))
+      .inputFiles.length == 1)
+
     // a crashed writer's files (written but never committed) are invisible
     val orphanDir = Path.of(s"$tablePath/_graft_data/orphan/__p_date=2024-07-01")
     Seq((99L, java.sql.Date.valueOf("2024-07-01"))).toDF("v", "date")
@@ -347,5 +355,54 @@ class TableOpsSpec extends SparkTestBase {
     ops.loadToTmp(s"$src/m.json")                       // must retry past it
     assert(wh.read(spark, tablePath)
       .filter($"date" === lit(java.sql.Date.valueOf("2024-07-01"))).count() == 1)
+  }
+
+  test("[tx] time travel reads any retained version; vacuum reclaims " +
+    "retired and orphan files and bounds history") {
+    val root = Files.createTempDirectory("graft-wh8").toString
+    val src = Files.createTempDirectory("graft-src8")
+    // 08-01 holds a true duplicate (forces a dedup rewrite commit),
+    // 08-02 a single row that stays live throughout
+    writeJsonl(src, "m.json", Seq(
+      """{"id":"x","date":"2024-08-01","parser":{"Time":"2024-08-01T10:00:00Z"},"v":1}""",
+      """{"id":"x","date":"2024-08-01","parser":{"Time":"2024-08-01T11:00:00Z"},"v":2}""",
+      """{"id":"y","date":"2024-08-02","parser":{"Time":"2024-08-02T10:00:00Z"},"v":3}"""
+    ))
+    val wh = new TxWarehouse(root)
+    val ops = new TableOps(spark, mkJob(root, "ndt7", "2024-08-01"), wh)
+    val tablePath = wh.tablePath("tmp_exp", "ndt7")
+    ops.loadToTmp(s"$src/m.json")   // v1: 3 rows
+    ops.dedup()                     // v2: rewrite drops the stale dup -> 2 rows
+    ops.deleteTmp()                 // v3: 08-01 retired -> 1 row
+    assert(wh.currentVersion(spark, tablePath) == 3L)
+    assert(wh.readAt(spark, tablePath, 1L).count() == 3)
+    assert(wh.readAt(spark, tablePath, 2L).count() == 2)
+    assert(wh.read(spark, tablePath).count() == 1)
+    intercept[IllegalArgumentException] {
+      wh.readAt(spark, tablePath, 9L)
+    }
+
+    // an uncommitted orphan from a "crashed" writer
+    val orphan = Path.of(s"$tablePath/_graft_data/orphan/__p_date=2024-08-01")
+    Seq((99L, java.sql.Date.valueOf("2024-08-01"))).toDF("v", "date")
+      .write.parquet(orphan.toString)
+
+    def parquets() = java.nio.file.Files.walk(Path.of(s"$tablePath/_graft_data"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSet
+    val before = parquets()
+    // age guard first: nothing young enough to be an in-flight write dies
+    assert(wh.vacuum(spark, tablePath, keepVersions = 1,
+      minAgeMillis = 3600_000) == 0L)
+    assert(parquets() == before)
+    // age 0: retired rewrite inputs + the orphan go, the live file stays
+    val deleted = wh.vacuum(spark, tablePath, keepVersions = 1, minAgeMillis = 0L)
+    assert(deleted > 0L)
+    val after = parquets()
+    assert(after.subsetOf(before) && !after.exists(_.toString.contains("orphan")))
+    assert(wh.read(spark, tablePath).count() == 1)      // latest unaffected
+    // vacuumed history is gone: the v1 manifest references deleted files
+    intercept[Exception] {
+      wh.readAt(spark, tablePath, 1L).count()
+    }
   }
 }
