@@ -126,4 +126,25 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"))
     assert(!"Sort \\[".r.findFirstIn(p).isDefined)
   }
+
+  test("general-tau resampling: rate LITERALS broadcast, keep decision " +
+    "is a map-side filter — corpus never shuffles") {
+    val p = planned("ds_temperature_sample_tau")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"))
+    assert(!"Exchange hashpartitioning.*doc_id".r.findFirstIn(p).isDefined)
+    // the rate table is a local literal relation, not a recomputed
+    // aggregate of the corpus (the counts were collected once driver-side)
+    assert(p.contains("LocalTableScan"))
+  }
+
+  test("embedding-LSH near-dup: bucket shuffle carries ids only — the " +
+    "vectors stay out of the exchange and join back by id") {
+    val f = formatted("dd_embed_neardup_lsh")
+    // every hash-exchange in the plan moves (band, bucket, id)-shaped
+    // rows; no exchange partition expression mentions the vector column
+    val exchanges = "Arguments: hashpartitioning\\([^)]*\\)".r.findAllIn(f).toSeq
+    assert(exchanges.nonEmpty)
+    assert(exchanges.forall(e => !e.contains("embedding") && !e.contains("v#")))
+  }
 }
