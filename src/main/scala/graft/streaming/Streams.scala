@@ -276,4 +276,26 @@ object Streams {
       .start()
     q.awaitTermination()
   }
+
+  /** Exactly-once micro-batch sink into a [[graft.tableops.TxWarehouse]]
+    * table, for `foreachBatch`:
+    *
+    * {{{
+    * stream.writeStream.foreachBatch(
+    *   Streams.exactlyOnceSink(wh, wh.tablePath("raw", "events"), "evq")) …
+    * }}}
+    *
+    * Structured Streaming's recovery contract is at-least-once at the
+    * sink: after a crash the restarted query REPLAYS its last batch, and
+    * a plain parquet append would duplicate those rows. The tx commit
+    * log closes the gap — each batch commits atomically WITH a
+    * `(appId, batchId)` txn watermark ([[graft.tableops.TxWarehouse
+    * .appendTxn]]), so the replayed batch is recognized and skipped and
+    * table contents are exactly-once. This is the foreachBatch
+    * idempotence pattern the Spark docs prescribe, with the dedup ledger
+    * living in the same atomic commit as the data instead of beside it.
+    */
+  def exactlyOnceSink(wh: graft.tableops.TxWarehouse, path: String,
+      appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => { wh.appendTxn(batch.sparkSession, batch, path, appId, batchId); () }
 }

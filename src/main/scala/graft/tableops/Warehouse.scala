@@ -252,18 +252,20 @@ final class TxWarehouse(val root: String) extends Warehouse {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** (latest version ≤ upTo, live rel-file → date-string at that
-    * version). (0, empty) when the table has no commits yet.
+  /** Full log replay up to `upTo`: (latest version, live rel-file →
+    * date-string, per-writer txn watermarks). (0, empty, empty) when the
+    * table has no commits yet.
     */
-  private def state(spark: SparkSession, path: String,
-      upTo: Long = Long.MaxValue): (Long, Map[String, String]) = {
+  private def replay(spark: SparkSession, path: String,
+      upTo: Long = Long.MaxValue): (Long, Map[String, String], Map[String, Long]) = {
     val f = fs(spark, path)
     val logDir = new Path(s"$path/$LogDir")
-    if (!f.exists(logDir)) return (0L, Map.empty)
+    if (!f.exists(logDir)) return (0L, Map.empty, Map.empty)
     val versions = f.listStatus(logDir).map(_.getPath.getName)
       .filter(_.matches("v\\d{20}\\.txt")).sorted
       .filter(_.stripPrefix("v").stripSuffix(".txt").toLong <= upTo)
     var live = Map.empty[String, String]
+    var txns = Map.empty[String, Long]
     versions.foreach { name =>
       val in = f.open(new Path(logDir, name))
       val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
@@ -274,12 +276,57 @@ final class TxWarehouse(val root: String) extends Warehouse {
           live += (rest.substring(sp + 1) -> rest.substring(0, sp))
         } else if (line.startsWith("R ")) {
           live -= line.substring(2)
+        } else if (line.startsWith("T ")) {
+          val Array(app, batch) = line.substring(2).split(' ')
+          txns += (app -> math.max(batch.toLong, txns.getOrElse(app, -1L)))
         }
       }
     }
     val v = versions.lastOption.map(_.stripPrefix("v").stripSuffix(".txt").toLong)
       .getOrElse(0L)
+    (v, live, txns)
+  }
+
+  /** (latest version ≤ upTo, live rel-file → date-string at that
+    * version). (0, empty) when the table has no commits yet.
+    */
+  private def state(spark: SparkSession, path: String,
+      upTo: Long = Long.MaxValue): (Long, Map[String, String]) = {
+    val (v, live, _) = replay(spark, path, upTo)
     (v, live)
+  }
+
+  /** Highest batch id committed under `appId`, or -1. */
+  def lastTxn(spark: SparkSession, path: String, appId: String): Long =
+    replay(spark, path)._3.getOrElse(appId, -1L)
+
+  /** Idempotent append for streaming micro-batches (the txn-marker
+    * pattern a Delta sink uses): the commit carries `T appId batchId`,
+    * and a batch at-or-below the app's committed watermark is a NO-OP —
+    * so a restarted query replaying its last batch cannot double-append,
+    * turning the engine's at-least-once replay into exactly-once table
+    * contents. Returns false when skipped. The skip is decided against
+    * the same manifest version the commit races on, so a concurrent
+    * duplicate writer loses the version race, re-reads, and skips.
+    * Files written by a skipped attempt are orphans for [[vacuum]].
+    */
+  def appendTxn(spark: SparkSession, df: DataFrame, path: String,
+      appId: String, batchId: Long): Boolean = {
+    require(!appId.exists(_.isWhitespace), "appId must not contain whitespace")
+    if (lastTxn(spark, path, appId) >= batchId) return false
+    val (adds, _) = writeData(spark, df, path)
+    val f = fs(spark, path)
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val (v, _, txns) = replay(spark, path)
+      if (txns.getOrElse(appId, -1L) >= batchId) return false
+      val lines = adds.map { case (rel, d) => s"A $d $rel" } :+
+        s"T $appId $batchId"
+      if (tryCommit(f, path, v + 1, lines)) return true
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"commit contention: $MaxCommitAttempts failed attempts on $path")
   }
 
   /** Latest committed version (0 = no commits yet). */
