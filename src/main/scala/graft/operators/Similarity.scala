@@ -165,24 +165,13 @@ object Similarity {
     require(nBits % bands == 0, "bands must divide nBits")
     val base = embeddings
       .select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
-    def plane(i: Int): Column = array((0 until dim).map { j =>
-      // deterministic pseudo-random in [-1, 1): splitmix-style integer mix
-      val h = java.lang.Long.rotateLeft((i.toLong * 0x9E3779B97F4A7C15L) ^
-        (j.toLong * 0xC2B2AE3D27D4EB4FL), 31) * 0x165667B19E3779F9L
-      lit((h >>> 11).toDouble / (1L << 52).toDouble - 1.0)
-    }: _*)
-    val bits = (0 until nBits).map(i =>
-      when(dot(col("v"), plane(i)) >= 0, lit(1L)).otherwise(lit(0L))
-        .as(s"bit$i"))
-    val bitsPerBand = nBits / bands
-    val withBits = base.select(col("id") +: bits: _*)
-    val bandCols = (0 until bands).map { b =>
-      (0 until bitsPerBand).map(i => col(s"bit${b * bitsPerBand + i}") * lit(1L << i))
-        .reduce(_ + _).as(s"band$b")
-    }
-    val banded = withBits.select(col("id") +: bandCols: _*)
+    // all nBits sign bits + band packing fuse into ONE codegen'd
+    // expression over a static plane matrix (SignBands) — bit-identical
+    // to the per-bit VectorDot formulation it replaces, minus the nBits
+    // separate expression-evaluation frames per row
+    val banded = base
       .select(col("id"),
-        posexplode(array((0 until bands).map(b => col(s"band$b")): _*)))
+        posexplode(graft.functions.SignBands.signBands(col("v"), nBits, bands)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
     // ids-only in-bucket pair expansion with the hot-bucket cap, one
     // shuffle of (band, bucket, id) — bytes, not vectors
