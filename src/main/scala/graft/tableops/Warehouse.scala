@@ -30,9 +30,9 @@ import org.apache.spark.sql.functions._
   *    retry on version collision); partition delete and the dedup
   *    rewrite are metadata commits — a real DELETE, no staging swap, no
   *    window where the day's rows exist nowhere. Safe for multiple
-  *    drivers against a filesystem with atomic no-overwrite rename
-  *    (HDFS; local FS keeps a tiny check-then-rename window, fine for
-  *    tests).
+  *    drivers: the version publish is link(2) on local filesystems and
+  *    atomic no-overwrite rename on HDFS (object stores would plug a
+  *    conditional-put committer into the same seam).
   *
   * All operations take the table's physical path (from [[tablePath]]);
   * `date` is the partition grain, matching the reference's
@@ -531,15 +531,34 @@ final class TxWarehouse(val root: String) extends Warehouse {
     val dest = new Path(logDir, f"v$version%020d.txt")
     if (f.exists(dest)) return false
     // full write to a temp name first, so a reader never sees a partial
-    // manifest; the rename is atomic-no-overwrite on HDFS (local FS
-    // keeps a tiny check-then-rename window — see class docs)
+    // manifest; then publish with an atomic create-if-absent
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
-    if (f.exists(dest)) { f.delete(tmp, false); false }
-    else if (f.rename(tmp, dest)) true
-    else { f.delete(tmp, false); false }
+    if (f.getScheme == "file") {
+      // POSIX rename(2) OVERWRITES an existing destination, so a
+      // check-then-rename loses a racing commit (observed under the
+      // concurrent-writer stress spec). link(2) is the atomic
+      // exclusive publish on local filesystems: it fails EEXIST if the
+      // version was taken, in the same syscall that creates it.
+      val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try {
+        java.nio.file.Files.createLink(destNio, tmpNio)
+        f.delete(tmp, false)
+        true
+      } catch {
+        case _: java.nio.file.FileAlreadyExistsException =>
+          f.delete(tmp, false); false
+      }
+    } else {
+      // HDFS rename is atomic and fails on an existing destination;
+      // object stores need their conditional-put committer here
+      if (f.exists(dest)) { f.delete(tmp, false); false }
+      else if (f.rename(tmp, dest)) true
+      else { f.delete(tmp, false); false }
+    }
   }
 }
 
