@@ -29,13 +29,17 @@ private[cmd] object ToolSession {
       datasets = Datasets(tmp, raw, join))
 }
 
-/** Usage: LoadTool <warehouseRoot> <datatype> <YYYY-MM-DD> <jsonGlob> [tmpDataset] */
+/** Usage: LoadTool <warehouseRoot> <datatype> <YYYY-MM-DD> <jsonGlob>
+  *                 [tmpDataset] [backend]
+  */
 object LoadTool {
   def main(args: Array[String]): Unit = {
     val Array(whRoot, datatype, date, glob) = args.take(4)
     val tmp = if (args.length > 4) args(4) else s"tmp_cli"
+    val backend = if (args.length > 5) args(5) else "path"
     val ops = new TableOps(ToolSession.spark(),
-      ToolSession.job(datatype, date, tmp, "raw_cli", ""), Warehouse(whRoot))
+      ToolSession.job(datatype, date, tmp, "raw_cli", ""),
+      Warehouse.forName(backend, whRoot))
     val stats = ops.loadToTmp(glob)
     println(s"loaded ${stats.detail}")
   }
@@ -49,5 +53,47 @@ object CopyTool {
       ToolSession.job(datatype, date, tmp, raw, ""), Warehouse(whRoot))
     val stats = ops.copyToRaw()
     println(s"copied ${stats.detail}")
+  }
+}
+
+/** Operational maintenance for transactional-backend tables.
+  *
+  * Usage: VacuumTool <warehouseRoot> <dataset> <datatype>
+  *                   [keepVersions] [minAgeHours]
+  *
+  * Deletes data files unreferenced by the newest keepVersions manifests
+  * and older than minAgeHours (defaults 1 / 168 — one week, the
+  * concurrent-writer safety margin; see TxWarehouse.vacuum).
+  */
+object VacuumTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, dataset, datatype) = args.take(3)
+    val keep = if (args.length > 3) args(3).toInt else 1
+    val ageHours = if (args.length > 4) args(4).toLong else 168L
+    val wh = new graft.tableops.TxWarehouse(whRoot)
+    val spark = ToolSession.spark()
+    val path = wh.tablePath(dataset, datatype)
+    val n = wh.vacuum(spark, path, keep, ageHours * 3600 * 1000)
+    println(s"vacuumed $n files from $path " +
+      s"(kept $keep versions, min age ${ageHours}h)")
+  }
+}
+
+/** Usage: HistoryTool <warehouseRoot> <dataset> <datatype> — prints one
+  * line per committed version with its live row-file count and total
+  * rows at that version (a `DESCRIBE HISTORY` analog over the tx log).
+  */
+object HistoryTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, dataset, datatype) = args.take(3)
+    val wh = new graft.tableops.TxWarehouse(whRoot)
+    val spark = ToolSession.spark()
+    val path = wh.tablePath(dataset, datatype)
+    val latest = wh.currentVersion(spark, path)
+    (1L to latest).foreach { v =>
+      val df = wh.readAt(spark, path, v)
+      val files = df.inputFiles.length
+      println(s"v$v: $files files, ${df.count()} rows")
+    }
   }
 }
