@@ -346,6 +346,20 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
+    // ---- the same filter probing a MATERIALIZED signature index (the
+    //      warehouse-scale path: the index is a table appended as
+    //      batches archive, so a daily increment never re-reads the
+    //      accumulated corpus' text — O(batch) not O(corpus)).
+    //      Decision-identical to dd_incremental; same oracle SQL ----
+    "dd_incremental_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val index = TextDedup.nearDupIndex(
+        docs.filter(col("doc_id") % 2 === 0), "doc_id", "text")
+      TextDedup.incrementalNearDupFilterIndexed(
+        docs.filter(col("doc_id") % 2 === 1), index, "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // ---- dedup family: embedding-cosine near-dup ----
     // exact within a predicate-bounded subset (oracled); the scale path is
     // the random-hyperplane LSH below (rows-only driver check — the
@@ -1257,6 +1271,40 @@ object SparkEntry {
     // corpus; a new doc is dropped on an exact-fingerprint match or a
     // band-bucket collision whose md5-shingle Jaccard clears the bar
     "dd_incremental" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, $ShingleSql AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5LongSql("x")}) AS hl
+         |      FROM s),
+         |sg AS (SELECT doc_id,
+         |        [list_min(list_transform(hl, x -> CAST(concat('0x',
+         |           substr(md5(concat(CAST(i // 2 AS VARCHAR), '#',
+         |                             CAST(x AS VARCHAR))),
+         |                  1 + 15 * (i % 2), 15)) AS BIGINT)))
+         |         for i in range(0, 16)] AS sig
+         |       FROM h),
+         |b AS (SELECT doc_id, u.b AS band,
+         |        array_to_string(sig[u.b * 4 + 1 : u.b * 4 + 4], ',') AS bucket
+         |      FROM sg, unnest([0, 1, 2, 3]) AS u(b)),
+         |seenfp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
+         |           WHERE doc_id % 2 = 0),
+         |cand AS (SELECT DISTINCT n.doc_id AS new_id, sn.doc_id AS seen_id
+         |         FROM b n JOIN b sn ON n.band = sn.band AND n.bucket = sn.bucket
+         |         WHERE n.doc_id % 2 = 1 AND sn.doc_id % 2 = 0),
+         |bad AS (SELECT DISTINCT c.new_id FROM cand c
+         |        JOIN h ha ON ha.doc_id = c.new_id
+         |        JOIN h hb ON hb.doc_id = c.seen_id
+         |        WHERE CAST(floor(len(list_intersect(ha.hl, hb.hl)) * 10000.0 /
+         |          (len(ha.hl) + len(hb.hl) - len(list_intersect(ha.hl, hb.hl))))
+         |          AS BIGINT) >= 5000)
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id % 2 = 1
+         |  AND md5(lower(trim(text))) NOT IN (SELECT fp FROM seenfp)
+         |  AND doc_id NOT IN (SELECT new_id FROM bad)""".stripMargin,
+
+    // the indexed variant makes the SAME decisions as dd_incremental (the
+    // index stores exactly the signatures the inline path derives), so
+    // its oracle is the same query
+    "dd_incremental_indexed" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |s AS (SELECT doc_id, $ShingleSql AS sh FROM t),
          |h AS (SELECT doc_id, list_transform(sh, x -> ${md5LongSql("x")}) AS hl

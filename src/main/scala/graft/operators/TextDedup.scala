@@ -683,6 +683,85 @@ object TextDedup {
     fresh.join(bc(dupNewIds), col(idCol) === col("new_id"), "left_anti")
   }
 
+  /** Materialized near-dup INDEX rows for `docs` — the table form of the
+    * "persistent dedup index" [[incrementalNearDupFilter]]'s scale note
+    * describes: one row per document carrying its exact content
+    * fingerprint (`__fp`), its banded MinHash bucket keys (`__buckets`,
+    * one per band), and its md5 shingle-hash set (`__hl`). At warehouse
+    * scale this is a TABLE, appended as each batch archives (the same
+    * append the raw copy performs), so the daily filter reads the raw
+    * TEXT of the day only — per-increment cost O(batch + index probes)
+    * instead of re-deriving every signature of the accumulated corpus.
+    * All three columns are row-local codegen'd expressions — building
+    * the index is a map-only scan, and the values are bit-identical to
+    * what the inline path derives (md5 family, SQL-oracle-reproducible).
+    */
+  def nearDupIndex(docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val rpb = numHashes / bands
+    val sig = graft.functions.GraftFunctions
+      .minhashMd5Signature(coalesce(col(textCol), lit("")), numHashes)
+    docs.select(col(idCol),
+      TextAnalysis.fingerprint(col(textCol)).as("__fp"),
+      transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(sig, b * rpb + 1, lit(rpb)))).as("__buckets"),
+      graft.functions.GraftFunctions
+        .shingleMd5Hashes(coalesce(col(textCol), lit(""))).as("__hl"))
+  }
+
+  /** [[incrementalNearDupFilter]] probing a materialized [[nearDupIndex]]
+    * instead of the seen corpus' raw text — decision-identical for an
+    * index built with the same (numHashes, bands) (spec-asserted), but
+    * the seen side never touches text again: tier 1 probes `__fp`,
+    * the band join probes exploded `__buckets`, and the Jaccard verify
+    * reads `__hl` for exactly the candidate ids. Same two-step broadcast
+    * discipline as the inline path — the index streams map-only.
+    */
+  def incrementalNearDupFilterIndexed(
+      newDocs: DataFrame, index: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 16, bands: Int = 4, minJaccardE4: Long = 5000,
+      broadcastNew: Boolean = true, cacheBatch: Boolean = true
+  ): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    def bc(df: DataFrame): DataFrame = if (broadcastNew) broadcast(df) else df
+
+    val newFp = newDocs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
+    val matchedFps = index.select(col("__fp"))
+      .join(bc(newFp.select(col("__fp")).distinct()), Seq("__fp")).distinct()
+    val fresh0 = newFp.join(bc(matchedFps), Seq("__fp"), "left_anti").drop("__fp")
+    val fresh =
+      if (cacheBatch)
+        fresh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else fresh0
+
+    val rpb = numHashes / bands
+    val newBands = fresh.select(col(idCol),
+      graft.functions.GraftFunctions
+        .minhashMd5Signature(coalesce(col(textCol), lit("")), numHashes).as("sig"))
+      .select(col(idCol).as("new_id"),
+        posexplode(transform(sequence(lit(0), lit(bands - 1)),
+          b => concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb))))))
+      .select(col("new_id"), col("pos").as("band"), col("col").as("bucket"))
+    val seenBands = index
+      .select(col(idCol).as("seen_id"), posexplode(col("__buckets")))
+      .select(col("seen_id"), col("pos").as("band"), col("col").as("bucket"))
+    val cands = bc(newBands).join(seenBands, Seq("band", "bucket"))
+      .select(col("new_id"), col("seen_id")).distinct()
+
+    val inter = size(array_intersect(col("hl_a"), col("hl_b")))
+    val dupNewIds = cands
+      .join(fresh.select(col(idCol).as("new_id"),
+        graft.functions.GraftFunctions
+          .shingleMd5Hashes(coalesce(col(textCol), lit(""))).as("hl_a")), "new_id")
+      .join(index.select(col(idCol).as("seen_id"), col("__hl").as("hl_b")), "seen_id")
+      .filter(floor(inter * lit(10000.0) /
+        (size(col("hl_a")) + size(col("hl_b")) - inter)).cast("long") >= minJaccardE4)
+      .select(col("new_id")).distinct()
+
+    fresh.join(bc(dupNewIds), col(idCol) === col("new_id"), "left_anti")
+  }
+
   // ---------- near-dup clustering ----------
 
   /** Connected components of an undirected (id_a, id_b) pair graph:

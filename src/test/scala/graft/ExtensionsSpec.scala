@@ -353,6 +353,47 @@ class ExtensionsSpec extends SparkTestBase {
       .count() == 4L)
   }
 
+  test("indexed incremental dedup is decision-identical to the inline " +
+    "path, and the index never re-reads seen text") {
+    val seen = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark engines shuffle data across the cluster nodes")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),  // exact dup of 0
+      (3L, "the quick brown fox jumps over the lazy cat"),  // near dup of 0
+      (5L, "completely unrelated text about garden vegetables here"),
+      (7L, "spark engines shuffle data across the cluster racks") // near dup of 2
+    ).toDF("doc_id", "text")
+    val index = TextDedup.nearDupIndex(seen, "doc_id", "text")
+    // the index is self-contained: fp, band buckets, shingle hashes
+    assert(index.columns.toSet == Set("doc_id", "__fp", "__buckets", "__hl"))
+    def inline() = TextDedup.incrementalNearDupFilter(
+      fresh, seen, "doc_id", "text").select("doc_id").as[Long].collect().toSet
+    def indexed(bcast: Boolean) = TextDedup.incrementalNearDupFilterIndexed(
+      fresh, index, "doc_id", "text", broadcastNew = bcast)
+      .select("doc_id").as[Long].collect().toSet
+    assert(indexed(true) == inline())
+    assert(indexed(false) == inline())
+    // a MATERIALIZED (persisted) index gives the same answers — this is
+    // the warehouse path where the index is a table, not a plan
+    val stage = "/root/repo/target/neardup_index_spec"
+    index.write.mode("overwrite").parquet(stage)
+    val stored = spark.read.parquet(stage)
+    assert(TextDedup.incrementalNearDupFilterIndexed(
+      fresh, stored, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet == inline())
+    // appending a batch's index rows extends the seen corpus: re-probing
+    // the survivors against (seen + survivors) drops nothing new
+    val survivors = fresh.filter(col("doc_id") === 5L)
+    val extended = stored.unionByName(
+      TextDedup.nearDupIndex(survivors, "doc_id", "text"))
+    assert(TextDedup.incrementalNearDupFilterIndexed(
+      Seq((9L, "completely unrelated text about garden vegetables here"))
+        .toDF("doc_id", "text"),
+      extended, "doc_id", "text").count() == 0) // now a dup of indexed 5
+  }
+
   test("duplicateChunks flags shared windows and leaves unique spans alone") {
     val boiler = "standard copyright header all rights reserved"  // 6 tokens
     val d = Seq(
