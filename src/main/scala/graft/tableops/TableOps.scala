@@ -80,6 +80,10 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   private val rawPath = wh.tablePath(job.datasets.raw, job.datatype)
   private val joinPath =
     if (job.datasets.hasJoin) wh.tablePath(job.datasets.join, job.datatype) else ""
+  // the materialized near-dup signature index (vsRawCorpus datatypes):
+  // maintained per date partition by copyToRaw, probed by dedup's
+  // incremental tier so a day's dedup never re-reads the archive's text
+  private val indexPath = rawPath + "__neardup_index"
 
   private def dateLit = lit(java.sql.Date.valueOf(job.date))
 
@@ -178,9 +182,10 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   // action per job).
   def dedup(dryRun: Boolean = false): OpStats = {
     wh.recoverSelfReplace(spark, tmpPath, job.date)
-    // the incremental content tier also READS the raw table
+    // the incremental content tier also READS the raw table / its index
     val readLocks =
-      if (spec.contentDedup.exists(_.vsRawCorpus)) Seq(tmpPath, rawPath)
+      if (spec.contentDedup.exists(_.vsRawCorpus))
+        Seq(tmpPath, rawPath, indexPath)
       else Seq(tmpPath)
     val staged = wh.withTableLocks(reads = readLocks, writes = Nil) {
       val part = readPartition(tmpPath, job.date)
@@ -226,8 +231,19 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
         // incremental tier: filter against the archived corpus (other
         // dates). cacheBatch=false — the monitor is long-lived and this
         // API exposes no unpersist handle; the recompute is bounded by
-        // the day partition (the small side).
-        if (cd.vsRawCorpus && wh.exists(spark, rawPath)) {
+        // the day partition (the small side). The MATERIALIZED signature
+        // index (maintained by copyToRaw) is the preferred probe target:
+        // the archive's text is never re-read, per-day cost stays
+        // O(day + probes) however deep raw grows. The raw-text path
+        // remains as the fallback for warehouses predating the index.
+        if (cd.vsRawCorpus && wh.exists(spark, indexPath)) {
+          val seenIdx = wh.read(spark, indexPath)
+            .filter(col("date") =!= lit(java.sql.Date.valueOf(job.date)))
+            .drop("date")
+          graft.operators.TextDedup.incrementalNearDupFilterIndexed(
+            withinDay, seenIdx, "id", cd.textCol,
+            minJaccardE4 = cd.minJaccardE4, cacheBatch = false)
+        } else if (cd.vsRawCorpus && wh.exists(spark, rawPath)) {
           val seen = wh.read(spark, rawPath)
             .filter(col("date") =!= lit(java.sql.Date.valueOf(job.date)))
           graft.operators.TextDedup.incrementalNearDupFilter(
@@ -259,18 +275,32 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   /** S2: copy the tmp date partition to raw, replacing the destination
     * partition (WriteTruncate, cloud/bq/ops.go:171).
     */
-  def copyToRaw(dryRun: Boolean = false): OpStats =
+  def copyToRaw(dryRun: Boolean = false): OpStats = {
+    val idxMaintained = spec.contentDedup.exists(_.vsRawCorpus)
+    val writeLocks = if (idxMaintained) Seq(rawPath, indexPath) else Seq(rawPath)
     // the read must be CONSTRUCTED inside the lock too: parquet listing
     // + mergeSchema footer reads happen eagerly at construction, racing
     // a concurrent same-table commit if taken outside
-    wh.withTableLocks(reads = Seq(tmpPath), writes = Seq(rawPath)) {
+    wh.withTableLocks(reads = Seq(tmpPath), writes = writeLocks) {
       val part = readPartition(tmpPath, job.date)
       if (dryRun) { part.queryExecution.analyzed; OpStats(0, 0) }
       else {
         val n = wh.overwritePartition(spark, part, rawPath, job.date)
+        // maintain the date's slice of the near-dup signature index in
+        // the same action that archives the rows (partition replace, so
+        // a re-swept day's index converges with its raw partition) —
+        // this is what lets the NEXT day's dedup probe signatures
+        // instead of re-reading the archive's text
+        spec.contentDedup.filter(_.vsRawCorpus).foreach { cd =>
+          val idx = graft.operators.TextDedup
+            .nearDupIndex(part, "id", cd.textCol)
+            .withColumn("date", dateLit)
+          wh.overwritePartition(spark, idx, indexPath, job.date): Unit
+        }
         OpStats(n, n)
       }
     }
+  }
 
   /** S3: drop the tmp date partition (ALTER TABLE DROP PARTITION semantics,
     * cloud/bq/ops.go:221-228). A metadata/filesystem operation — no scan.

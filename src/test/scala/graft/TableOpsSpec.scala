@@ -231,6 +231,12 @@ class TableOpsSpec extends SparkTestBase {
       val dd1 = day1.dedup()
       assert(dd1.rowsIn === 1 && dd1.rowsOut === 1)
       day1.copyToRaw(); day1.deleteTmp()
+      // the archive copy also materialized the day's signature-index
+      // slice — day 2's dedup probes THIS, not the archive's text
+      val idx = wh.read(spark,
+        wh.tablePath("raw_exp", "textlog") + "__neardup_index")
+      assert(idx.count() === 1)
+      assert(idx.columns.toSet == Set("id", "__fp", "__buckets", "__hl", "date"))
       // day 2: d2a near-dups the archived d1a -> dropped; d2b survives
       val day2 = new TableOps(spark,
         mkJob(root, "textlog", "2024-06-02", join = ""), wh, specOverride = Some(spec))
