@@ -94,7 +94,30 @@ object ScaleProbe {
     val lshCands =
       f""""lsh_candidates":[$lc1,$lc10,${lc10.toDouble / lc1}%.2f]"""
 
-    println(s"""{"metric":"scale10","queries":{${(rows :+ lshRow).mkString(",")}},$lshCands}""")
+    // ---- indexed incremental dedup: FIXED daily batch, growing archive ----
+    // The materialized-signature-index claim is that a day's increment
+    // costs O(batch + probes), not O(archive). Probe: the same sf0.1 odd
+    // half (the "day") filtered against a pre-built index of the 1x even
+    // half vs the 10x-replica even corpus — the honest ratio for a 10x
+    // deeper archive, which near-dups the batch heavily (every replica
+    // family collides). Far under 10x = the index holds.
+    import graft.operators.TextDedup
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    def idxProbe(corpusDir: String, tag: String): () => Long = {
+      val stagePath = s"$outDir/__idx_$tag"
+      val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
+        .filter(col("doc_id") % 2 === 0)
+      TextDedup.nearDupIndex(corpus, "doc_id", "text")
+        .write.mode(SaveMode.Overwrite).parquet(stagePath)
+      () => TextDedup.incrementalNearDupFilterIndexed(
+        batch, spark.read.parquet(stagePath), "doc_id", "text").count()
+    }
+    val (it1, _) = timed(idxProbe(sf, "1x"))
+    val (it10, _) = timed(idxProbe(outDir, "10x"))
+    val idxRow =
+      f""""dd_incremental_indexed":[$it1%.3f,$it10%.3f,${it10 / it1}%.2f]"""
+
+    println(s"""{"metric":"scale10","queries":{${(rows :+ lshRow :+ idxRow).mkString(",")}},$lshCands}""")
     spark.stop()
   }
 }
