@@ -357,10 +357,13 @@ object SparkEntry {
     //      probe branch, and rebuilding per call would charge the
     //      archive-time build to every increment — in the warehouse the
     //      index pre-exists (copyToRaw maintains it) and the steady
-    //      state this query models is the PROBE ----
+    //      state this query models is the PROBE. The stage path carries
+    //      a format version: bump it when nearDupIndex's schema or hash
+    //      family changes, so a stale staged copy from older code can
+    //      never satisfy the exists check ----
     "dd_incremental_indexed" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val stage = s"/root/repo/target/neardup_index/${new java.io.File(dir).getName}"
+      val stage = s"/root/repo/target/neardup_index_v1/${new java.io.File(dir).getName}"
       if (!new java.io.File(s"$stage/_SUCCESS").exists())
         TextDedup.nearDupIndex(docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text").write.mode("overwrite").parquet(stage)
