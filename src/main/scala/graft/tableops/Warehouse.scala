@@ -243,8 +243,10 @@ object PathWarehouse {
   * vacuum, which is what makes [[deletePartition]] and the dedup rewrite
   * pure metadata operations.
   */
-final class TxWarehouse(val root: String) extends Warehouse {
+final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
+    extends Warehouse {
   import TxWarehouse._
+  require(checkpointEvery > 0, "checkpointEvery must be positive")
 
   def tablePath(dataset: String, datatype: String): String =
     s"$root/$dataset/$datatype"
@@ -252,40 +254,85 @@ final class TxWarehouse(val root: String) extends Warehouse {
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  /** Full log replay up to `upTo`: (latest version, live rel-file →
+  private def parseInto(text: String, live0: Map[String, String],
+      txns0: Map[String, Long]): (Map[String, String], Map[String, Long]) = {
+    var live = live0
+    var txns = txns0
+    text.linesIterator.filter(_.nonEmpty).foreach { line =>
+      if (line.startsWith("A ")) {
+        val rest = line.substring(2)
+        val sp = rest.indexOf(' ')
+        live += (rest.substring(sp + 1) -> rest.substring(0, sp))
+      } else if (line.startsWith("R ")) {
+        live -= line.substring(2)
+      } else if (line.startsWith("T ")) {
+        val Array(app, batch) = line.substring(2).split(' ')
+        txns += (app -> math.max(batch.toLong, txns.getOrElse(app, -1L)))
+      }
+    }
+    (live, txns)
+  }
+
+  /** Log replay up to `upTo`: (latest version, live rel-file →
     * date-string, per-writer txn watermarks). (0, empty, empty) when the
     * table has no commits yet.
+    *
+    * Replay seeds from the newest CHECKPOINT at or below `upTo` (a full
+    * state snapshot written every `checkpointEvery` commits) and applies
+    * only the delta files after it — per-operation manifest cost is
+    * O(checkpointEvery), not O(total commits), and log segments older
+    * than the newest checkpoint can be archived away entirely. Without
+    * this, a years-deep daily table would replay thousands of deltas on
+    * every read.
     */
   private def replay(spark: SparkSession, path: String,
       upTo: Long = Long.MaxValue): (Long, Map[String, String], Map[String, Long]) = {
     val f = fs(spark, path)
     val logDir = new Path(s"$path/$LogDir")
     if (!f.exists(logDir)) return (0L, Map.empty, Map.empty)
-    val versions = f.listStatus(logDir).map(_.getPath.getName)
-      .filter(_.matches("v\\d{20}\\.txt")).sorted
-      .filter(_.stripPrefix("v").stripSuffix(".txt").toLong <= upTo)
+    val names = f.listStatus(logDir).map(_.getPath.getName)
+    def num(name: String) = name.substring(1, 21).toLong
+    val cp = names.filter(_.matches("c\\d{20}\\.txt")).filter(num(_) <= upTo)
+      .sorted.lastOption
+    val cpVersion = cp.map(num).getOrElse(0L)
     var live = Map.empty[String, String]
     var txns = Map.empty[String, Long]
+    cp.foreach { name =>
+      val in = f.open(new Path(logDir, name))
+      val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
+      val r = parseInto(text, live, txns); live = r._1; txns = r._2
+    }
+    val versions = names.filter(_.matches("v\\d{20}\\.txt"))
+      .filter(n => num(n) > cpVersion && num(n) <= upTo).sorted
     versions.foreach { name =>
       val in = f.open(new Path(logDir, name))
       val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
-      text.linesIterator.filter(_.nonEmpty).foreach { line =>
-        if (line.startsWith("A ")) {
-          val rest = line.substring(2)
-          val sp = rest.indexOf(' ')
-          live += (rest.substring(sp + 1) -> rest.substring(0, sp))
-        } else if (line.startsWith("R ")) {
-          live -= line.substring(2)
-        } else if (line.startsWith("T ")) {
-          val Array(app, batch) = line.substring(2).split(' ')
-          txns += (app -> math.max(batch.toLong, txns.getOrElse(app, -1L)))
-        }
-      }
+      val r = parseInto(text, live, txns); live = r._1; txns = r._2
     }
-    val v = versions.lastOption.map(_.stripPrefix("v").stripSuffix(".txt").toLong)
-      .getOrElse(0L)
+    val v = versions.lastOption.map(num).getOrElse(cpVersion)
     (v, live, txns)
   }
+
+  /** Write the full-state checkpoint for `version` (derived data —
+    * losing or racing it only costs replay length, never correctness,
+    * so a plain overwrite-create is fine).
+    */
+  private def writeCheckpoint(f: FileSystem, path: String, version: Long,
+      live: Map[String, String], txns: Map[String, Long]): Unit = {
+    val lines = live.toSeq.sorted.map { case (rel, d) => s"A $d $rel" } ++
+      txns.toSeq.sorted.map { case (app, b) => s"T $app $b" }
+    val dest = new Path(s"$path/$LogDir", f"c$version%020d.txt")
+    val out = f.create(dest, true)
+    try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
+    finally out.close()
+  }
+
+  private def maybeCheckpoint(spark: SparkSession, path: String,
+      version: Long): Unit =
+    if (version % checkpointEvery == 0) {
+      val (v, live, txns) = replay(spark, path, upTo = version)
+      if (v == version) writeCheckpoint(fs(spark, path), path, version, live, txns)
+    }
 
   /** (latest version ≤ upTo, live rel-file → date-string at that
     * version). (0, empty) when the table has no commits yet.
@@ -322,7 +369,9 @@ final class TxWarehouse(val root: String) extends Warehouse {
       if (txns.getOrElse(appId, -1L) >= batchId) return false
       val lines = adds.map { case (rel, d) => s"A $d $rel" } :+
         s"T $appId $batchId"
-      if (tryCommit(f, path, v + 1, lines)) return true
+      if (tryCommit(f, path, v + 1, lines)) {
+        maybeCheckpoint(spark, path, v + 1); return true
+      }
       attempts += 1
     }
     throw new IllegalStateException(
@@ -517,7 +566,9 @@ final class TxWarehouse(val root: String) extends Warehouse {
       if (adds.isEmpty && removes.isEmpty) return
       val lines = adds.map { case (rel, d) => s"A $d $rel" } ++
         removes.map(r => s"R $r")
-      if (tryCommit(f, path, v + 1, lines)) return
+      if (tryCommit(f, path, v + 1, lines)) {
+        maybeCheckpoint(spark, path, v + 1); return
+      }
       attempts += 1
     }
     throw new IllegalStateException(

@@ -397,6 +397,42 @@ class TableOpsSpec extends SparkTestBase {
     assert(versions == (1L to 24L))
   }
 
+  test("[tx] checkpoints bound replay cost and allow log truncation") {
+    val root = Files.createTempDirectory("graft-wh10").toString
+    val wh = new TxWarehouse(root, checkpointEvery = 3)
+    val tablePath = wh.tablePath("m", "t")
+    (1 to 7).foreach { i =>
+      wh.append(spark,
+        Seq((i.toLong, java.sql.Date.valueOf("2024-10-01"))).toDF("v", "date"),
+        tablePath)
+    }
+    val logDir = Path.of(s"$tablePath/_graft_log")
+    def logFiles(prefix: String) = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(prefix)).toSeq.sorted
+    // full-state snapshots landed at every 3rd commit
+    assert(logFiles("c").map(_.stripPrefix("c").stripSuffix(".txt").toLong)
+      == Seq(3L, 6L))
+    assert(wh.read(spark, tablePath).count() == 7)
+    // checkpoint-seeded state equals pure-delta replay
+    val cps = logFiles("c")
+    cps.foreach(n => Files.move(logDir.resolve(n), logDir.resolve(s"x$n")))
+    assert(wh.read(spark, tablePath).count() == 7)
+    cps.foreach(n => Files.move(logDir.resolve(s"x$n"), logDir.resolve(n)))
+    // delta segments at or below the newest checkpoint can be archived
+    // away — reads seed from c6 and apply only v7
+    logFiles("v").filter(_.stripPrefix("v").stripSuffix(".txt").toLong <= 6)
+      .foreach(n => Files.delete(logDir.resolve(n)))
+    assert(wh.read(spark, tablePath).count() == 7)
+    assert(wh.currentVersion(spark, tablePath) == 7L)
+    // history below the truncation horizon is explicitly gone
+    intercept[IllegalArgumentException] { wh.readAt(spark, tablePath, 4L) }
+    // and the table keeps working: another append commits v8
+    wh.append(spark,
+      Seq((8L, java.sql.Date.valueOf("2024-10-01"))).toDF("v", "date"),
+      tablePath)
+    assert(wh.read(spark, tablePath).count() == 8)
+  }
+
   test("[tx] time travel reads any retained version; vacuum reclaims " +
     "retired and orphan files and bounds history") {
     val root = Files.createTempDirectory("graft-wh8").toString
