@@ -133,6 +133,19 @@ object SparkEntry {
       s.read.schema(docs.schema).orc(stage)
     }),
 
+    // ---- S1 dual: bzip2-compressed JSONL — the one SPLITTABLE text
+    //      codec in the stock codec set: unlike .gz (one task per file),
+    //      a single large .bz2 archive file still fans out across tasks
+    //      at block granularity — the codec to reach for when an archive
+    //      arrives as one big file instead of the reference's many-small
+    //      layout ----
+    "s1_load_json_bz2" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val stage = s"/root/repo/target/s1_stage_bz2/${new java.io.File(dir).getName}"
+      docs.write.mode("overwrite").option("compression", "bzip2").json(stage)
+      s.read.schema(docs.schema).json(stage)
+    }),
+
     // ---- W3: legacy concat-composite-key dedup (cloud/bq/dedup.go:41-53) ----
     "w3_dedup_concat_key" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -899,6 +912,9 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "s1_load_json_gz" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "s1_load_json_bz2" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
 
     "dd_chunk_dups" ->
