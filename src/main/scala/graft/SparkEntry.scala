@@ -376,7 +376,13 @@ object SparkEntry {
     //      never satisfy the exists check ----
     "dd_incremental_indexed" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val stage = s"/root/repo/target/neardup_index_v1/${new java.io.File(dir).getName}"
+      // the stage key carries the SOURCE file's identity (size + mtime)
+      // alongside the scale-dir name, so regenerated testdata — or two
+      // dirs sharing a basename — can never satisfy the build-once
+      // check with an index of different data
+      val srcFile = new java.io.File(s"$dir/documents.parquet")
+      val stage = s"/root/repo/target/neardup_index_v1/" +
+        s"${new java.io.File(dir).getName}_${srcFile.length()}_${srcFile.lastModified()}"
       if (!new java.io.File(s"$stage/_SUCCESS").exists())
         TextDedup.nearDupIndex(docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text").write.mode("overwrite").parquet(stage)

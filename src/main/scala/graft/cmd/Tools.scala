@@ -91,9 +91,18 @@ object HistoryTool {
     val path = wh.tablePath(dataset, datatype)
     val latest = wh.currentVersion(spark, path)
     (1L to latest).foreach { v =>
-      val df = wh.readAt(spark, path, v)
-      val files = df.inputFiles.length
-      println(s"v$v: $files files, ${df.count()} rows")
+      // routine maintenance (vacuum, log truncation past a checkpoint)
+      // legitimately removes old versions' files/manifests — report
+      // them as archived instead of dying on the first one
+      try {
+        val df = wh.readAt(spark, path, v)
+        val files = df.inputFiles.length
+        println(s"v$v: $files files, ${df.count()} rows")
+      } catch {
+        case e: Exception =>
+          println(s"v$v: unavailable — vacuumed or truncated " +
+            s"(${e.getClass.getSimpleName})")
+      }
     }
   }
 }

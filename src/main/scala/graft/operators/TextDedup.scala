@@ -625,63 +625,16 @@ object TextDedup {
       newDocs: DataFrame, seenDocs: DataFrame, idCol: String, textCol: String,
       numHashes: Int = 16, bands: Int = 4, minJaccardE4: Long = 5000,
       broadcastNew: Boolean = true, cacheBatch: Boolean = true
-  ): DataFrame = {
-    require(numHashes % bands == 0, "bands must divide numHashes")
-    def bc(df: DataFrame): DataFrame = if (broadcastNew) broadcast(df) else df
-
-    // tier 1: exact fingerprint. A direct (new LEFT ANTI seen) cannot
-    // broadcast-build on the small side (BroadcastHashJoin builds LeftAnti
-    // on the right, which here is the huge index), so the probe runs in
-    // two broadcast steps that keep the seen index map-only: (a) the
-    // batch's distinct fingerprints broadcast against the index → the
-    // matched subset (≤ |batch| rows by construction), (b) that matched
-    // subset broadcasts back as the anti-join build side.
-    val newFp = newDocs.withColumn("__fp", TextAnalysis.fingerprint(col(textCol)))
-    val seenFps = seenDocs
-      .select(TextAnalysis.fingerprint(col(textCol)).as("__fp"))
-    val matchedFps = seenFps
-      .join(bc(newFp.select(col("__fp")).distinct()), Seq("__fp")).distinct()
-    // The tier-1 survivor batch feeds THREE consumers (its band table, its
-    // shingle-hash table, and the final anti-join); unpersisted, each
-    // branch re-runs the fingerprint anti-join and the batch scan. The
-    // batch is the SMALL side by assumption, so caching it is cheap.
-    val fresh0 = newFp.join(bc(matchedFps), Seq("__fp"), "left_anti").drop("__fp")
-    val fresh =
-      if (cacheBatch)
-        fresh0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      else fresh0
-
-    // tier 3: banded md5 MinHash signatures on both sides (row-local
-    // codegen'd expressions — no shingle explode before the band join)
-    val rpb = numHashes / bands
-    def sigBands(docs: DataFrame, outId: String): DataFrame =
-      docs.select(col(idCol),
-        graft.functions.GraftFunctions
-          .minhashMd5Signature(coalesce(col(textCol), lit("")), numHashes).as("sig"))
-        .select(col(idCol).as(outId),
-          posexplode(transform(sequence(lit(0), lit(bands - 1)),
-            b => concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb))))))
-        .select(col(outId), col("pos").as("band"), col("col").as("bucket"))
-    val cands = bc(sigBands(fresh, "new_id"))
-      .join(sigBands(seenDocs, "seen_id"), Seq("band", "bucket"))
-      .select(col("new_id"), col("seen_id")).distinct()
-
-    // exact-Jaccard verify over the md5-hashed shingle sets; only the
-    // candidate pairs' documents are touched
-    def hl(docs: DataFrame, outId: String, outHl: String): DataFrame =
-      docs.select(col(idCol).as(outId),
-        graft.functions.GraftFunctions
-          .shingleMd5Hashes(coalesce(col(textCol), lit(""))).as(outHl))
-    val inter = size(array_intersect(col("hl_a"), col("hl_b")))
-    val dupNewIds = cands
-      .join(hl(fresh, "new_id", "hl_a"), "new_id")
-      .join(hl(seenDocs, "seen_id", "hl_b"), "seen_id")
-      .filter(floor(inter * lit(10000.0) /
-        (size(col("hl_a")) + size(col("hl_b")) - inter)).cast("long") >= minJaccardE4)
-      .select(col("new_id")).distinct()
-
-    fresh.join(bc(dupNewIds), col(idCol) === col("new_id"), "left_anti")
-  }
+  ): DataFrame =
+    // one implementation, two entry points: the inline path IS the
+    // indexed path probing an index derived on the fly from the seen
+    // corpus — decision-identity between them holds by construction
+    // (Catalyst prunes whichever index columns a probe branch does not
+    // use, so the plans match the previously hand-split form). The
+    // materialized-table variant below is the warehouse-scale entry.
+    incrementalNearDupFilterIndexed(newDocs,
+      nearDupIndex(seenDocs, idCol, textCol, numHashes, bands),
+      idCol, textCol, numHashes, bands, minJaccardE4, broadcastNew, cacheBatch)
 
   /** Materialized near-dup INDEX rows for `docs` — the table form of the
     * "persistent dedup index" [[incrementalNearDupFilter]]'s scale note
@@ -700,14 +653,28 @@ object TextDedup {
       numHashes: Int = 16, bands: Int = 4): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val rpb = numHashes / bands
-    val sig = graft.functions.GraftFunctions
-      .minhashMd5Signature(coalesce(col(textCol), lit("")), numHashes)
-    docs.select(col(idCol),
+    // TWO projections, with the band array STATICALLY UNROLLED so
+    // `__sig` is referenced `bands` times: CollapseProject inlines a
+    // single-use alias regardless of cost, and a lambda-form
+    // transform(sequence(...)) references the signature only once — the
+    // collapse then lets the generator's inferred size()>0 constraint
+    // re-expand the FULL MinHash computation into the scan filter,
+    // re-hashing every document's shingles twice (measured 3× on
+    // dd_incremental). The unroll keeps the signature materialized in
+    // its own projection (same discipline as withHashedShingles) and
+    // folds the size constraint away (a literal array's size is known).
+    val withSig = docs.select(col(idCol),
       TextAnalysis.fingerprint(col(textCol)).as("__fp"),
-      transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",", slice(sig, b * rpb + 1, lit(rpb)))).as("__buckets"),
+      graft.functions.GraftFunctions
+        .minhashMd5Signature(coalesce(col(textCol), lit("")), numHashes)
+        .as("__sig"),
       graft.functions.GraftFunctions
         .shingleMd5Hashes(coalesce(col(textCol), lit(""))).as("__hl"))
+    withSig.select(col(idCol), col("__fp"),
+      array((0 until bands).map(b =>
+        concat_ws(",", slice(col("__sig"), b * rpb + 1, rpb))): _*)
+        .as("__buckets"),
+      col("__hl"))
   }
 
   /** [[incrementalNearDupFilter]] probing a materialized [[nearDupIndex]]
@@ -743,8 +710,15 @@ object TextDedup {
         posexplode(transform(sequence(lit(0), lit(bands - 1)),
           b => concat_ws(",", slice(col("sig"), b * rpb + 1, lit(rpb))))))
       .select(col("new_id"), col("pos").as("band"), col("col").as("bucket"))
+    // OUTER explode: plain posexplode lets the optimizer infer a
+    // size(__buckets) > 0 constraint and push it — substituted through
+    // the projections — into the seen-side scan filter, where a derived
+    // (non-materialized) index then recomputes the FULL MinHash per row
+    // just to decide the always-true non-emptiness. __buckets has
+    // exactly `bands` elements by construction, so outer vs inner
+    // explode emit identical rows
     val seenBands = index
-      .select(col(idCol).as("seen_id"), posexplode(col("__buckets")))
+      .select(col(idCol).as("seen_id"), posexplode_outer(col("__buckets")))
       .select(col("seen_id"), col("pos").as("band"), col("col").as("bucket"))
     val cands = bc(newBands).join(seenBands, Seq("band", "bucket"))
       .select(col("new_id"), col("seen_id")).distinct()

@@ -234,21 +234,32 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
         // the day partition (the small side). The MATERIALIZED signature
         // index (maintained by copyToRaw) is the preferred probe target:
         // the archive's text is never re-read, per-day cost stays
-        // O(day + probes) however deep raw grows. The raw-text path
-        // remains as the fallback for warehouses predating the index.
-        if (cd.vsRawCorpus && wh.exists(spark, indexPath)) {
-          val seenIdx = wh.read(spark, indexPath)
-            .filter(col("date") =!= lit(java.sql.Date.valueOf(job.date)))
-            .drop("date")
-          graft.operators.TextDedup.incrementalNearDupFilterIndexed(
-            withinDay, seenIdx, "id", cd.textCol,
-            minJaccardE4 = cd.minJaccardE4, cacheBatch = false)
-        } else if (cd.vsRawCorpus && wh.exists(spark, rawPath)) {
-          val seen = wh.read(spark, rawPath)
-            .filter(col("date") =!= lit(java.sql.Date.valueOf(job.date)))
-          graft.operators.TextDedup.incrementalNearDupFilter(
-            withinDay, seen, "id", cd.textCol,
-            minJaccardE4 = cd.minJaccardE4, cacheBatch = false)
+        // O(day + probes) however deep raw grows. The index is used only
+        // when it COVERS every archived date — an existence check alone
+        // would silently skip the raw dates a pre-index warehouse
+        // archived before the upgrade, re-admitting exactly the content
+        // this tier exists to block; uncovered dates fall back to the
+        // raw-text probe (and heal as their copies re-run). The
+        // per-table date sets are |days|-bounded driver collects.
+        if (cd.vsRawCorpus && wh.exists(spark, rawPath)) {
+          val today = java.sql.Date.valueOf(job.date)
+          def datesOf(path: String): Set[java.sql.Date] =
+            if (!wh.exists(spark, path)) Set.empty
+            else wh.read(spark, path).select(col("date")).distinct()
+              .collect().map(_.getDate(0)).toSet
+          val needed = datesOf(rawPath) - today
+          if (needed.nonEmpty && needed.subsetOf(datesOf(indexPath))) {
+            val seenIdx = wh.read(spark, indexPath)
+              .filter(col("date") =!= lit(today)).drop("date")
+            graft.operators.TextDedup.incrementalNearDupFilterIndexed(
+              withinDay, seenIdx, "id", cd.textCol,
+              minJaccardE4 = cd.minJaccardE4, cacheBatch = false)
+          } else if (needed.nonEmpty) {
+            val seen = wh.read(spark, rawPath).filter(col("date") =!= lit(today))
+            graft.operators.TextDedup.incrementalNearDupFilter(
+              withinDay, seen, "id", cd.textCol,
+              minJaccardE4 = cd.minJaccardE4, cacheBatch = false)
+          } else withinDay
         } else withinDay
       case None => keptExact
     }
@@ -285,18 +296,24 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
       val part = readPartition(tmpPath, job.date)
       if (dryRun) { part.queryExecution.analyzed; OpStats(0, 0) }
       else {
-        val n = wh.overwritePartition(spark, part, rawPath, job.date)
         // maintain the date's slice of the near-dup signature index in
         // the same action that archives the rows (partition replace, so
         // a re-swept day's index converges with its raw partition) —
         // this is what lets the NEXT day's dedup probe signatures
-        // instead of re-reading the archive's text
+        // instead of re-reading the archive's text. The index commits
+        // BEFORE the raw rows: a crash between the two leaves an index
+        // slice for a not-yet-archived date — benign (the copy retry
+        // converges, and dedups that probed it early made the decisions
+        // the converged state implies) — where the reverse order leaves
+        // an archived date the index lacks, silently re-admitting its
+        // duplicates until the coverage check falls back to raw text.
         spec.contentDedup.filter(_.vsRawCorpus).foreach { cd =>
           val idx = graft.operators.TextDedup
             .nearDupIndex(part, "id", cd.textCol)
             .withColumn("date", dateLit)
           wh.overwritePartition(spark, idx, indexPath, job.date): Unit
         }
+        val n = wh.overwritePartition(spark, part, rawPath, job.date)
         OpStats(n, n)
       }
     }

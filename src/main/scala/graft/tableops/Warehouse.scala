@@ -501,15 +501,63 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     commitRetry(spark, path)(_ => (adds, Nil))
   }
 
+  private def liveOfDate(spark: SparkSession, path: String,
+      date: LocalDate): Set[String] =
+    state(spark, path)._2.collect {
+      case (rel, d) if d == date.toString => rel
+    }.toSet
+
   def overwritePartition(spark: SparkSession, df: DataFrame, path: String,
-      date: LocalDate): Long = {
+      date: LocalDate): Long =
+    overwritePartitionExpecting(spark, df, path, date,
+      liveOfDate(spark, path, date))
+
+  /** Partition replace with WRITE-WRITE CONFLICT DETECTION: `expected`
+    * is the date's live file set the caller's plan was built against
+    * (captured at entry by [[overwritePartition]], at stage time by
+    * [[stageSelfReplace]]). If another writer committed rows for the
+    * same date in between, blindly retiring "whatever is live now"
+    * would silently drop those rows under a replace computed without
+    * them — the lost update Delta/Iceberg surface as
+    * ConcurrentAppend/DeleteException; this backend throws
+    * ConcurrentModificationException and the caller (monitor Outcome
+    * algebra: Failure → retry policy) re-runs against fresh state.
+    */
+  private[tableops] def overwritePartitionExpecting(spark: SparkSession,
+      df: DataFrame, path: String, date: LocalDate,
+      expected: Set[String]): Long = {
     val obs = new org.apache.spark.sql.Observation()
     val (adds, _) = writeData(spark,
       df.observe(obs, count(lit(1)).as("rows")), path)
-    commitRetry(spark, path) { live =>
-      (adds, live.collect { case (rel, d) if d == date.toString => rel }.toSeq)
-    }
+    commitReplace(spark, path, date, adds, expected)
     obs.get("rows").asInstanceOf[Long]
+  }
+
+  private def commitReplace(spark: SparkSession, path: String,
+      date: LocalDate, adds: Seq[(String, String)],
+      expected: Set[String]): Unit = {
+    val f = fs(spark, path)
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val (v, live) = state(spark, path)
+      val current = live.collect {
+        case (rel, d) if d == date.toString => rel
+      }.toSet
+      if (current != expected)
+        throw new java.util.ConcurrentModificationException(
+          s"partition date=$date of $path changed since this replace was " +
+            s"planned (expected ${expected.size} files, found " +
+            s"${current.size}) — a concurrent writer committed; re-run " +
+            "against fresh state")
+      val lines = adds.map { case (rel, d) => s"A $d $rel" } ++
+        current.toSeq.sorted.map(r => s"R $r")
+      if (tryCommit(f, path, v + 1, lines)) {
+        maybeCheckpoint(spark, path, v + 1); return
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"commit contention: $MaxCommitAttempts failed attempts on $path")
   }
 
   /** Pure metadata: retire the date's files from the manifest. */
@@ -527,18 +575,33 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     */
   def stageSelfReplace(spark: SparkSession, df: DataFrame, path: String,
       date: LocalDate): (Long, String) = {
+    // the date's live set the rewrite plan reads — persisted as a
+    // sidecar INSIDE the (uncommitted) staged dir so publish can detect
+    // a concurrent writer; crash-safe by construction (orphaned with
+    // the staged files)
+    val expected = liveOfDate(spark, path, date)
     val obs = new org.apache.spark.sql.Observation()
     val (_, dir) = writeData(spark,
       df.observe(obs, count(lit(1)).as("rows")), path)
+    val f = fs(spark, path)
+    val out = f.create(new Path(s"$path/$dir/$ExpectedSidecar"), false)
+    try out.write((expected.toSeq.sorted.mkString("\n") + "\n").getBytes(UTF_8))
+    finally out.close()
     (obs.get("rows").asInstanceOf[Long], dir)
   }
 
   def publishSelfReplace(spark: SparkSession, path: String, date: LocalDate,
       token: String): Unit = {
     val adds = listData(spark, path, token)
-    commitRetry(spark, path) { live =>
-      (adds, live.collect { case (rel, d) if d == date.toString => rel }.toSeq)
-    }
+    val f = fs(spark, path)
+    val sidecar = new Path(s"$path/$token/$ExpectedSidecar")
+    val expected =
+      if (f.exists(sidecar)) {
+        val in = f.open(sidecar)
+        val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
+        text.linesIterator.filter(_.nonEmpty).toSet
+      } else liveOfDate(spark, path, date) // pre-sidecar staged dirs
+    commitReplace(spark, path, date, adds, expected)
   }
 
   /** Nothing to recover: uncommitted files are invisible by design. */
@@ -617,5 +680,6 @@ object TxWarehouse {
   private val LogDir = "_graft_log"
   private val DataDir = "_graft_data"
   private val PartCol = "__p_date"
+  private val ExpectedSidecar = "_expected_removes.txt"
   private val MaxCommitAttempts = 50
 }

@@ -353,6 +353,40 @@ class ExtensionsSpec extends SparkTestBase {
       .count() == 4L)
   }
 
+  test("SignBands fused expression is bit-identical to the unfused " +
+    "per-bit VectorDot formulation it replaced") {
+    import graft.functions.SignBands
+    val nBits = 24; val bands = 3; val dim = 16
+    // deterministic pseudo-random vectors, including sign-boundary-ish
+    // magnitudes (tiny components make the dot hover near 0, the case a
+    // fold-order or sign-convention bug would flip)
+    val vecs = (0 until 40).map { r =>
+      (r.toLong, (0 until dim).map { j =>
+        val h = (r * 2654435761L + j * 40503L) % 2003
+        (h - 1001).toDouble / (if (r % 3 == 0) 1e6 else 1e3)
+      }.toArray)
+    }
+    val df = vecs.toDF("id", "v")
+    val fused = SignBands.signBands(col("v"), nBits, bands)
+    // the OLD formulation, reconstructed: literal plane arrays, the
+    // codegen'd VectorDot fold, per-bit when(...), little-endian packing
+    def plane(i: Int) = array((0 until dim).map { j =>
+      val h = java.lang.Long.rotateLeft((i.toLong * 0x9E3779B97F4A7C15L) ^
+        (j.toLong * 0xC2B2AE3D27D4EB4FL), 31) * 0x165667B19E3779F9L
+      lit((h >>> 11).toDouble / (1L << 52).toDouble - 1.0)
+    }: _*)
+    val bpb = nBits / bands
+    val unfused = array((0 until bands).map { b =>
+      (0 until bpb).map { i =>
+        when(graft.operators.Similarity.dot(col("v"),
+          plane(b * bpb + i)) >= 0, lit(1L)).otherwise(lit(0L)) * lit(1L << i)
+      }.reduce(_ + _)
+    }: _*)
+    val rows = df.select(col("id"), fused.as("f"), unfused.as("u"))
+      .as[(Long, Seq[Long], Seq[Long])].collect()
+    rows.foreach { case (id, f, u) => assert(f == u, s"vector $id") }
+  }
+
   test("indexed incremental dedup is decision-identical to the inline " +
     "path, and the index never re-reads seen text") {
     val seen = Seq(

@@ -247,6 +247,43 @@ class TableOpsSpec extends SparkTestBase {
       assert(tmp.select("id").as[String].collect().toSet === Set("d2b"))
     }
 
+    test(s"[$backend] incremental tier falls back to raw text when the " +
+      "index does not cover the archive (pre-index warehouse)") {
+      val root = Files.createTempDirectory("graft-wh11").toString
+      val src = Files.createTempDirectory("graft-src11")
+      val base = "the quick brown fox jumps over the lazy dog again and again " * 3
+      writeJsonl(src, "d1.json", Seq(
+        s"""{"id":"d1a","date":"2024-06-01","parser":{"Time":"2024-06-01T10:00:00Z"},"text":"$base"}"""
+      ))
+      writeJsonl(src, "d2.json", Seq(
+        s"""{"id":"d2a","date":"2024-06-02","parser":{"Time":"2024-06-02T10:00:00Z"},"text":"${base}tail"}""",
+        s"""{"id":"d2b","date":"2024-06-02","parser":{"Time":"2024-06-02T09:00:00Z"},"text":"fresh content about catalyst planning and shuffle exchanges entirely new today"}"""
+      ))
+      val spec = graft.tableops.DatatypeSpec(Seq("id", "date"), "parser.Time",
+        contentDedup = Some(graft.tableops.ContentDedupSpec("text",
+          minJaccardE4 = 8000L, vsRawCorpus = true)))
+      val wh = mkWh(root)
+      val day1 = new TableOps(spark,
+        mkJob(root, "textlog", "2024-06-01", join = ""), wh, specOverride = Some(spec))
+      day1.loadToTmp(s"$src/d1.json")
+      day1.dedup(); day1.copyToRaw(); day1.deleteTmp()
+      // simulate a warehouse archived BEFORE the index feature existed:
+      // remove the index table entirely — an existence-only check would
+      // now silently probe nothing and re-admit d2a
+      def rmTree(p: Path): Unit = if (Files.exists(p)) {
+        Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(Files.delete)
+      }
+      rmTree(Path.of(wh.tablePath("raw_exp", "textlog") + "__neardup_index"))
+      val day2 = new TableOps(spark,
+        mkJob(root, "textlog", "2024-06-02", join = ""), wh, specOverride = Some(spec))
+      day2.loadToTmp(s"$src/d2.json")
+      val dd2 = day2.dedup()
+      assert(dd2.rowsIn === 2 && dd2.rowsOut === 1) // raw-text fallback engaged
+      assert(wh.read(spark, wh.tablePath("tmp_exp", "textlog"))
+        .select("id").as[String].collect().toSet === Set("d2b"))
+    }
+
     test(s"[$backend] array-of-struct payload and added columns survive the pipeline " +
       "(schema evolution, cloud/bq/ops.go:280-282)") {
       val root = Files.createTempDirectory("graft-wh3").toString
@@ -395,6 +432,36 @@ class TableOpsSpec extends SparkTestBase {
       .map(_.getFileName.toString).filter(_.endsWith(".txt"))
       .map(_.stripPrefix("v").stripSuffix(".txt").toLong).toSeq.sorted
     assert(versions == (1L to 24L))
+  }
+
+  test("[tx] a partition replace staged against stale state is refused, " +
+    "not silently committed over a concurrent writer's rows") {
+    val root = Files.createTempDirectory("graft-wh12").toString
+    val wh = new TxWarehouse(root)
+    val path = wh.tablePath("m", "t")
+    def row(v: Long) =
+      Seq((v, java.sql.Date.valueOf("2024-11-01"))).toDF("v", "date")
+    wh.append(spark, row(1), path)
+    // a dedup-style rewrite stages against the current snapshot…
+    val (_, token) = wh.stageSelfReplace(spark, row(10), path,
+      LocalDate.parse("2024-11-01"))
+    // …then a concurrent writer (e.g. the streaming sink) commits more
+    // rows for the same date before the publish
+    wh.append(spark, row(2), path)
+    // blind retire-whatever-is-live would drop v=2 forever; the publish
+    // must detect the lost update instead
+    intercept[java.util.ConcurrentModificationException] {
+      wh.publishSelfReplace(spark, path, LocalDate.parse("2024-11-01"), token)
+    }
+    // nothing was committed: both writers' rows are intact
+    assert(wh.read(spark, path).select("v").as[Long].collect().toSet
+      == Set(1L, 2L))
+    // a restage against fresh state succeeds
+    val (_, token2) = wh.stageSelfReplace(spark, row(10), path,
+      LocalDate.parse("2024-11-01"))
+    wh.publishSelfReplace(spark, path, LocalDate.parse("2024-11-01"), token2)
+    assert(wh.read(spark, path).select("v").as[Long].collect().toSet
+      == Set(10L))
   }
 
   test("[tx] checkpoints bound replay cost and allow log truncation") {
