@@ -452,9 +452,13 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       date: LocalDate): DataFrame = {
     val (_, live) = state(spark, path)
     val mine = live.collect { case (rel, d) if d == date.toString => rel }
-    // no files for the date: keep the table's schema so downstream
-    // plans (dedup keys, joins) still analyze — read all live files,
-    // let the filter yield zero rows
+    // no files for the date: keep the table's FULL merged schema so
+    // downstream plans (dedup keys, evolved columns) still analyze —
+    // read all live files and let the filter yield zero rows. Cost is
+    // footer reads only (the date predicate prunes every row group via
+    // stats, and a sampled file subset could miss an evolved column and
+    // fail analysis); it runs on the rare re-dispatched-empty-date
+    // path, not the daily hot path, which opens exactly `mine`.
     val base = if (mine.isEmpty) readFiles(spark, path, live.keys)
                else readFiles(spark, path, mine)
     if (base.columns.isEmpty) base
