@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnotationJoin, Curation, Dedup, Multimodal, Packing, Sampling, Sessions, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AnnotationJoin, Curation, Dedup, EventAnalytics, Multimodal, Packing, Sampling, Sessions, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -463,6 +463,17 @@ object SparkEntry {
     "ev_sessionize" -> ((s, dir) =>
       Sessions.sessionize(Tables.events(s, dir), "user_id", "ts")
         .withColumn("session_idx", col("session_idx").cast("long"))),
+
+    // ---- retention cohorts: users by first-event date × weekly
+    //      activity period ----
+    "ev_retention_cohorts" -> ((s, dir) =>
+      EventAnalytics.retentionCohorts(Tables.events(s, dir), "user_id", "ts")),
+
+    // ---- ordered funnel: view → click → purchase, each step strictly
+    //      after the user's previous step time ----
+    "ev_funnel" -> ((s, dir) =>
+      EventAnalytics.funnel(Tables.events(s, dir), "user_id", "ts",
+        "event_type", Seq("view", "click", "purchase"))),
 
     // ---- corpus vocabulary: top-50 tokens by frequency ----
     "tx_vocab_topk" -> ((s, dir) =>
@@ -1209,6 +1220,29 @@ object SparkEntry {
         |SELECT user_id, session_idx, min(ts) AS session_start,
         |       max(ts) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "ev_retention_cohorts" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+        |c AS (SELECT user_id, min(d) AS cohort_date FROM d GROUP BY user_id)
+        |SELECT c.cohort_date,
+        |  CAST(floor(date_diff('day', c.cohort_date, d.d) / 7) AS BIGINT)
+        |    AS period_offset,
+        |  count(DISTINCT d.user_id) AS n_users
+        |FROM d JOIN c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "ev_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+        |           FROM events),
+        |s0 AS (SELECT user_id, min(ts) AS t FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s0 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY e.user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY e.user_id)
+        |SELECT 0 AS step_idx, 'view' AS step, count(*) AS n_users FROM s0
+        |UNION ALL SELECT 1, 'click', count(*) FROM s1
+        |UNION ALL SELECT 2, 'purchase', count(*) FROM s2""".stripMargin,
 
     "tx_freq_spectrum" ->
       s"""WITH t AS (SELECT unnest($W) AS token FROM documents),

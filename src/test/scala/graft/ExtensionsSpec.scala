@@ -544,6 +544,37 @@ class ExtensionsSpec extends SparkTestBase {
     assert(kept.filter(col("lang").isNull).count() == 10L)
   }
 
+  test("retention cohorts and ordered funnel: hand-checkable semantics, " +
+    "out-of-order steps excluded") {
+    import graft.operators.EventAnalytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("u1", ts("2024-01-01 10:00:00"), "view"),
+      ("u1", ts("2024-01-09 10:00:00"), "click"),    // next week: offset 1
+      ("u2", ts("2024-01-01 09:00:00"), "click"),    // click BEFORE view
+      ("u2", ts("2024-01-02 09:00:00"), "view"),
+      ("u2", ts("2024-01-03 09:00:00"), "purchase"), // no qualifying click
+      ("u3", ts("2024-01-05 09:00:00"), "view"),
+      ("u3", ts("2024-01-05 10:00:00"), "click"),
+      ("u3", ts("2024-01-05 11:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+
+    val cohorts = EventAnalytics.retentionCohorts(ev, "user_id", "ts")
+      .as[(java.sql.Date, Long, Long)].collect().toSet
+    // u1+u2 share cohort 01-01 (u1 active again in week 1); u3 is its own
+    assert(cohorts == Set(
+      (java.sql.Date.valueOf("2024-01-01"), 0L, 2L),
+      (java.sql.Date.valueOf("2024-01-01"), 1L, 1L),
+      (java.sql.Date.valueOf("2024-01-05"), 0L, 1L)))
+
+    val f = EventAnalytics.funnel(ev, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    // 3 viewed; u2's click precedes its view, so only u1+u3 convert;
+    // only u3 purchases after a qualifying click
+    assert(f == Seq((0, "view", 3L), (1, "click", 2L), (2, "purchase", 1L)))
+  }
+
   test("CSV round trip is lossless on every adversarial string shape") {
     import graft.sources.CsvLossless
     val rows = Seq(
