@@ -381,11 +381,23 @@ object SparkEntry {
       // dirs sharing a basename — can never satisfy the build-once
       // check with an index of different data
       val srcFile = new java.io.File(s"$dir/documents.parquet")
-      val stage = s"/root/repo/target/neardup_index_v1/" +
-        s"${new java.io.File(dir).getName}_${srcFile.length()}_${srcFile.lastModified()}"
-      if (!new java.io.File(s"$stage/_SUCCESS").exists())
+      val stageRoot = new java.io.File("/root/repo/target/neardup_index_v1")
+      val key = s"${new java.io.File(dir).getName}_${srcFile.length()}_${srcFile.lastModified()}"
+      val stage = s"$stageRoot/$key"
+      if (!new java.io.File(s"$stage/_SUCCESS").exists()) {
+        // regenerated testdata gets a fresh key — drop this scale dir's
+        // stale siblings so staged copies never accumulate unboundedly
+        Option(stageRoot.listFiles()).getOrElse(Array.empty)
+          .filter(f => f.getName.startsWith(
+            new java.io.File(dir).getName + "_") && f.getName != key)
+          .foreach { old =>
+            java.nio.file.Files.walk(old.toPath)
+              .sorted(java.util.Comparator.reverseOrder())
+              .forEach(p => { java.nio.file.Files.delete(p); () })
+          }
         TextDedup.nearDupIndex(docs.filter(col("doc_id") % 2 === 0),
           "doc_id", "text").write.mode("overwrite").parquet(stage)
+      }
       TextDedup.incrementalNearDupFilterIndexed(
         docs.filter(col("doc_id") % 2 === 1), s.read.parquet(stage),
         "doc_id", "text")

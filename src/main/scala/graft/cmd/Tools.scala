@@ -90,16 +90,25 @@ object HistoryTool {
     val spark = ToolSession.spark()
     val path = wh.tablePath(dataset, datatype)
     val latest = wh.currentVersion(spark, path)
+    // routine maintenance legitimately removes old versions: log
+    // truncation past a checkpoint makes readAt's version check fail
+    // (IllegalArgumentException), and vacuum leaves manifests whose
+    // data files are gone (FileNotFoundException, possibly wrapped by
+    // Spark). ONLY those degrade to an "archived" line — anything else
+    // (corrupt manifest, IO errors, contention) is a real problem and
+    // propagates.
+    def isExpected(t: Throwable): Boolean = t != null && (t match {
+      case _: IllegalArgumentException => true
+      case _: java.io.FileNotFoundException => true
+      case other => isExpected(other.getCause)
+    })
     (1L to latest).foreach { v =>
-      // routine maintenance (vacuum, log truncation past a checkpoint)
-      // legitimately removes old versions' files/manifests — report
-      // them as archived instead of dying on the first one
       try {
         val df = wh.readAt(spark, path, v)
         val files = df.inputFiles.length
         println(s"v$v: $files files, ${df.count()} rows")
       } catch {
-        case e: Exception =>
+        case e: Exception if isExpected(e) =>
           println(s"v$v: unavailable — vacuumed or truncated " +
             s"(${e.getClass.getSimpleName})")
       }

@@ -239,18 +239,21 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
         // would silently skip the raw dates a pre-index warehouse
         // archived before the upgrade, re-admitting exactly the content
         // this tier exists to block; uncovered dates fall back to the
-        // raw-text probe (and heal as their copies re-run). The
-        // per-table date sets are |days|-bounded driver collects.
+        // raw-text probe (and heal as their copies re-run). The date
+        // sets come from Warehouse.dates — partition-dir names / the
+        // manifest, METADATA only, so the check itself costs no scan.
         if (cd.vsRawCorpus && wh.exists(spark, rawPath)) {
           val today = java.sql.Date.valueOf(job.date)
-          def datesOf(path: String): Set[java.sql.Date] =
-            if (!wh.exists(spark, path)) Set.empty
-            else wh.read(spark, path).select(col("date")).distinct()
-              .collect().map(_.getDate(0)).toSet
-          val needed = datesOf(rawPath) - today
-          if (needed.nonEmpty && needed.subsetOf(datesOf(indexPath))) {
+          val needed = wh.dates(spark, rawPath)
+            .map(java.sql.Date.valueOf) - today
+          val idxDates = wh.dates(spark, indexPath).map(java.sql.Date.valueOf)
+          if (needed.nonEmpty && needed.subsetOf(idxDates)) {
+            // probe exactly the NEEDED dates: the index may also hold
+            // slices raw lacks (a crash between the index commit and
+            // the raw commit) — probing those would drop new documents
+            // as duplicates of content that is not in the archive
             val seenIdx = wh.read(spark, indexPath)
-              .filter(col("date") =!= lit(today)).drop("date")
+              .filter(col("date").isInCollection(needed.toSeq)).drop("date")
             graft.operators.TextDedup.incrementalNearDupFilterIndexed(
               withinDay, seenIdx, "id", cd.textCol,
               minJaccardE4 = cd.minJaccardE4, cacheBatch = false)

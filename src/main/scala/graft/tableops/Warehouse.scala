@@ -50,6 +50,12 @@ trait Warehouse {
 
   def exists(spark: SparkSession, path: String): Boolean
 
+  /** Distinct partition dates of the table, from METADATA only
+    * (partition directory names / the manifest) — never a data or
+    * footer scan. Empty set when the table does not exist.
+    */
+  def dates(spark: SparkSession, path: String): Set[LocalDate]
+
   /** Append `df` (which carries a `date` column, possibly several dates). */
   def append(spark: SparkSession, df: DataFrame, path: String): Unit
 
@@ -117,6 +123,17 @@ final class PathWarehouse(val root: String) extends Warehouse {
 
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(path))
+
+  /** Partition dates = the `date=` directory names — one listing. */
+  def dates(spark: SparkSession, path: String): Set[LocalDate] = {
+    val f = fs(spark, path)
+    if (!f.exists(new Path(path))) return Set.empty
+    f.listStatus(new Path(path)).toSet
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("date="))
+      .flatMap(st =>
+        scala.util.Try(LocalDate.parse(st.getPath.getName.stripPrefix("date=")))
+          .toOption)
+  }
 
   def append(spark: SparkSession, df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).partitionBy("date").parquet(path)
@@ -313,18 +330,20 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     (v, live, txns)
   }
 
-  /** Write the full-state checkpoint for `version` (derived data —
-    * losing or racing it only costs replay length, never correctness,
-    * so a plain overwrite-create is fine).
+  /** Write the full-state checkpoint for `version`. Derived data — but
+    * it must still appear ATOMICALLY: readers trust any listed
+    * checkpoint as a complete state seed, so a direct overwrite-create
+    * would expose a partial/empty file mid-write and a concurrent
+    * replay would silently lose live files. Same tmp-then-exclusive-
+    * publish discipline as [[tryCommit]]; losing the publish race to
+    * another writer's identical checkpoint is a no-op.
     */
   private def writeCheckpoint(f: FileSystem, path: String, version: Long,
       live: Map[String, String], txns: Map[String, Long]): Unit = {
     val lines = live.toSeq.sorted.map { case (rel, d) => s"A $d $rel" } ++
       txns.toSeq.sorted.map { case (app, b) => s"T $app $b" }
-    val dest = new Path(s"$path/$LogDir", f"c$version%020d.txt")
-    val out = f.create(dest, true)
-    try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
-    finally out.close()
+    tryCommit(f, path, new Path(s"$path/$LogDir", f"c$version%020d.txt"),
+      lines): Unit
   }
 
   private def maybeCheckpoint(spark: SparkSession, path: String,
@@ -428,6 +447,13 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
 
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(s"$path/$LogDir"))
+
+  /** Partition dates from the manifest — O(checkpoint) replay, no data
+    * or footer reads.
+    */
+  def dates(spark: SparkSession, path: String): Set[LocalDate] =
+    state(spark, path)._2.values.toSet
+      .flatMap((d: String) => scala.util.Try(LocalDate.parse(d)).toOption)
 
   private def readFiles(spark: SparkSession, path: String,
       rels: Iterable[String]): DataFrame = {
@@ -579,15 +605,41 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     */
   def stageSelfReplace(spark: SparkSession, df: DataFrame, path: String,
       date: LocalDate): (Long, String) = {
-    // the date's live set the rewrite plan reads — persisted as a
-    // sidecar INSIDE the (uncommitted) staged dir so publish can detect
-    // a concurrent writer; crash-safe by construction (orphaned with
-    // the staged files)
-    val expected = liveOfDate(spark, path, date)
+    // The conflict-detection snapshot must reflect what the PLAN read,
+    // not the manifest at stage entry: the dedup's content tier can run
+    // minutes of Spark jobs between plan construction (which pinned its
+    // file list) and this call, and a commit landing in that window
+    // must be detected, not absorbed. df.inputFiles IS the pinned list
+    // — filtered to this table and relativized, it recovers exactly the
+    // snapshot the rewrite was computed from.
+    val f = fs(spark, path)
+    val prefix = f.makeQualified(new Path(path)).toString + "/"
+    val pinned = df.inputFiles.filter(_.startsWith(prefix))
+      .map(_.stripPrefix(prefix)).toSet
+    val (_, live) = state(spark, path)
+    val currentOfDate = live.collect {
+      case (rel, d) if d == date.toString => rel
+    }.toSet
+    // a df that scans nothing under this table (externally-computed
+    // replacement rows) has no plan snapshot — its conflict window
+    // starts here, with stage-entry semantics
+    val expected =
+      if (pinned.isEmpty) currentOfDate
+      else pinned.filter(r => live.get(r).contains(date.toString))
+    // a pinned file already retired = a replace/delete raced the plan
+    val retired = pinned.filterNot(live.contains)
+    if (retired.nonEmpty || currentOfDate != expected)
+      throw new java.util.ConcurrentModificationException(
+        s"partition date=$date of $path changed while the rewrite was " +
+          s"being computed (plan pinned ${pinned.size} files of this " +
+          s"table, ${retired.size} since retired; date has " +
+          s"${currentOfDate.size} live files vs ${expected.size} " +
+          "planned) — re-run against fresh state")
     val obs = new org.apache.spark.sql.Observation()
     val (_, dir) = writeData(spark,
       df.observe(obs, count(lit(1)).as("rows")), path)
-    val f = fs(spark, path)
+    // persisted as a sidecar INSIDE the (uncommitted) staged dir so
+    // publish re-checks; crash-safe (orphaned with the staged files)
     val out = f.create(new Path(s"$path/$dir/$ExpectedSidecar"), false)
     try out.write((expected.toSeq.sorted.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
@@ -643,10 +695,14 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   }
 
   private def tryCommit(f: FileSystem, path: String, version: Long,
+      lines: Seq[String]): Boolean =
+    tryCommit(f, path,
+      new Path(s"$path/$LogDir", f"v$version%020d.txt"), lines)
+
+  private def tryCommit(f: FileSystem, path: String, dest: Path,
       lines: Seq[String]): Boolean = {
     val logDir = new Path(s"$path/$LogDir")
     f.mkdirs(logDir)
-    val dest = new Path(logDir, f"v$version%020d.txt")
     if (f.exists(dest)) return false
     // full write to a temp name first, so a reader never sees a partial
     // manifest; then publish with an atomic create-if-absent
