@@ -138,6 +138,24 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("LocalTableScan"))
   }
 
+  test("retention cohorts: day-grain dedup before any window — three " +
+    "bounded exchanges, no join") {
+    val p = planned("ev_retention_cohorts")
+    // distinct to (user, day), window on user, final (cohort, offset)
+    // agg — raw events cross at most the first exchange
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3)
+    assert(p.contains("Window"))
+    assert(!p.contains("Join"))
+  }
+
+  test("funnel: per-step frames join as equi-joins on the user key — " +
+    "no cartesian or nested-loop fallback") {
+    val p = planned("ev_funnel")
+    assert(!p.contains("CartesianProduct"))
+    assert(!p.contains("BroadcastNestedLoopJoin"))
+    assert("HashJoin".r.findAllIn(p).nonEmpty)
+  }
+
   test("embedding-LSH near-dup: bucket shuffle carries ids only — the " +
     "vectors stay out of the exchange and join back by id") {
     val f = formatted("dd_embed_neardup_lsh")
