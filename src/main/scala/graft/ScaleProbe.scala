@@ -98,15 +98,19 @@ object ScaleProbe {
     // The materialized-signature-index claim is that a day's increment
     // costs O(batch + probes), not O(archive). Probe: the same sf0.1 odd
     // half (the "day") filtered against a pre-built index of the 1x even
-    // half vs the 10x-replica even corpus — the honest ratio for a 10x
-    // deeper archive, which near-dups the batch heavily (every replica
-    // family collides). Far under 10x = the index holds.
+    // half vs the 10x corpus. The 10x index keeps the even originals
+    // AND every replica (ids >= the replica offset, all r >= 1) — the
+    // replica offset is even, so an even-only filter would exclude every
+    // replica of an odd batch doc and measure the no-collision regime;
+    // including them makes the 10x archive near-dup the batch heavily
+    // (9 replica near-dups per batch doc), the duplicate-heavy case the
+    // claim is about. Far under 10x = the index holds.
     import graft.operators.TextDedup
     val batch = docs.filter(col("doc_id") % 2 === 1)
     def idxProbe(corpusDir: String, tag: String): () => Long = {
       val stagePath = s"$outDir/__idx_$tag"
       val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
-        .filter(col("doc_id") % 2 === 0)
+        .filter(col("doc_id") % 2 === 0 || col("doc_id") >= 1000000L)
       TextDedup.nearDupIndex(corpus, "doc_id", "text")
         .write.mode(SaveMode.Overwrite).parquet(stagePath)
       () => TextDedup.incrementalNearDupFilterIndexed(
