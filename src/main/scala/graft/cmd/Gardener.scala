@@ -76,7 +76,16 @@ object Gardener {
           specOverride = dtSpecs.get(job.datatype)))
         Outcome.Success()
       }
-      catch { case e: Exception => Outcome.Failure(e.getMessage) }
+      catch {
+        // tx-backend concurrency conflicts (a concurrent writer beat
+        // this action's commit) are TRANSIENT: Retry re-runs the same
+        // state against fresh table state after the backoff — the
+        // reference's outcome algebra for retryable BQ errors
+        // (ops/errors.go). Anything else is a real failure.
+        case e: java.util.ConcurrentModificationException =>
+          Outcome.Retry(e.getMessage)
+        case e: Exception => Outcome.Failure(e.getMessage)
+      }
 
     val monitor = new Monitor(tracker, StandardPipeline.actions(
       // the load action publishes its input volume as gardener_files /
