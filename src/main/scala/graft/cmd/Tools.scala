@@ -56,6 +56,23 @@ object CopyTool {
   }
 }
 
+/** Usage: CompactTool <warehouseRoot> <datatype> <YYYY-MM-DD> <rawDataset>
+  *                    [targetFileMB] [backend]
+  * Small-file compaction of one raw date partition (TableOps.compactRaw).
+  */
+object CompactTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, datatype, date, raw) = args.take(4)
+    val targetMB = if (args.length > 4) args(4).toLong else 128L
+    val backend = if (args.length > 5) args(5) else "path"
+    val ops = new TableOps(ToolSession.spark(),
+      ToolSession.job(datatype, date, "tmp_cli", raw, ""),
+      Warehouse.forName(backend, whRoot))
+    val stats = ops.compactRaw(targetMB * 1024 * 1024)
+    println(s"compacted ${stats.detail}")
+  }
+}
+
 /** Operational maintenance for transactional-backend tables.
   *
   * Usage: VacuumTool <warehouseRoot> <dataset> <datatype>

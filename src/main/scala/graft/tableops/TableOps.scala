@@ -351,6 +351,53 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     }
   }
 
+  /** Small-file compaction of the raw date partition: rewrite into
+    * ceil(partitionBytes / targetFileBytes) files via a narrow coalesce
+    * (no shuffle — compaction only merges). The reference never needs
+    * this (BigQuery manages physical storage); a parquet warehouse
+    * accumulating per-day appends does — at archive scale, scan cost is
+    * driven by file COUNT (open/footer/seek per file) as much as bytes,
+    * and a day assembled from thousands of archive loads reads back
+    * thousands of tiny files until compacted. Uses the same
+    * stage + publish path as the dedup rewrite, so it inherits each
+    * backend's crash safety and (tx) write-write conflict detection;
+    * on the tx backend the replaced files are retired metadata-only
+    * and reclaimed by vacuum. No-op when the partition already has no
+    * more files than the target layout.
+    */
+  def compactRaw(targetFileBytes: Long = 128L * 1024 * 1024): OpStats = {
+    require(targetFileBytes > 0, "targetFileBytes must be positive")
+    wh.recoverSelfReplace(spark, rawPath, job.date)
+    val staged = wh.withTableLocks(reads = Seq(rawPath), writes = Nil) {
+      val part = readPartition(rawPath, job.date)
+      val files = part.inputFiles
+      if (files.isEmpty) Left(OpStats(0, 0))
+      else {
+        val conf = spark.sparkContext.hadoopConfiguration
+        val totalBytes = files.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+        val nOut = math.max(1L,
+          math.ceil(totalBytes.toDouble / targetFileBytes).toLong).toInt
+        if (files.length <= nOut) {
+          val n = part.count() // parquet metadata count — no data read
+          Left(OpStats(n, n))
+        } else {
+          val (rows, token) =
+            wh.stageSelfReplace(spark, part.coalesce(nOut), rawPath, job.date)
+          Right((OpStats(rows, rows), token))
+        }
+      }
+    }
+    staged match {
+      case Left(stats) => stats
+      case Right((stats, token)) =>
+        wh.publishSelfReplace(spark, rawPath, job.date, token)
+        stats
+    }
+  }
+
   /** Row count of one raw partition (status/detail helper). */
   def rawPartitionCount(): Long =
     wh.withTableLocks(reads = Seq(rawPath), writes = Nil) {

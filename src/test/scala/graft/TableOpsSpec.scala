@@ -284,6 +284,34 @@ class TableOpsSpec extends SparkTestBase {
         .select("id").as[String].collect().toSet === Set("d2b"))
     }
 
+    test(s"[$backend] small-file compaction merges a fragmented partition " +
+      "and leaves compact ones alone") {
+      val root = Files.createTempDirectory("graft-wh13").toString
+      val wh = mkWh(root)
+      val rawPath = wh.tablePath("raw_exp", "ndt7")
+      // five appends = five physical files in one date partition
+      (1 to 5).foreach { i =>
+        wh.append(spark,
+          Seq((s"r$i", java.sql.Date.valueOf("2024-12-01"), i.toLong))
+            .toDF("id", "date", "v"),
+          rawPath)
+      }
+      assert(wh.readPartition(spark, rawPath,
+        LocalDate.parse("2024-12-01")).inputFiles.length == 5)
+      val ops = new TableOps(spark,
+        mkJob(root, "ndt7", "2024-12-01"), wh)
+      val st = ops.compactRaw() // default 128 MB target => 1 file
+      assert(st.rowsIn == 5 && st.rowsOut == 5)
+      val after = wh.readPartition(spark, rawPath, LocalDate.parse("2024-12-01"))
+      assert(after.inputFiles.length == 1)
+      assert(after.select("v").as[Long].collect().toSet == (1L to 5L).toSet)
+      // already compact: a second run is the cheap no-op path
+      val st2 = ops.compactRaw()
+      assert(st2.rowsIn == 5 && st2.rowsOut == 5)
+      assert(wh.readPartition(spark, rawPath, LocalDate.parse("2024-12-01"))
+        .inputFiles.length == 1)
+    }
+
     test(s"[$backend] array-of-struct payload and added columns survive the pipeline " +
       "(schema evolution, cloud/bq/ops.go:280-282)") {
       val root = Files.createTempDirectory("graft-wh3").toString
