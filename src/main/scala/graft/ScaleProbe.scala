@@ -20,6 +20,12 @@ import org.apache.spark.sql.functions._
   * Usage: runMain graft.ScaleProbe [outDir]   (default target/scale10)
   */
 object ScaleProbe {
+  /** Replica id offset — shared by the 10× table builders AND the
+    * index-probe corpus filter below; diverging copies would silently
+    * revert the probe to a no-collision regime.
+    */
+  private val ReplicaOffset = 1000000L
+
   def main(args: Array[String]): Unit = {
     val outDir = if (args.nonEmpty) args(0) else "/root/repo/target/scale10"
     val sf = "/root/testdata/sf0.1"
@@ -36,7 +42,7 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val docs10 = (0 until 10).map { r =>
       docs.select(
-        (col("doc_id") + lit(r * 1000000L)).as("doc_id"),
+        (col("doc_id") + lit(r * ReplicaOffset)).as("doc_id"),
         concat(col("text"), lit(s" r$r")).as("text"),
         col("lang"), col("source"),
         (col("n_chars") + lit(3L)).as("n_chars"))
@@ -44,7 +50,7 @@ object ScaleProbe {
     docs10.write.mode(SaveMode.Overwrite).parquet(s"$outDir/documents.parquet")
     val emb = spark.read.parquet(s"$sf/embeddings.parquet")
     val emb10 = (0 until 10).map { r =>
-      emb.select((col("vec_id") + lit(r * 1000000L)).as("vec_id"),
+      emb.select((col("vec_id") + lit(r * ReplicaOffset)).as("vec_id"),
         col("embedding"), col("label"))
     }.reduce(_ unionAll _)
     emb10.write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
@@ -110,7 +116,7 @@ object ScaleProbe {
     def idxProbe(corpusDir: String, tag: String): () => Long = {
       val stagePath = s"$outDir/__idx_$tag"
       val corpus = spark.read.parquet(s"$corpusDir/documents.parquet")
-        .filter(col("doc_id") % 2 === 0 || col("doc_id") >= 1000000L)
+        .filter(col("doc_id") % 2 === 0 || col("doc_id") >= ReplicaOffset)
       TextDedup.nearDupIndex(corpus, "doc_id", "text")
         .write.mode(SaveMode.Overwrite).parquet(stagePath)
       () => TextDedup.incrementalNearDupFilterIndexed(

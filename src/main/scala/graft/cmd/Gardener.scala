@@ -81,8 +81,11 @@ object Gardener {
         // this action's commit) are TRANSIENT: Retry re-runs the same
         // state against fresh table state after the backoff — the
         // reference's outcome algebra for retryable BQ errors
-        // (ops/errors.go). Anything else is a real failure.
-        case e: java.util.ConcurrentModificationException =>
+        // (ops/errors.go). Matched by the warehouse's DEDICATED type:
+        // a generic ConcurrentModificationException from a collection
+        // bug anywhere else is a real failure and must reach Failed,
+        // not loop in retry forever.
+        case e: graft.tableops.ConcurrentCommitException =>
           Outcome.Retry(e.getMessage)
         case e: Exception => Outcome.Failure(e.getMessage)
       }

@@ -184,9 +184,12 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     wh.recoverSelfReplace(spark, tmpPath, job.date)
     // the incremental content tier also READS the raw table / its index
     val readLocks =
-      if (spec.contentDedup.exists(_.vsRawCorpus))
+      if (spec.contentDedup.exists(_.vsRawCorpus)) {
+        // the raw scan covers OTHER dates too — heal any partition an
+        // out-of-band maintenance rewrite (compaction) crashed on
+        wh.recoverAllSelfReplace(spark, rawPath)
         Seq(tmpPath, rawPath, indexPath)
-      else Seq(tmpPath)
+      } else Seq(tmpPath)
     val staged = wh.withTableLocks(reads = readLocks, writes = Nil) {
       val part = readPartition(tmpPath, job.date)
       val keptExact =
@@ -199,12 +202,7 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
       if (dryRun) { keptExact.queryExecution.analyzed; Left(OpStats(0, 0)) }
       else dedupStage(part, keptExact)
     }
-    staged match {
-      case Left(stats) => stats
-      case Right((stats, token)) =>
-        wh.publishSelfReplace(spark, tmpPath, job.date, token)
-        stats
-    }
+    publishStaged(tmpPath, staged)
   }
 
   /** Compute + stage the deduped partition (holding the tmp READ lock).
@@ -338,6 +336,9 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   def join(annDatatype: String = "annotation2", dryRun: Boolean = false): OpStats = {
     if (!job.datasets.hasJoin) return OpStats(0, 0)
     val annPath = wh.tablePath(job.datasets.raw, annDatatype)
+    // both scans cover every date — heal crashed out-of-band rewrites
+    wh.recoverAllSelfReplace(spark, rawPath)
+    wh.recoverAllSelfReplace(spark, annPath)
     // reads constructed inside the locks — see copyToRaw
     wh.withTableLocks(reads = Seq(rawPath, annPath), writes = Seq(joinPath)) {
       val m = wh.read(spark, rawPath)
@@ -369,17 +370,18 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     wh.recoverSelfReplace(spark, rawPath, job.date)
     val staged = wh.withTableLocks(reads = Seq(rawPath), writes = Nil) {
-      val part = readPartition(rawPath, job.date)
-      val files = part.inputFiles
+      // sizing comes from the PARTITION's file metadata, never the
+      // DataFrame's inputFiles: on the path backend inputFiles ignores
+      // the date filter (partition pruning is physical-plan-time for
+      // non-catalog reads) and would gate this date's compaction on
+      // the WHOLE table's file count and bytes
+      val files = wh.partitionFiles(spark, rawPath, job.date)
       if (files.isEmpty) Left(OpStats(0, 0))
       else {
-        val conf = spark.sparkContext.hadoopConfiguration
-        val totalBytes = files.map { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          p.getFileSystem(conf).getFileStatus(p).getLen
-        }.sum
+        val totalBytes = files.map(_._2).sum
         val nOut = math.max(1L,
           math.ceil(totalBytes.toDouble / targetFileBytes).toLong).toInt
+        val part = readPartition(rawPath, job.date)
         if (files.length <= nOut) {
           val n = part.count() // parquet metadata count — no data read
           Left(OpStats(n, n))
@@ -390,19 +392,27 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
         }
       }
     }
-    staged match {
-      case Left(stats) => stats
-      case Right((stats, token)) =>
-        wh.publishSelfReplace(spark, rawPath, job.date, token)
-        stats
-    }
+    publishStaged(rawPath, staged)
+  }
+
+  /** Publish the staged half of a partition rewrite (shared by the
+    * dedup and compaction epilogues — the two must evolve in lockstep).
+    */
+  private def publishStaged(path: String,
+      staged: Either[OpStats, (OpStats, String)]): OpStats = staged match {
+    case Left(stats) => stats
+    case Right((stats, token)) =>
+      wh.publishSelfReplace(spark, path, job.date, token)
+      stats
   }
 
   /** Row count of one raw partition (status/detail helper). */
-  def rawPartitionCount(): Long =
+  def rawPartitionCount(): Long = {
+    wh.recoverSelfReplace(spark, rawPath, job.date)
     wh.withTableLocks(reads = Seq(rawPath), writes = Nil) {
       readPartition(rawPath, job.date).count()
     }
+  }
 }
 
 object TableOps {

@@ -80,14 +80,38 @@ trait Warehouse {
   def publishSelfReplace(spark: SparkSession, path: String, date: LocalDate,
       token: String): Unit
 
+  /** The physical files of `date`'s partition as (absolute path, size),
+    * from one METADATA listing — the input to compaction decisions.
+    * Empty when the partition or table does not exist.
+    */
+  def partitionFiles(spark: SparkSession, path: String,
+      date: LocalDate): Seq[(String, Long)]
+
   /** Crash recovery for an interrupted stage/publish of `date`. */
   def recoverSelfReplace(spark: SparkSession, path: String, date: LocalDate): Unit
+
+  /** Recovery sweep over EVERY date of the table — for readers that
+    * scan partitions other jobs (or out-of-band maintenance like
+    * compaction) may have crashed mid-publish on. No-op where the
+    * backend has no recovery window.
+    */
+  def recoverAllSelfReplace(spark: SparkSession, path: String): Unit
 
   /** Table-level mutual exclusion where the backend needs it (see class
     * docs). Acquire read locks on `reads`, write locks on `writes`.
     */
   def withTableLocks[T](reads: Seq[String], writes: Seq[String])(body: => T): T
 }
+
+/** Thrown by [[TxWarehouse]] when a partition commit loses to a
+  * concurrent writer. Subclasses the JVM's ConcurrentModificationException
+  * for API familiarity, but callers classifying transient-vs-terminal
+  * errors (the gardener's Outcome mapping) must match THIS type — a
+  * generic CME from a collection bug elsewhere is a real failure, not a
+  * retryable conflict.
+  */
+final class ConcurrentCommitException(msg: String)
+    extends java.util.ConcurrentModificationException(msg)
 
 object Warehouse {
   /** Default backend — plain partitioned-parquet directories. */
@@ -186,6 +210,19 @@ final class PathWarehouse(val root: String) extends Warehouse {
       f.delete(new Path(token), true): Unit
     }
 
+  /** One listing of the partition directory — names and lengths come
+    * from the same FileStatus batch (no per-file round trips).
+    */
+  def partitionFiles(spark: SparkSession, path: String,
+      date: LocalDate): Seq[(String, Long)] = {
+    val f = fs(spark, path)
+    val dir = new Path(s"$path/date=$date")
+    if (!f.exists(dir)) Nil
+    else f.listStatus(dir).toSeq.filter(_.isFile)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(st => (st.getPath.toString, st.getLen))
+  }
+
   /** A crash between the swap's delete and rename leaves the partition
     * empty with the deduped rows stranded in staging — a restarted
     * monitor would then see a "clean" empty partition and silently lose
@@ -203,6 +240,25 @@ final class PathWarehouse(val root: String) extends Warehouse {
         f.delete(new Path(stagingPath(path, date)), true): Unit
       }
     }
+
+  /** Sweep every date's staging dir (they are siblings of the table
+    * root, `<path>.__dedup_staging_date_<d>`): one parent listing, then
+    * the per-date recovery for each match. Readers of OTHER jobs' dates
+    * call this — a crashed out-of-band compaction of date D must not
+    * make D's rows silently vanish from a later join or incremental
+    * dedup that scans the whole table.
+    */
+  def recoverAllSelfReplace(spark: SparkSession, path: String): Unit = {
+    val f = fs(spark, path)
+    val parent = new Path(path).getParent
+    if (parent == null || !f.exists(parent)) return
+    val prefix = new Path(path).getName + ".__dedup_staging_date_"
+    f.listStatus(parent).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith(prefix))
+      .flatMap(n => scala.util.Try(LocalDate.parse(n.stripPrefix(prefix))).toOption)
+      .foreach(d => recoverSelfReplace(spark, path, d))
+  }
 
   def withTableLocks[T](reads: Seq[String], writes: Seq[String])(body: => T): T =
     PathWarehouse.withTableLocks(reads, writes)(body)
@@ -629,7 +685,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     // a pinned file already retired = a replace/delete raced the plan
     val retired = pinned.filterNot(live.contains)
     if (retired.nonEmpty || currentOfDate != expected)
-      throw new java.util.ConcurrentModificationException(
+      throw new ConcurrentCommitException(
         s"partition date=$date of $path changed while the rewrite was " +
           s"being computed (plan pinned ${pinned.size} files of this " +
           s"table, ${retired.size} since retired; date has " +
@@ -660,8 +716,27 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     commitReplace(spark, path, date, adds, expected)
   }
 
+  /** The manifest gives the file list; sizes are one status call per
+    * file (the manifest does not store lengths). Fine for the common
+    * post-compaction few-files case; a heavily fragmented partition
+    * pays O(files) stats ONCE on the compaction run that then merges
+    * them away.
+    */
+  def partitionFiles(spark: SparkSession, path: String,
+      date: LocalDate): Seq[(String, Long)] = {
+    val f = fs(spark, path)
+    state(spark, path)._2.collect {
+      case (rel, d) if d == date.toString =>
+        val p = new Path(s"$path/$rel")
+        (p.toString, f.getFileStatus(p).getLen)
+    }.toSeq
+  }
+
   /** Nothing to recover: uncommitted files are invisible by design. */
   def recoverSelfReplace(spark: SparkSession, path: String, date: LocalDate): Unit = ()
+
+  /** No recovery window anywhere: commits are atomic. */
+  def recoverAllSelfReplace(spark: SparkSession, path: String): Unit = ()
 
   /** No locks: readers pin manifest versions (snapshot isolation),
     * writers never share directories, commits are atomic create-if-

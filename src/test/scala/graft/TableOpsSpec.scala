@@ -462,6 +462,28 @@ class TableOpsSpec extends SparkTestBase {
     assert(versions == (1L to 24L))
   }
 
+  test("[path] recoverAllSelfReplace heals every crashed partition swap " +
+    "in one sweep (out-of-band compaction crash)") {
+    val root = Files.createTempDirectory("graft-wh14").toString
+    val wh = Warehouse(root)
+    val rawPath = wh.tablePath("raw_exp", "ndt7")
+    Seq(("a", java.sql.Date.valueOf("2024-03-01"), 1L),
+      ("b", java.sql.Date.valueOf("2024-03-02"), 2L))
+      .toDF("id", "date", "v")
+      .write.partitionBy("date").parquet(rawPath)
+    // simulate a compaction crash between delete and rename on BOTH dates
+    Seq("2024-03-01", "2024-03-02").foreach { d =>
+      val staging = Path.of(s"$rawPath.__dedup_staging_date_$d")
+      Files.createDirectories(staging)
+      Files.move(Path.of(s"$rawPath/date=$d"), staging.resolve(s"date=$d"))
+    }
+    wh.recoverAllSelfReplace(spark, rawPath)
+    val back = wh.read(spark, rawPath)
+    assert(back.count() == 2)
+    assert(back.select("v").as[Long].collect().toSet == Set(1L, 2L))
+    assert(!Files.exists(Path.of(s"$rawPath.__dedup_staging_date_2024-03-01")))
+  }
+
   test("[tx] a partition replace staged against stale state is refused, " +
     "not silently committed over a concurrent writer's rows") {
     val root = Files.createTempDirectory("graft-wh12").toString
