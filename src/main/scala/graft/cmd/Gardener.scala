@@ -39,6 +39,27 @@ object Gardener {
             cd.vsRawCorpus)))
     }
 
+  /** Map one TableOps invocation onto the monitor's Outcome algebra
+    * (reference: ops/errors.go — retryable vs terminal BQ errors).
+    * Tx-backend concurrency conflicts (a concurrent writer beat this
+    * action's commit) are TRANSIENT: Retry re-runs the same state
+    * against fresh table state after the backoff. Matched by the
+    * warehouse's DEDICATED type: a generic
+    * ConcurrentModificationException from a collection bug anywhere
+    * else is a real failure and must reach Failed, not loop forever.
+    */
+  def tableAction(spark: SparkSession, wh: Warehouse,
+      dtSpecs: Map[String, graft.tableops.DatatypeSpec] = Map.empty)(
+      f: TableOps => Unit): Job => Outcome = job =>
+    try {
+      f(new TableOps(spark, job, wh, specOverride = dtSpecs.get(job.datatype)))
+      Outcome.Success()
+    } catch {
+      case e: graft.tableops.ConcurrentCommitException =>
+        Outcome.Retry(e.getMessage)
+      case e: Exception => Outcome.Failure(e.getMessage)
+    }
+
   def main(args: Array[String]): Unit = {
     val configPath = args(0)
     val stateDir = Paths.get(args(1))
@@ -70,25 +91,8 @@ object Gardener {
     val wh = Warehouse.forName(
       if (args.length > 5) args(5) else "path", warehouseRoot)
     val dtSpecs = datatypeSpecs(config)
-    def tableOp(f: TableOps => Unit): Job => Outcome = job =>
-      try {
-        f(new TableOps(spark, job, wh,
-          specOverride = dtSpecs.get(job.datatype)))
-        Outcome.Success()
-      }
-      catch {
-        // tx-backend concurrency conflicts (a concurrent writer beat
-        // this action's commit) are TRANSIENT: Retry re-runs the same
-        // state against fresh table state after the backoff — the
-        // reference's outcome algebra for retryable BQ errors
-        // (ops/errors.go). Matched by the warehouse's DEDICATED type:
-        // a generic ConcurrentModificationException from a collection
-        // bug anywhere else is a real failure and must reach Failed,
-        // not loop in retry forever.
-        case e: graft.tableops.ConcurrentCommitException =>
-          Outcome.Retry(e.getMessage)
-        case e: Exception => Outcome.Failure(e.getMessage)
-      }
+    def tableOp(f: TableOps => Unit): Job => Outcome =
+      tableAction(spark, wh, dtSpecs)(f)
 
     val monitor = new Monitor(tracker, StandardPipeline.actions(
       // the load action publishes its input volume as gardener_files /

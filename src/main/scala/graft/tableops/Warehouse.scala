@@ -206,7 +206,16 @@ final class PathWarehouse(val root: String) extends Warehouse {
       val f = fs(spark, path)
       val partDir = s"date=$date"
       f.delete(new Path(s"$path/$partDir"), true)
-      f.rename(new Path(s"$token/$partDir"), new Path(s"$path/$partDir"))
+      // Hadoop rename reports failure by RETURNING false, not throwing —
+      // swallowing it would report the action as Success with the live
+      // partition deleted and the day's rows stranded in staging until
+      // some later recoverSelfReplace of this exact date. Throw, so the
+      // action lands in the failure path and the recovery sweep (which
+      // sees staged-but-missing) can heal on re-run.
+      if (!f.rename(new Path(s"$token/$partDir"), new Path(s"$path/$partDir")))
+        throw new java.io.IOException(
+          s"publish rename failed: $token/$partDir -> $path/$partDir " +
+            "(staged rows retained for recoverSelfReplace)")
       f.delete(new Path(token), true): Unit
     }
 
@@ -587,7 +596,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     commitRetry(spark, path)(_ => (adds, Nil))
   }
 
-  private def liveOfDate(spark: SparkSession, path: String,
+  private[tableops] def liveOfDate(spark: SparkSession, path: String,
       date: LocalDate): Set[String] =
     state(spark, path)._2.collect {
       case (rel, d) if d == date.toString => rel
@@ -605,9 +614,11 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     * same date in between, blindly retiring "whatever is live now"
     * would silently drop those rows under a replace computed without
     * them — the lost update Delta/Iceberg surface as
-    * ConcurrentAppend/DeleteException; this backend throws
-    * ConcurrentModificationException and the caller (monitor Outcome
-    * algebra: Failure → retry policy) re-runs against fresh state.
+    * ConcurrentAppend/DeleteException; this backend throws the dedicated
+    * [[ConcurrentCommitException]], which the gardener's Outcome mapping
+    * classifies as Retry (stay in state, re-run against fresh table
+    * state after backoff) — NOT Failure, which the monitor treats as
+    * terminal Failed.
     */
   private[tableops] def overwritePartitionExpecting(spark: SparkSession,
       df: DataFrame, path: String, date: LocalDate,
@@ -629,8 +640,14 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       val current = live.collect {
         case (rel, d) if d == date.toString => rel
       }.toSet
+      // the DEDICATED conflict type, not the generic CME: the gardener's
+      // Outcome mapping matches ConcurrentCommitException → Retry, and
+      // this is the conflict path copyToRaw/join (overwritePartition) and
+      // the dedup/compaction publish (publishSelfReplace) hit first in a
+      // multi-driver deployment — a generic type would land those jobs in
+      // terminal Failed instead of retrying against fresh state
       if (current != expected)
-        throw new java.util.ConcurrentModificationException(
+        throw new ConcurrentCommitException(
           s"partition date=$date of $path changed since this replace was " +
             s"planned (expected ${expected.size} files, found " +
             s"${current.size}) — a concurrent writer committed; re-run " +
