@@ -47,30 +47,46 @@ object EventAnalytics {
     * conversion whenever later steps also occur before earlier ones).
     * Output: (step_idx, step, n_users), one row per step.
     *
-    * Scale shape: per step, one filtered aggregate keyed by user joined
-    * to the previous step's (user, time) frame — all exchanges are on
-    * the user key, the per-step frames are |users-reaching-step| rows
-    * (monotonically shrinking), and the final output is a union of
-    * single-row counts; the whole funnel is ONE declarative plan,
-    * nothing executes at build time.
+    * Scale shape: ONE scan of the events relation — the step filter is
+    * pushed to the scan, one user-keyed aggregate collects each step's
+    * event times as a sorted array (per-user memory, bounded by that
+    * user's step events — the same rows the per-step join frames held),
+    * and the strictly-after fold runs as pure array expressions per
+    * user: t₀ = min(times₀), tᵢ = min{t ∈ timesᵢ : t > tᵢ₋₁} via
+    * `array_min(filter(...))`, with a missed step nulling every later
+    * one (null comparisons filter to empty → null). A second global
+    * aggregate counts non-null tᵢ map-side; the per-step unpivot
+    * explodes a single row. Total: one exchange on the user key and one
+    * single-row exchange — the previous per-step-join form re-executed
+    * the event scan O(steps²/2) times.
     */
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "at least one funnel step")
-    val perStep = steps.zipWithIndex.scanLeft(Option.empty[DataFrame]) {
-      case (prev, (step, _)) =>
-        val hits = events.filter(col(typeCol) === step)
-        val qualified = prev match {
-          case None => hits
-          case Some(p) =>
-            hits.join(p.select(col(userCol), col("__t").as("__prev_t")), userCol)
-              .filter(col(tsCol) > col("__prev_t"))
-        }
-        Some(qualified.groupBy(col(userCol)).agg(min(col(tsCol)).as("__t")))
-    }.flatten
-    perStep.zip(steps).zipWithIndex.map { case ((frame, step), i) =>
-      frame.agg(count(lit(1)).as("n_users"))
-        .select(lit(i).as("step_idx"), lit(step).as("step"), col("n_users"))
-    }.reduce(_ unionAll _)
+    require(steps.distinct == steps, "funnel steps must be distinct")
+    val timesAggs = steps.zipWithIndex.map { case (s, i) =>
+      sort_array(collect_list(when(col(typeCol) === s, col(tsCol))))
+        .as(s"__ts_$i")
+    }
+    val perUser = events
+      .filter(col(typeCol).isInCollection(steps))
+      .groupBy(col(userCol))
+      .agg(timesAggs.head, timesAggs.tail: _*)
+    val stepTimes = steps.indices.foldLeft(Vector.empty[org.apache.spark.sql.Column]) {
+      (acc, i) =>
+        val t =
+          if (i == 0) array_min(col("__ts_0"))
+          else array_min(filter(col(s"__ts_$i"), x => x > acc.last))
+        acc :+ t
+    }
+    val counts = perUser.agg(
+      count(stepTimes.head).as("__c_0"),
+      stepTimes.tail.zipWithIndex.map { case (t, i) =>
+        count(t).as(s"__c_${i + 1}")
+      }: _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("step_idx"), lit(s).as("step"),
+        col(s"__c_$i").as("n_users"))
+    }: _*)).as("__r")).select(col("__r.*"))
   }
 }

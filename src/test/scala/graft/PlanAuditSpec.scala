@@ -148,12 +148,12 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Join"))
   }
 
-  test("funnel: per-step frames join as equi-joins on the user key — " +
-    "no cartesian or nested-loop fallback") {
+  test("funnel: ONE scan of the events relation — the strictly-after " +
+    "fold runs as array expressions after a single user-keyed aggregate, " +
+    "not per-step self-joins re-reading events") {
     val p = planned("ev_funnel")
-    assert(!p.contains("CartesianProduct"))
-    assert(!p.contains("BroadcastNestedLoopJoin"))
-    assert("HashJoin".r.findAllIn(p).nonEmpty)
+    assert("Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"))
   }
 
   test("embedding-LSH near-dup: bucket shuffle carries ids only — the " +
