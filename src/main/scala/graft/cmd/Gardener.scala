@@ -112,6 +112,12 @@ object Gardener {
     ))
     monitor.watch(config.pollingInterval.toMillis)
 
+    // storage maintenance runs unattended alongside the pipeline:
+    // compaction of fragmented completed days, plus (tx backend) vacuum
+    // and commit-log truncation — see MaintenanceSweeper
+    val sweeper = new graft.gardenerops.MaintenanceSweeper(spark, wh, tracker)
+    sweeper.watch(config.maintenanceInterval.toMillis)
+
     // ALL sources get daily jobs; DailyOnly only excludes a source from the
     // historical sweep (reference: job-service/job-service.go puts every
     // source in dailySpecs) — otherwise fresh data of non-dailyOnly sources

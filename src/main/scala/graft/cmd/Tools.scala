@@ -91,7 +91,10 @@ object VacuumTool {
     val spark = ToolSession.spark()
     val path = wh.tablePath(dataset, datatype)
     val n = wh.vacuum(spark, path, keep, ageHours * 3600 * 1000)
-    println(s"vacuumed $n files from $path " +
+    // log truncation is vacuum's companion: vacuum reclaims DATA files,
+    // this bounds the _graft_log directory itself (same age guard)
+    val t = wh.truncateLog(spark, path, minAgeMillis = ageHours * 3600 * 1000)
+    println(s"vacuumed $n data files and truncated $t log files from $path " +
       s"(kept $keep versions, min age ${ageHours}h)")
   }
 }

@@ -43,7 +43,8 @@ final case class GardenerConfig(
     trackerTimeout: Duration,
     pollingInterval: Duration,
     sources: Seq[SourceSpec],
-    datatypes: Map[String, DatatypeConfig] = Map.empty
+    datatypes: Map[String, DatatypeConfig] = Map.empty,
+    maintenanceInterval: Duration = Duration.ofHours(1)
 )
 
 object GardenerConfig {
@@ -90,6 +91,13 @@ object GardenerConfig {
       .flatMap(_.get("polling_interval")).map(v => parseDuration(v.toString))
       .getOrElse(Duration.ofMinutes(1))
 
+    // storage-maintenance sweep cadence (compaction / vacuum / log
+    // truncation); hourly default — each pass is metadata-only when
+    // nothing is fragmented
+    val maintenance = root.get("monitor").map(sub)
+      .flatMap(_.get("maintenance_interval")).map(v => parseDuration(v.toString))
+      .getOrElse(Duration.ofHours(1))
+
     val sources = root.get("sources").toSeq.flatMap {
       case l: java.util.List[_] => l.asScala.map(o => sub(o.asInstanceOf[Object]))
       case _ => Nil
@@ -134,6 +142,7 @@ object GardenerConfig {
           contentDedup = cd)
       }.toMap
 
-    GardenerConfig(startDate, trackerTimeout, polling, sources, datatypes)
+    GardenerConfig(startDate, trackerTimeout, polling, sources, datatypes,
+      maintenance)
   }
 }

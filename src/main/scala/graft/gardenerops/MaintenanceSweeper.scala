@@ -1,0 +1,106 @@
+package graft.gardenerops
+
+import java.util.concurrent.{Executors, TimeUnit}
+
+import org.apache.spark.sql.SparkSession
+
+import graft.model.Job
+import graft.tableops.{ConcurrentCommitException, TableOps, TxWarehouse, Warehouse}
+import graft.tracker.Tracker
+
+/** The scheduling half of storage maintenance: the engine ships
+  * compaction / vacuum / log truncation as table operations
+  * ([[TableOps.compactRaw]], [[TxWarehouse.vacuum]],
+  * [[TxWarehouse.truncateLog]]) and CLIs, but a 100 TB warehouse needs
+  * them to RUN without an operator — scan cost is driven by file count
+  * as much as bytes, the tx commit log grows one file per commit, and
+  * retired data files hold storage until reclaimed. The reference never
+  * needs this (BigQuery manages physical storage; its analog of bounded
+  * metadata is the tracker snapshot, tracker/tracker.go:189-204).
+  *
+  * Every `periodMillis` the sweeper snapshots the tracker and, for each
+  * raw table the tracked jobs name, compacts every fragmented date
+  * partition that has NO active job — an active pipeline owns its date:
+  * racing it would serialize on the path backend's locks and guarantee
+  * a conflict/retry cycle on tx. On the transactional backend it then
+  * vacuums unreferenced data files and truncates the commit log across
+  * the job namespace's tables (tmp/raw/join + the near-dup signature
+  * index), behind the age guards that make both safe under concurrent
+  * writers.
+  *
+  * Compaction runs through [[TableOps.compactRaw]] — the same
+  * stage + publish path as the dedup rewrite — so a crash mid-compaction
+  * is healed by the pipeline's existing `recoverAllSelfReplace` sweeps,
+  * and a compaction losing a tx commit race surfaces as the retryable
+  * conflict the NEXT sweep simply absorbs (skipped here, retried then).
+  */
+final class MaintenanceSweeper(
+    spark: SparkSession,
+    wh: Warehouse,
+    tracker: Tracker,
+    targetFileBytes: Long = 128L * 1024 * 1024,
+    minAgeMillis: Long = 7L * 24 * 3600 * 1000) {
+
+  /** One sweep pass. Visible for deterministic tests. Returns the number
+    * of partitions compacted.
+    */
+  def sweep(): Int = {
+    val state = tracker.getState().values.toSeq
+    val active = state.collect {
+      case (j, st) if !st.isDone => (j.datasets.raw, j.datatype, j.date)
+    }.toSet
+    // one representative job per (datasets, datatype): the sweep reuses
+    // the pipeline's own TableOps with the date swapped in
+    val tables = state.map { case (j, _) => ((j.datasets, j.datatype), j) }.toMap
+    var compacted = 0
+    tables.values.foreach { j =>
+      val rawPath = wh.tablePath(j.datasets.raw, j.datatype)
+      wh.dates(spark, rawPath).toSeq.sorted.foreach { d =>
+        if (!active.contains((j.datasets.raw, j.datatype, d))) {
+          // pre-check mirrors compactRaw's sizing (keep in lockstep) so
+          // an already-compacted date costs ONE metadata listing per
+          // sweep — no Spark job, no footer reads
+          val files = wh.partitionFiles(spark, rawPath, d)
+          val nOut = math.max(1L, math.ceil(
+            files.map(_._2).sum.toDouble / targetFileBytes).toLong)
+          if (files.length > nOut) {
+            try {
+              new TableOps(spark, j.copy(date = d), wh)
+                .compactRaw(targetFileBytes): Unit
+              compacted += 1
+            } catch { case _: ConcurrentCommitException => () }
+          }
+        }
+      }
+      maintainTx(j)
+    }
+    compacted
+  }
+
+  private def maintainTx(j: Job): Unit = wh match {
+    case tx: TxWarehouse =>
+      val names =
+        Seq(j.datasets.tmp, j.datasets.raw, j.datasets.join).filter(_.nonEmpty)
+      val paths = names.map(ds => tx.tablePath(ds, j.datatype)) :+
+        (tx.tablePath(j.datasets.raw, j.datatype) + TableOps.NearDupIndexSuffix)
+      paths.distinct.filter(tx.exists(spark, _)).foreach { p =>
+        tx.vacuum(spark, p, minAgeMillis = minAgeMillis): Unit
+        tx.truncateLog(spark, p, minAgeMillis = minAgeMillis): Unit
+      }
+    case _ => ()
+  }
+
+  /** Start the periodic sweep (daemon thread, like Monitor.watch / the
+    * tracker's saveEvery). A failed pass is dropped — the next one
+    * re-derives everything from fresh metadata.
+    */
+  def watch(periodMillis: Long): AutoCloseable = {
+    val scheduler = Executors.newSingleThreadScheduledExecutor(r => {
+      val t = new Thread(r, "maintenance-sweep"); t.setDaemon(true); t
+    })
+    scheduler.scheduleAtFixedRate(
+      () => try { sweep(); () } catch { case _: Exception => () },
+      periodMillis, periodMillis, TimeUnit.MILLISECONDS)
+    () => { scheduler.shutdownNow(); () }
+  }
+}

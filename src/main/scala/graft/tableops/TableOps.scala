@@ -83,7 +83,7 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   // the materialized near-dup signature index (vsRawCorpus datatypes):
   // maintained per date partition by copyToRaw, probed by dedup's
   // incremental tier so a day's dedup never re-reads the archive's text
-  private val indexPath = rawPath + "__neardup_index"
+  private val indexPath = rawPath + TableOps.NearDupIndexSuffix
 
   private def dateLit = lit(java.sql.Date.valueOf(job.date))
 
@@ -416,6 +416,12 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
 }
 
 object TableOps {
+  /** Sibling-table suffix of the materialized near-dup signature index
+    * (maintained by copyToRaw, probed by dedup, maintained-for by the
+    * sweeper).
+    */
+  val NearDupIndexSuffix = "__neardup_index"
+
   /** Dynamic partition overwrite must be on for partition-truncate writes. */
   def configure(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")

@@ -510,6 +510,57 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     deleted
   }
 
+  /** Bound the commit log (the archival [[replay]]'s scaladoc promises):
+    * pick the truncation horizon H = the NEWEST checkpoint that (a) is
+    * older than `minAgeMillis` and (b) still leaves `keepCheckpoints`
+    * checkpoints at or above it, then delete every delta segment at or
+    * below H (their state is subsumed by H's full snapshot) and every
+    * checkpoint below H. Without this, `_graft_log` grows one file per
+    * commit forever — bounded REPLAY cost (checkpoints) but unbounded
+    * directory size, an object-store LIST cost at streaming-sink commit
+    * rates (the reference's analog is its bounded tracker snapshots,
+    * tracker/tracker.go:189-204).
+    *
+    * The age guard is the concurrent-reader safety margin, same
+    * discipline as [[vacuum]]: a replay that LISTED the log before H
+    * existed may still be reading pre-H deltas; once H has been visible
+    * for the retention window, any new replay seeds from a checkpoint
+    * ≥ H and never opens them. After truncation [[readAt]] works for
+    * every version ≥ the oldest retained checkpoint and fails below it
+    * with the clean "no version" message HistoryTool degrades on.
+    * Returns deleted file count.
+    */
+  def truncateLog(spark: SparkSession, path: String, keepCheckpoints: Int = 1,
+      minAgeMillis: Long = 7L * 24 * 3600 * 1000): Long = {
+    require(keepCheckpoints >= 1, "keepCheckpoints must be >= 1")
+    val f = fs(spark, path)
+    val logDir = new Path(s"$path/$LogDir")
+    if (!f.exists(logDir)) return 0L
+    val sts = f.listStatus(logDir).filter(_.isFile)
+    def num(name: String) = name.substring(1, 21).toLong
+    val cps = sts.filter(_.getPath.getName.matches("c\\d{20}\\.txt"))
+    if (cps.isEmpty) return 0L
+    val cpNums = cps.map(st => num(st.getPath.getName)).sorted
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    val aged = cps.filter(_.getModificationTime < cutoff)
+      .map(st => num(st.getPath.getName)).toSet
+    cpNums.filter(v =>
+      aged.contains(v) && cpNums.count(_ >= v) >= keepCheckpoints)
+      .lastOption match {
+      case None => 0L
+      case Some(horizon) =>
+        var deleted = 0L
+        sts.foreach { st =>
+          val n = st.getPath.getName
+          val eligible =
+            (n.matches("v\\d{20}\\.txt") && num(n) <= horizon) ||
+              (n.matches("c\\d{20}\\.txt") && num(n) < horizon)
+          if (eligible && f.delete(st.getPath, false)) deleted += 1
+        }
+        deleted
+    }
+  }
+
   def exists(spark: SparkSession, path: String): Boolean =
     fs(spark, path).exists(new Path(s"$path/$LogDir"))
 

@@ -128,6 +128,68 @@ class GardenerE2ESpec extends SparkTestBase {
     assert(joined.filter($"id" === "m9").select("geo").as[String].head() === "FR")
   }
 
+  for ((backend, mkWh) <- Seq[(String, String => Warehouse)](
+    "path" -> (r => Warehouse(r)),
+    "tx" -> (r => new graft.tableops.TxWarehouse(r, checkpointEvery = 2))))
+  test(s"[$backend] maintenance sweep compacts a fragmented completed day " +
+    "without operator action; active days are left to their pipeline") {
+    val root = Files.createTempDirectory("graft-e2e-maint").toString
+    val wh = mkWh(root)
+    val rawPath = wh.tablePath("raw_exp", "ndt7")
+    def mkJob(date: String) =
+      Job("bucket", "exp", "ndt7", java.time.LocalDate.parse(date),
+        datasets = Datasets("tmp_exp", "raw_exp", ""))
+    def fragment(date: String): Unit = (1 to 4).foreach { i =>
+      wh.append(spark,
+        (1 to 3).map(k => (s"id$i$k", java.sql.Date.valueOf(date), i.toLong))
+          .toDF("id", "date", "v").repartition(3),
+        rawPath)
+    }
+    // the done day is heavily fragmented (streaming-sink / re-ingest
+    // shape: many small appended files); the active day equally so
+    fragment("2024-03-01")
+    fragment("2024-03-02")
+    assert(wh.partitionFiles(spark, rawPath,
+      java.time.LocalDate.parse("2024-03-01")).length == 12)
+
+    val tracker = new Tracker(NoopSaver)
+    val done = mkJob("2024-03-01")
+    val active = mkJob("2024-03-02")
+    assert(tracker.addJob(done).isRight)
+    assert(tracker.setStatus(done.key, State.Complete).isRight)
+    assert(tracker.addJob(active).isRight)
+    assert(tracker.setStatus(active.key, State.Copying).isRight)
+
+    val sweeper = new graft.gardenerops.MaintenanceSweeper(spark, wh, tracker,
+      minAgeMillis = 0L)
+    assert(sweeper.sweep() == 1)
+
+    // done day: 12 tiny files → the target layout (1); rows intact
+    val d1 = java.time.LocalDate.parse("2024-03-01")
+    assert(wh.partitionFiles(spark, rawPath, d1).length == 1)
+    assert(wh.readPartition(spark, rawPath, d1).count() == 12)
+    // active day: untouched — its pipeline owns it
+    val d2 = java.time.LocalDate.parse("2024-03-02")
+    assert(wh.partitionFiles(spark, rawPath, d2).length == 12)
+    assert(wh.readPartition(spark, rawPath, d2).count() == 12)
+
+    if (backend == "tx") {
+      // the same sweep also bounded the commit log (9 commits + their
+      // checkpoints collapse to the newest checkpoint + tail deltas)…
+      val logDir = Path.of(s"$rawPath/_graft_log")
+      val logCount = Files.list(logDir).iterator().asScala
+        .count(_.getFileName.toString.endsWith(".txt"))
+      assert(logCount <= 4, s"log not truncated: $logCount files")
+      // …and reclaimed the retired fragments: only live data files stay
+      val dataFiles = Files.walk(Path.of(s"$rawPath/_graft_data"))
+        .iterator().asScala
+        .count(_.getFileName.toString.endsWith(".parquet"))
+      assert(dataFiles == 1 + 12, s"retired fragments not vacuumed: $dataFiles")
+    }
+    // a second sweep is a metadata-only no-op
+    assert(sweeper.sweep() == 0)
+  }
+
   test("YAML-configured incremental content tier through the monitor: " +
     "day 2's re-ingested near-dup is dropped against day 1's archive") {
     val root = Files.createTempDirectory("graft-e2e-inc").toString

@@ -514,6 +514,51 @@ class TableOpsSpec extends SparkTestBase {
       == Set(10L))
   }
 
+  test("[tx] truncateLog bounds _graft_log to O(checkpointEvery + kept " +
+    "checkpoints); history below the horizon fails cleanly") {
+    val root = Files.createTempDirectory("graft-wh15").toString
+    val wh = new TxWarehouse(root, checkpointEvery = 3)
+    val tablePath = wh.tablePath("m", "t")
+    // > 2 × checkpointEvery commits: v1..v13, checkpoints c3 c6 c9 c12
+    (1 to 13).foreach { i =>
+      wh.append(spark,
+        Seq((i.toLong, java.sql.Date.valueOf("2024-10-01"))).toDF("v", "date"),
+        tablePath)
+    }
+    val logDir = Path.of(s"$tablePath/_graft_log")
+    def logNames = Files.list(logDir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.endsWith(".txt")).toSeq.sorted
+    assert(logNames.length == 13 + 4)
+    // age guard: nothing young enough to have drained readers is touched
+    assert(wh.truncateLog(spark, tablePath,
+      minAgeMillis = 24L * 3600 * 1000) == 0L)
+    assert(logNames.length == 13 + 4)
+    // aged out (test clock: everything qualifies): horizon is the newest
+    // checkpoint leaving keepCheckpoints=2 at or above it → c9; deltas
+    // v1..v9 and checkpoints c3 c6 go, leaving c9 c12 v10..v13
+    assert(wh.truncateLog(spark, tablePath, keepCheckpoints = 2,
+      minAgeMillis = 0L) == 9L + 2L)
+    assert(logNames ==
+      Seq("c00000000000000000009.txt", "c00000000000000000012.txt",
+        "v00000000000000000010.txt", "v00000000000000000011.txt",
+        "v00000000000000000012.txt", "v00000000000000000013.txt"))
+    // live reads and retained time travel unaffected
+    assert(wh.read(spark, tablePath).count() == 13)
+    assert(wh.currentVersion(spark, tablePath) == 13L)
+    assert(wh.readAt(spark, tablePath, 9L).count() == 9)
+    // below the horizon: the clean "no version" failure HistoryTool
+    // degrades to an "archived" line on
+    intercept[IllegalArgumentException] { wh.readAt(spark, tablePath, 8L) }
+    // the table keeps working: the next append commits v14
+    wh.append(spark,
+      Seq((14L, java.sql.Date.valueOf("2024-10-01"))).toDF("v", "date"),
+      tablePath)
+    assert(wh.read(spark, tablePath).count() == 14)
+    // idempotent at the same horizon: re-run deletes nothing more
+    assert(wh.truncateLog(spark, tablePath, keepCheckpoints = 2,
+      minAgeMillis = 0L) == 0L)
+  }
+
   test("[tx] checkpoints bound replay cost and allow log truncation") {
     val root = Files.createTempDirectory("graft-wh10").toString
     val wh = new TxWarehouse(root, checkpointEvery = 3)
