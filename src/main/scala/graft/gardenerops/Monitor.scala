@@ -28,18 +28,28 @@ object Action {
 /** Polling monitor (reference: ops/ops.go:198-221 Watch + :107-124 claims +
   * :142-195 outcome dispatch). Every tick it snapshots the tracker, claims
   * each actionable job, and runs its action on a bounded pool. Claims
-  * guarantee one in-flight action per job; Retry outcomes release the claim
-  * after a backoff so a later tick re-runs the same state.
+  * live in the TRACKER (leased, named by `name`) so several monitor
+  * instances — including separate driver processes sharing a tracker
+  * service and one transactional warehouse — split the job stream
+  * instead of duplicating it; one in-flight action per job, and Retry
+  * outcomes release the claim after a backoff so a later tick re-runs
+  * the same state. `claimLeaseMillis` bounds how long a stalled/dead
+  * driver parks a job before another may take it over; a taken-over
+  * job's ORIGINAL runner may still commit late, which the warehouse's
+  * conflict detection fences into Retry (the multi-driver safety
+  * contract — see Tracker.claim).
   */
 final class Monitor(
     tracker: Tracker,
     actions: Seq[Action],
     retryMillis: Long = 120000,
     poolSize: Int = 8,
-    clock: () => Long = () => System.currentTimeMillis()
+    clock: () => Long = () => System.currentTimeMillis(),
+    name: String = "monitor",
+    claimLeaseMillis: Long = 600000
 ) {
   private val actionTable: Map[State, Action] = actions.map(a => a.from -> a).toMap
-  private val claims = new ConcurrentHashMap[String, java.lang.Long]()
+  private val running = new java.util.concurrent.atomic.AtomicInteger(0)
   private val retryNotBefore = new ConcurrentHashMap[String, java.lang.Long]()
   private val pool = Executors.newFixedThreadPool(poolSize, r => {
     val t = new Thread(r, "monitor-action"); t.setDaemon(true); t
@@ -55,7 +65,7 @@ final class Monitor(
         val nb = retryNotBefore.get(key)
         val backoffOk = nb == null || clock() >= nb
         if (backoffOk && action.condition(state, job) &&
-            claims.putIfAbsent(key, clock()) == null) {
+            tracker.claim(key, name, claimLeaseMillis)) {
           pool.submit(new Runnable {
             override def run(): Unit = applyAction(key, job, action)
           })
@@ -65,6 +75,7 @@ final class Monitor(
   }
 
   private def applyAction(key: String, job: Job, action: Action): Unit = {
+    running.incrementAndGet()
     val t0 = clock()
     val outcome = Try(action.run(job)) match {
       case TSuccess(o) => o
@@ -91,7 +102,8 @@ final class Monitor(
         retryNotBefore.remove(key)
         tracker.setStatus(key, State.Failed, detail): Unit
     }
-    claims.remove(key)
+    tracker.releaseClaim(key, name)
+    running.decrementAndGet(): Unit
   }
 
   /** Start the polling loop (reference poll period: 5 s in prod main). */
@@ -104,8 +116,8 @@ final class Monitor(
     () => { scheduler.shutdownNow(); pool.shutdown(); () }
   }
 
-  /** In-flight action count (claims held). */
-  def inFlight: Int = claims.size()
+  /** In-flight action count (this monitor's running actions). */
+  def inFlight: Int = running.get()
   def tickCount: Long = ticks
 }
 

@@ -91,6 +91,41 @@ final class Tracker(
     jobs = Codec.snapshotFromJson(json)
   }
 
+  // ---- claims: the at-most-one-runner-per-job lease (reference:
+  // ops/ops.go:107-124 keeps them inside the single monitor process;
+  // they live in the TRACKER here so multiple monitor/driver instances
+  // sharing one tracker — and one warehouse — split the work instead of
+  // duplicating it). Leases expire so a stalled or dead driver's job
+  // becomes re-claimable; expiry means a stale runner can still finish
+  // LATE (at-least-once), and correctness under that is the WAREHOUSE's
+  // job: its commit conflict detection fences the stale write into the
+  // Retry path (see MultiDriverE2ESpec). Claims are runtime coordination
+  // state — never part of the snapshot.
+  private val claims =
+    new java.util.concurrent.ConcurrentHashMap[String, (String, Long)]()
+
+  /** Atomically claim `key` for `owner` until the lease expires. True
+    * iff this call GRANTED the claim — a re-claim while any owner
+    * (including `owner` itself) holds an unexpired lease returns false,
+    * preserving single-flight per job within one monitor.
+    */
+  def claim(key: String, owner: String, leaseMillis: Long): Boolean = {
+    val now = clock()
+    var granted = false
+    claims.compute(key, (_, cur) =>
+      if (cur == null || cur._2 <= now) { granted = true; (owner, now + leaseMillis) }
+      else cur)
+    granted
+  }
+
+  /** Release `key` iff `owner` still holds it (a lease that expired and
+    * was re-claimed by another driver is left untouched).
+    */
+  def releaseClaim(key: String, owner: String): Unit = {
+    claims.computeIfPresent(key, (_, cur) => if (cur._1 == owner) null else cur)
+    ()
+  }
+
   /** Add a new job in Init state. Duplicate active jobs are rejected;
     * Failed/Complete duplicates are replaced (restart).
     */

@@ -36,7 +36,7 @@ class ConflictOutcomeSpec extends SparkTestBase {
     // the "other driver": commits a row for the same raw date between
     // this driver's planning read and its commit
     val wh = new RacingOverwriteWarehouse(root,
-      _.endsWith("/raw_exp/ndt7"), () => {
+      _.endsWith("/raw_exp/ndt7"), (_, _) => {
         val other = new TxWarehouse(root)
         other.append(spark, Seq(("zz", d, 99L)).toDF("id", "date", "v"),
           other.tablePath("raw_exp", "ndt7"))

@@ -15,7 +15,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * [[TxWarehouse]] (which stays final).
   */
 final class RacingOverwriteWarehouse(root: String,
-    racePath: String => Boolean, race: () => Unit) extends Warehouse {
+    racePath: String => Boolean, race: (String, LocalDate) => Unit)
+    extends Warehouse {
   private val inner = new TxWarehouse(root)
   val conflicts = new AtomicInteger(0)
   private val fired = new AtomicBoolean(false)
@@ -23,7 +24,7 @@ final class RacingOverwriteWarehouse(root: String,
   override def overwritePartition(spark: SparkSession, df: DataFrame,
       path: String, date: LocalDate): Long = {
     val expected = inner.liveOfDate(spark, path, date)
-    if (racePath(path) && fired.compareAndSet(false, true)) race()
+    if (racePath(path) && fired.compareAndSet(false, true)) race(path, date)
     try inner.overwritePartitionExpecting(spark, df, path, date, expected)
     catch {
       case e: ConcurrentCommitException =>
