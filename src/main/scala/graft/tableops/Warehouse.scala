@@ -31,8 +31,9 @@ import org.apache.spark.sql.functions._
   *    rewrite are metadata commits — a real DELETE, no staging swap, no
   *    window where the day's rows exist nowhere. Safe for multiple
   *    drivers: the version publish is link(2) on local filesystems and
-  *    atomic no-overwrite rename on HDFS (object stores would plug a
-  *    conditional-put committer into the same seam).
+  *    atomic no-overwrite rename on HDFS; object stores plug a
+  *    conditional-put committer into the [[LogPublisher]] seam, and
+  *    schemes with no registered publisher are rejected loudly.
   *
   * All operations take the table's physical path (from [[tablePath]]);
   * `date` is the partition grain, matching the reference's
@@ -112,6 +113,73 @@ trait Warehouse {
   */
 final class ConcurrentCommitException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
+
+/** The atomic exclusive publish behind every [[TxWarehouse]] commit:
+  * move a FULLY-WRITTEN temp file to `dest`, returning true iff THIS
+  * call created `dest` and false iff `dest` already existed (a racing
+  * commit won the version). The entire optimistic-concurrency story
+  * rests on the create-if-absent being atomic: of N concurrent
+  * publishes of one `dest`, exactly one may see true — a publisher that
+  * can silently overwrite (plain rename on raw object stores) would
+  * make the LOSING commit disappear, which is a lost update, not a
+  * retry. Publishers are selected per filesystem SCHEME; unknown
+  * schemes are rejected loudly rather than optimistically renamed —
+  * register a conditional-put ("if-none-match") implementation for an
+  * object store via [[LogPublisher.register]].
+  */
+trait LogPublisher {
+  def publish(f: FileSystem, tmp: Path, dest: Path): Boolean
+}
+
+object LogPublisher {
+
+  /** link(2) on local filesystems: fails EEXIST in the same syscall
+    * that creates `dest` — a check-then-rename would lose a racing
+    * commit because POSIX rename(2) OVERWRITES an existing destination
+    * (observed under the concurrent-writer stress spec).
+    */
+  object HardLink extends LogPublisher {
+    def publish(f: FileSystem, tmp: Path, dest: Path): Boolean = {
+      val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
+      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
+      try { java.nio.file.Files.createLink(destNio, tmpNio); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    }
+  }
+
+  /** HDFS-contract rename: atomic, and FAILS (returns false) on an
+    * existing destination. Correct only on filesystems honoring that
+    * contract (HDFS, viewfs) — never object stores.
+    */
+  object AtomicRename extends LogPublisher {
+    def publish(f: FileSystem, tmp: Path, dest: Path): Boolean =
+      if (f.exists(dest)) false else f.rename(tmp, dest)
+  }
+
+  private val byScheme =
+    new java.util.concurrent.ConcurrentHashMap[String, LogPublisher]()
+  register("file", HardLink)
+  register("hdfs", AtomicRename)
+  register("viewfs", AtomicRename)
+
+  /** Plug a publisher for a filesystem scheme (e.g. a conditional-put
+    * committer for `s3a`/`gs`). Later registrations win.
+    */
+  def register(scheme: String, p: LogPublisher): Unit = {
+    byScheme.put(scheme, p); ()
+  }
+
+  def forScheme(scheme: String): LogPublisher = {
+    val p = byScheme.get(scheme)
+    if (p == null) throw new IllegalArgumentException(
+      s"no atomic-commit publisher registered for filesystem scheme " +
+        s"'$scheme': a plain rename would silently OVERWRITE a racing " +
+        "commit (lost update) on stores without an atomic no-overwrite " +
+        "rename. Register a conditional-put LogPublisher for this " +
+        "scheme via LogPublisher.register before using TxWarehouse on it.")
+    p
+  }
+}
 
 object Warehouse {
   /** Default backend — plain partitioned-parquet directories. */
@@ -848,34 +916,20 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     f.mkdirs(logDir)
     if (f.exists(dest)) return false
     // full write to a temp name first, so a reader never sees a partial
-    // manifest; then publish with an atomic create-if-absent
+    // manifest; then publish with the scheme's atomic create-if-absent
+    // (link(2) locally, no-overwrite rename on HDFS, a registered
+    // conditional-put committer on object stores — see [[LogPublisher]];
+    // unknown schemes fail loudly there instead of losing a race)
+    val publisher = LogPublisher.forScheme(f.getScheme) // fail fast
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
-    if (f.getScheme == "file") {
-      // POSIX rename(2) OVERWRITES an existing destination, so a
-      // check-then-rename loses a racing commit (observed under the
-      // concurrent-writer stress spec). link(2) is the atomic
-      // exclusive publish on local filesystems: it fails EEXIST if the
-      // version was taken, in the same syscall that creates it.
-      val destNio = java.nio.file.Paths.get(dest.toUri.getPath)
-      val tmpNio = java.nio.file.Paths.get(tmp.toUri.getPath)
-      try {
-        java.nio.file.Files.createLink(destNio, tmpNio)
-        f.delete(tmp, false)
-        true
-      } catch {
-        case _: java.nio.file.FileAlreadyExistsException =>
-          f.delete(tmp, false); false
-      }
-    } else {
-      // HDFS rename is atomic and fails on an existing destination;
-      // object stores need their conditional-put committer here
-      if (f.exists(dest)) { f.delete(tmp, false); false }
-      else if (f.rename(tmp, dest)) true
-      else { f.delete(tmp, false); false }
-    }
+    val won = publisher.publish(f, tmp, dest)
+    // on a hard-link win or any loss the temp name still exists; a
+    // successful rename already consumed it (delete is then a no-op)
+    f.delete(tmp, false)
+    won
   }
 }
 
