@@ -514,6 +514,39 @@ class TableOpsSpec extends SparkTestBase {
       == Set(10L))
   }
 
+  test("[tx] readChangesBetween feeds incremental consumers: only the " +
+    "files that became live in the range, never a rescan") {
+    val root = Files.createTempDirectory("graft-wh16").toString
+    val wh = new TxWarehouse(root)
+    val path = wh.tablePath("m", "t")
+    def rows(d: String, vs: Long*) =
+      vs.map(v => (v, java.sql.Date.valueOf(d))).toDF("v", "date")
+    wh.append(spark, rows("2024-09-01", 1, 2), path)     // v1
+    wh.append(spark, rows("2024-09-02", 3), path)        // v2
+    // v3: dedup-style replace of 09-01 (retires v1's file, adds new)
+    wh.overwritePartition(spark, rows("2024-09-01", 10), path,
+      LocalDate.parse("2024-09-01"))
+    def changes(from: Long, to: Long): Set[Long] =
+      wh.readChangesBetween(spark, path, from, to)
+        .select("v").as[Long].collect().toSet
+    // pure append increment
+    assert(changes(1, 2) == Set(3L))
+    // replace increment: the rewritten partition's rows are the change;
+    // the retired rows are absent (no retraction semantics)
+    assert(changes(2, 3) == Set(10L))
+    // from 0 = the full table at `to`
+    assert(changes(0, 3) == Set(3L, 10L))
+    // a file added AND retired within the range never surfaces
+    assert(changes(0, 3) == changes(0, 3) -- Set(1L, 2L))
+    // empty increment reads as zero rows
+    assert(wh.readChangesBetween(spark, path, 3, 3).count() == 0)
+    // unresolvable endpoints fail with readAt's clean contract (log
+    // truncation lowers the reachable fromVersion the same way)
+    intercept[IllegalArgumentException] {
+      wh.readChangesBetween(spark, path, 1, 4)
+    }
+  }
+
   test("[tx] truncateLog bounds _graft_log to O(checkpointEvery + kept " +
     "checkpoints); history below the horizon fails cleanly") {
     val root = Files.createTempDirectory("graft-wh15").toString
