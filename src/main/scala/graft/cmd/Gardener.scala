@@ -94,6 +94,11 @@ object Gardener {
     def tableOp(f: TableOps => Unit): Job => Outcome =
       tableAction(spark, wh, dtSpecs)(f)
 
+    // claim-owner identity must be unique PER DRIVER PROCESS — two
+    // gardeners sharing a tracker under one name would shadow each
+    // other's leases
+    val driverName =
+      s"gardener-${java.util.UUID.randomUUID().toString.take(8)}"
     val monitor = new Monitor(tracker, StandardPipeline.actions(
       // the load action publishes its input volume as gardener_files /
       // gardener_bytes (reference: metrics/metrics.go:152-191) — the
@@ -109,7 +114,7 @@ object Gardener {
       copy = tableOp(ops => { ops.copyToRaw(); () }),
       delete = tableOp(_.deleteTmp()),
       join = tableOp(ops => { ops.join(); () })
-    ))
+    ), name = driverName)
     monitor.watch(config.pollingInterval.toMillis)
 
     // storage maintenance runs unattended alongside the pipeline:

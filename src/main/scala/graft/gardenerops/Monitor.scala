@@ -37,7 +37,11 @@ object Action {
   * driver parks a job before another may take it over; a taken-over
   * job's ORIGINAL runner may still commit late, which the warehouse's
   * conflict detection fences into Retry (the multi-driver safety
-  * contract — see Tracker.claim).
+  * contract — see Tracker.claim). Leases are deliberately NOT renewed
+  * while an action runs: a wedged action must not pin its job forever
+  * (liveness), and the duplicate run a takeover causes is safe — only
+  * wasteful — under the warehouse fencing. Size the lease above the
+  * slowest healthy action, not above the poll interval.
   */
 final class Monitor(
     tracker: Tracker,
@@ -46,7 +50,7 @@ final class Monitor(
     poolSize: Int = 8,
     clock: () => Long = () => System.currentTimeMillis(),
     name: String = "monitor",
-    claimLeaseMillis: Long = 600000
+    claimLeaseMillis: Long = 1800000
 ) {
   private val actionTable: Map[State, Action] = actions.map(a => a.from -> a).toMap
   private val running = new java.util.concurrent.atomic.AtomicInteger(0)

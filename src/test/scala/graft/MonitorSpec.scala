@@ -103,6 +103,30 @@ class MonitorSpec extends AnyFunSuite {
     assert(tk.getState()(j.key)._2.detail.contains("kaput"))
   }
 
+  test("tracker claims: grant, single-flight deny, lease expiry " +
+    "takeover, owner-scoped release") {
+    var now = 0L
+    val tk = new Tracker(new MemorySaver, cleanupMillis = 3600_000,
+      clock = () => now)
+    // grant to the first claimant
+    assert(tk.claim("j1", "a", 1000))
+    // denied to a second owner AND to the holder itself (single-flight)
+    assert(!tk.claim("j1", "b", 1000))
+    assert(!tk.claim("j1", "a", 1000))
+    // a stale owner's release is a no-op — the holder keeps the lease
+    tk.releaseClaim("j1", "b")
+    assert(!tk.claim("j1", "b", 1000))
+    // past the lease, another driver takes the job over
+    now += 1001
+    assert(tk.claim("j1", "b", 1000))
+    // the original owner's late release must not free b's lease
+    tk.releaseClaim("j1", "a")
+    assert(!tk.claim("j1", "c", 1000))
+    // the holder's release frees it immediately
+    tk.releaseClaim("j1", "b")
+    assert(tk.claim("j1", "c", 1000))
+  }
+
   test("claims: one in-flight action per job even with overlapping ticks") {
     val tk = new Tracker(new MemorySaver, cleanupMillis = 3600_000)
     val concurrent = new java.util.concurrent.atomic.AtomicInteger(0)
