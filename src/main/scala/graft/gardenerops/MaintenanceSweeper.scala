@@ -46,27 +46,34 @@ final class MaintenanceSweeper(
     */
   def sweep(): Int = {
     val state = tracker.getState().values.toSeq
-    val active = state.collect {
-      case (j, st) if !st.isDone => (j.datasets.raw, j.datatype, j.date)
-    }.toSet
     // one representative job per (datasets, datatype): the sweep reuses
     // the pipeline's own TableOps with the date swapped in
     val tables = state.map { case (j, _) => ((j.datasets, j.datatype), j) }.toMap
     var compacted = 0
     tables.values.foreach { j =>
       val rawPath = wh.tablePath(j.datasets.raw, j.datatype)
-      wh.dates(spark, rawPath).toSeq.sorted.foreach { d =>
-        if (!active.contains((j.datasets.raw, j.datatype, d))) {
-          // pre-check mirrors compactRaw's sizing (keep in lockstep) so
-          // an already-compacted date costs ONE metadata listing per
-          // sweep — no Spark job, no footer reads
+      // fragmentation screen: ONE metadata pass for the whole table
+      // (single manifest replay on tx); a date with ≤ 1 file can never
+      // need compaction, so the steady state costs no per-file stats
+      val counts = wh.partitionFileCounts(spark, rawPath)
+      counts.toSeq.sortBy(_._1).foreach { case (d, count) =>
+        if (count > 1 && !activeDate(j, d)) {
+          // size stats only for dates that passed the screen; mirrors
+          // compactRaw's sizing (keep in lockstep)
           val files = wh.partitionFiles(spark, rawPath, d)
           val nOut = math.max(1L, math.ceil(
             files.map(_._2).sum.toDouble / targetFileBytes).toLong)
-          if (files.length > nOut) {
+          // re-check the tracker RIGHT before touching the partition: a
+          // pipeline may have re-dispatched this date since the pass
+          // started (the historical sweep restarts completed dates).
+          // `exclusive` then closes the remaining window on the path
+          // backend — stage and publish under one write lock, so a copy
+          // landing between them cannot be clobbered by stale staged
+          // files; on tx the staged sidecar fences the publish instead
+          if (files.length > nOut && !activeDate(j, d)) {
             try {
               new TableOps(spark, j.copy(date = d), wh)
-                .compactRaw(targetFileBytes): Unit
+                .compactRaw(targetFileBytes, exclusive = true): Unit
               compacted += 1
             } catch { case _: ConcurrentCommitException => () }
           }
@@ -76,6 +83,16 @@ final class MaintenanceSweeper(
     }
     compacted
   }
+
+  /** Does the tracker CURRENTLY show an active (non-terminal) job for
+    * this table and date? Queried per date, immediately before acting —
+    * a pass-level snapshot would go stale over a long sweep.
+    */
+  private def activeDate(j: Job, d: java.time.LocalDate): Boolean =
+    tracker.getState().values.exists { case (job, st) =>
+      !st.isDone && job.datasets.raw == j.datasets.raw &&
+        job.datatype == j.datatype && job.date == d
+    }
 
   private def maintainTx(j: Job): Unit = wh match {
     case tx: TxWarehouse =>

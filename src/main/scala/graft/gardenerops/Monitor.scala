@@ -95,18 +95,38 @@ final class Monitor(
       (clock() - t0) / 1000.0)
     // Jobs can be expired/removed mid-action (ops/ops.go:176,210) — the
     // tracker update may fail; tolerate it.
+    //
+    // STALE-OUTCOME GUARD: if this runner's lease expired and the job
+    // was taken over, its late outcome must not overwrite the new
+    // runner's progress — a stale Failure would flip a since-completed
+    // job to terminal Failed, a stale Success would regress the state
+    // machine. Apply the outcome only if the job still sits in the
+    // state we ran FROM and no other driver holds the claim now. (The
+    // check-then-set window is narrow and best-effort by design — DATA
+    // correctness never rests on it; the warehouse's commit fencing
+    // does that. A dropped outcome just means the current claimant
+    // re-runs the idempotent action.)
+    val stale = !tracker.getState().get(key).exists(_._2.state == action.from) ||
+      tracker.claimedByOther(key, name)
     outcome match {
+      case _ if stale => ()
       case Outcome.Success(detail) =>
         retryNotBefore.remove(key)
         tracker.setStatus(key, action.next, detail): Unit
       case Outcome.Retry(detail) =>
         retryNotBefore.put(key, clock() + retryMillis)
+        // park the claim instead of releasing it: the backoff must hold
+        // across ALL drivers, not just this one's notBefore map
+        tracker.parkClaim(key, name, retryMillis)
         tracker.setDetail(key, s"retrying: $detail"): Unit
       case Outcome.Failure(detail) =>
         retryNotBefore.remove(key)
         tracker.setStatus(key, State.Failed, detail): Unit
     }
-    tracker.releaseClaim(key, name)
+    outcome match {
+      case Outcome.Retry(_) if !stale => () // claim stays parked
+      case _ => tracker.releaseClaim(key, name)
+    }
     running.decrementAndGet(): Unit
   }
 

@@ -63,8 +63,9 @@ object EventAnalytics {
   def funnel(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, steps: Seq[String]): DataFrame = {
     require(steps.nonEmpty, "at least one funnel step")
-    require(steps.distinct == steps, "funnel steps must be distinct")
     val timesAggs = steps.zipWithIndex.map { case (s, i) =>
+      // repeated step names are fine: identical arrays, and the
+      // strictly-after fold then requires a SECOND occurrence
       sort_array(collect_list(when(col(typeCol) === s, col(tsCol))))
         .as(s"__ts_$i")
     }
@@ -79,10 +80,17 @@ object EventAnalytics {
           else array_min(filter(col(s"__ts_$i"), x => x > acc.last))
         acc :+ t
     }
+    // a NULL user is a degenerate group: it can "enter" the funnel
+    // (step 0 counts events, SQL GROUP BY keeps the null group) but a
+    // null key can never chain a per-user SEQUENCE (equi-join semantics
+    // drop it from step 1 on) — the same contract as the equivalent
+    // per-step-join SQL, pinned by the oracle
+    def guarded(t: org.apache.spark.sql.Column, i: Int) =
+      if (i == 0) t else when(col(userCol).isNotNull, t)
     val counts = perUser.agg(
-      count(stepTimes.head).as("__c_0"),
+      count(guarded(stepTimes.head, 0)).as("__c_0"),
       stepTimes.tail.zipWithIndex.map { case (t, i) =>
-        count(t).as(s"__c_${i + 1}")
+        count(guarded(t, i + 1)).as(s"__c_${i + 1}")
       }: _*)
     counts.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
       struct(lit(i).as("step_idx"), lit(s).as("step"),

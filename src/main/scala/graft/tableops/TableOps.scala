@@ -108,8 +108,26 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     * observed a nonzero corrupt count — clean loads (the overwhelming
     * case) stay one pass, same plan as before.
     */
+  // The load APPEND is the one pipeline write without warehouse
+  // conflict fencing (replace semantics do not fit: a load may carry
+  // stray rows of other dates that must append, and the reference's
+  // model is WRITE_APPEND, cloud/bq/ops.go:130-155) — so a claim-lease
+  // takeover mid-load would double the day's rows, and exact duplicates
+  // survive the tie-keeping dedup. On the tx backend the append
+  // therefore carries a txn marker keyed by the job and the tmp table's
+  // version AT ENTRY: two drivers racing the SAME load capture the same
+  // entry version, exactly one commit advances the watermark to it, and
+  // the loser's append is a no-op (its files are vacuum orphans). A
+  // legitimate re-load (redo after deleteTmp) observes a later version
+  // and appends normally.
   def loadToTmp(glob: String, schema: Option[org.apache.spark.sql.types.StructType] = None): OpStats = {
     val CR = "_corrupt_record"
+    val txEntry: Option[(TxWarehouse, Long)] = wh match {
+      case tx: TxWarehouse =>
+        Some((tx, if (tx.exists(spark, tmpPath))
+          tx.currentVersion(spark, tmpPath) else 0L))
+      case _ => None
+    }
     def reader = spark.read
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX")
       .option("columnNameOfCorruptRecord", CR)
@@ -139,14 +157,22 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     // JSON carries date as a string; normalize to DateType partition column.
     val df = df0.withColumn("date", col("date").cast("date"))
     val obs = new org.apache.spark.sql.Observation()
-    wh.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
+    val appended = wh.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
       val observed = df.observe(obs, count(lit(1)).as("lines"),
         (if (hasCorrupt) count(col(CR))
          else count(when(lit(false), lit(1)))).as("corrupt"))
       val good = if (hasCorrupt) observed.filter(col(CR).isNull).drop(CR)
                  else observed
-      wh.append(spark, good, tmpPath)
+      txEntry match {
+        case Some((tx, v)) =>
+          tx.appendTxn(spark, good, tmpPath, s"load-${job.key}", batchId = v)
+        case None => wh.append(spark, good, tmpPath); true
+      }
     }
+    // a skipped duplicate may not have evaluated the plan at all (the
+    // winner's rows are in tmp; its quarantine pass ran too) — the
+    // Observation would block forever, so return before touching it
+    if (!appended) return OpStats(0, 0)
     val lines = obs.get("lines").asInstanceOf[Long]
     val corrupt = obs.get("corrupt").asInstanceOf[Long]
     if (corrupt > 0) {
@@ -366,8 +392,30 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     * and reclaimed by vacuum. No-op when the partition already has no
     * more files than the target layout.
     */
-  def compactRaw(targetFileBytes: Long = 128L * 1024 * 1024): OpStats = {
+  // `exclusive`: hold the table WRITE lock across the whole
+  // stage + publish instead of the dedup's read-then-write pattern. The
+  // pipeline's own rewrites may leave the stage→publish gap unlocked
+  // because monitor claims guarantee one in-flight action per job/date;
+  // OUT-OF-BAND compaction (the maintenance sweep) has no such
+  // guarantee on the path backend — a re-dispatched day's fresh copy
+  // landing in the gap would be clobbered by the stale staged files at
+  // publish. The tx backend needs no lock either way (the staged
+  // sidecar fences the publish); path-backend sweeps pay table-wide
+  // blocking for the compaction's duration, which is what maintenance
+  // windows are.
+  def compactRaw(targetFileBytes: Long = 128L * 1024 * 1024,
+      exclusive: Boolean = false): OpStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
+    // an exclusive run holds the write lock over stage AND publish (the
+    // inner read/write acquisitions below are reentrant under it)
+    if (exclusive)
+      wh.withTableLocks(reads = Nil, writes = Seq(rawPath)) {
+        compactRawBody(targetFileBytes)
+      }
+    else compactRawBody(targetFileBytes)
+  }
+
+  private def compactRawBody(targetFileBytes: Long): OpStats = {
     wh.recoverSelfReplace(spark, rawPath, job.date)
     val staged = wh.withTableLocks(reads = Seq(rawPath), writes = Nil) {
       // sizing comes from the PARTITION's file metadata, never the

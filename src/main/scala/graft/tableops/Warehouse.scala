@@ -88,6 +88,18 @@ trait Warehouse {
   def partitionFiles(spark: SparkSession, path: String,
       date: LocalDate): Seq[(String, Long)]
 
+  /** Live file COUNT per partition date from one metadata pass over the
+    * whole table — the maintenance sweep's fragmentation screen. Counts
+    * only: a date with ≤ 1 file can never need compaction, so per-file
+    * size stats are deferred to [[partitionFiles]] on the (rare) dates
+    * that pass the screen; the steady-state sweep of an already-compact
+    * table costs one listing (path backend) / one manifest replay (tx),
+    * never O(total files) stat calls. Empty when the table does not
+    * exist.
+    */
+  def partitionFileCounts(spark: SparkSession,
+      path: String): Map[LocalDate, Int]
+
   /** Crash recovery for an interrupted stage/publish of `date`. */
   def recoverSelfReplace(spark: SparkSession, path: String, date: LocalDate): Unit
 
@@ -298,6 +310,18 @@ final class PathWarehouse(val root: String) extends Warehouse {
     else f.listStatus(dir).toSeq.filter(_.isFile)
       .filterNot(_.getPath.getName.startsWith("_"))
       .map(st => (st.getPath.toString, st.getLen))
+  }
+
+  /** One listing per date directory, counts only (statuses come from
+    * the directory listing batch — no extra stat round trips).
+    */
+  def partitionFileCounts(spark: SparkSession,
+      path: String): Map[LocalDate, Int] = {
+    val f = fs(spark, path)
+    dates(spark, path).map { d =>
+      d -> f.listStatus(new Path(s"$path/date=$d"))
+        .count(st => st.isFile && !st.getPath.getName.startsWith("_"))
+    }.toMap
   }
 
   /** A crash between the swap's delete and rename leaves the partition
@@ -902,6 +926,15 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
         (p.toString, f.getFileStatus(p).getLen)
     }.toSeq
   }
+
+  /** ONE manifest replay for the whole table — the live map already
+    * carries every file's date.
+    */
+  def partitionFileCounts(spark: SparkSession,
+      path: String): Map[LocalDate, Int] =
+    state(spark, path)._2.values.groupBy(identity).flatMap { case (d, fs) =>
+      scala.util.Try(LocalDate.parse(d)).toOption.map(_ -> fs.size)
+    }
 
   /** Nothing to recover: uncommitted files are invisible by design. */
   def recoverSelfReplace(spark: SparkSession, path: String, date: LocalDate): Unit = ()

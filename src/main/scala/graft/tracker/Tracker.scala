@@ -126,6 +126,28 @@ final class Tracker(
     ()
   }
 
+  /** Convert a held claim into a backoff: NOBODY — the owner included —
+    * may re-claim the key until `backoffMillis` passes. This is the
+    * cross-driver form of Retry's stay-in-state delay: a driver-local
+    * not-before map would let OTHER drivers re-claim a just-conflicted
+    * job instantly and re-run the expensive action back-to-back. No-op
+    * if `owner` no longer holds the claim.
+    */
+  def parkClaim(key: String, owner: String, backoffMillis: Long): Unit = {
+    claims.computeIfPresent(key, (_, cur) =>
+      if (cur._1 == owner) (owner, clock() + backoffMillis) else cur)
+    ()
+  }
+
+  /** True iff someone OTHER than `owner` holds an unexpired claim on
+    * `key` — the stale-outcome guard: a runner whose lease was taken
+    * over must not write its outcome over the new runner's.
+    */
+  def claimedByOther(key: String, owner: String): Boolean = {
+    val cur = claims.get(key)
+    cur != null && cur._1 != owner && cur._2 > clock()
+  }
+
   /** Add a new job in Init state. Duplicate active jobs are rejected;
     * Failed/Complete duplicates are replaced (restart).
     */

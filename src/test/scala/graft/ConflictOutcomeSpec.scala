@@ -77,6 +77,38 @@ class ConflictOutcomeSpec extends SparkTestBase {
     assert(raw.select("id").as[String].collect().toSet == Set("m1", "m2"))
   }
 
+  test("a lease-takeover duplicate load commits exactly once: the tx " +
+    "append is txn-fenced on the entry version") {
+    val root = Files.createTempDirectory("graft-race3").toString
+    val src = Files.createTempDirectory("graft-race3-src")
+    java.nio.file.Files.write(src.resolve("part.json"), java.util.List.of(
+      """{"id":"m1","date":"2024-05-03","parser":{"Time":"2024-05-03T10:00:00Z"},"val":1}""",
+      """{"id":"m2","date":"2024-05-03","parser":{"Time":"2024-05-03T11:00:00Z"},"val":2}"""))
+    val wh = new TxWarehouse(root)
+    val date = LocalDate.parse("2024-05-03")
+    val job = Job("b", "exp", "ndt7", date,
+      datasets = Datasets("tmp_exp", "raw_exp", ""))
+    val glob = s"$src/*.json"
+    // the takeover shape: two drivers run the SAME load concurrently —
+    // both capture the same tmp-table entry version before either
+    // commits, so exactly one append may win
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val threads = (1 to 2).map { _ =>
+      new Thread(() => stats.add(
+        new graft.tableops.TableOps(spark, job, wh).loadToTmp(glob).rowsOut))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join(60000))
+    val tmpPath = wh.tablePath("tmp_exp", "ndt7")
+    assert(wh.readPartition(spark, tmpPath, date).count() == 2,
+      s"duplicate load doubled the partition (stats: ${stats.toArray.toSeq})")
+    assert(stats.toArray.toSeq.map(_.asInstanceOf[Long]).sorted == Seq(0L, 2L))
+    // a legitimate redo after deleteTmp observes a later version and loads
+    val ops = new graft.tableops.TableOps(spark, job, wh)
+    ops.deleteTmp()
+    assert(ops.loadToTmp(glob).rowsOut == 2L)
+    assert(wh.readPartition(spark, tmpPath, date).count() == 2)
+  }
+
   test("publish-time conflicts carry the dedicated retryable type " +
     "(commitReplace throws ConcurrentCommitException, not a generic CME)") {
     val root = Files.createTempDirectory("graft-race2").toString

@@ -573,6 +573,28 @@ class ExtensionsSpec extends SparkTestBase {
     // 3 viewed; u2's click precedes its view, so only u1+u3 convert;
     // only u3 purchases after a qualifying click
     assert(f == Seq((0, "view", 3L), (1, "click", 2L), (2, "purchase", 1L)))
+
+    // repeated steps: "view → view" needs a SECOND view strictly after
+    // the first — u1 and u3 have one view each, u2 has exactly one too,
+    // so only a user with 2+ views converts (none here); add one
+    val ev2 = ev.union(Seq(("u3", ts("2024-01-05 09:30:00"), "view"))
+      .toDF("user_id", "ts", "event_type"))
+    val fr = EventAnalytics.funnel(ev2, "user_id", "ts", "event_type",
+      Seq("view", "view"))
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(fr == Seq((0, "view", 3L), (1, "view", 1L)))
+
+    // a NULL user can enter the funnel (step 0, SQL GROUP BY keeps the
+    // null group) but never chains a per-user sequence (equi-join
+    // semantics from step 1 on) — the oracle SQL's exact behavior
+    val evNull = ev.union(Seq(
+      (null.asInstanceOf[String], ts("2024-01-06 09:00:00"), "view"),
+      (null.asInstanceOf[String], ts("2024-01-06 10:00:00"), "click"))
+      .toDF("user_id", "ts", "event_type"))
+    val fn = EventAnalytics.funnel(evNull, "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(fn == Seq((0, "view", 4L), (1, "click", 2L), (2, "purchase", 1L)))
   }
 
   test("CSV round trip is lossless on every adversarial string shape") {

@@ -127,6 +127,39 @@ class MonitorSpec extends AnyFunSuite {
     assert(tk.claim("j1", "c", 1000))
   }
 
+  test("a taken-over runner's stale outcome is dropped: a late Failure " +
+    "cannot fail a job another driver already advanced") {
+    var now = 0L
+    val tk = new Tracker(new MemorySaver, cleanupMillis = 3600_000,
+      clock = () => now)
+    val latch = new java.util.concurrent.CountDownLatch(1)
+    val slowFail = Action.unconditional(State.Loading,
+      _ => { latch.await(); Outcome.Failure("late boom") },
+      State.Deduplicating)
+    val a = new Monitor(tk, Seq(slowFail), clock = () => now,
+      name = "driver-a", claimLeaseMillis = 1000)
+    val j = mkJob("ndt7")
+    tk.addJob(j); tk.setStatus(j.key, State.Loading)
+    a.tick() // a claims and blocks inside the action
+    val spin = System.currentTimeMillis() + 5000
+    while (a.inFlight == 0 && System.currentTimeMillis() < spin)
+      Thread.sleep(5)
+    assert(a.inFlight == 1)
+    // lease expires; driver b takes the job over and completes the state
+    now += 1001
+    assert(tk.claim(j.key, "driver-b", 1000))
+    tk.setStatus(j.key, State.Deduplicating)
+    tk.releaseClaim(j.key, "driver-b")
+    // a's action resumes and fails — the stale outcome must be dropped
+    latch.countDown()
+    val spin2 = System.currentTimeMillis() + 5000
+    while (a.inFlight > 0 && System.currentTimeMillis() < spin2)
+      Thread.sleep(5)
+    assert(a.inFlight == 0)
+    assert(tk.getState()(j.key)._2.state == State.Deduplicating)
+    assert(!tk.getState()(j.key)._2.history.exists(_.state == State.Failed))
+  }
+
   test("claims: one in-flight action per job even with overlapping ticks") {
     val tk = new Tracker(new MemorySaver, cleanupMillis = 3600_000)
     val concurrent = new java.util.concurrent.atomic.AtomicInteger(0)

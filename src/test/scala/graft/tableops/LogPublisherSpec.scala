@@ -29,6 +29,16 @@ class FakeObjectStoreFileSystem extends RawLocalFileSystem {
     super.listStatus(f).map(solid)
 }
 
+/** A second fake scheme that NOTHING ever registers a publisher for —
+  * the rejection test's scheme must stay unregistered regardless of
+  * test order (the routing test permanently registers `fakeobj` in the
+  * process-global registry).
+  */
+class UnpublishableFileSystem extends FakeObjectStoreFileSystem {
+  override def getScheme: String = "fakeobj2"
+  override def getUri: URI = URI.create("fakeobj2:///")
+}
+
 /** The object-store publish seam (VERDICT r8 #6): tryCommit used to
   * assume atomic no-overwrite rename for every non-`file` scheme — true
   * on HDFS, silently WRONG on raw object stores. Now the publisher is
@@ -37,23 +47,25 @@ class FakeObjectStoreFileSystem extends RawLocalFileSystem {
 class LogPublisherSpec extends graft.SparkTestBase {
   import spark.implicits._
 
-  private def fakeRoot(): String = {
-    spark.sparkContext.hadoopConfiguration.set("fs.fakeobj.impl",
-      classOf[FakeObjectStoreFileSystem].getName)
+  private def fakeRoot(scheme: String, cls: Class[_]): String = {
+    spark.sparkContext.hadoopConfiguration.set(s"fs.$scheme.impl",
+      cls.getName)
     // RawLocalFileSystem paths are plain local paths under the scheme
-    "fakeobj:" + Files.createTempDirectory("graft-fakeobj").toString
+    s"$scheme:" + Files.createTempDirectory(s"graft-$scheme").toString
   }
 
   test("a scheme with no registered publisher is rejected loudly at the " +
     "first commit — never optimistically renamed") {
-    val root = fakeRoot()
+    // fakeobj2 is NEVER registered by anything, so this test holds in
+    // any order relative to the routing test below
+    val root = fakeRoot("fakeobj2", classOf[UnpublishableFileSystem])
     val wh = new TxWarehouse(root)
     val path = wh.tablePath("m", "t")
     val e = intercept[IllegalArgumentException] {
       wh.append(spark,
         Seq((1L, java.sql.Date.valueOf("2024-06-01"))).toDF("v", "date"), path)
     }
-    assert(e.getMessage.contains("fakeobj"))
+    assert(e.getMessage.contains("fakeobj2"))
     assert(e.getMessage.contains("conditional-put"))
     // nothing was committed
     assert(wh.currentVersion(spark, path) == 0L)
@@ -61,7 +73,7 @@ class LogPublisherSpec extends graft.SparkTestBase {
 
   test("a registered conditional-put publisher routes the commit and the " +
     "table works end-to-end on the foreign scheme") {
-    val root = fakeRoot()
+    val root = fakeRoot("fakeobj", classOf[FakeObjectStoreFileSystem])
     val used = new AtomicInteger(0)
     // a stand-in conditional put: exists-check + rename is fine on the
     // LOCAL store backing the fake scheme; the point under test is the

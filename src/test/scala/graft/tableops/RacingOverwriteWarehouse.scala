@@ -55,6 +55,9 @@ final class RacingOverwriteWarehouse(root: String,
   def partitionFiles(spark: SparkSession, path: String,
       date: LocalDate): Seq[(String, Long)] =
     inner.partitionFiles(spark, path, date)
+  def partitionFileCounts(spark: SparkSession,
+      path: String): Map[LocalDate, Int] =
+    inner.partitionFileCounts(spark, path)
   def recoverSelfReplace(spark: SparkSession, path: String,
       date: LocalDate): Unit = inner.recoverSelfReplace(spark, path, date)
   def recoverAllSelfReplace(spark: SparkSession, path: String): Unit =
