@@ -19,6 +19,13 @@ import graft.tracker.Tracker
   *   GET  /alive, /ready    → 200
   *   GET  /status           → text job table
   *
+  * Plus the claim routes this engine adds for cross-PROCESS drivers
+  * (the reference keeps claims inside its single monitor process):
+  *
+  *   POST /v2/claim/take    ?id&owner[&lease_ms] → 200 granted | 409 held
+  *   POST /v2/claim/release ?id&owner → 200
+  *   POST /v2/claim/park    ?id&owner[&backoff_ms] → 200
+  *
   * Non-POST on the job routes → 405; missing id → 422 Unprocessable
   * Entity; missing state/error → 424 Failed Dependency; unknown job →
   * 410 Gone (so parsers drop it). Any state string is accepted, as in the
@@ -99,6 +106,50 @@ final class JobsApi(tracker: Tracker, jobService: JobService, port: Int = 0) {
           case Right(_) => respond(ex, 200, "ok")
           case Left(_) => respond(ex, 410, "unknown job")
         }
+    }
+  })
+
+  // ---- claim routes: the tracker's leased claims over HTTP, so driver
+  // processes that DON'T share this JVM coordinate through the same
+  // at-most-one-runner protocol the in-process monitors use (see
+  // Tracker.claim — grant/deny is atomic there; these routes only
+  // transport it). take → 200 granted / 409 held by an unexpired lease;
+  // release and park are owner-fenced no-ops when not held.
+  server.createContext("/v2/claim/take", ex => requirePost(ex) {
+    val p = formParams(ex)
+    (p.get("id").filter(_.nonEmpty), p.get("owner").filter(_.nonEmpty)) match {
+      case (None, _) => respond(ex, 422, "id required")
+      case (_, None) => respond(ex, 424, "owner required")
+      case (Some(id), Some(owner)) =>
+        if (!tracker.getState().contains(id)) respond(ex, 410, "unknown job")
+        else {
+          val lease = p.get("lease_ms").flatMap(_.toLongOption)
+            .getOrElse(1800000L)
+          if (tracker.claim(id, owner, lease)) respond(ex, 200, "granted")
+          else respond(ex, 409, "held")
+        }
+    }
+  })
+
+  server.createContext("/v2/claim/release", ex => requirePost(ex) {
+    val p = formParams(ex)
+    (p.get("id").filter(_.nonEmpty), p.get("owner").filter(_.nonEmpty)) match {
+      case (None, _) => respond(ex, 422, "id required")
+      case (_, None) => respond(ex, 424, "owner required")
+      case (Some(id), Some(owner)) =>
+        tracker.releaseClaim(id, owner); respond(ex, 200, "ok")
+    }
+  })
+
+  server.createContext("/v2/claim/park", ex => requirePost(ex) {
+    val p = formParams(ex)
+    (p.get("id").filter(_.nonEmpty), p.get("owner").filter(_.nonEmpty)) match {
+      case (None, _) => respond(ex, 422, "id required")
+      case (_, None) => respond(ex, 424, "owner required")
+      case (Some(id), Some(owner)) =>
+        val backoff = p.get("backoff_ms").flatMap(_.toLongOption)
+          .getOrElse(120000L)
+        tracker.parkClaim(id, owner, backoff); respond(ex, 200, "ok")
     }
   })
 

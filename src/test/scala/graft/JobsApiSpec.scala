@@ -161,4 +161,29 @@ class JobsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(c.error(id, "boom") == c.Ok)
     assert(tracker.getState()(id)._2.state == State.ParseError)
   }
+
+  test("claim routes: cross-process drivers coordinate leases over HTTP") {
+    val j = Job("bkt", "ndt", "ndt7", LocalDate.parse("2024-04-01"),
+      datasets = Datasets("t", "r", ""))
+    assert(tracker.addJob(j).isRight)
+    val id = java.net.URLEncoder.encode(j.key, "UTF-8")
+    // grant, then deny while held
+    assert(post("/v2/claim/take", s"id=$id&owner=a&lease_ms=60000")
+      .statusCode() == 200)
+    assert(post("/v2/claim/take", s"id=$id&owner=b").statusCode() == 409)
+    // release is owner-fenced: b cannot free a's lease
+    assert(post("/v2/claim/release", s"id=$id&owner=b").statusCode() == 200)
+    assert(post("/v2/claim/take", s"id=$id&owner=b").statusCode() == 409)
+    // park keeps everyone (owner included) out for the backoff
+    assert(post("/v2/claim/park", s"id=$id&owner=a&backoff_ms=60000")
+      .statusCode() == 200)
+    assert(post("/v2/claim/take", s"id=$id&owner=a").statusCode() == 409)
+    // the holder's release frees it for another driver
+    assert(post("/v2/claim/release", s"id=$id&owner=a").statusCode() == 200)
+    assert(post("/v2/claim/take", s"id=$id&owner=b").statusCode() == 200)
+    // hygiene mirrors the job routes: 410 unknown, 422/424 params
+    assert(post("/v2/claim/take", "id=nope&owner=x").statusCode() == 410)
+    assert(post("/v2/claim/take", "owner=x").statusCode() == 422)
+    assert(post("/v2/claim/take", s"id=$id").statusCode() == 424)
+  }
 }
