@@ -75,6 +75,20 @@ object Bench {
     // the min. Queries that needed the rerun are reported under
     // "contended" so a hot host is visible IN the artifact instead of
     // masquerading as a plan regression.
+    // Hypervisor-steal sentinel: load_avg only sees THIS VM's runnable
+    // threads — a noisy neighbor on the host shows up as CPU ticks
+    // stolen from the guest (uniform 1.3-1.5x inflation across every
+    // query, observed round 9), readable only from /proc/stat's steal
+    // column. Sample it across the run and report steal_pct so a
+    // hot-host artifact is distinguishable from a plan regression.
+    def stealAndTotalTicks(): (Long, Long) =
+      scala.util.Try {
+        val cols = scala.io.Source.fromFile("/proc/stat").getLines()
+          .next().trim.split("\\s+").drop(1).map(_.toLong)
+        (if (cols.length > 7) cols(7) else 0L, cols.sum)
+      }.getOrElse((0L, 0L))
+    val (steal0, ticks0) = stealAndTotalTicks()
+
     val contended = scala.collection.mutable.ListBuffer[String]()
     val results: Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -98,8 +112,13 @@ object Bench {
     val loadAvg = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val cont = contended.distinct.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val (steal1, ticks1) = stealAndTotalTicks()
+    val stealPct =
+      if (ticks1 > ticks0) 100.0 * (steal1 - steal0) / (ticks1 - ticks0)
+      else 0.0
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
-      s""""queries":$qs,"sf":"$sfDir","load_avg":$loadAvg,"contended":$cont}"""
+      s""""queries":$qs,"sf":"$sfDir","load_avg":$loadAvg,""" +
+      f""""steal_pct":$stealPct%.1f,"contended":$cont}"""
     println(json)
     // The stdout line alone has twice been clipped/unparsable in the
     // official per-round capture (BENCH_r06/r07 "parsed": null); the file
