@@ -49,6 +49,18 @@ trait Warehouse {
   def readPartition(spark: SparkSession, path: String, date: LocalDate): DataFrame =
     read(spark, path).filter(col("date") === lit(java.sql.Date.valueOf(date)))
 
+  /** Predicate read. The base contract is just `read().filter` — the tx
+    * backend overrides it with FILE-LEVEL data skipping from the per-file
+    * stats its manifest records ([[FileStats]]): files whose min/max
+    * prove the predicate cannot match are never opened, so a range query
+    * on a clustered column costs O(overlapping files), not O(table).
+    * Always equivalent to the unpruned read — skipping is a proof of
+    * emptiness, never a guess.
+    */
+  def readWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    read(spark, path).filter(predicate)
+
   def exists(spark: SparkSession, path: String): Boolean
 
   /** Distinct partition dates of the table, from METADATA only
@@ -428,23 +440,33 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   private def fs(spark: SparkSession, path: String): FileSystem =
     new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def parseInto(text: String, live0: Map[String, String],
-      txns0: Map[String, Long]): (Map[String, String], Map[String, Long]) = {
-    var live = live0
-    var txns = txns0
+  private def parseInto(text: String, st0: TxState): TxState = {
+    var live = st0.live
+    var txns = st0.txns
+    var stats = st0.stats
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       if (line.startsWith("A ")) {
         val rest = line.substring(2)
         val sp = rest.indexOf(' ')
         live += (rest.substring(sp + 1) -> rest.substring(0, sp))
       } else if (line.startsWith("R ")) {
-        live -= line.substring(2)
+        val rel = line.substring(2)
+        live -= rel
+        stats -= rel
       } else if (line.startsWith("T ")) {
         val Array(app, batch) = line.substring(2).split(' ')
         txns += (app -> math.max(batch.toLong, txns.getOrElse(app, -1L)))
+      } else if (line.startsWith("S ")) {
+        // `S <payload> <rel>`: payload first (it never contains spaces,
+        // rel may). Unknown line types are skipped above — old readers
+        // of a stats-bearing log would do the same, and stats-less logs
+        // simply never prune.
+        val rest = line.substring(2)
+        val sp = rest.indexOf(' ')
+        if (sp > 0) stats += (rest.substring(sp + 1) -> rest.substring(0, sp))
       }
     }
-    (live, txns)
+    TxState(live, txns, stats)
   }
 
   /** Log replay up to `upTo`: (latest version, live rel-file →
@@ -460,31 +482,30 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     * every read.
     */
   private def replay(spark: SparkSession, path: String,
-      upTo: Long = Long.MaxValue): (Long, Map[String, String], Map[String, Long]) = {
+      upTo: Long = Long.MaxValue): (Long, TxState) = {
     val f = fs(spark, path)
     val logDir = new Path(s"$path/$LogDir")
-    if (!f.exists(logDir)) return (0L, Map.empty, Map.empty)
+    if (!f.exists(logDir)) return (0L, TxState.empty)
     val names = f.listStatus(logDir).map(_.getPath.getName)
     def num(name: String) = name.substring(1, 21).toLong
     val cp = names.filter(_.matches("c\\d{20}\\.txt")).filter(num(_) <= upTo)
       .sorted.lastOption
     val cpVersion = cp.map(num).getOrElse(0L)
-    var live = Map.empty[String, String]
-    var txns = Map.empty[String, Long]
+    var st = TxState.empty
     cp.foreach { name =>
       val in = f.open(new Path(logDir, name))
       val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
-      val r = parseInto(text, live, txns); live = r._1; txns = r._2
+      st = parseInto(text, st)
     }
     val versions = names.filter(_.matches("v\\d{20}\\.txt"))
       .filter(n => num(n) > cpVersion && num(n) <= upTo).sorted
     versions.foreach { name =>
       val in = f.open(new Path(logDir, name))
       val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
-      val r = parseInto(text, live, txns); live = r._1; txns = r._2
+      st = parseInto(text, st)
     }
     val v = versions.lastOption.map(num).getOrElse(cpVersion)
-    (v, live, txns)
+    (v, st)
   }
 
   /** Write the full-state checkpoint for `version`. Derived data — but
@@ -496,9 +517,11 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     * another writer's identical checkpoint is a no-op.
     */
   private def writeCheckpoint(f: FileSystem, path: String, version: Long,
-      live: Map[String, String], txns: Map[String, Long]): Unit = {
-    val lines = live.toSeq.sorted.map { case (rel, d) => s"A $d $rel" } ++
-      txns.toSeq.sorted.map { case (app, b) => s"T $app $b" }
+      st: TxState): Unit = {
+    val lines = st.live.toSeq.sorted.map { case (rel, d) => s"A $d $rel" } ++
+      st.live.keys.toSeq.sorted.flatMap(rel =>
+        st.stats.get(rel).map(p => s"S $p $rel")) ++
+      st.txns.toSeq.sorted.map { case (app, b) => s"T $app $b" }
     tryCommit(f, path, new Path(s"$path/$LogDir", f"c$version%020d.txt"),
       lines): Unit
   }
@@ -506,8 +529,8 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   private def maybeCheckpoint(spark: SparkSession, path: String,
       version: Long): Unit =
     if (version % checkpointEvery == 0) {
-      val (v, live, txns) = replay(spark, path, upTo = version)
-      if (v == version) writeCheckpoint(fs(spark, path), path, version, live, txns)
+      val (v, st) = replay(spark, path, upTo = version)
+      if (v == version) writeCheckpoint(fs(spark, path), path, version, st)
     }
 
   /** (latest version ≤ upTo, live rel-file → date-string at that
@@ -515,13 +538,13 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     */
   private def state(spark: SparkSession, path: String,
       upTo: Long = Long.MaxValue): (Long, Map[String, String]) = {
-    val (v, live, _) = replay(spark, path, upTo)
-    (v, live)
+    val (v, st) = replay(spark, path, upTo)
+    (v, st.live)
   }
 
   /** Highest batch id committed under `appId`, or -1. */
   def lastTxn(spark: SparkSession, path: String, appId: String): Long =
-    replay(spark, path)._3.getOrElse(appId, -1L)
+    replay(spark, path)._2.txns.getOrElse(appId, -1L)
 
   /** Idempotent append for streaming micro-batches (the txn-marker
     * pattern a Delta sink uses): the commit carries `T appId batchId`,
@@ -541,10 +564,9 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val f = fs(spark, path)
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
-      val (v, _, txns) = replay(spark, path)
-      if (txns.getOrElse(appId, -1L) >= batchId) return false
-      val lines = adds.map { case (rel, d) => s"A $d $rel" } :+
-        s"T $appId $batchId"
+      val (v, st) = replay(spark, path)
+      if (st.txns.getOrElse(appId, -1L) >= batchId) return false
+      val lines = addLines(adds) :+ s"T $appId $batchId"
       if (tryCommit(f, path, v + 1, lines)) {
         maybeCheckpoint(spark, path, v + 1); return true
       }
@@ -713,6 +735,51 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     readFiles(spark, path, live.keys)
   }
 
+  /** Stats-pruned predicate read (manifest-level data skipping): every
+    * live file whose recorded min/max PROVE the predicate cannot match
+    * is dropped before Spark lists a single footer; the predicate then
+    * still applies as a row filter (and pushes into the kept files'
+    * row groups as usual). Files without stats — committed before the
+    * stats layer, or with unreadable footers — are always kept, so the
+    * result is identical to `read().filter` by construction. One
+    * contract nuance under schema evolution: the result's MERGED schema
+    * is that of the kept files, so a column that only exists in pruned
+    * files won't appear (its values would have been all-null anyway);
+    * a predicate that cannot even resolve against the kept subset falls
+    * back to the unpruned read. At archive scale this is the read path
+    * a range query wants: cost follows the files that OVERLAP the
+    * predicate (tight after clustered compaction), not the table's
+    * total file count.
+    */
+  override def readWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): DataFrame = {
+    val (_, st) = replay(spark, path)
+    require(st.live.nonEmpty || exists(spark, path), s"no such table: $path")
+    val pred = org.apache.spark.sql.graftshim.PredicateBridge.normalize(predicate)
+    val kept = st.live.keys.filter { rel =>
+      st.stats.get(rel).flatMap(FileStats.decode) match {
+        case Some(payload) => FileStats.mayMatch(payload, pred)
+        case None => true
+      }
+    }.toSeq.sorted
+    if (kept.isEmpty)
+      // preserve the table's merged schema without opening data: the
+      // false filter folds to an empty relation at optimization time
+      readFiles(spark, path, st.live.keys).filter(lit(false))
+    else
+      try readFiles(spark, path, kept).filter(predicate)
+      catch {
+        // the predicate references a column every KEPT file lacks (e.g.
+        // IsNull on a schema-evolved column, which keeps exactly the
+        // files without it) — without a table-level schema in the
+        // manifest the filter can't resolve against the pruned subset,
+        // so fall back to the unpruned read; correctness first, the
+        // skipping is only ever an optimization
+        case _: org.apache.spark.sql.AnalysisException =>
+          read(spark, path).filter(predicate)
+      }
+  }
+
   /** Partition pruning happens at the MANIFEST — only `date`'s files are
     * opened (no footer reads of other days); the row filter stays as a
     * belt for mixed-date files (which [[append]] never produces).
@@ -736,23 +803,29 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
 
   /** Write `df`'s rows as immutable files under a fresh uuid dir, split
     * one-file-per-date via the duplicated `__p_date` dir column.
-    * Returns the written (relpath, date) manifest entries — NOT yet
-    * committed.
+    * Returns the written (relpath, date, stats) manifest entries — NOT
+    * yet committed.
     */
   private def writeData(spark: SparkSession, df: DataFrame, path: String):
-      (Seq[(String, String)], String) = {
+      (Seq[AddEntry], String) = {
     val dir = s"$DataDir/${UUID.randomUUID()}"
     df.withColumn(PartCol, col("date").cast("string"))
       .write.partitionBy(PartCol).parquet(s"$path/$dir")
     (listData(spark, path, dir), dir)
   }
 
-  /** (relpath, date) of every parquet file under `path`/`dir`. */
+  /** (relpath, date, footer stats) of every parquet file under
+    * `path`/`dir`. The stats harvest is a FOOTER read per file on the
+    * driver — bounded by the write's own file count, metadata-only, and
+    * the price of [[readWhere]]'s skipping; a file whose footer won't
+    * yield stats simply commits without an `S` line (never pruned).
+    */
   private def listData(spark: SparkSession, path: String, dir: String):
-      Seq[(String, String)] = {
+      Seq[AddEntry] = {
     val f = fs(spark, path)
+    val conf = spark.sparkContext.hadoopConfiguration
     val it = f.listFiles(new Path(s"$path/$dir"), true)
-    val out = scala.collection.mutable.ListBuffer[(String, String)]()
+    val out = scala.collection.mutable.ListBuffer[AddEntry]()
     val prefix = f.makeQualified(new Path(path)).toString + "/"
     while (it.hasNext) {
       val st = it.next()
@@ -763,11 +836,18 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
           case seg if seg.startsWith(s"$PartCol=") =>
             seg.stripPrefix(s"$PartCol=")
         }.getOrElse("")
-        out += ((rel, date))
+        out += AddEntry(rel, date, FileStats.harvest(conf, st.getPath))
       }
     }
     out.toList
   }
+
+  /** Manifest lines for a set of adds: `A` entries plus an `S` stats
+    * line per file that yielded one.
+    */
+  private def addLines(adds: Seq[AddEntry]): Seq[String] =
+    adds.map(a => s"A ${a.date} ${a.rel}") ++
+      adds.flatMap(a => a.stats.map(p => s"S $p ${a.rel}"))
 
   def append(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val (adds, _) = writeData(spark, df, path)
@@ -809,7 +889,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   }
 
   private def commitReplace(spark: SparkSession, path: String,
-      date: LocalDate, adds: Seq[(String, String)],
+      date: LocalDate, adds: Seq[AddEntry],
       expected: Set[String]): Unit = {
     val f = fs(spark, path)
     var attempts = 0
@@ -830,8 +910,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
             s"planned (expected ${expected.size} files, found " +
             s"${current.size}) — a concurrent writer committed; re-run " +
             "against fresh state")
-      val lines = adds.map { case (rel, d) => s"A $d $rel" } ++
-        current.toSeq.sorted.map(r => s"R $r")
+      val lines = addLines(adds) ++ current.toSeq.sorted.map(r => s"R $r")
       if (tryCommit(f, path, v + 1, lines)) {
         maybeCheckpoint(spark, path, v + 1); return
       }
@@ -955,15 +1034,14 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     * collision. `mk` returns (adds as (rel, date), removes as rel).
     */
   private def commitRetry(spark: SparkSession, path: String)(
-      mk: Map[String, String] => (Seq[(String, String)], Seq[String])): Unit = {
+      mk: Map[String, String] => (Seq[AddEntry], Seq[String])): Unit = {
     val f = fs(spark, path)
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       val (v, live) = state(spark, path)
       val (adds, removes) = mk(live)
       if (adds.isEmpty && removes.isEmpty) return
-      val lines = adds.map { case (rel, d) => s"A $d $rel" } ++
-        removes.map(r => s"R $r")
+      val lines = addLines(adds) ++ removes.map(r => s"R $r")
       if (tryCommit(f, path, v + 1, lines)) {
         maybeCheckpoint(spark, path, v + 1); return
       }
@@ -1007,4 +1085,18 @@ object TxWarehouse {
   private val PartCol = "__p_date"
   private val ExpectedSidecar = "_expected_removes.txt"
   private val MaxCommitAttempts = 50
+
+  /** Replayed manifest state: live rel-file → date, per-writer txn
+    * watermarks, and per-file stats payloads (files without stats —
+    * pre-stats commits, unreadable footers — are simply absent).
+    */
+  private final case class TxState(live: Map[String, String],
+      txns: Map[String, Long], stats: Map[String, String])
+  private object TxState {
+    val empty: TxState = TxState(Map.empty, Map.empty, Map.empty)
+  }
+
+  /** One to-be-committed file: manifest `A` entry + optional `S` stats. */
+  private final case class AddEntry(rel: String, date: String,
+      stats: Option[String])
 }
