@@ -65,10 +65,15 @@ object CompactTool {
     val Array(whRoot, datatype, date, raw) = args.take(4)
     val targetMB = if (args.length > 4) args(4).toLong else 128L
     val backend = if (args.length > 5) args(5) else "path"
+    // optional 7th arg: comma-separated cluster-by columns for a
+    // range-clustered rewrite (stats-selective layout, see compactRaw)
+    val clusterBy =
+      if (args.length > 6) args(6).split(',').toSeq.filter(_.nonEmpty)
+      else Nil
     val ops = new TableOps(ToolSession.spark(),
       ToolSession.job(datatype, date, "tmp_cli", raw, ""),
       Warehouse.forName(backend, whRoot))
-    val stats = ops.compactRaw(targetMB * 1024 * 1024)
+    val stats = ops.compactRaw(targetMB * 1024 * 1024, clusterBy = clusterBy)
     println(s"compacted ${stats.detail}")
   }
 }

@@ -39,7 +39,12 @@ final class MaintenanceSweeper(
     wh: Warehouse,
     tracker: Tracker,
     targetFileBytes: Long = 128L * 1024 * 1024,
-    minAgeMillis: Long = 7L * 24 * 3600 * 1000) {
+    minAgeMillis: Long = 7L * 24 * 3600 * 1000,
+    // per-DATATYPE cluster-by columns: datatypes listed here get their
+    // fragmented partitions rewritten range-clustered (stats-selective
+    // file layout for readWhere; see TableOps.compactRaw), others keep
+    // the narrow coalesce
+    clusterBy: Map[String, Seq[String]] = Map.empty) {
 
   /** One sweep pass. Visible for deterministic tests. Returns the number
     * of partitions compacted.
@@ -73,7 +78,8 @@ final class MaintenanceSweeper(
           if (files.length > nOut && !activeDate(j, d)) {
             try {
               new TableOps(spark, j.copy(date = d), wh)
-                .compactRaw(targetFileBytes, exclusive = true): Unit
+                .compactRaw(targetFileBytes, exclusive = true,
+                  clusterBy = clusterBy.getOrElse(j.datatype, Nil)): Unit
               compacted += 1
             } catch { case _: ConcurrentCommitException => () }
           }

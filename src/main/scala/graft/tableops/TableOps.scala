@@ -403,19 +403,34 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   // sidecar fences the publish); path-backend sweeps pay table-wide
   // blocking for the compaction's duration, which is what maintenance
   // windows are.
+  // `clusterBy`: layout of the REWRITTEN files. Empty = the narrow
+  // coalesce (pure merge, no shuffle). Non-empty = range-partition +
+  // in-partition sort on these columns, so each output file covers a
+  // tight, near-disjoint min/max range — exactly what makes the tx
+  // manifest's file stats ([[FileStats]]) selective: after a clustered
+  // compaction, a [[Warehouse.readWhere]] range/point query on a cluster
+  // column opens ~one file instead of every file the day's appends
+  // scattered the key across. Costs one exchange plus a boundary-
+  // sampling pass (repartitionByRange), paid ONCE per fragmented
+  // partition at maintenance time to make every later read cheap — the
+  // standard layout-maintenance trade (Delta OPTIMIZE ZORDER, Iceberg
+  // rewrite with sort order). Clustering rides the fragmentation
+  // trigger; an already-compact partition is not rewritten just to
+  // re-sort.
   def compactRaw(targetFileBytes: Long = 128L * 1024 * 1024,
-      exclusive: Boolean = false): OpStats = {
+      exclusive: Boolean = false, clusterBy: Seq[String] = Nil): OpStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     // an exclusive run holds the write lock over stage AND publish (the
     // inner read/write acquisitions below are reentrant under it)
     if (exclusive)
       wh.withTableLocks(reads = Nil, writes = Seq(rawPath)) {
-        compactRawBody(targetFileBytes)
+        compactRawBody(targetFileBytes, clusterBy)
       }
-    else compactRawBody(targetFileBytes)
+    else compactRawBody(targetFileBytes, clusterBy)
   }
 
-  private def compactRawBody(targetFileBytes: Long): OpStats = {
+  private def compactRawBody(targetFileBytes: Long,
+      clusterBy: Seq[String]): OpStats = {
     wh.recoverSelfReplace(spark, rawPath, job.date)
     val staged = wh.withTableLocks(reads = Seq(rawPath), writes = Nil) {
       // sizing comes from the PARTITION's file metadata, never the
@@ -434,8 +449,12 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
           val n = part.count() // parquet metadata count — no data read
           Left(OpStats(n, n))
         } else {
+          val layout =
+            if (clusterBy.isEmpty) part.coalesce(nOut)
+            else part.repartitionByRange(nOut, clusterBy.map(col): _*)
+              .sortWithinPartitions(clusterBy.map(col): _*)
           val (rows, token) =
-            wh.stageSelfReplace(spark, part.coalesce(nOut), rawPath, job.date)
+            wh.stageSelfReplace(spark, layout, rawPath, job.date)
           Right((OpStats(rows, rows), token))
         }
       }

@@ -5,7 +5,6 @@ import java.sql.Date
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.graftshim.ColumnBridge
 
 import graft.SparkTestBase
 
@@ -113,6 +112,37 @@ class FileStatsSpec extends SparkTestBase {
     assert(wh.readWhere(spark, path, col("id") === 5L).count() == 0)
     val post = wh.readWhere(spark, path, col("id") === 1005L)
     assert(post.inputFiles.length == 1 && post.count() == 1)
+  }
+
+  test("clustered compaction makes stats selective") {
+    val (wh, path0) = freshTable()
+    val job = graft.model.Job("bucket", "exp", "dt",
+      java.time.LocalDate.parse("2024-01-01"),
+      datasets = graft.model.Datasets(tmp = "tmp", raw = "ds", join = ""))
+    val path = wh.tablePath("ds", "dt")
+    assert(path == path0)
+    // six appends, each SPANNING the whole id domain — the layout a
+    // day's archive loads produce: every file overlaps every range query
+    for (r <- 0 until 6)
+      wh.append(spark, (0L until 60L by 6L).map(i =>
+        (i + r, s"x${i + r}", Date.valueOf("2024-01-01")))
+        .toDF("id", "name", "date").coalesce(1), path)
+    val pred = col("id") >= 10L && col("id") < 20L
+    assert(wh.readWhere(spark, path, pred).inputFiles.length == 6,
+      "pre-compaction: every file overlaps")
+    val before = wh.readWhere(spark, path, pred).as[(Long, String, Date)]
+      .collect().toSet
+
+    val ops = new TableOps(spark, job, wh)
+    // tiny target => 3 output files, range-clustered on id
+    val stats = ops.compactRaw(targetFileBytes = 2048L,
+      clusterBy = Seq("id"))
+    assert(stats.rowsOut == 60)
+    val post = wh.readWhere(spark, path, pred)
+    assert(post.inputFiles.length < 3,
+      s"clustered layout must confine a 1/6-domain range query to one " +
+        s"file region, saw ${post.inputFiles.length}")
+    assert(post.as[(Long, String, Date)].collect().toSet == before)
   }
 
   // ------------------------------------------------- evaluator soundness
