@@ -183,6 +183,40 @@ object SparkEntry {
     "p3_select_except" -> ((s, dir) =>
       mMonthly(s, dir).drop("parser_time", "l_linenumber", "l_suppkey")),
 
+    // ---- S6: manifest-stats data skipping — stage lineitem into a tx
+    //      warehouse table range-clustered on l_orderkey (8 files with
+    //      disjoint key ranges), then answer a key-range aggregate
+    //      through readWhere: the per-file min/max recorded in the
+    //      commit log prove 7 of the 8 files empty for the predicate
+    //      BEFORE Spark opens a footer. The oracle computes the same
+    //      aggregate from the raw parquet — pruning must be invisible
+    //      in the result. Staged ONCE per warehouse root (the committed
+    //      tx version is the guard — an interrupted stage left version
+    //      0 and restages), so like dd_incremental_indexed the measured
+    //      time is the steady-state PROBE against the maintained
+    //      layout, which is the part that scales: at archive depth the
+    //      query cost follows the files that OVERLAP the range, not
+    //      the table's file count ----
+    "s6_stats_prune" -> ((s, dir) => {
+      val root = s"/root/repo/target/s6_txstats/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "lineitem")
+      if (wh.currentVersion(s, tbl) == 0L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        wh.append(s,
+          Tables.lineitem(s, dir)
+            .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+              col("l_shipdate"))
+            .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+            .repartitionByRange(8, col("l_orderkey")), tbl)
+      }
+      wh.readWhere(s, tbl, col("l_orderkey").between(1000L, 5000L))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(floor(col("l_quantity") * 100).cast("long")).as("sum_qty_e2"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     // ---- S5: partition stats (listing/metrics analog,
     //      tracker/job.go:124-149) ----
     "s5_partition_stats" -> ((s, dir) =>
@@ -1006,6 +1040,14 @@ object SparkEntry {
       s"""WITH m AS ($M)
          |SELECT id, "date", l_orderkey, l_partkey, l_quantity,
          |       l_extendedprice, l_returnflag, l_linestatus FROM m""".stripMargin,
+
+    "s6_stats_prune" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_e2,
+        |  count(*) AS n_rows
+        |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000
+        |GROUP BY l_returnflag""".stripMargin,
 
     "s5_partition_stats" ->
       s"""WITH m AS ($D)
