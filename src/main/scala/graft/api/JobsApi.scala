@@ -163,6 +163,11 @@ final class JobsApi(tracker: Tracker, jobService: JobService, port: Int = 0) {
     respond(ex, 200, PromFormat.render(tracker),
       "text/plain; version=0.0.4; charset=utf-8"))
 
+  // JVM runtime vars (reference: the expvar /debug/vars endpoint the
+  // gardener main wires onto the same mux, cmd/gardener/gardener.go:36)
+  server.createContext("/debug/vars", ex =>
+    respond(ex, 200, DebugVars.render(), "application/json"))
+
   // HTML job table (reference: cmd/gardener/gardener.go:129-150 Status +
   // tracker/job.go:381-443 WriteHTML): rows ordered by job start time;
   // Init/ParseComplete rows red (the states a healthy pipeline leaves

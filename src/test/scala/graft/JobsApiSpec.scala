@@ -115,6 +115,18 @@ class JobsApiSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.statusCode() == 200)
     assert(m.body().contains("# TYPE gardener_tasks_in_flight gauge"))
     assert(m.body().contains("gardener_started_total"))
+    // JVM runtime vars (reference: expvar /debug/vars,
+    // cmd/gardener/gardener.go:36) — valid JSON with live readings
+    val dv = get("/debug/vars")
+    assert(dv.statusCode() == 200)
+    assert(dv.headers().firstValue("Content-Type").orElse("")
+      .startsWith("application/json"))
+    val body = dv.body()
+    for (k <- Seq("\"memstats\"", "\"heap_used\"", "\"gc\"", "\"threads\"",
+        "\"uptime_ms\"", "\"processors\""))
+      assert(body.contains(k), s"missing $k in $body")
+    assert("\"heap_used\":(\\d+)".r.findFirstMatchIn(body)
+      .exists(_.group(1).toLong > 0), "heap reading must be live")
   }
 
   test("load-stats and query-cost families render with reference buckets") {
