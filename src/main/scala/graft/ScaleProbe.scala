@@ -127,7 +127,51 @@ object ScaleProbe {
     val idxRow =
       f""""dd_incremental_indexed":[$it1%.3f,$it10%.3f,${it10 / it1}%.2f]"""
 
-    println(s"""{"metric":"scale10","queries":{${(rows :+ lshRow :+ idxRow).mkString(",")}},$lshCands}""")
+    // ---- manifest-stats skipping: FIXED probe, growing archive ----
+    // The data-skipping claim (Warehouse.readWhere + FileStats): a
+    // day+key-range query costs the files that OVERLAP the predicate,
+    // not the table's total file count. Probe: lineitem staged as a tx
+    // table with each day range-clustered on l_orderkey into 8 files
+    // (the layout clustered compaction maintains), at 1 day vs 10 days
+    // — 8 vs 80 live files — timing the SAME day+range aggregate.
+    // ~Flat time and identical files-opened = the manifest prunes by
+    // date AND key range before Spark lists anything; without stats
+    // the 10-day read would open all 80 files.
+    import graft.tableops.TxWarehouse
+    val liCols = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
+    def stageTx(days: Int, tag: String): (TxWarehouse, String) = {
+      val root = s"$outDir/__txstats_$tag"
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      val wh = new TxWarehouse(root)
+      val tbl = wh.tablePath("probe", "lineitem")
+      for (d <- 0 until days)
+        wh.append(spark, liCols
+          .withColumn("date",
+            lit(java.sql.Date.valueOf(java.time.LocalDate.of(2024, 1, 1)
+              .plusDays(d.toLong))))
+          .repartitionByRange(8, col("l_orderkey")), tbl)
+      (wh, tbl)
+    }
+    val probeDay = lit(java.sql.Date.valueOf("2024-01-01"))
+    def statsProbe(wh: TxWarehouse, tbl: String): (Double, Long, Int) = {
+      def frame() = wh.readWhere(spark, tbl,
+        col("date") === probeDay && col("l_orderkey").between(1000L, 5000L))
+      val files = frame().inputFiles.length
+      val (t, n) = timed(() => frame().count())
+      (t, n, files)
+    }
+    val (wh1, tbl1) = stageTx(1, "1x")
+    val (wh10, tbl10) = stageTx(10, "10x")
+    val (st1, sn1, sf1) = statsProbe(wh1, tbl1)
+    val (st10, sn10, sf10) = statsProbe(wh10, tbl10)
+    require(sn1 == sn10, s"probe rows diverged: $sn1 vs $sn10")
+    val statsRow =
+      f""""s6_stats_prune":[$st1%.3f,$st10%.3f,${st10 / st1}%.2f]"""
+    val statsFiles = s""""stats_files_opened":[$sf1,$sf10]"""
+
+    println(s"""{"metric":"scale10","queries":{${(rows :+ lshRow :+ idxRow :+ statsRow).mkString(",")}},$lshCands,$statsFiles}""")
     spark.stop()
   }
 }
