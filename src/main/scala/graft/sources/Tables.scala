@@ -27,15 +27,25 @@ object Tables {
   def part(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "part")
   def nation(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "nation")
   def region(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "region")
-  /** events.parquet stores ts as TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and truncate to micros (integer
-    * division — epoch nanos exceed double precision). DuckDB truncates
-    * ns→us the same way.
+  /** events.parquet has shipped `ts` two ways across testdata
+    * generations: TIMESTAMP(NANOS) — which Spark's vectorized reader
+    * only accepts as a raw long — and TIMESTAMP(MICROS) without UTC
+    * adjustment, which Spark infers as TIMESTAMP_NTZ. Normalize both to
+    * session-zone TIMESTAMP so downstream operators see one type:
+    * nanos truncate by integer division (epoch nanos exceed double
+    * precision; DuckDB truncates ns→us the same way), and NTZ is a
+    * value-preserving cast because every entrypoint pins
+    * spark.sql.session.timeZone=UTC.
     */
   def events(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val raw = table(spark, sfDir, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampType => raw
+      case _ => raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")

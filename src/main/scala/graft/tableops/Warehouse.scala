@@ -444,6 +444,8 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     var live = st0.live
     var txns = st0.txns
     var stats = st0.stats
+    var sizes = st0.sizes
+    var schemaJson = st0.schemaJson
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       if (line.startsWith("A ")) {
         val rest = line.substring(2)
@@ -453,6 +455,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
         val rel = line.substring(2)
         live -= rel
         stats -= rel
+        sizes -= rel
       } else if (line.startsWith("T ")) {
         val Array(app, batch) = line.substring(2).split(' ')
         txns += (app -> math.max(batch.toLong, txns.getOrElse(app, -1L)))
@@ -464,9 +467,59 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
         val rest = line.substring(2)
         val sp = rest.indexOf(' ')
         if (sp > 0) stats += (rest.substring(sp + 1) -> rest.substring(0, sp))
+      } else if (line.startsWith("F ")) {
+        // `F <bytes> <rel>`: the file's length, so sizing decisions
+        // (compaction's fragmentation screen) are manifest-only. Same
+        // compat story as `S`: older logs lack the line and fall back
+        // to a per-file status call.
+        val rest = line.substring(2)
+        val sp = rest.indexOf(' ')
+        if (sp > 0) scala.util.Try(rest.substring(0, sp).toLong).toOption
+          .foreach(len => sizes += (rest.substring(sp + 1) -> len))
+      } else if (line.startsWith("H ")) {
+        // `H <b64(schemaJson)>`: the table's cumulative merged schema as
+        // of this commit; `H -` clears it (irreconcilable file schemas —
+        // a mergeSchema read of such a table fails anyway). Last one
+        // wins across the replay.
+        val tok = line.substring(2)
+        schemaJson =
+          if (tok == "-") None
+          else scala.util.Try(
+            new String(java.util.Base64.getDecoder.decode(tok), UTF_8)).toOption
       }
     }
-    TxState(live, txns, stats)
+    TxState(live, txns, stats, sizes, schemaJson)
+  }
+
+  private def b64(s: String): String =
+    java.util.Base64.getEncoder.encodeToString(s.getBytes(UTF_8))
+
+  /** The `H` manifest line for a commit adding files of schema `added`:
+    * the cumulative merge with the table's previously recorded schema,
+    * computed by the SAME `StructType.merge` Spark's own mergeSchema
+    * parquet read uses (bridged via
+    * [[org.apache.spark.sql.graftshim.SchemaBridge]]) — so the recorded
+    * schema can never disagree with what a footer-merging read of the
+    * same files would produce. Nullable-normalized because it later
+    * serves as an EXPLICIT read schema over evolved file sets where any
+    * column may be null-filled. An irreconcilable merge records `H -`
+    * (clears the schema): readers fall back to footer merging, which
+    * fails the same way only if the conflicting files are both still
+    * live.
+    */
+  private def schemaLines(prev: Option[String],
+      added: org.apache.spark.sql.types.StructType): Seq[String] = {
+    import org.apache.spark.sql.graftshim.SchemaBridge
+    import org.apache.spark.sql.types.{DataType, StructType}
+    try {
+      val merged = prev match {
+        case Some(j) => SchemaBridge.merge(
+          DataType.fromJson(j).asInstanceOf[StructType],
+          SchemaBridge.asNullable(added))
+        case None => SchemaBridge.asNullable(added)
+      }
+      Seq(s"H ${b64(merged.json)}")
+    } catch { case scala.util.control.NonFatal(_) => Seq("H -") }
   }
 
   /** Log replay up to `upTo`: (latest version, live rel-file →
@@ -521,6 +574,9 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val lines = st.live.toSeq.sorted.map { case (rel, d) => s"A $d $rel" } ++
       st.live.keys.toSeq.sorted.flatMap(rel =>
         st.stats.get(rel).map(p => s"S $p $rel")) ++
+      st.live.keys.toSeq.sorted.flatMap(rel =>
+        st.sizes.get(rel).map(len => s"F $len $rel")) ++
+      st.schemaJson.map(j => s"H ${b64(j)}").toSeq ++
       st.txns.toSeq.sorted.map { case (app, b) => s"T $app $b" }
     tryCommit(f, path, new Path(s"$path/$LogDir", f"c$version%020d.txt"),
       lines): Unit
@@ -566,7 +622,8 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     while (attempts < MaxCommitAttempts) {
       val (v, st) = replay(spark, path)
       if (st.txns.getOrElse(appId, -1L) >= batchId) return false
-      val lines = addLines(adds) :+ s"T $appId $batchId"
+      val lines = addLines(adds) ++
+        schemaLines(st.schemaJson, df.schema) :+ s"T $appId $batchId"
       if (tryCommit(f, path, v + 1, lines)) {
         maybeCheckpoint(spark, path, v + 1); return true
       }
@@ -836,22 +893,24 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
           case seg if seg.startsWith(s"$PartCol=") =>
             seg.stripPrefix(s"$PartCol=")
         }.getOrElse("")
-        out += AddEntry(rel, date, FileStats.harvest(conf, st.getPath))
+        out += AddEntry(rel, date, FileStats.harvest(conf, st.getPath),
+          st.getLen)
       }
     }
     out.toList
   }
 
   /** Manifest lines for a set of adds: `A` entries plus an `S` stats
-    * line per file that yielded one.
+    * line per file that yielded one, plus an `F` length line each.
     */
   private def addLines(adds: Seq[AddEntry]): Seq[String] =
     adds.map(a => s"A ${a.date} ${a.rel}") ++
-      adds.flatMap(a => a.stats.map(p => s"S $p ${a.rel}"))
+      adds.flatMap(a => a.stats.map(p => s"S $p ${a.rel}")) ++
+      adds.map(a => s"F ${a.len} ${a.rel}")
 
   def append(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val (adds, _) = writeData(spark, df, path)
-    commitRetry(spark, path)(_ => (adds, Nil))
+    commitRetry(spark, path, Some(df.schema))(_ => (adds, Nil))
   }
 
   private[tableops] def liveOfDate(spark: SparkSession, path: String,
@@ -884,17 +943,18 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val obs = new org.apache.spark.sql.Observation()
     val (adds, _) = writeData(spark,
       df.observe(obs, count(lit(1)).as("rows")), path)
-    commitReplace(spark, path, date, adds, expected)
+    commitReplace(spark, path, date, adds, expected, Some(df.schema))
     obs.get("rows").asInstanceOf[Long]
   }
 
   private def commitReplace(spark: SparkSession, path: String,
-      date: LocalDate, adds: Seq[AddEntry],
-      expected: Set[String]): Unit = {
+      date: LocalDate, adds: Seq[AddEntry], expected: Set[String],
+      addedSchema: Option[org.apache.spark.sql.types.StructType]): Unit = {
     val f = fs(spark, path)
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
-      val (v, live) = state(spark, path)
+      val (v, st) = replay(spark, path)
+      val live = st.live
       val current = live.collect {
         case (rel, d) if d == date.toString => rel
       }.toSet
@@ -910,7 +970,8 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
             s"planned (expected ${expected.size} files, found " +
             s"${current.size}) — a concurrent writer committed; re-run " +
             "against fresh state")
-      val lines = addLines(adds) ++ current.toSeq.sorted.map(r => s"R $r")
+      val lines = addLines(adds) ++ current.toSeq.sorted.map(r => s"R $r") ++
+        addedSchema.toSeq.flatMap(s => schemaLines(st.schemaJson, s))
       if (tryCommit(f, path, v + 1, lines)) {
         maybeCheckpoint(spark, path, v + 1); return
       }
@@ -973,6 +1034,11 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val out = f.create(new Path(s"$path/$dir/$ExpectedSidecar"), false)
     try out.write((expected.toSeq.sorted.mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
+    // schema sidecar: publish is a separate call (possibly a separate
+    // process — recovery) with no DataFrame in hand, so the staged
+    // schema rides along for the publish commit's `H` line
+    val outS = f.create(new Path(s"$path/$dir/$SchemaSidecar"), false)
+    try outS.write(df.schema.json.getBytes(UTF_8)) finally outS.close()
     (obs.get("rows").asInstanceOf[Long], dir)
   }
 
@@ -987,22 +1053,34 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
         val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
         text.linesIterator.filter(_.nonEmpty).toSet
       } else liveOfDate(spark, path, date) // pre-sidecar staged dirs
-    commitReplace(spark, path, date, adds, expected)
+    val schemaSidecar = new Path(s"$path/$token/$SchemaSidecar")
+    val addedSchema =
+      if (f.exists(schemaSidecar)) {
+        val in = f.open(schemaSidecar)
+        val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
+        scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(text)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+      } else None
+    commitReplace(spark, path, date, adds, expected, addedSchema)
   }
 
-  /** The manifest gives the file list; sizes are one status call per
-    * file (the manifest does not store lengths). Fine for the common
-    * post-compaction few-files case; a heavily fragmented partition
-    * pays O(files) stats ONCE on the compaction run that then merges
-    * them away.
+  /** The manifest gives the file list AND (for commits since the `F`
+    * line) each file's length — so the compaction sweep's sizing is a
+    * pure manifest read, zero per-file round trips. Only files from
+    * pre-`F` commits fall back to one status call each, and they age
+    * out with their partitions' next rewrite. At archive scale this is
+    * the difference between a maintenance sweep that costs one log
+    * replay and one that costs a LIST+HEAD per file on an object store.
     */
   def partitionFiles(spark: SparkSession, path: String,
       date: LocalDate): Seq[(String, Long)] = {
-    val f = fs(spark, path)
-    state(spark, path)._2.collect {
+    lazy val f = fs(spark, path)
+    val st = replay(spark, path)._2
+    st.live.collect {
       case (rel, d) if d == date.toString =>
         val p = new Path(s"$path/$rel")
-        (p.toString, f.getFileStatus(p).getLen)
+        (p.toString,
+          st.sizes.getOrElse(rel, f.getFileStatus(p).getLen))
     }.toSeq
   }
 
@@ -1032,16 +1110,22 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   /** Optimistic commit: compute the delta against the latest live set,
     * try to own the next version number, recompute and retry on
     * collision. `mk` returns (adds as (rel, date), removes as rel).
+    * `addedSchema` is the schema of the added files (for the `H` line);
+    * remove-only commits leave the recorded schema untouched.
     */
-  private def commitRetry(spark: SparkSession, path: String)(
+  private def commitRetry(spark: SparkSession, path: String,
+      addedSchema: Option[org.apache.spark.sql.types.StructType] = None)(
       mk: Map[String, String] => (Seq[AddEntry], Seq[String])): Unit = {
     val f = fs(spark, path)
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
-      val (v, live) = state(spark, path)
-      val (adds, removes) = mk(live)
+      val (v, st) = replay(spark, path)
+      val (adds, removes) = mk(st.live)
       if (adds.isEmpty && removes.isEmpty) return
-      val lines = addLines(adds) ++ removes.map(r => s"R $r")
+      val lines = addLines(adds) ++ removes.map(r => s"R $r") ++
+        (if (adds.nonEmpty)
+          addedSchema.toSeq.flatMap(s => schemaLines(st.schemaJson, s))
+        else Nil)
       if (tryCommit(f, path, v + 1, lines)) {
         maybeCheckpoint(spark, path, v + 1); return
       }
@@ -1084,19 +1168,25 @@ object TxWarehouse {
   private val DataDir = "_graft_data"
   private val PartCol = "__p_date"
   private val ExpectedSidecar = "_expected_removes.txt"
+  private val SchemaSidecar = "_staged_schema.json"
   private val MaxCommitAttempts = 50
 
   /** Replayed manifest state: live rel-file → date, per-writer txn
-    * watermarks, and per-file stats payloads (files without stats —
-    * pre-stats commits, unreadable footers — are simply absent).
+    * watermarks, per-file stats payloads, and per-file byte lengths
+    * (files without stats/sizes — pre-stats commits, unreadable
+    * footers — are simply absent from those maps).
     */
   private final case class TxState(live: Map[String, String],
-      txns: Map[String, Long], stats: Map[String, String])
+      txns: Map[String, Long], stats: Map[String, String],
+      sizes: Map[String, Long], schemaJson: Option[String])
   private object TxState {
-    val empty: TxState = TxState(Map.empty, Map.empty, Map.empty)
+    val empty: TxState =
+      TxState(Map.empty, Map.empty, Map.empty, Map.empty, None)
   }
 
-  /** One to-be-committed file: manifest `A` entry + optional `S` stats. */
+  /** One to-be-committed file: manifest `A` entry + optional `S` stats
+    * + `F` length.
+    */
   private final case class AddEntry(rel: String, date: String,
-      stats: Option[String])
+      stats: Option[String], len: Long)
 }

@@ -15,6 +15,29 @@ object ColumnBridge {
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 }
 
+/** Parquet-compatible schema union for the tx manifest's table-schema
+  * line. [[org.apache.spark.sql.types.StructType.merge]] is the exact
+  * routine Spark's own mergeSchema parquet read uses to reconcile file
+  * footers, kept `private[sql]` in Spark 4 — bridging it (rather than
+  * reimplementing field-union/type-widening rules) guarantees the
+  * manifest's recorded schema can never disagree with what a mergeSchema
+  * read of the same files would produce.
+  */
+object SchemaBridge {
+  import org.apache.spark.sql.types.StructType
+  def merge(a: StructType, b: StructType): StructType = a.merge(b)
+
+  /** Recursive nullable-normalization (Spark's own `private[spark]`
+    * routine). A schema recorded in the manifest is later used as an
+    * EXPLICIT read schema over evolved file sets where any column may be
+    * absent from some file (read as null) — declaring such a column
+    * non-nullable would let codegen miscompile null checks, so the
+    * recorded form must be all-nullable, exactly like a parquet
+    * footer-derived schema.
+    */
+  def asNullable(s: StructType): StructType = s.asNullable
+}
+
 /** Normalizes a [[Column]]'s node tree into plain catalyst comparison
   * shapes (`EqualTo`/`GreaterThan`/`In`/`IsNull`/...) over
   * `UnresolvedAttribute` + `Literal` leaves, WITHOUT running analysis.
