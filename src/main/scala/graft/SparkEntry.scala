@@ -1346,6 +1346,13 @@ object SparkEntry {
         |FROM embeddings e, range(1, 65) r(i)
         |GROUP BY label, dim""".stripMargin,
 
+    // xx-family tiers: DuckDB recomputes Spark's xxhash64 bit for bit
+    // via the staged HUGEINT arithmetic in XxOracleSql (multi-statement
+    // scripts: macro prelude + temp-table stages + final SELECT)
+    "dd_minhash_lsh" -> XxOracleSql.minhash(W, ShingleSql),
+    "dd_simhash" -> XxOracleSql.simhash(W, ShingleSql),
+    "dd_embed_neardup_lsh" -> XxOracleSql.embedNearDup(cosE6Sql("a.v", "c.v")),
+
     "dd_simhash_md5" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
          |s AS (SELECT doc_id, $ShingleSql AS sh FROM t),
