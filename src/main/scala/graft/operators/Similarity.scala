@@ -260,16 +260,20 @@ object Similarity {
       .withColumn("__cos", floor(cosine(col("q_vec"), col("cent_vec")) * 1e6).cast("long"))
     val wq = Window.partitionBy(col("query_id"))
       .orderBy(col("__cos").desc, col("cent_id").asc)
+    // q_nrm rides the broadcast side like cosineTopK's: inlined in the
+    // scored projection the norm would re-fold O(dim) once per
+    // (query, candidate) row instead of once per probe entry
     val queries = broadcast(qScored
       .withColumn("__rn", row_number().over(wq)).filter(col("__rn") <= nprobe)
-      .select(col("query_id"), col("cent_id"), col("q_vec")))
+      .select(col("query_id"), col("cent_id"), col("q_vec"),
+        norm(col("q_vec")).as("q_nrm")))
     val scored = assigned
       .select(col(idCol).as("nbr_id"), col("cent_id"), col("v").as("nbr_vec"),
         norm(col("v")).as("nbr_nrm"))
       .join(queries, Seq("cent_id"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cos_e6",
-        floor(dot(col("q_vec"), col("nbr_vec")) / (norm(col("q_vec")) * col("nbr_nrm")) * 1e6)
+        floor(dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")) * 1e6)
           .cast("long"))
     rankedTopK(scored, k)
   }

@@ -165,4 +165,16 @@ class PlanAuditSpec extends SparkTestBase {
     assert(exchanges.nonEmpty)
     assert(exchanges.forall(e => !e.contains("embedding") && !e.contains("v#")))
   }
+
+  test("ivf top-k: query norm is computed on the broadcast side, not " +
+    "re-folded per scored candidate row") {
+    val p = planned("sim_ivf_topk")
+    // the scored projection divides by q_nrm * nbr_nrm; a regression
+    // re-inlining norm(q_vec) would show a q_vec self-dot in the
+    // cos_e6 expression (an O(dim) fold per candidate row)
+    val cosLines = p.linesIterator.filter(_.contains("cos_e6")).toSeq
+    assert(cosLines.nonEmpty)
+    assert(cosLines.forall(!_.matches(".*vector_dot\\((q_vec#\\d+), \\1\\).*")))
+    assert(cosLines.exists(_.contains("q_nrm")))
+  }
 }
