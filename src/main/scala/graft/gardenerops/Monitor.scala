@@ -55,6 +55,14 @@ final class Monitor(
   private val actionTable: Map[State, Action] = actions.map(a => a.from -> a).toMap
   private val running = new java.util.concurrent.atomic.AtomicInteger(0)
   private val retryNotBefore = new ConcurrentHashMap[String, java.lang.Long]()
+  // keys with an action on THIS monitor's pool right now. A stalled
+  // action outliving its lease must NOT be doubled up by its own
+  // monitor re-claiming the expired key on the next tick — that would
+  // run two copies of one action in one driver (pure waste, and it
+  // starves the takeover the expiry exists for: the re-claimer always
+  // ticks sooner than the rival driver). Takeover stays with OTHER
+  // drivers, whose tracker.claim sees only the expired lease.
+  private val dispatched = ConcurrentHashMap.newKeySet[String]()
   private val pool = Executors.newFixedThreadPool(poolSize, r => {
     val t = new Thread(r, "monitor-action"); t.setDaemon(true); t
   })
@@ -68,10 +76,14 @@ final class Monitor(
       actionTable.get(status.state).foreach { action =>
         val nb = retryNotBefore.get(key)
         val backoffOk = nb == null || clock() >= nb
-        if (backoffOk && action.condition(state, job) &&
+        if (backoffOk && !dispatched.contains(key) &&
+            action.condition(state, job) &&
             tracker.claim(key, name, claimLeaseMillis)) {
+          dispatched.add(key)
           pool.submit(new Runnable {
-            override def run(): Unit = applyAction(key, job, action)
+            override def run(): Unit =
+              try applyAction(key, job, action)
+              finally { dispatched.remove(key); () }
           })
         }
       }

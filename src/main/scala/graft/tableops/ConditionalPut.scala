@@ -1,0 +1,70 @@
+package graft.tableops
+
+import java.util.concurrent.ConcurrentHashMap
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Conditional-put commit publishing for object stores — the missing
+  * third leg of [[LogPublisher]] (link(2) on local, no-overwrite rename
+  * on HDFS, and THIS on stores where rename is copy+delete and never
+  * exclusive).
+  *
+  * Real object stores expose an atomic create-if-absent write: S3
+  * `PutObject` with `If-None-Match: *`, GCS `insert` with
+  * `ifGenerationMatch=0`, ABFS `Create` with a `*` ETag precondition.
+  * One such call both DECIDES the race and LANDS the bytes — exactly
+  * the `publish` contract (of N concurrent publishes of one dest,
+  * exactly one true). A production binding implements [[CasKeySpace]]
+  * over that store call (reference deployment reality:
+  * etl-gardener runs against GCS archives, tracker/job.go:100-107).
+  *
+  * [[ConditionalPutPublisher]] splits the same semantics over two steps
+  * so it can be driven through any Hadoop FileSystem in tests:
+  * the CAS decision comes from the key space (linearizable, exactly one
+  * winner per key), and only the winner copies the commit-log bytes to
+  * `dest` — losers never touch the destination, so a half-written
+  * object can only come from a winner that died mid-copy, which is the
+  * same "commit never became visible" crash window a native
+  * conditional PUT has on the client side.
+  */
+trait CasKeySpace {
+  /** Atomically claim `key`: true for exactly one caller ever. */
+  def claim(key: String): Boolean
+}
+
+/** In-JVM linearizable key space: the decision is a single
+  * ConcurrentHashMap#putIfAbsent. Shared by every "driver" in a
+  * process the way a bucket's conditional-PUT namespace is shared by
+  * every writer of a real deployment.
+  */
+final class InMemoryCasKeySpace extends CasKeySpace {
+  private val keys = new ConcurrentHashMap[String, java.lang.Boolean]()
+  def claim(key: String): Boolean = keys.putIfAbsent(key, true) == null
+  def size: Int = keys.size
+}
+
+/** [[LogPublisher]] over a [[CasKeySpace]]: the key space decides, the
+  * winner writes through. The write-through uses create(overwrite =
+  * false) as a belt-and-braces second fence: a destination that already
+  * exists on the underlying store (e.g. committed by an earlier process
+  * the in-memory key space never saw) turns the claim into a loss
+  * instead of an overwrite — a lost update is the one unrecoverable
+  * outcome and both fences must fail for one to happen.
+  */
+final class ConditionalPutPublisher(space: CasKeySpace) extends LogPublisher {
+  def publish(f: FileSystem, tmp: Path, dest: Path): Boolean = {
+    if (!space.claim(dest.toUri.toString)) false
+    else {
+      val out =
+        try f.create(dest, /* overwrite = */ false)
+        catch { case _: java.io.IOException => null } // pre-existing dest
+      if (out == null) false
+      else {
+        val in = f.open(tmp)
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, true)
+        finally { /* streams closed by copyBytes(close = true) */ }
+        true
+      }
+    }
+  }
+}

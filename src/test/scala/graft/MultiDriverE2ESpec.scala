@@ -43,7 +43,21 @@ class MultiDriverE2ESpec extends SparkTestBase {
 
   test("two racing drivers over one tx root: claims split the work, a " +
     "stale copy is fenced into Retry, and the state converges") {
-    val root = Files.createTempDirectory("graft-mdrv-wh").toString
+    race(Files.createTempDirectory("graft-mdrv-wh").toString)
+  }
+
+  test("the same two-driver race through the conditional-put publisher " +
+    "on an object-store scheme — commit exclusivity from the CAS, not " +
+    "filesystem rename/link atomicity") {
+    spark.sparkContext.hadoopConfiguration.set("fs.casobj.impl",
+      classOf[graft.tableops.CasObjectStoreFileSystem].getName)
+    graft.tableops.LogPublisher.register("casobj",
+      new graft.tableops.ConditionalPutPublisher(
+        new graft.tableops.InMemoryCasKeySpace))
+    race("casobj:" + Files.createTempDirectory("graft-mdrv-cas").toString)
+  }
+
+  private def race(root: String): Unit = {
     val archive = Files.createTempDirectory("graft-mdrv-arc")
 
     // same fixture shape as the single-driver E2E walk: ndt7 over two

@@ -39,6 +39,15 @@ class UnpublishableFileSystem extends FakeObjectStoreFileSystem {
   override def getUri: URI = URI.create("fakeobj2:///")
 }
 
+/** A third fake scheme reserved for the conditional-put end-to-end runs
+  * (contract race below + MultiDriverE2ESpec), so its registration
+  * can't collide with the routing test's stand-in publisher.
+  */
+class CasObjectStoreFileSystem extends FakeObjectStoreFileSystem {
+  override def getScheme: String = "casobj"
+  override def getUri: URI = URI.create("casobj:///")
+}
+
 /** The object-store publish seam (VERDICT r8 #6): tryCommit used to
   * assume atomic no-overwrite rename for every non-`file` scheme — true
   * on HDFS, silently WRONG on raw object stores. Now the publisher is
@@ -95,5 +104,56 @@ class LogPublisherSpec extends graft.SparkTestBase {
     // metadata-only delete commits through the same seam
     wh.deletePartition(spark, path, java.time.LocalDate.parse("2024-06-01"))
     assert(wh.read(spark, path).count() == 0)
+  }
+
+  test("conditional-put contract: of N concurrent publishes of one " +
+    "version, exactly one wins and the landed bytes are the winner's") {
+    val dir = Files.createTempDirectory("graft-casput")
+    val fs = FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .getRawFileSystem
+    val publisher = new ConditionalPutPublisher(new InMemoryCasKeySpace)
+    val dest = new Path(s"$dir/_log/000042.commit")
+    fs.mkdirs(dest.getParent)
+    val n = 16
+    val tmps = (0 until n).map { i =>
+      val t = new Path(s"$dir/tmp-$i")
+      val out = fs.create(t)
+      out.write(s"writer-$i".getBytes("UTF-8")); out.close()
+      t
+    }
+    val wins = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until n).map { i =>
+      new Thread(() => {
+        start.await()
+        if (publisher.publish(fs, tmps(i), dest)) { wins.add(i); () }
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    assert(wins.size == 1, s"winners: $wins — the CAS must admit exactly one")
+    val winner = wins.peek()
+    val in = fs.open(dest)
+    val body = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(body == s"writer-$winner", "losing bytes landed at the destination")
+    // replays of the same version lose forever
+    assert(!publisher.publish(fs, tmps((winner + 1) % n), dest))
+  }
+
+  test("conditional-put second fence: a destination that pre-exists on " +
+    "the store turns a fresh claim into a loss, never an overwrite") {
+    val dir = Files.createTempDirectory("graft-casput2")
+    val fs = FileSystem.getLocal(spark.sparkContext.hadoopConfiguration)
+      .getRawFileSystem
+    val dest = new Path(s"$dir/000007.commit")
+    val out = fs.create(dest); out.write("earlier process".getBytes("UTF-8")); out.close()
+    val tmp = new Path(s"$dir/tmp")
+    val o2 = fs.create(tmp); o2.write("late writer".getBytes("UTF-8")); o2.close()
+    // a FRESH key space (this JVM never saw the earlier commit) grants
+    // the claim — the create(overwrite=false) fence must still refuse
+    val publisher = new ConditionalPutPublisher(new InMemoryCasKeySpace)
+    assert(!publisher.publish(fs, tmp, dest))
+    val in = fs.open(dest)
+    val body = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    assert(body == "earlier process")
   }
 }
