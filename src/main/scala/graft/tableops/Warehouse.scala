@@ -486,6 +486,10 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
           if (tok == "-") None
           else scala.util.Try(
             new String(java.util.Base64.getDecoder.decode(tok), UTF_8)).toOption
+            // corrupt token: keep the last good schema rather than
+            // silently clearing the evolution history — only an
+            // explicit `H -` may clear
+            .orElse(schemaJson)
       }
     }
     TxState(live, txns, stats, sizes, schemaJson)
@@ -498,14 +502,17 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     * the cumulative merge with the table's previously recorded schema,
     * computed by the SAME `StructType.merge` Spark's own mergeSchema
     * parquet read uses (bridged via
-    * [[org.apache.spark.sql.graftshim.SchemaBridge]]) — so the recorded
-    * schema can never disagree with what a footer-merging read of the
-    * same files would produce. Nullable-normalized because it later
-    * serves as an EXPLICIT read schema over evolved file sets where any
-    * column may be null-filled. An irreconcilable merge records `H -`
-    * (clears the schema): readers fall back to footer merging, which
-    * fails the same way only if the conflicting files are both still
-    * live.
+    * [[org.apache.spark.sql.graftshim.SchemaBridge]]). The merge never
+    * NARROWS: the recorded schema is a sticky SUPERSET of any
+    * footer-merge of the currently-live files (Delta-style table
+    * schema) — after deletePartition/overwritePartition retires the
+    * only files carrying a column, the column stays recorded and reads
+    * as null. Nullable-normalized because it serves as an EXPLICIT
+    * read schema over evolved file sets where any column may be
+    * null-filled (consumer: [[readWhere]]'s pruned-subset fallback).
+    * An irreconcilable merge records `H -` (clears the schema):
+    * readers fall back to footer merging, which fails the same way
+    * only if the conflicting files are both still live.
     */
   private def schemaLines(prev: Option[String],
       added: org.apache.spark.sql.types.StructType): Seq[String] = {
@@ -622,8 +629,12 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     while (attempts < MaxCommitAttempts) {
       val (v, st) = replay(spark, path)
       if (st.txns.getOrElse(appId, -1L) >= batchId) return false
+      // an empty micro-batch adds no files: recording its schema would
+      // let the cumulative schema gain columns that exist in no
+      // committed file (commitRetry guards the same case)
       val lines = addLines(adds) ++
-        schemaLines(st.schemaJson, df.schema) :+ s"T $appId $batchId"
+        (if (adds.nonEmpty) schemaLines(st.schemaJson, df.schema) else Nil) :+
+        s"T $appId $batchId"
       if (tryCommit(f, path, v + 1, lines)) {
         maybeCheckpoint(spark, path, v + 1); return true
       }
@@ -828,12 +839,25 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       catch {
         // the predicate references a column every KEPT file lacks (e.g.
         // IsNull on a schema-evolved column, which keeps exactly the
-        // files without it) — without a table-level schema in the
-        // manifest the filter can't resolve against the pruned subset,
-        // so fall back to the unpruned read; correctness first, the
-        // skipping is only ever an optimization
+        // files without it) — the pruned subset's footer merge can't
+        // resolve the filter. The manifest-recorded cumulative schema
+        // (see schemaLines) resolves every column the table ever
+        // carried, with missing columns null-filled, so the skipping
+        // SURVIVES schema-evolution predicates: re-read the kept
+        // subset under the explicit schema. Only a table with no
+        // recorded schema (pre-`H` logs, or an `H -` clear) pays the
+        // unpruned fallback.
         case _: org.apache.spark.sql.AnalysisException =>
-          read(spark, path).filter(predicate)
+          st.schemaJson.flatMap(j => scala.util.Try(
+            org.apache.spark.sql.types.DataType.fromJson(j)
+              .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+          match {
+            case Some(tableSchema) if kept.nonEmpty =>
+              spark.read.schema(tableSchema)
+                .parquet(kept.map(r => s"$path/$r"): _*)
+                .filter(predicate)
+            case _ => read(spark, path).filter(predicate)
+          }
       }
   }
 

@@ -100,8 +100,14 @@ class FileStatsSpec extends SparkTestBase {
     // a predicate on `extra` proves the un-evolved file empty (all-null)
     val hit = wh.readWhere(spark, path, col("extra") === "tagged")
     assert(hit.inputFiles.length == 1 && hit.count() == 1)
-    // while IsNull must KEEP the un-evolved file
-    assert(wh.readWhere(spark, path, col("extra").isNull).count() == 10)
+    // while IsNull must KEEP the un-evolved file — and because that
+    // kept file LACKS `extra`, this exercises the recorded-schema
+    // fallback: the pruned subset must stay pruned (1 file), not fall
+    // back to the unpruned read
+    val nullRead = wh.readWhere(spark, path, col("extra").isNull)
+    assert(nullRead.count() == 10)
+    assert(nullRead.inputFiles.length == 1,
+      "schema-evolution predicate lost the manifest pruning")
 
     // a partition rewrite re-harvests: day 1 rewritten to ids 1000+
     val rewritten = (1000L until 1010L).map(i =>
@@ -223,5 +229,43 @@ class FileStatsSpec extends SparkTestBase {
     assert(FileStats.decode("garbage").isEmpty)
     val emptyCols = FileStats.Payload(3L, Map.empty)
     assert(FileStats.decode(FileStats.encode(emptyCols)).contains(emptyCols))
+  }
+
+  test("an empty appendTxn batch records no phantom schema: a column " +
+    "that exists in no committed file never resolves") {
+    val (wh, path) = freshTable()
+    appendRange(wh, path, 0, 10, "2024-01-01")
+    // zero-row micro-batch carrying an extra column — adds no files,
+    // and must not teach the recorded schema a column no file has
+    val empty = Seq.empty[(Long, String, Date, String)]
+      .toDF("id", "name", "date", "phantom")
+    assert(wh.appendTxn(spark, empty, path, "app", 1L),
+      "the empty batch still commits its txn watermark")
+    assert(wh.lastTxn(spark, path, "app") == 1L)
+    intercept[org.apache.spark.sql.AnalysisException] {
+      wh.readWhere(spark, path, col("phantom").isNull).collect()
+    }
+  }
+
+  test("a corrupt H token keeps the last good recorded schema instead " +
+    "of clearing it") {
+    val (wh, path) = freshTable()
+    appendRange(wh, path, 0, 10, "2024-01-01")
+    val evolved = Seq((100L, "x", Date.valueOf("2024-01-02"), "tagged"))
+      .toDF("id", "name", "date", "extra").coalesce(1)
+    wh.append(spark, evolved, path)
+    // hand-write the next commit with a garbage H token (a torn write /
+    // bit-rot shape); replay must keep the v2 schema, not clear it
+    val v = wh.currentVersion(spark, path)
+    Files.write(java.nio.file.Paths.get(
+      s"$path/_graft_log/" + "v%020d.txt".format(v + 1)),
+      java.util.Arrays.asList("H @@not-base64@@"))
+    assert(wh.currentVersion(spark, path) == v + 1)
+    // the schema-evolution fallback still prunes (recorded schema
+    // survived), exactly like the uncorrupted table above
+    val nullRead = wh.readWhere(spark, path, col("extra").isNull)
+    assert(nullRead.count() == 10)
+    assert(nullRead.inputFiles.length == 1,
+      "corrupt H cleared the recorded schema: fallback went unpruned")
   }
 }
