@@ -45,6 +45,26 @@ object LoadTool {
   }
 }
 
+/** Usage: ReplayQuarantineTool <warehouseRoot> <datatype> <YYYY-MM-DD>
+  *                              [tmpDataset] [backend]
+  * Re-drives the date's quarantined raw lines through the load parse
+  * (TableOps.replayQuarantine): fixed lines land in tmp, still-bad
+  * lines stay quarantined. Run after correcting the quarantine
+  * partition's lines (or with corrected upstream expectations).
+  */
+object ReplayQuarantineTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, datatype, date) = args.take(3)
+    val tmp = if (args.length > 3) args(3) else "tmp_cli"
+    val backend = if (args.length > 4) args(4) else "path"
+    val ops = new TableOps(ToolSession.spark(),
+      ToolSession.job(datatype, date, tmp, "raw_cli", ""),
+      Warehouse.forName(backend, whRoot))
+    val stats = ops.replayQuarantine()
+    println(s"replayed ${stats.detail}")
+  }
+}
+
 /** Usage: CopyTool <warehouseRoot> <datatype> <YYYY-MM-DD> <tmpDataset> <rawDataset> */
 object CopyTool {
   def main(args: Array[String]): Unit = {

@@ -189,6 +189,83 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     OpStats(lines, lines - corrupt)
   }
 
+  /** Re-drive the job date's quarantined raw lines through the load
+    * parse: lines that now parse append to tmp, lines that still don't
+    * stay quarantined (the partition is rewritten to exactly them). The
+    * "fix" that makes a replay succeed is operator-supplied — a
+    * corrected pinned `schema` (the load was quarantining on a wrong
+    * pin), or a by-hand rewrite of the quarantine partition's `raw`
+    * lines (ReplayQuarantineTool + overwritePartition) after an
+    * upstream export bug. Returns OpStats(quarantined lines seen, rows
+    * replayed into tmp).
+    *
+    * Exactly-once on the tx backend: the tmp append carries a txn
+    * marker keyed by the job and the QUARANTINE table's version at
+    * entry — a crash between the append and the quarantine rewrite
+    * replays as a no-op append (same quarantine version) followed by
+    * the missing rewrite, converging instead of doubling rows. On the
+    * path backend a replay after that crash window is at-least-once;
+    * tmp dedup collapses re-appended rows only when their dedup keys
+    * tie, so prefer the tx backend where replay matters.
+    */
+  def replayQuarantine(
+      schema: Option[org.apache.spark.sql.types.StructType] = None): OpStats = {
+    val CR = "_corrupt_record"
+    val quarantinePath = tmpPath + "__quarantine"
+    if (!wh.exists(spark, quarantinePath)) return OpStats(0L, 0L)
+    val qVersion: Option[(TxWarehouse, Long)] = wh match {
+      case tx: TxWarehouse => Some((tx, tx.currentVersion(spark, quarantinePath)))
+      case _ => None
+    }
+    // quarantine partitions are bounded by the day's bad-line count —
+    // persisting this small frame keeps the parse/count/rewrite passes
+    // from re-reading the table mid-rewrite
+    val raws = readPartition(quarantinePath, job.date)
+      .select(col("raw").cast("string").as("raw")).persist()
+    try {
+      val total = raws.count()
+      if (total == 0L) return OpStats(0L, 0L)
+      def reader = spark.read
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX")
+        .option("columnNameOfCorruptRecord", CR)
+      val pinned = schema.map(s =>
+        if (s.fieldNames.contains(CR)) s
+        else s.add(CR, org.apache.spark.sql.types.StringType))
+      val ds = raws.as(org.apache.spark.sql.Encoders.STRING)
+      val df0 = pinned.map(reader.schema).getOrElse(reader).json(ds)
+      if (!df0.columns.contains("date")) return OpStats(total, 0L)
+      val hasCorrupt = df0.columns.contains(CR)
+      val good =
+        (if (hasCorrupt) df0.filter(col(CR).isNull).drop(CR) else df0)
+          .withColumn("date", col("date").cast("date"))
+      val replayed = good.count()
+      if (replayed > 0L) {
+        wh.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
+          qVersion match {
+            case Some((tx, v)) =>
+              tx.appendTxn(spark, good, tmpPath,
+                s"replay-${job.key}", batchId = v): Unit
+            case None => wh.append(spark, good, tmpPath)
+          }
+        }
+      }
+      wh.withTableLocks(reads = Nil, writes = Seq(quarantinePath)) {
+        if (replayed == total) {
+          wh.deletePartition(spark, quarantinePath, job.date)
+        } else if (replayed > 0L) {
+          // PERMISSIVE over a string dataset carries the original line
+          // in the corrupt column — the rewritten partition holds
+          // exactly the still-bad raw lines
+          wh.overwritePartition(spark,
+            df0.filter(col(CR).isNotNull).select(col(CR).as("raw"))
+              .withColumn("date", dateLit),
+            quarantinePath, job.date)
+        } // replayed == 0: nothing changed, keep the partition as-is
+      }
+      OpStats(total, replayed)
+    } finally { raws.unpersist(); () }
+  }
+
   /** W1/J2: keep-set dedup of the job's tmp date partition, in place.
     * Keeps, per (id, date), every row whose parser.Time equals the max —
     * ties all survive (NOT EXISTS delete semantics, cloud/bq/ops.go:214-217).

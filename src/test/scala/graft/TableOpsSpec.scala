@@ -167,6 +167,54 @@ class TableOpsSpec extends SparkTestBase {
         .count() == 2)
     }
 
+    test(s"[$backend] quarantine replay: corrupt load, fix, replay, " +
+      "converged table") {
+      val root = Files.createTempDirectory("graft-whr").toString
+      val src = Files.createTempDirectory("graft-srcr")
+      val wh = mkWh(root)
+      writeJsonl(src, "m.json", Seq(
+        """{"id":"a","date":"2024-03-01","parser":{"Time":"2024-03-01T10:00:00Z"},"v":1}""",
+        """{"id":"b","date":"2024-03-01","parser":{"Time":"2024-03-01T11:00:00Z"},"v":2""", // truncated
+        """this is not json""",
+        """{"id":"c","date":"2024-03-01","parser":{"Time":"2024-03-01T12:00:00Z"},"v":3}"""))
+      val job = mkJob(root, "ndt7", "2024-03-01")
+      val ops = new TableOps(spark, job, wh)
+      assert(ops.loadToTmp(s"$src/m.json").rowsOut == 2)
+      val qp = wh.tablePath("tmp_exp", "ndt7") + "__quarantine"
+
+      // nothing fixed yet: a replay re-parses, lands nothing, changes
+      // nothing
+      val st0 = ops.replayQuarantine()
+      assert(st0.rowsIn == 2 && st0.rowsOut == 0)
+      assert(wh.read(spark, qp).count() == 2)
+      assert(wh.read(spark, wh.tablePath("tmp_exp", "ndt7")).count() == 2)
+
+      // the operator fix: restore b's truncated brace in the quarantine
+      // partition (ReplayQuarantineTool's by-hand-repair workflow); the
+      // not-json line stays broken
+      val fixedRows = Seq(
+        """{"id":"b","date":"2024-03-01","parser":{"Time":"2024-03-01T11:00:00Z"},"v":2}""",
+        """this is not json""")
+        .toDF("raw")
+        .withColumn("date", lit(java.sql.Date.valueOf("2024-03-01")))
+      wh.overwritePartition(spark, fixedRows, qp,
+        java.time.LocalDate.parse("2024-03-01"))
+
+      val st = ops.replayQuarantine()
+      assert(st.rowsIn == 2 && st.rowsOut == 1)
+      val tmp = wh.read(spark, wh.tablePath("tmp_exp", "ndt7"))
+      assert(tmp.count() == 3, "the fixed line converged into tmp")
+      assert(tmp.filter($"id" === "b" && $"v" === 2L).count() == 1)
+      val qLeft = wh.read(spark, qp)
+      assert(qLeft.count() == 1)
+      assert(qLeft.select("raw").as[String].head() == "this is not json")
+
+      // replay again: the still-bad line stays, tmp does not double
+      val st2 = ops.replayQuarantine()
+      assert(st2.rowsIn == 1 && st2.rowsOut == 0)
+      assert(wh.read(spark, wh.tablePath("tmp_exp", "ndt7")).count() == 3)
+    }
+
     test(s"[$backend] load appends; re-load then dedup converges (idempotent redo)") {
       val root = Files.createTempDirectory("graft-wh2").toString
       val src = Files.createTempDirectory("graft-src2")
