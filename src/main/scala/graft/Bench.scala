@@ -106,7 +106,12 @@ object Bench {
         clearPersisted(spark)
         name -> math.min(a, b)
       }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // 0.1 ms resolution keeps the one-line artifact ~40% shorter — the
+    // driver's stdout capture has clipped the full-precision line twice
+    // (BENCH_r06/r07/r09 "parsed": null); nanosecond noise carries no
+    // information at query times in seconds anyway
+    val qs = results.map { case (k, v) =>
+      s"\"" + k + "\":" + (math.rint(v * 10000) / 10000) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val loadAvg = java.lang.management.ManagementFactory
