@@ -1,17 +1,17 @@
 package graft
 
-/** Fixture oracles for the three xxhash64-family tiers the DuckDB gate
-  * cannot recompute (xxhash64 has no SQL equivalent — the md5-family
-  * duals carry the algorithmic cross-engine verification, and these
-  * tiers' expression-level parity with their duals is spec-enforced in
-  * ShingleHashesSpec/ExtensionsSpec).
+/** Fixture pins for the three xxhash64-family tiers. Since round 10 the
+  * DuckDB gate DOES recompute xxhash64 (XxOracleSql — HUGEINT modular
+  * arithmetic), so these tiers carry full value-level oracle rows; the
+  * fixtures stay as a second, Spark-only line of defense that runs in
+  * `sbt test` without the oracle harness, and they are what the oracle
+  * SQL itself was validated against while it was built. The md5-family
+  * duals still carry the algorithmic cross-engine verification at the
+  * expression level (ShingleHashesSpec/ExtensionsSpec).
   *
-  * What was still unguarded is DRIFT: a regression in the xx pipelines
-  * would sail through the driver's rows-only check as long as the row
-  * COUNT held. These fixtures pin the exact expected output at sf0.01,
-  * checked in as parquet (generated from a verified run; xxhash64 is a
-  * fixed published algorithm, so the values are stable across Spark
-  * versions and platforms).
+  * Values are stable across Spark versions and platforms: xxhash64 is a
+  * fixed published algorithm and the fixtures were generated from a
+  * verified run at sf0.01.
   */
 class FixtureOracleSpec extends SparkTestBase {
 
