@@ -133,30 +133,36 @@ object XxOracleSql {
   def strChain(src: String, keys: Seq[String], strExpr: String,
       seedExpr: String, pfx: String, outCol: String): (Seq[String], String) = {
     val k = keys.mkString(", ")
-    def tt(name: String, prev: String, cols: String) =
-      s"CREATE OR REPLACE TEMP TABLE $pfx$name AS SELECT $k, $cols FROM $pfx$prev"
+    // each stage DROPs its predecessor once built: the oracle scripts
+    // share one long-lived driver connection, and at bench scale the
+    // undropped stage tables of a single chain exhausted DuckDB's
+    // memory budget (observed at sf0.1 — millions of rows x 12 stages
+    // x 3 scripts). Peak live footprint is now ~2 stages per chain.
+    def tt(name: String, prev: String, cols: String) = Seq(
+      s"CREATE OR REPLACE TEMP TABLE $pfx$name AS SELECT $k, $cols FROM $pfx$prev",
+      s"DROP TABLE $pfx$prev")
     val parts = Seq(
       s"CREATE OR REPLACE TEMP TABLE ${pfx}c1 AS SELECT $k, $seedExpr AS se, " +
         s"hex(encode($strExpr)) || repeat('0', 64) AS hx, " +
-        s"octet_length(encode($strExpr)) AS n FROM $src",
+        s"octet_length(encode($strExpr)) AS n FROM $src") ++
       tt("c2", "c1", "se, hx, n, " +
         s"xh_lane(hx, n // 32, 0, (se + 6983438078262162902) % $M) AS v1, " +
         s"xh_lane(hx, n // 32, 1, (se + 14029467366897019727) % $M) AS v2, " +
         "xh_lane(hx, n // 32, 2, se) AS v3, " +
-        s"xh_lane(hx, n // 32, 3, (se + 7046029288634856825) % $M) AS v4"),
+        s"xh_lane(hx, n // 32, 3, (se + 7046029288634856825) % $M) AS v4") ++
       tt("c3", "c2", "se, hx, n, v1, v2, v3, v4, " +
         "(xu_rot(v1, 2, 9223372036854775808) + xu_rot(v2, 128, 144115188075855872) " +
-        s"+ xu_rot(v3, 4096, 4503599627370496) + xu_rot(v4, 262144, 70368744177664)) % $M AS m0"),
-      tt("c4", "c3", "se, hx, n, v2, v3, v4, xh_merge(m0, v1) AS m1"),
-      tt("c5", "c4", "se, hx, n, v3, v4, xh_merge(m1, v2) AS m2"),
-      tt("c6", "c5", "se, hx, n, v4, xh_merge(m2, v3) AS m3"),
-      tt("c7", "c6", "se, hx, n, xh_merge(m3, v4) AS m4"),
+        s"+ xu_rot(v3, 4096, 4503599627370496) + xu_rot(v4, 262144, 70368744177664)) % $M AS m0") ++
+      tt("c4", "c3", "se, hx, n, v2, v3, v4, xh_merge(m0, v1) AS m1") ++
+      tt("c5", "c4", "se, hx, n, v3, v4, xh_merge(m1, v2) AS m2") ++
+      tt("c6", "c5", "se, hx, n, v4, xh_merge(m2, v3) AS m3") ++
+      tt("c7", "c6", "se, hx, n, xh_merge(m3, v4) AS m4") ++
       tt("c8", "c7",
-        s"hx, n, ((CASE WHEN n >= 32 THEN m4 ELSE (se + 2870177450012600261) % $M END) + n) % $M AS a1"),
-      tt("c9", "c8", "hx, n, xh_t8(hx, n, a1) AS a2"),
-      tt("c10", "c9", "hx, n, xh_t4(hx, n, a2) AS a3"),
-      tt("c11", "c10", "hx, n, xh_tb(hx, n, a3) AS a4"),
-      tt("c12", "c11", s"xu_s64(xu_fmix(a4)) AS $outCol"))
+        s"hx, n, ((CASE WHEN n >= 32 THEN m4 ELSE (se + 2870177450012600261) % $M END) + n) % $M AS a1") ++
+      tt("c9", "c8", "hx, n, xh_t8(hx, n, a1) AS a2") ++
+      tt("c10", "c9", "hx, n, xh_t4(hx, n, a2) AS a3") ++
+      tt("c11", "c10", "hx, n, xh_tb(hx, n, a3) AS a4") ++
+      tt("c12", "c11", s"xu_s64(xu_fmix(a4)) AS $outCol")
     (parts, s"${pfx}c12")
   }
 
@@ -166,19 +172,20 @@ object XxOracleSql {
   def longChain(src: String, keys: Seq[String], luExpr: String,
       seedExpr: String, pfx: String, outCol: String): (Seq[String], String) = {
     val k = keys.mkString(", ")
-    def tt(name: String, prev: String, cols: String) =
-      s"CREATE OR REPLACE TEMP TABLE $pfx$name AS SELECT $k, $cols FROM $pfx$prev"
+    def tt(name: String, prev: String, cols: String) = Seq(
+      s"CREATE OR REPLACE TEMP TABLE $pfx$name AS SELECT $k, $cols FROM $pfx$prev",
+      s"DROP TABLE $pfx$prev")
     val parts = Seq(
-      s"CREATE OR REPLACE TEMP TABLE ${pfx}l1 AS SELECT $k, $seedExpr AS se, $luExpr AS lu FROM $src",
+      s"CREATE OR REPLACE TEMP TABLE ${pfx}l1 AS SELECT $k, $seedExpr AS se, $luExpr AS lu FROM $src") ++
       tt("l2", "l1", "se, " +
         "xu_mul(xu_rot(xu_mul(lu, 14029467366897019727), 2147483648, 8589934592), " +
-        "11400714785074694791) AS k1"),
+        "11400714785074694791) AS k1") ++
       tt("l3", "l2",
         s"(xu_mul(xu_rot(xor((se + 2870177450012600269) % $M, k1), " +
-        s"134217728, 137438953472), 11400714785074694791) + 9650029242287828579) % $M AS h2"),
-      tt("l4", "l3", "xu_mul(xu_sx(h2, 8589934592), 14029467366897019727) AS f1"),
-      tt("l5", "l4", "xu_mul(xu_sx(f1, 536870912), 1609587929392839161) AS f2"),
-      tt("l6", "l5", s"xu_s64(xu_sx(f2, 4294967296)) AS $outCol"))
+        s"134217728, 137438953472), 11400714785074694791) + 9650029242287828579) % $M AS h2") ++
+      tt("l4", "l3", "xu_mul(xu_sx(h2, 8589934592), 14029467366897019727) AS f1") ++
+      tt("l5", "l4", "xu_mul(xu_sx(f1, 536870912), 1609587929392839161) AS f2") ++
+      tt("l6", "l5", s"xu_s64(xu_sx(f2, 4294967296)) AS $outCol")
     (parts, s"${pfx}l6")
   }
 
@@ -195,20 +202,30 @@ object XxOracleSql {
       s"CREATE OR REPLACE TEMP TABLE mh_u0 AS WITH t AS (SELECT doc_id, $w AS w FROM documents), " +
         s"s AS (SELECT doc_id, $shingle AS sh FROM t) SELECT doc_id, unnest(sh) AS sg FROM s"
     ) ++ h0S ++ Seq(
+      "DROP TABLE mh_u0",
       s"CREATE OR REPLACE TEMP TABLE mh_hl AS SELECT doc_id, list(h0) AS hl FROM $h0T GROUP BY doc_id",
       "CREATE OR REPLACE TEMP TABLE mh_lanes AS SELECT i, " +
         "xxh64_int(CAST(i AS HUGEINT), 42::HUGEINT) AS lseed FROM range(0, 32) r(i)",
-      s"CREATE OR REPLACE TEMP TABLE mh_lx0 AS SELECT x.doc_id, l.i, x.h0, l.lseed FROM $h0T x, mh_lanes l"
+      s"CREATE OR REPLACE TEMP TABLE mh_lx0 AS SELECT x.doc_id, l.i, x.h0, l.lseed FROM $h0T x, mh_lanes l",
+      s"DROP TABLE $h0T",
+      "DROP TABLE mh_lanes"
     ) ++ mhS ++ Seq(
+      "DROP TABLE mh_lx0",
       s"CREATE OR REPLACE TEMP TABLE mh_lh AS SELECT doc_id, i, min(mh) AS mh FROM $mhT GROUP BY doc_id, i",
+      s"DROP TABLE $mhT",
       "CREATE OR REPLACE TEMP TABLE mh_sig AS SELECT doc_id, list(mh ORDER BY i) AS sig FROM mh_lh GROUP BY doc_id",
+      "DROP TABLE mh_lh",
       "CREATE OR REPLACE TEMP TABLE mh_bseeds AS SELECT b, " +
         "xxh64_int(CAST(b AS HUGEINT), 42::HUGEINT) AS bseed FROM range(0, 8) r(b)",
       "CREATE OR REPLACE TEMP TABLE mh_bd0 AS SELECT doc_id, b, " +
-        "array_to_string(sig[b*4+1 : b*4+4], ',') AS bs, bseed FROM mh_sig, mh_bseeds"
+        "array_to_string(sig[b*4+1 : b*4+4], ',') AS bs, bseed FROM mh_sig, mh_bseeds",
+      "DROP TABLE mh_sig",
+      "DROP TABLE mh_bseeds"
     ) ++ bkS ++ Seq(
+      "DROP TABLE mh_bd0",
       "CREATE OR REPLACE TEMP TABLE mh_cand AS SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b " +
         s"FROM $bkT a JOIN $bkT c ON a.b = c.b AND a.bkt = c.bkt AND a.doc_id < c.doc_id",
+      s"DROP TABLE $bkT",
       "SELECT id_a, id_b, jaccard_e4 FROM (SELECT mh_cand.id_a, mh_cand.id_b, " +
         "CAST(floor(len(list_intersect(ha.hl, hb.hl)) * 10000.0 / " +
         "(len(ha.hl) + len(hb.hl) - len(list_intersect(ha.hl, hb.hl)))) AS BIGINT) AS jaccard_e4 " +
@@ -229,17 +246,24 @@ object XxOracleSql {
       s"CREATE OR REPLACE TEMP TABLE shx_u0 AS WITH t AS (SELECT doc_id, $w AS w FROM documents), " +
         s"s AS (SELECT doc_id, $shingle AS sh FROM t) SELECT doc_id, unnest(sh) AS sg FROM s"
     ) ++ h0S ++ Seq(
+      "DROP TABLE shx_u0",
       s"CREATE OR REPLACE TEMP TABLE shx_hu AS SELECT doc_id, xu_u64(CAST(h0 AS HUGEINT)) AS h0u FROM $h0T",
+      s"DROP TABLE $h0T",
       s"CREATE OR REPLACE TEMP TABLE shx_p2 AS SELECT b, CAST(p AS HUGEINT) AS p FROM (VALUES $p2) v(b, p)",
       "CREATE OR REPLACE TEMP TABLE shx_bits AS SELECT doc_id, b, p, " +
         "sum(CASE WHEN (h0u // p) % 2 = 1 THEN 1 ELSE -1 END) AS vote " +
         "FROM shx_hu, shx_p2 GROUP BY doc_id, b, p",
+      "DROP TABLE shx_hu",
+      "DROP TABLE shx_p2",
       "CREATE OR REPLACE TEMP TABLE shx_f AS SELECT doc_id, " +
         "CAST(sum(CASE WHEN vote > 0 THEN p ELSE 0::HUGEINT END) AS HUGEINT) AS fpu " +
         "FROM shx_bits GROUP BY doc_id",
+      "DROP TABLE shx_bits",
       s"CREATE OR REPLACE TEMP TABLE shx_bsh AS SELECT b2, CAST(s AS HUGEINT) AS s FROM (VALUES $bsv) v(b2, s)",
       "CREATE OR REPLACE TEMP TABLE shx_bb AS SELECT doc_id, fpu, b2, " +
         "(fpu // s) % 65536 AS bucket FROM shx_f, shx_bsh",
+      "DROP TABLE shx_f",
+      "DROP TABLE shx_bsh",
       "SELECT id_a, id_b, hamming FROM (SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b, " +
         "CAST(bit_count(xor(xu_s64(a.fpu), xu_s64(c.fpu))) AS INT) AS hamming " +
         "FROM shx_bb a JOIN shx_bb c ON a.b2 = c.b2 AND a.bucket = c.bucket AND a.doc_id < c.doc_id) " +
@@ -265,23 +289,30 @@ object XxOracleSql {
         "FROM range(0, 224) a(i), range(0, 64) b(j)",
       "CREATE OR REPLACE TEMP TABLE em_pl1 AS SELECT i, j, " +
         s"xu_mul(xu_rot(x0, 2147483648, 8589934592), $c) AS h FROM em_pl0",
+      "DROP TABLE em_pl0",
       // (h >>> 11).toDouble / 2^52 - 1.0; both divisions exact powers of 2
       "CREATE OR REPLACE TEMP TABLE em_pl2 AS SELECT i, j, " +
         "CAST(h // 2048 AS DOUBLE) / 4503599627370496.0 - 1.0 AS comp FROM em_pl1",
+      "DROP TABLE em_pl1",
       // vector elements as scalar rows (unnest runs lists in lockstep)
       "CREATE OR REPLACE TEMP TABLE em_ev AS SELECT vec_id AS id, " +
         "unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x, " +
         "unnest(range(0, len(embedding))) AS j FROM embeddings",
       "CREATE OR REPLACE TEMP TABLE em_prod AS SELECT ev.id, pl.i, ev.j, " +
         "ev.x * pl.comp AS prod FROM em_ev ev JOIN em_pl2 pl USING (j)",
+      "DROP TABLE em_ev",
+      "DROP TABLE em_pl2",
       // ascending-j left fold == VectorDot's 0.0-init fold (0.0+x == x)
       "CREATE OR REPLACE TEMP TABLE em_dots AS SELECT id, i, " +
         "list_reduce(list(prod ORDER BY j), (x, y) -> x + y) AS d FROM em_prod GROUP BY id, i",
+      "DROP TABLE em_prod",
       "CREATE OR REPLACE TEMP TABLE em_bb AS SELECT id, i // 8 AS band, " +
         "sum(CASE WHEN d >= 0 THEN (1 << (i % 8)) ELSE 0 END) AS bucket " +
         "FROM em_dots GROUP BY id, i // 8",
+      "DROP TABLE em_dots",
       "CREATE OR REPLACE TEMP TABLE em_cand AS SELECT DISTINCT a.id AS id_a, c.id AS id_b " +
         "FROM em_bb a JOIN em_bb c ON a.band = c.band AND a.bucket = c.bucket AND a.id < c.id",
+      "DROP TABLE em_bb",
       "CREATE OR REPLACE TEMP TABLE em_e AS SELECT vec_id AS id, embedding AS v FROM embeddings",
       s"SELECT id_a, id_b, cos_e6 FROM (SELECT em_cand.id_a, em_cand.id_b, $cosE6 AS cos_e6 " +
         "FROM em_cand JOIN em_e a ON a.id = em_cand.id_a JOIN em_e c ON c.id = em_cand.id_b) " +
