@@ -178,4 +178,31 @@ class MonitorSpec extends AnyFunSuite {
     assert(until(m) { tk.getState().get(j.key).exists(_._2.state == State.Complete) })
     assert(maxSeen.get() == 1)
   }
+
+  test("single-flight survives lease expiry: a stalled action's own " +
+    "monitor never doubles it up, while a rival still claims the key") {
+    val tk = new Tracker(new MemorySaver, cleanupMillis = 3600_000)
+    val starts = new java.util.concurrent.atomic.AtomicInteger(0)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    val stalled = Action.unconditional(State.Loading, _ => {
+      starts.incrementAndGet()
+      release.await(10, java.util.concurrent.TimeUnit.SECONDS)
+      Outcome.Success()
+    }, State.Complete)
+    // 1 ms lease: expired long before the action finishes
+    val m = new Monitor(tk, Seq(stalled), name = "stuck-driver",
+      claimLeaseMillis = 1L)
+    val j = mkJob("ndt7")
+    tk.addJob(j); tk.setStatus(j.key, State.Loading)
+    m.tick()
+    assert(until(m) { starts.get() == 1 })
+    Thread.sleep(10) // lease is now expired, the action still running
+    (1 to 5).foreach(_ => m.tick())
+    assert(starts.get() == 1,
+      "the stalled monitor re-dispatched its own in-flight action")
+    // the expired lease is exactly what a RIVAL driver may take
+    assert(tk.claim(j.key, "healthy-driver", 60_000L))
+    release.countDown()
+    assert(until(m) { m.inFlight == 0 })
+  }
 }
