@@ -217,6 +217,42 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // ---- S7: incremental change-feed export — the CONSUMER of the tx
+    //      manifest's CDF (readChangesBetween + IncrementalExport's
+    //      exactly-once cursor chain). Staged once per warehouse root:
+    //      orders arrive in two commits (a 2:1 hash split), and the
+    //      export syncs after EACH — so the second sync reads only the
+    //      second commit's files, O(new files) not a rescan. The query
+    //      aggregates the export's content, which for an append-only
+    //      table must equal the full table — the oracle computes the
+    //      same aggregate from the raw parquet, so a double-exported or
+    //      dropped increment breaks the hash. Like s6, the steady-state
+    //      run is the PROBE against the already-built export, which is
+    //      the part that scales: each poll costs the increment, never
+    //      the archive ----
+    "s7_changes_export" -> ((s, dir) => {
+      val root = s"/root/repo/target/s7_txfeed/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "orders")
+      val ex = s"$root/export"
+      if (graft.tableops.IncrementalExport.exportedVersion(s, ex) < 2L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+        wh.append(s, o.filter(col("o_orderkey") % 3 =!= 0), tbl) // v1
+        graft.tableops.IncrementalExport.sync(s, wh, tbl, ex)    // (0,1]
+        wh.append(s, o.filter(col("o_orderkey") % 3 === 0), tbl) // v2
+        graft.tableops.IncrementalExport.sync(s, wh, tbl, ex)    // (1,2]
+      }
+      graft.tableops.IncrementalExport.readExport(s, ex)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
+    }),
+
     // ---- S5: partition stats (listing/metrics analog,
     //      tracker/job.go:124-149) ----
     "s5_partition_stats" -> ((s, dir) =>
@@ -1048,6 +1084,13 @@ object SparkEntry {
         |  count(*) AS n_rows
         |FROM lineitem WHERE l_orderkey BETWEEN 1000 AND 5000
         |GROUP BY l_returnflag""".stripMargin,
+
+    "s7_changes_export" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_e2
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "s5_partition_stats" ->
       s"""WITH m AS ($D)

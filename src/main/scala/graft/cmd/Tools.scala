@@ -160,3 +160,34 @@ object HistoryTool {
     }
   }
 }
+
+/** Usage: ExportTool <warehouseRoot> <dataset> <datatype> <exportRoot>
+  *                   [vacuumOrphanHours]
+  *
+  * One poll of the incremental export (IncrementalExport.sync): reads
+  * ONLY the tx-table files that became live since the export's cursor,
+  * appends them to the export directory, and advances the marker chain
+  * through the scheme's atomic publisher. Run from cron/scheduler at
+  * any cadence — each version range commits exactly once, concurrent
+  * runs race safely. Pass vacuumOrphanHours to also reclaim staging
+  * dirs abandoned by crashed or out-raced runs.
+  */
+object ExportTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, dataset, datatype, exportRoot) = args.take(4)
+    val wh = new graft.tableops.TxWarehouse(whRoot)
+    val spark = ToolSession.spark()
+    val path = wh.tablePath(dataset, datatype)
+    val r = graft.tableops.IncrementalExport.sync(spark, wh, path, exportRoot)
+    val what =
+      if (r.applied) s"exported versions (${r.from}, ${r.to}]"
+      else if (r.to > r.from) s"lost the publish race for (${r.from}, ${r.to}] (a rival exported it)"
+      else s"up to date at version ${r.to}"
+    println(s"$what of $path -> $exportRoot")
+    if (args.length > 4) {
+      val n = graft.tableops.IncrementalExport.vacuumOrphans(spark,
+        exportRoot, args(4).toLong * 3600 * 1000)
+      println(s"vacuumed $n orphaned staging dirs")
+    }
+  }
+}

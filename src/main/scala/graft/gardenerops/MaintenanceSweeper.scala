@@ -44,12 +44,19 @@ final class MaintenanceSweeper(
     // fragmented partitions rewritten range-clustered (stats-selective
     // file layout for readWhere; see TableOps.compactRaw), others keep
     // the narrow coalesce
-    clusterBy: Map[String, Seq[String]] = Map.empty) {
+    clusterBy: Map[String, Seq[String]] = Map.empty,
+    // tx-table path -> export root: each sweep advances these
+    // incremental exports (IncrementalExport.sync — O(new files) per
+    // pass) BEFORE truncating the table's commit log, so an export the
+    // sweeper owns can never fall behind the truncation horizon its own
+    // maintenance imposes. Ignored on non-tx backends.
+    exportRoots: Map[String, String] = Map.empty) {
 
   /** One sweep pass. Visible for deterministic tests. Returns the number
     * of partitions compacted.
     */
   def sweep(): Int = {
+    syncExports()
     val state = tracker.getState().values.toSeq
     // one representative job per (datasets, datatype): the sweep reuses
     // the pipeline's own TableOps with the date swapped in
@@ -99,6 +106,24 @@ final class MaintenanceSweeper(
       !st.isDone && job.datasets.raw == j.datasets.raw &&
         job.datatype == j.datatype && job.date == d
     }
+
+  /** Advance every registered incremental export one increment and
+    * reclaim its abandoned staging, before any log truncation this pass
+    * (ordering is the horizon guarantee — see the constructor note). A
+    * failed export is dropped like a failed pass: the chain is
+    * crash-convergent, so the next sweep's sync re-reads the same
+    * range and publishes.
+    */
+  private def syncExports(): Unit = wh match {
+    case tx: TxWarehouse => exportRoots.foreach { case (path, exRoot) =>
+      try {
+        graft.tableops.IncrementalExport.sync(spark, tx, path, exRoot): Unit
+        graft.tableops.IncrementalExport.vacuumOrphans(spark, exRoot,
+          minAgeMillis): Unit
+      } catch { case _: Exception => () }
+    }
+    case _ => ()
+  }
 
   private def maintainTx(j: Job): Unit = wh match {
     case tx: TxWarehouse =>

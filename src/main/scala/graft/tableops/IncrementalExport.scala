@@ -1,0 +1,168 @@
+package graft.tableops
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The durable CONSUMER of [[TxWarehouse.readChangesBetween]]: tails a
+  * tx table into a downstream export directory at O(new files) per
+  * sync. `readChangesBetween` gives the increment; this object gives
+  * the cursor discipline that makes repeated polling exactly-once —
+  * the piece a real 100 TB deployment needs before "incremental
+  * consumption" is an operation rather than an API (reference analog:
+  * the gardener's downstream BigQuery materializations are re-derived
+  * per day-partition, `cloud/bq/ops.go:234-253`; with a manifest log
+  * the same freshness costs only the new files).
+  *
+  * Export layout under `exportRoot`:
+  * {{{
+  *   _chain/from_<%020d>   marker: "<to> <dataDirName|- >"
+  *   data/<uuid>/          parquet rows of the (from, to] increment
+  * }}}
+  *
+  * The marker chain starting at `from_0` DEFINES the export's content;
+  * data directories not referenced by the chain are invisible garbage.
+  * Each marker is published create-if-absent through the scheme's
+  * [[LogPublisher]] — the same seam the tx commit log rides, so on an
+  * object store the cursor advance is a conditional put. Keying the
+  * marker by the FROM version makes the chain unique by construction:
+  * of N racing exporters extending the same cursor position, exactly
+  * one marker lands, so no version range can be exported twice — the
+  * failure mode a naive "remember the last version in a file" cursor
+  * has on every store where rename overwrites.
+  *
+  * Crash windows: data is staged BEFORE the marker, so a crash between
+  * the two leaves an orphan dir and an unchanged chain — the next sync
+  * re-reads the same range into a fresh dir and publishes; replaying
+  * converges. [[vacuumOrphans]] reclaims unreferenced dirs past a
+  * reader-safety age, mirroring [[TxWarehouse.vacuum]].
+  */
+object IncrementalExport {
+
+  private val ChainDir = "_chain"
+  private val DataDir = "data"
+
+  /** One committed increment: rows of table versions (from, to],
+    * stored under `data/<dir>` (dir None = the increment added no
+    * parquet files — e.g. an empty micro-batch commit).
+    */
+  final case class Increment(from: Long, to: Long, dir: Option[String])
+
+  /** Result of one [[sync]] call: the chain extension that is now
+    * committed for (from, to] — `applied` false when this call lost
+    * the publish race to a rival exporter (the range is still
+    * exported, by the rival) or when there was nothing new.
+    */
+  final case class SyncResult(from: Long, to: Long, applied: Boolean)
+
+  private def fs(spark: SparkSession, root: String): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def markerPath(root: String, from: Long): Path =
+    new Path(f"$root/$ChainDir/from_$from%020d")
+
+  private def readMarker(f: FileSystem, p: Path): Option[(Long, Option[String])] = {
+    if (!f.exists(p)) return None
+    val in = f.open(p)
+    val body =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      finally in.close()
+    body.split(' ') match {
+      case Array(to, "-") => Some((to.toLong, None))
+      case Array(to, dir) => Some((to.toLong, Some(dir)))
+      case _ => None // torn marker: only a winner that died mid-copy —
+                     // treated as chain end; replay re-exports the range
+    }
+  }
+
+  /** The committed increment chain, in version order from 0. */
+  def chain(spark: SparkSession, exportRoot: String): Seq[Increment] = {
+    val f = fs(spark, exportRoot)
+    val out = scala.collection.mutable.ListBuffer[Increment]()
+    var from = 0L
+    var next = readMarker(f, markerPath(exportRoot, from))
+    while (next.isDefined) {
+      val (to, dir) = next.get
+      out += Increment(from, to, dir)
+      from = to
+      next = readMarker(f, markerPath(exportRoot, from))
+    }
+    out.toList
+  }
+
+  /** Highest table version the export has committed (0 = nothing). */
+  def exportedVersion(spark: SparkSession, exportRoot: String): Long =
+    chain(spark, exportRoot).lastOption.map(_.to).getOrElse(0L)
+
+  /** Advance the export to the table's current version: read ONLY the
+    * files that became live since the cursor, stage them under a fresh
+    * data dir, and publish the chain marker. Cost is O(files in the
+    * increment) — independent of table depth. Safe to call from any
+    * number of exporters on any schedule; each version range commits
+    * exactly once.
+    */
+  def sync(spark: SparkSession, wh: TxWarehouse, tablePath: String,
+      exportRoot: String): SyncResult = {
+    val from = exportedVersion(spark, exportRoot)
+    val to = wh.currentVersion(spark, tablePath)
+    if (to <= from) return SyncResult(from, from, applied = false)
+    val f = fs(spark, exportRoot)
+    val inc = wh.readChangesBetween(spark, tablePath, from, to)
+    val dirName = UUID.randomUUID().toString
+    val dataPath = new Path(s"$exportRoot/$DataDir/$dirName")
+    // a file-less increment (e.g. an empty exactly-once micro-batch's
+    // T-line commit) reads as a schemaless frame parquet cannot write;
+    // its chain link is dir-less — nothing to stage
+    if (inc.schema.nonEmpty) inc.write.parquet(dataPath.toString)
+    // a 0-row increment writes no part files; record it as dir-less so
+    // readExport never points Spark at an empty directory
+    val hasParquet = f.exists(dataPath) &&
+      f.listStatus(dataPath).exists(_.getPath.getName.endsWith(".parquet"))
+    val body = s"$to ${if (hasParquet) dirName else "-"}"
+    val tmp = new Path(s"$exportRoot/$ChainDir/.tmp-$dirName")
+    f.mkdirs(tmp.getParent)
+    val out = f.create(tmp, true)
+    try out.write(body.getBytes(UTF_8)) finally out.close()
+    val dest = markerPath(exportRoot, from)
+    val won = LogPublisher.forScheme(f.getScheme).publish(f, tmp, dest)
+    f.delete(tmp, false)
+    if (!won) { f.delete(dataPath, true); () } // rival extended the chain
+    SyncResult(from, to, applied = won)
+  }
+
+  /** Everything the export has committed, as one DataFrame (schema
+    * merged across increments — the table may have evolved between
+    * syncs). Empty chain reads as an empty 0-column frame.
+    */
+  def readExport(spark: SparkSession, exportRoot: String): DataFrame = {
+    val dirs = chain(spark, exportRoot).flatMap(_.dir)
+      .map(d => s"$exportRoot/$DataDir/$d")
+    if (dirs.isEmpty) spark.emptyDataFrame
+    else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** Reclaim data dirs the chain does not reference — losers of publish
+    * races and stage-then-crash leftovers. The age guard keeps an
+    * in-flight sync's staging safe, same discipline as
+    * [[TxWarehouse.vacuum]]. Returns the number of dirs removed.
+    */
+  def vacuumOrphans(spark: SparkSession, exportRoot: String,
+      minAgeMillis: Long = 24L * 3600 * 1000): Long = {
+    val f = fs(spark, exportRoot)
+    val dataRoot = new Path(s"$exportRoot/$DataDir")
+    if (!f.exists(dataRoot)) return 0L
+    val live = chain(spark, exportRoot).flatMap(_.dir).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    var removed = 0L
+    f.listStatus(dataRoot).foreach { st =>
+      if (st.isDirectory && !live.contains(st.getPath.getName) &&
+          st.getModificationTime < cutoff) {
+        f.delete(st.getPath, true)
+        removed += 1
+      }
+    }
+    removed
+  }
+}

@@ -160,8 +160,12 @@ class GardenerE2ESpec extends SparkTestBase {
     assert(tracker.addJob(active).isRight)
     assert(tracker.setStatus(active.key, State.Copying).isRight)
 
+    // a sweeper-owned incremental export tails the raw table (tx only;
+    // ignored on path): synced at the START of each pass, before the
+    // same pass's log truncation can move the horizon past the cursor
+    val exRoot = Files.createTempDirectory("graft-e2e-maint-ex").toString
     val sweeper = new graft.gardenerops.MaintenanceSweeper(spark, wh, tracker,
-      minAgeMillis = 0L)
+      minAgeMillis = 0L, exportRoots = Map(rawPath -> exRoot))
     assert(sweeper.sweep() == 1)
 
     // done day: 12 tiny files → the target layout (1); rows intact
@@ -186,8 +190,26 @@ class GardenerE2ESpec extends SparkTestBase {
         .count(_.getFileName.toString.endsWith(".parquet"))
       assert(dataFiles == 1 + 12, s"retired fragments not vacuumed: $dataFiles")
     }
+    if (backend == "tx") {
+      // the export synced BEFORE this pass's compaction/truncation: it
+      // carries both days' pre-compaction appends, and its cursor is
+      // still resolvable after the same pass truncated the log
+      assert(graft.tableops.IncrementalExport.readExport(spark, exRoot)
+        .count() == 24)
+    }
     // a second sweep is a metadata-only no-op
     assert(sweeper.sweep() == 0)
+    if (backend == "tx") {
+      val tx = wh.asInstanceOf[graft.tableops.TxWarehouse]
+      // …except for the export, which caught up to the compaction
+      // commit: the rewritten day re-exports as one more increment
+      // (append-log semantics — no retraction; consumers diff snapshots
+      // for that), and the chain is at the table's current version
+      assert(graft.tableops.IncrementalExport.exportedVersion(spark, exRoot)
+        == tx.currentVersion(spark, rawPath))
+      assert(graft.tableops.IncrementalExport.readExport(spark, exRoot)
+        .count() == 36)
+    }
   }
 
   test("YAML-configured incremental content tier through the monitor: " +

@@ -1,0 +1,147 @@
+package graft.tableops
+
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** The cursor discipline around readChangesBetween: syncs are
+  * exactly-once per version range, crash windows converge on replay,
+  * racing exporters cannot double-export, and orphaned staging is
+  * reclaimable. The DATA semantics (which rows a range contains) are
+  * TableOpsSpec's readChangesBetween test; this spec owns the chain.
+  */
+class IncrementalExportSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  private def rows(d: String, vs: Long*) =
+    vs.map(v => (v, java.sql.Date.valueOf(d))).toDF("v", "date")
+
+  private def exported(root: String): Set[Long] = {
+    val df = IncrementalExport.readExport(spark, root)
+    if (df.columns.isEmpty) Set.empty
+    else df.select("v").as[Long].collect().toSet
+  }
+
+  test("sync tails the table across appends, replaces and empty polls; " +
+    "export content equals the table's latest snapshot for append-only " +
+    "and the union of increments under replaces") {
+    val whRoot = Files.createTempDirectory("graft-ie1-wh").toString
+    val exRoot = Files.createTempDirectory("graft-ie1-ex").toString
+    val wh = new TxWarehouse(whRoot)
+    val path = wh.tablePath("m", "t")
+
+    // nothing to do on an empty table
+    val r0 = IncrementalExport.sync(spark, wh, path, exRoot)
+    assert(r0 == IncrementalExport.SyncResult(0, 0, applied = false))
+    assert(IncrementalExport.exportedVersion(spark, exRoot) == 0L)
+
+    wh.append(spark, rows("2024-09-01", 1, 2), path) // v1
+    wh.append(spark, rows("2024-09-02", 3), path)    // v2
+    val r1 = IncrementalExport.sync(spark, wh, path, exRoot)
+    assert(r1 == IncrementalExport.SyncResult(0, 2, applied = true))
+    assert(exported(exRoot) == Set(1L, 2L, 3L))
+
+    // idempotent poll: nothing new → no chain growth
+    val r2 = IncrementalExport.sync(spark, wh, path, exRoot)
+    assert(!r2.applied && r2.from == 2 && r2.to == 2)
+    assert(IncrementalExport.chain(spark, exRoot).size == 1)
+
+    // dedup-style partition replace, then an append
+    wh.overwritePartition(spark, rows("2024-09-01", 10), path,
+      java.time.LocalDate.parse("2024-09-01"))      // v3
+    wh.append(spark, rows("2024-09-03", 4), path)    // v4
+    val r3 = IncrementalExport.sync(spark, wh, path, exRoot)
+    assert(r3 == IncrementalExport.SyncResult(2, 4, applied = true))
+    // union-of-increments semantics: replaced-away rows from the FIRST
+    // increment remain (documented: consumers needing retraction diff
+    // snapshots); the new increment carries only the files that became
+    // live in (2, 4]
+    assert(exported(exRoot) == Set(1L, 2L, 3L, 10L, 4L))
+    assert(IncrementalExport.exportedVersion(spark, exRoot) == 4L)
+    assert(IncrementalExport.chain(spark, exRoot).map(i => (i.from, i.to))
+      == Seq((0L, 2L), (2L, 4L)))
+  }
+
+  test("crash window converges: staged data without a published marker " +
+    "is invisible, the replay re-exports the same range, and " +
+    "vacuumOrphans reclaims the abandoned dir") {
+    val whRoot = Files.createTempDirectory("graft-ie2-wh").toString
+    val exRoot = Files.createTempDirectory("graft-ie2-ex").toString
+    val wh = new TxWarehouse(whRoot)
+    val path = wh.tablePath("m", "t")
+    wh.append(spark, rows("2024-09-01", 1), path) // v1
+
+    // simulate the crash: stage the increment by hand, never publish
+    val fs = new Path(exRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val orphan = s"$exRoot/data/dead-beef"
+    wh.readChangesBetween(spark, path, 0, 1).write.parquet(orphan)
+    assert(exported(exRoot).isEmpty, "unreferenced staging must be invisible")
+
+    // replay: a fresh sync exports the same range exactly once
+    val r = IncrementalExport.sync(spark, wh, path, exRoot)
+    assert(r.applied && r.from == 0 && r.to == 1)
+    assert(exported(exRoot) == Set(1L))
+
+    // the orphan is reclaimable once old enough, live dirs are not
+    assert(IncrementalExport.vacuumOrphans(spark, exRoot,
+      minAgeMillis = Long.MaxValue) == 0L)
+    assert(IncrementalExport.vacuumOrphans(spark, exRoot,
+      minAgeMillis = -1L) == 1L)
+    assert(!fs.exists(new Path(orphan)))
+    assert(exported(exRoot) == Set(1L), "vacuum must not touch live data")
+  }
+
+  test("racing exporters: the marker chain admits one extension per " +
+    "cursor position, so no version range exports twice") {
+    val whRoot = Files.createTempDirectory("graft-ie3-wh").toString
+    val exRoot = Files.createTempDirectory("graft-ie3-ex").toString
+    val wh = new TxWarehouse(whRoot)
+    val path = wh.tablePath("m", "t")
+    wh.append(spark, rows("2024-09-01", 1, 2), path) // v1
+
+    // both exporters observe cursor 0, then race the same extension
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      IncrementalExport.SyncResult]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 4).map { _ =>
+      new Thread(() => {
+        start.await()
+        results.add(IncrementalExport.sync(spark, wh, path, exRoot)); ()
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    val applied = results.asScala.count(_.applied)
+    assert(applied == 1, s"exactly one racer must win, got $applied")
+    // rows are NOT duplicated and the chain has one link
+    val got = IncrementalExport.readExport(spark, exRoot)
+      .select("v").as[Long].collect().toSeq
+    assert(got.sorted == Seq(1L, 2L))
+    assert(IncrementalExport.chain(spark, exRoot).size == 1)
+    // losers' staging dirs are already gone (deleted on loss)
+    val fs = new Path(exRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirs = fs.listStatus(new Path(s"$exRoot/data")).length
+    assert(dirs == 1, s"losers must clean their staging, found $dirs dirs")
+  }
+
+  test("a 0-row commit syncs as a dir-less chain link and readExport " +
+    "still reads the rest") {
+    val whRoot = Files.createTempDirectory("graft-ie4-wh").toString
+    val exRoot = Files.createTempDirectory("graft-ie4-ex").toString
+    val wh = new TxWarehouse(whRoot)
+    val path = wh.tablePath("m", "t")
+    wh.append(spark, rows("2024-09-01", 1), path)                // v1
+    IncrementalExport.sync(spark, wh, path, exRoot)
+    // a plain 0-row append is a no-op commit; an empty exactly-once
+    // micro-batch still commits (its T line must land) — that is the
+    // real-world source of add-less versions
+    assert(wh.appendTxn(spark, rows("2024-09-02"), path, "app", 0L)) // v2
+    assert(wh.currentVersion(spark, path) == 2L)
+    val r = IncrementalExport.sync(spark, wh, path, exRoot)
+    assert(r.applied && r.to == 2)
+    assert(IncrementalExport.chain(spark, exRoot).last.dir.isEmpty)
+    assert(exported(exRoot) == Set(1L))
+  }
+}
