@@ -286,6 +286,12 @@ object TextDedup {
       docs: DataFrame, idCol: String, textCol: String,
       minContainE4: Long = 6000, maxShingleDocFreq: Int = 128
   ): DataFrame = {
+    // NOT persisted: the hashed-shingle projection feeds both the
+    // doc-frequency pass and the postings build, but measured at sf0.1
+    // the double hashing costs ~5% of the query — the pair expansion
+    // and count aggregation dominate — and materializing (id, sh) for
+    // a whole corpus is exactly the footprint a 100 TB run cannot
+    // afford. Recompute is the right trade here.
     val base = withHashedShingles(docs, Seq(idCol), textCol)
     def score(pairs: DataFrame): DataFrame = pairs
       .groupBy(col("id_a"), col("id_b"), col("sz_a"), col("sz_b"))

@@ -78,10 +78,13 @@ object IncrementalExport {
   }
 
   /** The committed increment chain, in version order from 0. */
-  def chain(spark: SparkSession, exportRoot: String): Seq[Increment] = {
-    val f = fs(spark, exportRoot)
+  def chain(spark: SparkSession, exportRoot: String): Seq[Increment] =
+    walkFrom(fs(spark, exportRoot), exportRoot, 0L)
+
+  private def walkFrom(f: FileSystem, exportRoot: String,
+      start: Long): Seq[Increment] = {
     val out = scala.collection.mutable.ListBuffer[Increment]()
-    var from = 0L
+    var from = start
     var next = readMarker(f, markerPath(exportRoot, from))
     while (next.isDefined) {
       val (to, dir) = next.get
@@ -92,9 +95,45 @@ object IncrementalExport {
     out.toList
   }
 
+  /** Cursor-position cache bounding the steady-state walk to O(1):
+    * `_chain/head` holds the FROM of a recently published marker. The
+    * hint is advisory, never authoritative — it is overwritten
+    * non-atomically (last writer wins), and a reader VALIDATES it by
+    * requiring that marker `from_<hint>` exists before trusting it.
+    * Every existing marker is on the single chain by construction
+    * (publishes are create-if-absent keyed by a from obtained from a
+    * validated walk), so a validated hint can only be a rewind, never
+    * a fork: stale ⇒ a slightly longer walk forward; torn/corrupt ⇒
+    * ignored, full walk from 0. ExportProbe pins the effect — without
+    * it the poll cost grows linearly in chain length.
+    */
+  private def headHint(f: FileSystem, exportRoot: String): Long = {
+    val p = new Path(s"$exportRoot/$ChainDir/head")
+    try {
+      if (!f.exists(p)) return 0L
+      val in = f.open(p)
+      val s =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      val v = s.toLong
+      if (v > 0L && f.exists(markerPath(exportRoot, v))) v else 0L
+    } catch { case _: Exception => 0L }
+  }
+
+  private def writeHeadHint(f: FileSystem, exportRoot: String,
+      from: Long): Unit =
+    try {
+      val p = new Path(s"$exportRoot/$ChainDir/head")
+      val out = f.create(p, true)
+      try out.write(from.toString.getBytes(UTF_8)) finally out.close()
+    } catch { case _: Exception => () } // a lost hint is only a slower walk
+
   /** Highest table version the export has committed (0 = nothing). */
-  def exportedVersion(spark: SparkSession, exportRoot: String): Long =
-    chain(spark, exportRoot).lastOption.map(_.to).getOrElse(0L)
+  def exportedVersion(spark: SparkSession, exportRoot: String): Long = {
+    val f = fs(spark, exportRoot)
+    val start = headHint(f, exportRoot)
+    walkFrom(f, exportRoot, start).lastOption.map(_.to).getOrElse(start)
+  }
 
   /** Advance the export to the table's current version: read ONLY the
     * files that became live since the cursor, stage them under a fresh
@@ -129,6 +168,7 @@ object IncrementalExport {
     val won = LogPublisher.forScheme(f.getScheme).publish(f, tmp, dest)
     f.delete(tmp, false)
     if (!won) { f.delete(dataPath, true); () } // rival extended the chain
+    else writeHeadHint(f, exportRoot, from) // O(1) next walk (advisory)
     SyncResult(from, to, applied = won)
   }
 

@@ -677,6 +677,44 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     */
   def readChangesBetween(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
+    val (liveFrom, liveTo) = liveSetsAt(spark, path, fromVersion, toVersion)
+    readFiles(spark, path, (liveTo.keySet -- liveFrom.keySet).toSeq.sorted)
+  }
+
+  /** The RETRACTION-aware dual of [[readChangesBetween]]: both sides of
+    * the live-set diff, tagged with a `_change_type` column — `insert`
+    * for rows of files live at `toVersion` but not `fromVersion`,
+    * `delete` for rows of files retired in the range (dedup rewrites,
+    * partition deletes). Still O(changed files) — the manifest diff
+    * decides which files to read; no snapshot comparison ever scans
+    * unchanged data.
+    *
+    * File-granular by construction: a rewrite that preserves some row
+    * content (compaction, a dedup keeping most rows) emits those rows
+    * as BOTH delete and insert. The manifest cannot know row identity —
+    * a consumer needing net row changes cancels matching delete/insert
+    * pairs itself (an anti-join on its own key), paying that compare
+    * only over the changed files this method already bounds.
+    */
+  def diffSnapshots(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): DataFrame = {
+    val (liveFrom, liveTo) = liveSetsAt(spark, path, fromVersion, toVersion)
+    val added = (liveTo.keySet -- liveFrom.keySet).toSeq.sorted
+    val removed = (liveFrom.keySet -- liveTo.keySet).toSeq.sorted
+    def side(rels: Seq[String], tag: String): Option[DataFrame] =
+      if (rels.isEmpty) None
+      else Some(readFiles(spark, path, rels).withColumn("_change_type", lit(tag)))
+    (side(added, "insert"), side(removed, "delete")) match {
+      case (Some(a), Some(d)) => a.unionByName(d, allowMissingColumns = true)
+      case (Some(a), None) => a
+      case (None, Some(d)) => d
+      case (None, None) => spark.emptyDataFrame
+    }
+  }
+
+  private def liveSetsAt(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long):
+      (Map[String, String], Map[String, String]) = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
     val liveFrom: Map[String, String] =
@@ -690,7 +728,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val (vT, liveTo) = state(spark, path, upTo = toVersion)
     require(vT == toVersion,
       s"no version $toVersion of $path (latest ≤ is $vT)")
-    readFiles(spark, path, (liveTo.keySet -- liveFrom.keySet).toSeq.sorted)
+    (liveFrom, liveTo)
   }
 
   /** Reclaim storage: delete data files that (a) are not referenced by

@@ -593,6 +593,19 @@ class TableOpsSpec extends SparkTestBase {
     intercept[IllegalArgumentException] {
       wh.readChangesBetween(spark, path, 1, 4)
     }
+
+    // the retraction-aware dual: both sides of the live-set diff, tagged
+    def diff(from: Long, to: Long): Set[(Long, String)] =
+      wh.diffSnapshots(spark, path, from, to)
+        .select("v", "_change_type").as[(Long, String)].collect().toSet
+    // pure append: inserts only
+    assert(diff(1, 2) == Set((3L, "insert")))
+    // replace: the retired file's rows come back as deletes
+    assert(diff(2, 3) == Set((10L, "insert"), (1L, "delete"), (2L, "delete")))
+    // from 0: the full snapshot as inserts, nothing to retract
+    assert(diff(0, 3) == Set((3L, "insert"), (10L, "insert")))
+    // empty range: empty frame
+    assert(wh.diffSnapshots(spark, path, 3, 3).count() == 0)
   }
 
   test("[tx] truncateLog bounds _graft_log to O(checkpointEvery + kept " +

@@ -126,6 +126,58 @@ class IncrementalExportSpec extends graft.SparkTestBase {
     assert(dirs == 1, s"losers must clean their staging, found $dirs dirs")
   }
 
+  test("schema evolution between syncs: readExport merges increment " +
+    "schemas; earlier increments read the new column as null") {
+    val whRoot = Files.createTempDirectory("graft-ie6-wh").toString
+    val exRoot = Files.createTempDirectory("graft-ie6-ex").toString
+    val wh = new TxWarehouse(whRoot)
+    val path = wh.tablePath("m", "t")
+    wh.append(spark, rows("2024-09-01", 1), path)
+    IncrementalExport.sync(spark, wh, path, exRoot)
+    wh.append(spark,
+      Seq((2L, java.sql.Date.valueOf("2024-09-02"), "en"))
+        .toDF("v", "date", "lang"), path)
+    IncrementalExport.sync(spark, wh, path, exRoot)
+    val got = IncrementalExport.readExport(spark, exRoot)
+      .select("v", "lang").as[(Long, Option[String])].collect().toSet
+    assert(got == Set((1L, None), (2L, Some("en"))))
+  }
+
+  test("the head hint is advisory: stale, corrupt, or fabricated hints " +
+    "never change what the chain resolves to") {
+    val whRoot = Files.createTempDirectory("graft-ie5-wh").toString
+    val exRoot = Files.createTempDirectory("graft-ie5-ex").toString
+    val wh = new TxWarehouse(whRoot)
+    val path = wh.tablePath("m", "t")
+    val fs = new Path(exRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def putHint(s: String): Unit = {
+      val out = fs.create(new Path(s"$exRoot/_chain/head"), true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    (1 to 3).foreach { i =>
+      wh.append(spark, rows("2024-09-01", i.toLong), path)
+      IncrementalExport.sync(spark, wh, path, exRoot)
+    }
+    assert(IncrementalExport.exportedVersion(spark, exRoot) == 3L)
+    // stale (valid older position): walk continues forward to the head
+    putHint("1")
+    assert(IncrementalExport.exportedVersion(spark, exRoot) == 3L)
+    // corrupt: ignored, full walk
+    putHint("not a number")
+    assert(IncrementalExport.exportedVersion(spark, exRoot) == 3L)
+    // fabricated future position: no such marker, ignored (a trusted
+    // fake head would silently skip exporting real increments)
+    putHint("17")
+    assert(IncrementalExport.exportedVersion(spark, exRoot) == 3L)
+    // and the next sync repairs the hint as part of its publish
+    wh.append(spark, rows("2024-09-01", 4L), path)
+    assert(IncrementalExport.sync(spark, wh, path, exRoot).applied)
+    assert(IncrementalExport.exportedVersion(spark, exRoot) == 4L)
+    assert(IncrementalExport.readExport(spark, exRoot)
+      .select("v").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
+  }
+
   test("a 0-row commit syncs as a dir-less chain link and readExport " +
     "still reads the rest") {
     val whRoot = Files.createTempDirectory("graft-ie4-wh").toString
