@@ -191,3 +191,28 @@ object ExportTool {
     }
   }
 }
+
+/** Usage: CompactExportTool <exportRoot> [minAgeHours]
+  *
+  * Maintenance for a long-lived incremental export: consolidate the
+  * chain's current prefix into one data directory
+  * (IncrementalExport.checkpointExport) and reclaim the increment and
+  * superseded-checkpoint dirs it covers (vacuumCompacted, default age
+  * guard 168h). Bounds readExport's file fan-in to the checkpoint
+  * cadence instead of the chain's lifetime; the cursor chain itself is
+  * untouched.
+  */
+object CompactExportTool {
+  def main(args: Array[String]): Unit = {
+    val exportRoot = args(0)
+    val ageHours = if (args.length > 1) args(1).toLong else 168L
+    val spark = ToolSession.spark()
+    val ck = graft.tableops.IncrementalExport.checkpointExport(spark, exportRoot)
+    val n = graft.tableops.IncrementalExport.vacuumCompacted(spark,
+      exportRoot, ageHours * 3600 * 1000)
+    println(ck match {
+      case Some(v) => s"checkpointed $exportRoot up to version $v; reclaimed $n covered dirs"
+      case None => s"nothing new to checkpoint in $exportRoot; reclaimed $n covered dirs"
+    })
+  }
+}

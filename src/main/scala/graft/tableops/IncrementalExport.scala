@@ -174,13 +174,124 @@ object IncrementalExport {
 
   /** Everything the export has committed, as one DataFrame (schema
     * merged across increments — the table may have evolved between
-    * syncs). Empty chain reads as an empty 0-column frame.
+    * syncs). Reads the newest checkpoint's consolidated directory plus
+    * only the increments past it, so read amplification is bounded by
+    * the checkpoint cadence, not the chain's lifetime length. Empty
+    * chain reads as an empty 0-column frame.
     */
   def readExport(spark: SparkSession, exportRoot: String): DataFrame = {
-    val dirs = chain(spark, exportRoot).flatMap(_.dir)
+    val f = fs(spark, exportRoot)
+    val (ckptDirs, start) = bestCheckpoint(f, exportRoot) match {
+      case Some((to, dir)) => (Seq(dir), to)
+      case None => (Nil, 0L)
+    }
+    val dirs = (ckptDirs ++ walkFrom(f, exportRoot, start).flatMap(_.dir))
       .map(d => s"$exportRoot/$DataDir/$d")
     if (dirs.isEmpty) spark.emptyDataFrame
     else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  private def ckptPath(root: String, to: Long): Path =
+    new Path(f"$root/$ChainDir/ckpt_$to%020d")
+
+  /** Newest committed checkpoint: (covered-up-to version, data dir). */
+  private def bestCheckpoint(f: FileSystem,
+      exportRoot: String): Option[(Long, String)] = {
+    val dir = new Path(s"$exportRoot/$ChainDir")
+    if (!f.exists(dir)) return None
+    f.listStatus(dir).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("ckpt_"))
+      .flatMap(n => scala.util.Try(n.stripPrefix("ckpt_").toLong).toOption)
+      .sorted.reverse
+      .flatMap { to =>
+        val in = f.open(ckptPath(exportRoot, to))
+        val body =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        // a winner that died mid-copy leaves an empty/torn body (or a
+        // truncated dir name that matches no directory); skip to the
+        // next-newest intact checkpoint
+        if (body.nonEmpty && !body.contains(' ') &&
+            f.exists(new Path(s"$exportRoot/$DataDir/$body")))
+          Some((to, body))
+        else None
+      }
+      .headOption
+  }
+
+  /** Consolidate the chain's current prefix into ONE data directory,
+    * published as checkpoint marker `_chain/ckpt_<to>` through the
+    * scheme's [[LogPublisher]] — exactly one checkpoint per covered
+    * version ever commits, racing compactors lose cleanly. After a
+    * checkpoint, [[readExport]] opens the consolidated dir plus only
+    * the increments past it: the analog of [[TxWarehouse]]'s own
+    * checkpoint, aimed at the export's two lifetime liabilities —
+    * per-increment small files and O(links) read fan-in. The chain
+    * MARKERS stay (they are the cursor's correctness record and are
+    * O(bytes)); the covered increments' data dirs become reclaimable
+    * via [[vacuumCompacted]]. Returns the covered version, or None if
+    * there was nothing new to checkpoint.
+    */
+  def checkpointExport(spark: SparkSession, exportRoot: String): Option[Long] = {
+    val f = fs(spark, exportRoot)
+    val head = exportedVersion(spark, exportRoot)
+    if (head == 0L) return None
+    if (bestCheckpoint(f, exportRoot).exists(_._1 >= head)) return None
+    val df = readExport(spark, exportRoot)
+    val dirName = s"ckpt-${UUID.randomUUID()}"
+    val dataPath = new Path(s"$exportRoot/$DataDir/$dirName")
+    if (df.schema.nonEmpty) df.write.parquet(dataPath.toString)
+    else return None // nothing but dir-less links: no data to compact
+    val tmp = new Path(s"$exportRoot/$ChainDir/.tmp-$dirName")
+    val out = f.create(tmp, true)
+    try out.write(dirName.getBytes(UTF_8)) finally out.close()
+    val won = LogPublisher.forScheme(f.getScheme)
+      .publish(f, tmp, ckptPath(exportRoot, head))
+    f.delete(tmp, false)
+    if (!won) { f.delete(dataPath, true); return None } // rival won
+    Some(head)
+  }
+
+  /** Reclaim data dirs the newest committed checkpoint supersedes:
+    * increment dirs it fully covers, and older checkpoints' dirs —
+    * both behind the age guard (readers resolving a pre-checkpoint
+    * view may still hold their file lists — same retention discipline
+    * as [[TxWarehouse.vacuum]]). Chain and checkpoint MARKERS are never
+    * touched (the cursor's correctness record; a superseded checkpoint
+    * marker whose dir is gone is skipped by validation). Returns the
+    * number of dirs removed.
+    */
+  def vacuumCompacted(spark: SparkSession, exportRoot: String,
+      minAgeMillis: Long = 24L * 3600 * 1000): Long = {
+    val f = fs(spark, exportRoot)
+    bestCheckpoint(f, exportRoot) match {
+      case None => 0L
+      case Some((to, ckptDir)) =>
+        val cutoff = System.currentTimeMillis() - minAgeMillis
+        var removed = 0L
+        def rm(d: String): Unit = {
+          val p = new Path(s"$exportRoot/$DataDir/$d")
+          if (f.exists(p) && f.getFileStatus(p).getModificationTime < cutoff) {
+            f.delete(p, true)
+            removed += 1
+          }
+        }
+        chain(spark, exportRoot).takeWhile(_.to <= to).flatMap(_.dir)
+          .filter(_ != ckptDir).foreach(rm)
+        f.listStatus(new Path(s"$exportRoot/$ChainDir")).toSeq
+          .map(_.getPath.getName).filter(_.startsWith("ckpt_"))
+          .flatMap(n => scala.util.Try(n.stripPrefix("ckpt_").toLong).toOption)
+          .filter(_ < to)
+          .foreach { old =>
+            val in = f.open(ckptPath(exportRoot, old))
+            val body =
+              try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+              finally in.close()
+            if (body.nonEmpty && body != ckptDir) rm(body)
+          }
+        removed
+    }
   }
 
   /** Reclaim data dirs the chain does not reference — losers of publish
@@ -193,7 +304,25 @@ object IncrementalExport {
     val f = fs(spark, exportRoot)
     val dataRoot = new Path(s"$exportRoot/$DataDir")
     if (!f.exists(dataRoot)) return 0L
-    val live = chain(spark, exportRoot).flatMap(_.dir).toSet
+    // every committed checkpoint's dir is live too — including
+    // superseded ones, which are the fallback if a newer checkpoint
+    // marker turns out torn; [[vacuumCompacted]] owns reclaiming
+    // covered increments, this method only collects never-committed
+    // staging
+    val ckptDirs = {
+      val dir = new Path(s"$exportRoot/$ChainDir")
+      if (!f.exists(dir)) Set.empty[String]
+      else f.listStatus(dir).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("ckpt_"))
+        .flatMap { n =>
+          val in = f.open(new Path(dir, n))
+          val body =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+            finally in.close()
+          if (body.nonEmpty) Some(body) else None
+        }.toSet
+    }
+    val live = chain(spark, exportRoot).flatMap(_.dir).toSet ++ ckptDirs
     val cutoff = System.currentTimeMillis() - minAgeMillis
     var removed = 0L
     f.listStatus(dataRoot).foreach { st =>

@@ -126,6 +126,47 @@ class IncrementalExportSpec extends graft.SparkTestBase {
     assert(dirs == 1, s"losers must clean their staging, found $dirs dirs")
   }
 
+  test("checkpointExport consolidates the chain prefix: content is " +
+    "unchanged, covered increments become reclaimable, later syncs " +
+    "extend past it, and a second checkpoint supersedes the first") {
+    val whRoot = Files.createTempDirectory("graft-ie7-wh").toString
+    val exRoot = Files.createTempDirectory("graft-ie7-ex").toString
+    val wh = new TxWarehouse(whRoot)
+    val path = wh.tablePath("m", "t")
+    val fs = new Path(exRoot)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dataDirs(): Int = fs.listStatus(new Path(s"$exRoot/data")).length
+    (1 to 5).foreach { i =>
+      wh.append(spark, rows("2024-09-01", i.toLong), path)
+      IncrementalExport.sync(spark, wh, path, exRoot)
+    }
+    assert(dataDirs() == 5)
+
+    assert(IncrementalExport.checkpointExport(spark, exRoot) == Some(5L))
+    assert(exported(exRoot) == (1L to 5L).toSet)
+    // idempotent: nothing new to cover
+    assert(IncrementalExport.checkpointExport(spark, exRoot).isEmpty)
+    // committed checkpoint dirs are NOT orphans
+    assert(IncrementalExport.vacuumOrphans(spark, exRoot, -1L) == 0L)
+    // covered increments reclaim behind the age guard; content intact
+    assert(IncrementalExport.vacuumCompacted(spark, exRoot,
+      minAgeMillis = Long.MaxValue) == 0L)
+    assert(IncrementalExport.vacuumCompacted(spark, exRoot, -1L) == 5L)
+    assert(dataDirs() == 1)
+    assert(exported(exRoot) == (1L to 5L).toSet)
+
+    // the cursor is untouched: new increments land past the checkpoint
+    wh.append(spark, rows("2024-09-01", 6L), path)
+    assert(IncrementalExport.sync(spark, wh, path, exRoot).applied)
+    assert(exported(exRoot) == (1L to 6L).toSet)
+    // a second checkpoint covers the longer chain and reclaims both the
+    // new increment's dir and the superseded checkpoint's dir
+    assert(IncrementalExport.checkpointExport(spark, exRoot) == Some(6L))
+    assert(IncrementalExport.vacuumCompacted(spark, exRoot, -1L) == 2L)
+    assert(dataDirs() == 1)
+    assert(exported(exRoot) == (1L to 6L).toSet)
+  }
+
   test("schema evolution between syncs: readExport merges increment " +
     "schemas; earlier increments read the new column as null") {
     val whRoot = Files.createTempDirectory("graft-ie6-wh").toString
