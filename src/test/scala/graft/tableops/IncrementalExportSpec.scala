@@ -219,6 +219,40 @@ class IncrementalExportSpec extends graft.SparkTestBase {
       .select("v").as[Long].collect().toSet == Set(1L, 2L, 3L, 4L))
   }
 
+  test("the same exporter race on an object-store scheme: marker " +
+    "exclusivity comes from the conditional-put publisher, not " +
+    "filesystem rename/link atomicity") {
+    spark.sparkContext.hadoopConfiguration.set("fs.casobj.impl",
+      classOf[CasObjectStoreFileSystem].getName)
+    LogPublisher.register("casobj",
+      new ConditionalPutPublisher(new InMemoryCasKeySpace))
+    val whRoot = Files.createTempDirectory("graft-ie8-wh").toString
+    val exRoot = "casobj:" +
+      Files.createTempDirectory("graft-ie8-ex").toString
+    val wh = new TxWarehouse(whRoot)
+    val path = wh.tablePath("m", "t")
+    wh.append(spark, rows("2024-09-01", 1, 2), path)
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[
+      IncrementalExport.SyncResult]()
+    val start = new java.util.concurrent.CountDownLatch(1)
+    val threads = (0 until 4).map { _ =>
+      new Thread(() => {
+        start.await()
+        results.add(IncrementalExport.sync(spark, wh, path, exRoot)); ()
+      })
+    }
+    threads.foreach(_.start()); start.countDown(); threads.foreach(_.join())
+    import scala.jdk.CollectionConverters._
+    assert(results.asScala.count(_.applied) == 1)
+    assert(IncrementalExport.readExport(spark, exRoot)
+      .select("v").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+    // checkpoint + vacuum run through the same publisher seam
+    assert(IncrementalExport.checkpointExport(spark, exRoot) == Some(1L))
+    assert(IncrementalExport.vacuumCompacted(spark, exRoot, -1L) == 1L)
+    assert(IncrementalExport.readExport(spark, exRoot)
+      .select("v").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
   test("a 0-row commit syncs as a dir-less chain link and readExport " +
     "still reads the rest") {
     val whRoot = Files.createTempDirectory("graft-ie4-wh").toString
