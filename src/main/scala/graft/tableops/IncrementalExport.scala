@@ -149,7 +149,10 @@ object IncrementalExport {
     if (to <= from) return SyncResult(from, from, applied = false)
     val f = fs(spark, exportRoot)
     val inc = wh.readChangesBetween(spark, tablePath, from, to)
-    val dirName = UUID.randomUUID().toString
+    // the `inc-` prefix separates increment dirs from `ckpt-`
+    // consolidations so readExportStream's glob can tail increments
+    // only (a checkpoint re-packages rows the stream already saw)
+    val dirName = s"inc-${UUID.randomUUID()}"
     val dataPath = new Path(s"$exportRoot/$DataDir/$dirName")
     // a file-less increment (e.g. an empty exactly-once micro-batch's
     // T-line commit) reads as a schemaless frame parquet cannot write;
@@ -189,6 +192,35 @@ object IncrementalExport {
       .map(d => s"$exportRoot/$DataDir/$d")
     if (dirs.isEmpty) spark.emptyDataFrame
     else spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+  }
+
+  /** The export as a live STREAM: increments are immutable parquet
+    * dirs that only ever appear, which is exactly Structured
+    * Streaming's file-source contract — so a downstream job can
+    * `readExportStream → transform → writeStream` and receive each
+    * synced increment's rows exactly once (the file source's own
+    * checkpoint tracks seen files). The glob tails `inc-*` dirs ONLY:
+    * a `ckpt-` consolidation re-packages rows the stream already
+    * processed and must stay invisible to it, and [[vacuumCompacted]]
+    * deleting covered increments is safe because the file source never
+    * re-reads files it has committed. Schema is pinned from the
+    * current committed content (file streams cannot infer), so start
+    * the stream after the first sync; increments appended with MORE
+    * columns than the pinned schema surface when the stream restarts
+    * with a re-pinned schema, same as any file-source evolution.
+    *
+    * A stream STARTED FRESH sees only the increments still on disk: if
+    * maintenance already compacted-and-vacuumed a prefix, bootstrap
+    * with a batch [[readExport]] first and stream from then on — the
+    * same history/tail split every log-compacted feed has.
+    */
+  def readExportStream(spark: SparkSession, exportRoot: String): DataFrame = {
+    val schema = readExport(spark, exportRoot).schema
+    require(schema.nonEmpty,
+      s"export at $exportRoot has no committed content yet; start the " +
+        "stream after the first sync")
+    spark.readStream.schema(schema)
+      .parquet(s"$exportRoot/$DataDir/inc-*")
   }
 
   private def ckptPath(root: String, to: Long): Path =

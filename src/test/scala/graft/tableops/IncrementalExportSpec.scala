@@ -126,6 +126,48 @@ class IncrementalExportSpec extends graft.SparkTestBase {
     assert(dirs == 1, s"losers must clean their staging, found $dirs dirs")
   }
 
+  test("readExportStream tails the export exactly-once across restarts " +
+    "and never re-reads rows a chain checkpoint re-packages") {
+    val whRoot = Files.createTempDirectory("graft-ie9-wh").toString
+    val exRoot = Files.createTempDirectory("graft-ie9-ex").toString
+    val sink = Files.createTempDirectory("graft-ie9-sink").toString
+    val ckpt = Files.createTempDirectory("graft-ie9-ckpt").toString
+    val wh = new TxWarehouse(whRoot)
+    val path = wh.tablePath("m", "t")
+    def drain(): Unit = {
+      val q = IncrementalExport.readExportStream(spark, exRoot)
+        .writeStream.format("parquet")
+        .option("path", sink).option("checkpointLocation", ckpt)
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    def sunk(): Seq[Long] =
+      spark.read.parquet(sink).select("v").as[Long].collect().toSeq.sorted
+
+    wh.append(spark, rows("2024-09-01", 1, 2), path)
+    IncrementalExport.sync(spark, wh, path, exRoot)
+    drain()
+    assert(sunk() == Seq(1L, 2L))
+
+    // restart with the same checkpoint: only the NEW increment lands
+    wh.append(spark, rows("2024-09-02", 3), path)
+    IncrementalExport.sync(spark, wh, path, exRoot)
+    drain()
+    assert(sunk() == Seq(1L, 2L, 3L))
+
+    // a chain checkpoint consolidates rows the stream already emitted;
+    // the ckpt- dir is outside the stream's glob, so nothing re-emits —
+    // and vacuuming the covered increments doesn't disturb the stream
+    assert(IncrementalExport.checkpointExport(spark, exRoot) == Some(2L))
+    assert(IncrementalExport.vacuumCompacted(spark, exRoot, -1L) == 2L)
+    wh.append(spark, rows("2024-09-03", 4), path)
+    IncrementalExport.sync(spark, wh, path, exRoot)
+    drain()
+    assert(sunk() == Seq(1L, 2L, 3L, 4L))
+  }
+
   test("checkpointExport consolidates the chain prefix: content is " +
     "unchanged, covered increments become reclaimable, later syncs " +
     "extend past it, and a second checkpoint supersedes the first") {
