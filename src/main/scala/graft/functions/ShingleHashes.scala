@@ -85,33 +85,112 @@ object ShingleHashes {
   * `SparkSessionExtensions` hook (config
   * `spark.sql.extensions=graft.functions.GraftExtensions`) and directly on
   * a live session via [[GraftFunctions.register]].
+  *
+  * Every codegen'd expression in this package gets a SQL name, so the
+  * whole surface is reachable from `spark.sql` / JDBC without touching
+  * the Column API: the xxhash64 family (`shingle_hashes`,
+  * `minhash_xx_signature`, `simhash_xx`), the md5 family the DuckDB
+  * oracle recomputes (`shingle_md5_hashes`, `minhash_md5_signature`,
+  * `simhash_md5`), `nfc_normalize`, `vector_dot`, `sign_bands`, and the
+  * bounded-heap aggregate `top_k_by_score`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
-    ext.injectFunction(GraftFunctions.shingleHashesDescriptor)
+    GraftFunctions.descriptors.foreach(ext.injectFunction)
 }
 
 object GraftFunctions {
   import org.apache.spark.sql.catalyst.analysis.FunctionRegistry.FunctionBuilder
 
-  private[functions] val shingleHashesDescriptor
+  /** Integer argument of a SQL call: must be a foldable literal — these
+    * parameters size static structures (plane matrices, heap bounds), so
+    * a per-row value has no meaning.
+    */
+  private def intArg(e: Expression, fn: String, pos: String): Int = {
+    require(e.foldable, s"$fn: $pos must be a literal integer")
+    e.eval() match {
+      case i: Int => i
+      case l: Long => math.toIntExact(l)
+      case s: Short => s.toInt
+      case b: Byte => b.toInt
+      case other => throw new IllegalArgumentException(
+        s"$fn: $pos must be an integer literal, got $other")
+    }
+  }
+
+  private def desc(name: String, clazz: Class[_], usage: String)(
+      build: PartialFunction[Seq[Expression], Expression])
       : (FunctionIdentifier, ExpressionInfo, FunctionBuilder) = (
-    FunctionIdentifier("shingle_hashes"),
-    new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
-    (children: Seq[Expression]) => children match {
+    FunctionIdentifier(name),
+    new ExpressionInfo(clazz.getName, null, name, usage, ""),
+    (children: Seq[Expression]) =>
+      build.applyOrElse(children, (_: Seq[Expression]) =>
+        throw new IllegalArgumentException(s"$name: wrong arguments — usage: $usage"))
+  )
+
+  private[graft] val descriptors
+      : Seq[(FunctionIdentifier, ExpressionInfo, FunctionBuilder)] = Seq(
+    desc("shingle_hashes", classOf[ShingleHashes],
+      "shingle_hashes(text[, k=3]) - distinct xxhash64 k-token shingles") {
       case Seq(text) => ShingleHashes(text, 3)
-      case Seq(text, kExpr) =>
-        ShingleHashes(text, kExpr.eval().asInstanceOf[Int])
-      case _ => throw new IllegalArgumentException(
-        "shingle_hashes(text[, k]) takes 1 or 2 arguments")
+      case Seq(text, k) => ShingleHashes(text, intArg(k, "shingle_hashes", "k"))
+    },
+    desc("minhash_xx_signature", classOf[MinhashXxSignature],
+      "minhash_xx_signature(text, numHashes[, k=3]) - xx-family minhash lanes") {
+      case Seq(text, n) =>
+        MinhashXxSignature(text, 3, intArg(n, "minhash_xx_signature", "numHashes"))
+      case Seq(text, n, k) => MinhashXxSignature(text,
+        intArg(k, "minhash_xx_signature", "k"),
+        intArg(n, "minhash_xx_signature", "numHashes"))
+    },
+    desc("simhash_xx", classOf[SimhashXx],
+      "simhash_xx(text[, k=3]) - 64-bit xx-family simhash fingerprint") {
+      case Seq(text) => SimhashXx(text, 3)
+      case Seq(text, k) => SimhashXx(text, intArg(k, "simhash_xx", "k"))
+    },
+    desc("shingle_md5_hashes", classOf[ShingleMd5Hashes],
+      "shingle_md5_hashes(text[, k=3]) - distinct md5-long k-token shingles") {
+      case Seq(text) => ShingleMd5Hashes(text, 3)
+      case Seq(text, k) => ShingleMd5Hashes(text, intArg(k, "shingle_md5_hashes", "k"))
+    },
+    desc("minhash_md5_signature", classOf[MinhashMd5Signature],
+      "minhash_md5_signature(text, numHashes[, k=3]) - md5-family minhash lanes") {
+      case Seq(text, n) =>
+        MinhashMd5Signature(text, 3, intArg(n, "minhash_md5_signature", "numHashes"))
+      case Seq(text, n, k) => MinhashMd5Signature(text,
+        intArg(k, "minhash_md5_signature", "k"),
+        intArg(n, "minhash_md5_signature", "numHashes"))
+    },
+    desc("simhash_md5", classOf[SimhashMd5],
+      "simhash_md5(text[, k=3]) - 60-bit md5-family simhash fingerprint") {
+      case Seq(text) => SimhashMd5(text, 3)
+      case Seq(text, k) => SimhashMd5(text, intArg(k, "simhash_md5", "k"))
+    },
+    desc("nfc_normalize", classOf[NfcNormalize],
+      "nfc_normalize(text) - Unicode NFC canonicalization") {
+      case Seq(text) => NfcNormalize(text)
+    },
+    desc("vector_dot", classOf[VectorDot],
+      "vector_dot(a, b) - dot product of two array<double> columns") {
+      case Seq(a, b) => VectorDot(a, b)
+    },
+    desc("sign_bands", classOf[SignBands],
+      "sign_bands(vec, nBits, bands) - random-hyperplane LSH band buckets") {
+      case Seq(v, nBits, bands) => SignBands(v,
+        intArg(nBits, "sign_bands", "nBits"), intArg(bands, "sign_bands", "bands"))
+    },
+    desc("top_k_by_score", classOf[TopKByScore],
+      "top_k_by_score(struct(score, id), k) - bounded-heap per-group top-k " +
+        "array<struct<id, score>> sorted (score DESC, id ASC)") {
+      case Seq(child, k) => TopKByScore(child, intArg(k, "top_k_by_score", "k"))
     }
   )
 
-  /** Register graft functions on an existing session. */
-  def register(spark: SparkSession): Unit = {
-    val (id, info, builder) = shingleHashesDescriptor
-    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
-  }
+  /** Register all graft functions on an existing session. */
+  def register(spark: SparkSession): Unit =
+    descriptors.foreach { case (id, info, builder) =>
+      spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+    }
 
   /** Column-API form. */
   def shingleHashes(text: Column, k: Int = 3): Column =

