@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnotationJoin, Curation, Dedup, EventAnalytics, Multimodal, Packing, Sampling, Sessions, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AnnotationJoin, Curation, Dedup, EventAnalytics, Multimodal, Packing, ProductQuantization, Sampling, Sessions, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -524,6 +524,35 @@ object SparkEntry {
       val emb = Tables.embeddings(s, dir)
       Similarity.knnGraph(emb, "vec_id", "embedding",
         emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding", k = 3)
+    }),
+
+    // ---- product quantization (PQ): the memory-light ANN tier — m=8
+    //      subspaces × 16 codes over the 64-dim embeddings, one Lloyd
+    //      iteration from the deterministic lowest-id init. Three oracled
+    //      stages: trained codebook components, the encoded corpus (the
+    //      m-bytes-per-vector index), and ADC top-k over it ----
+    "emb_pq_codebooks" -> ((s, dir) =>
+      ProductQuantization.trainCodebookComponents(Tables.embeddings(s, dir),
+        "vec_id", "embedding", m = 8, dim = 64, ksub = 16, iters = 1)),
+
+    "sim_pq_codes" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = ProductQuantization.assembleCodebook(
+        ProductQuantization.trainCodebookComponents(emb, "vec_id", "embedding",
+          m = 8, dim = 64, ksub = 16, iters = 1))
+      ProductQuantization.encode(emb, "vec_id", "embedding", cb, m = 8, dim = 64)
+    }),
+
+    "sim_pq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = ProductQuantization.assembleCodebook(
+        ProductQuantization.trainCodebookComponents(emb, "vec_id", "embedding",
+          m = 8, dim = 64, ksub = 16, iters = 1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb,
+        m = 8, dim = 64)
+      ProductQuantization.adcTopK(emb, "vec_id", "embedding", codes, cb,
+        col("vec_id") < 10, k = 5, m = 8, dim = 64)
     }),
 
     // ---- temperature-flattened mixture resampling (τ = 1/2 over lang) ----
@@ -1534,6 +1563,13 @@ object SparkEntry {
          |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
          |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 5""".stripMargin
     },
+
+    // product quantization: DuckDB replays train/encode/ADC with the
+    // same e6-canonical centroids and ascending-index distance folds
+    // (PqOracleSql) — full value-level parity, no fixture fallback
+    "emb_pq_codebooks" -> PqOracleSql.codebooks(m = 8, dsub = 8, ksub = 16),
+    "sim_pq_codes" -> PqOracleSql.codes(m = 8, dsub = 8, ksub = 16),
+    "sim_pq_topk" -> PqOracleSql.topK(m = 8, dsub = 8, ksub = 16, nQueries = 10, k = 5),
 
     "emb_knn_classify" -> {
       val cos = cosE6Sql("q.qv", "e.embedding")

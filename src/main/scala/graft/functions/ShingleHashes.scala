@@ -174,6 +174,10 @@ object GraftFunctions {
       "vector_dot(a, b) - dot product of two array<double> columns") {
       case Seq(a, b) => VectorDot(a, b)
     },
+    desc("vector_sqdist", classOf[VectorSqDist],
+      "vector_sqdist(a, b) - squared Euclidean distance of two array<double> columns") {
+      case Seq(a, b) => VectorSqDist(a, b)
+    },
     desc("sign_bands", classOf[SignBands],
       "sign_bands(vec, nBits, bands) - random-hyperplane LSH band buckets") {
       case Seq(v, nBits, bands) => SignBands(v,

@@ -27,7 +27,8 @@ class GraftSqlSpec extends SparkTestBase {
     GraftFunctions.register(spark) // second call must not throw
     val names = Seq("shingle_hashes", "minhash_xx_signature", "simhash_xx",
       "shingle_md5_hashes", "minhash_md5_signature", "simhash_md5",
-      "nfc_normalize", "vector_dot", "sign_bands", "top_k_by_score")
+      "nfc_normalize", "vector_dot", "vector_sqdist", "sign_bands",
+      "top_k_by_score")
     names.foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n not registered")
     }
@@ -64,6 +65,26 @@ class GraftSqlSpec extends SparkTestBase {
       "SELECT vector_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
       .as[Double].head()
     assert(d === 32.0)
+    val sq = spark.sql(
+      "SELECT vector_sqdist(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .as[Double].head()
+    assert(sq === 27.0)
+  }
+
+  test("vector_sqdist equals the declarative zip_with/aggregate fold") {
+    val vecs = (0 until 20).map { r =>
+      (r.toLong,
+        (0 until 8).map(j => ((r * 37 + j * 11) % 101 - 50).toDouble / 13.0).toArray,
+        (0 until 8).map(j => ((r * 53 + j * 29) % 97 - 48).toDouble / 17.0).toArray)
+    }
+    val df = vecs.toDF("id", "a", "b")
+    val viaExpr = df.selectExpr("id", "vector_sqdist(a, b) AS d")
+      .as[(Long, Double)].collect().toMap
+    val viaHof = df.select(col("id"),
+        aggregate(zip_with(col("a"), col("b"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v).as("d"))
+      .as[(Long, Double)].collect().toMap
+    vecs.foreach { case (id, _, _) => assert(viaExpr(id) === viaHof(id)) }
   }
 
   test("sign_bands from SQL equals the Column form") {
@@ -116,6 +137,6 @@ class GraftSqlSpec extends SparkTestBase {
     assert(reg != null)
     val ids = GraftFunctions.descriptors.map(_._1.funcName)
     assert(ids.distinct.size == ids.size)
-    assert(ids.size == 10)
+    assert(ids.size == 11)
   }
 }

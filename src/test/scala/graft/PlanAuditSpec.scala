@@ -177,4 +177,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(cosLines.forall(!_.matches(".*vector_dot\\((q_vec#\\d+), \\1\\).*")))
     assert(cosLines.exists(_.contains("q_nrm")))
   }
+
+  test("PQ ADC top-k: codebook and LUT broadcast, no sort-merge joins, " +
+    "the trained codebook is computed once and cache-shared, and the " +
+    "scored stream does no vector math") {
+    val p = planned("sim_pq_topk")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+    // encode side and LUT side both consume the persisted codebook —
+    // two InMemoryTableScans, not two training subtrees (a regression
+    // would re-run the Lloyd iteration per consumer)
+    assert("InMemoryTableScan".r.findAllIn(p).size >= 2)
+    // ADC scoring sums LUT integers: the adist aggregation must not
+    // evaluate vector_sqdist (that fold belongs to the tiny LUT side)
+    val adistLines = p.linesIterator.filter(_.contains("adist_e6")).toSeq
+    assert(adistLines.nonEmpty)
+    assert(adistLines.forall(!_.contains("vector_sqdist")))
+  }
+
+  test("PQ top-k ships through the bounded-heap aggregate, not a " +
+    "rank window over the scored stream") {
+    val p = planned("sim_pq_topk")
+    // the only Window in the plan is the ksub-row init ranking inside
+    // the (cached) training subtree; the candidate ranking itself is
+    // TopKByScore (ObjectHashAggregate), so no Window sees the full
+    // (query × candidate) stream
+    assert(p.contains("ObjectHashAggregate"))
+    val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
+    assert(winLines.forall(!_.contains("adist_e6")))
+  }
 }

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ProductQuantization
+
+/** Product-quantization ANN: deterministic training, empty-cluster
+  * handling, encoding, and ADC top-k semantics.
+  */
+class PqSpec extends SparkTestBase {
+  import spark.implicits._
+
+  // 8-dim corpus, two well-separated clusters + one planted near-dup pair
+  private def corpus = Seq(
+    (0L, Array(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0)),
+    (1L, Array(0.98, 0.02, 0.0, 0.0, 0.97, 0.01, 0.0, 0.0)), // near 0
+    (2L, Array(0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0)),
+    (3L, Array(0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0, 0.0)),
+    (4L, Array(0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0))
+  ).toDF("vec_id", "embedding")
+
+  test("training is deterministic and shapes are (m × codes × dsub)") {
+    def train() = ProductQuantization.trainCodebookComponents(
+      corpus, "vec_id", "embedding", m = 4, dim = 8, ksub = 4, iters = 1)
+      .collect().map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+      .toSet
+    val cb = train()
+    assert(cb == train())
+    // 4 subspaces × 4 codes × 2 dims
+    assert(cb.size == 32)
+    assert(cb.map(_._1) == Set(0, 1, 2, 3))
+    assert(cb.map(_._2) == Set(0, 1, 2, 3))
+  }
+
+  test("a code whose cluster empties keeps its init centroid") {
+    // ids 0 and 1 identical: init codes 0 and 1 get identical centroids,
+    // every assignment tie-breaks to code 0, so code 1's cluster is empty
+    // after the Lloyd step and must keep the init (e6-quantized) value
+    val dup = Seq(
+      (0L, Array(0.5, 0.25)), (1L, Array(0.5, 0.25)),
+      (2L, Array(-0.5, -0.25)), (3L, Array(0.1, 0.9))
+    ).toDF("vec_id", "embedding")
+    val cb = ProductQuantization.trainCodebookComponents(
+      dup, "vec_id", "embedding", m = 1, dim = 2, ksub = 2, iters = 1)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    // code 1 = id 1's init components, untouched by the iteration
+    assert(cb((1, 0)) == 500000L && cb((1, 1)) == 250000L)
+    // code 0 absorbed everything assigned to it: mean over ids {0,1}
+    // (identical) and whatever else fell nearest — at minimum it moved
+    // or stayed; the key property is it is the ONLY non-init value
+    val rerun = ProductQuantization.trainCodebookComponents(
+      dup, "vec_id", "embedding", m = 1, dim = 2, ksub = 2, iters = 1)
+      .collect().map(r => (r.getInt(1), r.getInt(2)) -> r.getLong(3)).toMap
+    assert(cb == rerun)
+  }
+
+  test("encode emits exactly m codes per vector, all within the codebook") {
+    val cb = ProductQuantization.assembleCodebook(
+      ProductQuantization.trainCodebookComponents(
+        corpus, "vec_id", "embedding", m = 4, dim = 8, ksub = 4, iters = 1))
+    val codes = ProductQuantization.encode(corpus, "vec_id", "embedding",
+      cb, m = 4, dim = 8)
+      .as[(Long, Int, Int)].collect()
+    assert(codes.length == 5 * 4)
+    assert(codes.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3)))
+    assert(codes.forall(c => c._3 >= 0 && c._3 < 4))
+  }
+
+  test("ADC top-k finds the planted near-dup at rank 1 and never returns self") {
+    val cb = ProductQuantization.assembleCodebook(
+      ProductQuantization.trainCodebookComponents(
+        corpus, "vec_id", "embedding", m = 4, dim = 8, ksub = 5, iters = 1))
+    val codes = ProductQuantization.encode(corpus, "vec_id", "embedding",
+      cb, m = 4, dim = 8)
+    val top = ProductQuantization.adcTopK(corpus, "vec_id", "embedding",
+      codes, cb, col("vec_id") < 2, k = 2, m = 4, dim = 8)
+      .select("query_id", "nbr_id", "rank").as[(Long, Long, Int)].collect()
+    val byQ = top.groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    assert(byQ(0L).head == 1L) // the near-dup
+    assert(byQ(1L).head == 0L)
+    assert(!top.exists(r => r._1 == r._2))
+    top.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (1 to rs.length).toSeq)
+    }
+  }
+
+  test("with one vector per cluster, ADC ranking equals exact " +
+    "squared-distance ranking (quantization error is zero)") {
+    // ksub >= n: each Lloyd cluster holds exactly its init vector, so
+    // centroids are the (e6-quantized) vectors themselves and the ADC
+    // distance is the true distance — PQ degenerates to exact search
+    val cb = ProductQuantization.assembleCodebook(
+      ProductQuantization.trainCodebookComponents(
+        corpus, "vec_id", "embedding", m = 4, dim = 8, ksub = 5, iters = 1))
+    val codes = ProductQuantization.encode(corpus, "vec_id", "embedding",
+      cb, m = 4, dim = 8)
+    val got = ProductQuantization.adcTopK(corpus, "vec_id", "embedding",
+      codes, cb, lit(true), k = 4, m = 4, dim = 8)
+      .select("query_id", "nbr_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    // exact ranking from the raw vectors (sq distance asc, id asc)
+    val vecs = corpus.as[(Long, Array[Double])].collect().toMap
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    vecs.keys.foreach { q =>
+      val expect = vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (sq(vecs(q), vecs(n)), n))
+      assert(got(q) == expect, s"query $q")
+    }
+  }
+}
