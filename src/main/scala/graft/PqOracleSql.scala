@@ -22,18 +22,33 @@ object PqOracleSql {
        |    ($sv[j] - $cv[j]) * ($sv[j] - $cv[j]))),
        |  (a, b) -> a + b) * 1000000.0) AS BIGINT)""".stripMargin
 
+  /** Cosine (e6-floored) of two DOUBLE-list expressions — the same
+    * dot/(sqrt·sqrt) shape as Spark's `Similarity.cosine`, folds
+    * ascending (0.0-init ≡ first-element-init since 0.0 + x == x).
+    */
+  private def cosE6d(a: String, b: String): String =
+    s"""CAST(floor(
+       |  list_reduce([$a[i] * $b[i] for i in range(1, len($a)+1)], (x, y) -> x + y)
+       |  / (sqrt(list_reduce([$a[i] * $a[i] for i in range(1, len($a)+1)], (x, y) -> x + y))
+       |   * sqrt(list_reduce([$b[i] * $b[i] for i in range(1, len($b)+1)], (x, y) -> x + y)))
+       |  * 1000000.0) AS BIGINT)""".stripMargin
+
   /** CTE prelude: trained codebook (`pq_cb` component rows, `pq_cbl`
     * double-list form) and the encoded corpus (`pq_codes`), for
     * m subspaces of dsub dims, ksub codes, ONE Lloyd iteration.
+    * `pre` prepends extra CTEs (comma-terminated); `src` supplies the
+    * (id, v: list<double>) training rows.
     */
-  def prelude(m: Int, dsub: Int, ksub: Int): String = {
+  def prelude(m: Int, dsub: Int, ksub: Int,
+      pre: String = "",
+      src: String = "SELECT vec_id AS id, " +
+        "list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings"
+  ): String = {
     // iteration-0 centroid components inline the same /1e6 the list form
     // uses, so assignment distances match Spark's assembleCodebook path
     val d0 = distE6("s.sv", "list_transform(c.ce, x -> CAST(x AS DOUBLE) / 1000000.0)", dsub)
     val dEnc = distE6("s.sv", "c.cv", dsub)
-    s"""WITH pq_e AS (SELECT vec_id AS id,
-       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |  FROM embeddings),
+    s"""WITH ${pre}pq_e AS ($src),
        |pq_subs AS (SELECT id, sub, v[sub*$dsub+1 : sub*$dsub+$dsub] AS sv
        |  FROM pq_e, range(0, $m) r(sub)),
        |pq_init AS (SELECT id, CAST(row_number() OVER (ORDER BY id) - 1 AS INT) AS code
@@ -90,5 +105,54 @@ object PqOracleSql {
        |SELECT query_id, nbr_id, adist_e6, CAST(rn AS INT) AS rank FROM (
        |  SELECT *, row_number() OVER (PARTITION BY query_id
        |    ORDER BY adist_e6, nbr_id) AS rn FROM pq_sc) WHERE rn <= $k""".stripMargin
+  }
+
+  /** Oracle for `sim_ivfpq_topk`: coarse IVF assignment (max cosine,
+    * `centMod`-strided centroids), PQ trained/encoded on RESIDUALS, and
+    * per-probe residual LUTs for queries `id < nQueries` probing their
+    * `nprobe` nearest buckets.
+    */
+  def ivfPqTopK(m: Int, dsub: Int, ksub: Int, dim: Int, centMod: Int,
+      nQueries: Int, k: Int, nprobe: Int): String = {
+    val cos = cosE6d("e.v", "c.cv")
+    val dLut = distE6("q.sv", "c.cv", dsub)
+    val pre =
+      s"""ivf_c AS (SELECT vec_id AS cent_id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+         |  FROM embeddings WHERE vec_id % $centMod = 0),
+         |ivf_e AS (SELECT vec_id AS id,
+         |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+         |  FROM embeddings),
+         |ivf_s AS (SELECT e.id, c.cent_id, e.v, c.cv, $cos AS cos_e6
+         |  FROM ivf_e e CROSS JOIN ivf_c c),
+         |ivf_a AS (SELECT id, cent_id, v, cv FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY id
+         |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM ivf_s) WHERE rn = 1),
+         |ivf_res AS (SELECT id, cent_id,
+         |    list_transform(range(1, ${dim + 1}), j -> v[j] - cv[j]) AS v
+         |  FROM ivf_a),
+         |""".stripMargin
+    s"""${prelude(m, dsub, ksub, pre, "SELECT id, v FROM ivf_res")},
+       |pq_kc AS (SELECT k.id, a.cent_id, k.sub, k.code
+       |  FROM pq_codes k JOIN ivf_a a USING (id)),
+       |ivf_probe AS (SELECT query_id, cent_id,
+       |    list_transform(range(1, ${dim + 1}), j -> qv[j] - cv[j]) AS qr
+       |  FROM (SELECT id AS query_id, cent_id, cv, v AS qv,
+       |      row_number() OVER (PARTITION BY id
+       |        ORDER BY cos_e6 DESC, cent_id ASC) AS rn
+       |    FROM ivf_s WHERE id < $nQueries) WHERE rn <= $nprobe),
+       |pq_qsub AS (SELECT query_id, cent_id, sub,
+       |    qr[sub*$dsub+1 : sub*$dsub+$dsub] AS sv
+       |  FROM ivf_probe, range(0, $m) r(sub)),
+       |pq_plut AS (SELECT q.query_id, q.cent_id, q.sub, c.code, $dLut AS d_e6
+       |  FROM pq_qsub q JOIN pq_cbl c ON c.sub = q.sub),
+       |pq_psc AS (SELECT l.query_id, k.id AS nbr_id,
+       |    CAST(sum(l.d_e6) AS BIGINT) AS adist_e6
+       |  FROM pq_kc k JOIN pq_plut l
+       |    ON l.cent_id = k.cent_id AND l.sub = k.sub AND l.code = k.code
+       |  WHERE l.query_id <> k.id GROUP BY l.query_id, k.id)
+       |SELECT query_id, nbr_id, adist_e6, CAST(rn AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY adist_e6, nbr_id) AS rn FROM pq_psc) WHERE rn <= $k""".stripMargin
   }
 }

@@ -555,6 +555,17 @@ object SparkEntry {
         col("vec_id") < 10, k = 5, m = 8, dim = 64)
     }),
 
+    // ---- IVF-PQ: coarse max-cosine buckets + PQ on residuals, queries
+    //      probe their 2 nearest buckets with per-probe residual LUTs —
+    //      the inverted-file-with-ADC layout (billion-scale ANN) ----
+    "sim_ivfpq_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      ProductQuantization.ivfPqTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, m = 8, dim = 64, ksub = 16,
+        iters = 1, nprobe = 2)
+    }),
+
     // ---- temperature-flattened mixture resampling (τ = 1/2 over lang) ----
     "ds_temperature_sample" -> ((s, dir) =>
       Sampling.temperatureSample(Tables.documents(s, dir), "doc_id", "lang")
@@ -1570,6 +1581,8 @@ object SparkEntry {
     "emb_pq_codebooks" -> PqOracleSql.codebooks(m = 8, dsub = 8, ksub = 16),
     "sim_pq_codes" -> PqOracleSql.codes(m = 8, dsub = 8, ksub = 16),
     "sim_pq_topk" -> PqOracleSql.topK(m = 8, dsub = 8, ksub = 16, nQueries = 10, k = 5),
+    "sim_ivfpq_topk" -> PqOracleSql.ivfPqTopK(m = 8, dsub = 8, ksub = 16,
+      dim = 64, centMod = 50, nQueries = 10, k = 5, nprobe = 2),
 
     "emb_knn_classify" -> {
       val cos = cosE6Sql("q.qv", "e.embedding")

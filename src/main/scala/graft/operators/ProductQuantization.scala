@@ -49,17 +49,25 @@ object ProductQuantization {
       ColumnBridge.expression(a), ColumnBridge.expression(b)))
   }
 
+  /** One row per (input row, subspace), keeping every non-vector column:
+    * (…carry, sub: int, sv: array<double>).
+    */
+  private def explodeSubs(df: DataFrame, vecCol: String, m: Int, dim: Int): DataFrame = {
+    require(m > 0 && dim % m == 0, "m must divide dim")
+    val dsub = dim / m
+    val carry = df.columns.filter(_ != vecCol).map(col).toSeq
+    df.select(carry :+
+        posexplode(array((0 until m).map(s =>
+          slice(asDouble(col(vecCol)), s * dsub + 1, dsub)): _*)): _*)
+      .select(carry ++ Seq(col("pos").cast("int").as("sub"), col("col").as("sv")): _*)
+  }
+
   /** One row per (vector, subspace): (id, sub, sv: array<double>). */
   private def subvectors(
       embeddings: DataFrame, idCol: String, vecCol: String,
-      m: Int, dim: Int): DataFrame = {
-    require(m > 0 && dim % m == 0, "m must divide dim")
-    val dsub = dim / m
-    embeddings.select(col(idCol).as("id"),
-        posexplode(array((0 until m).map(s =>
-          slice(asDouble(col(vecCol)), s * dsub + 1, dsub)): _*)))
-      .select(col("id"), col("pos").cast("int").as("sub"), col("col").as("sv"))
-  }
+      m: Int, dim: Int): DataFrame =
+    explodeSubs(embeddings.select(col(idCol).as("id"), col(vecCol)),
+      vecCol, m, dim)
 
   /** Centroid double vectors from canonical e6 rows:
     * (sub, code, cvec: array<double>). comp_e6 → double/1e6 is one IEEE
@@ -71,19 +79,23 @@ object ProductQuantization {
         array_sort(collect_list(struct(col("dim"), col("comp_e6")))),
         s => s.getField("comp_e6").cast("double") / lit(1e6)).as("cvec"))
 
-  /** Nearest-code assignment of each (id, sub) subvector against a
-    * codebook: min over struct(d_e6, code) — (distance asc, code asc),
-    * the deterministic argmin; partial aggregation collapses the
-    * ksub-wide scored stream map-side.
+  /** Nearest-code assignment of each subvector row against a codebook:
+    * min over struct(d_e6, code) — (distance asc, code asc), the
+    * deterministic argmin; partial aggregation collapses the ksub-wide
+    * scored stream map-side. `groupCols` are the subvector identity
+    * (id + sub, plus any functionally-dependent carry like cent_id —
+    * carrying it through the groupBy beats joining it back by id, which
+    * costs a whole extra shuffle join).
     */
-  private def assign(subs: DataFrame, cb: DataFrame): DataFrame =
+  private def assign(subs: DataFrame, cb: DataFrame,
+      groupCols: Seq[String] = Seq("id", "sub")): DataFrame =
     subs.join(broadcast(cb), Seq("sub"))
       .withColumn("__d_e6",
         floor(sqDist(col("sv"), col("cvec")) * 1e6).cast("long"))
-      .groupBy(col("id"), col("sub"))
+      .groupBy(groupCols.map(col): _*)
       .agg(min(struct(col("__d_e6"), col("code"), col("sv"))).as("best"))
-      .select(col("id"), col("sub"), col("best.code").as("code"),
-        col("best.sv").as("sv"))
+      .select(groupCols.map(col) ++ Seq(col("best.code").as("code"),
+        col("best.sv").as("sv")): _*)
 
   /** Train PQ codebooks: `iters` Lloyd iterations from a deterministic
     * init (the `ksub` lowest-id vectors' subvectors, e6-quantized).
@@ -164,6 +176,13 @@ object ProductQuantization {
       .filter(col("query_id") =!= col("nbr_id"))
       .groupBy(col("query_id"), col("nbr_id"))
       .agg(sum(col("d_e6")).as("adist_e6"))
+    rankByAdist(scored, k)
+  }
+
+  /** Per-query (adist asc, nbr asc) top-k through the bounded-heap
+    * aggregate — k rows per query per map partition cross the shuffle.
+    */
+  private def rankByAdist(scored: DataFrame, k: Int): DataFrame =
     scored.groupBy(col("query_id"))
       .agg(graft.functions.TopKByScore.topKByScore(
         struct((-col("adist_e6")).as("score"), col("nbr_id")), k).as("tk"))
@@ -171,5 +190,76 @@ object ProductQuantization {
       .select(col("query_id"), col("col.id").as("nbr_id"),
         (-col("col.score")).as("adist_e6"),
         (col("pos") + 1).cast("int").as("rank"))
+
+  /** IVF-PQ top-k: the coarse IVF quantizer ([[Similarity.ivfAssign]],
+    * max-cosine buckets) composed with PQ over RESIDUALS (vector minus
+    * its bucket centroid — residual energy is a fraction of vector
+    * energy, so the same ksub spends its codes on a tighter distribution;
+    * the classic inverted-file-with-ADC layout of Jégou et al. 2011).
+    * Queries probe their `nprobe` nearest buckets and score each
+    * probed bucket's candidates with a LUT built from the query's
+    * residual AGAINST THAT BUCKET's centroid — the per-probe LUT is what
+    * makes residual encoding correct across buckets.
+    *
+    * Scale shape: everything [[adcTopK]] claims, plus the residual
+    * frame persists once (training, encoding, and the cent_id join all
+    * read it) and candidates are confined to probed buckets — scored
+    * rows drop from n×q to (nprobe/C)·n×q before the LUT join.
+    */
+  def ivfPqTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cIdCol: String, cVecCol: String,
+      queryPred: Column, k: Int, m: Int, dim: Int, ksub: Int,
+      iters: Int = 1, nprobe: Int = 1,
+      cacheIntermediates: Boolean = true): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    def maybeCache(df: DataFrame): DataFrame =
+      if (cacheIntermediates)
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else df
+    val cents = broadcast(centroids.select(col(cIdCol).as("cent_id"),
+      asDouble(col(cVecCol)).as("cent_vec")))
+    // coarse assignment + residuals: one persisted frame feeds codebook
+    // training, encoding, and the bucket join
+    val residuals = maybeCache(
+      Similarity.ivfAssign(embeddings, idCol, vecCol,
+        centroids, cIdCol, cVecCol)
+        .join(cents, Seq("cent_id"))
+        .select(col(idCol), col("cent_id"),
+          zip_with(col("v"), col("cent_vec"), (x, y) => x - y).as("r")))
+    val cb = maybeCache(assembleCodebook(trainCodebookComponents(
+      residuals.select(col(idCol), col("r")), idCol, "r", m, dim, ksub, iters)))
+    // cent_id rides the argmin groupBy (functionally dependent on the
+    // id), so the index needs no join-back shuffle
+    val codes = assign(
+      explodeSubs(residuals.withColumnRenamed(idCol, "id"), "r", m, dim),
+      cb, groupCols = Seq("id", "cent_id", "sub"))
+      .withColumnRenamed("id", idCol)
+    // probe list: nprobe nearest centroids per query by the assignment's
+    // own (cos desc, cent asc) order; the window partitions by query
+    val qScored = embeddings.filter(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("q_vec"))
+      .crossJoin(cents)
+      .withColumn("__cos",
+        floor(Similarity.cosine(col("q_vec"), col("cent_vec")) * 1e6).cast("long"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("cent_id").asc)
+    val probes = qScored
+      .withColumn("__rn", row_number().over(wq)).filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("cent_id"),
+        zip_with(col("q_vec"), col("cent_vec"), (x, y) => x - y).as("qr"))
+    // per-probe LUT: the query's residual against THAT bucket's centroid
+    val lut = broadcast(
+      explodeSubs(probes, "qr", m, dim)
+        .join(broadcast(cb), Seq("sub"))
+        .select(col("query_id"), col("cent_id"), col("sub"), col("code"),
+          floor(sqDist(col("sv"), col("cvec")) * 1e6).cast("long").as("d_e6")))
+    val scored = codes
+      .select(col(idCol).as("nbr_id"), col("cent_id"), col("sub"), col("code"))
+      .join(lut, Seq("cent_id", "sub", "code"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .groupBy(col("query_id"), col("nbr_id"))
+      .agg(sum(col("d_e6")).as("adist_e6"))
+    rankByAdist(scored, k)
   }
 }

@@ -206,4 +206,14 @@ class PlanAuditSpec extends SparkTestBase {
     val winLines = p.linesIterator.filter(_.contains("Window")).toSeq
     assert(winLines.forall(!_.contains("adist_e6")))
   }
+
+  test("IVF-PQ: all joins broadcast (codebook, LUT, centroids, the " +
+    "tiny cent_id join-back), scored stream integer-only") {
+    val p = planned("sim_ivfpq_topk")
+    assert(!p.contains("SortMergeJoin"))
+    assert(p.contains("BroadcastHashJoin"))
+    val adistLines = p.linesIterator.filter(_.contains("adist_e6")).toSeq
+    assert(adistLines.nonEmpty)
+    assert(adistLines.forall(!_.contains("vector_sqdist")))
+  }
 }

@@ -108,4 +108,52 @@ class PqSpec extends SparkTestBase {
       assert(got(q) == expect, s"query $q")
     }
   }
+
+  test("IVF-PQ: with probe-all and one code per residual, ranking equals " +
+    "exact squared distance — residual encoding cancels the centroid") {
+    // ||(q - c) - (n - c)||² = ||q - n||²: when ksub >= bucket sizes the
+    // PQ codes are the residuals themselves, so ADC over ANY probed
+    // bucket scores the true distance regardless of which centroid the
+    // residuals were taken against
+    val cents = corpus.filter(col("vec_id").isin(0L, 2L))
+    val got = ProductQuantization.ivfPqTopK(corpus, "vec_id", "embedding",
+      cents, "vec_id", "embedding", lit(true), k = 4, m = 4, dim = 8,
+      ksub = 5, iters = 1, nprobe = 2)
+      .select("query_id", "nbr_id", "rank").as[(Long, Long, Int)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    val vecs = corpus.as[(Long, Array[Double])].collect().toMap
+    def sq(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    vecs.keys.foreach { q =>
+      val expect = vecs.keys.filter(_ != q).toSeq
+        .sortBy(n => (sq(vecs(q), vecs(n)), n))
+      assert(got(q) == expect, s"query $q")
+    }
+  }
+
+  test("IVF-PQ: nprobe=1 confines candidates to the query's own bucket, " +
+    "nprobe widens monotonically, and reruns are deterministic") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val cents = emb.filter(col("vec_id") % 50 === 0)
+    def run(np: Int) = ProductQuantization.ivfPqTopK(emb, "vec_id",
+      "embedding", cents, "vec_id", "embedding", col("vec_id") < 5,
+      k = 3, m = 8, dim = 64, ksub = 8, iters = 1, nprobe = np)
+      .select("query_id", "nbr_id", "adist_e6", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val p1 = run(1)
+    assert(p1 == run(1)) // deterministic
+    // every nprobe=1 neighbor shares the query's coarse bucket
+    val assigned = graft.operators.Similarity.ivfAssign(emb, "vec_id",
+      "embedding", cents, "vec_id", "embedding")
+      .select("vec_id", "cent_id").as[(Long, Long)].collect().toMap
+    p1.foreach { case (q, n, _, _) =>
+      assert(assigned(q) == assigned(n), s"pair ($q, $n) crosses buckets")
+    }
+    // widening probes can only improve (or keep) each query's k-th
+    // distance: candidates are a superset, scored identically
+    def worst(rows: Set[(Long, Long, Long, Int)]): Map[Long, Long] =
+      rows.groupBy(_._1).view.mapValues(_.map(_._3).max).toMap
+    val w1 = worst(p1); val w3 = worst(run(3))
+    w1.keys.foreach(q => assert(w3(q) <= w1(q), s"query $q"))
+  }
 }
