@@ -253,6 +253,44 @@ object SparkEntry {
           sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
     }),
 
+    // ---- S8: Z-ORDER layout + manifest-stats skipping — the
+    //      multi-dimensional dual of s6. lineitem lands z-clustered on
+    //      (l_orderkey, l_partkey) (ZOrder.layout: quantile-bucketed
+    //      bit interleave, 16 files each covering a tight box in BOTH
+    //      keys), then a 2-D box aggregate runs through readWhere: the
+    //      per-file min/max prove most files empty for the box — a
+    //      lexicographic layout would only ever prune on the leading
+    //      key. The oracle computes the same aggregate from the raw
+    //      parquet, so the interleave + pruning must be invisible in
+    //      the result. Staged once per warehouse root (committed tx
+    //      version guards, like s6); the measured steady state is the
+    //      probe against the maintained layout — at archive scale the
+    //      box query opens O(files overlapping the box), ~N^(1/2) of N
+    //      for a 2-D layout, not O(table) ----
+    "s8_zorder_prune" -> ((s, dir) => {
+      val root = s"/root/repo/target/s8_txz/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "lineitem")
+      if (wh.currentVersion(s, tbl) == 0L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val li = Tables.lineitem(s, dir)
+          .select(col("l_orderkey"), col("l_partkey"), col("l_returnflag"),
+            col("l_quantity"))
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+        wh.append(s,
+          graft.tableops.ZOrder.layout(li, Seq("l_orderkey", "l_partkey"), 16),
+          tbl)
+      }
+      wh.readWhere(s, tbl,
+          col("l_orderkey").between(1000L, 3000L) &&
+          col("l_partkey").between(100L, 400L))
+        .groupBy(col("l_returnflag"))
+        .agg(sum(floor(col("l_quantity") * 100).cast("long")).as("sum_qty_e2"),
+          count(lit(1)).as("n_rows"),
+          sum(col("l_partkey")).as("sum_part"))
+    }),
+
     // ---- S5: partition stats (listing/metrics analog,
     //      tracker/job.go:124-149) ----
     "s5_partition_stats" -> ((s, dir) =>
@@ -1131,6 +1169,17 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_price_e2
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "s8_zorder_prune" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_e2,
+        |  count(*) AS n_rows,
+        |  CAST(sum(l_partkey) AS BIGINT) AS sum_part
+        |FROM lineitem
+        |WHERE l_orderkey BETWEEN 1000 AND 3000
+        |  AND l_partkey BETWEEN 100 AND 400
+        |GROUP BY l_returnflag""".stripMargin,
 
     "s5_partition_stats" ->
       s"""WITH m AS ($D)

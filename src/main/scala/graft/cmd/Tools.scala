@@ -77,7 +77,7 @@ object CopyTool {
 }
 
 /** Usage: CompactTool <warehouseRoot> <datatype> <YYYY-MM-DD> <rawDataset>
-  *                    [targetFileMB] [backend]
+  *                    [targetFileMB] [backend] [clusterCols] [zorder]
   * Small-file compaction of one raw date partition (TableOps.compactRaw).
   */
 object CompactTool {
@@ -90,10 +90,14 @@ object CompactTool {
     val clusterBy =
       if (args.length > 6) args(6).split(',').toSeq.filter(_.nonEmpty)
       else Nil
+    // optional 8th arg: `zorder` interleaves the cluster columns
+    // (multi-dimension stats-selective layout, see ZOrder)
+    val interleave = args.length > 7 && args(7) == "zorder"
     val ops = new TableOps(ToolSession.spark(),
       ToolSession.job(datatype, date, "tmp_cli", raw, ""),
       Warehouse.forName(backend, whRoot))
-    val stats = ops.compactRaw(targetMB * 1024 * 1024, clusterBy = clusterBy)
+    val stats = ops.compactRaw(targetMB * 1024 * 1024, clusterBy = clusterBy,
+      interleave = interleave)
     println(s"compacted ${stats.detail}")
   }
 }

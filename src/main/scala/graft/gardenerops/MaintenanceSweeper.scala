@@ -45,6 +45,11 @@ final class MaintenanceSweeper(
     // file layout for readWhere; see TableOps.compactRaw), others keep
     // the narrow coalesce
     clusterBy: Map[String, Seq[String]] = Map.empty,
+    // datatypes whose clustered rewrite interleaves (Z-orders) the
+    // cluster columns instead of sorting them lexicographically — keeps
+    // stats pruning selective on every cluster dimension, not just the
+    // leading one (see TableOps.compactRaw / ZOrder)
+    interleaved: Set[String] = Set.empty,
     // tx-table path -> export root: each sweep advances these
     // incremental exports (IncrementalExport.sync — O(new files) per
     // pass) BEFORE truncating the table's commit log, so an export the
@@ -86,7 +91,8 @@ final class MaintenanceSweeper(
             try {
               new TableOps(spark, j.copy(date = d), wh)
                 .compactRaw(targetFileBytes, exclusive = true,
-                  clusterBy = clusterBy.getOrElse(j.datatype, Nil)): Unit
+                  clusterBy = clusterBy.getOrElse(j.datatype, Nil),
+                  interleave = interleaved.contains(j.datatype)): Unit
               compacted += 1
             } catch { case _: ConcurrentCommitException => () }
           }

@@ -494,20 +494,29 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   // rewrite with sort order). Clustering rides the fragmentation
   // trigger; an already-compact partition is not rewritten just to
   // re-sort.
+  // `interleave`: with ≥ 2 cluster columns, lay the rewrite out in
+  // Z-order ([[ZOrder]]) instead of lexicographic range order — every
+  // output file then covers a tight min/max box in ALL cluster
+  // dimensions, so readWhere's stats pruning stays selective for
+  // predicates on ANY of them (a lexicographic layout serves only the
+  // leading column). Costs the same single exchange plus one bounded
+  // sampling job; ignored (plain range clustering) with < 2 columns,
+  // where the two layouts coincide.
   def compactRaw(targetFileBytes: Long = 128L * 1024 * 1024,
-      exclusive: Boolean = false, clusterBy: Seq[String] = Nil): OpStats = {
+      exclusive: Boolean = false, clusterBy: Seq[String] = Nil,
+      interleave: Boolean = false): OpStats = {
     require(targetFileBytes > 0, "targetFileBytes must be positive")
     // an exclusive run holds the write lock over stage AND publish (the
     // inner read/write acquisitions below are reentrant under it)
     if (exclusive)
       wh.withTableLocks(reads = Nil, writes = Seq(rawPath)) {
-        compactRawBody(targetFileBytes, clusterBy)
+        compactRawBody(targetFileBytes, clusterBy, interleave)
       }
-    else compactRawBody(targetFileBytes, clusterBy)
+    else compactRawBody(targetFileBytes, clusterBy, interleave)
   }
 
   private def compactRawBody(targetFileBytes: Long,
-      clusterBy: Seq[String]): OpStats = {
+      clusterBy: Seq[String], interleave: Boolean = false): OpStats = {
     wh.recoverSelfReplace(spark, rawPath, job.date)
     val staged = wh.withTableLocks(reads = Seq(rawPath), writes = Nil) {
       // sizing comes from the PARTITION's file metadata, never the
@@ -528,6 +537,8 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
         } else {
           val layout =
             if (clusterBy.isEmpty) part.coalesce(nOut)
+            else if (interleave && clusterBy.length >= 2)
+              ZOrder.layout(part, clusterBy, nOut)
             else part.repartitionByRange(nOut, clusterBy.map(col): _*)
               .sortWithinPartitions(clusterBy.map(col): _*)
           val (rows, token) =
