@@ -51,9 +51,12 @@ object SparkEntry {
       Dedup.keepLatestForSkew(mMonthly(s, dir), Seq("id", "date"), col("parser_time"))),
 
     // ---- W2: legacy ranked dedup, multi-key mixed-direction priority
-    //      order (cloud/bq/dedup.go:23-38) ----
+    //      order (cloud/bq/dedup.go:23-38). Aggregate form: the total
+    //      ordering over non-null columns lets min_by replace the
+    //      windowed row_number sort — one map-side-combined hash
+    //      aggregate instead of shuffling and sorting every row ----
     "w2_dedup_ranked" -> ((s, dir) =>
-      Dedup.rankedFirst(
+      Dedup.rankedFirstAgg(
         mMonthly(s, dir),
         Seq(col("id"), col("date")),
         Seq(col("l_quantity").desc, col("l_returnflag").asc,

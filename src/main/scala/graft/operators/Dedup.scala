@@ -48,6 +48,64 @@ object Dedup {
       .drop("__row_number")
   }
 
+  /** [[rankedFirst]] as a HASH AGGREGATE instead of a sorted window —
+    * identical semantics (exactly one row per key, first in `ordering`)
+    * when the ordering is total, a different physical shape: the window
+    * form shuffles every row and SORTS each hash partition by
+    * (keys, ordering); this form folds each key to its current winner
+    * via `min_by(row, sortKey)` with map-side partial aggregation — the
+    * shuffle carries one candidate row per (key, input partition), and
+    * nothing ever sorts. On a 100 TB day-partition with meaningful
+    * duplication that is the difference between shuffling the day and
+    * shuffling its distinct keys; with a hot key it degrades like any
+    * hash aggregate (partial combine absorbs the skew map-side) instead
+    * of serializing one sort task.
+    *
+    * Mixed-direction orderings are normalized into one ascending struct
+    * sort key: DESC numeric/boolean fields negate, DESC integral/date/
+    * timestamp fields invert bitwise (`~x`, an overflow-free
+    * order-reversing bijection), strings can't be cheaply inverted — a
+    * DESC string (or an unsupported type) falls back to the window form.
+    * Caveats vs the window form, both documented not silently diverged:
+    * ties beyond a non-total ordering resolve arbitrarily (same contract
+    * as [[rankedFirst]]), and NULL/NaN in a DESC field sort first rather
+    * than last (Spark's desc default) — callers with nullable DESC
+    * ordering columns should use [[rankedFirst]].
+    */
+  def rankedFirstAgg(df: DataFrame, partitionKeys: Seq[Column],
+      ordering: Seq[Column]): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    import org.apache.spark.sql.types._
+
+    def typeOf(c: Column): DataType = df.select(c).schema.head.dataType
+
+    // Some(normalized ascending column) or None = not invertible
+    val normalized: Seq[Option[Column]] = ordering.map { o =>
+      ColumnBridge.unwrapSortOrder(o) match {
+        case Some((c, true)) => // descending: order-reversing bijection
+          typeOf(c) match {
+            case ByteType | ShortType | IntegerType | LongType =>
+              Some(bitwise_not(c.cast("long")))
+            case FloatType | DoubleType | _: DecimalType => Some(-c)
+            case DateType => Some(bitwise_not(unix_date(c)))
+            case TimestampType => Some(bitwise_not(unix_micros(c)))
+            case BooleanType => Some(!c)
+            case _ => None // strings and exotica: no cheap inversion
+          }
+        case Some((c, false)) => Some(c) // explicit ascending
+        case None => Some(o) // bare column: orderBy treats it ascending
+      }
+    }
+    if (normalized.exists(_.isEmpty)) rankedFirst(df, partitionKeys, ordering)
+    else {
+      val sortKey = struct(normalized.map(_.get): _*)
+      val row = struct(df.columns.map(col): _*)
+      df.groupBy(partitionKeys: _*)
+        .agg(min_by(row, sortKey).as("__ranked_row"))
+        .select(col("__ranked_row.*"))
+    }
+  }
+
   /** Keep-set dedup for SKEWED keys — identical semantics to
     * [[keepLatest]], different physical shape. The window form sorts each
     * hash partition by the dedup keys, so one hot key (a single id with

@@ -13,6 +13,20 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** `(child, isDescending)` when `c` is a sort-order wrapper
+    * (`col.asc` / `col.desc`), None for a plain column. Spark 4 models
+    * sort order as an [[org.apache.spark.sql.internal.SortOrder]]
+    * ColumnNode (not a catalyst expression), so operators that accept
+    * `orderBy`-style arguments and want to rewrite them into aggregate
+    * shapes must unwrap at the node layer.
+    */
+  def unwrapSortOrder(c: Column): Option[(Column, Boolean)] = c.node match {
+    case s: org.apache.spark.sql.internal.SortOrder =>
+      Some((Column(s.child),
+        s.sortDirection == org.apache.spark.sql.internal.SortOrder.Descending))
+    case _ => None
+  }
 }
 
 /** Parquet-compatible schema union for the tx manifest's table-schema

@@ -71,4 +71,33 @@ class DedupSpec extends SparkTestBase {
     val b = out.filter($"id" === "b").select("payload").as[String].collect()
     assert(b.toSeq == Seq("tie1")) // tie broken by payload asc
   }
+
+  test("rankedFirstAgg matches the window form under a total mixed ordering") {
+    // every invertible direction in one ordering: desc timestamp, asc
+    // string, desc double, desc int, asc long tiebreaker (total order)
+    val rows = for (i <- 0 until 500) yield (
+      s"id${i % 23}", d("2024-01-0" + (1 + i % 3)),
+      ts(f"2024-01-01 ${i % 24}%02d:00:00"),
+      s"p${i % 7}", (i % 11).toDouble / 2, i % 5, i.toLong)
+    val df = rows.toDF("id", "date", "time", "payload", "score", "rank", "seq")
+    val ordering = Seq(col("time").desc, col("payload").asc,
+      col("score").desc, col("rank").desc, col("seq").asc)
+    val keys = Seq(col("id"), col("date"))
+    val win = Dedup.rankedFirst(df, keys, ordering).collect().toSet
+    val agg = Dedup.rankedFirstAgg(df, keys, ordering).collect().toSet
+    assert(agg == win)
+    assert(agg.size == df.select("id", "date").distinct().count())
+    // and the aggregate form really aggregates: no window/sort exchange
+    val plan = Dedup.rankedFirstAgg(df, keys, ordering)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("rankedFirstAgg falls back to the window form on a desc string") {
+    val ordering = Seq(col("payload").desc, col("time").asc)
+    val keys = Seq(col("id"), col("date"))
+    val win = Dedup.rankedFirst(fixture, keys, ordering).collect().toSet
+    val agg = Dedup.rankedFirstAgg(fixture, keys, ordering).collect().toSet
+    assert(agg == win)
+  }
 }
