@@ -642,6 +642,17 @@ object SparkEntry {
     "tx_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.documents(s, dir), "text", k = 50)),
 
+    // ---- BPE learning, iteration 1: adjacent code-point pair
+    //      frequencies weighted by word frequency — the exact statistic
+    //      each merge iteration of TextBpe.learnBpe recomputes, as a
+    //      first-class query. Corpus → vocabulary is one map-side-
+    //      combined aggregate; the pair expansion runs over DISTINCT
+    //      words only and re-aggregates to the alphabet² domain, so the
+    //      ranking window input is bounded at any corpus size ----
+    "tx_bpe_pairs" -> ((s, dir) =>
+      graft.operators.TextBpe.pairCountsTopK(Tables.documents(s, dir),
+        "text", k = 50)),
+
     // ---- frequency spectrum ("frequency of frequencies"): how many
     //      tokens occur exactly n times — the Zipf curve behind vocab
     //      sizing and Good-Turing smoothing. Two map-side-combined
@@ -1445,6 +1456,20 @@ object SparkEntry {
          |  SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC)
          |    AS INT) AS rank FROM c) r
          |WHERE rank <= 50""".stripMargin,
+
+    "tx_bpe_pairs" ->
+      s"""WITH w AS (SELECT unnest($W) AS word FROM documents),
+         |wc AS (SELECT word, count(*) AS wfreq FROM w
+         |       WHERE length(word) >= 2 GROUP BY word),
+         |p AS (SELECT substr(word, CAST(i AS INT), 1) AS lhs,
+         |             substr(word, CAST(i AS INT) + 1, 1) AS rhs, wfreq
+         |      FROM wc, unnest(range(1, length(word))) AS t(i)),
+         |c AS (SELECT lhs, rhs, CAST(sum(wfreq) AS BIGINT) AS freq
+         |      FROM p GROUP BY lhs, rhs)
+         |SELECT lhs, rhs, freq,
+         |       CAST(row_number() OVER (ORDER BY freq DESC, lhs, rhs) AS INT)
+         |         AS rank
+         |FROM c QUALIFY rank <= 50""".stripMargin,
 
     "dd_dual_signal" -> {
       val cos = cosE6Sql("ea.embedding", "eb.embedding")
