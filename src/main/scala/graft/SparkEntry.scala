@@ -642,6 +642,16 @@ object SparkEntry {
     "tx_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.documents(s, dir), "text", k = 50)),
 
+    // ---- count-based n-gram LM quality scoring (CCNet-style): each
+    //      document scored by the corpus's own add-one-smoothed trigram
+    //      conditionals; per-trigram terms are floor-quantized BEFORE
+    //      the sum so the score is an exact integer (engine-portable).
+    //      Counts are vocabulary-scale (map-side-combined), scoring is
+    //      explode → hash-join on the trigram key → per-doc re-agg ----
+    "tx_ngram_lm" -> ((s, dir) =>
+      graft.operators.NgramLm.scoreByCorpus(
+        Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- BPE learning, iteration 1: adjacent code-point pair
     //      frequencies weighted by word frequency — the exact statistic
     //      each merge iteration of TextBpe.learnBpe recomputes, as a
@@ -1456,6 +1466,31 @@ object SparkEntry {
          |  SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC)
          |    AS INT) AS rank FROM c) r
          |WHERE rank <= 50""".stripMargin,
+
+    "tx_ngram_lm" ->
+      s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),
+         |g AS (SELECT doc_id,
+         |        t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1] AS ctx,
+         |        t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1] || ' ' ||
+         |          t[CAST(i AS INT)+2] AS tri
+         |      FROM w, unnest(range(1, len(t) - 1)) AS r(i)),
+         |c3 AS (SELECT tri, ctx, count(*) AS c3 FROM g GROUP BY tri, ctx),
+         |c2 AS (SELECT ctx, sum(c3) AS c2 FROM c3 GROUP BY ctx),
+         |v AS (SELECT count(DISTINCT u.w) AS vocab
+         |      FROM (SELECT unnest(t) AS w FROM w) u WHERE length(u.w) > 0),
+         |sc AS (SELECT g.doc_id,
+         |        CAST(floor(10000.0 * ln((COALESCE(x.c3, 0) + 1) /
+         |          (COALESCE(c2.c2, 0) + v.vocab))) AS BIGINT) AS lp_e4
+         |      FROM g
+         |      LEFT JOIN (SELECT tri, c3 FROM c3) x USING (tri)
+         |      LEFT JOIN c2 USING (ctx), v),
+         |agg AS (SELECT doc_id, count(*) AS n_ngrams,
+         |        CAST(sum(lp_e4) AS BIGINT) AS lp_sum_e4
+         |        FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(agg.n_ngrams, 0) AS n_ngrams,
+         |       COALESCE(agg.lp_sum_e4, 0) AS lp_sum_e4
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "tx_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($W) AS word FROM documents),
