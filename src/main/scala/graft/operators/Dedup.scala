@@ -66,11 +66,18 @@ object Dedup {
     * timestamp fields invert bitwise (`~x`, an overflow-free
     * order-reversing bijection), strings can't be cheaply inverted — a
     * DESC string (or an unsupported type) falls back to the window form.
-    * Caveats vs the window form, both documented not silently diverged:
+    * Physical shape: a row-carrying `min_by` plans as SortAggregate
+    * (struct buffers aren't hash-aggregable), but the required sort is
+    * by GROUP KEYS only — not the full ordering — and the partial
+    * aggregate still combines map-side, which is where the win lives.
+    * Caveats vs the window form, all documented not silently diverged:
     * ties beyond a non-total ordering resolve arbitrarily (same contract
-    * as [[rankedFirst]]), and NULL/NaN in a DESC field sort first rather
+    * as [[rankedFirst]]); NULL/NaN in a DESC field sort first rather
     * than last (Spark's desc default) — callers with nullable DESC
-    * ordering columns should use [[rankedFirst]].
+    * ordering columns should use [[rankedFirst]]; and a DESC
+    * timestamp_ntz ordering is coerced through the session zone, which
+    * is order-preserving in DST-free session zones (this library's UTC
+    * standard) — under a DST session zone use [[rankedFirst]].
     */
   def rankedFirstAgg(df: DataFrame, partitionKeys: Seq[Column],
       ordering: Seq[Column]): DataFrame = {
@@ -89,6 +96,11 @@ object Dedup {
             case FloatType | DoubleType | _: DecimalType => Some(-c)
             case DateType => Some(bitwise_not(unix_date(c)))
             case TimestampType => Some(bitwise_not(unix_micros(c)))
+            case TimestampNTZType =>
+              // ntz→instant goes through the session zone; monotone in
+              // DST-free session zones (the library standard is UTC) —
+              // see the scaladoc caveat
+              Some(bitwise_not(unix_micros(c.cast("timestamp"))))
             case BooleanType => Some(!c)
             case _ => None // strings and exotica: no cheap inversion
           }

@@ -216,4 +216,35 @@ class PlanAuditSpec extends SparkTestBase {
     assert(adistLines.nonEmpty)
     assert(adistLines.forall(!_.contains("vector_sqdist")))
   }
+
+  test("ranked dedup (w2): min_by aggregate with map-side partial combine " +
+    "— no Window, and every sort is keys-only (never the full ordering)") {
+    val p = planned("w2_dedup_ranked")
+    assert(!p.contains("Window"), p)
+    // row-carrying min_by plans as SortAggregate: partial before the
+    // exchange (the shuffle carries one candidate per key per map task)
+    assert("SortAggregate".r.findAllIn(p).size >= 2, p)
+    assert(p.contains("partial_min_by"), p)
+    // the aggregate's required sort is the GROUP keys, not the 7-column
+    // ordering the window form sorted by
+    val sortLines = p.linesIterator.filter(_.trim.startsWith("+- Sort ")).toSeq
+    assert(sortLines.nonEmpty && sortLines.forall(!_.contains("parser_time")), p)
+  }
+
+  test("BPE pair counts: the ranking window's input is the aggregated " +
+    "pair table, never the corpus scan") {
+    val p = planned("tx_bpe_pairs")
+    // corpus → vocabulary → pairs: two aggregate levels below any Window
+    val winIdx = p.linesIterator.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0)
+    val below = p.linesIterator.drop(winIdx).mkString("\n")
+    assert(below.contains("HashAggregate"),
+      "window must sit above the pair aggregation, not the raw scan")
+  }
+
+  test("n-gram LM: count tables broadcast into the scoring joins — the " +
+    "corpus trigram stream never sort-merges") {
+    val p = planned("tx_ngram_lm")
+    assert(p.contains("BroadcastHashJoin") || !p.contains("SortMergeJoin"), p)
+  }
 }
