@@ -95,8 +95,12 @@ object ShingleHashes {
   * bounded-heap aggregate `top_k_by_score`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     GraftFunctions.descriptors.foreach(ext.injectFunction)
+    // the ranked-dedup window idiom rewritten to its sort-free
+    // aggregate form for SQL consumers (see RankedDedupRewrite)
+    ext.injectOptimizerRule(_ => graft.plans.RankedDedupRewrite)
+  }
 }
 
 object GraftFunctions {
