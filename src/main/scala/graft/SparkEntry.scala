@@ -652,6 +652,27 @@ object SparkEntry {
       graft.operators.NgramLm.scoreByCorpus(
         Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- BPE application through the codegen'd bpe_encode expression
+    //      under the fixed well-founded merge list (BpeFixedMerges):
+    //      top-40 subwords by corpus frequency. Map-only encode — the
+    //      merge table rides the plan as one reference object; the
+    //      ranking window's input is the aggregated subword table.
+    //      The oracle replays the merges as a rank-order replace chain
+    //      over delimiter-wrapped symbols (provably the same
+    //      segmentation for a well-founded list) ----
+    "tx_bpe_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val merges = BpeFixedMerges.map { case (l, r) =>
+        graft.operators.TextBpe.Merge(l, r, 0L) }
+      val w = Window.orderBy(col("freq").desc, col("subword").asc)
+      Tables.documents(s, dir)
+        .select(explode(graft.operators.TextBpe.encode(col("text"), merges))
+          .as("subword"))
+        .groupBy("subword").agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 40)
+    }),
+
     // ---- BPE learning, iteration 1: adjacent code-point pair
     //      frequencies weighted by word frequency — the exact statistic
     //      each merge iteration of TextBpe.learnBpe recomputes, as a
@@ -955,6 +976,45 @@ object SparkEntry {
 
   /** DuckDB tokens expression (parity with TextAnalysis.tokens). */
   private val W = raw"string_split_regex(text, '\s+')"
+
+  /** Fixed, well-founded BPE merge list for the encode query: each
+    * merge's parts are base characters or products of earlier merges,
+    * so rank-order sequential application (the oracle's replace chain)
+    * and BpeEncode's greedy lowest-rank-first application provably
+    * segment identically.
+    */
+  private[graft] val BpeFixedMerges: Seq[(String, String)] = Seq(
+    ("e", "s"), ("es", "t"), ("t", "h"), ("th", "e"),
+    ("i", "n"), ("a", "n"), ("an", "d"), ("e", "r"))
+
+  /** DuckDB BPE application: each symbol wrapped in its own chr(31)
+    * delimiters (no shared boundaries, so adjacent merge sites both
+    * fire exactly like the expression's left-to-right scan), one
+    * `replace` per merge in rank order, then split back to subwords.
+    */
+  private def bpeEncodeSql: String = {
+    val D = "chr(31)"
+    def tok(s: String) = s"$D||'$s'||$D"
+    val stages = BpeFixedMerges.zipWithIndex.map { case ((l, r), i) =>
+      s"s${i + 1} AS (SELECT replace(sym, ${tok(l)}||${tok(r)}, " +
+        s"${tok(l + r)}) AS sym, wfreq FROM s$i)"
+    }.mkString(",\n")
+    s"""WITH w AS (SELECT unnest($W) AS word FROM documents),
+       |wc AS (SELECT word, count(*) AS wfreq FROM w
+       |       WHERE length(word) > 0 GROUP BY word),
+       |s0 AS (SELECT list_aggregate(list_transform(
+       |         regexp_split_to_array(word, ''), c -> $D||c||$D),
+       |         'string_agg', '') AS sym, wfreq FROM wc),
+       |$stages,
+       |sub AS (SELECT unnest(string_split(trim(sym, $D), $D||$D)) AS subword,
+       |        wfreq FROM s${BpeFixedMerges.length}),
+       |c AS (SELECT subword, CAST(sum(wfreq) AS BIGINT) AS freq
+       |      FROM sub GROUP BY subword)
+       |SELECT subword, freq,
+       |       CAST(row_number() OVER (ORDER BY freq DESC, subword) AS INT)
+       |         AS rank
+       |FROM c QUALIFY rank <= 40""".stripMargin
+  }
 
   /** DuckDB 3-gram shingle expression over a token-list column `w`
     * (parity with TextDedup.shingles). */
@@ -1491,6 +1551,8 @@ object SparkEntry {
          |       COALESCE(agg.lp_sum_e4, 0) AS lp_sum_e4
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "tx_bpe_encode" -> bpeEncodeSql,
 
     "tx_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($W) AS word FROM documents),
