@@ -652,6 +652,23 @@ object SparkEntry {
       graft.operators.NgramLm.scoreByCorpus(
         Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- BPE LEARNING itself, value-level oracled: the first 8 merges
+    //      learned from the corpus (TextBpe.learnBpe — the driver-side
+    //      loop over the bounded word-frequency table). The result is a
+    //      tiny literal frame; the oracle UNROLLS the same loop as 8
+    //      generated SQL iterations (pair counts over delimiter-wrapped
+    //      symbols → deterministic argmax → replace), so every learned
+    //      (rank, lhs, rhs, freq) row is checked against an independent
+    //      implementation of the algorithm ----
+    "tx_bpe_learn" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TextBpe.learnBpe(Tables.documents(s, dir), "text",
+          numMerges = 8)
+        .zipWithIndex
+        .map { case (m, i) => (i + 1, m.lhs, m.rhs, m.freq) }
+        .toDF("rank", "lhs", "rhs", "freq")
+    }),
+
     // ---- BPE application through the codegen'd bpe_encode expression
     //      under the fixed well-founded merge list (BpeFixedMerges):
     //      top-40 subwords by corpus frequency. Map-only encode — the
@@ -986,6 +1003,49 @@ object SparkEntry {
   private[graft] val BpeFixedMerges: Seq[(String, String)] = Seq(
     ("e", "s"), ("es", "t"), ("t", "h"), ("th", "e"),
     ("i", "n"), ("a", "n"), ("an", "d"), ("e", "r"))
+
+  /** DuckDB BPE LEARNING: the merge loop unrolled as `n` generated SQL
+    * iterations over the word-frequency table — iteration k computes
+    * adjacent-pair counts from the current delimiter-wrapped symbol
+    * strings, picks the deterministic argmax (freq DESC, lhs, rhs), and
+    * rewrites the table with that merge via `replace` (per-symbol
+    * chr(31) wrappers: no shared boundaries, exactly the expression's
+    * left-to-right scan). Mirrors TextBpe.learnBpe minus its two
+    * non-binding-at-this-scale bounds (the maxWords cap and the
+    * freq ≥ 2 early stop).
+    */
+  private def bpeLearnSql(n: Int): String = {
+    val D = "chr(31)"
+    // adjacent pairs of iteration k's symbol table, weighted by wfreq
+    def pairs(k: Int) =
+      s"""p$k AS MATERIALIZED (SELECT t[CAST(i AS INT)] AS lhs, t[CAST(i AS INT) + 1] AS rhs,
+         |  sum(wfreq) AS freq
+         |  FROM (SELECT string_split(trim(sym, $D), $D||$D) AS t, wfreq FROM s$k),
+         |       unnest(range(1, len(t))) AS r(i)
+         |  GROUP BY lhs, rhs)""".stripMargin
+    def best(k: Int) =
+      s"b$k AS (SELECT lhs, rhs, freq FROM p$k ORDER BY freq DESC, lhs, rhs LIMIT 1)"
+    def next(k: Int) =
+      s"""s${k + 1} AS MATERIALIZED (SELECT replace(sym,
+         |  $D||(SELECT lhs FROM b$k)||$D||$D||(SELECT rhs FROM b$k)||$D,
+         |  $D||(SELECT lhs FROM b$k)||(SELECT rhs FROM b$k)||$D) AS sym,
+         |  wfreq FROM s$k)""".stripMargin
+    val iters = (0 until n).map { k =>
+      if (k < n - 1) Seq(pairs(k), best(k), next(k)).mkString(",\n")
+      else Seq(pairs(k), best(k)).mkString(",\n")
+    }.mkString(",\n")
+    val out = (0 until n)
+      .map(k => s"SELECT ${k + 1} AS rank, lhs, rhs, CAST(freq AS BIGINT) AS freq FROM b$k")
+      .mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT unnest($W) AS word FROM documents),
+       |wc AS (SELECT word, count(*) AS wfreq FROM w
+       |       WHERE length(word) >= 2 GROUP BY word),
+       |s0 AS MATERIALIZED (SELECT list_aggregate(list_transform(
+       |         regexp_split_to_array(word, ''), c -> $D||c||$D),
+       |         'string_agg', '') AS sym, wfreq FROM wc),
+       |$iters
+       |$out""".stripMargin
+  }
 
   /** DuckDB BPE application: each symbol wrapped in its own chr(31)
     * delimiters (no shared boundaries, so adjacent merge sites both
@@ -1553,6 +1613,8 @@ object SparkEntry {
          |LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "tx_bpe_encode" -> bpeEncodeSql,
+
+    "tx_bpe_learn" -> bpeLearnSql(8),
 
     "tx_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($W) AS word FROM documents),
