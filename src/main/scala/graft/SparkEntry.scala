@@ -716,6 +716,30 @@ object SparkEntry {
     "emb_centroids" -> ((s, dir) =>
       Similarity.centroidSums(Tables.embeddings(s, dir), "label", "embedding")),
 
+    // ---- PCA training statistic: the full 64×64 quantized covariance
+    //      through the GramMatrix TypedImperativeAggregate — ONE packed
+    //      buffer per map task crosses the shuffle (no d² row
+    //      explosion); the integer statistic n·G_ij − S_i·S_j is exact,
+    //      so the oracle recomputes it value-identically from raw
+    //      parquet. Pca.fit eigensolves this same statistic driver-side
+    //      (PcaSpec) ----
+    "emb_covariance" -> ((s, dir) => {
+      val d = 64
+      val iIdx = (0 until d).flatMap(i => (i until d).map(_ => i)).toArray
+      val jIdx = (0 until d).flatMap(i => i until d).toArray
+      Tables.embeddings(s, dir)
+        .select(graft.functions.GramMatrix(col("embedding"), d, 1000.0).as("g"))
+        .select(col("g.n").as("n"), col("g.sums").as("s"),
+          posexplode(col("g.gram")).as(Seq("t", "gij")))
+        .select(
+          element_at(lit(iIdx), col("t") + 1).as("i"),
+          element_at(lit(jIdx), col("t") + 1).as("j"),
+          (col("n") * col("gij") -
+            element_at(col("s"), element_at(lit(iIdx), col("t") + 1) + 1) *
+            element_at(col("s"), element_at(lit(jIdx), col("t") + 1) + 1))
+            .as("cc"))
+    }),
+
     // ---- dual-signal dedup verification: each text near-dup pair
     //      annotated with its embedding cosine (doc_id ≡ vec_id) — the
     //      standard two-signal confirmation before destructive dedup
@@ -1656,6 +1680,25 @@ object SparkEntry {
          |FROM assign, range(1, 65) r(i)
          |GROUP BY cent_id, dim""".stripMargin
     },
+
+    "emb_covariance" ->
+      """WITH q AS (SELECT list_transform(embedding,
+        |  x -> CAST(floor(CAST(x AS DOUBLE) * 1000.0) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |nn AS (SELECT count(*) AS n FROM q),
+        |s AS (SELECT CAST(i AS INT) - 1 AS dim,
+        |        CAST(sum(qv[CAST(i AS INT)]) AS BIGINT) AS s
+        |      FROM q, unnest(range(1, 65)) r(i) GROUP BY dim),
+        |g AS (SELECT CAST(i AS INT) - 1 AS di, CAST(j AS INT) - 1 AS dj,
+        |        CAST(sum(qv[CAST(i AS INT)] * qv[CAST(j AS INT)]) AS BIGINT) AS g
+        |      FROM q, unnest(range(1, 65)) r(i), unnest(range(1, 65)) r2(j)
+        |      WHERE j >= i GROUP BY di, dj)
+        |SELECT g.di AS i, g.dj AS j,
+        |       CAST(nn.n * g.g - si.s * sj.s AS BIGINT) AS cc
+        |FROM g
+        |JOIN s si ON si.dim = g.di
+        |JOIN s sj ON sj.dim = g.dj
+        |CROSS JOIN nn""".stripMargin,
 
     "emb_centroids" ->
       """SELECT label, CAST(i - 1 AS INT) AS dim,
