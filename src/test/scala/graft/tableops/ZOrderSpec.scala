@@ -77,6 +77,37 @@ class ZOrderSpec extends SparkTestBase {
     }
   }
 
+  test("maintenance sweeper applies the per-datatype interleaved layout") {
+    val root = Files.createTempDirectory("graft-zs").toString
+    val wh = new TxWarehouse(root)
+    val raw = wh.tablePath("raw_exp", "grid")
+    val n = 32
+    for (s <- 0 until 8) {
+      val rows = for { x <- 0 until n; y <- 0 until n; if (x + y) % 8 == s }
+        yield (x.toLong, y.toLong, Date.valueOf("2024-01-01"))
+      wh.append(spark, rows.toDF("x", "y", "date").coalesce(1), raw)
+    }
+    object NoopSaver extends graft.persistence.NamedSaver {
+      def save(name: String, contents: String): Unit = ()
+      def load(name: String): Option[String] = None
+    }
+    val tracker = new graft.tracker.Tracker(NoopSaver)
+    val job = Job("bucket", "exp", "grid", LocalDate.parse("2024-01-01"),
+      datasets = Datasets(tmp = "tmp_exp", raw = "raw_exp", join = ""))
+    assert(tracker.addJob(job).isRight)
+    assert(tracker.setStatus(job.key, graft.model.State.Complete).isRight)
+    val totalBytes = wh.partitionFiles(spark, raw, job.date).map(_._2).sum
+    val sweeper = new graft.gardenerops.MaintenanceSweeper(spark, wh, tracker,
+      targetFileBytes = totalBytes / 4, minAgeMillis = 0L,
+      clusterBy = Map("grid" -> Seq("x", "y")), interleaved = Set("grid"))
+    assert(sweeper.sweep() == 1)
+    val files = wh.read(spark, raw).inputFiles.length
+    assert(files > 1 && files <= 5, s"files=$files")
+    val kept = wh.readWhere(spark, raw, col("y") < 4L).inputFiles.length
+    assert(kept < files, s"sweeper layout must prune the y band: $kept/$files")
+    assert(wh.readWhere(spark, raw, col("y") < 4L).count() == n.toLong * 4)
+  }
+
   test("compactRaw(interleave) rewrites a fragmented day z-clustered") {
     val root = Files.createTempDirectory("graft-zc").toString
     val wh = new TxWarehouse(root)
