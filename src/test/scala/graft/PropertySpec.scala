@@ -110,6 +110,25 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("rankedFirstAgg ≡ rankedFirst under every invertible direction mix") {
+    // payload as the unique tiebreak makes each ordering total, so the
+    // window and aggregate forms must agree EXACTLY on every sample;
+    // direction mixes cover desc timestamp/long and asc string
+    val orderings: Seq[Seq[org.apache.spark.sql.Column]] = Seq(
+      Seq(col("parserTime").desc, col("payload").asc),
+      Seq(col("payload").desc, col("parserTime").asc),
+      Seq(col("id").asc, col("parserTime").desc, col("payload").desc),
+      Seq(col("parserTime").asc, col("payload").asc))
+    samples(genRows, 6).foreach { rows =>
+      val d = df(rows)
+      orderings.foreach { ord =>
+        val win = Dedup.rankedFirst(d, Seq(col("id"), col("date")), ord)
+        val agg = Dedup.rankedFirstAgg(d, Seq(col("id"), col("date")), ord)
+        assert(canon(agg) === canon(win), s"ordering: $ord")
+      }
+    }
+  }
+
   test("dedup is scoped: other (id,date) groups pass through untouched") {
     samples(genRows, 5).foreach { rows =>
       val d = df(rows)
