@@ -642,6 +642,15 @@ object SparkEntry {
     "tx_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.documents(s, dir), "text", k = 50)),
 
+    // ---- BM25 top-k retrieval: the fixed audit query set scored over
+    //      the corpus (Lucene-form idf, quantize-before-sum so the
+    //      ranking is an exact-integer ordering). Postings restrict to
+    //      broadcast query terms immediately; per-query top-k ships
+    //      through the bounded TopKByScore heap ----
+    "tx_bm25_topk" -> ((s, dir) =>
+      graft.operators.Retrieval.bm25TopK(s, Tables.documents(s, dir),
+        "doc_id", "text", Bm25Queries, k = 10)),
+
     // ---- count-based n-gram LM quality scoring (CCNet-style): each
     //      document scored by the corpus's own add-one-smoothed trigram
     //      conditionals; per-trigram terms are floor-quantized BEFORE
@@ -1027,6 +1036,46 @@ object SparkEntry {
   private[graft] val BpeFixedMerges: Seq[(String, String)] = Seq(
     ("e", "s"), ("es", "t"), ("t", "h"), ("th", "e"),
     ("i", "n"), ("a", "n"), ("an", "d"), ("e", "r"))
+
+  /** Fixed audit/eval query set for the BM25 retrieval query — terms
+    * drawn from the synthetic corpus vocabulary.
+    */
+  private[graft] val Bm25Queries: Seq[(Int, String)] = Seq(
+    (1, "spark join table"), (2, "window agg batch"),
+    (3, "slow query filter"), (4, "hash value"))
+
+  /** DuckDB BM25: the same statistics and the same float evaluation
+    * ORDER as Retrieval.bm25TopK (left-associative products, `e0`
+    * literals so DuckDB computes in DOUBLE, not DECIMAL) — the
+    * quantize-before-sum contributions then match bit-for-bit.
+    */
+  private def bm25Sql(k: Int, k1: String = "1.2e0", b: String = "0.75e0"): String = {
+    val qvals = Bm25Queries.flatMap { case (qid, text) =>
+      text.split("\\s+").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
+    }.mkString(", ")
+    s"""WITH t AS (SELECT doc_id, unnest($W) AS term FROM documents),
+       |tt AS (SELECT doc_id, term FROM t WHERE length(term) > 0),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY doc_id),
+       |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+       |al AS (SELECT count(*) AS tot FROM tt),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |q(query_id, term) AS (VALUES $qvals),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(floor(10000e0 *
+       |      ln(1e0 + (nn.n - dfq.df + 0.5e0) / (dfq.df + 0.5e0)) *
+       |      ((tf.tf * ($k1 + 1)) /
+       |       (tf.tf + $k1 * (1e0 - $b +
+       |        $b * dl.dl / (CAST(al.tot AS DOUBLE) / nn.n))))) AS BIGINT) AS c
+       |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       |  JOIN dl USING (doc_id) CROSS JOIN nn CROSS JOIN al),
+       |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_e4
+       |        FROM sc GROUP BY query_id, doc_id)
+       |SELECT query_id, doc_id, score_e4,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY score_e4 DESC, doc_id) AS INT) AS rank
+       |FROM agg QUALIFY rank <= $k""".stripMargin
+  }
 
   /** DuckDB BPE LEARNING: the merge loop unrolled as `n` generated SQL
     * iterations over the word-frequency table — iteration k computes
@@ -1635,6 +1684,8 @@ object SparkEntry {
          |       COALESCE(agg.lp_sum_e4, 0) AS lp_sum_e4
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    "tx_bm25_topk" -> bm25Sql(10),
 
     "tx_bpe_encode" -> bpeEncodeSql,
 

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.TopKByScore
+
+/** Sparse lexical retrieval: BM25 top-k documents per query — the
+  * classic inverted-index scorer (Robertson/Spärck Jones; the Lucene
+  * `k1/b` practical form with the always-positive idf) that a training
+  * pipeline runs for eval-set decontamination sweeps, targeted corpus
+  * audits, and hard-negative mining.
+  *
+  * Scale shape (100 TB corpus, bounded query set):
+  *  - the per-(doc, term) tf table is ONE explode + map-side-combined
+  *    aggregate over the corpus;
+  *  - the query side (terms of all queries) BROADCASTS — the join
+  *    immediately restricts the posting stream to query terms, so
+  *    everything downstream is |matching postings|, not corpus-scale;
+  *  - per-(query, doc) accumulation is a hash aggregate of integer
+  *    term scores, and per-query top-k ships through the bounded
+  *    [[TopKByScore]] heap (k rows per query per map partition cross
+  *    the shuffle — never the full scored list).
+  *
+  * Determinism: each (doc, term) BM25 contribution is floor-quantized
+  * to e4 BEFORE summation (the [[NgramLm]] pattern), so document
+  * scores are exact integers, ties break by ascending doc id, and a
+  * SQL oracle can reproduce the ranking value-identically.
+  */
+object Retrieval {
+
+  private def toks(textCol: String): Column =
+    split(coalesce(col(textCol), lit("")), "\\s+")
+
+  /** Per-query BM25 top-k over `docs`. `queries` are (query_id, text)
+    * literals — the bounded query-set configuration (an eval suite, an
+    * audit probe list). Output: (query_id, doc_id, score_e4, rank),
+    * rank 1..k by (score DESC, doc ASC).
+    */
+  def bm25TopK(spark: SparkSession, docs: DataFrame, idCol: String,
+      textCol: String, queries: Seq[(Int, String)], k: Int,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty && k >= 1)
+
+    // corpus statistics: one tokenization pass feeds tf, doclen, df
+    val terms = docs.select(col(idCol).as("doc_id"),
+        explode(toks(textCol)).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // N over all docs (empty ones included — they are retrievable-never
+    // but still corpus members for idf); avgdl over the term stream, so
+    // both sides of the oracle count identically
+    val nDocs = docs.agg(countDistinct(col(idCol))).head().getLong(0).toDouble
+    val avgdl = terms.count().toDouble / nDocs
+
+    val q = queries.flatMap { case (qid, text) =>
+      text.split("\\s+").filter(_.nonEmpty).map(t => (qid, t))
+    }.toDF("query_id", "term")
+
+    // idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) — Lucene's BM25 form,
+    // always positive; tf_norm = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val tfNorm = (col("tf") * (lit(k1) + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+    val contrib = tf
+      .join(broadcast(q.distinct()), Seq("term")) // postings of query terms only
+      .join(broadcast(dfreq.join(broadcast(q.select("term").distinct()),
+        Seq("term"))), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .select(col("query_id"), col("doc_id"),
+        floor(lit(10000.0) * idf * tfNorm).cast("long").as("c_e4"))
+
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("c_e4")).as("score_e4"))
+    val top = scored.groupBy("query_id")
+      .agg(TopKByScore.topKByScore(
+        struct(col("score_e4"), col("doc_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), col("e.id").as("doc_id"),
+        col("e.score").as("score_e4"), (col("i") + 1).cast("int").as("rank"))
+    top
+  }
+}
