@@ -319,6 +319,33 @@ object SparkEntry {
     // ---- Multi-way star join: lineitem ⋈ orders ⋈ customer with
     //      selective dimension filters (Catalyst broadcasts the filtered
     //      dims; the fact table never shuffles before the aggregate) ----
+    // ---- TPC-H Q5 analog: 6-table star-snowflake join (region →
+    //      nation → customer → orders → lineitem ← supplier with the
+    //      local-supplier co-nation condition). Declarative joins +
+    //      selective dim filters: Catalyst broadcasts every dimension
+    //      chain and the fact table reaches the aggregate without a
+    //      pre-join shuffle ----
+    "q5_local_supplier_volume" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val r = Tables.region(s, dir)
+      r.filter(col("r_name") === "ASIA")
+        .join(n, col("n_regionkey") === col("r_regionkey"))
+        .join(c, col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .join(su, col("s_suppkey") === col("l_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_e2"))
+    }),
+
     "q3_shipping_priority" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
@@ -1415,6 +1442,21 @@ object SparkEntry {
         |    AS BIGINT) AS sum_disc_price_e2,
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q5_local_supplier_volume" ->
+      """SELECT n_name,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_e2
+        |FROM region
+        |JOIN nation ON n_regionkey = r_regionkey
+        |JOIN customer ON c_nationkey = n_nationkey
+        |JOIN orders ON o_custkey = c_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -31,6 +31,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q5 snowflake: every dimension chain broadcasts; the fact side " +
+    "reaches the aggregate without a sort-merge join") {
+    val p = planned("q5_local_supplier_volume")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q1: aggregation is partial before the exchange (two HashAggregate levels)") {
     val p = planned("q1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
