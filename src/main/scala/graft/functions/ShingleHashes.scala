@@ -191,8 +191,46 @@ object GraftFunctions {
       "top_k_by_score(struct(score, id), k) - bounded-heap per-group top-k " +
         "array<struct<id, score>> sorted (score DESC, id ASC)") {
       case Seq(child, k) => TopKByScore(child, intArg(k, "top_k_by_score", "k"))
+    },
+    desc("gram_matrix", classOf[GramMatrix],
+      "gram_matrix(vec, dim, scale) - packed integer-quantized second-moment " +
+        "accumulator: struct<n, sums, gram (upper triangle)>") {
+      case Seq(v, dim, scale) => GramMatrix(v,
+        intArg(dim, "gram_matrix", "dim"),
+        intArg(scale, "gram_matrix", "scale").toDouble)
+    },
+    desc("bpe_segment", classOf[BpeSegment],
+      "bpe_segment(word, merges) - BPE subwords of one token under a " +
+        "'lhs rhs'-formatted merge-list literal (rank = position)") {
+      case Seq(w, m) => BpeSegment(w, mergesArg(m, "bpe_segment"))
+    },
+    desc("bpe_encode", classOf[BpeEncode],
+      "bpe_encode(text, merges) - whitespace tokenize + BPE-segment each " +
+        "token under a 'lhs rhs'-formatted merge-list literal") {
+      case Seq(t, m) => BpeEncode(t, mergesArg(m, "bpe_encode"))
     }
   )
+
+  /** Merge-list argument: a foldable `array<string>` literal of
+    * space-separated pairs (`array('e s', 'es t', ...)`), rank =
+    * position — symbols from whitespace-tokenized text cannot contain a
+    * space, so the encoding is unambiguous.
+    */
+  private def mergesArg(e: Expression, fn: String): Seq[(String, String)] = {
+    require(e.foldable, s"$fn: merges must be a literal array<string>")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          val s = a.getUTF8String(i).toString
+          val sp = s.indexOf(' ')
+          require(sp > 0 && sp < s.length - 1,
+            s"$fn: each merge must be 'lhs rhs', got '$s'")
+          (s.substring(0, sp), s.substring(sp + 1))
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: merges must be an array<string> literal, got $other")
+    }
+  }
 
   /** Register all graft functions on an existing session. */
   def register(spark: SparkSession): Unit =

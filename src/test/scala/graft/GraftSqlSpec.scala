@@ -23,15 +23,38 @@ class GraftSqlSpec extends SparkTestBase {
     ).toDF("doc_id", "text").createOrReplaceTempView("sql_docs")
   }
 
-  test("registration is idempotent and covers all ten functions") {
+  test("registration is idempotent and covers every function") {
     GraftFunctions.register(spark) // second call must not throw
     val names = Seq("shingle_hashes", "minhash_xx_signature", "simhash_xx",
       "shingle_md5_hashes", "minhash_md5_signature", "simhash_md5",
       "nfc_normalize", "vector_dot", "vector_sqdist", "sign_bands",
-      "top_k_by_score")
+      "top_k_by_score", "gram_matrix", "bpe_segment", "bpe_encode")
     names.foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n not registered")
     }
+  }
+
+  test("bpe_encode from SQL equals the Column form; gram_matrix aggregates") {
+    val viaSql = spark.sql(
+      """SELECT doc_id,
+        |       bpe_encode(text, array('t h', 'th e', 'e s')) AS toks
+        |FROM sql_docs ORDER BY doc_id""".stripMargin)
+      .as[(Long, Seq[String])].collect()
+    val merges = Seq(graft.operators.TextBpe.Merge("t", "h", 0),
+      graft.operators.TextBpe.Merge("th", "e", 0),
+      graft.operators.TextBpe.Merge("e", "s", 0))
+    val viaCol = spark.table("sql_docs")
+      .select(col("doc_id"), graft.operators.TextBpe.encode(col("text"), merges))
+      .orderBy("doc_id").as[(Long, Seq[String])].collect()
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql.head._2.contains("the"))
+
+    val g = spark.sql(
+      """SELECT gram_matrix(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), 2, 10) AS g
+        |FROM sql_docs""".stripMargin).select("g.n", "g.sums", "g.gram").head()
+    assert(g.getLong(0) == 5L) // five rows aggregated
+    assert(g.getSeq[Long](1) == Seq(50L, 100L)) // 5·10, 5·20
+    assert(g.getSeq[Long](2) == Seq(500L, 1000L, 2000L))
   }
 
   test("text family: SQL results equal the Column-API expressions") {
@@ -137,6 +160,6 @@ class GraftSqlSpec extends SparkTestBase {
     assert(reg != null)
     val ids = GraftFunctions.descriptors.map(_._1.funcName)
     assert(ids.distinct.size == ids.size)
-    assert(ids.size == 11)
+    assert(ids.size == 14)
   }
 }
