@@ -36,7 +36,7 @@ import graft.functions.BpeSegment
 object TextBpe {
 
   /** Whitespace tokenization — matching [[TextAnalysis.tokens]]. */
-  private def words(docs: DataFrame, textCol: String): Column =
+  private def words(textCol: String): Column =
     split(coalesce(col(textCol), lit("")), "\\s+")
 
   /** `(word, freq)` for every distinct word of length ≥ 2 (a 1-symbol
@@ -44,7 +44,7 @@ object TextBpe {
     * combined aggregate: corpus → vocabulary.
     */
   def wordCounts(docs: DataFrame, textCol: String): DataFrame =
-    docs.select(explode(words(docs, textCol)).as("word"))
+    docs.select(explode(words(textCol)).as("word"))
       .filter(length(col("word")) >= 2)
       .groupBy("word").agg(count(lit(1)).as("freq"))
 
