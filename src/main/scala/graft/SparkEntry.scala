@@ -678,6 +678,18 @@ object SparkEntry {
       graft.operators.Retrieval.bm25TopK(s, Tables.documents(s, dir),
         "doc_id", "text", Bm25Queries, k = 10)),
 
+    // ---- hybrid retrieval: reciprocal-rank fusion of the BM25 arm
+    //      (probe document's own text as the query, self excluded) and
+    //      the dense cosine arm (probe's embedding) — RRF k₀ = 60,
+    //      per-arm contributions floor-quantized before the sum so the
+    //      fused ranking is an exact-integer ordering. Both arms emit
+    //      |probes|·k rows; fusion never touches corpus scale ----
+    "tx_hybrid_rrf" -> ((s, dir) =>
+      graft.operators.Retrieval.hybridRrfTopK(
+        Tables.documents(s, dir), "doc_id", "text",
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        probeMax = 8L, kEach = 10, kOut = 10)),
+
     // ---- count-based n-gram LM quality scoring (CCNet-style): each
     //      document scored by the corpus's own add-one-smoothed trigram
     //      conditionals; per-trigram terms are floor-quantized BEFORE
@@ -1102,6 +1114,57 @@ object SparkEntry {
        |  CAST(row_number() OVER (PARTITION BY query_id
        |    ORDER BY score_e4 DESC, doc_id) AS INT) AS rank
        |FROM agg QUALIFY rank <= $k""".stripMargin
+  }
+
+  /** DuckDB hybrid RRF: replays BOTH arms — the BM25 statistics in the
+    * exact float evaluation order of [[bm25Sql]] (query terms drawn from
+    * the probe documents themselves, self-match excluded) and the dense
+    * cosine ranks — then fuses with the same per-arm floor-quantized
+    * `floor(1e6/(60+rank))` contributions [[graft.operators.Retrieval
+    * .hybridRrfTopK]] sums, so fused scores match value-for-value.
+    */
+  private def hybridRrfSql(probeMax: Long, kEach: Int, kOut: Int,
+      rrfK: Int = 60): String = {
+    val cos = cosE6Sql("dq.qv", "e.embedding")
+    s"""WITH t AS (SELECT doc_id, unnest($W) AS term FROM documents),
+       |tt AS (SELECT doc_id, term FROM t WHERE length(term) > 0),
+       |tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY doc_id, term),
+       |dl AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY doc_id),
+       |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+       |al AS (SELECT count(*) AS tot FROM tt),
+       |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+       |q AS (SELECT DISTINCT doc_id AS query_id, term FROM tt
+       |      WHERE doc_id < $probeMax),
+       |sc AS (SELECT q.query_id, tf.doc_id,
+       |    CAST(floor(10000e0 *
+       |      ln(1e0 + (nn.n - dfq.df + 0.5e0) / (dfq.df + 0.5e0)) *
+       |      ((tf.tf * (1.2e0 + 1)) /
+       |       (tf.tf + 1.2e0 * (1e0 - 0.75e0 +
+       |        0.75e0 * dl.dl / (CAST(al.tot AS DOUBLE) / nn.n))))) AS BIGINT) AS c
+       |  FROM tf JOIN q USING (term) JOIN dfq USING (term)
+       |  JOIN dl USING (doc_id) CROSS JOIN nn CROSS JOIN al
+       |  WHERE tf.doc_id <> q.query_id),
+       |agg AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS score_e4
+       |        FROM sc GROUP BY query_id, doc_id),
+       |sr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY score_e4 DESC, doc_id) AS r FROM agg QUALIFY r <= $kEach),
+       |dq AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+       |       WHERE vec_id < $probeMax),
+       |dsc AS (SELECT dq.query_id, e.vec_id AS doc_id, $cos AS cos_e6
+       |        FROM embeddings e JOIN dq ON dq.query_id <> e.vec_id),
+       |dr AS (SELECT query_id, doc_id, row_number() OVER (PARTITION BY query_id
+       |         ORDER BY cos_e6 DESC, doc_id) AS r FROM dsc QUALIFY r <= $kEach),
+       |u AS (SELECT coalesce(s.query_id, d.query_id) AS query_id,
+       |             coalesce(s.doc_id, d.doc_id) AS doc_id,
+       |             coalesce(CAST(floor(1000000e0 / ($rrfK + s.r)) AS BIGINT), 0) +
+       |             coalesce(CAST(floor(1000000e0 / ($rrfK + d.r)) AS BIGINT), 0)
+       |               AS rrf_e6
+       |      FROM sr s FULL JOIN dr d
+       |        ON s.query_id = d.query_id AND s.doc_id = d.doc_id)
+       |SELECT query_id, doc_id, rrf_e6,
+       |  CAST(row_number() OVER (PARTITION BY query_id
+       |    ORDER BY rrf_e6 DESC, doc_id) AS INT) AS rank
+       |FROM u QUALIFY rank <= $kOut""".stripMargin
   }
 
   /** DuckDB BPE LEARNING: the merge loop unrolled as `n` generated SQL
@@ -1728,6 +1791,8 @@ object SparkEntry {
          |LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     "tx_bm25_topk" -> bm25Sql(10),
+
+    "tx_hybrid_rrf" -> hybridRrfSql(probeMax = 8L, kEach = 10, kOut = 10),
 
     "tx_bpe_encode" -> bpeEncodeSql,
 

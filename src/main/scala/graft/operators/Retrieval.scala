@@ -42,7 +42,24 @@ object Retrieval {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import spark.implicits._
     require(queries.nonEmpty && k >= 1)
+    val q = queries.flatMap { case (qid, text) =>
+      text.split("\\s+").filter(_.nonEmpty).map(t => (qid, t))
+    }.toDF("query_id", "term")
+    bm25TopKFromTerms(docs, idCol, textCol, q, k, k1, b,
+      excludeSelf = false)
+  }
 
+  /** BM25 core over a (query_id, term) query frame — the generalized
+    * form behind [[bm25TopK]] (literal queries) and [[hybridRrfTopK]]
+    * (probe DOCUMENTS as queries, more-like-this style). Duplicate
+    * (query_id, term) pairs are dropped; `excludeSelf` removes the
+    * query_id == doc_id match (a probe document trivially top-ranks
+    * itself). The query frame must be bounded — it broadcasts.
+    */
+  def bm25TopKFromTerms(docs: DataFrame, idCol: String, textCol: String,
+      q: DataFrame, k: Int, k1: Double = 1.2, b: Double = 0.75,
+      excludeSelf: Boolean = false): DataFrame = {
+    require(k >= 1)
     // corpus statistics: one tokenization pass feeds tf, doclen, df
     val terms = docs.select(col(idCol).as("doc_id"),
         explode(toks(textCol)).as("term"))
@@ -56,23 +73,22 @@ object Retrieval {
     val nDocs = docs.agg(countDistinct(col(idCol))).head().getLong(0).toDouble
     val avgdl = terms.count().toDouble / nDocs
 
-    val q = queries.flatMap { case (qid, text) =>
-      text.split("\\s+").filter(_.nonEmpty).map(t => (qid, t))
-    }.toDF("query_id", "term")
-
     // idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) — Lucene's BM25 form,
     // always positive; tf_norm = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
     val idf = log(lit(1.0) +
       (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val tfNorm = (col("tf") * (lit(k1) + 1)) /
       (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
-    val contrib = tf
+    val contrib0 = tf
       .join(broadcast(q.distinct()), Seq("term")) // postings of query terms only
       .join(broadcast(dfreq.join(broadcast(q.select("term").distinct()),
         Seq("term"))), Seq("term"))
       .join(dl, Seq("doc_id"))
       .select(col("query_id"), col("doc_id"),
         floor(lit(10000.0) * idf * tfNorm).cast("long").as("c_e4"))
+    val contrib =
+      if (excludeSelf) contrib0.filter(col("doc_id") =!= col("query_id"))
+      else contrib0
 
     val scored = contrib.groupBy("query_id", "doc_id")
       .agg(sum(col("c_e4")).as("score_e4"))
@@ -83,5 +99,62 @@ object Retrieval {
       .select(col("query_id"), col("e.id").as("doc_id"),
         col("e.score").as("score_e4"), (col("i") + 1).cast("int").as("rank"))
     top
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of a sparse (BM25,
+    * more-like-this over the probe document's own text) and a dense
+    * (cosine over the probe's embedding) ranked list — the standard
+    * two-tower + lexical fusion a retrieval-augmented pipeline runs for
+    * hard-negative mining and duplicate auditing (Cormack/Clarke/
+    * Büttcher RRF, k₀ = 60).
+    *
+    * Probes are the bounded id range `[0, probeMax)` present in BOTH
+    * tables (doc_id ≡ vec_id in the corpus contract). Each arm ranks
+    * its own top-`kEach` (self-match excluded); fusion scores
+    * `Σ floor(1e6 / (k₀ + rank))` over the arms — floor-quantized PER
+    * ARM before the sum, so scores are exact integers and ties break
+    * (score DESC, doc ASC) identically in any engine.
+    *
+    * Scale shape: both arms' outputs are |probes|·kEach rows — the
+    * fusion join and final top-k never touch corpus scale; the corpus
+    * cost is exactly one BM25 statistics pass (map-side-combined
+    * aggregates restricted to broadcast probe terms) plus one
+    * broadcast-probe cosine scan.
+    */
+  def hybridRrfTopK(docs: DataFrame, idCol: String, textCol: String,
+      emb: DataFrame, embIdCol: String, vecCol: String,
+      probeMax: Long, kEach: Int, kOut: Int, rrfK: Int = 60,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(kEach >= 1 && kOut >= 1 && rrfK >= 0)
+    val probeTerms = docs.filter(col(idCol) < probeMax)
+      .select(col(idCol).cast("long").as("query_id"),
+        explode(toks(textCol)).as("term"))
+      .filter(length(col("term")) > 0)
+      .distinct()
+    val sparse = bm25TopKFromTerms(docs, idCol, textCol, probeTerms,
+      kEach, k1, b, excludeSelf = true)
+    val dense = Similarity.cosineTopK(emb, embIdCol, vecCol,
+      col(embIdCol) < probeMax, kEach)
+
+    // floor(1e6/(k0+r)) per arm: exactly-representable integer division,
+    // correctly rounded in IEEE-754 — identical in Spark and the oracle
+    def contrib(rank: Column): Column =
+      floor(lit(1000000.0) / (lit(rrfK) + rank)).cast("long")
+    val cS = sparse.select(col("query_id"),
+      col("doc_id").cast("long").as("doc_id"),
+      contrib(col("rank")).as("c_sparse"))
+    val cD = dense.select(col("query_id").cast("long").as("query_id"),
+      col("nbr_id").cast("long").as("doc_id"),
+      contrib(col("rank")).as("c_dense"))
+    val fused = cS.join(cD, Seq("query_id", "doc_id"), "full_outer")
+      .select(col("query_id"), col("doc_id"),
+        (coalesce(col("c_sparse"), lit(0L)) +
+          coalesce(col("c_dense"), lit(0L))).as("rrf_e6"))
+    fused.groupBy("query_id")
+      .agg(TopKByScore.topKByScore(
+        struct(col("rrf_e6"), col("doc_id")), kOut).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), col("e.id").as("doc_id"),
+        col("e.score").as("rrf_e6"), (col("i") + 1).cast("int").as("rank"))
   }
 }

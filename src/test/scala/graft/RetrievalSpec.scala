@@ -50,4 +50,63 @@ class RetrievalSpec extends SparkTestBase {
     assert(plan.contains("ObjectHashAggregate"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  // ---- hybrid RRF fusion ----
+
+  /** Embedding side for the hybrid tests: doc 1's vector is near-parallel
+    * to doc 2's and orthogonal to the rest, so the dense arm ranks 2 first
+    * for probe 1 regardless of what BM25 says.
+    */
+  private def embs = Seq(
+    (1L, Array(1.0f, 0.0f, 0.0f)),
+    (2L, Array(0.9f, 0.1f, 0.0f)),
+    (3L, Array(0.0f, 1.0f, 0.0f)),
+    (4L, Array(0.0f, 0.0f, 1.0f)),
+    (5L, Array(0.0f, 0.7f, 0.7f))
+  ).toDF("vec_id", "embedding")
+
+  test("hybrid RRF: agreement across arms outranks a single-arm hit; " +
+    "self is excluded; contributions are the quantized per-arm sum") {
+    val out = Retrieval.hybridRrfTopK(corpus, "doc_id", "text",
+      embs, "vec_id", "embedding", probeMax = 2L, kEach = 3, kOut = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    val q1 = out.filter(_._1 == 1L).sortBy(_._4)
+    // probe 1 never retrieves itself
+    assert(!q1.exists(_._2 == 1L), q1.mkString(","))
+    // doc 2 appears in BOTH arms for probe 1 (shares "apple" lexically,
+    // near-parallel vector) — its two contributions beat every
+    // single-arm doc's one
+    assert(q1.head._2 == 2L, q1.mkString(","))
+    // every fused score is a sum of floor(1e6/(60+r)) terms, r ∈ [1,3]
+    val allowed = (1 to 3).map(r => 1000000L / (60 + r)).toSet
+    q1.foreach { case (_, _, s, _) =>
+      val ok = allowed.contains(s) ||
+        allowed.exists(a => allowed.exists(b => a + b == s))
+      assert(ok, s"score $s is not a valid 1- or 2-arm RRF sum")
+    }
+  }
+
+  test("hybrid RRF: kOut bounds each probe's output and ranks are dense " +
+    "1..n by (score desc, doc asc)") {
+    val out = Retrieval.hybridRrfTopK(corpus, "doc_id", "text",
+      embs, "vec_id", "embedding", probeMax = 3L, kEach = 2, kOut = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+    out.groupBy(_._1).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(_._4)
+      assert(sorted.length <= 3)
+      assert(sorted.map(_._4).toSeq == (1 to sorted.length))
+      // rank order is (rrf desc, doc asc)
+      val resorted = rows.sortBy(t => (-t._3, t._2)).map(_._2).toSeq
+      assert(sorted.map(_._2).toSeq == resorted)
+    }
+  }
+
+  test("hybrid RRF plan: no window sort — fusion tops out through the " +
+    "bounded heap; corpus-side joins broadcast") {
+    val plan = Retrieval.hybridRrfTopK(corpus, "doc_id", "text",
+      embs, "vec_id", "embedding", probeMax = 2L, kEach = 2, kOut = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
 }
