@@ -764,6 +764,15 @@ object SparkEntry {
     "emb_centroids" -> ((s, dir) =>
       Similarity.centroidSums(Tables.embeddings(s, dir), "label", "embedding")),
 
+    // ---- label-noise audit: the 5 vectors farthest from their own
+    //      label's centroid (confident-learning style outlier mining).
+    //      Centroid table = one map-side-combined aggregate, broadcast
+    //      back; distances map-only; per-label top-k through the bounded
+    //      heap — no corpus-scale sort anywhere ----
+    "emb_outlier_topk" -> ((s, dir) =>
+      Similarity.centroidOutliers(Tables.embeddings(s, dir), "vec_id",
+        "label", "embedding", k = 5)),
+
     // ---- PCA training statistic: the full 64×64 quantized covariance
     //      through the GramMatrix TypedImperativeAggregate — ONE packed
     //      buffer per map task crosses the shuffle (no d² row
@@ -1865,6 +1874,27 @@ object SparkEntry {
         |  count(*) AS n
         |FROM embeddings e, range(1, 65) r(i)
         |GROUP BY label, dim""".stripMargin,
+
+    // centroid-distance outliers: the same e6 quantize-first centroid
+    // statistic, then per-dim floor((w − s/n)²) terms summed as exact
+    // integers — every float op is a single correctly-rounded IEEE step,
+    // so dist2_e12 matches the Spark expression value-for-value
+    "emb_outlier_topk" ->
+      """WITH w AS (SELECT vec_id, label, CAST(i AS INT) AS dim,
+        |    CAST(floor(CAST(embedding[i] AS DOUBLE) * 1000000e0) AS BIGINT) AS wi
+        |  FROM embeddings, range(1, 65) r(i)),
+        |s AS (SELECT label, dim, CAST(sum(wi) AS BIGINT) AS s, count(*) AS n
+        |      FROM w GROUP BY label, dim),
+        |dev AS (SELECT w.vec_id, w.label,
+        |    CAST(floor((w.wi - CAST(s.s AS DOUBLE) / s.n) *
+        |               (w.wi - CAST(s.s AS DOUBLE) / s.n)) AS BIGINT) AS t
+        |  FROM w JOIN s ON w.label = s.label AND w.dim = s.dim),
+        |d2 AS (SELECT vec_id, label, CAST(sum(t) AS BIGINT) AS dist2_e12
+        |       FROM dev GROUP BY vec_id, label)
+        |SELECT label, vec_id, dist2_e12,
+        |  CAST(row_number() OVER (PARTITION BY label
+        |    ORDER BY dist2_e12 DESC, vec_id) AS INT) AS rank
+        |FROM d2 QUALIFY rank <= 5""".stripMargin,
 
     // xx-family tiers: DuckDB recomputes Spark's xxhash64 bit for bit
     // via the staged HUGEINT arithmetic in XxOracleSql (multi-statement

@@ -387,4 +387,56 @@ object Similarity {
       .agg(
         sum(floor(col("col").cast("double") * 1e6).cast("long")).as("sum_e6"),
         count(lit(1)).as("n"))
+
+  /** Per-group centroid-distance outliers: the k vectors FARTHEST from
+    * their own group's centroid — the label-noise / out-of-distribution
+    * audit a curation pipeline runs over labeled embeddings (confident-
+    * learning style: the far tail of a label cluster is where mislabels
+    * and junk live).
+    *
+    * Determinism (shared with the SQL oracle): vectors are e6-floor-
+    * quantized FIRST, so per-group per-dim sums are exact integers;
+    * the centroid component `s/n` and each squared deviation are single
+    * correctly-rounded IEEE-754 ops; per-dim terms floor-quantize
+    * before the final sum. Scores are exact integers
+    * (`dist2_e12 = Σ_d floor((w_d − s_d/n)²)` in e6-squared units).
+    *
+    * Scale shape: the centroid table is |groups|·dims rows from ONE
+    * map-side-combined aggregate; it broadcasts back; distances are
+    * map-only; the per-group top-k ships through the bounded
+    * [[graft.functions.TopKByScore]] heap. No corpus-scale shuffle,
+    * sort, or window anywhere.
+    */
+  def centroidOutliers(
+      embeddings: DataFrame, idCol: String, groupCol: String,
+      vecCol: String, k: Int
+  ): DataFrame = {
+    require(k >= 1)
+    val w = embeddings.select(col(idCol).cast("long").as("vec_id"),
+      col(groupCol).as("grp"),
+      transform(asDouble(col(vecCol)),
+        x => floor(x * 1e6).cast("long")).as("wv"))
+    // per-group per-dim integer sums → centroid components, ordered by dim
+    val cent = w.select(col("grp"), posexplode(col("wv")))
+      .groupBy(col("grp"), col("pos"))
+      .agg(sum(col("col")).as("s"), count(lit(1)).as("n"))
+      .groupBy(col("grp"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("s"), col("n")))),
+        p => p.getField("s").cast("double") /
+          p.getField("n").cast("double")).as("cv"))
+    val dist2 = w.join(broadcast(cent), Seq("grp"))
+      .select(col("grp"), col("vec_id"),
+        aggregate(
+          zip_with(col("wv"), col("cv"),
+            (wi, ci) => floor((wi - ci) * (wi - ci)).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("dist2_e12"))
+    dist2.groupBy(col("grp"))
+      .agg(graft.functions.TopKByScore.topKByScore(
+        struct(col("dist2_e12"), col("vec_id")), k).as("tk"))
+      .select(col("grp"), posexplode(col("tk")))
+      .select(col("grp").as("label"), col("col.id").as("vec_id"),
+        col("col.score").as("dist2_e12"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

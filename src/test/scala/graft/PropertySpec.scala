@@ -370,6 +370,38 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("centroidOutliers matches a driver-side brute-force recompute, " +
+    "ties broken (dist desc, id asc)") {
+    import graft.operators.Similarity
+    val genVecs = Gen.choose(4, 18).flatMap(n => Gen.listOfN(n, for {
+      g <- Gen.oneOf("x", "y")
+      v <- Gen.listOfN(4, Gen.choose(-1000, 1000).map(_ / 1000.0f))
+    } yield (g, v)))
+    samples(genVecs, 5).foreach { vecs =>
+      val rows = vecs.zipWithIndex.map { case ((g, v), i) => (i.toLong, g, v) }
+      val d = rows.toDF("vec_id", "label", "embedding")
+      val k = 3
+      val out = Similarity.centroidOutliers(d, "vec_id", "label", "embedding", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      rows.groupBy(_._2).foreach { case (g, grp) =>
+        val n = grp.length
+        val w = grp.map { case (id, _, v) =>
+          (id, v.map(x => math.floor(x.toDouble * 1e6).toLong)) }
+        val s = (0 until 4).map(i => w.map(_._2(i)).sum)
+        val scores = w.map { case (id, wv) =>
+          val d2 = (0 until 4).map { i =>
+            val dev = wv(i).toDouble - s(i).toDouble / n
+            math.floor(dev * dev).toLong
+          }.sum
+          (id, d2)
+        }
+        val expect = scores.sortBy(t => (-t._2, t._1)).take(k).toSeq
+        val got = out.filter(_._1 == g).sortBy(_._4).map(t => (t._2, t._3)).toSeq
+        assert(got === expect, s"group $g")
+      }
+    }
+  }
+
   test("tx warehouse model check: random append/replace/delete sequences " +
     "match an in-memory partition model at every step") {
     import graft.tableops.TxWarehouse
