@@ -830,6 +830,18 @@ object SparkEntry {
         "cent_id", "v")
     }),
 
+    // ---- margin-criterion pair mining (LASER/CCMatrix style): pairs
+    //      scored by cosine RELATIVE to both endpoints' top-3 in-cluster
+    //      neighborhood average — hub vectors with uniformly-close
+    //      neighborhoods are suppressed. IVF-bucketed like sim_knn_graph;
+    //      nothing all-pairs ----
+    "sim_margin_pairs" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.marginPairs(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        k = 3, minMarginE4 = 10500L)
+    }),
+
     // ---- near-dup clustering: connected components over jaccard pairs ----
     "dd_cluster_minlabel" -> ((s, dir) =>
       TextDedup.minLabelClusters(
@@ -2125,6 +2137,43 @@ object SparkEntry {
          |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
          |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 3""".stripMargin
+    },
+
+    // margin mining: replay of the sim_knn_graph assignment + in-cluster
+    // pair scores; each avgK is ONE division of the exact integer top-k
+    // sum by its count, and the margin is the same multiply-divide chain
+    // floor-quantized to e4 — value-identical across engines
+    "sim_margin_pairs" -> {
+      val cosAssign = cosE6Sql("e.embedding", "c.embedding")
+      val cosPair = cosE6Sql("a.v", "b.v")
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+         |           WHERE vec_id % 50 = 0),
+         |assign0 AS (SELECT e.vec_id, c.cent_id, e.embedding AS v,
+         |    $cosAssign AS cos_e6 FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT vec_id, cent_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM assign0)
+         |  WHERE rn = 1),
+         |scored AS (SELECT a.vec_id AS query_id, b.vec_id AS nbr_id,
+         |             $cosPair AS cos_e6
+         |           FROM assign a JOIN assign b ON a.cent_id = b.cent_id
+         |             AND a.vec_id <> b.vec_id),
+         |topk AS (SELECT query_id, cos_e6 FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_e6 DESC, nbr_id ASC) AS rn FROM scored)
+         |  WHERE rn <= 3),
+         |den AS (SELECT query_id AS id,
+         |          CAST(CAST(sum(cos_e6) AS BIGINT) AS DOUBLE) / count(*) AS den
+         |        FROM topk GROUP BY query_id),
+         |p AS (SELECT query_id AS id_a, nbr_id AS id_b, cos_e6 FROM scored
+         |      WHERE query_id < nbr_id)
+         |SELECT * FROM (
+         |  SELECT p.id_a, p.id_b, p.cos_e6,
+         |    CAST(floor(20000e0 * p.cos_e6 / (da.den + db.den)) AS BIGINT)
+         |      AS margin_e4
+         |  FROM p JOIN den da ON p.id_a = da.id JOIN den db ON p.id_b = db.id
+         |  WHERE da.den > 0 AND db.den > 0)
+         |WHERE margin_e4 >= 10500""".stripMargin
     },
 
     "ds_temperature_sample" ->

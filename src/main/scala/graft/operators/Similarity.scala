@@ -371,6 +371,69 @@ object Similarity {
     rankedTopK(scored, k)
   }
 
+  /** Margin-criterion pair mining (Artetxe/Schwenk, the LASER/CCMatrix
+    * bitext-mining scorer): a pair qualifies not on raw cosine but on
+    * cosine RELATIVE to both endpoints' neighborhood density —
+    * `margin(a,b) = 2·cos(a,b) / (avgK(a) + avgK(b))` — which suppresses
+    * hub vectors whose neighborhoods are uniformly close. Pairs and the
+    * per-vector top-k averages both live inside IVF clusters (the
+    * [[knnGraph]] blocking), so nothing is all-pairs.
+    *
+    * Determinism: pair cosines quantize to e6; each avgK is one
+    * correctly-rounded division of an exact integer top-k sum by its
+    * count; the margin is a single multiply-divide chain floor-quantized
+    * to e4 — an SQL oracle reproduces every value.
+    *
+    * Scale shape: ONE cached assignment feeds both the directed scored
+    * stream (per-vector top-k through the bounded [[graft.functions
+    * .TopKByScore]] heap — k rows per vector per map partition) and the
+    * a<b pair stream; the pair-to-denominator joins key on vector id
+    * (AQE-splittable hash joins, no broadcast of corpus-scale state).
+    * Quadratic work is confined to Σ|cluster|², exactly [[knnGraph]]'s
+    * bound.
+    */
+  def marginPairs(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int, minMarginE4: Long,
+      cacheAssignment: Boolean = true
+  ): DataFrame = {
+    require(k >= 1)
+    val assigned = maybeCache(
+      ivfAssign(embeddings, idCol, vecCol, centroids, cIdCol, cVecCol),
+      cacheAssignment)
+    val withNrm = assigned.withColumn("nrm", norm(col("v")))
+    val q = withNrm.select(col("cent_id"), col(idCol).as("query_id"),
+      col("v").as("q_vec"), col("nrm").as("q_nrm"))
+    val n = withNrm.select(col("cent_id"), col(idCol).as("nbr_id"),
+      col("v").as("nbr_vec"), col("nrm").as("nbr_nrm"))
+    val scored = q.join(n, Seq("cent_id"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos_e6",
+        floor(dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")) * 1e6)
+          .cast("long"))
+      .select(col("query_id"), col("nbr_id"), col("cos_e6"))
+    // per-vector neighborhood density: avg of the top-k in-cluster
+    // cosines — integer sum over the bounded heap, ONE division
+    val den = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topKByScore(
+        struct(col("cos_e6"), col("nbr_id")), k).as("tk"))
+      .select(col("query_id").as("id"),
+        (aggregate(col("tk"), lit(0L), (acc, e) => acc + e.getField("score"))
+          .cast("double") / size(col("tk")).cast("double")).as("den"))
+    val pairs = scored.filter(col("query_id") < col("nbr_id"))
+      .select(col("query_id").as("id_a"), col("nbr_id").as("id_b"),
+        col("cos_e6"))
+    pairs
+      .join(den.select(col("id").as("id_a"), col("den").as("den_a")), "id_a")
+      .join(den.select(col("id").as("id_b"), col("den").as("den_b")), "id_b")
+      .filter(col("den_a") > 0.0 && col("den_b") > 0.0)
+      .select(col("id_a"), col("id_b"), col("cos_e6"),
+        floor(lit(20000.0) * col("cos_e6") / (col("den_a") + col("den_b")))
+          .cast("long").as("margin_e4"))
+      .filter(col("margin_e4") >= minMarginE4)
+  }
+
   /** Per-group per-dimension centroid accumulators: (group, dim, sum_e6,
     * n) with floor-scaled-integer sums — exact, order-independent, and a
     * k-means/IVF training step's shuffle shape (posexplode then one hash

@@ -402,6 +402,50 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("marginPairs matches a driver-side brute-force recompute " +
+    "(single cluster)") {
+    import graft.operators.Similarity
+    val genVecs = Gen.choose(5, 12).flatMap(n => Gen.listOfN(n,
+      Gen.listOfN(4, Gen.choose(1, 1000).map(_ / 1000.0f)))) // positive → dens > 0
+    samples(genVecs, 4).foreach { vecs =>
+      val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val d = rows.toDF("vec_id", "embedding")
+      val k = 2
+      val out = Similarity.marginPairs(d, "vec_id", "embedding",
+        d.limit(1), "vec_id", "embedding", k, minMarginE4 = Long.MinValue,
+        cacheAssignment = false)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getLong(2), r.getLong(3))))
+        .toMap
+      def dot(a: Seq[Double], b: Seq[Double]) =
+        a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val dv = rows.map { case (id, v) => id -> v.map(_.toDouble) }.toMap
+      def cosE6(i: Long, j: Long): Long = {
+        val (a, b) = (dv(i), dv(j))
+        math.floor(dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b))) * 1e6).toLong
+      }
+      val ids = rows.map(_._1)
+      val den = ids.map { i =>
+        val tk = ids.filter(_ != i).map(j => (cosE6(i, j), j))
+          .sortBy(t => (-t._1, t._2)).take(k)
+        i -> tk.map(_._1).sum.toDouble / tk.length
+      }.toMap
+      val expect = (for {
+        i <- ids; j <- ids if i < j
+      } yield {
+        val c = cosE6(i, j)
+        ((i, j), (c, math.floor(20000.0 * c / (den(i) + den(j))).toLong))
+      }).toMap
+      assert(out === expect)
+      // hub suppression direction: margins normalize by neighborhood
+      // density, so a pair's margin exceeds 1 (10000e4) iff its cosine
+      // beats the mean of its endpoints' top-k averages
+      out.foreach { case ((i, j), (c, m)) =>
+        assert((m >= 10000L) === (c >= (den(i) + den(j)) / 2.0) ||
+          math.abs(20000.0 * c / (den(i) + den(j)) - 10000.0) < 1.0)
+      }
+    }
+  }
+
   test("tx warehouse model check: random append/replace/delete sequences " +
     "match an in-memory partition model at every step") {
     import graft.tableops.TxWarehouse
