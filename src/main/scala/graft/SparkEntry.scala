@@ -654,6 +654,14 @@ object SparkEntry {
       Sessions.sessionize(Tables.events(s, dir), "user_id", "ts")
         .withColumn("session_idx", col("session_idx").cast("long"))),
 
+    // ---- first-order Markov transitions: consecutive event-type steps
+    //      per user, counted globally with per-transition user reach.
+    //      One user-key exchange + local sort (the sessionize shape);
+    //      output bounded by |event_types|² ----
+    "ev_transitions" -> ((s, dir) =>
+      EventAnalytics.transitionCounts(Tables.events(s, dir), "user_id",
+        "ts", "event_type", "event_id")),
+
     // ---- retention cohorts: users by first-event date × weekly
     //      activity period ----
     "ev_retention_cohorts" -> ((s, dir) =>
@@ -1749,6 +1757,15 @@ object SparkEntry {
         |SELECT user_id, session_idx, min(ts) AS session_start,
         |       max(ts) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "ev_transitions" ->
+      """WITH o AS (SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+        |  FROM events)
+        |SELECT src, dst, count(*) AS n_transitions,
+        |       count(DISTINCT user_id) AS n_users
+        |FROM o WHERE dst IS NOT NULL GROUP BY src, dst""".stripMargin,
 
     "ev_retention_cohorts" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -11,6 +11,34 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Event-transition (first-order Markov) counts: for each user's
+    * time-ordered event stream, count every consecutive
+    * `src event_type → dst event_type` step, globally — the transition
+    * matrix behind user-path sankeys, next-action models, and funnel
+    * discovery (which ordered funnels are worth defining).
+    *
+    * Deterministic ordering: (ts, idCol) — the unique event id breaks
+    * timestamp ties identically in any engine.
+    *
+    * Scale shape: ONE hash exchange on the user key + in-partition sort
+    * feeds the `lead` window (the sessionize shape — per-user streams
+    * are short, so the sort is local and spill-safe), then the count
+    * aggregates map-side into a |event_types|² -bounded result; the
+    * per-transition user reach (`n_users`) partial-aggregates its
+    * distinct over (src, dst, user) before the exchange.
+    */
+  def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String): DataFrame = {
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol).as("u"), col(typeCol).as("src"),
+        lead(col(typeCol), 1).over(w).as("dst"))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_transitions"),
+        countDistinct(col("u")).as("n_users"))
+  }
+
   /** Retention cohort matrix: users grouped by the date of their FIRST
     * event (the cohort), counted in each subsequent `bucketDays`-wide
     * activity period. Output: (cohort_date, period_offset, n_users) —

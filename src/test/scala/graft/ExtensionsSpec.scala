@@ -597,6 +597,32 @@ class ExtensionsSpec extends SparkTestBase {
     assert(fn == Seq((0, "view", 4L), (1, "click", 2L), (2, "purchase", 1L)))
   }
 
+  test("transition counts: consecutive steps per user, timestamp ties " +
+    "broken by event id, singleton users contribute nothing") {
+    import graft.operators.EventAnalytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00"), "view"),
+      (2L, "u1", ts("2024-01-01 10:01:00"), "click"),
+      (3L, "u1", ts("2024-01-01 10:02:00"), "view"),
+      (4L, "u2", ts("2024-01-01 09:00:00"), "view"),
+      (5L, "u2", ts("2024-01-01 09:05:00"), "click"),
+      // u3: two events at the SAME timestamp — id order decides src→dst
+      (7L, "u3", ts("2024-01-02 08:00:00"), "purchase"),
+      (6L, "u3", ts("2024-01-02 08:00:00"), "click"),
+      // u4: a single event — no transition
+      (8L, "u4", ts("2024-01-03 08:00:00"), "view")
+    ).toDF("event_id", "user_id", "ts", "event_type")
+    val out = EventAnalytics.transitionCounts(ev, "user_id", "ts",
+      "event_type", "event_id")
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(out == Set(
+      ("view", "click", 2L, 2L),   // u1 and u2
+      ("click", "view", 1L, 1L),   // u1
+      ("click", "purchase", 1L, 1L) // u3 — id 6 before id 7 despite equal ts
+    ))
+  }
+
   test("CSV round trip is lossless on every adversarial string shape") {
     import graft.sources.CsvLossless
     val rows = Seq(
