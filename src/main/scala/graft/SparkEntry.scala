@@ -346,6 +346,38 @@ object SparkEntry {
           .cast("long")).as("revenue_e2"))
     }),
 
+    // ---- TPC-H Q6 analog: the pure scan-efficiency headliner — every
+    //      predicate pushes into the parquet scan (PushedFilters), only
+    //      two columns are read, and the single global sum partial-
+    //      aggregates per partition before a one-row exchange ----
+    "q6_forecast_revenue" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(sum(floor(col("l_extendedprice") * col("l_discount") * 100)
+          .cast("long")).as("revenue_e2"))),
+
+    // ---- TPC-H Q18 analog: large-volume orders — the heavy-hitter
+    //      aggregate (map-side-combined sum over the fact table) gates
+    //      the join; the surviving order set is tiny, so both joins
+    //      broadcast it rather than shuffling orders/customer ----
+    "q18_large_orders" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val big = li.groupBy(col("l_orderkey"))
+        .agg(sum(floor(col("l_quantity")).cast("long")).as("sum_qty"))
+        .filter(col("sum_qty") > 180)
+      o.join(big, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          floor(col("o_totalprice") * 100).cast("long").as("total_e2"),
+          col("sum_qty"))
+    }),
+
     "q3_shipping_priority" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
@@ -1549,6 +1581,25 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+
+    "q6_forecast_revenue" ->
+      """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_e2
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q18_large_orders" ->
+      """WITH big AS (SELECT l_orderkey,
+        |    CAST(sum(CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+        |  FROM lineitem GROUP BY l_orderkey HAVING sum_qty > 180)
+        |SELECT c_name, c_custkey, o_orderkey, o_orderdate,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS total_e2, sum_qty
+        |FROM orders
+        |JOIN big ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

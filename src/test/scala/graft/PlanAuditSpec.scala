@@ -39,6 +39,29 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q6: join-free scan-and-sum — every predicate pushes into the " +
+    "parquet scan, only the two priced columns are read, and the sum " +
+    "partial-aggregates before the one-row exchange") {
+    val p = planned("q6_forecast_revenue")
+    assert(!p.contains("Join"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val f = formatted("q6_forecast_revenue")
+    assert(f.contains("PushedFilters"), f)
+    assert(f.contains("GreaterThanOrEqual(l_shipdate") &&
+      f.contains("LessThan(l_quantity"), f)
+    // ReadSchema prunes to exactly the referenced columns
+    val read = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("l_extendedprice") && !read.contains("l_orderkey"), read)
+  }
+
+  test("q18: the heavy-hitter order set gates both joins as the " +
+    "BROADCAST side — orders and customer never shuffle or sort-merge") {
+    val p = planned("q18_large_orders")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
   test("q1: aggregation is partial before the exchange (two HashAggregate levels)") {
     val p = planned("q1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
