@@ -45,6 +45,16 @@ final case class UserSession(
 
 private[streaming] final case class SessionAcc(startMs: Long, endMs: Long, n: Long)
 
+/** One emitted src→dst step (streaming dual of
+  * [[graft.operators.EventAnalytics.transitionCounts]]'s pre-aggregation
+  * rows). Top-level for the same encoder-codegen reason as
+  * [[UserSession]].
+  */
+final case class TransitionStep(user_id: Long, src: String, dst: String,
+    ts_ms: Long)
+
+private[streaming] final case class LastEvent(tsMs: Long, id: Long, typ: String)
+
 object Streams {
 
   /** Newline-delimited-JSON archive stream with an explicit schema (schema
@@ -253,6 +263,51 @@ object Streams {
             state.update(cur)
             state.setTimeoutTimestamp(cur.endMs + gapMs)
             closed.result().iterator
+          }
+      }
+  }
+
+  /** Streaming dual of [[graft.operators.EventAnalytics
+    * .transitionCounts]]: keyed per-user state holding the LAST seen
+    * event; each trigger sorts the on-hand chain (state + batch rows, by
+    * (ts, event id) — the batch operator's exact order) and emits every
+    * consecutive src→dst step. Downstream counts in Update mode, or
+    * feeds an online next-action model directly.
+    *
+    * Divergence from batch (append mode cannot retract): an event later
+    * than the watermark but older than an ALREADY-EMITTED step lands
+    * inside the sorted chain and emits its local steps, but the
+    * previously-emitted step spanning it stands. State is one
+    * [[LastEvent]] per user, evicted `stateTtlMs` past the user's last
+    * event once the watermark proves no earlier event can arrive.
+    */
+  def transitionState(
+      events: Dataset[(Long, java.sql.Timestamp, Long, String)],
+      lateness: String = "1 hour",
+      stateTtlMs: Long = 24L * 3600 * 1000
+  ): Dataset[TransitionStep] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF("user_id", "ts", "event_id", "event_type")
+      .withWatermark("ts", lateness)
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, TransitionStep](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val chain = (state.getOption.toVector ++
+              rows.map(r => LastEvent(r._2.getTime, r._3, r._4)))
+              .sortBy(e => (e.tsMs, e.id))
+            val steps = chain.sliding(2).collect {
+              case Seq(a, b) => TransitionStep(user, a.typ, b.typ, b.tsMs)
+            }.toVector
+            if (chain.nonEmpty) {
+              state.update(chain.last)
+              state.setTimeoutTimestamp(chain.last.tsMs + stateTtlMs)
+            }
+            steps.iterator
           }
       }
   }

@@ -329,4 +329,85 @@ class StreamingSpec extends SparkTestBase {
     wh.vacuum(spark, path, keepVersions = 1, minAgeMillis = 0L)
     assert(wh.read(spark, path).count() === 4)
   }
+
+  test("streaming transitions emit consecutive steps per user and match " +
+    "the batch operator on an in-order stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = Streams.transitionState(mem.toDS(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("steps")
+      .outputMode(OutputMode.Append).start()
+
+    mem.addData(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (2L, ts("2024-01-01 10:00:00"), 3L, "view"))
+    q.processAllAvailable()
+    // u1: view->click this trigger; u2 has no second event yet
+    val s1 = spark.table("steps").as[graft.streaming.TransitionStep]
+      .collect().toSet
+    assert(s1 === Set(graft.streaming.TransitionStep(1L, "view", "click",
+      ts("2024-01-01 10:01:00").getTime)))
+
+    // the state bridges triggers: u1 click->purchase, u2 view->click
+    mem.addData(
+      (1L, ts("2024-01-01 10:05:00"), 4L, "purchase"),
+      (2L, ts("2024-01-01 10:06:00"), 5L, "click"))
+    q.processAllAvailable()
+    val s2 = spark.table("steps").as[graft.streaming.TransitionStep]
+      .collect().toSet
+    assert(s2 === Set(
+      graft.streaming.TransitionStep(1L, "view", "click", ts("2024-01-01 10:01:00").getTime),
+      graft.streaming.TransitionStep(1L, "click", "purchase", ts("2024-01-01 10:05:00").getTime),
+      graft.streaming.TransitionStep(2L, "view", "click", ts("2024-01-01 10:06:00").getTime)))
+    q.stop()
+
+    // the emitted step stream aggregates to EXACTLY the batch operator's
+    // counts for an in-order stream
+    val batch = graft.operators.EventAnalytics.transitionCounts(
+      Seq(
+        (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+        (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+        (1L, ts("2024-01-01 10:05:00"), 4L, "purchase"),
+        (2L, ts("2024-01-01 10:00:00"), 3L, "view"),
+        (2L, ts("2024-01-01 10:06:00"), 5L, "click")
+      ).toDF("user_id", "ts", "event_id", "event_type"),
+      "user_id", "ts", "event_type", "event_id")
+      .as[(String, String, Long, Long)].collect().toSet
+    val streamed = s2.groupBy(t => (t.src, t.dst)).map { case ((a, b), v) =>
+      (a, b, v.size.toLong, v.map(_.user_id).toSet.size.toLong) }.toSet
+    assert(streamed === batch)
+  }
+
+  test("streaming transitions: a timestamp tie inside one trigger is " +
+    "ordered by event id, and a within-watermark late event emits its " +
+    "local step") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = Streams.transitionState(mem.toDS(), lateness = "2 hours")
+      .writeStream.format("memory").queryName("steps_tie")
+      .outputMode(OutputMode.Append).start()
+
+    // tie on ts: id 6 (click) precedes id 7 (purchase)
+    mem.addData(
+      (3L, ts("2024-01-02 08:00:00"), 7L, "purchase"),
+      (3L, ts("2024-01-02 08:00:00"), 6L, "click"))
+    q.processAllAvailable()
+    assert(spark.table("steps_tie").as[graft.streaming.TransitionStep]
+      .collect().toSet === Set(graft.streaming.TransitionStep(3L,
+        "click", "purchase", ts("2024-01-02 08:00:00").getTime)))
+
+    // a late-but-within-watermark event older than the state sorts in
+    // front and emits its step to the state element (append mode keeps
+    // the earlier emission; documented divergence)
+    mem.addData((3L, ts("2024-01-02 07:30:00"), 5L, "view"))
+    q.processAllAvailable()
+    assert(spark.table("steps_tie").as[graft.streaming.TransitionStep]
+      .collect().toSet === Set(
+        graft.streaming.TransitionStep(3L, "click", "purchase", ts("2024-01-02 08:00:00").getTime),
+        graft.streaming.TransitionStep(3L, "view", "purchase", ts("2024-01-02 08:00:00").getTime)))
+    q.stop()
+  }
 }
