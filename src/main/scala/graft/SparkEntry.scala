@@ -999,6 +999,14 @@ object SparkEntry {
       Sampling.stratifiedSampleN(Tables.documents(s, dir), "doc_id", "lang",
         n = 20)),
 
+    // ---- weight-proportional sampling WITHOUT replacement: 10 docs per
+    //      language, inclusion odds ∝ n_chars (exponential-clocks /
+    //      Efraimidis-Spirakis; clocks are a map-side expression, the
+    //      per-stratum min-k ships through the bounded heap) ----
+    "ds_weighted_sample" -> ((s, dir) =>
+      Sampling.weightedSampleN(Tables.documents(s, dir), "doc_id", "lang",
+        col("n_chars"), k = 10).withColumnRenamed("stratum", "lang")),
+
     // ---- deterministic train/val/test hash split (90/5/5) ----
     "ds_split_assign" -> ((s, dir) =>
       Curation.assignSplits(Tables.documents(s, dir), "doc_id",
@@ -2423,6 +2431,18 @@ object SparkEntry {
          |  ORDER BY ${md5LongSql("concat('samp#', CAST(doc_id AS VARCHAR))")},
          |           doc_id) AS rn FROM documents)
          |SELECT lang, doc_id FROM r WHERE rn <= 20""".stripMargin,
+
+    "ds_weighted_sample" -> {
+      val h = md5LongSql("concat('wsamp#', CAST(doc_id AS VARCHAR))")
+      s"""WITH c AS (SELECT lang, doc_id,
+         |    CAST(floor(1e9 * (-ln((($h % 1000000) + 1) / 1000000e0)) /
+         |      CAST(n_chars AS DOUBLE)) AS BIGINT) AS key_e9
+         |  FROM documents WHERE n_chars > 0)
+         |SELECT lang, doc_id, key_e9,
+         |  CAST(row_number() OVER (PARTITION BY lang
+         |    ORDER BY key_e9, doc_id) AS INT) AS rank
+         |FROM c QUALIFY rank <= 10""".stripMargin
+    },
 
     "ds_split_assign" -> {
       val h = md5LongSql("concat('split#', CAST(doc_id AS VARCHAR))")

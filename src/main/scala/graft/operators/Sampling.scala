@@ -181,4 +181,42 @@ object Sampling {
       TextDedup.md5Long(concat(lit(salt + "#"), col(keyCol).cast("string"))),
       col(keyCol))
       .limit(n)
+
+  /** Weight-proportional sampling WITHOUT replacement, k per stratum —
+    * the quality-weighted subsetting step (sample high-scoring documents
+    * more often, but never twice) that rate-based sampling can't
+    * express. Exponential-clocks construction (Efraimidis/Spirakis):
+    * each row draws `t = −ln(u)/w` from its deterministic hash-uniform
+    * `u ∈ (0,1]`, and the k SMALLEST clocks per stratum win — exactly
+    * weighted sampling without replacement, as a pure function of
+    * (salt, ids, weights).
+    *
+    * Determinism: `u` is an exact integer in [1, 1e6] from the md5
+    * family; ln is bit-stable across the JVM and SQL engines (the
+    * [[graft.operators.Retrieval]] BM25 precedent); the clock is one
+    * multiply-divide chain floor-quantized to e9 with ties broken by
+    * id. Rows with non-positive weight never qualify.
+    *
+    * Scale shape: the clock is a narrow map-side expression on the scan;
+    * per-stratum selection ships through the bounded
+    * [[graft.functions.TopKByScore]] heap (k rows per stratum per map
+    * partition) — one corpus scan, no corpus-scale sort or window.
+    */
+  def weightedSampleN(df: DataFrame, idCol: String, strataCol: String,
+      weightCol: Column, k: Int, salt: String = "wsamp"): DataFrame = {
+    require(k >= 1)
+    val uE6 = TextDedup.md5Long(
+      concat(lit(salt + "#"), col(idCol).cast("string"))) % 1000000L + 1L
+    val keyed = df.filter(weightCol > 0)
+      .select(col(strataCol).as("stratum"), col(idCol).cast("long").as("id"),
+        floor(lit(1e9) * -log(uE6.cast("double") / lit(1000000.0)) /
+          weightCol.cast("double")).cast("long").as("key_e9"))
+    keyed.groupBy(col("stratum"))
+      .agg(graft.functions.TopKByScore.topKByScore(
+        struct((-col("key_e9")).as("s"), col("id")), k).as("tk"))
+      .select(col("stratum"), posexplode(col("tk")))
+      .select(col("stratum"), col("col.id").as("doc_id"),
+        (-col("col.score")).as("key_e9"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
 }

@@ -58,6 +58,48 @@ class CurationSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("weightedSampleN: matches a driver-side exponential-clock " +
+    "recompute; heavier rows win more often; zero-weight rows excluded") {
+    import graft.operators.{Sampling, TextDedup}
+    val data = (1L to 60L).map(i =>
+      (i, if (i % 2 == 0) "a" else "b",
+        if (i % 10 == 0) 0L else 1L + (i % 7) * 100L))
+    val df = data.toDF("doc_id", "lang", "w")
+    val k = 5
+    val out = Sampling.weightedSampleN(df, "doc_id", "lang", col("w"), k)
+      .as[(String, Long, Long, Int)].collect()
+
+    // driver-side recompute: u from the SAME md5 hash (via the expression
+    // evaluated through a one-row frame), clock = floor(1e9*(-ln u)/w)
+    val hashes = df
+      .select(col("doc_id"), TextDedup.md5Long(
+        concat(lit("wsamp#"), col("doc_id").cast("string"))).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val clocks = data.filter(_._3 > 0).map { case (id, g, w) =>
+      val u = (hashes(id) % 1000000L + 1L).toDouble / 1000000.0
+      (g, id, math.floor(1e9 * -math.log(u) / w.toDouble).toLong)
+    }
+    clocks.groupBy(_._1).foreach { case (g, rows) =>
+      val expect = rows.sortBy(t => (t._3, t._2)).take(k)
+        .map(t => (t._2, t._3)).toSeq
+      val got = out.filter(_._1 == g).sortBy(_._4).map(t => (t._2, t._3)).toSeq
+      assert(got === expect, s"stratum $g")
+    }
+    // zero-weight rows never appear
+    assert(!out.exists(_._2 % 10 == 0))
+
+    // weighting direction: across many salts, the heaviest weight class
+    // is sampled far more often than the lightest
+    val heavy = (1L to 200L).map(i => (i, "s", if (i <= 100) 600L else 1L))
+      .toDF("doc_id", "lang", "w")
+    val picks = (1 to 8).flatMap { s =>
+      Sampling.weightedSampleN(heavy, "doc_id", "lang", col("w"), 10,
+        salt = s"ws$s").as[(String, Long, Long, Int)].collect().map(_._2)
+    }
+    val heavyShare = picks.count(_ <= 100).toDouble / picks.size
+    assert(heavyShare > 0.8, s"heavy share $heavyShare")
+  }
+
   test("uniformSampleN: exactly n rows, partitioning-independent, prefix-consistent") {
     val s20 = graft.operators.Sampling.uniformSampleN(docs, "doc_id", 20)
       .select("doc_id").as[Long].collect().toSet
