@@ -709,6 +709,23 @@ object SparkEntry {
     "tx_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.documents(s, dir), "text", k = 50)),
 
+    // ---- bounded-memory frequent tokens through the Misra-Gries
+    //      sketch aggregate (capacity 4096 — far above this corpus's
+    //      vocabulary, so counts are certified exact: cnt_lo = cnt_hi
+    //      and the oracle checks true counts; at a 100 TB vocabulary the
+    //      same plan holds capacity counters per buffer instead of a
+    //      vocabulary-sized map, trading exactness for the published
+    //      (N − Σcnt)/(m+1) error bound) ----
+    "tx_frequent_tokens" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(coalesce(col("text"), lit("")), "\\s+")).as("token"))
+        .filter(length(col("token")) > 0)
+        .agg(graft.functions.FrequentItems.frequentItems(col("token"), 4096).as("fi"))
+        .select(explode(col("fi")).as("e"))
+        .select(col("e.item").as("token"), col("e.cnt_lo").as("cnt_lo"),
+          col("e.cnt_hi").as("cnt_hi"))
+        .filter(col("cnt_lo") >= 50)),
+
     // ---- BM25 top-k retrieval: the fixed audit query set scored over
     //      the corpus (Lucene-form idf, quantize-before-sum so the
     //      ranking is an exact-integer ordering). Postings restrict to
@@ -1861,6 +1878,16 @@ object SparkEntry {
          |  SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC)
          |    AS INT) AS rank FROM c) r
          |WHERE rank <= 50""".stripMargin,
+
+    // frequent_items runs in its exact regime here (capacity ≥ corpus
+    // vocabulary): cnt_lo = cnt_hi = the true count, so the oracle is
+    // the plain frequency filter
+    "tx_frequent_tokens" ->
+      s"""WITH t AS (SELECT unnest($W) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM t
+         |      WHERE length(token) > 0 GROUP BY token)
+         |SELECT token, cnt AS cnt_lo, cnt AS cnt_hi FROM c
+         |WHERE cnt >= 50""".stripMargin,
 
     "tx_ngram_lm" ->
       s"""WITH w AS (SELECT doc_id, $W AS t FROM documents),

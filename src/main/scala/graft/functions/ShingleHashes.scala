@@ -208,6 +208,13 @@ object GraftFunctions {
       "bpe_encode(text, merges) - whitespace tokenize + BPE-segment each " +
         "token under a 'lhs rhs'-formatted merge-list literal") {
       case Seq(t, m) => BpeEncode(t, mergesArg(m, "bpe_encode"))
+    },
+    desc("frequent_items", classOf[FrequentItems],
+      "frequent_items(item, capacity) - bounded-memory Misra-Gries " +
+        "frequent-items sketch: array<struct<item, cnt_lo, cnt_hi>> " +
+        "sorted (cnt_lo DESC, item ASC)") {
+      case Seq(item, cap) =>
+        FrequentItems(item, intArg(cap, "frequent_items", "capacity"))
     }
   )
 

@@ -28,7 +28,8 @@ class GraftSqlSpec extends SparkTestBase {
     val names = Seq("shingle_hashes", "minhash_xx_signature", "simhash_xx",
       "shingle_md5_hashes", "minhash_md5_signature", "simhash_md5",
       "nfc_normalize", "vector_dot", "vector_sqdist", "sign_bands",
-      "top_k_by_score", "gram_matrix", "bpe_segment", "bpe_encode")
+      "top_k_by_score", "gram_matrix", "bpe_segment", "bpe_encode",
+      "frequent_items")
     names.foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n not registered")
     }
@@ -144,6 +145,63 @@ class GraftSqlSpec extends SparkTestBase {
     assert(viaSql === viaWindow)
   }
 
+  test("frequent_items from SQL: exact regime equals GROUP BY counts; " +
+    "capacity is a hard memory bound with a certified error interval") {
+    import graft.functions.FrequentItems
+    // exact regime: capacity >= distinct — entries are true counts and
+    // the interval collapses (cnt_lo = cnt_hi)
+    val viaSql = spark.sql(
+      """SELECT explode(frequent_items(t.token, 64)) AS e FROM (
+        |  SELECT explode(split(text, '\\s+')) AS token FROM sql_docs
+        |) t WHERE length(t.token) > 0""".stripMargin)
+      .select("e.item", "e.cnt_lo", "e.cnt_hi")
+      .as[(String, Long, Long)].collect()
+    val truth = spark.table("sql_docs")
+      .select(explode(split(col("text"), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy("tok").count().as[(String, Long)].collect().toMap
+    assert(viaSql.map(e => (e._1, e._2)).toMap === truth)
+    assert(viaSql.forall(e => e._2 == e._3))
+    // sorted (cnt desc, item asc)
+    assert(viaSql.sortBy(e => (-e._2, e._1)).toSeq === viaSql.toSeq)
+
+    // approximate regime: capacity 2 over a skewed single-partition
+    // stream — MG guarantees, not exact counts: retained intervals
+    // bracket the truth, and any item above the error bound is present
+    val stream = (Seq.fill(40)("hot") ++ Seq.fill(25)("warm") ++
+      (1 to 30).map(i => s"rare$i")) // 65 heavy + 30 singletons
+    val df = spark.createDataset(stream).repartition(1).toDF("item")
+    val out = df.agg(FrequentItems.frequentItems(col("item"), 2).as("fi"))
+      .select(explode(col("fi")).as("e"))
+      .select("e.item", "e.cnt_lo", "e.cnt_hi")
+      .as[(String, Long, Long)].collect()
+    val trueCnt = stream.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    out.foreach { case (item, lo, hi) =>
+      assert(lo <= trueCnt(item) && trueCnt(item) <= hi,
+        s"$item: [$lo,$hi] vs ${trueCnt(item)}")
+    }
+    val n = stream.size.toLong
+    val bound = (n - out.map(_._2).sum) / 3L
+    // every item with true frequency above the bound must be retained
+    trueCnt.filter(_._2 > bound).keys.foreach { k =>
+      assert(out.exists(_._1 == k), s"guaranteed item $k missing")
+    }
+    assert(out.length <= 2)
+  }
+
+  test("frequent_items: exact-regime result is partitioning-independent " +
+    "(mergeable summaries)") {
+    import graft.functions.FrequentItems
+    val stream = (1 to 500).map(i => s"t${i % 17}")
+    def run(parts: Int) =
+      spark.createDataset(stream).repartition(parts).toDF("item")
+        .agg(FrequentItems.frequentItems(col("item"), 64).as("fi"))
+        .select(explode(col("fi")).as("e"))
+        .select("e.item", "e.cnt_lo", "e.cnt_hi")
+        .as[(String, Long, Long)].collect().toSeq
+    assert(run(1) === run(13))
+  }
+
   test("arity and literal-argument errors are loud") {
     intercept[Exception](spark.sql("SELECT vector_dot(array(1.0d))").collect())
     intercept[Exception](spark.sql("SELECT shingle_hashes()").collect())
@@ -160,6 +218,6 @@ class GraftSqlSpec extends SparkTestBase {
     assert(reg != null)
     val ids = GraftFunctions.descriptors.map(_._1.funcName)
     assert(ids.distinct.size == ids.size)
-    assert(ids.size == 14)
+    assert(ids.size == 15)
   }
 }
