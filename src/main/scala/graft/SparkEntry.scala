@@ -709,6 +709,14 @@ object SparkEntry {
     "tx_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.documents(s, dir), "text", k = 50)),
 
+    // ---- per-source distribution drift: KL(source ‖ corpus) over token
+    //      distributions, terms floor-quantized before the sum — the
+    //      drift monitor for a continuously-ingesting multi-source feed.
+    //      One tokenization pass; everything downstream is vocabulary-
+    //      scale ----
+    "tx_source_drift" -> ((s, dir) =>
+      TextAnalysis.sourceDrift(Tables.documents(s, dir), "source", "text")),
+
     // ---- bounded-memory frequent tokens through the Misra-Gries
     //      sketch aggregate (capacity 4096 — far above this corpus's
     //      vocabulary, so counts are certified exact: cnt_lo = cnt_hi
@@ -1878,6 +1886,27 @@ object SparkEntry {
          |  SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC)
          |    AS INT) AS rank FROM c) r
          |WHERE rank <= 50""".stripMargin,
+
+    "tx_source_drift" -> {
+      val p = "(CAST(c_st AS DOUBLE) / n_s)"
+      val q = "(CAST(c_t AS DOUBLE) / n_tot)"
+      s"""WITH t AS (SELECT source, unnest($W) AS token FROM documents),
+         |tt AS (SELECT source, token FROM t WHERE length(token) > 0),
+         |cst AS (SELECT source, token, count(*) AS c_st FROM tt
+         |        GROUP BY source, token),
+         |ns AS (SELECT source, CAST(sum(c_st) AS BIGINT) AS n_s FROM cst
+         |       GROUP BY source),
+         |ct AS (SELECT token, CAST(sum(c_st) AS BIGINT) AS c_t FROM cst
+         |       GROUP BY token),
+         |tot AS (SELECT CAST(sum(c_st) AS BIGINT) AS n_tot FROM cst),
+         |terms AS (SELECT cst.source,
+         |    CAST(floor(1e9 * $p * ln($p / $q)) AS BIGINT) AS term_e9
+         |  FROM cst JOIN ns USING (source) JOIN ct USING (token)
+         |  CROSS JOIN tot)
+         |SELECT source, count(*) AS n_terms,
+         |       CAST(sum(term_e9) AS BIGINT) AS kl_e9
+         |FROM terms GROUP BY source""".stripMargin
+    },
 
     // frequent_items runs in its exact regime here (capacity ≥ corpus
     // vocabulary): cnt_lo = cnt_hi = the true count, so the oracle is

@@ -169,6 +169,43 @@ object TextAnalysis {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Per-source token-distribution drift vs the whole corpus:
+    * `KL(p_s ‖ p_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t))` — the
+    * distribution-shift monitor a continuously-ingesting pipeline runs
+    * per source/domain (a source whose language suddenly drifts, a
+    * scraper gone wrong, a poisoned feed all spike their KL). Summing
+    * only over tokens the source contains is the true KL here: p(t) ≥
+    * p_s(t)·N_s/N > 0 wherever p_s(t) > 0, so no term is undefined.
+    *
+    * Determinism: each term is a two-division multiply-ln chain of
+    * exact integer counts floor-quantized to e9 BEFORE the sum (ln is
+    * bit-stable across engines — the BM25 precedent), so per-source
+    * KL values are exact integers.
+    *
+    * Scale shape: ONE tokenization pass feeds the (source, token)
+    * counts; source totals, corpus token counts, and the grand total
+    * all re-aggregate from it map-side-combined (vocabulary-scale, not
+    * corpus-scale); the term join keys on token over vocabulary-sized
+    * frames and the final sum is |sources| rows.
+    */
+  def sourceDrift(df: DataFrame, srcCol: String, textCol: String): DataFrame = {
+    val toks = df.select(col(srcCol).as("source"),
+        explode(tokens(coalesce(col(textCol), lit("")))).as("token"))
+      .filter(length(col("token")) > 0)
+    val cst = toks.groupBy(col("source"), col("token"))
+      .agg(count(lit(1)).as("c_st"))
+    val ns = cst.groupBy(col("source")).agg(sum(col("c_st")).as("n_s"))
+    val ct = cst.groupBy(col("token")).agg(sum(col("c_st")).as("c_t"))
+    val tot = cst.agg(sum(col("c_st")).as("n_tot"))
+    val p = col("c_st").cast("double") / col("n_s").cast("double")
+    val q = col("c_t").cast("double") / col("n_tot").cast("double")
+    cst.join(ns, "source").join(ct, "token").crossJoin(broadcast(tot))
+      .select(col("source"),
+        floor(lit(1e9) * p * log(p / q)).cast("long").as("term_e9"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("term_e9")).as("kl_e9"))
+  }
+
   /** Discrete value-at-rank quantiles per stratum: for each fraction f,
     * the value of the row at rank ceil(f · n) in ascending `valueCol`
     * order — exact and engine-portable, unlike interpolated quantiles

@@ -623,6 +623,29 @@ class ExtensionsSpec extends SparkTestBase {
     ))
   }
 
+  test("sourceDrift: identically-distributed sources score identically; " +
+    "an exclusive-vocabulary source scores strictly higher") {
+    import graft.operators.TextAnalysis
+    // s1 and s2 share one distribution (symmetric, so their KL against
+    // the s3-diluted corpus is equal); s3 is pure drift vocabulary
+    val docs = Seq(
+      ("s1", "x x y"), ("s1", "x y z"),
+      ("s2", "x x y"), ("s2", "x y z"),
+      ("s3", "q q q r")
+    ).toDF("source", "text")
+    val out = TextAnalysis.sourceDrift(docs, "source", "text")
+      .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    // s1 ≡ s2: same counts, same n_terms
+    assert(out("s1") === out("s2"))
+    // s3's tokens are exclusive to it: p_s(t)/p(t) = N/N_s > 1 for every
+    // term, so KL is strictly positive and large
+    assert(out("s3")._2 > 0L)
+    assert(out("s3")._2 > out("s1")._2)
+    assert(out("s3")._1 === 2L) // q, r
+    // floor-quantization bounds: kl_e9 ≥ −n_terms even at zero true KL
+    out.values.foreach { case (terms, kl) => assert(kl >= -terms) }
+  }
+
   test("CSV round trip is lossless on every adversarial string shape") {
     import graft.sources.CsvLossless
     val rows = Seq(
