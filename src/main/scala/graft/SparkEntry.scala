@@ -686,6 +686,14 @@ object SparkEntry {
       Sessions.sessionize(Tables.events(s, dir), "user_id", "ts")
         .withColumn("session_idx", col("session_idx").cast("long"))),
 
+    // ---- ingest-volume anomalies: days ≥ 1.5σ from their event type's
+    //      mean daily count (exact integer moment forms; z floor-
+    //      quantized to e3). Everything past the scan is |types|·|days|
+    //      rows ----
+    "ev_anomaly_days" -> ((s, dir) =>
+      EventAnalytics.anomalyDays(Tables.events(s, dir), "ts", "event_type",
+        zE3Threshold = 1500L)),
+
     // ---- first-order Markov transitions: consecutive event-type steps
     //      per user, counted globally with per-transition user reach.
     //      One user-key exchange + local sort (the sessionize shape);
@@ -1841,6 +1849,22 @@ object SparkEntry {
         |SELECT user_id, session_idx, min(ts) AS session_start,
         |       max(ts) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "ev_anomaly_days" ->
+      """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY event_type, day),
+        |s AS (SELECT event_type, count(*) AS nd,
+        |    CAST(sum(n_events) AS BIGINT) AS s1,
+        |    CAST(sum(n_events * n_events) AS BIGINT) AS s2
+        |  FROM d GROUP BY event_type)
+        |SELECT event_type, day, n_events, z_e3 FROM (
+        |  SELECT d.event_type, d.day, d.n_events,
+        |    CAST(floor(1000e0 * abs(s.nd * d.n_events - s.s1) /
+        |      sqrt(CAST(s.nd * s.s2 - s.s1 * s.s1 AS DOUBLE))) AS BIGINT) AS z_e3
+        |  FROM d JOIN s USING (event_type)
+        |  WHERE s.nd * s.s2 - s.s1 * s.s1 > 0)
+        |WHERE z_e3 >= 1500""".stripMargin,
 
     "ev_transitions" ->
       """WITH o AS (SELECT user_id, event_type AS src,

@@ -39,6 +39,42 @@ object EventAnalytics {
         countDistinct(col("u")).as("n_users"))
   }
 
+  /** Daily volume anomalies per event type: days whose count deviates
+    * from the type's mean by ≥ `zE3Threshold/1000` population standard
+    * deviations — the ingest-volume alarm (a collector outage or a
+    * duplicate-storm both spike |z|). The statistic includes the
+    * candidate day itself (population σ, not leave-one-out).
+    *
+    * Determinism: mean and variance are carried as the EXACT integer
+    * forms `n·x − Σx` and `n·Σx² − (Σx)²`; the z-score is one
+    * multiply-divide-sqrt chain over them, floor-quantized to e3 —
+    * value-identical in any engine. Types with zero variance (every day
+    * equal) are skipped outright rather than dividing by zero.
+    *
+    * Scale shape: daily counts are one map-side-combined aggregate
+    * (|types|·|days| rows — tiny); per-type moments re-aggregate from
+    * it; the join back is |types| rows broadcast. Nothing past the scan
+    * is event-scale.
+    */
+  def anomalyDays(events: DataFrame, tsCol: String, typeCol: String,
+      zE3Threshold: Long): DataFrame = {
+    val daily = events
+      .select(col(typeCol).as("event_type"), to_date(col(tsCol)).as("day"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"), sum(col("n_events")).as("s1"),
+        sum(col("n_events") * col("n_events")).as("s2"))
+    daily.join(broadcast(stats), "event_type")
+      .withColumn("num", col("n_days") * col("n_events") - col("s1"))
+      .withColumn("den2", col("n_days") * col("s2") - col("s1") * col("s1"))
+      .filter(col("den2") > 0)
+      .select(col("event_type"), col("day"), col("n_events"),
+        floor(lit(1000.0) * abs(col("num")).cast("double") /
+          sqrt(col("den2").cast("double"))).cast("long").as("z_e3"))
+      .filter(col("z_e3") >= zE3Threshold)
+  }
+
   /** Retention cohort matrix: users grouped by the date of their FIRST
     * event (the cohort), counted in each subsequent `bucketDays`-wide
     * activity period. Output: (cohort_date, period_offset, n_users) —

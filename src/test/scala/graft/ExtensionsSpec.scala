@@ -623,6 +623,24 @@ class ExtensionsSpec extends SparkTestBase {
     ))
   }
 
+  test("anomalyDays: a spiked day is flagged with the hand-computed z; " +
+    "flat series are skipped (zero variance)") {
+    import graft.operators.EventAnalytics
+    def ev(day: Int, n: Int, typ: String) = (1 to n).map(i =>
+      (java.sql.Timestamp.valueOf(f"2024-02-$day%02d 10:00:00"), typ))
+    // "view": 5 days of 10 plus one day of 40; "ping": perfectly flat
+    val events = ((1 to 5).flatMap(d => ev(d, 10, "view")) ++ ev(6, 40, "view") ++
+      (1 to 6).flatMap(d => ev(d, 7, "ping"))).toDF("ts", "event_type")
+    val out = EventAnalytics.anomalyDays(events, "ts", "event_type", 1500L)
+      .as[(String, java.sql.Date, Long, Long)].collect()
+    // hand-compute: n=6, x=40, s1=90, s2=2100; num=6*40-90=150;
+    // den2=6*2100-8100=4500; z = 1000*150/sqrt(4500) = 2236.0…
+    assert(out.toSeq == Seq(("view", java.sql.Date.valueOf("2024-02-06"),
+      40L, math.floor(1000.0 * 150.0 / math.sqrt(4500.0)).toLong)))
+    // the flat type produced no row despite den2 = 0 (skipped, no NaN)
+    assert(!out.exists(_._1 == "ping"))
+  }
+
   test("sourceDrift: identically-distributed sources score identically; " +
     "an exclusive-vocabulary source scores strictly higher") {
     import graft.operators.TextAnalysis
