@@ -68,22 +68,28 @@ object Retrieval {
     val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     // N over all docs (empty ones included — they are retrievable-never
-    // but still corpus members for idf); avgdl over the term stream, so
-    // both sides of the oracle count identically
-    val nDocs = docs.agg(countDistinct(col(idCol))).head().getLong(0).toDouble
-    val avgdl = terms.count().toDouble / nDocs
+    // but still corpus members for idf) and the term-stream total ride
+    // the PLAN as one-row broadcast subqueries instead of eager driver
+    // actions — a bm25 call costs one job, not three corpus scans. The
+    // arithmetic is unchanged: the same doubles, now as columns
+    // (avgdl ≡ term_tot / n_docs, the identical division).
+    val nd = docs.agg(countDistinct(col(idCol)).cast("double").as("n_docs"))
+    val ad = terms.agg(count(lit(1)).cast("double").as("term_tot"))
 
     // idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5)) — Lucene's BM25 form,
     // always positive; tf_norm = tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl))
     val idf = log(lit(1.0) +
-      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+      (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = col("term_tot") / col("n_docs")
     val tfNorm = (col("tf") * (lit(k1) + 1)) /
-      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / lit(avgdl)))
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
     val contrib0 = tf
       .join(broadcast(q.distinct()), Seq("term")) // postings of query terms only
       .join(broadcast(dfreq.join(broadcast(q.select("term").distinct()),
         Seq("term"))), Seq("term"))
       .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(nd))
+      .crossJoin(broadcast(ad))
       .select(col("query_id"), col("doc_id"),
         floor(lit(10000.0) * idf * tfNorm).cast("long").as("c_e4"))
     val contrib =
