@@ -903,6 +903,20 @@ object SparkEntry {
         "cent_id", "v")
     }),
 
+    // ---- incremental embedding dedup: today's batch (vec_id ≥ 450)
+    //      filtered against the archived corpus — a batch vector with
+    //      any archive neighbor of cos ≥ 0.35 in its IVF cluster is
+    //      dropped (the embedding dual of dd_incremental; at warehouse
+    //      scale the archive side is the materialized assignment) ----
+    "dd_embed_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.embedIncrementalFilter(
+        emb.filter(col("vec_id") >= 450), emb.filter(col("vec_id") < 450),
+        "vec_id", "embedding",
+        emb.filter(col("vec_id") % 50 === 0 && col("vec_id") < 450),
+        "vec_id", "embedding", minCosE6 = 350000L)
+    }),
+
     // ---- margin-criterion pair mining (LASER/CCMatrix style): pairs
     //      scored by cosine RELATIVE to both endpoints' top-3 in-cluster
     //      neighborhood average — hub vectors with uniformly-close
@@ -2293,6 +2307,35 @@ object SparkEntry {
          |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
          |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 3""".stripMargin
+    },
+
+    // incremental embedding dedup: replay both sides' assignments to the
+    // archive's centroid set, form in-cluster batch×archive pairs, drop
+    // batch ids with any hit
+    "dd_embed_incremental" -> {
+      val cosAssign = cosE6Sql("e.embedding", "c.embedding")
+      val cosPair = cosE6Sql("b.v", "a.v")
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+         |           WHERE vec_id % 50 = 0 AND vec_id < 450),
+         |arc0 AS (SELECT e.vec_id, c.cent_id, e.embedding AS v,
+         |    $cosAssign AS cos_e6 FROM embeddings e CROSS JOIN c
+         |  WHERE e.vec_id < 450),
+         |arc AS (SELECT vec_id, cent_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM arc0)
+         |  WHERE rn = 1),
+         |bat0 AS (SELECT e.vec_id, c.cent_id, e.embedding AS v,
+         |    $cosAssign AS cos_e6 FROM embeddings e CROSS JOIN c
+         |  WHERE e.vec_id >= 450),
+         |bat AS (SELECT vec_id, cent_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM bat0)
+         |  WHERE rn = 1),
+         |hit AS (SELECT DISTINCT b.vec_id FROM bat b
+         |        JOIN arc a ON b.cent_id = a.cent_id
+         |        WHERE $cosPair >= 350000)
+         |SELECT vec_id FROM embeddings WHERE vec_id >= 450
+         |  AND vec_id NOT IN (SELECT vec_id FROM hit)""".stripMargin
     },
 
     // margin mining: replay of the sim_knn_graph assignment + in-cluster

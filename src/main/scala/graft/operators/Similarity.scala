@@ -371,6 +371,46 @@ object Similarity {
     rankedTopK(scored, k)
   }
 
+  /** Incremental embedding dedup: keep only the batch vectors with NO
+    * archive neighbor of cosine ≥ `minCosE6/1e6` — the embedding dual of
+    * the text tier's vs-seen-corpus filter (a day's ingest is dropped
+    * where the already-archived corpus is semantically equivalent).
+    * Candidates form inside shared IVF clusters (both sides assigned to
+    * the same broadcast centroids), so the comparison is
+    * Σ_c |batch_c|·|archive_c|, never batch × archive.
+    *
+    * Scale shape: the day's batch is small relative to the archive —
+    * its assignment is one broadcast-centroid pass; the archive side at
+    * warehouse scale is the MATERIALIZED assignment the index table
+    * already holds (the `dd_incremental_indexed` pattern — pass the
+    * stored `(id, cent_id, v)` frame as `archive` after one
+    * `ivfAssign` at build time, and nothing re-reads archive vectors
+    * per day). The in-cluster join hashes on cent_id (AQE-splittable);
+    * survivors come off a left-anti join on the batch id.
+    */
+  def embedIncrementalFilter(
+      batch: DataFrame, archive: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cIdCol: String, cVecCol: String,
+      minCosE6: Long
+  ): DataFrame = {
+    val aSide = ivfAssign(archive, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .withColumn("nrm", norm(col("v")))
+      .select(col("cent_id"), col(idCol).as("arc_id"),
+        col("v").as("a_v"), col("nrm").as("a_nrm"))
+    val bAss = ivfAssign(batch, idCol, vecCol, centroids, cIdCol, cVecCol)
+      .withColumn("nrm", norm(col("v")))
+    val hit = bAss
+      .select(col("cent_id"), col(idCol).as("b_id"),
+        col("v").as("b_v"), col("nrm").as("b_nrm"))
+      .join(aSide, Seq("cent_id"))
+      .filter(
+        floor(dot(col("b_v"), col("a_v")) / (col("b_nrm") * col("a_nrm")) * 1e6)
+          .cast("long") >= minCosE6)
+      .select(col("b_id")).distinct()
+    batch.join(hit, batch(idCol) === hit("b_id"), "left_anti")
+      .select(col(idCol))
+  }
+
   /** Margin-criterion pair mining (Artetxe/Schwenk, the LASER/CCMatrix
     * bitext-mining scorer): a pair qualifies not on raw cosine but on
     * cosine RELATIVE to both endpoints' neighborhood density —

@@ -623,6 +623,35 @@ class ExtensionsSpec extends SparkTestBase {
     ))
   }
 
+  test("embedIncrementalFilter: batch vectors near an archived one are " +
+    "dropped, far ones survive, and only same-cluster pairs compare") {
+    import graft.operators.Similarity
+    val archive = Seq(
+      (1L, Array(1.0f, 0.0f, 0.0f)),   // cluster of centroid 1 (e1)
+      (2L, Array(0.0f, 1.0f, 0.0f)),   // cluster of centroid 2 (e2)
+      (3L, Array(0.95f, 0.05f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val cents = archive.filter(col("vec_id") <= 2L)
+    val batch = Seq(
+      (10L, Array(0.97f, 0.03f, 0.0f)), // near archive 1/3 → dropped
+      (11L, Array(0.0f, 0.9f, 0.44f)),  // e2 cluster, cos vs 2 ≈ 0.90 → dropped
+      (12L, Array(0.0f, 0.1f, 0.99f))   // e2 cluster but nearly ⊥ archive 2 → kept
+    ).toDF("vec_id", "embedding")
+    val kept = Similarity.embedIncrementalFilter(batch, archive,
+      "vec_id", "embedding", cents, "vec_id", "embedding",
+      minCosE6 = 800000L).as[Long].collect().toSet
+    assert(kept === Set(12L))
+    // a batch vector near an ARCHIVE vector of a DIFFERENT cluster is
+    // invisible to the filter (the blocking trade): 13 sits in e1's
+    // cluster (cos .71 vs e1 > cos 0 vs e2) but its only close archive
+    // vector is 2 (e2's cluster) — it survives
+    val cross = Seq((13L, Array(0.71f, 0.7f, 0.0f))).toDF("vec_id", "embedding")
+    val kept2 = Similarity.embedIncrementalFilter(cross, archive,
+      "vec_id", "embedding", cents, "vec_id", "embedding",
+      minCosE6 = 990000L).as[Long].collect().toSet
+    assert(kept2 === Set(13L))
+  }
+
   test("anomalyDays: a spiked day is flagged with the hand-computed z; " +
     "flat series are skipped (zero variance)") {
     import graft.operators.EventAnalytics
