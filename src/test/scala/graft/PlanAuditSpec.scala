@@ -278,4 +278,44 @@ class PlanAuditSpec extends SparkTestBase {
     val p = planned("tx_ngram_lm")
     assert(p.contains("BroadcastHashJoin") || !p.contains("SortMergeJoin"), p)
   }
+
+  test("hybrid RRF: both arms top out through the bounded heap — no " +
+    "Window anywhere; probe sides broadcast") {
+    val p = planned("tx_hybrid_rrf")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("margin mining: per-vector top-k sums ride the bounded heap — " +
+    "no Window, no cartesian; every pair/denominator join is an " +
+    "equi-join (AQE picks hash/broadcast at runtime)") {
+    val p = planned("sim_margin_pairs")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("centroid outliers: the centroid table broadcasts back and the " +
+    "per-label top-k is the bounded heap, not a window sort") {
+    val p = planned("emb_outlier_topk")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("weighted sample: clocks are map-side — no corpus Sort, no " +
+    "Window; selection is the bounded heap") {
+    val p = planned("ds_weighted_sample")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("source drift: everything past the one tokenization pass is " +
+    "vocabulary-scale aggregation — no window, no cartesian beyond the " +
+    "one-row total") {
+    val p = planned("tx_source_drift")
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
