@@ -60,6 +60,30 @@ object Gardener {
       case e: Exception => Outcome.Failure(e.getMessage)
     }
 
+  /** Graceful shutdown (reference: cmd/gardener/gardener.go:280-309 and
+    * the `shutdown_timeout` flag, default 1 m): stop intake FIRST (the
+    * jobs API — parsers get connection-refused and fail over to a
+    * healthy replica), then stop scheduling (monitor + sweeper timers;
+    * in-flight actions keep their threads), wait up to `timeoutMillis`
+    * for in-flight actions to drain, and finish with a forced tracker
+    * sync so the durable snapshot reflects everything that completed.
+    * Returns whether the drain finished inside the allowance — an
+    * undrained action is safe (its lease expires and a surviving driver
+    * takes the job over; a stale late commit is fenced into Retry) but
+    * worth logging.
+    */
+  def gracefulShutdown(api: JobsApi, handles: Seq[AutoCloseable],
+      monitor: Monitor, tracker: Tracker, timeoutMillis: Long): Boolean = {
+    scala.util.Try(api.stop())
+    handles.foreach(h => scala.util.Try(h.close()))
+    val deadline = System.currentTimeMillis() + timeoutMillis
+    while (monitor.inFlight > 0 && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    val drained = monitor.inFlight == 0
+    tracker.sync()
+    drained
+  }
+
   def main(args: Array[String]): Unit = {
     val configPath = args(0)
     val stateDir = Paths.get(args(1))
@@ -115,13 +139,13 @@ object Gardener {
       delete = tableOp(_.deleteTmp()),
       join = tableOp(ops => { ops.join(); () })
     ), name = driverName)
-    monitor.watch(config.pollingInterval.toMillis)
+    val monitorHandle = monitor.watch(config.pollingInterval.toMillis)
 
     // storage maintenance runs unattended alongside the pipeline:
     // compaction of fragmented completed days, plus (tx backend) vacuum
     // and commit-log truncation — see MaintenanceSweeper
     val sweeper = new graft.gardenerops.MaintenanceSweeper(spark, wh, tracker)
-    sweeper.watch(config.maintenanceInterval.toMillis)
+    val sweeperHandle = sweeper.watch(config.maintenanceInterval.toMillis)
 
     // ALL sources get daily jobs; DailyOnly only excludes a source from the
     // historical sweep (reference: job-service/job-service.go puts every
@@ -143,6 +167,16 @@ object Gardener {
     val api = new JobsApi(tracker, service, port)
     val boundPort = api.start()
     println(s"gardener listening on :$boundPort")
+
+    // SIGTERM path (k8s rolling update): drain in-flight actions within
+    // the reference's 1-minute default allowance, then persist state
+    sys.addShutdownHook {
+      println("gardener shutting down")
+      val drained = gracefulShutdown(api,
+        Seq(monitorHandle, sweeperHandle), monitor, tracker,
+        timeoutMillis = 60000L)
+      println(s"gardener shutdown drained=$drained")
+    }
     Thread.currentThread().join()
   }
 }

@@ -205,4 +205,67 @@ class MonitorSpec extends AnyFunSuite {
     release.countDown()
     assert(until(m) { m.inFlight == 0 })
   }
+
+  test("graceful shutdown: intake stops first, in-flight actions drain " +
+    "within the allowance, and the tracker snapshot is forced durable") {
+    import java.time.{Duration, Instant}
+    import graft.jobservice._
+    val saver = new MemorySaver
+    val now = Instant.parse("2024-06-01T12:00:00Z")
+    val tk = new Tracker(saver, clock = () => System.currentTimeMillis())
+    val spec = SourceSpec("bkt", "ndt", "ndt7",
+      datasets = Datasets("tmp_ndt", "raw_ndt", "ndt"), dailyOnly = true)
+    val service = new JobService(
+      new JobIterator(new DailyIterator(saver, delay = Duration.ofHours(10),
+        clock = () => now), Seq(spec)),
+      new JobIterator(new HistoricalIterator(saver,
+        java.time.LocalDate.parse("2024-05-30"), saverName = "hist",
+        clock = () => now), Seq.empty),
+      1, _ => true, clock = () => now)
+    val api = new graft.api.JobsApi(tk, service)
+    val port = api.start()
+
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val slow = Action.unconditional(State.Loading, _ => {
+      entered.countDown(); Thread.sleep(300); Outcome.Success()
+    }, State.Complete)
+    val m = new Monitor(tk, Seq(slow))
+    val handle = m.watch(10L)
+    val j = mkJob("ndt7")
+    tk.addJob(j); tk.setStatus(j.key, State.Loading)
+    assert(entered.await(5, java.util.concurrent.TimeUnit.SECONDS))
+
+    // shutdown while the action is mid-flight: must wait it out
+    val drained = graft.cmd.Gardener.gracefulShutdown(api, Seq(handle),
+      m, tk, timeoutMillis = 5000L)
+    assert(drained)
+    // the completed transition reached the tracker and was SYNCED: a
+    // fresh tracker restored from the same saver sees Complete
+    val restored = new Tracker(saver)
+    assert(restored.getState().get(j.key).exists(_._2.state == State.Complete))
+    // intake is stopped: the port refuses new connections
+    val refused = scala.util.Try {
+      val s = new java.net.Socket()
+      s.connect(new java.net.InetSocketAddress("127.0.0.1", port), 500)
+      s.close()
+    }.isFailure
+    assert(refused)
+    // an undrained shutdown reports false instead of hanging
+    val stuck = new java.util.concurrent.CountDownLatch(1)
+    val tk2 = new Tracker(new MemorySaver)
+    val never = Action.unconditional(State.Loading, _ => {
+      stuck.await(); Outcome.Success()
+    }, State.Complete)
+    val m2 = new Monitor(tk2, Seq(never))
+    val j2 = mkJob("ndt7")
+    tk2.addJob(j2); tk2.setStatus(j2.key, State.Loading)
+    m2.tick()
+    val t0 = System.currentTimeMillis()
+    val drained2 = graft.cmd.Gardener.gracefulShutdown(
+      new graft.api.JobsApi(tk2, service), Seq(), m2, tk2,
+      timeoutMillis = 200L)
+    assert(!drained2)
+    assert(System.currentTimeMillis() - t0 < 3000)
+    stuck.countDown()
+  }
 }
