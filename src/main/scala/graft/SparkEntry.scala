@@ -717,6 +717,13 @@ object SparkEntry {
     "tx_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.documents(s, dir), "text", k = 50)),
 
+    // ---- per-document n-gram novelty: the fraction of a doc's distinct
+    //      shingles occurring in NO other document — the data-valuation
+    //      dual of the dedup tiers (same md5 shingle family, so the
+    //      oracle recomputes it bit-identically) ----
+    "tx_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyScores(Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- per-source distribution drift: KL(source ‖ corpus) over token
     //      distributions, terms floor-quantized before the sum — the
     //      drift monitor for a continuously-ingesting multi-source feed.
@@ -935,6 +942,20 @@ object SparkEntry {
         TextDedup.lengthBandedJaccardPairs(Tables.documents(s, dir), "doc_id",
           "text", "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L),
         pairsDistinct = true)),
+
+    // ---- quality-aware cluster representatives: per near-dup cluster,
+    //      keep the longest member (ties → lowest id) — the keep-best
+    //      policy, as a min_by aggregate with map-side combine ----
+    "dd_cluster_best" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextDedup.bestRepresentatives(
+        TextDedup.minLabelClusters(
+          TextDedup.lengthBandedJaccardPairs(docs, "doc_id", "text",
+            "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L),
+          pairsDistinct = true),
+        docs, "doc_id", "n_chars")
+        .withColumnRenamed("score", "n_chars")
+    }),
 
     // ---- md5-family verification tiers: same algorithms as the xxhash64
     //      minhash/simhash above, hash family the oracle can recompute ----
@@ -1849,6 +1870,27 @@ object SparkEntry {
          |SELECT n AS id, CAST(min(m) AS BIGINT) AS label
          |FROM reach GROUP BY n""".stripMargin,
 
+    "dd_cluster_best" ->
+      s"""WITH RECURSIVE ${jaccardPairCtes("documents")},
+         |pr AS (SELECT id_a, id_b FROM p WHERE jaccard_e4 >= 5000),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pr
+         |      UNION SELECT id_b AS a, id_a AS b FROM pr),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT r.n, e2.b FROM reach r JOIN e e2 ON e2.a = r.m),
+         |lab AS (SELECT n AS id, CAST(min(m) AS BIGINT) AS label
+         |        FROM reach GROUP BY n),
+         |j AS (SELECT lab.label, lab.id, d.n_chars FROM lab
+         |      JOIN documents d ON d.doc_id = lab.id),
+         |r AS (SELECT label, id, n_chars,
+         |        row_number() OVER (PARTITION BY label
+         |          ORDER BY n_chars DESC, id) AS rn,
+         |        count(*) OVER (PARTITION BY label) AS cluster_size FROM j)
+         |SELECT label, id AS keep_id, n_chars,
+         |       CAST(cluster_size AS BIGINT) AS cluster_size
+         |FROM r WHERE rn = 1""".stripMargin,
+
     "ev_sessionize" ->
       """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
         |g AS (SELECT user_id, ts,
@@ -1924,6 +1966,23 @@ object SparkEntry {
          |  SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC)
          |    AS INT) AS rank FROM c) r
          |WHERE rank <= 50""".stripMargin,
+
+    "tx_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, $ShingleSql AS sh FROM t),
+         |u AS (SELECT doc_id, ${md5LongSql("x")} AS h
+         |      FROM (SELECT doc_id, unnest(sh) AS x FROM s)),
+         |dfq AS (SELECT h, count(*) AS df FROM u GROUP BY h),
+         |per AS (SELECT doc_id, count(*) AS n_shingles,
+         |    CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel
+         |  FROM u JOIN dfq USING (h) GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(per.n_shingles, 0) AS n_shingles,
+         |  COALESCE(per.n_novel, 0) AS n_novel,
+         |  COALESCE(CAST(floor(10000e0 * per.n_novel /
+         |    CAST(per.n_shingles AS DOUBLE)) AS BIGINT), 0) AS novelty_e4
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN per USING (doc_id)""".stripMargin,
 
     "tx_source_drift" -> {
       val p = "(CAST(c_st AS DOUBLE) / n_s)"

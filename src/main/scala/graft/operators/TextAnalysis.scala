@@ -169,6 +169,38 @@ object TextAnalysis {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * shingles that occur in no other document — the data-valuation
+    * signal dual to the dedup tiers (a doc of novelty ≈ 0 is assembled
+    * entirely from corpus-shared text; ≈ 1 means unique content worth
+    * keeping). Uses the same md5-family 3-gram shingles as the dedup
+    * tiers, so an SQL oracle recomputes it bit-identically.
+    *
+    * Scale shape: the per-doc distinct shingle stream comes off the
+    * codegen'd [[graft.functions.ShingleMd5Hashes]] expression (no
+    * explode-then-distinct), the doc-frequency table is one map-side-
+    * combined aggregate on the hash, and the df join keys on the hash —
+    * the same shuffle class as the Jaccard tier, with no pair
+    * formation at all.
+    */
+  def noveltyScores(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"),
+      explode(graft.functions.GraftFunctions.shingleMd5Hashes(col(textCol)))
+        .as("h"))
+    val dfq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    val per = sh.join(dfq, "h").groupBy(col("doc_id")).agg(
+      count(lit(1)).as("n_shingles"),
+      sum(when(col("df") === 1, 1L).otherwise(0L)).as("n_novel"))
+    df.select(col(idCol).as("doc_id")).join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        coalesce(
+          floor(lit(10000.0) * col("n_novel").cast("double") /
+            col("n_shingles").cast("double")).cast("long"),
+          lit(0L)).as("novelty_e4"))
+  }
+
   /** Per-source token-distribution drift vs the whole corpus:
     * `KL(p_s ‖ p_corpus) = Σ_t p_s(t)·ln(p_s(t)/p(t))` — the
     * distribution-shift monitor a continuously-ingesting pipeline runs

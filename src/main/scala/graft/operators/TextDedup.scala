@@ -857,4 +857,29 @@ object TextDedup {
     }
     parent.keys.toSeq.sorted.map(n => (n, find(n)))
   }
+
+  /** Quality-aware cluster representative selection: for each near-dup
+    * cluster, keep the member with the HIGHEST score (ties → lowest id)
+    * — the policy real pipelines run instead of keep-lowest-id (keep
+    * the longest / highest-quality duplicate, drop the rest). Input is
+    * [[minLabelClusters]]'s (id, label) frame plus a scored document
+    * frame; output one row per cluster: (label, keep_id, score,
+    * cluster_size).
+    *
+    * Scale shape: the clusters↔scores join hashes on the doc id, and
+    * the argmax is a `min_by` aggregate with map-side partial combine
+    * (one winner per cluster per map partition crosses the shuffle) —
+    * no per-cluster window sort.
+    */
+  def bestRepresentatives(clusters: DataFrame, docs: DataFrame,
+      idCol: String, scoreCol: String): DataFrame =
+    clusters
+      .join(docs.select(col(idCol).as("id"), col(scoreCol).as("score")), "id")
+      .groupBy(col("label"))
+      .agg(
+        min_by(struct(col("id"), col("score")),
+          struct((-col("score")).as("neg"), col("id"))).as("best"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("label"), col("best.id").as("keep_id"),
+        col("best.score").as("score"), col("cluster_size"))
 }

@@ -100,4 +100,21 @@ class DedupSpec extends SparkTestBase {
     val agg = Dedup.rankedFirstAgg(fixture, keys, ordering).collect().toSet
     assert(agg == win)
   }
+
+  test("bestRepresentatives keeps the highest-score member per cluster, " +
+    "ties to the lowest id, with correct cluster sizes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val clusters = Seq((1L, 1L), (2L, 1L), (3L, 1L), (7L, 7L), (8L, 7L))
+      .toDF("id", "label")
+    val docs = Seq((1L, 10L), (2L, 40L), (3L, 40L), (7L, 5L), (8L, 5L),
+      (9L, 99L)) // 9 is in no cluster — must not appear
+      .toDF("doc_id", "n_chars")
+    val out = graft.operators.TextDedup.bestRepresentatives(
+      clusters, docs, "doc_id", "n_chars")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(out === Set(
+      (1L, 2L, 40L, 3L), // 2 and 3 tie at 40 -> lowest id 2 wins
+      (7L, 7L, 5L, 2L)))
+  }
 }

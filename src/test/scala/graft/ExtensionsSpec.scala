@@ -623,6 +623,23 @@ class ExtensionsSpec extends SparkTestBase {
     ))
   }
 
+  test("noveltyScores: fully-shared docs score 0, partial overlap " +
+    "scores the exact novel fraction") {
+    import graft.operators.TextAnalysis
+    val docs = Seq(
+      (1L, "aa bb cc dd ee"),      // unique 3-grams → novelty 1
+      (2L, "xx yy zz ww"),         // all shared with 3
+      (3L, "xx yy zz ww"),
+      (4L, "aa bb cc qq rr ss tt") // shares 'aa bb cc' with 1, rest unique
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.noveltyScores(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    // doc 1: 3 shingles, 'aa bb cc' shared with doc 4 → 2/3 novel
+    assert(out(1L) === (1L, 3L, 2L, math.floor(10000.0 * 2 / 3).toLong))
+    assert(out(2L)._4 === 0L && out(3L)._4 === 0L)
+    assert(out(4L)._2 === 5L && out(4L)._3 === 4L)
+  }
+
   test("embedIncrementalFilter: batch vectors near an archived one are " +
     "dropped, far ones survive, and only same-cluster pairs compare") {
     import graft.operators.Similarity
