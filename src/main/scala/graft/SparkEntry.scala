@@ -256,6 +256,35 @@ object SparkEntry {
           sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
     }),
 
+    // ---- S9: TIME TRAVEL through the tx manifest — the table is staged
+    //      as v1 (day 1) → v2 (day 2) → v3 (DELETE day 1), and the query
+    //      reads AS OF v2: the aggregate must resurrect the day the
+    //      CURRENT version deleted, exactly matching an oracle over the
+    //      raw parquet both days derive from. If readAt ever leaked
+    //      current-version state, day 1's group would vanish and the
+    //      row/hash gates fail. Metadata-only resolution: the v2 live
+    //      set comes from the manifest replay, no data rewrite ----
+    "s9_time_travel" -> ((s, dir) => {
+      val root = s"/root/repo/target/s9_timetravel/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "orders")
+      if (!wh.exists(s, tbl) || wh.currentVersion(s, tbl) < 3L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        wh.append(s, o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01"))), tbl)
+        wh.append(s, o.filter(col("o_orderkey") % 2 =!= 0)
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-02"))), tbl)
+        wh.deletePartition(s, tbl, java.time.LocalDate.parse("2024-01-01"))
+      }
+      wh.readAt(s, tbl, 2L)
+        .groupBy(col("date"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
+    }),
+
     // ---- S8: Z-ORDER layout + manifest-stats skipping — the
     //      multi-dimensional dual of s6. lineitem lands z-clustered on
     //      (l_orderkey, l_partkey) (ZOrder.layout: quantile-bucketed
@@ -1613,6 +1642,15 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_price_e2
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "s9_time_travel" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN DATE '2024-01-01'
+        |            ELSE DATE '2024-01-02' END AS date,
+        |  count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_e2
+        |FROM orders GROUP BY 1""".stripMargin,
 
     "s8_zorder_prune" ->
       """SELECT l_returnflag,
