@@ -265,24 +265,23 @@ object SparkEntry {
     //      row/hash gates fail. Metadata-only resolution: the v2 live
     //      set comes from the manifest replay, no data rewrite ----
     "s9_time_travel" -> ((s, dir) => {
-      val root = s"/root/repo/target/s9_timetravel/${new java.io.File(dir).getName}"
-      val wh = new graft.tableops.TxWarehouse(root)
-      val tbl = wh.tablePath("bench", "orders")
-      if (!wh.exists(s, tbl) || wh.currentVersion(s, tbl) < 3L) {
-        val hp = new org.apache.hadoop.fs.Path(root)
-        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
-        val o = Tables.orders(s, dir).select(col("o_orderkey"),
-          col("o_orderstatus"), col("o_totalprice"))
-        wh.append(s, o.filter(col("o_orderkey") % 2 === 0)
-          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01"))), tbl)
-        wh.append(s, o.filter(col("o_orderkey") % 2 =!= 0)
-          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-02"))), tbl)
-        wh.deletePartition(s, tbl, java.time.LocalDate.parse("2024-01-01"))
-      }
+      val (wh, tbl) = stageTimeTravelTable(s, dir)
       wh.readAt(s, tbl, 2L)
         .groupBy(col("date"))
         .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
+    }),
+
+    // ---- S10: the retraction-aware snapshot diff (CDF dual of the
+    //      change feed) over the same staged history: v1 → v3 must
+    //      report day 2 as inserts and the deleted day 1 as deletes,
+    //      file-granular from the manifests' live-set diff, value-
+    //      matched against the raw parquet split ----
+    "s10_snapshot_diff" -> ((s, dir) => {
+      val (wh, tbl) = stageTimeTravelTable(s, dir)
+      wh.diffSnapshots(s, tbl, 1L, 3L)
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"))
     }),
 
     // ---- S8: Z-ORDER layout + manifest-stats skipping — the
@@ -1451,6 +1450,30 @@ object SparkEntry {
     * from the first 15 hex chars of md5 — bit-identical to Spark's
     * conv(substring(md5(x),1,15),16,10).
     */
+  /** Staged tx fixture shared by s9/s10 (guarded on the committed
+    * version, so whichever query runs first stages and the other reuses
+    * it): v1 = day 1 (even order keys), v2 = day 2 (odd), v3 = DELETE
+    * day 1 — a history with both additive and retiring commits.
+    */
+  private def stageTimeTravelTable(s: SparkSession, dir: String)
+      : (graft.tableops.TxWarehouse, String) = {
+    val root = s"/root/repo/target/s9_timetravel/${new java.io.File(dir).getName}"
+    val wh = new graft.tableops.TxWarehouse(root)
+    val tbl = wh.tablePath("bench", "orders")
+    if (!wh.exists(s, tbl) || wh.currentVersion(s, tbl) < 3L) {
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val o = Tables.orders(s, dir).select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice"))
+      wh.append(s, o.filter(col("o_orderkey") % 2 === 0)
+        .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01"))), tbl)
+      wh.append(s, o.filter(col("o_orderkey") % 2 =!= 0)
+        .withColumn("date", lit(java.sql.Date.valueOf("2024-01-02"))), tbl)
+      wh.deletePartition(s, tbl, java.time.LocalDate.parse("2024-01-01"))
+    }
+    (wh, tbl)
+  }
+
   private def md5LongSql(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 
@@ -1650,6 +1673,13 @@ object SparkEntry {
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_price_e2
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    "s10_snapshot_diff" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'delete'
+        |            ELSE 'insert' END AS _change_type,
+        |  count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1""".stripMargin,
 
     "s8_zorder_prune" ->
