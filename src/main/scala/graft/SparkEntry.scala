@@ -745,6 +745,12 @@ object SparkEntry {
     "tx_vocab_topk" -> ((s, dir) =>
       TextAnalysis.vocabTopK(Tables.documents(s, dir), "text", k = 50)),
 
+    // ---- per-document token entropy, computed entirely IN-ROW (sorted
+    //      array + one run-length fold; floor-quantized terms) — no
+    //      (doc, token) shuffle for a per-row statistic ----
+    "tx_token_entropy" -> ((s, dir) =>
+      TextAnalysis.tokenEntropy(Tables.documents(s, dir), "doc_id", "text")),
+
     // ---- per-document n-gram novelty: the fraction of a doc's distinct
     //      shingles occurring in NO other document — the data-valuation
     //      dual of the dedup tiers (same md5 shingle family, so the
@@ -2034,6 +2040,27 @@ object SparkEntry {
          |  SELECT token, n, CAST(row_number() OVER (ORDER BY n DESC, token ASC)
          |    AS INT) AS rank FROM c) r
          |WHERE rank <= 50""".stripMargin,
+
+    // token entropy: the oracle computes the same floor-quantized
+    // per-run terms RELATIONALLY ((doc, token) counts) — integer terms
+    // make the in-row and relational summation orders agree exactly
+    "tx_token_entropy" ->
+      s"""WITH t AS (SELECT doc_id, unnest($W) AS tok FROM documents),
+         |tt AS (SELECT doc_id, tok FROM t WHERE length(tok) > 0),
+         |c AS (SELECT doc_id, tok, count(*) AS c FROM tt GROUP BY doc_id, tok),
+         |l AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+         |        count(*) AS nd FROM c GROUP BY doc_id),
+         |e AS (SELECT c.doc_id,
+         |    CAST(sum(CAST(floor(1e6 * (CAST(c.c AS DOUBLE) / l.n_tokens) *
+         |      ln(CAST(l.n_tokens AS DOUBLE) / c.c)) AS BIGINT)) AS BIGINT)
+         |      AS entropy_e6
+         |  FROM c JOIN l USING (doc_id) GROUP BY c.doc_id)
+         |SELECT d.doc_id, COALESCE(l.n_tokens, 0) AS n_tokens,
+         |  COALESCE(l.nd, 0) AS n_distinct,
+         |  COALESCE(e.entropy_e6, 0) AS entropy_e6
+         |FROM (SELECT DISTINCT doc_id FROM documents) d
+         |LEFT JOIN l USING (doc_id)
+         |LEFT JOIN e ON e.doc_id = d.doc_id""".stripMargin,
 
     "tx_novelty" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),

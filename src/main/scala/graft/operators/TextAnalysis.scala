@@ -169,6 +169,52 @@ object TextAnalysis {
         (col("pos") + 1).cast("int").as("rank"))
   }
 
+  /** Per-document token ENTROPY — the Shannon entropy of the document's
+    * own token distribution, the classic repetitiveness/diversity
+    * quality feature (template spam scores near 0, natural text near
+    * its vocabulary's capacity).
+    *
+    * Computed ENTIRELY IN-ROW: sort the token array, fold it once
+    * accumulating run lengths, and emit each run's floor-quantized
+    * `1e6·(c/L)·ln(L/c)` term into an integer sum — a pure map-side
+    * expression chain (no (doc, token) shuffle, which is how the naive
+    * relational form pays a corpus-scale exchange for a per-row
+    * statistic). The oracle computes the same integer terms
+    * relationally; floor-before-sum makes the two summation orders
+    * identical.
+    *
+    * Output: (doc_id, n_tokens, n_distinct, entropy_e6) — entropy in
+    * nats ×1e6.
+    */
+  def tokenEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = array_sort(filter(
+      split(coalesce(col(textCol), lit("")), "\\s+"), t => length(t) > 0))
+    val L = size(toks).cast("long")
+    def term(c: Column): Column =
+      floor(lit(1e6) * (c.cast("double") / L.cast("double")) *
+        log(L.cast("double") / c.cast("double"))).cast("long")
+    def st(prev: Column, run: Column, sum: Column, nd: Column): Column =
+      struct(prev.as("prev"), run.as("run"), sum.as("sum"), nd.as("nd"))
+    val zero = st(lit(null).cast("string"), lit(0L), lit(0L), lit(0L))
+    val folded = aggregate(
+      toks, zero,
+      (s, x) => when(s.getField("prev").isNull,
+          st(x, lit(1L), lit(0L), lit(1L)))
+        .when(x === s.getField("prev"),
+          st(x, s.getField("run") + 1L, s.getField("sum"), s.getField("nd")))
+        .otherwise(st(x, lit(1L),
+          s.getField("sum") + term(s.getField("run")),
+          s.getField("nd") + 1L)),
+      s => struct(
+        when(s.getField("prev").isNull, lit(0L))
+          .otherwise(s.getField("sum") + term(s.getField("run")))
+          .as("entropy_e6"),
+        s.getField("nd").as("nd")))
+    df.select(col(idCol).as("doc_id"), L.as("n_tokens"),
+      folded.getField("nd").as("n_distinct"),
+      folded.getField("entropy_e6").as("entropy_e6"))
+  }
+
   /** Per-document n-gram NOVELTY: the fraction of a document's distinct
     * shingles that occur in no other document — the data-valuation
     * signal dual to the dedup tiers (a doc of novelty ≈ 0 is assembled

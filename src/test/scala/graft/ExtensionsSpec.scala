@@ -640,6 +640,32 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out(4L)._2 === 5L && out(4L)._3 === 4L)
   }
 
+  test("tokenEntropy: degenerate text scores 0, uniform text scores " +
+    "ln(n_distinct); the whole statistic is shuffle-free") {
+    import graft.operators.TextAnalysis
+    val docs2 = Seq(
+      (1L, "a a a a"),          // one distinct token → entropy 0
+      (2L, "a b c d"),          // uniform over 4 → ln(4)
+      (3L, "a a b"),            // 2/3·ln(3/2) + 1/3·ln(3)
+      (4L, ""),                 // no tokens
+      (5L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.tokenEntropy(docs2, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(out(1L) === (1L, 4L, 1L, 0L))
+    val ln4 = math.floor(1e6 * (1.0 / 4) * math.log(4.0)).toLong * 4
+    assert(out(2L) === (2L, 4L, 4L, ln4))
+    val e3 = math.floor(1e6 * (2.0 / 3) * math.log(3.0 / 2)).toLong +
+      math.floor(1e6 * (1.0 / 3) * math.log(3.0)).toLong
+    assert(out(3L) === (3L, 3L, 2L, e3))
+    assert(out(4L) === (4L, 0L, 0L, 0L))
+    assert(out(5L) === (5L, 0L, 0L, 0L))
+    // map-only: no exchange anywhere in the plan
+    val plan = TextAnalysis.tokenEntropy(docs2, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("embedIncrementalFilter: batch vectors near an archived one are " +
     "dropped, far ones survive, and only same-cluster pairs compare") {
     import graft.operators.Similarity
