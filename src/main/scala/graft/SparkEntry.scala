@@ -714,6 +714,12 @@ object SparkEntry {
       Sessions.sessionize(Tables.events(s, dir), "user_id", "ts")
         .withColumn("session_idx", col("session_idx").cast("long"))),
 
+    // ---- engagement: DAU + trailing-7-day WAU per event-bearing day.
+    //      One (user, day) distinct off the event stream, then day-grain
+    //      cover-explode — no event-scale windowed distinct ----
+    "ev_dau_wau" -> ((s, dir) =>
+      EventAnalytics.dauWau(Tables.events(s, dir), "user_id", "ts")),
+
     // ---- ingest-volume anomalies: days ≥ 1.5σ from their event type's
     //      mean daily count (exact integer moment forms; z floor-
     //      quantized to e3). Everything past the scan is |types|·|days|
@@ -1979,6 +1985,15 @@ object SparkEntry {
         |SELECT user_id, session_idx, min(ts) AS session_start,
         |       max(ts) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "ev_dau_wau" ->
+      """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
+        |            FROM events),
+        |dau AS (SELECT day, count(DISTINCT u) AS dau FROM ud GROUP BY day),
+        |cov AS (SELECT DISTINCT u, day + CAST(i AS INT) AS day
+        |        FROM ud, range(0, 7) r(i)),
+        |wau AS (SELECT day, count(*) AS wau FROM cov GROUP BY day)
+        |SELECT dau.day, dau.dau, wau.wau FROM dau JOIN wau USING (day)""".stripMargin,
 
     "ev_anomaly_days" ->
       """WITH d AS (SELECT event_type, CAST(ts AS DATE) AS day,

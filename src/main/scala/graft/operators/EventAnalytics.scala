@@ -39,6 +39,35 @@ object EventAnalytics {
         countDistinct(col("u")).as("n_users"))
   }
 
+  /** Daily / trailing-7-day active users per day — DAU, WAU, and the
+    * stickiness numerator every engagement dashboard wants. WAU(d) is
+    * the distinct-user count over days [d−6, d]: computed by exploding
+    * each (user, active-day) row into the ≤7 trailing days it covers
+    * and re-distincting — day-grain rows ×7, never event-scale, and no
+    * windowed distinct (which Spark would compute per-frame). Only days
+    * with at least one event emit a row (a fully-idle calendar day is
+    * absent, matching the relational oracle).
+    *
+    * Scale shape: ONE distinct over (user, day) — the event stream's
+    * only full-width pass — then everything downstream is |users·days|
+    * day-grain: the 7-day cover explode, a distinct, and two counts,
+    * all map-side-combined.
+    */
+  def dauWau(events: DataFrame, userCol: String, tsCol: String): DataFrame = {
+    val ud = events.select(col(userCol).as("u"),
+      to_date(col(tsCol)).as("day")).distinct()
+    val dau = ud.groupBy(col("day")).agg(countDistinct(col("u")).as("dau"))
+    val wau = ud
+      .select(col("u"), explode(sequence(lit(0), lit(6))).as("off"),
+        col("day"))
+      .select(col("u"), date_add(col("day"), col("off")).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    // only event-bearing days: inner-join the cover counts onto DAU days
+    dau.join(wau, "day")
+      .select(col("day"), col("dau"), col("wau"))
+  }
+
   /** Daily volume anomalies per event type: days whose count deviates
     * from the type's mean by ≥ `zE3Threshold/1000` population standard
     * deviations — the ingest-volume alarm (a collector outage or a

@@ -713,6 +713,31 @@ class ExtensionsSpec extends SparkTestBase {
     assert(!out.exists(_._1 == "ping"))
   }
 
+  test("dauWau: WAU covers exactly the trailing 7 days; repeat events " +
+    "collapse to one active-day; idle days emit no row") {
+    import graft.operators.EventAnalytics
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      ("u1", ts("2024-03-01 10:00:00")),
+      ("u1", ts("2024-03-01 11:00:00")), // same (user, day): one active-day
+      ("u2", ts("2024-03-01 10:00:00")),
+      ("u1", ts("2024-03-08 10:00:00")), // 7 days later: out of 03-01's window
+      ("u3", ts("2024-03-05 10:00:00"))
+    ).toDF("user_id", "ts")
+    val out = EventAnalytics.dauWau(ev, "user_id", "ts")
+      .as[(java.sql.Date, Long, Long)].collect()
+      .map(r => r._1.toString -> (r._2, r._3)).toMap
+    // 03-01: dau 2 (u1,u2); wau = users active in [02-24, 03-01] = 2
+    assert(out("2024-03-01") === (2L, 2L))
+    // 03-05: dau 1 (u3); wau = active in [02-28, 03-05] = u1,u2,u3 = 3
+    assert(out("2024-03-05") === (1L, 3L))
+    // 03-08: dau 1 (u1); wau = active in [03-02, 03-08] = u3,u1 = 2
+    //        (03-01 activity is 7 days back — outside the window)
+    assert(out("2024-03-08") === (1L, 2L))
+    // idle days in between emit nothing
+    assert(out.size === 3)
+  }
+
   test("sourceDrift: identically-distributed sources score identically; " +
     "an exclusive-vocabulary source scores strictly higher") {
     import graft.operators.TextAnalysis
