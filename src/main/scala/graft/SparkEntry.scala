@@ -637,6 +637,28 @@ object SparkEntry {
         col("vec_id") < 10, k = 5)
     }),
 
+    // ---- ANN quality report: per-query recall of the IVF probe against
+    //      the exact brute-force top-k — the approximation MEASURED, not
+    //      assumed (the number a pipeline watches when tuning nprobe /
+    //      centroid count). Both sides are existing operators; the
+    //      comparison is |probes|·k rows ----
+    "sim_ann_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val exact = Similarity.cosineTopK(emb, "vec_id", "embedding",
+        col("vec_id") < 10, k = 5).select(col("query_id"), col("nbr_id"))
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        col("vec_id") < 10, k = 5).select(col("query_id"), col("nbr_id"))
+      val hits = exact.join(approx, Seq("query_id", "nbr_id"), "left_semi")
+        .groupBy(col("query_id")).agg(count(lit(1)).as("n_hits"))
+      exact.groupBy(col("query_id")).agg(count(lit(1)).as("n_exact"))
+        .join(hits, Seq("query_id"), "left")
+        .select(col("query_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"), col("n_exact"),
+          floor(lit(10000.0) * coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("n_exact").cast("double")).cast("long").as("recall_e4"))
+    }),
+
     // ---- semantic dedup (SemDeDup): cluster-bucketed embedding near-dup
     //      removal, lowest id per near pair survives ----
     "dd_semantic" -> ((s, dir) => {
@@ -2438,6 +2460,51 @@ object SparkEntry {
          |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
          |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    // ANN recall: compose the brute-force and IVF oracles, semi-join the
+    // ranked lists, count per-query overlap
+    "sim_ann_recall" -> {
+      val cosAssign = cosE6Sql("e.embedding", "c.embedding")
+      val cosScore = cosE6Sql("q.qv", "n.v")
+      val cosBrute = cosE6Sql("bq.qv", "e.embedding")
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+         |           WHERE vec_id % 50 = 0),
+         |assign0 AS (SELECT e.vec_id, c.cent_id, e.embedding AS v,
+         |    $cosAssign AS cos_e6 FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT vec_id, cent_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM assign0)
+         |  WHERE rn = 1),
+         |q AS (SELECT vec_id AS qid, cent_id, v AS qv FROM assign
+         |      WHERE vec_id < 10),
+         |iscored AS (SELECT q.qid AS query_id, n.vec_id AS nbr_id,
+         |             $cosScore AS cos_e6
+         |           FROM assign n JOIN q ON n.cent_id = q.cent_id
+         |           WHERE q.qid <> n.vec_id),
+         |iranked AS (SELECT query_id, nbr_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_e6 DESC, nbr_id ASC) AS rank FROM iscored)
+         |  WHERE rank <= 5),
+         |bq AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+         |       WHERE vec_id < 10),
+         |bscored AS (SELECT bq.qid AS query_id, e.vec_id AS nbr_id,
+         |              $cosBrute AS cos_e6
+         |            FROM embeddings e JOIN bq ON bq.qid <> e.vec_id),
+         |branked AS (SELECT query_id, nbr_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_e6 DESC, nbr_id ASC) AS rank FROM bscored)
+         |  WHERE rank <= 5),
+         |hits AS (SELECT b.query_id, count(*) AS n_hits FROM branked b
+         |         JOIN iranked a ON a.query_id = b.query_id
+         |           AND a.nbr_id = b.nbr_id
+         |         GROUP BY b.query_id),
+         |ex AS (SELECT query_id, count(*) AS n_exact FROM branked
+         |       GROUP BY query_id)
+         |SELECT ex.query_id, COALESCE(hits.n_hits, 0) AS n_hits, ex.n_exact,
+         |  CAST(floor(10000e0 * COALESCE(hits.n_hits, 0) / ex.n_exact)
+         |    AS BIGINT) AS recall_e4
+         |FROM ex LEFT JOIN hits USING (query_id)""".stripMargin
     },
 
     "dd_semantic" -> {
