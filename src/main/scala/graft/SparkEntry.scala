@@ -637,6 +637,18 @@ object SparkEntry {
         col("vec_id") < 10, k = 5)
     }),
 
+    // ---- the recall knob exercised: nprobe=2 probes each query's two
+    //      nearest buckets (candidates ≈ 2/C of the corpus); the oracle
+    //      replays the probe list, pinning multi-probe semantics —
+    //      dedup-free because every corpus vector lives in exactly one
+    //      bucket ----
+    "sim_ivf_topk_np2" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+        emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+        col("vec_id") < 10, k = 5, nprobe = 2)
+    }),
+
     // ---- ANN quality report: per-query recall of the IVF probe against
     //      the exact brute-force top-k — the approximation MEASURED, not
     //      assumed (the number a pipeline watches when tuning nprobe /
@@ -2460,6 +2472,39 @@ object SparkEntry {
          |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
          |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 5""".stripMargin
+    },
+
+    // IVF with nprobe=2: the oracle replays the per-query probe LIST
+    // (top-2 centroids by the assignment order), then scores the union
+    // of both buckets — each corpus vector lives in exactly one bucket,
+    // so the probe join emits no duplicates to dedup
+    "sim_ivf_topk_np2" -> {
+      val cosAssign = cosE6Sql("e.embedding", "c.embedding")
+      val cosScore = cosE6Sql("qp.qv", "n.v")
+      s"""WITH c AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+         |           WHERE vec_id % 50 = 0),
+         |assign0 AS (SELECT e.vec_id, c.cent_id, e.embedding AS v,
+         |    $cosAssign AS cos_e6 FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT vec_id, cent_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM assign0)
+         |  WHERE rn = 1),
+         |qp0 AS (SELECT e.vec_id AS qid, e.embedding AS qv, c.cent_id,
+         |    $cosAssign AS cos_e6 FROM embeddings e CROSS JOIN c
+         |  WHERE e.vec_id < 10),
+         |qp AS (SELECT qid, qv, cent_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY qid
+         |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM qp0)
+         |  WHERE rn <= 2),
+         |scored AS (SELECT qp.qid AS query_id, n.vec_id AS nbr_id,
+         |             $cosScore AS cos_e6
+         |           FROM assign n JOIN qp ON n.cent_id = qp.cent_id
+         |           WHERE qp.qid <> n.vec_id),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank
+         |           FROM scored)
+         |SELECT query_id, nbr_id, cos_e6, rank FROM ranked
+         |WHERE rank <= 5""".stripMargin
     },
 
     // ANN recall: compose the brute-force and IVF oracles, semi-join the
