@@ -446,6 +446,63 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("frequent_items guarantees hold on random streams, capacities, " +
+    "and partitionings: intervals bracket truth, bound respected, " +
+    "heavy items guaranteed present") {
+    import graft.functions.FrequentItems
+    val genCase = for {
+      n <- Gen.choose(50, 400)
+      alpha <- Gen.choose(1, 8) // skew: item id ~ x % (alpha*10)
+      cap <- Gen.choose(2, 12)
+      parts <- Gen.choose(1, 7)
+      xs <- Gen.listOfN(n, Gen.choose(0, 1000))
+    } yield (xs.map(x => s"i${(x * x) % (alpha * 10)}"), cap, parts)
+    samples(genCase, 8).foreach { case (stream, cap, parts) =>
+      val truth = stream.groupBy(identity)
+        .map { case (k, v) => k -> v.size.toLong }
+      val out = spark.createDataset(stream).repartition(parts).toDF("item")
+        .agg(FrequentItems.frequentItems(col("item"), cap).as("fi"))
+        .select(explode(col("fi")).as("e"))
+        .select("e.item", "e.cnt_lo", "e.cnt_hi")
+        .as[(String, Long, Long)].collect()
+      assert(out.length <= cap, s"cap $cap exceeded: ${out.length}")
+      out.foreach { case (item, lo, hi) =>
+        assert(lo <= truth(item) && truth(item) <= hi,
+          s"$item [$lo,$hi] vs ${truth(item)} (cap $cap parts $parts)")
+      }
+      val bound = (stream.size.toLong - out.map(_._2).sum) / (cap + 1L)
+      truth.filter(_._2 > bound).keys.foreach { k =>
+        assert(out.exists(_._1 == k),
+          s"item $k (freq ${truth(k)} > bound $bound) missing " +
+            s"(cap $cap parts $parts)")
+      }
+    }
+  }
+
+  test("tokenEntropy's in-row fold matches a driver-side relational " +
+    "recompute on random corpora") {
+    import graft.operators.TextAnalysis
+    val words = Seq("a", "b", "c", "dd", "eee")
+    val genDocs = Gen.choose(1, 10).flatMap(n => Gen.listOfN(n,
+      Gen.choose(0, 12).flatMap(len =>
+        Gen.listOfN(len, Gen.oneOf(words)).map(_.mkString(" ")))))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+    samples(genDocs, 6).foreach { docs =>
+      val out = TextAnalysis.tokenEntropy(
+        docs.toDF("doc_id", "text"), "doc_id", "text")
+        .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      docs.foreach { case (id, t) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        val counts = toks.groupBy(identity).map(_._2.length.toLong)
+        val l = toks.length.toLong
+        val ent = counts.map(c => math.floor(
+          1e6 * (c.toDouble / l) * math.log(l.toDouble / c)).toLong).sum
+        assert(out(id) === (id, l, counts.size.toLong,
+          if (l == 0) 0L else ent))
+      }
+    }
+  }
+
   test("tx warehouse model check: random append/replace/delete sequences " +
     "match an in-memory partition model at every step") {
     import graft.tableops.TxWarehouse
