@@ -406,6 +406,27 @@ object SparkEntry {
           col("sum_qty"))
     }),
 
+    // ---- TPC-H Q10 analog: top-20 customers by returned-item revenue
+    //      in a quarter — selective filters reach both scans, the
+    //      customer dim broadcasts, and the top-20 plans as
+    //      TakeOrderedAndProject (per-partition bounded heaps + driver
+    //      merge, no global sort) ----
+    "q10_returned_items" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      o.filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        .join(li.filter(col("l_returnflag") === "R"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_e2"))
+        .orderBy(col("revenue_e2").desc, col("c_custkey").asc)
+        .limit(20)
+    }),
+
     "q3_shipping_priority" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
@@ -1790,6 +1811,20 @@ object SparkEntry {
         |FROM orders
         |JOIN big ON o_orderkey = l_orderkey
         |JOIN customer ON c_custkey = o_custkey""".stripMargin,
+
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, c_nationkey,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_e2
+        |FROM orders
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND l_returnflag = 'R'
+        |GROUP BY c_custkey, c_name, c_nationkey
+        |ORDER BY revenue_e2 DESC, c_custkey
+        |LIMIT 20""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

@@ -279,6 +279,14 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("BroadcastHashJoin") || !p.contains("SortMergeJoin"), p)
   }
 
+  test("q10: top-20 plans as TakeOrderedAndProject (bounded per-partition " +
+    "heaps), dims broadcast, no global sort") {
+    val p = planned("q10_returned_items")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("hybrid RRF: both arms top out through the bounded heap — no " +
     "Window anywhere; probe sides broadcast") {
     val p = planned("tx_hybrid_rrf")
