@@ -1038,6 +1038,40 @@ object SparkEntry {
           "text", "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L),
         pairsDistinct = true)),
 
+    // ---- dedup tier REPORT: what each tier would remove (docs +
+    //      characters) — the decision table for choosing which tiers
+    //      pay their cost on a given corpus. Pure composition of the
+    //      oracled tiers (exact, md5-minhash-LSH, containment,
+    //      SemDeDup), drop rule everywhere = "has a lower-id qualifying
+    //      neighbor" ----
+    "dd_tier_report" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val emb = Tables.embeddings(s, dir)
+      def stats(drops: DataFrame, tier: String) =
+        docs.join(drops, Seq("doc_id"), "left_semi")
+          .agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("n_chars")), lit(0L)).as("chars_dropped"))
+          .select(lit(tier).as("tier"), col("n_docs"), col("chars_dropped"))
+      val exactDrops = docs.join(
+        TextDedup.exactDedup(docs, "doc_id", "text").select("doc_id"),
+        Seq("doc_id"), "left_anti").select("doc_id")
+      val mhDrops = TextDedup.minhashMd5DedupPairs(docs, "doc_id", "text",
+          numHashes = 16, bands = 4, minJaccardE4 = 5000L)
+        .select(col("id_b").as("doc_id")).distinct()
+      val ctDrops = TextDedup.containmentPairs(docs, "doc_id", "text",
+          minContainE4 = 6000)
+        .select(col("id_b").as("doc_id")).distinct()
+      val semDrops = emb.select(col("vec_id").as("doc_id")).join(
+        Similarity.semanticDedup(emb, "vec_id", "embedding",
+          emb.filter(col("vec_id") % 50 === 0), "vec_id", "embedding",
+          minCosE6 = 350000L).select(col("vec_id").as("doc_id")),
+        Seq("doc_id"), "left_anti")
+      stats(exactDrops, "exact")
+        .unionByName(stats(mhDrops, "minhash"))
+        .unionByName(stats(ctDrops, "containment"))
+        .unionByName(stats(semDrops, "semantic"))
+    }),
+
     // ---- quality-aware cluster representatives: per near-dup cluster,
     //      keep the longest member (ties → lowest id) — the keep-best
     //      policy, as a min_by aggregate with map-side combine ----
@@ -2018,6 +2052,76 @@ object SparkEntry {
          |  SELECT r.n, e2.b FROM reach r JOIN e e2 ON e2.a = r.m)
          |SELECT n AS id, CAST(min(m) AS BIGINT) AS label
          |FROM reach GROUP BY n""".stripMargin,
+
+    // tier report: the four tiers' oracle chains composed, each reduced
+    // to its drop set and joined to the doc lengths
+    "dd_tier_report" -> {
+      val cosAssign = cosE6Sql("e.embedding", "c.embedding")
+      val cosPair = cosE6Sql("a.v", "b.v")
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |s AS (SELECT doc_id, $ShingleSql AS sh FROM t),
+         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5LongSql("x")}) AS hl
+         |      FROM s),
+         |sg AS (SELECT doc_id,
+         |        [list_min(list_transform(hl, x -> CAST(concat('0x',
+         |           substr(md5(concat(CAST(i // 2 AS VARCHAR), '#',
+         |                             CAST(x AS VARCHAR))),
+         |                  1 + 15 * (i % 2), 15)) AS BIGINT)))
+         |         for i in range(0, 16)] AS sig
+         |       FROM h),
+         |b AS (SELECT doc_id, u.b AS band,
+         |        array_to_string(sig[u.b * 4 + 1 : u.b * 4 + 4], ',') AS bucket
+         |      FROM sg, unnest([0, 1, 2, 3]) AS u(b)),
+         |cand AS (SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+         |         FROM b a JOIN b b2 ON a.band = b2.band AND a.bucket = b2.bucket
+         |           AND a.doc_id < b2.doc_id),
+         |j AS (SELECT c.id_a, c.id_b,
+         |        CAST(floor(len(list_intersect(ha.hl, hb.hl)) * 10000.0 /
+         |          (len(ha.hl) + len(hb.hl) - len(list_intersect(ha.hl, hb.hl))))
+         |          AS BIGINT) AS jaccard_e4
+         |      FROM cand c JOIN h ha ON ha.doc_id = c.id_a
+         |                  JOIN h hb ON hb.doc_id = c.id_b),
+         |mh_drops AS (SELECT DISTINCT id_b AS doc_id FROM j
+         |             WHERE jaccard_e4 >= 5000),
+         |sz AS (SELECT doc_id, len(sh) AS sz FROM s),
+         |ee AS (SELECT doc_id, unnest(sh) AS g FROM s),
+         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+         |      FROM ee a JOIN ee b ON a.g = b.g AND a.doc_id < b.doc_id
+         |      GROUP BY 1, 2),
+         |ct_drops AS (SELECT DISTINCT id_b AS doc_id
+         |  FROM p JOIN sz za ON za.doc_id = id_a JOIN sz zb ON zb.doc_id = id_b
+         |  WHERE floor(inter * 10000.0 / least(za.sz, zb.sz)) >= 6000),
+         |ex_drops AS (SELECT d.doc_id FROM documents d WHERE EXISTS (
+         |  SELECT 1 FROM documents d2 WHERE d2.text = d.text
+         |    AND d2.doc_id < d.doc_id)),
+         |c AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+         |      WHERE vec_id % 50 = 0),
+         |assign0 AS (SELECT e.vec_id, c.cent_id, e.embedding AS v,
+         |    $cosAssign AS cos_e6 FROM embeddings e CROSS JOIN c),
+         |assign AS (SELECT vec_id, cent_id, v FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id
+         |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM assign0)
+         |  WHERE rn = 1),
+         |sem_drops AS (SELECT DISTINCT b.vec_id AS doc_id FROM assign a
+         |  JOIN assign b ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+         |  WHERE $cosPair >= 350000),
+         |dd AS (SELECT doc_id, n_chars FROM documents)
+         |SELECT 'exact' AS tier, count(*) AS n_docs,
+         |  COALESCE(CAST(sum(n_chars) AS BIGINT), 0) AS chars_dropped
+         |FROM dd JOIN ex_drops USING (doc_id)
+         |UNION ALL
+         |SELECT 'minhash', count(*),
+         |  COALESCE(CAST(sum(n_chars) AS BIGINT), 0)
+         |FROM dd JOIN mh_drops USING (doc_id)
+         |UNION ALL
+         |SELECT 'containment', count(*),
+         |  COALESCE(CAST(sum(n_chars) AS BIGINT), 0)
+         |FROM dd JOIN ct_drops USING (doc_id)
+         |UNION ALL
+         |SELECT 'semantic', count(*),
+         |  COALESCE(CAST(sum(n_chars) AS BIGINT), 0)
+         |FROM dd JOIN sem_drops USING (doc_id)""".stripMargin
+    },
 
     "dd_cluster_best" ->
       s"""WITH RECURSIVE ${jaccardPairCtes("documents")},
