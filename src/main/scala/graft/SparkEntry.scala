@@ -875,6 +875,20 @@ object SparkEntry {
       graft.operators.NgramLm.scoreByCorpus(
         Tables.documents(s, dir), "doc_id", "text")),
 
+    // ---- HELD-OUT n-gram LM evaluation: the trigram model is built
+    //      from the train split ONLY and scores the val+test docs — the
+    //      train/eval discipline (self-scoring, as tx_ngram_lm does, is
+    //      the quality signal; this is the generalization measurement,
+    //      leak-proof by the disjoint-hash split construction) ----
+    "tx_ngram_lm_eval" -> ((s, dir) => {
+      val split = Curation.assignSplits(Tables.documents(s, dir), "doc_id",
+        Seq("train" -> 9000L, "val" -> 500L, "test" -> 500L))
+      graft.operators.NgramLm.score(
+        split.filter(col("split") =!= "train"),
+        split.filter(col("split") === "train"),
+        "doc_id", "text")
+    }),
+
     // ---- BPE LEARNING itself, value-level oracled: the first 8 merges
     //      learned from the corpus (TextBpe.learnBpe — the driver-side
     //      loop over the bounded word-frequency table). The result is a
@@ -2322,6 +2336,40 @@ object SparkEntry {
          |       COALESCE(agg.lp_sum_e4, 0) AS lp_sum_e4
          |FROM (SELECT DISTINCT doc_id FROM documents) d
          |LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // held-out LM eval: the tx_ngram_lm chain with the model CTEs
+    // restricted to the hash-train split and scoring restricted to its
+    // complement
+    "tx_ngram_lm_eval" -> {
+      val h = md5LongSql("concat('split#', CAST(doc_id AS VARCHAR))")
+      s"""WITH w AS (SELECT doc_id, ($h % 10000) < 9000 AS is_train,
+         |           $W AS t FROM documents),
+         |g AS (SELECT doc_id, is_train,
+         |        t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1] AS ctx,
+         |        t[CAST(i AS INT)] || ' ' || t[CAST(i AS INT)+1] || ' ' ||
+         |          t[CAST(i AS INT)+2] AS tri
+         |      FROM w, unnest(range(1, len(t) - 1)) AS r(i)),
+         |c3 AS (SELECT tri, ctx, count(*) AS c3 FROM g WHERE is_train
+         |       GROUP BY tri, ctx),
+         |c2 AS (SELECT ctx, sum(c3) AS c2 FROM c3 GROUP BY ctx),
+         |v AS (SELECT count(DISTINCT u.w) AS vocab
+         |      FROM (SELECT unnest(t) AS w FROM w WHERE is_train) u
+         |      WHERE length(u.w) > 0),
+         |sc AS (SELECT g.doc_id,
+         |        CAST(floor(10000.0 * ln((COALESCE(x.c3, 0) + 1) /
+         |          (COALESCE(c2.c2, 0) + v.vocab))) AS BIGINT) AS lp_e4
+         |      FROM g
+         |      LEFT JOIN (SELECT tri, c3 FROM c3) x USING (tri)
+         |      LEFT JOIN c2 USING (ctx), v
+         |      WHERE NOT g.is_train),
+         |agg AS (SELECT doc_id, count(*) AS n_ngrams,
+         |        CAST(sum(lp_e4) AS BIGINT) AS lp_sum_e4
+         |        FROM sc GROUP BY doc_id)
+         |SELECT d.doc_id, COALESCE(agg.n_ngrams, 0) AS n_ngrams,
+         |       COALESCE(agg.lp_sum_e4, 0) AS lp_sum_e4
+         |FROM (SELECT DISTINCT doc_id FROM w WHERE NOT is_train) d
+         |LEFT JOIN agg USING (doc_id)""".stripMargin
+    },
 
     "tx_bm25_topk" -> bm25Sql(10),
 
