@@ -769,6 +769,24 @@ object SparkEntry {
       Sessions.sessionize(Tables.events(s, dir), "user_id", "ts")
         .withColumn("session_idx", col("session_idx").cast("long"))),
 
+    // ---- inter-event-gap histogram: per-user consecutive gaps bucketed
+    //      by floor(log2(gap_seconds + 1)) — the diagnostic that sizes
+    //      the sessionization gap threshold (a bimodal histogram's
+    //      valley IS the threshold). One user-key exchange (the
+    //      sessionize window), then a bounded-domain count ----
+    "ev_gap_hist" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .filter(col("prev").isNotNull)
+        .select(floor(log2(
+          (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))).cast("double")
+            + lit(1.0))).cast("long").as("gap_bucket"))
+        .groupBy(col("gap_bucket")).agg(count(lit(1)).as("n_gaps"))
+    }),
+
     // ---- engagement: DAU + trailing-7-day WAU per event-bearing day.
     //      One (user, day) distinct off the event stream, then day-grain
     //      cover-explode — no event-scale windowed distinct ----
@@ -948,6 +966,17 @@ object SparkEntry {
         .select(explode(split(coalesce(col("text"), lit("")), "\\s+")).as("token"))
         .groupBy(col("token")).agg(count(lit(1)).as("freq"))
         .groupBy(col("freq")).agg(count(lit(1)).as("n_tokens"))),
+
+    // ---- embedding-norm histogram: the collapsed/blown-up-vector
+    //      health check (an encoder regression shows up as mass moving
+    //      across buckets). Map-side norm + e1-floor bucket, bounded-
+    //      domain count — one scan, tiny output ----
+    "emb_norm_hist" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(floor(Similarity.norm(
+          transform(col("embedding"), x => x.cast("double"))) * 10)
+          .cast("long").as("norm_e1"))
+        .groupBy(col("norm_e1")).agg(count(lit(1)).as("n_vectors"))),
 
     // ---- per-label centroid accumulators (k-means/IVF training step) ----
     "emb_centroids" -> ((s, dir) =>
@@ -2172,6 +2201,24 @@ object SparkEntry {
         |SELECT user_id, session_idx, min(ts) AS session_start,
         |       max(ts) AS session_end, count(*) AS n_events
         |FROM s GROUP BY user_id, session_idx""".stripMargin,
+
+    "emb_norm_hist" ->
+      """SELECT CAST(floor(sqrt(list_reduce(
+        |    [CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)
+        |     for i in range(1, len(embedding)+1)], (x, y) -> x + y)) * 10)
+        |  AS BIGINT) AS norm_e1, count(*) AS n_vectors
+        |FROM embeddings GROUP BY 1""".stripMargin,
+
+    "ev_gap_hist" ->
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id,
+        |    lag(CAST(ts AS TIMESTAMP)) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS prev
+        |  FROM events)
+        |SELECT CAST(floor(log2(CAST(
+        |    CAST(floor(epoch(ts)) AS BIGINT) -
+        |    CAST(floor(epoch(prev)) AS BIGINT) AS DOUBLE) + 1.0))
+        |  AS BIGINT) AS gap_bucket, count(*) AS n_gaps
+        |FROM o WHERE prev IS NOT NULL GROUP BY 1""".stripMargin,
 
     "ev_dau_wau" ->
       """WITH ud AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS day
