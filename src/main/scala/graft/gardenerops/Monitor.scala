@@ -80,18 +80,33 @@ final class Monitor(
             action.condition(state, job) &&
             tracker.claim(key, name, claimLeaseMillis)) {
           dispatched.add(key)
-          pool.submit(new Runnable {
+          // count in-flight from DISPATCH, not from thread start: a
+          // claimed action sitting in the pool queue must already hold
+          // off gracefulShutdown's drain check, or shutdown can sync
+          // the tracker and report drained with the action still to run
+          running.incrementAndGet()
+          try pool.submit(new Runnable {
             override def run(): Unit =
               try applyAction(key, job, action)
-              finally { dispatched.remove(key); () }
+              finally {
+                dispatched.remove(key); running.decrementAndGet(); ()
+              }
           })
+          catch {
+            case _: java.util.concurrent.RejectedExecutionException =>
+              // pool already shut down (close raced the tick): undo
+              dispatched.remove(key)
+              running.decrementAndGet()
+              tracker.releaseClaim(key, name)
+          }
         }
       }
     }
   }
 
   private def applyAction(key: String, job: Job, action: Action): Unit = {
-    running.incrementAndGet()
+    // in-flight accounting lives at the dispatch site (tick), which
+    // covers the queued-but-not-yet-started window too
     val t0 = clock()
     val outcome = Try(action.run(job)) match {
       case TSuccess(o) => o
@@ -137,9 +152,8 @@ final class Monitor(
     }
     outcome match {
       case Outcome.Retry(_) if !stale => () // claim stays parked
-      case _ => tracker.releaseClaim(key, name)
+      case _ => tracker.releaseClaim(key, name): Unit
     }
-    running.decrementAndGet(): Unit
   }
 
   /** Start the polling loop (reference poll period: 5 s in prod main). */

@@ -353,4 +353,28 @@ object Streams {
   def exactlyOnceSink(wh: graft.tableops.TxWarehouse, path: String,
       appId: String): (DataFrame, Long) => Unit =
     (batch, batchId) => { wh.appendTxn(batch.sparkSession, batch, path, appId, batchId); () }
+
+  /** Exactly-once streaming CDC APPLY for `foreachBatch`: each
+    * micro-batch is a change set (full rows + an optional delete-flag
+    * column) MERGED into the tx table by key
+    * ([[graft.tableops.TxWarehouse.mergeIntoTxn]]) — upserts replace,
+    * flagged keys delete, and the batch's `(appId, batchId)` watermark
+    * rides the same atomic commit, so a crash-replayed batch is skipped
+    * and the table converges to exactly-once MERGED contents. This is
+    * the upsert dual of [[exactlyOnceSink]]: append-only streams land
+    * with appendTxn; keyed changelogs (debezium-style feeds, dimension
+    * updates, late corrections) land here. A batch may still race a
+    * concurrent writer on overlapping keys — mergeIntoTxn throws the
+    * retryable conflict and Structured Streaming's own retry re-runs
+    * the batch against fresh state with the SAME batchId, which the
+    * watermark keeps idempotent.
+    */
+  def cdcApplySink(wh: graft.tableops.TxWarehouse, path: String,
+      keyCols: Seq[String], deleteCol: Option[String],
+      appId: String): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      wh.mergeIntoTxn(batch.sparkSession, batch, path, keyCols, deleteCol,
+        appId, batchId)
+      ()
+    }
 }

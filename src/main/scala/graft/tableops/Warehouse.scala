@@ -138,6 +138,16 @@ trait Warehouse {
 final class ConcurrentCommitException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
 
+/** What a [[TxWarehouse.mergeInto]] did, in file and row terms.
+  * `filesKept` is the headline scale number: live files the manifest
+  * stats PROVED key-disjoint from the change set — never read, never
+  * rewritten. `rowsWritten` counts the rewritten files' output
+  * (surviving base rows + upserts); `rowsUpserted`/`deleteKeys` size
+  * the change set itself.
+  */
+final case class MergeStats(filesRewritten: Int, filesKept: Int,
+    rowsWritten: Long, rowsUpserted: Long, deleteKeys: Long)
+
 /** The atomic exclusive publish behind every [[TxWarehouse]] commit:
   * move a FULLY-WRITTEN temp file to `dest`, returning true iff THIS
   * call created `dest` and false iff `dest` already existed (a racing
@@ -1124,6 +1134,164 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
           .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
       } else None
     commitReplace(spark, path, date, adds, expected, addedSchema)
+  }
+
+  /** Keyed MERGE — Delta-style upsert + delete applied as copy-on-write
+    * at FILE granularity, with the manifest's column stats deciding
+    * which files the change set can possibly touch:
+    *
+    *  - `changes` carries full table rows (same columns as the table,
+    *    schema evolution allowed — new columns null-fill the kept base)
+    *    plus, when `deleteCol` is set, a boolean column marking rows
+    *    whose KEY should be deleted instead of upserted. Keys must be
+    *    unique within one change set (checked — two change rows for one
+    *    key have no deterministic merge result).
+    *  - Files whose recorded min/max on the LEADING key column prove
+    *    them disjoint from every change key are never read and never
+    *    rewritten — at archive scale a daily CDC increment rewrites the
+    *    files its keys land in (tight after range/Z-order clustered
+    *    compaction), not the table. Change keys collect to the driver
+    *    only up to `maxInKeys` distinct leading values (exact per-file
+    *    `In` pruning); above that the prune falls back to the change
+    *    set's [min,max] range — still sound, just coarser.
+    *  - The rewrite is one broadcast anti-join: touched base rows
+    *    minus changed keys, union the upsert rows. The change set is
+    *    increment-sized by assumption and rides the broadcast; the
+    *    touched files stream map-side.
+    *  - Commit retires exactly the touched files and publishes the new
+    *    ones atomically. Conflict detection is LOGICAL, like Delta's:
+    *    a concurrent commit that added or retired a file overlapping
+    *    the change keys throws [[ConcurrentCommitException]] (the
+    *    outcome algebra maps it to Retry — replan against fresh state);
+    *    concurrent commits on disjoint key ranges are absorbed and the
+    *    merge commits on top of them.
+    *
+    * Returns [[MergeStats]]; an empty change set is a no-op (no commit).
+    */
+  def mergeInto(spark: SparkSession, changes: DataFrame, path: String,
+      keyCols: Seq[String], deleteCol: Option[String] = None,
+      maxInKeys: Int = 10000): MergeStats =
+    mergeImpl(spark, changes, path, keyCols, deleteCol, maxInKeys, None)
+      .getOrElse(sys.error("unreachable: non-txn merge never skips"))
+
+  /** Idempotent merge for streaming CDC apply (foreachBatch): the commit
+    * carries `T appId batchId`, and a batch at-or-below the app's
+    * committed watermark returns None without writing — a restarted
+    * stream replaying its last micro-batch cannot double-apply, which
+    * upgrades at-least-once replay to exactly-once MERGED contents (the
+    * upsert itself is idempotent, but a replayed DELETE racing a
+    * concurrent re-insert, or replayed non-idempotent aggregates, are
+    * not — the watermark closes that).
+    */
+  def mergeIntoTxn(spark: SparkSession, changes: DataFrame, path: String,
+      keyCols: Seq[String], deleteCol: Option[String], appId: String,
+      batchId: Long, maxInKeys: Int = 10000): Option[MergeStats] = {
+    require(!appId.exists(_.isWhitespace), "appId must not contain whitespace")
+    if (lastTxn(spark, path, appId) >= batchId) return None
+    mergeImpl(spark, changes, path, keyCols, deleteCol, maxInKeys,
+      Some((appId, batchId)))
+  }
+
+  /** Test seam: like [[mergeInto]], with `afterPlan` fired between the
+    * plan's manifest snapshot and the commit — the multi-driver window
+    * the logical conflict check exists for.
+    */
+  private[tableops] def mergeIntoHooked(spark: SparkSession,
+      changes: DataFrame, path: String, keyCols: Seq[String],
+      deleteCol: Option[String], afterPlan: () => Unit): MergeStats =
+    mergeImpl(spark, changes, path, keyCols, deleteCol, 10000, None,
+      afterPlan)
+      .getOrElse(sys.error("unreachable: non-txn merge never skips"))
+
+  private def mergeImpl(spark: SparkSession, changes: DataFrame,
+      path: String, keyCols: Seq[String], deleteCol: Option[String],
+      maxInKeys: Int, txn: Option[(String, Long)],
+      afterPlan: () => Unit = () => ()): Option[MergeStats] = {
+    // a not-yet-created table is legal (CDC bootstrap): the merge
+    // degenerates to an append of the upsert rows at v1
+    require(keyCols.nonEmpty, "mergeInto needs at least one key column")
+    deleteCol.foreach(c => require(!keyCols.contains(c),
+      "deleteCol cannot be a key column"))
+    val ch = changes.persist()
+    try {
+      val dupKeys = ch.groupBy(keyCols.map(col): _*)
+        .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1).count()
+      require(dupKeys == 0L,
+        s"change set has duplicate keys on (${keyCols.mkString(", ")}) — " +
+          "merge result would be nondeterministic")
+      val del = deleteCol.map(c => ch.filter(coalesce(col(c), lit(false))))
+        .getOrElse(ch.limit(0))
+      val ups = deleteCol
+        .map(c => ch.filter(!coalesce(col(c), lit(false))).drop(c))
+        .getOrElse(ch)
+      val delKeys = del.count()
+      val upsRows = ups.count()
+      if (delKeys + upsRows == 0L)
+        return Some(MergeStats(0, state(spark, path)._2.size, 0L, 0L, 0L))
+      // leading-key prune predicate: exact In up to maxInKeys distinct
+      // values, [min,max] range above
+      val lead = keyCols.head
+      val leadVals = ch.select(col(lead)).distinct()
+        .limit(maxInKeys + 1).collect().map(_.get(0))
+      val prunePred =
+        if (leadVals.length <= maxInKeys) col(lead).isin(leadVals.toSeq: _*)
+        else {
+          val mm = ch.agg(min(col(lead)).as("lo"), max(col(lead)).as("hi")).head()
+          col(lead).between(lit(mm.get(0)), lit(mm.get(1)))
+        }
+      val pred = org.apache.spark.sql.graftshim.PredicateBridge
+        .normalize(prunePred)
+      def overlap(st: TxState): Set[String] = st.live.keys.filter { rel =>
+        st.stats.get(rel).flatMap(FileStats.decode) match {
+          case Some(p) => FileStats.mayMatch(p, pred)
+          case None => true // unprovable: must be treated as touched
+        }
+      }.toSet
+      val (v0, st0) = replay(spark, path)
+      if (txn.exists { case (app, b) => st0.txns.getOrElse(app, -1L) >= b })
+        return None
+      val touched = overlap(st0)
+      afterPlan()
+      val chKeys = ch.select(keyCols.map(col): _*)
+      val survivors =
+        if (touched.isEmpty) None
+        else Some(readFiles(spark, path, touched.toSeq.sorted)
+          .join(broadcast(chKeys), keyCols, "left_anti"))
+      val out = survivors match {
+        case Some(s) => s.unionByName(ups, allowMissingColumns = true)
+        case None => ups
+      }
+      val obs = new org.apache.spark.sql.Observation()
+      val (adds, _) =
+        writeData(spark, out.observe(obs, count(lit(1)).as("rows")), path)
+      val rowsWritten = obs.get("rows").asInstanceOf[Long]
+      val f = fs(spark, path)
+      var attempts = 0
+      while (attempts < MaxCommitAttempts) {
+        val (v, st) = replay(spark, path)
+        if (txn.exists { case (app, b) => st.txns.getOrElse(app, -1L) >= b })
+          return None // duplicate applier won the race after our plan
+        val overlapNow = overlap(st)
+        if (overlapNow != touched)
+          throw new ConcurrentCommitException(
+            s"merge on (${keyCols.mkString(", ")}) of $path planned " +
+              s"against ${touched.size} key-overlapping files at " +
+              s"v$v0, but v$v has ${overlapNow.size} — a concurrent " +
+              "commit touched the change keys; re-run against fresh state")
+        val lines = addLines(adds) ++
+          touched.toSeq.sorted.map(r => s"R $r") ++
+          (if (adds.nonEmpty) schemaLines(st.schemaJson, out.schema) else Nil) ++
+          txn.map { case (app, b) => s"T $app $b" }.toSeq
+        if (tryCommit(f, path, v + 1, lines)) {
+          maybeCheckpoint(spark, path, v + 1)
+          return Some(MergeStats(touched.size, st.live.size - touched.size,
+            rowsWritten, upsRows, delKeys))
+        }
+        attempts += 1
+      }
+      throw new IllegalStateException(
+        s"commit contention: $MaxCommitAttempts failed attempts on $path")
+    } finally { ch.unpersist() }
   }
 
   /** The manifest gives the file list AND (for commits since the `F`

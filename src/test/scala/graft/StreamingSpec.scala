@@ -330,6 +330,52 @@ class StreamingSpec extends SparkTestBase {
     assert(wh.read(spark, path).count() === 4)
   }
 
+  test("streaming CDC apply: keyed change batches merge exactly-once — " +
+    "upserts replace, flagged keys delete, a replayed batch is a no-op") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_stream_cdc").toString
+    val wh = new graft.tableops.TxWarehouse(root)
+    val path = wh.tablePath("dim", "users")
+    val sink = Streams.cdcApplySink(wh, path, Seq("k"), Some("del"), "cdcq")
+
+    def snap(): Map[Long, String] =
+      wh.read(spark, path).select("k", "s").as[(Long, String)]
+        .collect().toMap
+
+    val mem = MemoryStream[(Long, String, Boolean)]
+    val changes = mem.toDF().toDF("k", "s", "del")
+      .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+    val q = changes.writeStream.foreachBatch(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_cdc_ckpt").toString)
+      .start()
+    // batch 0 bootstraps the table
+    mem.addData((1L, "a", false), (2L, "b", false))
+    q.processAllAvailable()
+    assert(snap() === Map(1L -> "a", 2L -> "b"))
+    // batch 1: update 1, delete 2, insert 3
+    mem.addData((1L, "A", false), (2L, "", true), (3L, "c", false))
+    q.processAllAvailable()
+    q.stop()
+    assert(snap() === Map(1L -> "A", 3L -> "c"))
+    assert(wh.lastTxn(spark, path, "cdcq") === 1L)
+
+    // crash-recovery replay of the last batch: merged contents unchanged
+    val replayed = Seq((1L, "A", false), (2L, "", true), (3L, "c", false))
+      .toDF("k", "s", "del")
+      .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+    val v = wh.currentVersion(spark, path)
+    sink(replayed, 1L)
+    assert(wh.currentVersion(spark, path) === v)
+    assert(snap() === Map(1L -> "A", 3L -> "c"))
+    // a genuinely new batch applies — and deleting a never-seen key is
+    // a tolerated no-op, the changelog idiom for out-of-order deletes
+    sink(Seq((9L, "", true), (3L, "C", false)).toDF("k", "s", "del")
+      .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01"))), 2L)
+    assert(snap() === Map(1L -> "A", 3L -> "C"))
+  }
+
   test("streaming transitions emit consecutive steps per user and match " +
     "the batch operator on an in-order stream") {
     import spark.implicits._

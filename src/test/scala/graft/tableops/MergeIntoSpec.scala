@@ -1,0 +1,184 @@
+package graft.tableops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Keyed MERGE on the tx backend: upsert/delete semantics, file-level
+  * stats pruning (untouched files survive byte-identical), logical
+  * conflict detection against concurrent commits, schema evolution
+  * through the merge, and the txn-marker idempotence streaming CDC
+  * apply rides on.
+  */
+class MergeIntoSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  private val D = java.sql.Date.valueOf("2024-09-01")
+
+  private def base(ks: Range): DataFrame =
+    ks.map(k => (k.toLong, s"v$k", D)).toDF("k", "s", "date")
+
+  private def fresh(tag: String): (TxWarehouse, String) = {
+    val wh = new TxWarehouse(Files.createTempDirectory(s"graft-$tag").toString)
+    (wh, wh.tablePath("m", "t"))
+  }
+
+  private def contents(wh: TxWarehouse, path: String): Map[Long, String] =
+    wh.read(spark, path).select("k", "s").as[(Long, String)].collect().toMap
+
+  test("upsert + delete in one change set: updates replace, inserts " +
+    "append, deletes remove; one commit; stats are accurate") {
+    val (wh, path) = fresh("mg1")
+    wh.append(spark, base(1 to 100), path) // v1
+    val changes = Seq(
+      (5L, "V5", D, false),   // update
+      (200L, "V200", D, false), // insert
+      (7L, "", D, true)       // delete
+    ).toDF("k", "s", "date", "del")
+    val st = wh.mergeInto(spark, changes, path, Seq("k"), Some("del"))
+    assert(wh.currentVersion(spark, path) == 2L)
+    assert(st.rowsUpserted == 2L && st.deleteKeys == 1L)
+    val got = contents(wh, path)
+    assert(got.size == 100) // 100 - 1 deleted + 1 inserted
+    assert(got(5L) == "V5" && got(200L) == "V200" && !got.contains(7L))
+    assert(got(6L) == "v6") // untouched row survives
+  }
+
+  test("manifest-stats pruning: a merge whose keys land in one of 8 " +
+    "range-clustered files rewrites exactly that file; the other 7 " +
+    "survive as the SAME physical files") {
+    val (wh, path) = fresh("mg2")
+    wh.append(spark,
+      base(0 until 800).repartitionByRange(8, col("k")), path)
+    val before = wh.partitionFiles(spark, path, D.toLocalDate).map(_._1).toSet
+    assert(before.size == 8)
+    // keys 10..19 sit in the first range bucket only
+    val changes = (10 until 20).map(k => (k.toLong, "X", D)).toDF("k", "s", "date")
+    val st = wh.mergeInto(spark, changes, path, Seq("k"))
+    assert(st.filesRewritten == 1 && st.filesKept == 7,
+      s"expected 1 rewritten / 7 kept, got $st")
+    val after = wh.partitionFiles(spark, path, D.toLocalDate).map(_._1).toSet
+    assert((before & after).size == 7, "kept files must be byte-identical (same paths)")
+    val got = contents(wh, path)
+    assert(got.size == 800 && got(10L) == "X" && got(9L) == "v9")
+  }
+
+  test("empty change set is a no-op (no commit); duplicate change keys " +
+    "and a key-valued deleteCol are rejected loudly") {
+    val (wh, path) = fresh("mg3")
+    wh.append(spark, base(1 to 10), path)
+    val v = wh.currentVersion(spark, path)
+    val st = wh.mergeInto(spark, base(1 to 0), path, Seq("k"))
+    assert(st.rowsWritten == 0L && wh.currentVersion(spark, path) == v)
+    val dup = Seq((1L, "a", D), (1L, "b", D)).toDF("k", "s", "date")
+    val e = intercept[IllegalArgumentException] {
+      wh.mergeInto(spark, dup, path, Seq("k"))
+    }
+    assert(e.getMessage.contains("duplicate keys"))
+    intercept[IllegalArgumentException] {
+      wh.mergeInto(spark, base(1 to 1), path, Seq("k"), deleteCol = Some("k"))
+    }
+  }
+
+  test("null delete flags read as false (upsert); merge into a " +
+    "not-yet-created table bootstraps it from the upsert rows") {
+    val (wh, path) = fresh("mg4")
+    val changes = Seq(
+      (1L, "a", D, null.asInstanceOf[java.lang.Boolean]),
+      (2L, "b", D, java.lang.Boolean.TRUE)
+    ).toDF("k", "s", "date", "del")
+    val st = wh.mergeInto(spark, changes, path, Seq("k"), Some("del"))
+    assert(st.rowsUpserted == 1L && st.deleteKeys == 1L)
+    assert(contents(wh, path) == Map(1L -> "a"))
+    assert(wh.currentVersion(spark, path) == 1L)
+  }
+
+  test("schema evolution through the merge: changes carrying a new " +
+    "column null-fill the kept base rows and evolve the recorded schema") {
+    val (wh, path) = fresh("mg5")
+    wh.append(spark, base(1 to 4), path)
+    val changes = Seq((2L, "B", D, "en")).toDF("k", "s", "date", "lang")
+    wh.mergeInto(spark, changes, path, Seq("k"))
+    val got = wh.read(spark, path)
+    assert(got.columns.contains("lang"))
+    val langs = got.select("k", "lang").as[(Long, Option[String])]
+      .collect().toMap
+    assert(langs(2L).contains("en") && langs(1L).isEmpty)
+  }
+
+  test("logical conflict detection: a concurrent commit OVERLAPPING the " +
+    "change keys between plan and commit throws " +
+    "ConcurrentCommitException; a key-DISJOINT concurrent commit is " +
+    "absorbed and both writes survive") {
+    val (wh, path) = fresh("mg6")
+    wh.append(spark,
+      base(0 until 800).repartitionByRange(8, col("k")), path)
+    val changes = Seq((10L, "X", D)).toDF("k", "s", "date")
+    // overlapping racer: commits a row with the SAME key the merge is
+    // changing — its file's stats contain key 10, so the plan's overlap
+    // set grew and blind commit would silently shadow the racer's write.
+    // (A racer on a DIFFERENT key in the same range bucket is provably
+    // disjoint by ITS file stats and absorbs cleanly — that's the
+    // key-level precision of the conflict check, covered below.)
+    intercept[ConcurrentCommitException] {
+      wh.mergeIntoHooked(spark, changes, path, Seq("k"), None,
+        () => wh.append(spark, Seq((10L, "race", D)).toDF("k", "s", "date"), path))
+    }
+    // the retry path: a fresh plan sees the racer's file, rewrites BOTH
+    // carriers of key 10, and converges to one row for the key
+    val st = wh.mergeInto(spark, changes, path, Seq("k"))
+    assert(st.filesRewritten >= 2)
+    assert(contents(wh, path)(10L) == "X")
+    assert(wh.read(spark, path).filter(col("k") === 10L).count() == 1L)
+    // disjoint racer: appends key 5000 — ITS file stats prove it outside
+    // the change set, so the merge absorbs it and both writes survive
+    val changes2 = Seq((20L, "Y", D)).toDF("k", "s", "date")
+    val st2 = wh.mergeIntoHooked(spark, changes2, path, Seq("k"), None,
+      () => wh.append(spark, Seq((5000L, "far", D)).toDF("k", "s", "date"), path))
+    assert(st2.rowsWritten >= 1L)
+    val got = contents(wh, path)
+    assert(got(20L) == "Y" && got(5000L) == "far")
+    assert(got.size == 801) // 800 base + the disjoint racer's row
+  }
+
+  test("mergeIntoTxn: a replayed micro-batch is a NO-OP (None) and the " +
+    "table content is exactly-once; the next batch id applies") {
+    val (wh, path) = fresh("mg7")
+    wh.append(spark, base(1 to 10), path)
+    val b0 = Seq((1L, "B0", D, false), (10L, "", D, true))
+      .toDF("k", "s", "date", "del")
+    val r1 = wh.mergeIntoTxn(spark, b0, path, Seq("k"), Some("del"), "cdc", 0L)
+    assert(r1.nonEmpty)
+    val snap = contents(wh, path)
+    assert(snap(1L) == "B0" && !snap.contains(10L))
+    val v = wh.currentVersion(spark, path)
+    // restart replays batch 0: must skip without writing
+    val r2 = wh.mergeIntoTxn(spark, b0, path, Seq("k"), Some("del"), "cdc", 0L)
+    assert(r2.isEmpty && wh.currentVersion(spark, path) == v)
+    assert(contents(wh, path) == snap)
+    // batch 1 applies on top
+    val b1 = Seq((2L, "B1", D, false)).toDF("k", "s", "date", "del")
+    assert(wh.mergeIntoTxn(spark, b1, path, Seq("k"), Some("del"), "cdc", 1L).nonEmpty)
+    assert(contents(wh, path)(2L) == "B1")
+    assert(wh.lastTxn(spark, path, "cdc") == 1L)
+  }
+
+  test("time travel and the change feed see through the merge: readAt " +
+    "resurrects the pre-merge snapshot; diffSnapshots reports the " +
+    "rewrite file-granular") {
+    val (wh, path) = fresh("mg8")
+    wh.append(spark,
+      base(0 until 100).repartitionByRange(4, col("k")), path) // v1
+    val changes = Seq((3L, "X", D, false), (7L, "", D, true))
+      .toDF("k", "s", "date", "del")
+    wh.mergeInto(spark, changes, path, Seq("k"), Some("del")) // v2
+    val v1 = wh.readAt(spark, path, 1L).select("k", "s")
+      .as[(Long, String)].collect().toMap
+    assert(v1(3L) == "v3" && v1.contains(7L)) // pre-merge state intact
+    val diff = wh.diffSnapshots(spark, path, 1L, 2L)
+      .groupBy("_change_type").count().as[(String, Long)].collect().toMap
+    // one of four range files rewritten: its rows delete+reinsert
+    assert(diff("delete") == 25L && diff("insert") == 24L)
+  }
+}
