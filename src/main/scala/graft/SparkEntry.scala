@@ -284,6 +284,50 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"))
     }),
 
+    // ---- S11: keyed MERGE (upsert + delete) through the tx manifest —
+    //      the table lands range-clustered on the key (v1), then ONE
+    //      merge applies a disjoint change set derived arithmetically
+    //      from orders: keys ≡0 (mod 13) among the loaded rows are
+    //      DELETED, loaded keys ≡0 (mod 10) are UPDATED (status 'M',
+    //      price +1), and the held-out keys ≡0 (mod 7) are INSERTED
+    //      (status 'I', price +1). The oracle recomputes the merged
+    //      table from raw parquet with the same arithmetic, so a
+    //      dropped delete, double-applied upsert, or a file the stats
+    //      pruning wrongly skipped all break the hash. Staged once per
+    //      root (committed version ≥2 guards); the steady-state run is
+    //      the read of the merged table ----
+    "s11_merge_upsert" -> ((s, dir) => {
+      val root = s"/root/repo/target/s11_merge/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "orders")
+      if (wh.currentVersion(s, tbl) < 2L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+        val k = col("o_orderkey")
+        wh.append(s, o.filter(k % 7 =!= 0)
+          .repartitionByRange(8, col("o_orderkey")), tbl) // v1
+        val changes = o.filter(k % 7 =!= 0 && k % 13 === 0)
+          .withColumn("del", lit(true))
+          .unionByName(o.filter(k % 7 =!= 0 && k % 13 =!= 0 && k % 10 === 0)
+            .withColumn("o_orderstatus", lit("M"))
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("del", lit(false)))
+          .unionByName(o.filter(k % 7 === 0)
+            .withColumn("o_orderstatus", lit("I"))
+            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+            .withColumn("del", lit(false)))
+        wh.mergeInto(s, changes, tbl, Seq("o_orderkey"), Some("del")) // v2
+      }
+      wh.read(s, tbl)
+        .groupBy(col("o_orderstatus").as("o_status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
+    }),
+
     // ---- S8: Z-ORDER layout + manifest-stats skipping — the
     //      multi-dimensional dual of s6. lineitem lands z-clustered on
     //      (l_orderkey, l_partkey) (ZOrder.layout: quantile-bucketed
@@ -1825,6 +1869,23 @@ object SparkEntry {
         |  count(*) AS n_rows,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "s11_merge_upsert" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN o_orderkey % 7 = 0 THEN 'I'
+        |              WHEN o_orderkey % 10 = 0 THEN 'M'
+        |              ELSE o_orderstatus END AS o_status,
+        |         o_orderkey,
+        |         CASE WHEN o_orderkey % 7 = 0 OR o_orderkey % 10 = 0
+        |              THEN o_totalprice + 1.0 ELSE o_totalprice END AS p
+        |  FROM orders
+        |  WHERE o_orderkey % 7 = 0 OR o_orderkey % 13 <> 0
+        |)
+        |SELECT o_status, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_e2
+        |FROM f GROUP BY o_status""".stripMargin,
 
     "s8_zorder_prune" ->
       """SELECT l_returnflag,
