@@ -471,6 +471,58 @@ object SparkEntry {
         .limit(20)
     }),
 
+    // ---- TPC-H Q4 analog: order-priority checking — the EXISTS
+    //      subquery plans as a LEFT SEMI join (each order counted once
+    //      no matter how many qualifying lineitems), with both filters
+    //      pushed into their scans ----
+    "q4_order_priority" -> ((s, dir) => {
+      val o = Tables.orders(s, dir)
+      val li = Tables.lineitem(s, dir)
+      o.filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        .join(li.filter(col("l_returnflag") === "R").select(col("l_orderkey")),
+          col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // ---- TPC-H Q14 analog: promotion revenue share — ONE fact-dim
+    //      broadcast join feeding a conditional aggregate; numerator
+    //      and denominator emitted separately (a ratio of floats has no
+    //      stable hash) ----
+    "q14_promo_revenue" -> ((s, dir) => {
+      val rev = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+        .cast("long")
+      Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-03-01 00:00:00")))
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .agg(sum(when(col("p_type") === "PROMO", rev).otherwise(0L)).as("promo_e2"),
+          sum(rev).as("total_e2"))
+    }),
+
+    // ---- TPC-H Q19 analog: discounted revenue under an OR-of-ANDs
+    //      predicate spanning BOTH join sides — the disjunction can't
+    //      push below the join, but each disjunct's single-side
+    //      conjuncts are extracted by Catalyst
+    //      (p_brand IN (…) / p_size/l_quantity ranges reach the scans)
+    //      and the dim side broadcasts ----
+    "q19_brand_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val p = Tables.part(s, dir)
+      li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 5) &&
+            col("l_quantity").between(1, 11)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(10, 20)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(20, 30)))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_e2"),
+          count(lit(1)).as("n_rows"))
+    }),
+
     "q3_shipping_priority" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
@@ -1963,6 +2015,39 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, c_nationkey
         |ORDER BY revenue_e2 DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q4_order_priority" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q14_promo_revenue" ->
+      """SELECT
+        |  CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS promo_e2,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS total_e2
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1996-03-01 00:00:00'""".stripMargin,
+
+    "q19_brand_revenue" ->
+      """SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_e2,
+        |  count(*) AS n_rows
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |       AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |       AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+        |       AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q3_shipping_priority" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,

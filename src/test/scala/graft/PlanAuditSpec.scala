@@ -62,6 +62,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert("HashAggregate".r.findAllIn(p).size >= 2, p)
   }
 
+  test("q4: the EXISTS gate plans as ONE left-semi join — each order " +
+    "counted once regardless of qualifying lineitem multiplicity, both " +
+    "filters pushed to their scans") {
+    val p = planned("q4_order_priority")
+    assert(p.contains("LeftSemi"), p)
+    assert("(?i)leftsemi".r.findAllIn(p).size == 1, p)
+    val f = formatted("q4_order_priority")
+    assert(f.contains("EqualTo(l_returnflag,R)"), f)
+    assert(f.contains("GreaterThanOrEqual(o_orderdate"), f)
+  }
+
+  test("q14: single broadcast fact-dim join; the conditional aggregate " +
+    "partial-aggregates map-side to one row per partition") {
+    val p = planned("q14_promo_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+  }
+
+  test("q19: the OR-of-ANDs keeps single-side conjuncts at the scans — " +
+    "Catalyst extracts the p_brand/p_size and l_quantity disjunction " +
+    "envelopes below the broadcast join") {
+    val p = planned("q19_brand_revenue")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    val f = formatted("q19_brand_revenue")
+    // the per-side OR envelope reaches each scan's pushed filters:
+    // lineitem sees the quantity disjunction, part sees brand/size
+    assert(f.contains("PushedFilters"), f)
+    assert("Or\\(.*l_quantity".r.findFirstIn(f).nonEmpty ||
+      "l_quantity.*Or\\(".r.findFirstIn(f).nonEmpty, f)
+    assert(f.contains("Brand#12"), f)
+  }
+
   test("q1: aggregation is partial before the exchange (two HashAggregate levels)") {
     val p = planned("q1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
