@@ -31,10 +31,11 @@ object MergeProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val D = java.sql.Date.valueOf("2024-01-01")
-    // unique key per lineitem row; replicas shift into disjoint ranges
+    // one row per order (the raw (orderkey, linenumber) pair is not
+    // unique in this dataset); replicas shift into disjoint key ranges
     val base = spark.read.parquet(s"$sf/lineitem.parquet")
-      .select((col("l_orderkey") * 10 + col("l_linenumber")).as("k"),
-        col("l_quantity").as("q"), col("l_extendedprice").as("p"))
+      .groupBy(col("l_orderkey").as("k"))
+      .agg(sum("l_quantity").as("q"), sum("l_extendedprice").as("p"))
       .withColumn("date", lit(D))
     val maxK = base.agg(max("k")).head().getLong(0)
     val replicaOffset = maxK + 1

@@ -1228,17 +1228,25 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       val upsRows = ups.count()
       if (delKeys + upsRows == 0L)
         return Some(MergeStats(0, state(spark, path)._2.size, 0L, 0L, 0L))
-      // leading-key prune predicate: exact In up to maxInKeys distinct
-      // values, [min,max] range above
+      // prune predicate: exact In on the leading key up to maxInKeys
+      // distinct values ([min,max] range above), AND a [min,max] range
+      // conjunct per REMAINING key column — for a compound key whose
+      // leading column is low-cardinality (e.g. (date, id)), the
+      // trailing ranges carry the pruning the lead alone can't
       val lead = keyCols.head
       val leadVals = ch.select(col(lead)).distinct()
         .limit(maxInKeys + 1).collect().map(_.get(0))
-      val prunePred =
+      val leadPred =
         if (leadVals.length <= maxInKeys) col(lead).isin(leadVals.toSeq: _*)
         else {
           val mm = ch.agg(min(col(lead)).as("lo"), max(col(lead)).as("hi")).head()
           col(lead).between(lit(mm.get(0)), lit(mm.get(1)))
         }
+      val prunePred = keyCols.tail.foldLeft(leadPred) { (acc, c) =>
+        val mm = ch.agg(min(col(c)).as("lo"), max(col(c)).as("hi")).head()
+        if (mm.isNullAt(0)) acc
+        else acc && col(c).between(lit(mm.get(0)), lit(mm.get(1)))
+      }
       val pred = org.apache.spark.sql.graftshim.PredicateBridge
         .normalize(prunePred)
       def overlap(st: TxState): Set[String] = st.live.keys.filter { rel =>

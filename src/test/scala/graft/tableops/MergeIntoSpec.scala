@@ -64,6 +64,23 @@ class MergeIntoSpec extends graft.SparkTestBase {
     assert(got.size == 800 && got(10L) == "X" && got(9L) == "v9")
   }
 
+  test("compound-key pruning: a low-cardinality LEADING key prunes " +
+    "nothing, the trailing key's [min,max] conjunct still confines the " +
+    "rewrite to the one overlapping file") {
+    val (wh, path) = fresh("mgc")
+    val rows = (0 until 800).map(k => ("a", k.toLong, s"v$k", D))
+      .toDF("g", "k", "s", "date")
+    wh.append(spark, rows.repartitionByRange(8, col("k")), path)
+    val changes = (10 until 20).map(k => ("a", k.toLong, "X", D))
+      .toDF("g", "k", "s", "date")
+    val st = wh.mergeInto(spark, changes, path, Seq("g", "k"))
+    assert(st.filesRewritten == 1 && st.filesKept == 7,
+      s"trailing-key range conjunct must prune: $st")
+    val got = wh.read(spark, path).select("k", "s").as[(Long, String)]
+      .collect().toMap
+    assert(got(10L) == "X" && got(9L) == "v9" && got.size == 800)
+  }
+
   test("empty change set is a no-op (no commit); duplicate change keys " +
     "and a key-valued deleteCol are rejected loudly") {
     val (wh, path) = fresh("mg3")
