@@ -1,0 +1,155 @@
+package graft.tableops
+
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.Base64
+
+import scala.util.Try
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualNullSafe,
+  EqualTo, Expression, In, Literal, Or, XxHash64}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Per-file BLOOM FILTERS in the commit manifest — the point-lookup
+  * complement of [[FileStats]] min/max skipping. Range stats prune a
+  * predicate only when the layout CLUSTERS the column: a key scattered
+  * across files (uuid keys, hash-distributed ids, a CDC change set
+  * drawn from the whole key space) makes every file's [min,max] span
+  * the domain and nothing prunes. A per-file bloom answers the question
+  * ranges can't: "can this file contain THIS key?" — false-positive
+  * rate bounded by sizing, false negatives impossible, so pruning stays
+  * sound and `readWhere`/`mergeInto` open O(matching files + fp·files)
+  * instead of O(files) for equality/IN probes.
+  *
+  * Build side is pure public Spark: one column-pruned pass over the
+  * just-written files, `bloom_filter_agg(xxhash64(CAST(col AS STRING)))`
+  * per file (groupBy on the filename), serialized with the sketch
+  * module's stable format. Values canonicalize THROUGH STRING so the
+  * probe side can hash a literal of any promoted type (int column vs
+  * long literal, date vs its string) to the same 64-bit key; columns
+  * whose string form is ambiguous for equality (floating point) should
+  * simply not be bloom columns.
+  *
+  * The manifest carries one `B <payload> <rel>` line per file
+  * (~`bits/8` bytes base64 each — at the default 2^13 bits that is
+  * ~1.4 KB per file, the price of skipping a footer+column read); the
+  * table's bloom SPEC (column, items, bits) is a `P` property line, so
+  * every writer — append, merge, compaction publish — harvests blooms
+  * for its adds automatically once the property is set. Files written
+  * BEFORE the property (or whose harvest failed) have no `B` line and
+  * are never pruned; a bloom re-materializes when compaction rewrites
+  * the file.
+  *
+  * Reference context: the reference's dedup/join queries always probe
+  * BigQuery by partition date (cloud/bq/ops.go:158-253) and lean on the
+  * warehouse for anything finer; at 100 TB the finer granularity is
+  * exactly this layer.
+  */
+object FileBloom {
+
+  /** Bloom spec recorded as the table property: column (matched
+    * lowercased, like [[FileStats]]), expected distinct items per file,
+    * bloom bits per file.
+    */
+  final case class Spec(col: String, items: Long, bits: Long)
+
+  val PropKey = "bloom"
+
+  private def b64(b: Array[Byte]): String = Base64.getEncoder.encodeToString(b)
+  private def unb64(s: String): Array[Byte] = Base64.getDecoder.decode(s)
+
+  def encodeSpec(s: Spec): String =
+    s"${b64(s.col.getBytes(UTF_8))}:${s.items}:${s.bits}"
+
+  def decodeSpec(s: String): Option[Spec] = Try {
+    val f = s.split(":", -1)
+    require(f.length == 3)
+    Spec(new String(unb64(f(0)), UTF_8), f(1).toLong, f(2).toLong)
+  }.toOption
+
+  /** File payload: `b64(col):b64(serialized bloom)` — column repeated
+    * per file so a later spec change cannot misattribute old blooms.
+    */
+  def encodePayload(col: String, bloom: Array[Byte]): String =
+    s"${b64(col.getBytes(UTF_8))}:${b64(bloom)}"
+
+  def decodePayload(s: String): Option[(String, BloomFilter)] = Try {
+    val f = s.split(":", -1)
+    require(f.length == 2)
+    (new String(unb64(f(0)), UTF_8),
+      BloomFilter.readFrom(unb64(f(1))))
+  }.toOption
+
+  /** One distributed, column-pruned pass over the files just written
+    * under `dir`: per-file bloom of the spec column, keyed by file
+    * BASENAME (task-uuid part names are unique; `input_file_name`'s
+    * URI prefix differs from the manifest's relativization, the
+    * basename does not). Any failure degrades to "no blooms" — the
+    * files then simply never bloom-prune.
+    */
+  def harvest(spark: SparkSession, path: String, dir: String,
+      spec: Spec): Map[String, String] = Try {
+    val df = spark.read.parquet(s"$path/$dir")
+    if (!df.columns.exists(_.equalsIgnoreCase(spec.col))) Map.empty[String, String]
+    else {
+      val c = df.columns.find(_.equalsIgnoreCase(spec.col)).get
+      df.select(element_at(split(input_file_name(), "/"), -1).as("__f"),
+          col(s"`$c`").cast("string").as("__v"))
+        .groupBy(col("__f"))
+        .agg(org.apache.spark.sql.graftshim.AggBridge
+          .bloomAgg(col("__v"), spec.items, spec.bits).as("__b"))
+        .collect()
+        .map(r => r.getString(0) -> encodePayload(spec.col, r.getAs[Array[Byte]](1)))
+        .toMap
+    }
+  }.getOrElse(Map.empty)
+
+  /** Hash a predicate literal the way the build side hashed column
+    * values: canonicalize through STRING, then XxHash64 (seed 42, the
+    * SQL function's default). None when the literal cannot cast —
+    * callers must then keep the file.
+    */
+  private def literalHash(l: Literal): Option[Long] = Try {
+    val s = Cast(l, StringType, Some("UTC")).eval(null)
+    if (s == null) None
+    else Some(new XxHash64(Seq(Literal(s, StringType))).eval(null)
+      .asInstanceOf[Long])
+  }.toOption.flatten
+
+  private def attrIs(e: Expression, col: String): Boolean =
+    FileStats.attrNamePublic(e).contains(col.toLowerCase)
+
+  /** Sound bloom refutation: false ONLY when `pred` requires the
+    * bloomed column to equal one of a literal set and the bloom rules
+    * out every member. Any shape the walk does not understand keeps the
+    * file. Mirrors [[FileStats.mayMatch]]'s And/Or folding.
+    */
+  def mayMatch(payload: String, pred: Expression): Boolean =
+    decodePayload(payload) match {
+      case None => true
+      case Some((col, bloom)) =>
+        def walk(p: Expression): Boolean = p match {
+          case And(a, b) => walk(a) && walk(b)
+          case Or(a, b) => walk(a) || walk(b)
+          case EqualTo(a, l: Literal) if attrIs(a, col) => test(bloom, l)
+          case EqualTo(l: Literal, a) if attrIs(a, col) => test(bloom, l)
+          case EqualNullSafe(a, l: Literal) if attrIs(a, col) && l.value != null =>
+            test(bloom, l)
+          case EqualNullSafe(l: Literal, a) if attrIs(a, col) && l.value != null =>
+            test(bloom, l)
+          case In(a, list) if attrIs(a, col) &&
+              list.forall(_.isInstanceOf[Literal]) =>
+            list.exists(l => test(bloom, l.asInstanceOf[Literal]))
+          case _ => true
+        }
+        walk(pred)
+    }
+
+  private def test(bloom: BloomFilter, l: Literal): Boolean =
+    literalHash(l) match {
+      case Some(h) => bloom.mightContainLong(h)
+      case None => true
+    }
+}

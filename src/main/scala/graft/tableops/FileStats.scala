@@ -250,6 +250,12 @@ object FileStats {
     case _ => None
   }
 
+  /** [[FileBloom]]'s attribute matcher — one definition of "this
+    * expression IS that column" shared by both skipping layers.
+    */
+  private[tableops] def attrNamePublic(e: Expression): Option[String] =
+    attrName(e)
+
   /** May `pred` be true for ANY row of a file with stats `p`? False is a
     * proof of emptiness (safe to skip the file); true is merely "cannot
     * rule it out". And/Or fold satisfiability per conjunct — a sound

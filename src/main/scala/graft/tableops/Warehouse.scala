@@ -455,6 +455,8 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     var txns = st0.txns
     var stats = st0.stats
     var sizes = st0.sizes
+    var blooms = st0.blooms
+    var props = st0.props
     var schemaJson = st0.schemaJson
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       if (line.startsWith("A ")) {
@@ -466,6 +468,20 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
         live -= rel
         stats -= rel
         sizes -= rel
+        blooms -= rel
+      } else if (line.startsWith("B ")) {
+        // `B <payload> <rel>`: the file's bloom filter over the table's
+        // bloom property column (FileBloom) — same token-then-rel shape
+        // as `S`, same forward compat (unknown/absent = never pruned)
+        val rest = line.substring(2)
+        val sp = rest.indexOf(' ')
+        if (sp > 0) blooms += (rest.substring(sp + 1) -> rest.substring(0, sp))
+      } else if (line.startsWith("P ")) {
+        // `P <key> <value>`: table property, last-one-wins (bloom spec
+        // lives here; both tokens are space-free by construction)
+        val rest = line.substring(2)
+        val sp = rest.indexOf(' ')
+        if (sp > 0) props += (rest.substring(0, sp) -> rest.substring(sp + 1))
       } else if (line.startsWith("T ")) {
         val Array(app, batch) = line.substring(2).split(' ')
         txns += (app -> math.max(batch.toLong, txns.getOrElse(app, -1L)))
@@ -502,7 +518,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
             .orElse(schemaJson)
       }
     }
-    TxState(live, txns, stats, sizes, schemaJson)
+    TxState(live, txns, stats, sizes, blooms, props, schemaJson)
   }
 
   private def b64(s: String): String =
@@ -593,6 +609,9 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
         st.stats.get(rel).map(p => s"S $p $rel")) ++
       st.live.keys.toSeq.sorted.flatMap(rel =>
         st.sizes.get(rel).map(len => s"F $len $rel")) ++
+      st.live.keys.toSeq.sorted.flatMap(rel =>
+        st.blooms.get(rel).map(b => s"B $b $rel")) ++
+      st.props.toSeq.sorted.map { case (k, v) => s"P $k $v" } ++
       st.schemaJson.map(j => s"H ${b64(j)}").toSeq ++
       st.txns.toSeq.sorted.map { case (app, b) => s"T $app $b" }
     tryCommit(f, path, new Path(s"$path/$LogDir", f"c$version%020d.txt"),
@@ -873,10 +892,13 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     require(st.live.nonEmpty || exists(spark, path), s"no such table: $path")
     val pred = org.apache.spark.sql.graftshim.PredicateBridge.normalize(predicate)
     val kept = st.live.keys.filter { rel =>
-      st.stats.get(rel).flatMap(FileStats.decode) match {
+      (st.stats.get(rel).flatMap(FileStats.decode) match {
         case Some(payload) => FileStats.mayMatch(payload, pred)
         case None => true
-      }
+      }) &&
+      // second skipping layer: equality/IN probes on the bloom column
+      // prune the files min/max ranges can't (scattered keys)
+      st.blooms.get(rel).forall(FileBloom.mayMatch(_, pred))
     }.toSeq.sorted
     if (kept.isEmpty)
       // preserve the table's merged schema without opening data: the
@@ -969,7 +991,53 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
           st.getLen)
       }
     }
-    out.toList
+    // bloom property set → ONE column-pruned pass over the new files
+    // builds each one's key bloom (keyed by basename, attached here);
+    // every writer — append, merge, compaction publish — pays this at
+    // write time so equality probes can skip files at read time
+    val entries = out.toList
+    bloomSpec(spark, path) match {
+      case Some(spec) if entries.nonEmpty =>
+        val byBase = FileBloom.harvest(spark, path, dir, spec)
+        entries.map { a =>
+          a.copy(bloom = byBase.get(a.rel.substring(a.rel.lastIndexOf('/') + 1)))
+        }
+      case _ => entries
+    }
+  }
+
+  /** The table's bloom-skipping spec, if [[setBloomFilter]] set one. */
+  private def bloomSpec(spark: SparkSession, path: String):
+      Option[FileBloom.Spec] =
+    replay(spark, path)._2.props.get(FileBloom.PropKey)
+      .flatMap(FileBloom.decodeSpec)
+
+  /** Enable per-file bloom-filter skipping on `col` ([[FileBloom]]):
+    * every SUBSEQUENT write harvests a bloom sized for
+    * `expectedItemsPerFile` at `fpp` alongside its min/max stats, and
+    * equality/IN probes on the column ([[readWhere]], [[mergeInto]]'s
+    * key overlap) skip files whose bloom rules the keys out — the
+    * scattered-key case range stats cannot prune. Existing files keep
+    * resolving unpruned until a rewrite (compaction, merge) re-lands
+    * them. Property commit is metadata-only and atomic like any other.
+    */
+  def setBloomFilter(spark: SparkSession, path: String, col: String,
+      expectedItemsPerFile: Long = 1000000L, fpp: Double = 0.01): Unit = {
+    val bits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(expectedItemsPerFile, fpp)
+    val spec = FileBloom.Spec(col, expectedItemsPerFile, bits)
+    val f = fs(spark, path)
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val (v, _) = replay(spark, path)
+      if (tryCommit(f, path, v + 1,
+          Seq(s"P ${FileBloom.PropKey} ${FileBloom.encodeSpec(spec)}"))) {
+        maybeCheckpoint(spark, path, v + 1); return
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"commit contention: $MaxCommitAttempts failed attempts on $path")
   }
 
   /** Manifest lines for a set of adds: `A` entries plus an `S` stats
@@ -978,7 +1046,8 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   private def addLines(adds: Seq[AddEntry]): Seq[String] =
     adds.map(a => s"A ${a.date} ${a.rel}") ++
       adds.flatMap(a => a.stats.map(p => s"S $p ${a.rel}")) ++
-      adds.map(a => s"F ${a.len} ${a.rel}")
+      adds.map(a => s"F ${a.len} ${a.rel}") ++
+      adds.flatMap(a => a.bloom.map(b => s"B $b ${a.rel}"))
 
   def append(spark: SparkSession, df: DataFrame, path: String): Unit = {
     val (adds, _) = writeData(spark, df, path)
@@ -1250,10 +1319,14 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       val pred = org.apache.spark.sql.graftshim.PredicateBridge
         .normalize(prunePred)
       def overlap(st: TxState): Set[String] = st.live.keys.filter { rel =>
-        st.stats.get(rel).flatMap(FileStats.decode) match {
+        (st.stats.get(rel).flatMap(FileStats.decode) match {
           case Some(p) => FileStats.mayMatch(p, pred)
           case None => true // unprovable: must be treated as touched
-        }
+        }) &&
+        // bloom layer: a scattered change set (every file's key RANGE
+        // overlaps) still rewrites only the files that may actually
+        // CONTAIN a change key
+        st.blooms.get(rel).forall(FileBloom.mayMatch(_, pred))
       }.toSet
       val (v0, st0) = replay(spark, path)
       if (txn.exists { case (app, b) => st0.txns.getOrElse(app, -1L) >= b })
@@ -1416,15 +1489,17 @@ object TxWarehouse {
     */
   private final case class TxState(live: Map[String, String],
       txns: Map[String, Long], stats: Map[String, String],
-      sizes: Map[String, Long], schemaJson: Option[String])
+      sizes: Map[String, Long], blooms: Map[String, String],
+      props: Map[String, String], schemaJson: Option[String])
   private object TxState {
     val empty: TxState =
-      TxState(Map.empty, Map.empty, Map.empty, Map.empty, None)
+      TxState(Map.empty, Map.empty, Map.empty, Map.empty, Map.empty,
+        Map.empty, None)
   }
 
   /** One to-be-committed file: manifest `A` entry + optional `S` stats
-    * + `F` length.
+    * + `F` length + optional `B` bloom.
     */
   private final case class AddEntry(rel: String, date: String,
-      stats: Option[String], len: Long)
+      stats: Option[String], len: Long, bloom: Option[String] = None)
 }

@@ -29,6 +29,27 @@ object ColumnBridge {
   }
 }
 
+/** Internal aggregate constructors the SQL registry does not expose.
+  * `bloom_filter_agg` exists in Spark's FunctionRegistry only as an
+  * INTERNAL function (it backs the optimizer's runtime-filter
+  * injection), so building the per-file key blooms means constructing
+  * [[org.apache.spark.sql.catalyst.expressions.aggregate
+  * .BloomFilterAggregate]] directly — same hashing (XxHash64 seed 42)
+  * and same serialized form the public
+  * `org.apache.spark.util.sketch.BloomFilter.readFrom` reads back.
+  */
+object AggBridge {
+  import org.apache.spark.sql.catalyst.expressions.{Literal, XxHash64}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+
+  /** Bloom of `xxhash64(child)` sized (items, bits); BinaryType out. */
+  def bloomAgg(child: Column, items: Long, bits: Long): Column =
+    ColumnBridge.column(
+      new BloomFilterAggregate(
+        new XxHash64(Seq(ColumnBridge.expression(child))),
+        Literal(items), Literal(bits)).toAggregateExpression())
+}
+
 /** Parquet-compatible schema union for the tx manifest's table-schema
   * line. [[org.apache.spark.sql.types.StructType.merge]] is the exact
   * routine Spark's own mergeSchema parquet read uses to reconcile file

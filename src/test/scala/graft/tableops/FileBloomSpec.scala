@@ -1,0 +1,132 @@
+package graft.tableops
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Bloom-filter data skipping: the scattered-key regime where min/max
+  * ranges prune nothing. Layout here hash-partitions keys so EVERY
+  * file's [min,max] spans the whole domain — range stats keep all
+  * files, and any skipping observed is the bloom layer's.
+  */
+class FileBloomSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  private val D = java.sql.Date.valueOf("2024-09-01")
+
+  /** 800 keys scattered across 8 files by hash — every file's key range
+    * spans ~[0, 800).
+    */
+  private def scattered: DataFrame =
+    (0 until 800).map(k => (k.toLong, s"v$k", D)).toDF("k", "s", "date")
+      .repartition(8, col("k") % 8)
+
+  test("point lookups open only bloom-positive files; results stay " +
+    "value-identical to the unpruned filter") {
+    val root = Files.createTempDirectory("graft-bl1").toString
+    val wh = new TxWarehouse(root)
+    val path = wh.tablePath("m", "t")
+    wh.setBloomFilter(spark, path, "k", expectedItemsPerFile = 1000, fpp = 0.01)
+    wh.append(spark, scattered, path)
+
+    // control: the same data WITHOUT the property prunes nothing
+    // (hash layout: each file's key range spans ~the whole domain; the
+    // residue hash leaves some of the 8 partitions empty, so compare
+    // against the ACTUAL live file count, not 8)
+    val wh2 = new TxWarehouse(Files.createTempDirectory("graft-bl1c").toString)
+    val path2 = wh2.tablePath("m", "t")
+    wh2.append(spark, scattered, path2)
+    val allFiles = wh2.read(spark, path2).inputFiles.length
+    assert(allFiles >= 4, s"layout sanity: $allFiles files")
+    assert(wh2.readWhere(spark, path2, col("k") === 10L)
+      .inputFiles.length == allFiles,
+      "ranges must NOT prune the scattered layout")
+
+    val pruned = wh.readWhere(spark, path, col("k") === 10L)
+    assert(pruned.inputFiles.length <= 2,
+      s"bloom should confine a point probe, opened ${pruned.inputFiles.length}")
+    assert(pruned.select("s").as[String].collect().toSeq == Seq("v10"))
+
+    // IN probe: union of the keys' files
+    val in = wh.readWhere(spark, path, col("k").isin(10L, 11L, 12L))
+    assert(in.inputFiles.length <= 4, s"got ${in.inputFiles.length}")
+    assert(in.select("s").as[String].collect().toSet == Set("v10", "v11", "v12"))
+
+    // a key the table does NOT contain: bloom proves every file empty
+    val none = wh.readWhere(spark, path, col("k") === 5000L)
+    assert(none.count() == 0L)
+
+    // soundness sweep: pruned results equal the unpruned filter for
+    // every key in a sample (false positives only ever ADD files)
+    (0 until 50).foreach { k =>
+      val a = wh.readWhere(spark, path, col("k") === k.toLong)
+        .select("s").as[String].collect().toSeq
+      assert(a == Seq(s"v$k"), s"key $k")
+    }
+  }
+
+  test("merge on scattered keys rewrites only bloom-positive files " +
+    "where ranges would rewrite the whole table") {
+    val root = Files.createTempDirectory("graft-bl2").toString
+    val wh = new TxWarehouse(root)
+    val path = wh.tablePath("m", "t")
+    wh.setBloomFilter(spark, path, "k", 1000, 0.01)
+    wh.append(spark, scattered, path)
+
+    val total = wh.read(spark, path).inputFiles.length
+    val changes = Seq((10L, "X", D), (999L, "new", D)).toDF("k", "s", "date")
+    val st = wh.mergeInto(spark, changes, path, Seq("k"))
+    assert(st.filesRewritten <= 3 && st.filesRewritten < total,
+      s"bloom must confine the rewrite (of $total files): $st")
+    val got = wh.read(spark, path).select("k", "s").as[(Long, String)]
+      .collect().toMap
+    assert(got(10L) == "X" && got(999L) == "new" && got(9L) == "v9")
+    assert(got.size == 801)
+
+    // control: same merge without blooms touches every file
+    val wh2 = new TxWarehouse(Files.createTempDirectory("graft-bl2c").toString)
+    val path2 = wh2.tablePath("m", "t")
+    wh2.append(spark, scattered, path2)
+    val total2 = wh2.read(spark, path2).inputFiles.length
+    val st2 = wh2.mergeInto(spark, changes, path2, Seq("k"))
+    assert(st2.filesRewritten == total2, s"ranges can't skip here: $st2")
+  }
+
+  test("blooms and the property survive checkpoint + log truncation; " +
+    "post-checkpoint writes keep harvesting") {
+    val root = Files.createTempDirectory("graft-bl3").toString
+    val wh = new TxWarehouse(root, checkpointEvery = 2)
+    val path = wh.tablePath("m", "t")
+    wh.setBloomFilter(spark, path, "k", 1000, 0.01)
+    wh.append(spark, scattered, path)
+    wh.append(spark,
+      Seq((900L, "a", D)).toDF("k", "s", "date"), path) // v3 → checkpoint
+    wh.truncateLog(spark, path)
+    val probe = wh.readWhere(spark, path, col("k") === 10L)
+    assert(probe.inputFiles.length <= 3,
+      s"bloom lines must ride the checkpoint, opened ${probe.inputFiles.length}")
+    assert(probe.select("s").as[String].collect().toSeq == Seq("v10"))
+    // the property rode the checkpoint too: a fresh write still harvests
+    wh.append(spark, Seq((901L, "b", D)).toDF("k", "s", "date"), path)
+    val p2 = wh.readWhere(spark, path, col("k") === 901L)
+    assert(p2.select("s").as[String].collect().toSeq == Seq("b"))
+    assert(p2.inputFiles.length <= 3, s"opened ${p2.inputFiles.length}")
+  }
+
+  test("date-typed bloom column prunes date-literal probes; a column " +
+    "missing from a write yields an all-null bloom that prunes " +
+    "every non-null probe") {
+    val root = Files.createTempDirectory("graft-bl4").toString
+    val wh = new TxWarehouse(root)
+    val path = wh.tablePath("m", "t")
+    wh.setBloomFilter(spark, path, "s", 1000, 0.01)
+    wh.append(spark, scattered, path)
+    val p = wh.readWhere(spark, path, col("s") === "v10")
+    assert(p.inputFiles.length <= 2, s"opened ${p.inputFiles.length}")
+    assert(p.select("k").as[Long].collect().toSeq == Seq(10L))
+    // conjunct with an unrelated predicate still prunes on the bloom arm
+    val c = wh.readWhere(spark, path, col("s") === "v10" && col("k") >= 0L)
+    assert(c.inputFiles.length <= 2, s"opened ${c.inputFiles.length}")
+  }
+}
