@@ -84,11 +84,46 @@ object MergeProbe {
     require(updated(wh1, t1) == 2000L && updated(wh10, t10) == 2000L,
       "merge probe: updated rows missing")
 
+    // ---- scattered-key tier: HASH layout (every file's key range
+    // spans the domain, range stats inert) at 10x depth, a 20-key
+    // change set, with vs without the bloom property — the regime the
+    // bloom layer exists for ----
+    def stageScattered(withBloom: Boolean, tag: String): (TxWarehouse, String) = {
+      val root = s"$outDir/txs_$tag"
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(hp, true)
+      val wh = new TxWarehouse(root)
+      val tbl = wh.tablePath("probe", "lineitem")
+      if (withBloom)
+        wh.setBloomFilter(spark, tbl, "k",
+          expectedItemsPerFile = 50000L, fpp = 0.01)
+      val df = (0 until 10).map(r =>
+        base.withColumn("k", col("k") + lit(r * replicaOffset)))
+        .reduce(_ unionAll _)
+      wh.append(spark, df.repartition(80, col("k")), tbl)
+      (wh, tbl)
+    }
+    val scatterChanges = base.filter(col("k") % 6101 === 0)
+      .orderBy(col("k")).limit(20).withColumn("q", col("q") + 1.0)
+    def timedScatter(wh: TxWarehouse, tbl: String) = {
+      val t0 = System.nanoTime()
+      val st = wh.mergeInto(spark, scatterChanges, tbl, Seq("k"))
+      ((System.nanoTime() - t0) / 1e9, st)
+    }
+    val (whN, tN) = stageScattered(withBloom = false, "nobloom")
+    val (whB, tB) = stageScattered(withBloom = true, "bloom")
+    val (secN, stN) = timedScatter(whN, tN)
+    val (secB, stB) = timedScatter(whB, tB)
+
     val json =
       f"""{"merge_1x_sec":$sec1%.3f,"merge_10x_sec":$sec10%.3f,""" +
       f""""ratio":${sec10 / sec1}%.2f,""" +
       s""""rewritten_1x":${st1.filesRewritten},"kept_1x":${st1.filesKept},""" +
-      s""""rewritten_10x":${st10.filesRewritten},"kept_10x":${st10.filesKept}}"""
+      s""""rewritten_10x":${st10.filesRewritten},"kept_10x":${st10.filesKept},""" +
+      f""""scatter_nobloom_sec":$secN%.3f,"scatter_bloom_sec":$secB%.3f,""" +
+      s""""scatter_rewritten_nobloom":${stN.filesRewritten},""" +
+      s""""scatter_rewritten_bloom":${stB.filesRewritten},""" +
+      s""""scatter_kept_bloom":${stB.filesKept}}"""
     println(json)
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$outDir/merge_probe.json"), json + "\n")

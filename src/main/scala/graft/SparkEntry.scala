@@ -328,6 +328,36 @@ object SparkEntry {
           sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
     }),
 
+    // ---- S12: BLOOM-FILTER data skipping — the scattered-key point
+    //      probe min/max ranges cannot prune. orders lands HASH-
+    //      distributed across 16 files (every file's key range spans
+    //      the domain — range skipping provably inert) with the bloom
+    //      property on o_orderkey, and the query answers a 5-key IN
+    //      probe through readWhere: only bloom-positive files are
+    //      opened (~5 of 16 at fpp 0.01). The oracle runs the same IN
+    //      over raw parquet — a false NEGATIVE (wrongly pruned file)
+    //      would drop a row and break the hash. Staged once per root ----
+    "s12_bloom_point" -> ((s, dir) => {
+      val root = s"/root/repo/target/s12_bloom/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "orders")
+      if (wh.currentVersion(s, tbl) < 2L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        wh.setBloomFilter(s, tbl, "o_orderkey", // v1
+          expectedItemsPerFile = 200000L, fpp = 0.01)
+        wh.append(s, // v2
+          Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+            .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+            .repartition(16, col("o_orderkey")), tbl)
+      }
+      wh.readWhere(s, tbl,
+          col("o_orderkey").isin(11L, 22L, 33L, 44L, 55L))
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          floor(col("o_totalprice") * 100).cast("long").as("price_e2"))
+    }),
+
     // ---- S8: Z-ORDER layout + manifest-stats skipping — the
     //      multi-dimensional dual of s6. lineitem lands z-clustered on
     //      (l_orderkey, l_partkey) (ZOrder.layout: quantile-bucketed
@@ -1938,6 +1968,11 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_price_e2
         |FROM f GROUP BY o_status""".stripMargin,
+
+    "s12_bloom_point" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  CAST(floor(o_totalprice * 100) AS BIGINT) AS price_e2
+        |FROM orders WHERE o_orderkey IN (11, 22, 33, 44, 55)""".stripMargin,
 
     "s8_zorder_prune" ->
       """SELECT l_returnflag,
