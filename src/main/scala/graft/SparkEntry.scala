@@ -297,35 +297,26 @@ object SparkEntry {
     //      root (committed version ≥2 guards); the steady-state run is
     //      the read of the merged table ----
     "s11_merge_upsert" -> ((s, dir) => {
-      val root = s"/root/repo/target/s11_merge/${new java.io.File(dir).getName}"
-      val wh = new graft.tableops.TxWarehouse(root)
-      val tbl = wh.tablePath("bench", "orders")
-      if (wh.currentVersion(s, tbl) < 2L) {
-        val hp = new org.apache.hadoop.fs.Path(root)
-        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
-        val o = Tables.orders(s, dir)
-          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
-          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
-        val k = col("o_orderkey")
-        wh.append(s, o.filter(k % 7 =!= 0)
-          .repartitionByRange(8, col("o_orderkey")), tbl) // v1
-        val changes = o.filter(k % 7 =!= 0 && k % 13 === 0)
-          .withColumn("del", lit(true))
-          .unionByName(o.filter(k % 7 =!= 0 && k % 13 =!= 0 && k % 10 === 0)
-            .withColumn("o_orderstatus", lit("M"))
-            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
-            .withColumn("del", lit(false)))
-          .unionByName(o.filter(k % 7 === 0)
-            .withColumn("o_orderstatus", lit("I"))
-            .withColumn("o_totalprice", col("o_totalprice") + 1.0)
-            .withColumn("del", lit(false)))
-        wh.mergeInto(s, changes, tbl, Seq("o_orderkey"), Some("del")) // v2
-      }
+      val (wh, tbl) = stageMergeTable(s, dir)
       wh.read(s, tbl)
         .groupBy(col("o_orderstatus").as("o_status"))
         .agg(count(lit(1)).as("n_rows"),
           sum(col("o_orderkey")).as("sum_key"),
           sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
+    }),
+
+    // ---- S13: ROW-level change-data-feed — rowDiff classifies each
+    //      key across the s11 merge (v1 → v2) as insert/delete/update,
+    //      reading ONLY the files the merge touched (O(churn)); the
+    //      merge's unchanged survivors re-landed in the rewritten files
+    //      appear on both sides value-equal and MUST drop out — an
+    //      over-report breaks the row gate, a mis-classification the
+    //      hash. Oracle derives the three classes arithmetically ----
+    "s13_row_diff" -> ((s, dir) => {
+      val (wh, tbl) = stageMergeTable(s, dir)
+      wh.rowDiff(s, tbl, 1L, 2L, Seq("o_orderkey"))
+        .groupBy(col("_change_type"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"))
     }),
 
     // ---- S12: BLOOM-FILTER data skipping — the scattered-key point
@@ -1744,6 +1735,40 @@ object SparkEntry {
     (wh, tbl)
   }
 
+  /** s11/s13's staged merge history: v1 = orders with keys ≢0 (mod 7),
+    * range-clustered; v2 = ONE mergeInto deleting loaded keys ≡0 (mod
+    * 13), updating loaded keys ≡0 (mod 10) (status 'M', price+1), and
+    * inserting the held-out keys ≡0 (mod 7) (status 'I', price+1).
+    */
+  private def stageMergeTable(s: SparkSession, dir: String)
+      : (graft.tableops.TxWarehouse, String) = {
+    val root = s"/root/repo/target/s11_merge/${new java.io.File(dir).getName}"
+    val wh = new graft.tableops.TxWarehouse(root)
+    val tbl = wh.tablePath("bench", "orders")
+    if (wh.currentVersion(s, tbl) < 2L) {
+      val hp = new org.apache.hadoop.fs.Path(root)
+      hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+      val o = Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+        .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+      val k = col("o_orderkey")
+      wh.append(s, o.filter(k % 7 =!= 0)
+        .repartitionByRange(8, col("o_orderkey")), tbl) // v1
+      val changes = o.filter(k % 7 =!= 0 && k % 13 === 0)
+        .withColumn("del", lit(true))
+        .unionByName(o.filter(k % 7 =!= 0 && k % 13 =!= 0 && k % 10 === 0)
+          .withColumn("o_orderstatus", lit("M"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("del", lit(false)))
+        .unionByName(o.filter(k % 7 === 0)
+          .withColumn("o_orderstatus", lit("I"))
+          .withColumn("o_totalprice", col("o_totalprice") + 1.0)
+          .withColumn("del", lit(false)))
+      wh.mergeInto(s, changes, tbl, Seq("o_orderkey"), Some("del")) // v2
+    }
+    (wh, tbl)
+  }
+
   private def md5LongSql(x: String): String =
     s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT)"
 
@@ -1968,6 +1993,17 @@ object SparkEntry {
         |  CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT)
         |    AS sum_price_e2
         |FROM f GROUP BY o_status""".stripMargin,
+
+    "s13_row_diff" ->
+      """SELECT _change_type, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM (SELECT o_orderkey,
+        |        CASE WHEN o_orderkey % 7 = 0 THEN 'insert'
+        |             WHEN o_orderkey % 13 = 0 THEN 'delete'
+        |             WHEN o_orderkey % 10 = 0 THEN 'update' END AS _change_type
+        |      FROM orders)
+        |WHERE _change_type IS NOT NULL
+        |GROUP BY _change_type""".stripMargin,
 
     "s12_bloom_point" ->
       """SELECT o_orderkey, o_orderstatus,

@@ -741,6 +741,61 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     }
   }
 
+  /** ROW-granular snapshot diff — the keyed complement of
+    * [[diffSnapshots]]: classify each key as insert / delete / update
+    * between two versions. Cost is O(CHURN), not O(table): a row can
+    * only differ if its file changed, so both join sides read ONLY the
+    * files retired/added between the versions — the survivors a rewrite
+    * re-landed appear on both sides with equal values and drop out of
+    * the diff. Change detection compares the non-key columns
+    * STRING-canonicalized (null-safe struct equality across evolved
+    * schemas, absent columns as null), so a schema-evolution rewrite
+    * that merely adds an all-null column does not flag every row.
+    * Output: key columns + `_change_type` ('insert'/'delete'/'update'),
+    * update rows counted once. Assumes keys unique per version (the
+    * [[mergeInto]] invariant).
+    */
+  def rowDiff(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long, keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "rowDiff needs at least one key column")
+    val (liveFrom, liveTo) = liveSetsAt(spark, path, fromVersion, toVersion)
+    val added = (liveTo.keySet -- liveFrom.keySet).toSeq.sorted
+    val removed = (liveFrom.keySet -- liveTo.keySet).toSeq.sorted
+    if (added.isEmpty && removed.isEmpty)
+      return spark.emptyDataFrame
+    val dfA = if (removed.isEmpty) None else Some(readFiles(spark, path, removed))
+    val dfB = if (added.isEmpty) None else Some(readFiles(spark, path, added))
+    // the comparison struct spans the UNION of both sides' non-key
+    // columns (absent = null), so a rewrite that merely ADDS an
+    // all-null evolved column compares equal on every survivor instead
+    // of flagging the whole file as updates
+    val others = (dfA.toSeq ++ dfB.toSeq).flatMap(_.columns).distinct
+      .filterNot(c => keyCols.exists(_.equalsIgnoreCase(c))).sorted
+    def sided(df: DataFrame, tag: String): DataFrame =
+      df.select(keyCols.map(col) :+
+        struct(others.map(c =>
+          (if (df.columns.contains(c)) col(s"`$c`")
+           else lit(null)).cast("string").as(c)): _*)
+          .as(s"__v_$tag"): _*)
+    (dfA.map(sided(_, "a")), dfB.map(sided(_, "b"))) match {
+      case (Some(a), Some(b)) =>
+        a.join(b, keyCols, "full_outer")
+          .withColumn("_change_type",
+            when(col("__v_a").isNull, lit("insert"))
+              .when(col("__v_b").isNull, lit("delete"))
+              .when(!(col("__v_a") <=> col("__v_b")), lit("update")))
+          .filter(col("_change_type").isNotNull)
+          .select(keyCols.map(col) :+ col("_change_type"): _*)
+      case (Some(a), None) =>
+        a.select(keyCols.map(col): _*)
+          .withColumn("_change_type", lit("delete"))
+      case (None, Some(b)) =>
+        b.select(keyCols.map(col): _*)
+          .withColumn("_change_type", lit("insert"))
+      case (None, None) => spark.emptyDataFrame
+    }
+  }
+
   private def liveSetsAt(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long):
       (Map[String, String], Map[String, String]) = {

@@ -181,6 +181,27 @@ class MergeIntoSpec extends graft.SparkTestBase {
     assert(wh.lastTxn(spark, path, "cdc") == 1L)
   }
 
+  test("rowDiff: one row per changed key (insert/update/delete), " +
+    "survivors re-landed by the rewrite drop out, and an added all-null " +
+    "evolved column does not flag them") {
+    val (wh, path) = fresh("mgd")
+    wh.append(spark,
+      base(0 until 100).repartitionByRange(4, col("k")), path) // v1
+    // changes carry a NEW column: update 3, delete 7, insert 200
+    val changes = Seq(
+      (3L, "X", D, "en", false),
+      (7L, "", D, null.asInstanceOf[String], true),
+      (200L, "new", D, "de", false)
+    ).toDF("k", "s", "date", "lang", "del")
+    wh.mergeInto(spark, changes, path, Seq("k"), Some("del")) // v2
+    val diff = wh.rowDiff(spark, path, 1L, 2L, Seq("k"))
+      .as[(Long, String)].collect().toMap
+    assert(diff == Map(3L -> "update", 7L -> "delete", 200L -> "insert"),
+      s"got $diff")
+    // empty diff: same version on both sides
+    assert(wh.rowDiff(spark, path, 2L, 2L, Seq("k")).count() == 0L)
+  }
+
   test("time travel and the change feed see through the merge: readAt " +
     "resurrects the pre-merge snapshot; diffSnapshots reports the " +
     "rewrite file-granular") {
