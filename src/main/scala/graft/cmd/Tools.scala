@@ -165,6 +165,50 @@ object HistoryTool {
   }
 }
 
+/** Usage: MergeTool <warehouseRoot> <dataset> <datatype> <changesParquet>
+  *                   <keyCols,comma-separated> [deleteCol]
+  *
+  * Applies a change-set parquet (full rows + optional boolean delete
+  * column) to a tx table by key (TxWarehouse.mergeInto) — the CLI for
+  * one-off CDC backfills and corrections. Only files whose manifest
+  * stats/blooms overlap the change keys are rewritten.
+  */
+object MergeTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, dataset, datatype, changes, keys) = args.take(5)
+    val deleteCol = if (args.length > 5) Some(args(5)) else None
+    val wh = new graft.tableops.TxWarehouse(whRoot)
+    val spark = ToolSession.spark()
+    val st = wh.mergeInto(spark, spark.read.parquet(changes),
+      wh.tablePath(dataset, datatype),
+      keys.split(',').toSeq.filter(_.nonEmpty), deleteCol)
+    println(s"merged: rewrote ${st.filesRewritten} files " +
+      s"(${st.filesKept} kept untouched), wrote ${st.rowsWritten} rows " +
+      s"(${st.rowsUpserted} upserts, ${st.deleteKeys} delete keys)")
+  }
+}
+
+/** Usage: SetBloomTool <warehouseRoot> <dataset> <datatype> <column>
+  *                     [expectedItemsPerFile] [fpp]
+  *
+  * Enables per-file bloom-filter skipping on the column for all
+  * SUBSEQUENT writes (TxWarehouse.setBloomFilter); run CompactTool
+  * afterwards to re-land existing files with blooms.
+  */
+object SetBloomTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, dataset, datatype, column) = args.take(4)
+    val items = if (args.length > 4) args(4).toLong else 1000000L
+    val fpp = if (args.length > 5) args(5).toDouble else 0.01
+    val wh = new graft.tableops.TxWarehouse(whRoot)
+    val spark = ToolSession.spark()
+    wh.setBloomFilter(spark, wh.tablePath(dataset, datatype), column,
+      items, fpp)
+    println(s"bloom property set on $column " +
+      s"($items items/file, fpp $fpp) — subsequent writes harvest blooms")
+  }
+}
+
 /** Usage: ExportTool <warehouseRoot> <dataset> <datatype> <exportRoot>
   *                   [vacuumOrphanHours]
   *
