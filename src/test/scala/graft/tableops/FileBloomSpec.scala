@@ -114,6 +114,29 @@ class FileBloomSpec extends graft.SparkTestBase {
     assert(p2.inputFiles.length <= 3, s"opened ${p2.inputFiles.length}")
   }
 
+  test("a rewrite re-lands pre-property files WITH blooms: setBloomFilter " +
+    "on an existing table, then the compaction publish path, then " +
+    "point probes prune") {
+    val root = Files.createTempDirectory("graft-bl5").toString
+    val wh = new TxWarehouse(root)
+    val path = wh.tablePath("m", "t")
+    wh.append(spark, scattered, path) // pre-property: no blooms
+    val all = wh.read(spark, path).inputFiles.length
+    assert(wh.readWhere(spark, path, col("k") === 10L)
+      .inputFiles.length == all, "pre-property probes read everything")
+    wh.setBloomFilter(spark, path, "k", 1000, 0.01)
+    // the compaction publish path: stage a self-replace of the day from
+    // its own rows (re-scattered), publish — listData harvests blooms
+    val (_, token) = wh.stageSelfReplace(spark,
+      wh.readPartition(spark, path, D.toLocalDate).repartition(8, col("k") % 8),
+      path, D.toLocalDate)
+    wh.publishSelfReplace(spark, path, D.toLocalDate, token)
+    val p = wh.readWhere(spark, path, col("k") === 10L)
+    assert(p.inputFiles.length <= 2,
+      s"re-landed files must carry blooms, opened ${p.inputFiles.length}")
+    assert(p.select("s").as[String].collect().toSeq == Seq("v10"))
+  }
+
   test("date-typed bloom column prunes date-literal probes; a column " +
     "missing from a write yields an all-null bloom that prunes " +
     "every non-null probe") {
