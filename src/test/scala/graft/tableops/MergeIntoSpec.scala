@@ -159,6 +159,47 @@ class MergeIntoSpec extends graft.SparkTestBase {
     assert(got.size == 801) // 800 base + the disjoint racer's row
   }
 
+  test("two racing merges: disjoint key ranges both land without a " +
+    "conflict; overlapping merges serialize through the retry loop and " +
+    "converge") {
+    val (wh, path) = fresh("mgr")
+    wh.append(spark,
+      base(0 until 800).repartitionByRange(8, col("k")), path)
+    def mergeWithRetry(changes: org.apache.spark.sql.DataFrame): MergeStats = {
+      var out: Option[MergeStats] = None
+      var attempts = 0
+      while (out.isEmpty) {
+        try out = Some(wh.mergeInto(spark, changes, path, Seq("k")))
+        catch {
+          case _: ConcurrentCommitException =>
+            attempts += 1
+            require(attempts < 20, "livelock")
+        }
+      }
+      out.get
+    }
+    def race(c1: org.apache.spark.sql.DataFrame,
+        c2: org.apache.spark.sql.DataFrame): Unit = {
+      val t1 = new Thread(() => { mergeWithRetry(c1); () })
+      val t2 = new Thread(() => { mergeWithRetry(c2); () })
+      t1.start(); t2.start(); t1.join(30000); t2.join(30000)
+      assert(!t1.isAlive && !t2.isAlive, "merge threads hung")
+    }
+    // disjoint ranges (separate range files)
+    race(Seq((10L, "A", D)).toDF("k", "s", "date"),
+      Seq((790L, "B", D)).toDF("k", "s", "date"))
+    val g1 = contents(wh, path)
+    assert(g1(10L) == "A" && g1(790L) == "B" && g1.size == 800)
+    // overlapping: both touch key 50's file; retries must converge with
+    // BOTH effects applied (different keys, same file)
+    race(Seq((50L, "C", D)).toDF("k", "s", "date"),
+      Seq((51L, "D", D)).toDF("k", "s", "date"))
+    val g2 = contents(wh, path)
+    assert(g2(50L) == "C" && g2(51L) == "D" && g2.size == 800)
+    assert(wh.read(spark, path).groupBy("k").count()
+      .filter(col("count") > 1).count() == 0L, "no duplicated keys")
+  }
+
   test("mergeIntoTxn: a replayed micro-batch is a NO-OP (None) and the " +
     "table content is exactly-once; the next batch id applies") {
     val (wh, path) = fresh("mg7")
