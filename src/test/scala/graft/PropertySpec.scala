@@ -551,4 +551,58 @@ class PropertySpec extends SparkTestBase {
       assert(wh.currentVersion(spark, path) > 0 || ops.isEmpty)
     }
   }
+
+  test("merge model check: random upsert/delete change sets — with and " +
+    "without bloom skipping — match a key-value model at every step, " +
+    "and time travel replays every intermediate state") {
+    import graft.tableops.TxWarehouse
+    val D = Date.valueOf("2024-01-01")
+    case class ChangeSet(ups: Map[Long, Long], dels: Set[Long])
+    val keys = 0L until 50L
+    val genCs: Gen[ChangeSet] = for {
+      delKeys <- Gen.someOf(keys)
+      upsKeys <- Gen.someOf(keys.filterNot(delKeys.contains))
+      vals <- Gen.listOfN(upsKeys.size, Gen.choose(0L, 999L))
+    } yield ChangeSet(upsKeys.zip(vals).toMap, delKeys.toSet)
+    val genRun = for {
+      n <- Gen.choose(2, 4)
+      css <- Gen.listOfN(n, genCs)
+      bloom <- Gen.oneOf(true, false)
+    } yield (css, bloom)
+
+    samples(genRun, 3).zipWithIndex.foreach { case ((css, bloom), i) =>
+      val root =
+        java.nio.file.Files.createTempDirectory(s"graft-mmodel$i").toString
+      val wh = new TxWarehouse(root)
+      val path = wh.tablePath("m", "t")
+      if (bloom) wh.setBloomFilter(spark, path, "k", 100, 0.01)
+      // bootstrap: even keys present, scattered so ranges can't prune
+      var model: Map[Long, Long] = keys.filter(_ % 2 == 0).map(_ -> 0L).toMap
+      wh.append(spark,
+        model.toSeq.map { case (k, v) => (k, v, D) }.toDF("k", "v", "date")
+          .repartition(4, col("k") % 4), path)
+      def readBack(): Map[Long, Long] =
+        wh.read(spark, path).select("k", "v").as[(Long, Long)]
+          .collect().toMap
+      var history = List(wh.currentVersion(spark, path) -> model)
+      css.foreach { cs =>
+        val changes =
+          (cs.ups.toSeq.map { case (k, v) => (k, v, D, false) } ++
+            cs.dels.toSeq.map(k => (k, 0L, D, true)))
+            .toDF("k", "v", "date", "del")
+        if (cs.ups.nonEmpty || cs.dels.nonEmpty) {
+          wh.mergeInto(spark, changes, path, Seq("k"), Some("del"))
+          model = (model -- cs.dels) ++ cs.ups
+          history ::= wh.currentVersion(spark, path) -> model
+        }
+        assert(readBack() == model, s"bloom=$bloom changes so far: $css")
+      }
+      // every committed state is still reachable by version
+      history.foreach { case (v, m) =>
+        val got = wh.readAt(spark, path, v).select("k", "v")
+          .as[(Long, Long)].collect().toMap
+        assert(got == m, s"time travel to v$v diverged (bloom=$bloom)")
+      }
+    }
+  }
 }
