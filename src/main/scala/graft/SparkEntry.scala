@@ -988,6 +988,36 @@ object SparkEntry {
       graft.operators.Retrieval.bm25TopK(s, Tables.documents(s, dir),
         "doc_id", "text", Bm25Queries, k = 10)),
 
+    // ---- BM25 over the MATERIALIZED inverted index — value-identical
+    //      to tx_bm25_topk (same oracle SQL) but the corpus text is
+    //      never re-tokenized: the index is staged as two ingest days
+    //      (even/odd docs — proving the per-day incremental build
+    //      composes to full-corpus statistics), postings range-
+    //      clustered on term so the manifest prunes the posting read
+    //      to the query terms' files. The steady-state run measures
+    //      the PROBE against the maintained index — the part that
+    //      scales: a bounded query set costs O(files overlapping its
+    //      terms), not O(corpus) ----
+    "tx_bm25_indexed" -> ((s, dir) => {
+      val root = s"/root/repo/target/bm25_index/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val post = wh.tablePath("index", "postings")
+      val stat = wh.tablePath("index", "stats")
+      if (!wh.exists(s, post) || wh.dates(s, post).size < 2) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val docs = Tables.documents(s, dir)
+        graft.operators.Retrieval.indexDocs(s, wh, post, stat,
+          docs.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+          java.time.LocalDate.parse("2024-01-01"))
+        graft.operators.Retrieval.indexDocs(s, wh, post, stat,
+          docs.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+          java.time.LocalDate.parse("2024-01-02"))
+      }
+      graft.operators.Retrieval.bm25TopKIndexed(s, wh, post, stat,
+        Bm25Queries, k = 10)
+    }),
+
     // ---- hybrid retrieval: reciprocal-rank fusion of the BM25 arm
     //      (probe document's own text as the query, self excluded) and
     //      the dense cosine arm (probe's embedding) — RRF k₀ = 60,
@@ -2636,6 +2666,10 @@ object SparkEntry {
     },
 
     "tx_bm25_topk" -> bm25Sql(10),
+
+    // the indexed variant must reproduce the inline ranking EXACTLY —
+    // one oracle serves both
+    "tx_bm25_indexed" -> bm25Sql(10),
 
     "tx_hybrid_rrf" -> hybridRrfSql(probeMax = 8L, kEach = 10, kOut = 10),
 

@@ -107,6 +107,94 @@ object Retrieval {
     top
   }
 
+  /** MATERIALIZED inverted index: tokenize `docs` once and land the
+    * postings — (term, doc_id, tf, dl), doclen DENORMALIZED onto each
+    * posting so the query path never joins a length table — as a
+    * tx-warehouse date partition, range-clustered on `term` into
+    * `termFiles` files so the manifest's per-file term ranges prune a
+    * query's posting read to the files its terms land in. A sibling
+    * one-row-per-day `stats` partition records (n_docs, term_tot) —
+    * corpus N and avgdl resolve from an O(days) read of that tiny
+    * table, never a corpus scan. Partition semantics follow the
+    * warehouse contract: re-indexing a date REPLACES its postings and
+    * stats atomically (idempotent re-ingest), so the index tracks a
+    * continuously-loaded corpus the way the dedup signature index does
+    * (TableOps.copyToRaw precedent).
+    */
+  def indexDocs(spark: SparkSession, wh: graft.tableops.TxWarehouse,
+      postingsPath: String, statsPath: String, docs: DataFrame,
+      idCol: String, textCol: String, date: java.time.LocalDate,
+      termFiles: Int = 16): Unit = {
+    val d = java.sql.Date.valueOf(date)
+    val terms = docs.select(col(idCol).as("doc_id"),
+        explode(toks(textCol)).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = terms.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val postings = tf.join(dl, Seq("doc_id"))
+      .select(col("term"), col("doc_id"), col("tf"), col("dl"))
+      .withColumn("date", lit(d))
+      .repartitionByRange(termFiles, col("term"))
+    val stats = docs.agg(countDistinct(col(idCol)).as("n_docs"))
+      .crossJoin(terms.agg(count(lit(1)).as("term_tot")))
+      .withColumn("date", lit(d))
+    wh.overwritePartition(spark, postings, postingsPath, date)
+    wh.overwritePartition(spark, stats, statsPath, date): Unit
+  }
+
+  /** BM25 top-k over the MATERIALIZED index — value-identical to
+    * [[bm25TopK]] on the same corpus (same statistics, same float
+    * evaluation order, same quantize-before-sum), but the corpus text
+    * is never re-tokenized: the query reads the stats table (O(days)
+    * rows) plus ONLY the posting files whose recorded term ranges
+    * overlap the query terms. At archive scale a bounded query set
+    * costs O(files overlapping its terms), not O(corpus) — the
+    * retrieval analog of the dedup signature index.
+    */
+  def bm25TopKIndexed(spark: SparkSession, wh: graft.tableops.TxWarehouse,
+      postingsPath: String, statsPath: String,
+      queries: Seq[(Int, String)], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    import spark.implicits._
+    require(queries.nonEmpty && k >= 1)
+    val qPairs = queries.flatMap { case (qid, text) =>
+      text.split("\\s+").filter(_.nonEmpty).map(t => (qid, t))
+    }.distinct
+    val qTerms = qPairs.map(_._2).distinct
+    // corpus stats: O(days) rows
+    val st = wh.read(spark, statsPath)
+      .agg(sum(col("n_docs")).cast("double").as("n_docs"),
+        sum(col("term_tot")).cast("double").as("term_tot")).head()
+    val nDocs = st.getDouble(0)
+    val termTot = st.getDouble(1)
+    // postings of the query terms only — manifest term ranges prune
+    val p = wh.readWhere(spark, postingsPath,
+      col("term").isin(qTerms.map(x => x: Any): _*))
+    val dfreq = p.groupBy("term").agg(count(lit(1)).as("df"))
+    val q = qPairs.toDF("query_id", "term")
+    // identical arithmetic to bm25TopKFromTerms: N/avgdl as double
+    // literals instead of broadcast one-row subqueries — same doubles,
+    // same left-associative evaluation, same e4 floor
+    val idf = log(lit(1.0) +
+      (lit(nDocs) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val avgdl = lit(termTot) / lit(nDocs)
+    val tfNorm = (col("tf") * (lit(k1) + 1)) /
+      (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / avgdl))
+    val contrib = p
+      .join(broadcast(q), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .select(col("query_id"), col("doc_id"),
+        floor(lit(10000.0) * idf * tfNorm).cast("long").as("c_e4"))
+    val scored = contrib.groupBy("query_id", "doc_id")
+      .agg(sum(col("c_e4")).as("score_e4"))
+    scored.groupBy("query_id")
+      .agg(TopKByScore.topKByScore(
+        struct(col("score_e4"), col("doc_id")), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("query_id"), col("e.id").as("doc_id"),
+        col("e.score").as("score_e4"), (col("i") + 1).cast("int").as("rank"))
+  }
+
   /** Hybrid retrieval: reciprocal-rank fusion of a sparse (BM25,
     * more-like-this over the probe document's own text) and a dense
     * (cosine over the probe's embedding) ranked list — the standard

@@ -109,4 +109,38 @@ class RetrievalSpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("materialized index: incremental per-day builds compose to the " +
+    "inline ranking exactly, and the posting read opens only the files " +
+    "the query terms' ranges overlap") {
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25ix").toString
+    val wh = new graft.tableops.TxWarehouse(root)
+    val post = wh.tablePath("ix", "postings")
+    val stat = wh.tablePath("ix", "stats")
+    // two ingest days; postings range-clustered on term (4 files/day)
+    Retrieval.indexDocs(spark, wh, post, stat,
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      java.time.LocalDate.parse("2024-01-01"), termFiles = 4)
+    Retrieval.indexDocs(spark, wh, post, stat,
+      corpus.filter(col("doc_id") % 2 =!= 0), "doc_id", "text",
+      java.time.LocalDate.parse("2024-01-02"), termFiles = 4)
+    val qs = Seq((1, "apple"), (2, "durian cherry"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score_e4", "rank")
+        .as[(Int, Long, Long, Int)].collect().toSet
+    val inline = rows(Retrieval.bm25TopK(spark, corpus, "doc_id", "text", qs, 3))
+    val indexed = rows(Retrieval.bm25TopKIndexed(spark, wh, post, stat, qs, 3))
+    assert(indexed == inline, s"indexed=$indexed inline=$inline")
+    // pruning: a single-term probe must not open every posting file
+    val total = wh.read(spark, post).inputFiles.length
+    val probed = wh.readWhere(spark, post, col("term").isin("durian"))
+      .inputFiles.length
+    assert(probed < total, s"term-range pruning inert: $probed of $total")
+    // idempotent re-ingest: replaying a day replaces, never doubles
+    Retrieval.indexDocs(spark, wh, post, stat,
+      corpus.filter(col("doc_id") % 2 === 0), "doc_id", "text",
+      java.time.LocalDate.parse("2024-01-01"), termFiles = 4)
+    assert(rows(Retrieval.bm25TopKIndexed(spark, wh, post, stat, qs, 3))
+      == inline, "re-ingest must be idempotent")
+  }
 }
