@@ -775,6 +775,36 @@ object SparkEntry {
         col("vec_id") < 10, k = 5)
     }),
 
+    // ---- IVF over the MATERIALIZED assignment index — value-identical
+    //      to sim_ivf_topk (same centroids, same probe order, same
+    //      oracle SQL), staged as two ingest days (even/odd vectors:
+    //      per-vector assignment composes across days) range-clustered
+    //      on cent_id, so the probe reads only the index files of the
+    //      queries' own clusters — O(files of probed clusters) at any
+    //      archive depth, never a corpus re-assignment ----
+    "sim_ivf_indexed" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cents = emb.filter(col("vec_id") % 50 === 0)
+      val root = s"/root/repo/target/ivf_index/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val assign = wh.tablePath("index", "ivf")
+      if (!wh.exists(s, assign) || wh.dates(s, assign).size < 2) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        Similarity.indexEmbeddings(s, wh, assign,
+          emb.filter(col("vec_id") % 2 === 0), "vec_id", "embedding",
+          cents, "vec_id", "embedding",
+          java.time.LocalDate.parse("2024-01-01"))
+        Similarity.indexEmbeddings(s, wh, assign,
+          emb.filter(col("vec_id") % 2 =!= 0), "vec_id", "embedding",
+          cents, "vec_id", "embedding",
+          java.time.LocalDate.parse("2024-01-02"))
+      }
+      Similarity.ivfTopKIndexed(s, wh, assign, "vec_id",
+        emb.filter(col("vec_id") < 10), "vec_id", "embedding",
+        cents, "vec_id", "embedding", k = 5)
+    }),
+
     // ---- the recall knob exercised: nprobe=2 probes each query's two
     //      nearest buckets (candidates ≈ 2/C of the corpus); the oracle
     //      replays the probe list, pinning multi-probe semantics —
@@ -1797,6 +1827,31 @@ object SparkEntry {
       wh.mergeInto(s, changes, tbl, Seq("o_orderkey"), Some("del")) // v2
     }
     (wh, tbl)
+  }
+
+  /** Shared oracle for sim_ivf_topk AND sim_ivf_indexed (nprobe=1,
+    * queries vec_id < 10, k = 5): the index materialization must be
+    * invisible in the results.
+    */
+  private lazy val ivfTopKSql: String = {
+    val cosAssign = cosE6Sql("e.embedding", "c.embedding")
+    val cosScore = cosE6Sql("q.qv", "n.v")
+    s"""WITH c AS (SELECT vec_id AS cent_id, embedding FROM embeddings
+       |           WHERE vec_id % 50 = 0),
+       |assign0 AS (SELECT e.vec_id, c.cent_id, e.embedding AS v,
+       |    $cosAssign AS cos_e6 FROM embeddings e CROSS JOIN c),
+       |assign AS (SELECT vec_id, cent_id, v FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY vec_id
+       |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM assign0)
+       |  WHERE rn = 1),
+       |q AS (SELECT vec_id AS qid, cent_id, v AS qv FROM assign
+       |      WHERE vec_id < 10),
+       |scored AS (SELECT q.qid AS query_id, n.vec_id AS nbr_id, $cosScore AS cos_e6
+       |           FROM assign n JOIN q ON n.cent_id = q.cent_id
+       |           WHERE q.qid <> n.vec_id),
+       |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+       |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
+       |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 5""".stripMargin
   }
 
   private def md5LongSql(x: String): String =
@@ -2938,26 +2993,11 @@ object SparkEntry {
          |WHERE rn = 1""".stripMargin
     },
 
-    "sim_ivf_topk" -> {
-      val cosAssign = cosE6Sql("e.embedding", "c.embedding")
-      val cosScore = cosE6Sql("q.qv", "n.v")
-      s"""WITH c AS (SELECT vec_id AS cent_id, embedding FROM embeddings
-         |           WHERE vec_id % 50 = 0),
-         |assign0 AS (SELECT e.vec_id, c.cent_id, e.embedding AS v,
-         |    $cosAssign AS cos_e6 FROM embeddings e CROSS JOIN c),
-         |assign AS (SELECT vec_id, cent_id, v FROM (
-         |    SELECT *, row_number() OVER (PARTITION BY vec_id
-         |      ORDER BY cos_e6 DESC, cent_id ASC) AS rn FROM assign0)
-         |  WHERE rn = 1),
-         |q AS (SELECT vec_id AS qid, cent_id, v AS qv FROM assign
-         |      WHERE vec_id < 10),
-         |scored AS (SELECT q.qid AS query_id, n.vec_id AS nbr_id, $cosScore AS cos_e6
-         |           FROM assign n JOIN q ON n.cent_id = q.cent_id
-         |           WHERE q.qid <> n.vec_id),
-         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
-         |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
-         |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 5""".stripMargin
-    },
+    "sim_ivf_topk" -> ivfTopKSql,
+
+    // the indexed variant must reproduce the in-memory IVF exactly —
+    // one oracle serves both
+    "sim_ivf_indexed" -> ivfTopKSql,
 
     // IVF with nprobe=2: the oracle replays the per-query probe LIST
     // (top-2 centroids by the assignment order), then scores the union

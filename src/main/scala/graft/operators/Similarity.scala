@@ -215,6 +215,71 @@ object Similarity {
       .select(col(idCol), col("best.cent_id").as("cent_id"), col("best.v").as("v"))
   }
 
+  /** MATERIALIZE the IVF index: land [[ivfAssign]]'s (id, cent_id, v)
+    * for a day's vectors as a tx-warehouse partition, range-clustered
+    * on `cent_id` so the manifest's per-file cluster ranges confine a
+    * probe to the files its clusters land in. Per-day REPLACE semantics
+    * (idempotent re-ingest), the same maintenance contract as the BM25
+    * postings and dedup signature indexes. The centroid set is the
+    * caller's fixed configuration (it defines the index — changing it
+    * means rebuilding), so it is not stored here.
+    */
+  def indexEmbeddings(spark: org.apache.spark.sql.SparkSession,
+      wh: graft.tableops.TxWarehouse, assignPath: String,
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, cIdCol: String, cVecCol: String,
+      date: java.time.LocalDate, clusterFiles: Int = 8): Unit = {
+    val assigned = ivfAssign(embeddings, idCol, vecCol,
+        centroids, cIdCol, cVecCol)
+      .withColumn("date", lit(java.sql.Date.valueOf(date)))
+      .repartitionByRange(clusterFiles, col("cent_id"))
+    wh.overwritePartition(spark, assigned, assignPath, date): Unit
+  }
+
+  /** IVF top-k over the MATERIALIZED index — value-identical to
+    * [[ivfTopK]] with the same centroids (same assignment rule, same
+    * probe order, same quantized cosine), but the corpus is never
+    * re-assigned: the probe reads ONLY the index files whose recorded
+    * cent_id ranges overlap the queries' probed clusters. At archive
+    * scale a bounded query set costs O(files of probed clusters) —
+    * ~nprobe/C of the index and independent of its day count.
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession,
+      wh: graft.tableops.TxWarehouse, assignPath: String, idCol: String,
+      queriesDf: DataFrame, qIdCol: String, qVecCol: String,
+      centroids: DataFrame, cIdCol: String, cVecCol: String,
+      k: Int, nprobe: Int = 1): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val cents = broadcast(centroids.select(col(cIdCol).as("cent_id"),
+      asDouble(col(cVecCol)).as("cent_vec")))
+    val qScored = queriesDf
+      .select(col(qIdCol).as("query_id"), asDouble(col(qVecCol)).as("q_vec"))
+      .crossJoin(cents)
+      .withColumn("__cos",
+        floor(cosine(col("q_vec"), col("cent_vec")) * 1e6).cast("long"))
+    val wq = Window.partitionBy(col("query_id"))
+      .orderBy(col("__cos").desc, col("cent_id").asc)
+    val queries = broadcast(qScored
+      .withColumn("__rn", row_number().over(wq)).filter(col("__rn") <= nprobe)
+      .select(col("query_id"), col("cent_id"), col("q_vec"),
+        norm(col("q_vec")).as("q_nrm")))
+    // bounded query set → the probed cluster ids collect and drive the
+    // manifest prune on the index read
+    val probed = queries.select("cent_id").distinct().collect()
+      .map(_.get(0)).toSeq
+    val assigned = wh.readWhere(spark, assignPath,
+      col("cent_id").isin(probed: _*))
+    val scored = assigned
+      .select(col(idCol).as("nbr_id"), col("cent_id"),
+        col("v").as("nbr_vec"), norm(col("v")).as("nbr_nrm"))
+      .join(queries, Seq("cent_id"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cos_e6",
+        floor(dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")) * 1e6)
+          .cast("long"))
+    rankedTopK(scored, k)
+  }
+
   /** IVF top-k: probe the query's `nprobe` nearest centroid buckets.
     * Approximate — misses neighbors assigned to unprobed centroids;
     * `nprobe` is the recall-vs-cost knob every IVF index exposes: scored
