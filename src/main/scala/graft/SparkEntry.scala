@@ -544,6 +544,108 @@ object SparkEntry {
           count(lit(1)).as("n_rows"))
     }),
 
+    // ---- TPC-H Q7 analog: volume between two nations — the nation
+    //      dims broadcast into both fact chains; the pair disjunction
+    //      filters AFTER the joins (it spans both sides) while the
+    //      2-nation IN envelope pushes to each dim scan ----
+    "q7_nation_volume" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val su = Tables.supplier(s, dir)
+      val n = Tables.nation(s, dir)
+      val pair = Seq("NATION_3", "NATION_7")
+      val n1 = broadcast(n.filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n1k"), col("n_name").as("supp_nation")))
+      val n2 = broadcast(n.filter(col("n_name").isin(pair: _*))
+        .select(col("n_nationkey").as("n2k"), col("n_name").as("cust_nation")))
+      li.filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .join(broadcast(su), col("s_suppkey") === col("l_suppkey"))
+        .join(o, col("o_orderkey") === col("l_orderkey"))
+        .join(c, col("c_custkey") === col("o_custkey"))
+        .join(n1, col("s_nationkey") === col("n1k"))
+        .join(n2, col("c_nationkey") === col("n2k"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("revenue_e2"))
+    }),
+
+    // ---- TPC-H Q13 analog: customer order-count distribution — the
+    //      LEFT join keeps order-less customers (c_count = 0), then a
+    //      second aggregation histograms the counts ----
+    "q13_cust_distribution" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))),
+
+    // ---- TPC-H Q15 analog: top supplier(s) by quarter revenue — the
+    //      max resolves as a one-row broadcast joined back (the scalar-
+    //      subquery shape), never a global sort ----
+    "q15_top_supplier" -> ((s, dir) => {
+      val rev = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+        .groupBy(col("l_suppkey"))
+        .agg(sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+          .cast("long")).as("total_e2"))
+      rev.join(broadcast(rev.agg(max(col("total_e2")).as("mx"))),
+          col("total_e2") === col("mx"))
+        .join(broadcast(Tables.supplier(s, dir)),
+          col("s_suppkey") === col("l_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_e2"))
+    }),
+
+    // ---- TPC-H Q17 analog: small-quantity revenue for one brand — the
+    //      correlated `l_quantity < 0.2·avg(per part)` decorrelates to a
+    //      per-part aggregate joined back; the threshold compares in
+    //      EXACT integers (5·cnt·qty_e2 < sum_qty_e2, the e2-quantized
+    //      form of qty < sum/(5·cnt)) so no float average crosses
+    //      engines ----
+    "q17_small_quantity" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val smallParts = broadcast(Tables.part(s, dir)
+        .filter(col("p_brand") === "Brand#23").select("p_partkey"))
+      val branded = li.join(smallParts, col("l_partkey") === col("p_partkey"))
+      val perPart = branded.groupBy(col("l_partkey").as("pk"))
+        .agg(sum(floor(col("l_quantity") * 100).cast("long")).as("sum_q_e2"),
+          count(lit(1)).as("cnt"))
+      branded.join(perPart, col("l_partkey") === col("pk"))
+        .filter(lit(5L) * col("cnt") * floor(col("l_quantity") * 100).cast("long")
+          < col("sum_q_e2"))
+        .agg(sum(floor(col("l_extendedprice") * 100).cast("long")).as("sum_price_e2"),
+          count(lit(1)).as("n_rows"))
+    }),
+
+    // ---- TPC-H Q22 analog: idle above-average-balance customers — the
+    //      global average rides as a one-row broadcast (threshold in
+    //      exact integers: cnt·bal_e2 > sum_e2), order-less-ness is an
+    //      ANTI join ----
+    "q22_idle_customers" -> ((s, dir) => {
+      val c = Tables.customer(s, dir)
+      val pos = c.filter(col("c_acctbal") > 0.0)
+      val stats = broadcast(pos.agg(
+        sum(floor(col("c_acctbal") * 100).cast("long")).as("sum_e2"),
+        count(lit(1)).as("cnt")))
+      pos.crossJoin(stats)
+        .filter(col("cnt") * floor(col("c_acctbal") * 100).cast("long")
+          > col("sum_e2"))
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderdate") >=
+              lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"),
+          sum(floor(col("c_acctbal") * 100).cast("long")).as("totacctbal_e2"))
+    }),
+
     "q3_shipping_priority" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
       val o = Tables.orders(s, dir)
@@ -2171,6 +2273,77 @@ object SparkEntry {
         |GROUP BY c_custkey, c_name, c_nationkey
         |ORDER BY revenue_e2 DESC, c_custkey
         |LIMIT 20""".stripMargin,
+
+    "q7_nation_volume" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS revenue_e2
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN orders ON o_orderkey = l_orderkey
+        |JOIN customer ON c_custkey = o_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND n1.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n2.n_name IN ('NATION_3', 'NATION_7')
+        |  AND n1.n_name <> n2.n_name
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    "q13_cust_distribution" ->
+      """SELECT c_count, count(*) AS custdist FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS c_count
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey)
+        |GROUP BY c_count""".stripMargin,
+
+    "q15_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT)) AS BIGINT) AS total_e2
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name, total_e2
+        |FROM rev JOIN supplier ON s_suppkey = l_suppkey
+        |WHERE total_e2 = (SELECT max(total_e2) FROM rev)""".stripMargin,
+
+    "q17_small_quantity" ->
+      """WITH branded AS (
+        |  SELECT l_partkey, l_quantity, l_extendedprice
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_brand = 'Brand#23'),
+        |pp AS (SELECT l_partkey AS pk,
+        |    CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_q_e2,
+        |    count(*) AS cnt
+        |  FROM branded GROUP BY l_partkey)
+        |SELECT
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_e2,
+        |  count(*) AS n_rows
+        |FROM branded JOIN pp ON l_partkey = pk
+        |WHERE 5 * cnt * CAST(floor(l_quantity * 100) AS BIGINT) < sum_q_e2""".stripMargin,
+
+    "q22_idle_customers" ->
+      """WITH pos AS (SELECT * FROM customer WHERE c_acctbal > 0.0),
+        |st AS (SELECT
+        |    CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_e2,
+        |    count(*) AS cnt FROM pos)
+        |SELECT c_nationkey, count(*) AS numcust,
+        |  CAST(sum(CAST(floor(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+        |    AS totacctbal_e2
+        |FROM pos, st
+        |WHERE cnt * CAST(floor(c_acctbal * 100) AS BIGINT) > sum_e2
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |    WHERE o_custkey = c_custkey
+        |      AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+        |GROUP BY c_nationkey""".stripMargin,
 
     "q4_order_priority" ->
       """SELECT o_orderpriority, count(*) AS order_count

@@ -96,6 +96,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(f.contains("Brand#12"), f)
   }
 
+  test("q7: both nation dims and supplier broadcast; the 2-nation IN " +
+    "envelope reaches the dim scans") {
+    val p = planned("q7_nation_volume")
+    assert(p.contains("BroadcastHashJoin"), p)
+    val f = formatted("q7_nation_volume")
+    assert(f.contains("PushedFilters") && f.contains("NATION_3"), f)
+  }
+
+  test("q15: the max resolves as a one-row broadcast joined back — no " +
+    "global sort, no window") {
+    val p = planned("q15_top_supplier")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!"Sort \\[".r.findFirstIn(p).exists(_ => p.contains("global=true")), p)
+  }
+
+  test("q17: the correlated avg decorrelates to a per-part aggregate " +
+    "joined back — no window, brand filter pushed, part side broadcast") {
+    val p = planned("q17_small_quantity")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    val f = formatted("q17_small_quantity")
+    assert(f.contains("EqualTo(p_brand,Brand#23)"), f)
+  }
+
+  test("q22: order-less-ness is an anti join; the global-average " +
+    "threshold rides a one-row broadcast") {
+    val p = planned("q22_idle_customers")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q1: aggregation is partial before the exchange (two HashAggregate levels)") {
     val p = planned("q1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2)
