@@ -1058,6 +1058,13 @@ object SparkEntry {
       EventAnalytics.transitionCounts(Tables.events(s, dir), "user_id",
         "ts", "event_type", "event_id")),
 
+    // ---- top event paths: most frequent consecutive length-3
+    //      event-type sequences with distinct-user reach — one user-key
+    //      exchange, |types|³-bounded aggregate, bounded top-k ----
+    "ev_top_paths" -> ((s, dir) =>
+      EventAnalytics.topPaths(Tables.events(s, dir), "user_id", "ts",
+        "event_type", "event_id", k = 20)),
+
     // ---- retention cohorts: users by first-event date × weekly
     //      activity period ----
     "ev_retention_cohorts" -> ((s, dir) =>
@@ -2728,6 +2735,18 @@ object SparkEntry {
         |SELECT src, dst, count(*) AS n_transitions,
         |       count(DISTINCT user_id) AS n_users
         |FROM o WHERE dst IS NOT NULL GROUP BY src, dst""".stripMargin,
+
+    "ev_top_paths" ->
+      """WITH o AS (SELECT user_id AS u, event_type AS e1,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS e2,
+        |    lead(event_type, 2) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS e3
+        |  FROM events)
+        |SELECT e1, e2, e3, count(*) AS n_paths,
+        |       count(DISTINCT u) AS n_users
+        |FROM o WHERE e3 IS NOT NULL GROUP BY e1, e2, e3
+        |ORDER BY n_paths DESC, e1, e2, e3 LIMIT 20""".stripMargin,
 
     "ev_retention_cohorts" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),

@@ -39,6 +39,30 @@ object EventAnalytics {
         countDistinct(col("u")).as("n_users"))
   }
 
+  /** Top-k most frequent length-3 event-type PATHS (the second-order
+    * extension of [[transitionCounts]]): per user, consecutive
+    * (e1, e2, e3) triples by time (ties by event id), counted with the
+    * distinct-user reach of each path. ONE user-key exchange feeds both
+    * leads (same window), the aggregate is |types|³-bounded, and the
+    * top-k plans as TakeOrderedAndProject (per-partition heaps + driver
+    * merge — no global sort at any corpus size).
+    */
+  def topPaths(events: DataFrame, userCol: String, tsCol: String,
+      typeCol: String, idCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
+    events
+      .select(col(userCol).as("u"), col(typeCol).as("e1"),
+        lead(col(typeCol), 1).over(w).as("e2"),
+        lead(col(typeCol), 2).over(w).as("e3"))
+      .filter(col("e3").isNotNull)
+      .groupBy(col("e1"), col("e2"), col("e3"))
+      .agg(count(lit(1)).as("n_paths"), countDistinct(col("u")).as("n_users"))
+      .orderBy(col("n_paths").desc, col("e1").asc, col("e2").asc,
+        col("e3").asc)
+      .limit(k)
+  }
+
   /** Daily / trailing-7-day active users per day — DAU, WAU, and the
     * stickiness numerator every engagement dashboard wants. WAU(d) is
     * the distinct-user count over days [d−6, d]: computed by exploding
