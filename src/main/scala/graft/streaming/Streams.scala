@@ -114,6 +114,34 @@ object Streams {
       .select(col("window.start").as("window_start"), col("n_events"),
         col("n_users_approx"), col("sum_value_e4"))
 
+  /** STREAM-STREAM interval join — the streaming dual of the annotation
+    * join (J1, cloud/bq/ops.go:234-253): a measurement stream enriched
+    * left-outer with the annotation rows of the same key whose event
+    * time falls within [ts − maxAge, ts]. This is the interval form of
+    * as-of: batch as-of picks the single LATEST qualifying annotation,
+    * which stream-stream joins cannot express (no per-key ordering
+    * selection inside the join) — callers wanting exactly-one dedup the
+    * output downstream (keepLatestState) or accept the interval
+    * multiplicity. Both sides are watermarked: the time-range condition
+    * bounds the join STATE (Spark retires buffered rows once the
+    * watermark passes their join window — without the range the state
+    * grows forever), and unmatched measurements emit with null
+    * annotation columns once their window can no longer match
+    * (left-outer append semantics).
+    *
+    * Column contract: `meas(id, ts, …)` joined to
+    * `ann(ann_id, ann_ts, …)` on `id = ann_id` — alias the annotation
+    * side's columns before calling (a self-named `id`/`ts` would
+    * collide).
+    */
+  def annotateStream(meas: DataFrame, ann: DataFrame,
+      lateness: String = "1 hour", maxAge: String = "1 day"): DataFrame =
+    meas.withWatermark("ts", lateness)
+      .join(ann.withWatermark("ann_ts", lateness),
+        expr(s"id = ann_id AND ann_ts >= ts - interval $maxAge" +
+          " AND ann_ts <= ts"),
+        "leftOuter")
+
   /** Streaming keep-latest-per-key dedup: keyed state holds the current
     * winner under `newer` (a total "is-newer" merge, e.g. max parser.Time
     * — W1's order key); each trigger emits the key's winner after folding

@@ -330,6 +330,51 @@ class StreamingSpec extends SparkTestBase {
     assert(wh.read(spark, path).count() === 4)
   }
 
+  test("stream-stream interval join: annotations within the lookback " +
+    "enrich, unmatched measurements emit null-padded after the " +
+    "watermark closes their window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val meas = MemoryStream[(Long, Timestamp)]
+    val anns = MemoryStream[(Long, Timestamp, String)]
+    val joined = Streams.annotateStream(
+      meas.toDF().toDF("id", "ts"),
+      anns.toDF().toDF("ann_id", "ann_ts", "geo"),
+      lateness = "10 minutes", maxAge = "1 hour")
+    val q = joined.select("id", "ts", "geo")
+      .writeStream.format("memory").queryName("annjoin")
+      .outputMode(OutputMode.Append).start()
+
+    // m1 has an annotation 30 min earlier (in window); m2 has one 2h
+    // earlier (outside); m3 has none
+    anns.addData((1L, ts("2024-01-01 09:30:00"), "geoA"),
+      (2L, ts("2024-01-01 08:00:00"), "geoB"))
+    meas.addData((1L, ts("2024-01-01 10:00:00")),
+      (2L, ts("2024-01-01 10:00:00")),
+      (3L, ts("2024-01-01 10:00:00")))
+    q.processAllAvailable()
+    val matched = spark.table("annjoin").as[(Long, Timestamp, Option[String])]
+      .collect().toSet
+    assert(matched.contains((1L, ts("2024-01-01 10:00:00"), Some("geoA"))))
+    // outer results for m2/m3 wait on the watermark: advance both sides
+    // well past the join window
+    anns.addData((99L, ts("2024-01-01 13:00:00"), "late"))
+    meas.addData((99L, ts("2024-01-01 13:00:00")))
+    q.processAllAvailable()
+    // one more empty-ish trigger lets the outer rows flush
+    anns.addData((98L, ts("2024-01-01 14:00:00"), "late2"))
+    meas.addData((98L, ts("2024-01-01 14:00:00")))
+    q.processAllAvailable()
+    q.stop()
+    val all = spark.table("annjoin").as[(Long, Timestamp, Option[String])]
+      .collect().toSet
+    assert(all.contains((2L, ts("2024-01-01 10:00:00"), None)),
+      s"out-of-window annotation must null-pad, got $all")
+    assert(all.contains((3L, ts("2024-01-01 10:00:00"), None)),
+      s"no-annotation row must null-pad, got $all")
+    assert(!all.exists(r => r._1 == 2L && r._3.nonEmpty))
+  }
+
   test("streaming CDC apply: keyed change batches merge exactly-once — " +
     "upserts replace, flagged keys delete, a replayed batch is a no-op") {
     import spark.implicits._
