@@ -138,6 +138,13 @@ trait Warehouse {
 final class ConcurrentCommitException(msg: String)
     extends java.util.ConcurrentModificationException(msg)
 
+/** A write batch violated a table CHECK constraint
+  * ([[TxWarehouse.addCheckConstraint]]); nothing was committed — the
+  * written files are unreferenced orphans for vacuum.
+  */
+final class ConstraintViolationException(msg: String)
+    extends IllegalArgumentException(msg)
+
 /** What a [[TxWarehouse.mergeInto]] did, in file and row terms.
   * `filesKept` is the headline scale number: live files the manifest
   * stats PROVED key-disjoint from the change set — never read, never
@@ -1015,9 +1022,84 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   private def writeData(spark: SparkSession, df: DataFrame, path: String):
       (Seq[AddEntry], String) = {
     val dir = s"$DataDir/${UUID.randomUUID()}"
-    df.withColumn(PartCol, col("date").cast("string"))
+    // CHECK constraints validate DURING the write pass (observe counts
+    // rows whose predicate is FALSE — SQL semantics: null passes), so
+    // enforcement costs zero extra scans. A violation aborts before the
+    // commit: the written files are unreferenced orphans for vacuum,
+    // the table is untouched.
+    val checks = checkConstraints(spark, path)
+    val obs = if (checks.isEmpty) None
+      else Some(new org.apache.spark.sql.Observation())
+    val checked = obs match {
+      case Some(o) =>
+        df.observe(o, checks.map { case (name, sql) =>
+          sum(when(expr(sql) <=> lit(false), 1L).otherwise(0L))
+            .as(s"__chk_$name")
+        }.head, checks.drop(1).map { case (name, sql) =>
+          sum(when(expr(sql) <=> lit(false), 1L).otherwise(0L))
+            .as(s"__chk_$name")
+        }.toSeq: _*)
+      case None => df
+    }
+    checked.withColumn(PartCol, col("date").cast("string"))
       .write.partitionBy(PartCol).parquet(s"$path/$dir")
+    obs.foreach { o =>
+      val bad = checks.flatMap { case (name, sql) =>
+        val n = Option(o.get(s"__chk_$name")).map(_.asInstanceOf[Long])
+          .getOrElse(0L)
+        if (n > 0) Some(s"$name ($sql): $n rows") else None
+      }
+      if (bad.nonEmpty)
+        throw new ConstraintViolationException(
+          s"write to $path violates CHECK constraint(s) ${bad.mkString("; ")}")
+    }
     (listData(spark, path, dir), dir)
+  }
+
+  /** Active CHECK constraints: `P check.<name> <b64(sql)>` properties
+    * (a `-` value is a dropped constraint).
+    */
+  private def checkConstraints(spark: SparkSession,
+      path: String): Seq[(String, String)] =
+    replay(spark, path)._2.props.toSeq.collect {
+      case (k, v) if k.startsWith("check.") && v != "-" =>
+        scala.util.Try(k.stripPrefix("check.") ->
+          new String(java.util.Base64.getDecoder.decode(v), UTF_8)).toOption
+    }.flatten.sortBy(_._1)
+
+  /** Delta-style CHECK constraint: every SUBSEQUENT write (append,
+    * merge, replace, streaming batch) must satisfy `sqlPredicate` on
+    * every row or the write aborts with [[ConstraintViolationException]]
+    * before committing (SQL CHECK semantics — a NULL predicate passes).
+    * Existing data is NOT retro-validated (same contract as Delta's
+    * `ADD CONSTRAINT` on new writes... which validates history; here
+    * history is immutable and the constraint governs the write path).
+    * Names are [A-Za-z0-9_]; re-adding a name replaces its predicate.
+    */
+  def addCheckConstraint(spark: SparkSession, path: String, name: String,
+      sqlPredicate: String): Unit = {
+    require(name.matches("[A-Za-z0-9_]+"), s"bad constraint name: $name")
+    commitProperty(spark, path, s"check.$name", b64(sqlPredicate))
+  }
+
+  /** Drop a CHECK constraint (no-op if absent). */
+  def dropCheckConstraint(spark: SparkSession, path: String,
+      name: String): Unit =
+    commitProperty(spark, path, s"check.$name", "-")
+
+  private def commitProperty(spark: SparkSession, path: String,
+      key: String, value: String): Unit = {
+    val f = fs(spark, path)
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val (v, _) = replay(spark, path)
+      if (tryCommit(f, path, v + 1, Seq(s"P $key $value"))) {
+        maybeCheckpoint(spark, path, v + 1); return
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"commit contention: $MaxCommitAttempts failed attempts on $path")
   }
 
   /** (relpath, date, footer stats) of every parquet file under
@@ -1081,18 +1163,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val bits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItemsPerFile, fpp)
     val spec = FileBloom.Spec(col, expectedItemsPerFile, bits)
-    val f = fs(spark, path)
-    var attempts = 0
-    while (attempts < MaxCommitAttempts) {
-      val (v, _) = replay(spark, path)
-      if (tryCommit(f, path, v + 1,
-          Seq(s"P ${FileBloom.PropKey} ${FileBloom.encodeSpec(spec)}"))) {
-        maybeCheckpoint(spark, path, v + 1); return
-      }
-      attempts += 1
-    }
-    throw new IllegalStateException(
-      s"commit contention: $MaxCommitAttempts failed attempts on $path")
+    commitProperty(spark, path, FileBloom.PropKey, FileBloom.encodeSpec(spec))
   }
 
   /** Manifest lines for a set of adds: `A` entries plus an `S` stats
