@@ -1442,6 +1442,26 @@ object SparkEntry {
 
     // ---- the full corpus-hygiene pipeline: quality → repetition →
     //      near-dup dedup (min-id representative) → decontamination ----
+    // ---- per-column data profile: null count + exact distinct per
+    //      column in ONE aggregate (Catalyst's Expand handles the
+    //      multi-distinct), unpivoted to a row per column — the
+    //      ingest-audit query every pipeline runs before trusting a new
+    //      feed ----
+    "ds_profile" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val cols = Seq("l_returnflag", "l_linestatus", "l_shipdate", "l_quantity")
+      val aggs = cols.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__n_$c"),
+          countDistinct(col(c)).as(s"__d_$c"))
+      }
+      val one = li.agg(aggs.head, aggs.drop(1): _*)
+      val stacked = cols.map { c =>
+        one.select(lit(c).as("column"), col(s"__n_$c").as("n_nulls"),
+          col(s"__d_$c").as("n_distinct"))
+      }.reduce(_ unionByName _)
+      stacked
+    }),
+
     "ds_corpus_clean" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       graft.operators.CorpusPipeline.clean(
@@ -3412,6 +3432,24 @@ object SparkEntry {
     // the hygiene pipeline, stage by stage: quality+repetition gates →
     // jaccard clusters over the survivors (min-id representative kept) →
     // eval-overlap decontamination of the representatives
+    "ds_profile" ->
+      """SELECT 'l_returnflag' AS "column",
+        |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_nulls,
+        |  count(DISTINCT l_returnflag) AS n_distinct FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linestatus',
+        |  CAST(sum(CASE WHEN l_linestatus IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_linestatus) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_shipdate',
+        |  CAST(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_shipdate) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity',
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |  count(DISTINCT l_quantity) FROM lineitem""".stripMargin,
+
     "ds_corpus_clean" ->
       s"""WITH RECURSIVE
          |q0 AS (SELECT doc_id, text, lang, n_chars, $W AS w FROM documents
