@@ -1442,6 +1442,16 @@ object SparkEntry {
 
     // ---- the full corpus-hygiene pipeline: quality → repetition →
     //      near-dup dedup (min-id representative) → decontamination ----
+    // ---- deterministic distributed logistic regression: a hashed
+    //      bag-of-words quality classifier whose 2-iteration full-batch
+    //      GD training is bit-reproducible (integer margins/gradients,
+    //      e6-quantized sigmoid) — the DuckDB oracle REPLAYS the whole
+    //      training loop and must land on the same weights exactly ----
+    "tx_quality_logreg" -> ((s, dir) =>
+      graft.operators.QualityModel.trainLogRegE6(s,
+        Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en", dim = 8, iters = 2)),
+
     // ---- per-column data profile: null count + exact distinct per
     //      column in ONE aggregate (Catalyst's Expand handles the
     //      multi-distinct), unpivoted to a row per column — the
@@ -3432,6 +3442,39 @@ object SparkEntry {
     // the hygiene pipeline, stage by stage: quality+repetition gates →
     // jaccard clusters over the survivors (min-id representative kept) →
     // eval-overlap decontamination of the representatives
+    "tx_quality_logreg" -> {
+      val h = md5LongSql("w")
+      s"""WITH t AS (SELECT doc_id, unnest($W) AS w FROM documents),
+         |tt AS (SELECT doc_id, w FROM t WHERE length(w) > 0),
+         |fx AS (SELECT doc_id, CAST($h % 8 AS INT) AS j, count(*) AS x
+         |         FROM tt GROUP BY 1, 2
+         |       UNION ALL SELECT doc_id, 8, 1 FROM documents),
+         |y AS (SELECT doc_id,
+         |        CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y_e6
+         |      FROM documents),
+         |nn AS (SELECT count(*) AS n FROM documents),
+         |g0 AS (SELECT j, CAST(sum((500000 - y_e6) * x) AS BIGINT) AS g
+         |       FROM fx JOIN y USING (doc_id) GROUP BY j),
+         |w1 AS (SELECT j,
+         |         CAST(0 - floor(CAST(g AS DOUBLE) / (n * 1000e0)) AS BIGINT)
+         |           AS w_e6
+         |       FROM g0 CROSS JOIN nn),
+         |m1 AS (SELECT doc_id, CAST(sum(w_e6 * x) AS BIGINT) AS m_e6
+         |       FROM fx JOIN w1 USING (j) GROUP BY doc_id),
+         |p1 AS (SELECT doc_id,
+         |         CAST(floor(1000000e0 /
+         |           (1e0 + exp(-(CAST(m_e6 AS DOUBLE) / 1000000e0)))) AS BIGINT)
+         |           AS p_e6
+         |       FROM m1),
+         |g1 AS (SELECT j, CAST(sum((p_e6 - y_e6) * x) AS BIGINT) AS g
+         |       FROM fx JOIN p1 USING (doc_id) JOIN y USING (doc_id)
+         |       GROUP BY j)
+         |SELECT w1.j,
+         |  CAST(w1.w_e6 - floor(CAST(g1.g AS DOUBLE) / (n * 1000e0)) AS BIGINT)
+         |    AS w_e6
+         |FROM w1 JOIN g1 USING (j) CROSS JOIN nn""".stripMargin
+    },
+
     "ds_profile" ->
       """SELECT 'l_returnflag' AS "column",
         |  CAST(sum(CASE WHEN l_returnflag IS NULL THEN 1 ELSE 0 END) AS BIGINT)
