@@ -1452,6 +1452,19 @@ object SparkEntry {
         Tables.documents(s, dir), "doc_id", "text",
         col("lang") === "en", dim = 8, iters = 2)),
 
+    // ---- model APPLY: per-doc exact-integer margin under the trained
+    //      weights — top-20 by predicted quality; oracle chains the
+    //      training replay into the scoring join ----
+    "tx_quality_logreg_score" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val w = graft.operators.QualityModel.trainLogRegE6(s, docs,
+        "doc_id", "text", col("lang") === "en", dim = 8, iters = 2)
+      graft.operators.QualityModel.scoreLogRegE6(docs, "doc_id", "text",
+          w, dim = 8)
+        .orderBy(col("margin_e6").desc, col("doc_id").asc)
+        .limit(20)
+    }),
+
     // ---- per-column data profile: null count + exact distinct per
     //      column in ONE aggregate (Catalyst's Expand handles the
     //      multi-distinct), unpivoted to a row per column — the
@@ -1966,6 +1979,45 @@ object SparkEntry {
       wh.mergeInto(s, changes, tbl, Seq("o_orderkey"), Some("del")) // v2
     }
     (wh, tbl)
+  }
+
+  /** Shared CTE chain replaying the deterministic logistic-regression
+    * training (dim 8, 2 iterations, lang='en' labels — the
+    * tx_quality_logreg configuration) up to the final weights `w2(j,
+    * w_e6)`, with the feature table `fx` still in scope for the scoring
+    * oracle.
+    */
+  private lazy val logRegCte: String = {
+    val h = md5LongSql("w")
+    s"""t AS (SELECT doc_id, unnest($W) AS w FROM documents),
+       |tt AS (SELECT doc_id, w FROM t WHERE length(w) > 0),
+       |fx AS (SELECT doc_id, CAST($h % 8 AS INT) AS j, count(*) AS x
+       |         FROM tt GROUP BY 1, 2
+       |       UNION ALL SELECT doc_id, 8, 1 FROM documents),
+       |y AS (SELECT doc_id,
+       |        CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y_e6
+       |      FROM documents),
+       |nn AS (SELECT count(*) AS n FROM documents),
+       |g0 AS (SELECT j, CAST(sum((500000 - y_e6) * x) AS BIGINT) AS g
+       |       FROM fx JOIN y USING (doc_id) GROUP BY j),
+       |w1 AS (SELECT j,
+       |         CAST(0 - floor(CAST(g AS DOUBLE) / (n * 1000e0)) AS BIGINT)
+       |           AS w_e6
+       |       FROM g0 CROSS JOIN nn),
+       |m1 AS (SELECT doc_id, CAST(sum(w_e6 * x) AS BIGINT) AS m_e6
+       |       FROM fx JOIN w1 USING (j) GROUP BY doc_id),
+       |p1 AS (SELECT doc_id,
+       |         CAST(floor(1000000e0 /
+       |           (1e0 + exp(-(CAST(m_e6 AS DOUBLE) / 1000000e0)))) AS BIGINT)
+       |           AS p_e6
+       |       FROM m1),
+       |g1 AS (SELECT j, CAST(sum((p_e6 - y_e6) * x) AS BIGINT) AS g
+       |       FROM fx JOIN p1 USING (doc_id) JOIN y USING (doc_id)
+       |       GROUP BY j),
+       |w2 AS (SELECT w1.j,
+       |         CAST(w1.w_e6 - floor(CAST(g1.g AS DOUBLE) / (n * 1000e0))
+       |           AS BIGINT) AS w_e6
+       |       FROM w1 JOIN g1 USING (j) CROSS JOIN nn)""".stripMargin
   }
 
   /** Shared oracle for sim_ivf_topk AND sim_ivf_indexed (nprobe=1,
@@ -3442,38 +3494,16 @@ object SparkEntry {
     // the hygiene pipeline, stage by stage: quality+repetition gates →
     // jaccard clusters over the survivors (min-id representative kept) →
     // eval-overlap decontamination of the representatives
-    "tx_quality_logreg" -> {
-      val h = md5LongSql("w")
-      s"""WITH t AS (SELECT doc_id, unnest($W) AS w FROM documents),
-         |tt AS (SELECT doc_id, w FROM t WHERE length(w) > 0),
-         |fx AS (SELECT doc_id, CAST($h % 8 AS INT) AS j, count(*) AS x
-         |         FROM tt GROUP BY 1, 2
-         |       UNION ALL SELECT doc_id, 8, 1 FROM documents),
-         |y AS (SELECT doc_id,
-         |        CASE WHEN lang = 'en' THEN 1000000 ELSE 0 END AS y_e6
-         |      FROM documents),
-         |nn AS (SELECT count(*) AS n FROM documents),
-         |g0 AS (SELECT j, CAST(sum((500000 - y_e6) * x) AS BIGINT) AS g
-         |       FROM fx JOIN y USING (doc_id) GROUP BY j),
-         |w1 AS (SELECT j,
-         |         CAST(0 - floor(CAST(g AS DOUBLE) / (n * 1000e0)) AS BIGINT)
-         |           AS w_e6
-         |       FROM g0 CROSS JOIN nn),
-         |m1 AS (SELECT doc_id, CAST(sum(w_e6 * x) AS BIGINT) AS m_e6
-         |       FROM fx JOIN w1 USING (j) GROUP BY doc_id),
-         |p1 AS (SELECT doc_id,
-         |         CAST(floor(1000000e0 /
-         |           (1e0 + exp(-(CAST(m_e6 AS DOUBLE) / 1000000e0)))) AS BIGINT)
-         |           AS p_e6
-         |       FROM m1),
-         |g1 AS (SELECT j, CAST(sum((p_e6 - y_e6) * x) AS BIGINT) AS g
-         |       FROM fx JOIN p1 USING (doc_id) JOIN y USING (doc_id)
-         |       GROUP BY j)
-         |SELECT w1.j,
-         |  CAST(w1.w_e6 - floor(CAST(g1.g AS DOUBLE) / (n * 1000e0)) AS BIGINT)
-         |    AS w_e6
-         |FROM w1 JOIN g1 USING (j) CROSS JOIN nn""".stripMargin
-    },
+    "tx_quality_logreg" ->
+      s"""WITH $logRegCte
+         |SELECT j, w_e6 FROM w2""".stripMargin,
+
+    "tx_quality_logreg_score" ->
+      s"""WITH $logRegCte,
+         |m2 AS (SELECT doc_id, CAST(sum(w_e6 * x) AS BIGINT) AS margin_e6
+         |       FROM fx JOIN w2 USING (j) GROUP BY doc_id)
+         |SELECT doc_id, margin_e6 FROM m2
+         |ORDER BY margin_e6 DESC, doc_id LIMIT 20""".stripMargin,
 
     "ds_profile" ->
       """SELECT 'l_returnflag' AS "column",

@@ -165,6 +165,34 @@ object HistoryTool {
   }
 }
 
+/** Usage: DetailTool <warehouseRoot> <dataset> <datatype>
+  *
+  * DESCRIBE DETAIL analog: one manifest replay answers version, file
+  * count, total bytes, exact row count (fastRowCount — stats payloads,
+  * no data reads), partition dates, and per-partition rows. At archive
+  * scale this is the table-inventory query that must never scan.
+  */
+object DetailTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, dataset, datatype) = args.take(3)
+    val wh = new graft.tableops.TxWarehouse(whRoot)
+    val spark = ToolSession.spark()
+    val path = wh.tablePath(dataset, datatype)
+    val v = wh.currentVersion(spark, path)
+    val counts = wh.partitionFileCounts(spark, path)
+    val rows = wh.fastRowCount(spark, path)
+      .map(_.toString).getOrElse("unknown (some files lack stats)")
+    println(s"table: $path")
+    println(s"version: $v")
+    println(s"files: ${counts.values.sum} across ${counts.size} partitions")
+    println(s"rows: $rows")
+    wh.fastPartitionRowCounts(spark, path).foreach(m =>
+      m.toSeq.sortBy(_._1.toString).foreach { case (d, n) =>
+        println(s"  $d: $n rows, ${counts.getOrElse(d, 0)} files")
+      })
+  }
+}
+
 /** Usage: MergeTool <warehouseRoot> <dataset> <datatype> <changesParquet>
   *                   <keyCols,comma-separated> [deleteCol]
   *

@@ -74,4 +74,26 @@ object QualityModel {
       w.zipWithIndex.map { case (v, j) => (j, v) }.toSeq.toDF("j", "w_e6")
     } finally { fx.unpersist(); () }
   }
+
+  /** APPLY the trained model: per-document e6-scaled margin
+    * `w·x + bias` — an exact integer (so thresholds and rankings are
+    * engine-independent), positive ⇔ predicted positive. Map-side after
+    * one (doc, bucket) aggregate; `weights` is (j, w_e6) from
+    * [[trainLogRegE6]] and broadcasts.
+    */
+  def scoreLogRegE6(docs: DataFrame, idCol: String, textCol: String,
+      weights: DataFrame, dim: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+        explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    val feats = toks.select(col("doc"),
+        pmod(TextDedup.md5Long(col("w")), lit(dim.toLong)).cast("int").as("j"))
+      .groupBy(col("doc"), col("j")).agg(count(lit(1)).as("x"))
+      .unionByName(docs.select(col(idCol).as("doc"),
+        lit(dim).as("j"), lit(1L).as("x")))
+    feats.join(broadcast(weights), Seq("j"))
+      .groupBy(col("doc"))
+      .agg(sum(col("w_e6") * col("x")).as("margin_e6"))
+      .select(col("doc").as(idCol), col("margin_e6"))
+  }
 }

@@ -917,6 +917,39 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     state(spark, path)._2.values.toSet
       .flatMap((d: String) => scala.util.Try(LocalDate.parse(d)).toOption)
 
+  /** EXACT row count from the manifest alone — each live file's `S`
+    * payload records its row count, so COUNT(*) is an O(checkpoint)
+    * metadata read with no data or footer access (the archive-scale
+    * answer to the monitor's detail stats and any "how big is this
+    * table" probe). None when any live file lacks a stats payload
+    * (pre-stats commits, unreadable footers) — callers then pay the
+    * scan; immutable files mean the two can never disagree.
+    */
+  def fastRowCount(spark: SparkSession, path: String): Option[Long] = {
+    val st = replay(spark, path)._2
+    // keys is a SET — map to a Seq first or equal per-file counts
+    // collapse before the sum
+    val counts = st.live.keys.toSeq.map(rel =>
+      st.stats.get(rel).flatMap(FileStats.decode).map(_.rows))
+    if (counts.exists(_.isEmpty)) None
+    else Some(counts.flatten.sum)
+  }
+
+  /** Per-partition exact row counts, manifest-only; None under the same
+    * any-file-without-stats condition as [[fastRowCount]].
+    */
+  def fastPartitionRowCounts(spark: SparkSession,
+      path: String): Option[Map[LocalDate, Long]] = {
+    val st = replay(spark, path)._2
+    val rows = st.live.toSeq.map { case (rel, d) =>
+      (scala.util.Try(LocalDate.parse(d)).toOption,
+        st.stats.get(rel).flatMap(FileStats.decode).map(_.rows))
+    }
+    if (rows.exists(_._2.isEmpty)) None
+    else Some(rows.collect { case (Some(d), Some(n)) => (d, n) }
+      .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum })
+  }
+
   private def readFiles(spark: SparkSession, path: String,
       rels: Iterable[String]): DataFrame = {
     // an emptied (but existing) table reads as zero rows; schemaless is

@@ -243,6 +243,30 @@ class MergeIntoSpec extends graft.SparkTestBase {
     assert(wh.rowDiff(spark, path, 2L, 2L, Seq("k")).count() == 0L)
   }
 
+  test("fastRowCount: exact counts from the manifest alone, tracking " +
+    "appends, merges and deletes without a data read") {
+    val (wh, path) = fresh("mgf")
+    wh.append(spark, base(0 until 100).repartitionByRange(4, col("k")), path)
+    assert(wh.fastRowCount(spark, path).contains(100L))
+    val changes = Seq((3L, "X", D, false), (7L, "", D, true),
+      (200L, "n", D, false)).toDF("k", "s", "date", "del")
+    wh.mergeInto(spark, changes, path, Seq("k"), Some("del"))
+    assert(wh.fastRowCount(spark, path).contains(100L)) // -1 del +1 ins
+    assert(wh.fastRowCount(spark, path).get ==
+      wh.read(spark, path).count())
+    wh.deletePartition(spark, path, D.toLocalDate)
+    assert(wh.fastRowCount(spark, path).contains(0L))
+    // per-partition form agrees
+    val (wh2, path2) = fresh("mgf2")
+    wh2.append(spark, base(0 until 10), path2)
+    wh2.append(spark,
+      (0 until 5).map(k => (k + 100L, "b", java.sql.Date.valueOf("2024-09-02")))
+        .toDF("k", "s", "date"), path2)
+    assert(wh2.fastPartitionRowCounts(spark, path2).contains(Map(
+      D.toLocalDate -> 10L,
+      java.time.LocalDate.parse("2024-09-02") -> 5L)))
+  }
+
   test("time travel and the change feed see through the merge: readAt " +
     "resurrects the pre-merge snapshot; diffSnapshots reports the " +
     "rewrite file-granular") {
