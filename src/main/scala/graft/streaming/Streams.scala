@@ -114,6 +114,50 @@ object Streams {
       .select(col("window.start").as("window_start"), col("n_events"),
         col("n_users_approx"), col("sum_value_e4"))
 
+  /** Native SESSION-WINDOW aggregate — the engine-managed dual of
+    * [[sessionizeState]]: `session_window` merges events within `gap`
+    * of each other per user, the watermark finalizes a session once no
+    * event can extend it (Append mode — each session emits exactly
+    * once, closed). Prefer this form when per-session output is plain
+    * aggregates; [[sessionizeState]] remains for custom state shapes
+    * (running payloads, early emission).
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String,
+      lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(floor(col("value") * 10000).cast("long")).as("sum_value_e4"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("sum_value_e4"))
+
+  /** Streaming maintenance of the MATERIALIZED BM25 index
+    * ([[graft.operators.Retrieval.indexDocs]]) for `foreachBatch`: each
+    * micro-batch's documents index per date-partition, with the
+    * warehouse's replace-per-day semantics making a crash-replayed
+    * batch idempotent. CONTRACT: a batch must carry complete days (the
+    * AvailableNow daily-archive drive, the gardener's date-partition
+    * model) — a partial-day batch would REPLACE the day with only its
+    * own rows. For finer-grained arrival, land the corpus through
+    * [[exactlyOnceSink]] first and index from the table per day.
+    */
+  def bm25IndexSink(wh: graft.tableops.TxWarehouse, postingsPath: String,
+      statsPath: String, idCol: String, textCol: String):
+      (DataFrame, Long) => Unit =
+    (batch, _) => {
+      val days = batch.select(to_date(col("date")).as("d")).distinct()
+        .collect().map(_.getDate(0).toLocalDate)
+      days.sorted.foreach { d =>
+        graft.operators.Retrieval.indexDocs(batch.sparkSession, wh,
+          postingsPath, statsPath,
+          batch.filter(to_date(col("date")) === lit(java.sql.Date.valueOf(d))),
+          idCol, textCol, d)
+      }
+    }
+
   /** STREAM-STREAM interval join — the streaming dual of the annotation
     * join (J1, cloud/bq/ops.go:234-253): a measurement stream enriched
     * left-outer with the annotation rows of the same key whose event

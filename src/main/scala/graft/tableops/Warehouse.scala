@@ -694,6 +694,40 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     readFiles(spark, path, live.keys)
   }
 
+  /** Version committed at-or-before `ts` (epoch millis) — the Delta
+    * `AS OF TIMESTAMP` resolution, from the commit files' modification
+    * times. Commit mtimes are assigned at publish and are monotone in
+    * practice (same filesystem clock as the atomic create); a publish
+    * that lost its race never owns a version file, so every listed
+    * `v*.txt` mtime IS its commit time. Versions older than the log
+    * truncation horizon resolve only if `ts` is at-or-after the oldest
+    * surviving checkpoint's time. None when `ts` predates the table.
+    */
+  def versionAt(spark: SparkSession, path: String, ts: Long): Option[Long] = {
+    val f = fs(spark, path)
+    val logDir = new Path(s"$path/$LogDir")
+    if (!f.exists(logDir)) return None
+    val commits = f.listStatus(logDir)
+      .filter(s => s.getPath.getName.matches("[vc]\\d{20}\\.txt"))
+      .map(s => (s.getPath.getName.substring(1, 21).toLong,
+        s.getModificationTime))
+    // a checkpoint is derived later than its version's commit: for a
+    // version present as both, keep the EARLIEST mtime (the commit's)
+    val byV = commits.groupBy(_._1).view.mapValues(_.map(_._2).min).toSeq
+    val eligible = byV.filter(_._2 <= ts).map(_._1)
+    if (eligible.isEmpty) None else Some(eligible.max)
+  }
+
+  /** Time travel by wall clock: the table as of the last version
+    * committed at-or-before `ts` (epoch millis).
+    */
+  def readAsOf(spark: SparkSession, path: String, ts: Long): DataFrame = {
+    val v = versionAt(spark, path, ts).getOrElse(
+      throw new IllegalArgumentException(
+        s"no version of $path committed at or before $ts"))
+    readAt(spark, path, v)
+  }
+
   /** Incremental consumption (the change-data-feed the manifest gives
     * for free): the rows live at `toVersion` that were NOT live at
     * `fromVersion` — i.e. every file that appends/replaces in the range

@@ -330,6 +330,77 @@ class StreamingSpec extends SparkTestBase {
     assert(wh.read(spark, path).count() === 4)
   }
 
+  test("native session windows: gap-merged sessions finalize once the " +
+    "watermark passes; separate bursts become separate sessions") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Meas]
+    val q = Streams.sessionWindowAgg(
+        mem.toDF().toDF("user_id", "ts", "value"), gap = "10 minutes",
+        lateness = "5 minutes")
+      .writeStream.format("memory").queryName("sesswin")
+      .outputMode(OutputMode.Append).start()
+    // burst 1: two events 5 min apart; burst 2: 1 h later
+    mem.addData(Meas("u1", ts("2024-01-01 10:00:00"), 1),
+      Meas("u1", ts("2024-01-01 10:05:00"), 2))
+    q.processAllAvailable()
+    mem.addData(Meas("u1", ts("2024-01-01 11:30:00"), 3))
+    q.processAllAvailable()
+    // push the watermark far past burst 2's close
+    mem.addData(Meas("u9", ts("2024-01-01 14:00:00"), 0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("sesswin")
+      .select("user_id", "session_start", "n_events", "sum_value_e4")
+      .as[(String, Timestamp, Long, Long)].collect().filter(_._1 == "u1")
+      .sortBy(_._2.getTime)
+    assert(rows.length == 2, s"got ${rows.toSeq}")
+    assert(rows(0)._3 == 2L && rows(0)._4 == 30000L) // 1.0+2.0 at e4
+    assert(rows(1)._3 == 1L && rows(1)._4 == 30000L)
+  }
+
+  test("bm25 index sink: daily batches keep the materialized index " +
+    "equal to the inline ranking over everything ingested; a replayed " +
+    "day is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_stream_bm25").toString
+    val wh = new graft.tableops.TxWarehouse(root)
+    val post = wh.tablePath("ix", "postings")
+    val stat = wh.tablePath("ix", "stats")
+    val sink = Streams.bm25IndexSink(wh, post, stat, "doc_id", "text")
+
+    val d1 = java.sql.Date.valueOf("2024-01-01")
+    val d2 = java.sql.Date.valueOf("2024-01-02")
+    val day1 = Seq((1L, "apple banana apple", d1), (2L, "apple cherry", d1))
+    val day2 = Seq((3L, "banana banana durian", d2), (4L, "durian", d2))
+    val mem = MemoryStream[(Long, String, java.sql.Date)]
+    val q = mem.toDF().toDF("doc_id", "text", "date")
+      .writeStream.foreachBatch(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_bm25_ckpt").toString)
+      .start()
+    mem.addData(day1: _*)
+    q.processAllAvailable()
+    mem.addData(day2: _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val corpus = (day1 ++ day2).map(t => (t._1, t._2)).toDF("doc_id", "text")
+    val qs = Seq((1, "apple"), (2, "durian"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "doc_id", "score_e4", "rank")
+        .as[(Int, Long, Long, Int)].collect().toSet
+    val inline = rows(graft.operators.Retrieval.bm25TopK(
+      spark, corpus, "doc_id", "text", qs, 3))
+    assert(rows(graft.operators.Retrieval.bm25TopKIndexed(
+      spark, wh, post, stat, qs, 3)) == inline)
+    // crash replay of day 2's batch: replace-per-day keeps it idempotent
+    sink(day2.toDF("doc_id", "text", "date"), 99L)
+    assert(rows(graft.operators.Retrieval.bm25TopKIndexed(
+      spark, wh, post, stat, qs, 3)) == inline)
+  }
+
   test("stream-stream interval join: annotations within the lookback " +
     "enrich, unmatched measurements emit null-padded after the " +
     "watermark closes their window") {

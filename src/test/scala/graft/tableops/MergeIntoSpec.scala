@@ -267,6 +267,24 @@ class MergeIntoSpec extends graft.SparkTestBase {
       java.time.LocalDate.parse("2024-09-02") -> 5L)))
   }
 
+  test("AS OF TIMESTAMP: versionAt resolves from commit mtimes, " +
+    "readAsOf replays the snapshot, pre-table instants are None") {
+    val (wh, path) = fresh("mgt")
+    val t0 = System.currentTimeMillis() - 5000
+    wh.append(spark, base(1 to 10), path) // v1
+    Thread.sleep(1100)
+    val t1 = System.currentTimeMillis()
+    Thread.sleep(1100)
+    wh.append(spark, base(11 to 20), path) // v2
+    assert(wh.versionAt(spark, path, t0).isEmpty)
+    intercept[IllegalArgumentException] { wh.readAsOf(spark, path, t0) }
+    assert(wh.versionAt(spark, path, t1).contains(1L))
+    assert(wh.readAsOf(spark, path, t1).count() == 10L)
+    assert(wh.versionAt(spark, path, System.currentTimeMillis())
+      .contains(2L))
+    assert(wh.readAsOf(spark, path, System.currentTimeMillis()).count() == 20L)
+  }
+
   test("time travel and the change feed see through the merge: readAt " +
     "resurrects the pre-merge snapshot; diffSnapshots reports the " +
     "rewrite file-granular") {
