@@ -145,12 +145,21 @@ object FileStats {
         val cd = cols.next()
         val name = cd.getPath.mkString(".").toLowerCase
         val tag = tagOf(cd.getPrimitiveType)
-        val (nulls, mins, maxes, ok) = acc.getOrElse(name, (0L, Nil, Nil, true))
+        val (nulls, mins0, maxes0, ok) =
+          acc.getOrElse(name, (0L, Nil, Nil, true))
+        // 't' stats normalize to MICROS at harvest (exact — the only
+        // admitted source units are millis/micros), then reduce in the
+        // long domain like 'l'
+        val mult = if (tag == 't') microsMult(cd.getPrimitiveType) else 1L
+        def scale(vs: List[AnyRef]): List[AnyRef] =
+          if (tag == 't') vs.map(v => java.lang.Long.valueOf(longOf(v) * mult))
+          else vs
+        val (mins, maxes) = (scale(mins0), scale(maxes0))
         // a column only prunable if every chunk had stats and min/max
         // cover every non-null value; all-null files have empty mins —
         // nulls==rows then carries the pruning power
         val (mn, mx) =
-          if (tag != 'l' && tag != 's') (None, None)
+          if (tag != 'l' && tag != 's' && tag != 't') (None, None)
           else if (!ok || mins.isEmpty) (None, None)
           else (reduceMin(tag, mins), reduceMax(tag, maxes))
         out(name) = ColStat(nulls, tag, mn, mx)
@@ -167,7 +176,19 @@ object FileStats {
         case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation => 'l'
         case i: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
           if (i.isSigned) 'l' else '?'
-        case _ => '?' // timestamps, decimals: not sound in the long domain
+        // timestamps: MILLIS/MICROS normalize exactly to a micros long
+        // domain ('t') — Spark's TimestampType/TimestampNTZType literals
+        // are micros, so comparisons stay in one unit. NANOS stays '?':
+        // Spark surfaces it per-session as long-nanos or truncated
+        // micros, and a truncating normalization would be unsound on
+        // the max side.
+        case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+          ts.getUnit match {
+            case LogicalTypeAnnotation.TimeUnit.MILLIS |
+                 LogicalTypeAnnotation.TimeUnit.MICROS => 't'
+            case _ => '?'
+          }
+        case _ => '?' // decimals, unsigned: not sound in the long domain
       }
       case PrimitiveTypeName.BINARY => l match {
         case _: LogicalTypeAnnotation.StringLogicalTypeAnnotation |
@@ -187,17 +208,24 @@ object FileStats {
 
   private def reduceMin(tag: Char, vs: List[AnyRef]): Option[String] =
     Try {
-      if (tag == 'l') vs.map(longOf).min.toString
+      if (tag == 'l' || tag == 't') vs.map(longOf).min.toString
       else vs.map(_.asInstanceOf[Binary].toStringUsingUTF8)
         .reduceLeft((a, b) => if (cmpBytes(bytes(a), bytes(b)) <= 0) a else b)
     }.toOption
 
   private def reduceMax(tag: Char, vs: List[AnyRef]): Option[String] =
     Try {
-      if (tag == 'l') vs.map(longOf).max.toString
+      if (tag == 'l' || tag == 't') vs.map(longOf).max.toString
       else vs.map(_.asInstanceOf[Binary].toStringUsingUTF8)
         .reduceLeft((a, b) => if (cmpBytes(bytes(a), bytes(b)) >= 0) a else b)
     }.toOption
+
+  private def microsMult(t: org.apache.parquet.schema.PrimitiveType): Long =
+    t.getLogicalTypeAnnotation match {
+      case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
+          if ts.getUnit == LogicalTypeAnnotation.TimeUnit.MILLIS => 1000L
+      case _ => 1L
+    }
 
   // ------------------------------------------------------------- evaluate
 
@@ -228,7 +256,7 @@ object FileStats {
   }
 
   private def statDV(tag: Char, s: String): Option[DV] = tag match {
-    case 'l' => Try(DL(s.toLong)).toOption
+    case 'l' | 't' => Try(DL(s.toLong)).toOption
     case 's' => Some(DS(bytes(s)))
     case _ => None
   }
@@ -241,6 +269,10 @@ object FileStats {
         Some(DL(l.value.asInstanceOf[Number].longValue))
       case ('l', LongType) => Some(DL(l.value.asInstanceOf[Long]))
       case ('s', StringType) => Some(DS(bytes(l.value.toString)))
+      // timestamp literals (both TZ flavors) are micros longs — the
+      // same unit 't' stats normalized to at harvest
+      case ('t', TimestampType | TimestampNTZType) =>
+        Some(DL(l.value.asInstanceOf[Long]))
       case _ => None
     }
 

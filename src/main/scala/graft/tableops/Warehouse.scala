@@ -1089,6 +1089,13 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   private def writeData(spark: SparkSession, df: DataFrame, path: String):
       (Seq[AddEntry], String) = {
     val dir = s"$DataDir/${UUID.randomUUID()}"
+    // the backend standardizes its data files on TIMESTAMP_MICROS:
+    // Spark's default INT96 is the deprecated legacy physical type and
+    // carries no usable min/max for the 't' stats domain — micros makes
+    // event-time range probes prunable ([[FileStats]]) and is what
+    // every modern reader expects
+    spark.conf.set("spark.sql.parquet.outputTimestampType",
+      "TIMESTAMP_MICROS")
     // CHECK constraints validate DURING the write pass (observe counts
     // rows whose predicate is FALSE — SQL semantics: null passes), so
     // enforcement costs zero extra scans. A violation aborts before the

@@ -32,6 +32,37 @@ class FileStatsSpec extends SparkTestBase {
     wh.append(spark, df, path)
   }
 
+  test("timestamp stats prune event-time range probes (micros domain), " +
+    "and results stay identical to the unpruned filter") {
+    val (wh, path) = freshTable()
+    def hourFile(h: Int): Unit = {
+      val df = (0 until 60).map(m =>
+        (h.toLong * 100 + m,
+          java.sql.Timestamp.valueOf(f"2024-03-01 $h%02d:$m%02d:00"),
+          Date.valueOf("2024-03-01")))
+        .toDF("id", "ts", "date").coalesce(1)
+      wh.append(spark, df, path)
+    }
+    (0 until 4).foreach(hourFile) // 4 files, one hour each
+    val all = wh.read(spark, path)
+    assert(all.inputFiles.length == 4)
+    val pred = col("ts") >= lit(java.sql.Timestamp.valueOf("2024-03-01 02:10:00")) &&
+      col("ts") < lit(java.sql.Timestamp.valueOf("2024-03-01 02:50:00"))
+    val pruned = wh.readWhere(spark, path, pred)
+    assert(pruned.inputFiles.length == 1,
+      s"only hour 2 overlaps, opened ${pruned.inputFiles.length}")
+    assert(pruned.count() == 40L)
+    assert(pruned.count() == all.filter(pred).count())
+    // equality on an exact event time
+    val eq = wh.readWhere(spark, path,
+      col("ts") === lit(java.sql.Timestamp.valueOf("2024-03-01 03:30:00")))
+    assert(eq.inputFiles.length == 1 && eq.count() == 1L)
+    // a probe outside every file's range proves the table empty
+    val none = wh.readWhere(spark, path,
+      col("ts") > lit(java.sql.Timestamp.valueOf("2024-03-02 00:00:00")))
+    assert(none.count() == 0L)
+  }
+
   test("range predicate opens only overlapping files; rows match unpruned read") {
     val (wh, path) = freshTable()
     appendRange(wh, path, 0, 100, "2024-01-01")
