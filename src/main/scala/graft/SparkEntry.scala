@@ -349,6 +349,36 @@ object SparkEntry {
           floor(col("o_totalprice") * 100).cast("long").as("price_e2"))
     }),
 
+    // ---- S14: TIMESTAMP-stats skipping — the event-time dual of s6:
+    //      orders land range-clustered on o_orderdate (8 files with
+    //      disjoint time ranges, written TIMESTAMP_MICROS), and a
+    //      one-year window aggregate runs through readWhere: the
+    //      manifest's micros min/max prove most files empty before any
+    //      footer opens. The oracle computes the same window over raw
+    //      parquet — pruning must be invisible in the result ----
+    "s14_time_prune" -> ((s, dir) => {
+      val root = s"/root/repo/target/s14_timeprune/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "orders")
+      if (wh.currentVersion(s, tbl) == 0L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        wh.append(s,
+          Tables.orders(s, dir)
+            .select(col("o_orderkey"), col("o_orderstatus"),
+              col("o_orderdate"), col("o_totalprice"))
+            .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+            .repartitionByRange(8, col("o_orderdate")), tbl)
+      }
+      wh.readWhere(s, tbl,
+          col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
+    }),
+
     // ---- S8: Z-ORDER layout + manifest-stats skipping — the
     //      multi-dimensional dual of s6. lineitem lands z-clustered on
     //      (l_orderkey, l_partkey) (ZOrder.layout: quantile-bucketed
@@ -2280,6 +2310,16 @@ object SparkEntry {
         |      FROM orders)
         |WHERE _change_type IS NOT NULL
         |GROUP BY _change_type""".stripMargin,
+
+    "s14_time_prune" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_e2
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "s12_bloom_point" ->
       """SELECT o_orderkey, o_orderstatus,
