@@ -36,7 +36,8 @@ object Gardener {
       dt -> graft.tableops.DatatypeSpec(c.partitionKeys, c.orderKey,
         c.skewedKeys, c.contentDedup.map(cd =>
           graft.tableops.ContentDedupSpec(cd.textCol, cd.minJaccardE4,
-            cd.vsRawCorpus)))
+            cd.vsRawCorpus)),
+        bloomKey = c.bloomKey, checks = c.checks)
     }
 
   /** Map one TableOps invocation onto the monitor's Outcome algebra

@@ -36,7 +36,9 @@ final case class ContentDedupConfig(
     textCol: String, minJaccardE4: Long, vsRawCorpus: Boolean)
 final case class DatatypeConfig(
     partitionKeys: Seq[String], orderKey: String, skewedKeys: Boolean,
-    contentDedup: Option[ContentDedupConfig])
+    contentDedup: Option[ContentDedupConfig],
+    bloomKey: Option[String] = None,
+    checks: Seq[(String, String)] = Nil)
 
 final case class GardenerConfig(
     startDate: LocalDate,
@@ -135,11 +137,20 @@ object GardenerConfig {
             minJaccardE4 = str(c, "min_jaccard_e4", "8000").toLong,
             vsRawCorpus = bool(c, "vs_raw_corpus"))
         }
+        // declarative raw-table governance: a bloom key column for
+        // scattered point probes and named CHECK constraints, e.g.
+        //   bloom_key: id
+        //   checks: { nonempty_id: "id IS NOT NULL" }
+        val bloomKey = m.get("bloom_key").map(_.toString)
+        val checks = m.get("checks").map(sub).getOrElse(Map.empty)
+          .map { case (n, v) => n -> v.toString }.toSeq.sortBy(_._1)
         dt -> DatatypeConfig(
           partitionKeys = if (keys.nonEmpty) keys else Seq("id", "date"),
           orderKey = str(m, "order_key", "parser.Time"),
           skewedKeys = bool(m, "skewed_keys"),
-          contentDedup = cd)
+          contentDedup = cd,
+          bloomKey = bloomKey,
+          checks = checks)
       }.toMap
 
     GardenerConfig(startDate, trackerTimeout, polling, sources, datatypes,

@@ -38,7 +38,8 @@ final case class ContentDedupSpec(textCol: String, minJaccardE4: Long = 8000L,
   * @param contentDedup opt-in near-dup content tier (see [[ContentDedupSpec]])
   */
 final case class DatatypeSpec(partitionKeys: Seq[String], orderKey: String,
-    skewedKeys: Boolean = false, contentDedup: Option[ContentDedupSpec] = None)
+    skewedKeys: Boolean = false, contentDedup: Option[ContentDedupSpec] = None,
+    bloomKey: Option[String] = None, checks: Seq[(String, String)] = Nil)
 
 object DatatypeSpec {
   val default: DatatypeSpec = DatatypeSpec(Seq("id", "date"), "parser.Time")
@@ -390,6 +391,25 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   /** S2: copy the tmp date partition to raw, replacing the destination
     * partition (WriteTruncate, cloud/bq/ops.go:171).
     */
+  /** Declarative table properties from the datatype spec (bloom key
+    * column, CHECK constraints), ensured on the RAW table before its
+    * first governed write — tx backend only (the path backend has no
+    * manifest to carry them); property commits happen once and are
+    * compared-before-committed so the steady state is read-only.
+    */
+  private def ensureRawTableProps(): Unit = wh match {
+    case tx: TxWarehouse =>
+      spec.bloomKey.foreach { c =>
+        if (tx.tableProperty(spark, rawPath, FileBloom.PropKey).isEmpty)
+          tx.setBloomFilter(spark, rawPath, c)
+      }
+      spec.checks.foreach { case (name, sql) =>
+        if (!tx.checkConstraintSql(spark, rawPath, name).contains(sql))
+          tx.addCheckConstraint(spark, rawPath, name, sql)
+      }
+    case _ => ()
+  }
+
   def copyToRaw(dryRun: Boolean = false): OpStats = {
     val idxMaintained = spec.contentDedup.exists(_.vsRawCorpus)
     val writeLocks = if (idxMaintained) Seq(rawPath, indexPath) else Seq(rawPath)
@@ -400,6 +420,7 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
       val part = readPartition(tmpPath, job.date)
       if (dryRun) { part.queryExecution.analyzed; OpStats(0, 0) }
       else {
+        ensureRawTableProps()
         // maintain the date's slice of the near-dup signature index in
         // the same action that archives the rows (partition replace, so
         // a re-swept day's index converges with its raw partition) —

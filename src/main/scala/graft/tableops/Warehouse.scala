@@ -1130,6 +1130,18 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     (listData(spark, path, dir), dir)
   }
 
+  /** Raw table property (None when unset or explicitly cleared). */
+  def tableProperty(spark: SparkSession, path: String,
+      key: String): Option[String] =
+    replay(spark, path)._2.props.get(key).filter(_ != "-")
+
+  /** The named CHECK constraint's predicate SQL, if active. */
+  def checkConstraintSql(spark: SparkSession, path: String,
+      name: String): Option[String] =
+    checkConstraints(spark, path).collectFirst {
+      case (n, sql) if n == name => sql
+    }
+
   /** Active CHECK constraints: `P check.<name> <b64(sql)>` properties
     * (a `-` value is a dropped constraint).
     */

@@ -278,6 +278,9 @@ class OrchestrationSpec extends AnyFunSuite {
         |                     vs_raw_corpus: true }
         |  hotkeys:
         |    skewed_keys: true
+        |  governed:
+        |    bloom_key: id
+        |    checks: { nonempty_id: "id IS NOT NULL", positive_v: "v > 0" }
         |""".stripMargin)
     val tl = cfg.datatypes("textlog")
     assert(tl.partitionKeys == Seq("id", "date"))
@@ -296,6 +299,13 @@ class OrchestrationSpec extends AnyFunSuite {
       contentDedup = Some(graft.tableops.ContentDedupSpec("text", 8000L,
         vsRawCorpus = true))))
     assert(specs("hotkeys").skewedKeys && specs("hotkeys").contentDedup.isEmpty)
+    // governance: the bloom key and named CHECKs flow through to the spec
+    val gv = cfg.datatypes("governed")
+    assert(gv.bloomKey.contains("id"))
+    assert(gv.checks == Seq("nonempty_id" -> "id IS NOT NULL",
+      "positive_v" -> "v > 0"))
+    assert(specs("governed").bloomKey.contains("id") &&
+      specs("governed").checks.size == 2)
   }
 
   test("config: go-style duration strings") {

@@ -737,4 +737,44 @@ class TableOpsSpec extends SparkTestBase {
       wh.readAt(spark, tablePath, 1L).count()
     }
   }
+
+  test("[tx] datatype-spec governance: copyToRaw ensures the configured " +
+    "bloom key and CHECK constraints on the raw table; bad rows are " +
+    "rejected before commit, point probes prune") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-wh8").toString
+    val src = Files.createTempDirectory("graft-src8")
+    writeJsonl(src, "m.json",
+      (0 until 32).map(i =>
+        s"""{"id":"id$i","date":"2024-08-01","parser":{"Time":"2024-08-01T10:00:00Z"},"v":${i + 1}}"""))
+    val wh = new TxWarehouse(root)
+    val spec = graft.tableops.DatatypeSpec(Seq("id", "date"), "parser.Time",
+      bloomKey = Some("id"), checks = Seq("positive_v" -> "v > 0"))
+    val ops = new TableOps(spark, mkJob(root, "ndt7", "2024-08-01"),
+      wh, specOverride = Some(spec))
+    ops.loadToTmp(s"$src/m.json")
+    ops.copyToRaw()
+    val raw = wh.tablePath("raw_exp", "ndt7")
+    // properties landed exactly once, idempotent on a second copy
+    assert(wh.checkConstraintSql(spark, raw, "positive_v").contains("v > 0"))
+    val v = wh.currentVersion(spark, raw)
+    ops.copyToRaw()
+    assert(wh.currentVersion(spark, raw) == v + 1) // only the data commit
+    // the check gates later writes
+    intercept[graft.tableops.ConstraintViolationException] {
+      wh.append(spark,
+        Seq(("zz", -5L, java.sql.Date.valueOf("2024-08-02")))
+          .toDF("id", "v", "date"), raw)
+    }
+    // the bloom property harvested on the copy's own files: a point
+    // probe on the string key opens fewer files than the partition holds
+    val rewrite = wh.read(spark, raw)
+      .repartition(4, col("id")) // scatter so ranges are inert
+    wh.overwritePartition(spark, rewrite, raw, LocalDate.parse("2024-08-01"))
+    val total = wh.read(spark, raw).inputFiles.length
+    val probe = wh.readWhere(spark, raw, col("id") === "id7")
+    assert(probe.inputFiles.length < total,
+      s"bloom should prune: ${probe.inputFiles.length} of $total")
+    assert(probe.select("v").as[Long].collect().toSeq == Seq(8L))
+  }
 }
