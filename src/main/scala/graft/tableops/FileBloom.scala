@@ -69,18 +69,31 @@ object FileBloom {
     Spec(new String(unb64(f(0)), UTF_8), f(1).toLong, f(2).toLong)
   }.toOption
 
-  /** File payload: `b64(col):b64(serialized bloom)` — column repeated
-    * per file so a later spec change cannot misattribute old blooms.
+  /** The property may carry SEVERAL specs (one bloom column per
+    * equality-probed key), comma-joined; a single legacy spec decodes
+    * as a one-element list.
     */
-  def encodePayload(col: String, bloom: Array[Byte]): String =
-    s"${b64(col.getBytes(UTF_8))}:${b64(bloom)}"
+  def encodeSpecs(ss: Seq[Spec]): String = ss.map(encodeSpec).mkString(",")
 
-  def decodePayload(s: String): Option[(String, BloomFilter)] = Try {
-    val f = s.split(":", -1)
-    require(f.length == 2)
-    (new String(unb64(f(0)), UTF_8),
-      BloomFilter.readFrom(unb64(f(1))))
-  }.toOption
+  def decodeSpecs(s: String): Seq[Spec] =
+    s.split(',').toSeq.flatMap(decodeSpec)
+
+  /** File payload: `b64(col):b64(serialized bloom)` entries, one per
+    * bloomed column, ';'-joined — columns repeated per file so a later
+    * spec change cannot misattribute old blooms.
+    */
+  def encodePayload(blooms: Seq[(String, Array[Byte])]): String =
+    blooms.map { case (c, b) => s"${b64(c.getBytes(UTF_8))}:${b64(b)}" }
+      .mkString(";")
+
+  def decodePayload(s: String): Seq[(String, BloomFilter)] =
+    s.split(';').toSeq.flatMap { e =>
+      Try {
+        val f = e.split(":", -1)
+        require(f.length == 2)
+        (new String(unb64(f(0)), UTF_8), BloomFilter.readFrom(unb64(f(1))))
+      }.toOption
+    }
 
   /** One distributed, column-pruned pass over the files just written
     * under `dir`: per-file bloom of the spec column, keyed by file
@@ -90,18 +103,28 @@ object FileBloom {
     * files then simply never bloom-prune.
     */
   def harvest(spark: SparkSession, path: String, dir: String,
-      spec: Spec): Map[String, String] = Try {
+      specs: Seq[Spec]): Map[String, String] = Try {
     val df = spark.read.parquet(s"$path/$dir")
-    if (!df.columns.exists(_.equalsIgnoreCase(spec.col))) Map.empty[String, String]
+    val present = specs.flatMap(sp =>
+      df.columns.find(_.equalsIgnoreCase(sp.col)).map(c => (sp, c)))
+    if (present.isEmpty) Map.empty[String, String]
     else {
-      val c = df.columns.find(_.equalsIgnoreCase(spec.col)).get
-      df.select(element_at(split(input_file_name(), "/"), -1).as("__f"),
-          col(s"`$c`").cast("string").as("__v"))
+      val aggs = present.zipWithIndex.map { case ((sp, c), i) =>
+        org.apache.spark.sql.graftshim.AggBridge
+          .bloomAgg(col(s"`$c`").cast("string"), sp.items, sp.bits)
+          .as(s"__b$i")
+      }
+      df.select(element_at(split(input_file_name(), "/"), -1).as("__f") +:
+          present.map { case (_, c) => col(s"`$c`") }: _*)
         .groupBy(col("__f"))
-        .agg(org.apache.spark.sql.graftshim.AggBridge
-          .bloomAgg(col("__v"), spec.items, spec.bits).as("__b"))
+        .agg(aggs.head, aggs.drop(1): _*)
         .collect()
-        .map(r => r.getString(0) -> encodePayload(spec.col, r.getAs[Array[Byte]](1)))
+        .map { r =>
+          r.getString(0) -> encodePayload(
+            present.zipWithIndex.map { case ((sp, _), i) =>
+              sp.col -> r.getAs[Array[Byte]](s"__b$i")
+            })
+        }
         .toMap
     }
   }.getOrElse(Map.empty)
@@ -121,30 +144,30 @@ object FileBloom {
   private def attrIs(e: Expression, col: String): Boolean =
     FileStats.attrNamePublic(e).contains(col.toLowerCase)
 
-  /** Sound bloom refutation: false ONLY when `pred` requires the
-    * bloomed column to equal one of a literal set and the bloom rules
-    * out every member. Any shape the walk does not understand keeps the
-    * file. Mirrors [[FileStats.mayMatch]]'s And/Or folding.
+  /** Sound bloom refutation: false ONLY when `pred` requires a bloomed
+    * column to equal one of a literal set and that column's bloom rules
+    * out every member. Each bloomed column refutes independently (a
+    * conjunct refuted by ANY of them empties the file); leaves over
+    * other columns stay "maybe". Mirrors [[FileStats.mayMatch]]'s
+    * And/Or folding.
     */
   def mayMatch(payload: String, pred: Expression): Boolean =
-    decodePayload(payload) match {
-      case None => true
-      case Some((col, bloom)) =>
-        def walk(p: Expression): Boolean = p match {
-          case And(a, b) => walk(a) && walk(b)
-          case Or(a, b) => walk(a) || walk(b)
-          case EqualTo(a, l: Literal) if attrIs(a, col) => test(bloom, l)
-          case EqualTo(l: Literal, a) if attrIs(a, col) => test(bloom, l)
-          case EqualNullSafe(a, l: Literal) if attrIs(a, col) && l.value != null =>
-            test(bloom, l)
-          case EqualNullSafe(l: Literal, a) if attrIs(a, col) && l.value != null =>
-            test(bloom, l)
-          case In(a, list) if attrIs(a, col) &&
-              list.forall(_.isInstanceOf[Literal]) =>
-            list.exists(l => test(bloom, l.asInstanceOf[Literal]))
-          case _ => true
-        }
-        walk(pred)
+    decodePayload(payload).forall { case (col, bloom) =>
+      def walk(p: Expression): Boolean = p match {
+        case And(a, b) => walk(a) && walk(b)
+        case Or(a, b) => walk(a) || walk(b)
+        case EqualTo(a, l: Literal) if attrIs(a, col) => test(bloom, l)
+        case EqualTo(l: Literal, a) if attrIs(a, col) => test(bloom, l)
+        case EqualNullSafe(a, l: Literal) if attrIs(a, col) && l.value != null =>
+          test(bloom, l)
+        case EqualNullSafe(l: Literal, a) if attrIs(a, col) && l.value != null =>
+          test(bloom, l)
+        case In(a, list) if attrIs(a, col) &&
+            list.forall(_.isInstanceOf[Literal]) =>
+          list.exists(l => test(bloom, l.asInstanceOf[Literal]))
+        case _ => true
+      }
+      walk(pred)
     }
 
   private def test(bloom: BloomFilter, l: Literal): Boolean =

@@ -1219,21 +1219,22 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     // every writer — append, merge, compaction publish — pays this at
     // write time so equality probes can skip files at read time
     val entries = out.toList
-    bloomSpec(spark, path) match {
-      case Some(spec) if entries.nonEmpty =>
-        val byBase = FileBloom.harvest(spark, path, dir, spec)
-        entries.map { a =>
-          a.copy(bloom = byBase.get(a.rel.substring(a.rel.lastIndexOf('/') + 1)))
-        }
-      case _ => entries
-    }
+    val specs = bloomSpecs(spark, path)
+    if (specs.nonEmpty && entries.nonEmpty) {
+      val byBase = FileBloom.harvest(spark, path, dir, specs)
+      entries.map { a =>
+        a.copy(bloom = byBase.get(a.rel.substring(a.rel.lastIndexOf('/') + 1)))
+      }
+    } else entries
   }
 
-  /** The table's bloom-skipping spec, if [[setBloomFilter]] set one. */
-  private def bloomSpec(spark: SparkSession, path: String):
-      Option[FileBloom.Spec] =
+  /** The table's bloom-skipping specs (one per bloomed column), if
+    * [[setBloomFilter]] set any.
+    */
+  private def bloomSpecs(spark: SparkSession, path: String):
+      Seq[FileBloom.Spec] =
     replay(spark, path)._2.props.get(FileBloom.PropKey)
-      .flatMap(FileBloom.decodeSpec)
+      .map(FileBloom.decodeSpecs).getOrElse(Nil)
 
   /** Enable per-file bloom-filter skipping on `col` ([[FileBloom]]):
     * every SUBSEQUENT write harvests a bloom sized for
@@ -1249,7 +1250,11 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val bits = org.apache.spark.util.sketch.BloomFilter
       .optimalNumOfBits(expectedItemsPerFile, fpp)
     val spec = FileBloom.Spec(col, expectedItemsPerFile, bits)
-    commitProperty(spark, path, FileBloom.PropKey, FileBloom.encodeSpec(spec))
+    // MERGE into the existing spec list: one bloom per distinct column,
+    // re-setting a column replaces its sizing
+    val merged = bloomSpecs(spark, path).filterNot(_.col == col) :+ spec
+    commitProperty(spark, path, FileBloom.PropKey,
+      FileBloom.encodeSpecs(merged.sortBy(_.col)))
   }
 
   /** Manifest lines for a set of adds: `A` entries plus an `S` stats

@@ -137,6 +137,29 @@ class FileBloomSpec extends graft.SparkTestBase {
     assert(p.select("s").as[String].collect().toSeq == Seq("v10"))
   }
 
+  test("multiple bloom columns: each key prunes independently and a " +
+    "conjunct refuted by either empties the probe") {
+    val root = Files.createTempDirectory("graft-blm").toString
+    val wh = new TxWarehouse(root)
+    val path = wh.tablePath("m", "t")
+    wh.setBloomFilter(spark, path, "k", 1000, 0.01)
+    wh.setBloomFilter(spark, path, "s", 1000, 0.01)
+    wh.append(spark, scattered, path)
+    val total = wh.read(spark, path).inputFiles.length
+    val pk = wh.readWhere(spark, path, col("k") === 10L)
+    assert(pk.inputFiles.length <= 2, s"k bloom: ${pk.inputFiles.length}")
+    assert(pk.select("s").as[String].collect().toSeq == Seq("v10"))
+    val ps = wh.readWhere(spark, path, col("s") === "v11")
+    assert(ps.inputFiles.length <= 2, s"s bloom: ${ps.inputFiles.length}")
+    assert(ps.select("k").as[Long].collect().toSeq == Seq(11L))
+    // contradictory conjunct: k=10's file does not carry s='v11' unless
+    // they collide — both blooms prune their own side
+    val none = wh.readWhere(spark, path,
+      col("k") === 5000L && col("s") === "v10")
+    assert(none.count() == 0L)
+    assert(total >= 4)
+  }
+
   test("date-typed bloom column prunes date-literal probes; a column " +
     "missing from a write yields an all-null bloom that prunes " +
     "every non-null probe") {
