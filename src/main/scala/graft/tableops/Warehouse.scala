@@ -1130,6 +1130,29 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     (listData(spark, path, dir), dir)
   }
 
+  /** Snapshot for [[TxFileIndex]]: (live rels, stats, blooms, sizes). */
+  private[tableops] def indexSnapshot(spark: SparkSession, path: String):
+      (Set[String], Map[String, String], Map[String, String], Map[String, Long]) = {
+    val st = replay(spark, path)._2
+    (st.live.keySet, st.stats, st.blooms, st.sizes)
+  }
+
+  /** The manifest-recorded cumulative table schema, if any. */
+  def recordedSchema(spark: SparkSession,
+      path: String): Option[org.apache.spark.sql.types.StructType] =
+    replay(spark, path)._2.schemaJson.flatMap(j => scala.util.Try(
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+
+  /** The table as a manifest-indexed RELATION ([[TxFileIndex]]): every
+    * plan over it pushes its own filters into manifest stats/bloom
+    * skipping — `readWhere` semantics without the explicit call, join-
+    * and SQL-composable, with metadata-only planning statistics. Pins
+    * the current snapshot like every other read.
+    */
+  def readRelation(spark: SparkSession, path: String): DataFrame =
+    TxFileIndex.relation(spark, this, path)
+
   /** Raw table property (None when unset or explicitly cleared). */
   def tableProperty(spark: SparkSession, path: String,
       key: String): Option[String] =

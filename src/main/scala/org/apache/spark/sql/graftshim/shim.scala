@@ -50,6 +50,18 @@ object AggBridge {
         Literal(items), Literal(bits)).toAggregateExpression())
 }
 
+/** BaseRelation → DataFrame for library-built relations (the
+  * [[org.apache.spark.sql.execution.datasources.HadoopFsRelation]] over
+  * a custom FileIndex). `baseRelationToDataFrame` lives on the CLASSIC
+  * session type in Spark 4.
+  */
+object RelationBridge {
+  def toDataFrame(spark: org.apache.spark.sql.SparkSession,
+      rel: org.apache.spark.sql.sources.BaseRelation): org.apache.spark.sql.DataFrame =
+    spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .baseRelationToDataFrame(rel)
+}
+
 /** Parquet-compatible schema union for the tx manifest's table-schema
   * line. [[org.apache.spark.sql.types.StructType.merge]] is the exact
   * routine Spark's own mergeSchema parquet read uses to reconcile file
