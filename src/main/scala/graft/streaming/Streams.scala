@@ -148,8 +148,15 @@ object Streams {
       statsPath: String, idCol: String, textCol: String):
       (DataFrame, Long) => Unit =
     (batch, _) => {
-      val days = batch.select(to_date(col("date")).as("d")).distinct()
-        .collect().map(_.getDate(0).toLocalDate)
+      // a null/unparsable date must fail loudly, not NPE mid-collect:
+      // under the REPLACE-per-day contract a malformed batch silently
+      // proceeding could truncate a day's index to the batch's own rows
+      val dayRows = batch.select(to_date(col("date")).as("d")).distinct()
+        .collect()
+      require(dayRows.forall(!_.isNullAt(0)),
+        "bm25IndexSink: batch contains rows with null/unparsable date — " +
+          "refusing to index (REPLACE-per-day would lose those rows)")
+      val days = dayRows.map(_.getDate(0).toLocalDate)
       days.sorted.foreach { d =>
         graft.operators.Retrieval.indexDocs(batch.sparkSession, wh,
           postingsPath, statsPath,

@@ -133,9 +133,18 @@ object FileBloom {
     * values: canonicalize through STRING, then XxHash64 (seed 42, the
     * SQL function's default). None when the literal cannot cast —
     * callers must then keep the file.
+    *
+    * The Cast MUST use the session timezone, not a hardcoded one: the
+    * build side hashed `cast(col AS STRING)` evaluated under the
+    * session timezone, so a TIMESTAMP literal probed under a different
+    * zone would produce a different string form, the bloom would report
+    * "absent", and files CONTAINING the key would be pruned — unsound
+    * skipping. `SQLConf.get` resolves to the active session's conf on
+    * the driver, which is where all probe sites run.
     */
   private def literalHash(l: Literal): Option[Long] = Try {
-    val s = Cast(l, StringType, Some("UTC")).eval(null)
+    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
+    val s = Cast(l, StringType, Some(tz)).eval(null)
     if (s == null) None
     else Some(new XxHash64(Seq(Literal(s, StringType))).eval(null)
       .asInstanceOf[Long])

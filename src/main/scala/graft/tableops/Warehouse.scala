@@ -802,8 +802,24 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val (liveFrom, liveTo) = liveSetsAt(spark, path, fromVersion, toVersion)
     val added = (liveTo.keySet -- liveFrom.keySet).toSeq.sorted
     val removed = (liveFrom.keySet -- liveTo.keySet).toSeq.sorted
-    if (added.isEmpty && removed.isEmpty)
-      return spark.emptyDataFrame
+    if (added.isEmpty && removed.isEmpty) {
+      // honor the documented output schema even when no files changed:
+      // key columns typed as in the table (falling back to string on an
+      // empty table, where no file carries a schema) + _change_type, so
+      // downstream select/groupBy on _change_type works in the no-churn
+      // case exactly as in the churn case
+      val keyed = scala.util.Try(
+        readAt(spark, path, toVersion).select(keyCols.map(col): _*))
+        .getOrElse {
+          val schema = org.apache.spark.sql.types.StructType(keyCols.map(
+            org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.StringType)))
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        }
+      return keyed.withColumn("_change_type", lit(null).cast("string"))
+        .limit(0)
+    }
     val dfA = if (removed.isEmpty) None else Some(readFiles(spark, path, removed))
     val dfB = if (added.isEmpty) None else Some(readFiles(spark, path, added))
     // the comparison struct spans the UNION of both sides' non-key
@@ -970,7 +986,11 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   }
 
   /** Per-partition exact row counts, manifest-only; None under the same
-    * any-file-without-stats condition as [[fastRowCount]].
+    * any-file-without-stats condition as [[fastRowCount]] — and ALSO
+    * None when any live file's manifest date string fails to parse:
+    * silently dropping such a file would make the per-partition sums
+    * disagree with [[fastRowCount]]'s total without any signal, so an
+    * unparsable date degrades the whole fast path to "recount".
     */
   def fastPartitionRowCounts(spark: SparkSession,
       path: String): Option[Map[LocalDate, Long]] = {
@@ -979,7 +999,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       (scala.util.Try(LocalDate.parse(d)).toOption,
         st.stats.get(rel).flatMap(FileStats.decode).map(_.rows))
     }
-    if (rows.exists(_._2.isEmpty)) None
+    if (rows.exists(r => r._1.isEmpty || r._2.isEmpty)) None
     else Some(rows.collect { case (Some(d), Some(n)) => (d, n) }
       .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum })
   }
@@ -1093,9 +1113,21 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     // Spark's default INT96 is the deprecated legacy physical type and
     // carries no usable min/max for the 't' stats domain — micros makes
     // event-time range probes prunable ([[FileStats]]) and is what
-    // every modern reader expects
-    spark.conf.set("spark.sql.parquet.outputTimestampType",
-      "TIMESTAMP_MICROS")
+    // every modern reader expects. The session conf is restored after
+    // the write — a warehouse write must not silently change the
+    // timestamp encoding of the caller's own unrelated parquet writes.
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.getOption(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try writeDataInner(spark, df, path, dir)
+    finally prevTsType match {
+      case Some(v) => spark.conf.set(tsTypeKey, v)
+      case None => spark.conf.unset(tsTypeKey)
+    }
+  }
+
+  private def writeDataInner(spark: SparkSession, df: DataFrame,
+      path: String, dir: String): (Seq[AddEntry], String) = {
     // CHECK constraints validate DURING the write pass (observe counts
     // rows whose predicate is FALSE — SQL semantics: null passes), so
     // enforcement costs zero extra scans. A violation aborts before the
