@@ -90,7 +90,7 @@ object Bench {
     val (steal0, ticks0) = stealAndTotalTicks()
 
     val contended = scala.collection.mutable.ListBuffer[String]()
-    val results: Seq[(String, Double)] =
+    def timedPass(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
@@ -106,6 +106,24 @@ object Bench {
         clearPersisted(spark)
         name -> math.min(a, b)
       }
+    // TWO full timing passes, per-query min: the back-to-back rep pair
+    // catches a point spike but not a SUSTAINED slowdown window (GC
+    // storm, host noise lasting tens of seconds) — observed twice as a
+    // contiguous ALPHABETICAL run of tiny queries inflated 5-10x
+    // (rounds 11 and 12: tx_t* then tx_n*..tx_q*), exactly the
+    // queries the window happened to cover in sorted order. A second
+    // pass minutes later re-times every query at a well-separated
+    // moment; a transient window would have to recur on the same query
+    // in both passes to survive into the record. Queries whose two
+    // PASSES still disagree >2x are reported as contended — sustained
+    // cross-pass noise must be visible in the artifact.
+    val pass1 = timedPass()
+    val pass2 = timedPass().toMap
+    val results: Seq[(String, Double)] = pass1.map { case (name, t1) =>
+      val t2 = pass2(name)
+      if (math.max(t1, t2) > 2 * math.min(t1, t2)) contended += name
+      name -> math.min(t1, t2)
+    }
     // 0.1 ms resolution keeps the one-line artifact ~40% shorter — the
     // driver's stdout capture has clipped the full-precision line twice
     // (BENCH_r06/r07/r09 "parsed": null); nanosecond noise carries no
@@ -142,9 +160,13 @@ object Bench {
     // per-query record (also committed as BENCH_local.json).
     val budget = 1800
     val slowest = results.sortBy(-_._2)
+    // contended_count, not the name list: with ~150 query names the
+    // list alone can blow the 1800-char budget (precisely on the hot
+    // host being diagnosed) and clip the line the budget exists to
+    // protect. Full names live in the durable target/bench.json.
     val head = s"""{"metric":"total","value":${math.rint(total * 100) / 100},""" +
       s""""unit":"sec","n_queries":${results.size},"sf":"$sfDir",""" +
-      f""""steal_pct":$stealPct%.1f,"contended":$cont,""" +
+      f""""steal_pct":$stealPct%.1f,"contended_count":${contended.distinct.size},""" +
       s""""full":"target/bench.json","queries_truncated":true,"queries":{"""
     val tailStr = "}}"
     val entries = scala.collection.mutable.ListBuffer[String]()

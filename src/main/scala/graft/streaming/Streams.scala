@@ -150,8 +150,12 @@ object Streams {
     (batch, _) => {
       // a null/unparsable date must fail loudly, not NPE mid-collect:
       // under the REPLACE-per-day contract a malformed batch silently
-      // proceeding could truncate a day's index to the batch's own rows
-      val dayRows = batch.select(to_date(col("date")).as("d")).distinct()
+      // proceeding could truncate a day's index to the batch's own rows.
+      // try_to_date, not to_date: under ANSI (the Spark 4 default) a
+      // malformed string makes to_date throw an opaque execution error
+      // mid-scan — try_to_date folds it to null so the refusal below
+      // names the actual contract violation
+      val dayRows = batch.select(try_to_date(col("date")).as("d")).distinct()
         .collect()
       require(dayRows.forall(!_.isNullAt(0)),
         "bm25IndexSink: batch contains rows with null/unparsable date — " +

@@ -9,7 +9,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{And, Cast, EqualNullSafe,
   EqualTo, Expression, In, Literal, Or, XxHash64}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StringType
+import org.apache.spark.sql.types.{StringType, TimestampType}
 import org.apache.spark.util.sketch.BloomFilter
 
 /** Per-file BLOOM FILTERS in the commit manifest — the point-lookup
@@ -31,6 +31,15 @@ import org.apache.spark.util.sketch.BloomFilter
   * long literal, date vs its string) to the same 64-bit key; columns
   * whose string form is ambiguous for equality (floating point) should
   * simply not be bloom columns.
+  *
+  * TIMESTAMP canonicalization is timezone-dependent (`cast(ts AS
+  * STRING)` renders in the session zone), so each per-file payload
+  * records the timezone the BUILD session canonicalized under and the
+  * probe side re-renders its literal under that recorded zone — a table
+  * written under UTC and probed under Asia/Tokyo still hashes the same
+  * string and skipping stays sound. Legacy payloads (written before the
+  * zone was recorded) carry no zone: timestamp-typed probes against
+  * them return "maybe" and the file is kept.
   *
   * The manifest carries one `B <payload> <rel>` line per file
   * (~`bits/8` bytes base64 each — at the default 2^13 bits that is
@@ -78,20 +87,28 @@ object FileBloom {
   def decodeSpecs(s: String): Seq[Spec] =
     s.split(',').toSeq.flatMap(decodeSpec)
 
-  /** File payload: `b64(col):b64(serialized bloom)` entries, one per
-    * bloomed column, ';'-joined — columns repeated per file so a later
-    * spec change cannot misattribute old blooms.
+  /** File payload: `b64(col):b64(serialized bloom):b64(buildTz)`
+    * entries, one per bloomed column, ';'-joined — columns repeated per
+    * file so a later spec change cannot misattribute old blooms. The
+    * third field is the session timezone the build-side `CAST(col AS
+    * STRING)` canonicalized under; probes of timezone-sensitive
+    * literals (TIMESTAMP) must re-render under it. Two-field entries
+    * are the pre-timezone legacy format: decoded with no zone, so
+    * timestamp probes keep the file.
     */
-  def encodePayload(blooms: Seq[(String, Array[Byte])]): String =
-    blooms.map { case (c, b) => s"${b64(c.getBytes(UTF_8))}:${b64(b)}" }
-      .mkString(";")
+  def encodePayload(blooms: Seq[(String, Array[Byte])], buildTz: String): String =
+    blooms.map { case (c, b) =>
+      s"${b64(c.getBytes(UTF_8))}:${b64(b)}:${b64(buildTz.getBytes(UTF_8))}"
+    }.mkString(";")
 
-  def decodePayload(s: String): Seq[(String, BloomFilter)] =
+  def decodePayload(s: String): Seq[(String, BloomFilter, Option[String])] =
     s.split(';').toSeq.flatMap { e =>
       Try {
         val f = e.split(":", -1)
-        require(f.length == 2)
-        (new String(unb64(f(0)), UTF_8), BloomFilter.readFrom(unb64(f(1))))
+        require(f.length == 2 || f.length == 3)
+        (new String(unb64(f(0)), UTF_8),
+          BloomFilter.readFrom(unb64(f(1))),
+          if (f.length == 3) Some(new String(unb64(f(2)), UTF_8)) else None)
       }.toOption
     }
 
@@ -109,6 +126,9 @@ object FileBloom {
       df.columns.find(_.equalsIgnoreCase(sp.col)).map(c => (sp, c)))
     if (present.isEmpty) Map.empty[String, String]
     else {
+      // The zone the analyzer resolves this plan's CASTs under — record
+      // it in the payload so probes re-render literals identically.
+      val buildTz = spark.sessionState.conf.sessionLocalTimeZone
       val aggs = present.zipWithIndex.map { case ((sp, c), i) =>
         org.apache.spark.sql.graftshim.AggBridge
           .bloomAgg(col(s"`$c`").cast("string"), sp.items, sp.bits)
@@ -123,7 +143,7 @@ object FileBloom {
           r.getString(0) -> encodePayload(
             present.zipWithIndex.map { case ((sp, _), i) =>
               sp.col -> r.getAs[Array[Byte]](s"__b$i")
-            })
+            }, buildTz)
         }
         .toMap
     }
@@ -134,21 +154,29 @@ object FileBloom {
     * SQL function's default). None when the literal cannot cast —
     * callers must then keep the file.
     *
-    * The Cast MUST use the session timezone, not a hardcoded one: the
-    * build side hashed `cast(col AS STRING)` evaluated under the
-    * session timezone, so a TIMESTAMP literal probed under a different
-    * zone would produce a different string form, the bloom would report
-    * "absent", and files CONTAINING the key would be pruned — unsound
-    * skipping. `SQLConf.get` resolves to the active session's conf on
-    * the driver, which is where all probe sites run.
+    * The Cast MUST use the timezone the BUILD side canonicalized under
+    * (recorded in the payload by [[harvest]]), not the probing
+    * session's: a TIMESTAMP literal rendered under a different zone
+    * produces a different string, the bloom reports "absent", and files
+    * CONTAINING the key would be pruned — unsound skipping. When the
+    * payload predates the recorded zone (`buildTz` None), a
+    * timezone-sensitive literal cannot be hashed soundly: return None
+    * and keep the file. Timezone-INSENSITIVE types (ints, strings,
+    * dates, TIMESTAMP_NTZ) render identically under any zone, so the
+    * probing session's zone serves.
     */
-  private def literalHash(l: Literal): Option[Long] = Try {
-    val tz = org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone
-    val s = Cast(l, StringType, Some(tz)).eval(null)
-    if (s == null) None
-    else Some(new XxHash64(Seq(Literal(s, StringType))).eval(null)
-      .asInstanceOf[Long])
-  }.toOption.flatten
+  private def literalHash(l: Literal, buildTz: Option[String]): Option[Long] = {
+    val tzSensitive = l.dataType == TimestampType
+    if (tzSensitive && buildTz.isEmpty) None
+    else Try {
+      val tz = buildTz.getOrElse(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      val s = Cast(l, StringType, Some(tz)).eval(null)
+      if (s == null) None
+      else Some(new XxHash64(Seq(Literal(s, StringType))).eval(null)
+        .asInstanceOf[Long])
+    }.toOption.flatten
+  }
 
   private def attrIs(e: Expression, col: String): Boolean =
     FileStats.attrNamePublic(e).contains(col.toLowerCase)
@@ -161,26 +189,27 @@ object FileBloom {
     * And/Or folding.
     */
   def mayMatch(payload: String, pred: Expression): Boolean =
-    decodePayload(payload).forall { case (col, bloom) =>
+    decodePayload(payload).forall { case (col, bloom, buildTz) =>
       def walk(p: Expression): Boolean = p match {
         case And(a, b) => walk(a) && walk(b)
         case Or(a, b) => walk(a) || walk(b)
-        case EqualTo(a, l: Literal) if attrIs(a, col) => test(bloom, l)
-        case EqualTo(l: Literal, a) if attrIs(a, col) => test(bloom, l)
+        case EqualTo(a, l: Literal) if attrIs(a, col) => test(bloom, l, buildTz)
+        case EqualTo(l: Literal, a) if attrIs(a, col) => test(bloom, l, buildTz)
         case EqualNullSafe(a, l: Literal) if attrIs(a, col) && l.value != null =>
-          test(bloom, l)
+          test(bloom, l, buildTz)
         case EqualNullSafe(l: Literal, a) if attrIs(a, col) && l.value != null =>
-          test(bloom, l)
+          test(bloom, l, buildTz)
         case In(a, list) if attrIs(a, col) &&
             list.forall(_.isInstanceOf[Literal]) =>
-          list.exists(l => test(bloom, l.asInstanceOf[Literal]))
+          list.exists(l => test(bloom, l.asInstanceOf[Literal], buildTz))
         case _ => true
       }
       walk(pred)
     }
 
-  private def test(bloom: BloomFilter, l: Literal): Boolean =
-    literalHash(l) match {
+  private def test(bloom: BloomFilter, l: Literal,
+      buildTz: Option[String]): Boolean =
+    literalHash(l, buildTz) match {
       case Some(h) => bloom.mightContainLong(h)
       case None => true
     }

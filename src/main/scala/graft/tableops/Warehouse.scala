@@ -804,19 +804,21 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val removed = (liveFrom.keySet -- liveTo.keySet).toSeq.sorted
     if (added.isEmpty && removed.isEmpty) {
       // honor the documented output schema even when no files changed:
-      // key columns typed as in the table (falling back to string on an
-      // empty table, where no file carries a schema) + _change_type, so
-      // downstream select/groupBy on _change_type works in the no-churn
-      // case exactly as in the churn case
-      val keyed = scala.util.Try(
-        readAt(spark, path, toVersion).select(keyCols.map(col): _*))
-        .getOrElse {
+      // key columns typed as in the table (falling back to string ONLY
+      // on an empty table, where no file carries a schema) +
+      // _change_type, so downstream select/groupBy on _change_type
+      // works in the no-churn case exactly as in the churn case. On a
+      // NON-empty table the select analyzes for real — a misspelled key
+      // column raises the same AnalysisException the churn path would,
+      // instead of silently yielding a string-typed empty frame.
+      val keyed =
+        if (liveTo.isEmpty) {
           val schema = org.apache.spark.sql.types.StructType(keyCols.map(
             org.apache.spark.sql.types.StructField(_,
               org.apache.spark.sql.types.StringType)))
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        }
+        } else readAt(spark, path, toVersion).select(keyCols.map(col): _*)
       return keyed.withColumn("_change_type", lit(null).cast("string"))
         .limit(0)
     }
@@ -1114,16 +1116,19 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     // carries no usable min/max for the 't' stats domain — micros makes
     // event-time range probes prunable ([[FileStats]]) and is what
     // every modern reader expects. The session conf is restored after
-    // the write — a warehouse write must not silently change the
-    // timestamp encoding of the caller's own unrelated parquet writes.
-    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
-    val prevTsType = spark.conf.getOption(tsTypeKey)
-    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    // the write so the caller's own SUBSEQUENT parquet writes keep
+    // their encoding; overlapping WAREHOUSE writes share one
+    // reference-counted save/restore ([[TsTypeOverride]]) so they
+    // cannot corrupt each other's saved value. CAVEAT — the conf is
+    // session-scoped, not write-scoped (ParquetFileFormat.prepareWrite
+    // reads the session SQLConf; there is no per-write option): a
+    // caller's own UNRELATED parquet write racing a warehouse write
+    // still observes TIMESTAMP_MICROS. Callers wanting conf isolation
+    // must use separate sessions (`spark.newSession()` shares the
+    // context, not the conf).
+    TsTypeOverride.acquire(spark)
     try writeDataInner(spark, df, path, dir)
-    finally prevTsType match {
-      case Some(v) => spark.conf.set(tsTypeKey, v)
-      case None => spark.conf.unset(tsTypeKey)
-    }
+    finally TsTypeOverride.release(spark)
   }
 
   private def writeDataInner(spark: SparkSession, df: DataFrame,
@@ -1750,6 +1755,48 @@ object TxWarehouse {
   private val LogDir = "_graft_log"
   private val DataDir = "_graft_data"
   private val PartCol = "__p_date"
+
+  /** Reference-counted session override of
+    * `spark.sql.parquet.outputTimestampType`: the conf is SESSION-wide,
+    * so two warehouse writes overlapping in one session with a naive
+    * save/restore corrupt each other — the second writer "saves" the
+    * first's TIMESTAMP_MICROS override and restores it as the caller's
+    * value, leaking MICROS into the session forever (observed in the
+    * concurrent-merge spec). First acquirer saves the caller's value
+    * and sets MICROS; only the last releaser restores. What this CANNOT
+    * fix: the caller's own unrelated parquet write racing a warehouse
+    * write still observes MICROS while any warehouse write is in
+    * flight — session confs have no per-write scope (see [[writeData]]).
+    */
+  private object TsTypeOverride {
+    private val key = "spark.sql.parquet.outputTimestampType"
+    // identity map: sessions have no value-equality contract
+    private val inflight =
+      new java.util.IdentityHashMap[SparkSession, (Int, Option[String])]()
+    def acquire(spark: SparkSession): Unit = inflight.synchronized {
+      inflight.get(spark) match {
+        case null =>
+          val prev = spark.conf.getOption(key)
+          spark.conf.set(key, "TIMESTAMP_MICROS")
+          inflight.put(spark, (1, prev))
+        case (n, prev) => inflight.put(spark, (n + 1, prev))
+      }
+      ()
+    }
+    def release(spark: SparkSession): Unit = inflight.synchronized {
+      inflight.get(spark) match {
+        case null => // unbalanced release: nothing to restore
+        case (1, prev) =>
+          inflight.remove(spark)
+          prev match {
+            case Some(v) => spark.conf.set(key, v)
+            case None => spark.conf.unset(key)
+          }
+        case (n, prev) => inflight.put(spark, (n - 1, prev))
+      }
+      ()
+    }
+  }
   private val ExpectedSidecar = "_expected_removes.txt"
   private val SchemaSidecar = "_staged_schema.json"
   private val MaxCommitAttempts = 50

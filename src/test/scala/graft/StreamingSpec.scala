@@ -401,6 +401,28 @@ class StreamingSpec extends SparkTestBase {
       spark, wh, post, stat, qs, 3)) == inline)
   }
 
+  test("bm25 index sink refuses a batch with null or unparsable dates " +
+    "instead of silently truncating a day to the batch's own rows") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_stream_bm25bad").toString
+    val wh = new graft.tableops.TxWarehouse(root)
+    val post = wh.tablePath("ix", "postings")
+    val stat = wh.tablePath("ix", "stats")
+    val sink = Streams.bm25IndexSink(wh, post, stat, "doc_id", "text")
+    // null date (REPLACE-per-day has no day to replace for these rows)
+    val nullDate = Seq((1L, "apple", null.asInstanceOf[java.sql.Date]))
+      .toDF("doc_id", "text", "date")
+    val e1 = intercept[IllegalArgumentException] { sink(nullDate, 0L) }
+    assert(e1.getMessage.contains("null/unparsable"))
+    // unparsable string date: to_date yields null, same refusal
+    val badStr = Seq((2L, "banana", "not-a-date"))
+      .toDF("doc_id", "text", "date")
+    val e2 = intercept[IllegalArgumentException] { sink(badStr, 1L) }
+    assert(e2.getMessage.contains("null/unparsable"))
+    // nothing was indexed: the postings table was never created
+    assert(!wh.exists(spark, post))
+  }
+
   test("stream-stream interval join: annotations within the lookback " +
     "enrich, unmatched measurements emit null-padded after the " +
     "watermark closes their window") {

@@ -160,6 +160,67 @@ class FileBloomSpec extends graft.SparkTestBase {
     assert(total >= 4)
   }
 
+  test("timestamp bloom column built under UTC probed under Asia/Tokyo " +
+    "still returns the rows AND still prunes: the payload records the " +
+    "build zone and the probe re-renders its literal under it") {
+    val root = Files.createTempDirectory("graft-bltz").toString
+    val wh = new TxWarehouse(root)
+    val path = wh.tablePath("m", "t")
+    wh.setBloomFilter(spark, path, "t", 1000, 0.01)
+    // distinct timestamps scattered by hash — ranges can't prune
+    val rows = (0 until 800).map { k =>
+      (k.toLong, new java.sql.Timestamp(1725148800000L + k * 1000L), D)
+    }.toDF("k", "t", "date").repartition(8, col("k") % 8)
+    val tzKey = "spark.sql.session.timeZone"
+    val prevTz = spark.conf.get(tzKey) // UTC (SparkTestBase)
+    assert(prevTz == "UTC")
+    wh.append(spark, rows, path) // blooms built + recorded under UTC
+    val target = new java.sql.Timestamp(1725148800000L + 10 * 1000L)
+    try {
+      spark.conf.set(tzKey, "Asia/Tokyo")
+      // soundness: the row must come back — under Tokyo the literal's
+      // string form differs from what UTC hashed, so a probe hashed
+      // under the PROBING zone would prune the file containing it
+      val p = wh.readWhere(spark, path, col("t") === lit(target))
+      assert(p.select("k").as[Long].collect().toSeq == Seq(10L),
+        "cross-timezone probe lost rows — bloom skipping is unsound")
+      // and the skipping layer still engages (recorded zone, not a
+      // blanket keep-everything)
+      val all = wh.read(spark, path).inputFiles.length
+      assert(p.inputFiles.length <= 2 && all >= 4,
+        s"bloom no longer prunes cross-zone: ${p.inputFiles.length}/$all")
+    } finally spark.conf.set(tzKey, prevTz)
+  }
+
+  test("legacy two-field payloads (no recorded zone): timestamp probes " +
+    "keep the file; zone-insensitive probes still prune") {
+    import java.nio.charset.StandardCharsets.UTF_8
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference,
+      EqualTo, Literal, XxHash64}
+    import org.apache.spark.sql.types.{LongType, TimestampType}
+    import org.apache.spark.util.sketch.BloomFilter
+    def b64(b: Array[Byte]) = java.util.Base64.getEncoder.encodeToString(b)
+    // build a bloom the way harvest does: xxhash64 of the STRING form
+    val bf = BloomFilter.create(100, 0.01)
+    bf.putLong(new XxHash64(Seq(Literal("42"))).eval(null)
+      .asInstanceOf[Long])
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val legacy = s"${b64("t".getBytes(UTF_8))}:${b64(bos.toByteArray)}"
+    val tsAttr = AttributeReference("t", TimestampType)()
+    // a timestamp literal cannot be re-rendered without the build zone:
+    // the file must be KEPT even though the bloom would refute it
+    assert(FileBloom.mayMatch(legacy,
+      EqualTo(tsAttr, Literal(1725148800000000L, TimestampType))),
+      "legacy payload must keep files for timestamp probes")
+    // zone-insensitive literals still hash identically under any zone:
+    // present value passes, absent value prunes
+    val kAttr = AttributeReference("t", LongType)()
+    assert(FileBloom.mayMatch(legacy, EqualTo(kAttr, Literal(42L))))
+    assert(!FileBloom.mayMatch(legacy, EqualTo(kAttr, Literal(43L))),
+      "legacy payload must still prune zone-insensitive probes")
+  }
+
   test("date-typed bloom column prunes date-literal probes; a column " +
     "missing from a write yields an all-null bloom that prunes " +
     "every non-null probe") {

@@ -243,6 +243,85 @@ class MergeIntoSpec extends graft.SparkTestBase {
     assert(wh.rowDiff(spark, path, 2L, 2L, Seq("k")).count() == 0L)
   }
 
+  test("rowDiff no-churn: table-typed key schema, analysis error on a " +
+    "misspelled key, string-typed degrade only on a truly empty table") {
+    val (wh, path) = fresh("mgd2")
+    wh.append(spark, base(0 until 10), path) // v1
+    val noChurn = wh.rowDiff(spark, path, 1L, 1L, Seq("k"))
+    assert(noChurn.count() == 0L)
+    assert(noChurn.schema.fieldNames.toSeq == Seq("k", "_change_type"))
+    // key typed AS IN THE TABLE, exactly like the churn path — not the
+    // string fallback (round-11 regression: a swallowed analysis error
+    // silently degraded every no-churn diff to string keys)
+    assert(noChurn.schema("k").dataType ==
+      org.apache.spark.sql.types.LongType, noChurn.schema.treeString)
+    // a misspelled key on a NON-empty table must raise like the churn
+    // path would, not silently return a string-typed empty frame
+    intercept[org.apache.spark.sql.AnalysisException] {
+      wh.rowDiff(spark, path, 1L, 1L, Seq("no_such_col"))
+    }
+    // truly empty table (no commits): no schema exists anywhere — the
+    // documented string-typed degrade applies
+    val (whE, pathE) = fresh("mgd2e")
+    val empty = whE.rowDiff(spark, pathE, 0L, 0L, Seq("k"))
+    assert(empty.count() == 0L)
+    assert(empty.schema("k").dataType ==
+      org.apache.spark.sql.types.StringType)
+  }
+
+  test("writeData restores spark.sql.parquet.outputTimestampType: a " +
+    "caller's preset value survives the append, and the default is " +
+    "back after an append with nothing preset") {
+    val key = "spark.sql.parquet.outputTimestampType"
+    val before = spark.conf.get(key) // registered conf: default INT96
+    try {
+      spark.conf.set(key, "TIMESTAMP_MILLIS")
+      val (wh, path) = fresh("mgc")
+      wh.append(spark, base(0 until 5), path)
+      assert(spark.conf.get(key) == "TIMESTAMP_MILLIS",
+        "warehouse write must not leak its TIMESTAMP_MICROS override")
+      spark.conf.unset(key)
+      wh.append(spark, base(5 until 10), path)
+      assert(spark.conf.get(key) == before,
+        "with nothing preset the default must be back after the write")
+      // OVERLAPPING warehouse writes must not corrupt each other's
+      // save/restore (the naive pair leaked MICROS: writer 2 "saved"
+      // writer 1's override and restored it as the caller's value)
+      val (whB, pathB) = fresh("mgc2")
+      val threads = (0 until 4).map { i =>
+        new Thread(() =>
+          whB.append(spark, base(i * 10 until i * 10 + 10), pathB))
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(spark.conf.get(key) == before,
+        "concurrent warehouse writes leaked the MICROS override")
+      assert(whB.read(spark, pathB).count() == 40L)
+    } finally spark.conf.unset(key)
+  }
+
+  test("fastPartitionRowCounts: an unparsable manifest date degrades " +
+    "the whole per-partition fast path to None (recount) instead of " +
+    "silently dropping the file from the sums") {
+    val (wh, path) = fresh("mgfbad")
+    wh.append(spark, base(0 until 10), path) // v1
+    assert(wh.fastPartitionRowCounts(spark, path).nonEmpty)
+    // forge v2: a live file under an unparsable date string, carrying a
+    // valid stats payload (reused from v1's commit) so ONLY the date is
+    // at fault
+    val logDir = java.nio.file.Paths.get(path, "_graft_log")
+    val v1 = java.nio.file.Files.readString(
+      logDir.resolve(f"v${1L}%020d.txt"))
+    val sPayload = v1.linesIterator.find(_.startsWith("S "))
+      .map(_.substring(2).split(" ")(0)).get
+    java.nio.file.Files.writeString(logDir.resolve(f"v${2L}%020d.txt"),
+      s"A not-a-date forged.parquet\nS $sPayload forged.parquet\n")
+    assert(wh.fastPartitionRowCounts(spark, path).isEmpty,
+      "an unparsable date must degrade the fast path, not drop the file")
+    // the total (date-free) fast count still works: every live file has
+    // stats
+    assert(wh.fastRowCount(spark, path).nonEmpty)
+  }
+
   test("fastRowCount: exact counts from the manifest alone, tracking " +
     "appends, merges and deletes without a data read") {
     val (wh, path) = fresh("mgf")
