@@ -99,7 +99,8 @@ object Bench {
         }
         var a = once(); var b = once()
         var extra = 0
-        while (math.max(a, b) > 3 * math.min(a, b) && extra < 2) {
+        while (math.max(a, b) > 3 * math.min(a, b) &&
+            math.max(a, b) - math.min(a, b) > 0.3 && extra < 2) {
           contended += name
           a = math.min(a, b); b = once(); extra += 1
         }
@@ -115,13 +116,16 @@ object Bench {
     // pass minutes later re-times every query at a well-separated
     // moment; a transient window would have to recur on the same query
     // in both passes to survive into the record. Queries whose two
-    // PASSES still disagree >2x are reported as contended — sustained
-    // cross-pass noise must be visible in the artifact.
+    // PASSES disagree MATERIALLY (>2x AND >0.3s apart — sub-100ms
+    // jitter on tiny queries is scheduler noise, not contention) are
+    // reported as contended, so sustained cross-pass noise stays
+    // visible in the artifact without drowning it in micro-jitter.
     val pass1 = timedPass()
     val pass2 = timedPass().toMap
     val results: Seq[(String, Double)] = pass1.map { case (name, t1) =>
       val t2 = pass2(name)
-      if (math.max(t1, t2) > 2 * math.min(t1, t2)) contended += name
+      if (math.max(t1, t2) > 2 * math.min(t1, t2) &&
+          math.max(t1, t2) - math.min(t1, t2) > 0.3) contended += name
       name -> math.min(t1, t2)
     }
     // 0.1 ms resolution keeps the one-line artifact ~40% shorter — the

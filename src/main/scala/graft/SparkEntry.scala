@@ -690,6 +690,214 @@ object SparkEntry {
           .cast("long")).as("revenue_e2"))
     }),
 
+    // ---- TPC-H Q2 analog: minimum-cost supplier — the correlated
+    //      scalar-min subquery (cost = MIN over the part's offers)
+    //      decorrelates to a per-part min aggregate joined back on
+    //      equality. No partsupp in this schema: lineitem stands in as
+    //      the (part, supplier, price) offer relation; region-scoped
+    //      suppliers and the filtered part set both broadcast, so the
+    //      only shuffle is the per-part min and its join-back ----
+    "q2_min_cost_supplier" -> ((s, dir) => {
+      val eur = broadcast(Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, dir).filter(col("r_name") === "EUROPE"),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name")))
+      val parts = broadcast(Tables.part(s, dir)
+        .filter(col("p_size") === 15 && col("p_type") === "SMALL")
+        .select(col("p_partkey"), col("p_brand")))
+      val offers = Tables.lineitem(s, dir)
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(eur, col("l_suppkey") === col("s_suppkey"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+          floor(col("l_extendedprice") * 100).cast("long").as("price_e2"))
+      val minPrice = offers.groupBy(col("p_partkey").as("mp_partkey"))
+        .agg(min(col("price_e2")).as("min_e2"))
+      offers.join(minPrice, col("p_partkey") === col("mp_partkey") &&
+          col("price_e2") === col("min_e2"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"), col("n_name"),
+          col("price_e2")).distinct()
+    }),
+
+    // ---- TPC-H Q8 analog: national market share — nested aggregation
+    //      re-expressed as one pass with a conditional sum (the inner
+    //      per-year total and the nation's slice come from the SAME
+    //      grouped aggregate; the share stays a pair of exact integers
+    //      instead of a float ratio). Two nation joins under different
+    //      roles (customer's region gate, supplier's nation tag) ----
+    "q8_market_share" -> ((s, dir) => {
+      val n = Tables.nation(s, dir)
+      val custSide = Tables.customer(s, dir)
+        .join(n.select(col("n_nationkey").as("cn_key"),
+          col("n_regionkey").as("cn_region")),
+          col("c_nationkey") === col("cn_key"))
+        .join(Tables.region(s, dir).filter(col("r_name") === "AMERICA"),
+          col("cn_region") === col("r_regionkey"))
+        .select(col("c_custkey"))
+      val suppNation = broadcast(Tables.supplier(s, dir)
+        .join(n.select(col("n_nationkey").as("sn_key"),
+          col("n_name").as("supp_nation")),
+          col("s_nationkey") === col("sn_key"))
+        .select(col("s_suppkey"), col("supp_nation")))
+      Tables.orders(s, dir)
+        .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+          col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .join(custSide, col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))), col("l_partkey") === col("p_partkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(
+          sum(when(col("supp_nation") === "NATION_7",
+            floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+              .cast("long")).otherwise(0L)).as("nation_e2"),
+          sum(floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long")).as("total_e2"))
+    }),
+
+    // ---- TPC-H Q9 analog: product-type profit by nation and year —
+    //      the 5-table join tags every line with its supplier's nation
+    //      and order year; profit = revenue − cost uses the part's
+    //      retail price as the cost base (no partsupp here), all in
+    //      exact scaled integers so negatives cross engines intact ----
+    "q9_product_profit" -> ((s, dir) => {
+      val greens = broadcast(Tables.part(s, dir)
+        .filter(col("p_name").like("%red%"))
+        .select(col("p_partkey"), col("p_retailprice")))
+      val suppNation = broadcast(Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name")))
+      Tables.lineitem(s, dir)
+        .join(greens, col("l_partkey") === col("p_partkey"))
+        .join(suppNation, col("l_suppkey") === col("s_suppkey"))
+        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(sum(
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long") -
+          floor(col("p_retailprice") * 100).cast("long") *
+            floor(col("l_quantity")).cast("long")).as("profit_e2"))
+    }),
+
+    // ---- TPC-H Q11 analog: important parts — the HAVING-against-a-
+    //      scalar-subquery shape: a part qualifies when its value
+    //      exceeds 1/2000 of the ENTIRE nation-scoped value. The global
+    //      total rides as a one-row broadcast next to the per-part
+    //      aggregate; the threshold compares exact integers
+    //      (2000·part > total), never a float fraction ----
+    "q11_important_parts" -> ((s, dir) => {
+      val natSupp = broadcast(Tables.supplier(s, dir)
+        .join(Tables.nation(s, dir).filter(col("n_name") === "NATION_3"),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey")))
+      val scoped = Tables.lineitem(s, dir)
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"),
+          floor(col("l_extendedprice") * 100).cast("long").as("v_e2"))
+      val perPart = scoped.groupBy(col("l_partkey"))
+        .agg(sum(col("v_e2")).as("value_e2"))
+      perPart.crossJoin(broadcast(scoped.agg(sum(col("v_e2")).as("grand_e2"))))
+        .filter(col("value_e2") * 2000L > col("grand_e2"))
+        .select(col("l_partkey"), col("value_e2"))
+    }),
+
+    // ---- TPC-H Q12 analog: late-shipment priority counts — the
+    //      join + dual conditional aggregation shape (high/low priority
+    //      split per class). "Late" derives from the dates this schema
+    //      carries: shipped >60 days after the order date ----
+    "q12_late_shipments" -> ((s, dir) =>
+      Tables.orders(s, dir)
+        .join(Tables.lineitem(s, dir)
+            .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))),
+          col("o_orderkey") === col("l_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+            .otherwise(1L)).as("low_line_count"))),
+
+    // ---- TPC-H Q16 analog: supplier diversity per part attribute —
+    //      COUNT(DISTINCT) over an anti-joined pair set (suppliers on a
+    //      deny-list — negative balance standing in for complaint
+    //      comments — are excluded via LEFT ANTI, the NOT IN dual) ----
+    "q16_supplier_cnt" -> ((s, dir) => {
+      val excluded = broadcast(Tables.supplier(s, dir)
+        .filter(col("s_acctbal") < 0.0).select(col("s_suppkey")))
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)
+          .filter(col("p_brand") =!= "Brand#5" && col("p_type") =!= "PROMO" &&
+            col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+          .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(excluded, col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+    }),
+
+    // ---- TPC-H Q20 analog: excess suppliers — the nested-semi-join
+    //      chain: suppliers qualify through (a) a semi join against the
+    //      (part, supplier) shipment shares that (b) themselves qualify
+    //      against a per-part total, over (c) a name-filtered part set.
+    //      The 50% threshold is 2·sp > total in exact integers ----
+    "q20_excess_suppliers" -> ((s, dir) => {
+      val smallParts = broadcast(Tables.part(s, dir)
+        .filter(col("p_name").like("small%")).select(col("p_partkey")))
+      val y96 = Tables.lineitem(s, dir)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .join(smallParts, col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"), col("l_suppkey"),
+          floor(col("l_quantity") * 100).cast("long").as("q_e2"))
+      val bySupp = y96.groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum(col("q_e2")).as("sp_e2"))
+      val byPart = y96.groupBy(col("l_partkey").as("tp_key"))
+        .agg(sum(col("q_e2")).as("total_e2"))
+      val excess = bySupp.join(byPart, col("l_partkey") === col("tp_key"))
+        .filter(col("sp_e2") * 2L > col("total_e2"))
+        .select(col("l_suppkey")).distinct()
+      Tables.supplier(s, dir)
+        .join(broadcast(Tables.nation(s, dir)
+          .filter(col("n_name") === "NATION_5")),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+    }),
+
+    // ---- TPC-H Q21 analog: suppliers who kept orders waiting — the
+    //      anti+semi SELF-join: a late line qualifies only when the
+    //      order has ANOTHER supplier's line (semi) and NO other
+    //      supplier was late on it (anti). Both self-join arms shuffle
+    //      on the same order key, so the exchange is reused; the
+    //      nation-scoped supplier dim broadcasts ----
+    "q21_waiting_suppliers" -> ((s, dir) => {
+      val lo = Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+            .filter(col("o_orderstatus") === "F"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+            .as("late"))
+      val l1 = lo.filter(col("late"))
+        .join(broadcast(Tables.supplier(s, dir)
+          .join(Tables.nation(s, dir).filter(col("n_name") === "NATION_1"),
+            col("s_nationkey") === col("n_nationkey"))
+          .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
+      val others = lo.select(col("l_orderkey").as("o2_key"),
+        col("l_suppkey").as("o2_supp"), col("late").as("o2_late"))
+      l1.join(others, col("l_orderkey") === col("o2_key") &&
+          col("l_suppkey") =!= col("o2_supp"), "left_semi")
+        .join(others.filter(col("o2_late")),
+          col("l_orderkey") === col("o2_key") &&
+            col("l_suppkey") =!= col("o2_supp"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+    }),
+
     // ---- Events: tumbling-window aggregation (daily batch analog of the
     //      reference's per-day incremental model, SURVEY.md §2.7) ----
     "ev_hourly_agg" -> ((s, dir) =>
@@ -2518,6 +2726,130 @@ object SparkEntry {
         |  AND o_orderdate < DATE '1995-03-15'
         |  AND l_shipdate > DATE '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+
+    "q2_min_cost_supplier" ->
+      """WITH eur AS (
+        |  SELECT s_suppkey, s_name, n_name
+        |  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE'),
+        |pts AS (SELECT p_partkey, p_brand FROM part
+        |  WHERE p_size = 15 AND p_type = 'SMALL'),
+        |off AS (
+        |  SELECT p_partkey, p_brand, s_name, n_name,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS price_e2
+        |  FROM lineitem JOIN pts ON l_partkey = p_partkey
+        |  JOIN eur ON l_suppkey = s_suppkey),
+        |mn AS (SELECT p_partkey AS mp, min(price_e2) AS min_e2
+        |  FROM off GROUP BY 1)
+        |SELECT DISTINCT p_partkey, p_brand, s_name, n_name, price_e2
+        |FROM off JOIN mn ON p_partkey = mp AND price_e2 = min_e2""".stripMargin,
+
+    "q8_market_share" ->
+      """SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(CASE WHEN supp_nation = 'NATION_7'
+        |    THEN CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT) ELSE 0 END) AS BIGINT) AS nation_e2,
+        |  CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |    AS BIGINT)) AS BIGINT) AS total_e2
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region ON n1.n_regionkey = r_regionkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN (SELECT s_suppkey, n_name AS supp_nation
+        |      FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
+        |  ON l_suppkey = sn.s_suppkey
+        |WHERE r_name = 'AMERICA' AND p_type = 'PROMO'
+        |  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY 1""".stripMargin,
+
+    "q9_product_profit" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+        |  CAST(sum(
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100) AS BIGINT)
+        |    - CAST(floor(p_retailprice * 100) AS BIGINT)
+        |      * CAST(floor(l_quantity) AS BIGINT)) AS BIGINT) AS profit_e2
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |WHERE p_name LIKE '%red%'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q11_important_parts" ->
+      """WITH scoped AS (
+        |  SELECT l_partkey,
+        |    CAST(floor(l_extendedprice * 100) AS BIGINT) AS v_e2
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_3'),
+        |pp AS (SELECT l_partkey, CAST(sum(v_e2) AS BIGINT) AS value_e2
+        |  FROM scoped GROUP BY 1)
+        |SELECT l_partkey, value_e2 FROM pp
+        |WHERE value_e2 * 2000 >
+        |  (SELECT CAST(sum(v_e2) AS BIGINT) FROM scoped)""".stripMargin,
+
+    "q12_late_shipments" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+        |GROUP BY 1""".stripMargin,
+
+    "q16_supplier_cnt" ->
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5' AND p_type <> 'PROMO'
+        |  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+        |  AND l_suppkey NOT IN
+        |    (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q20_excess_suppliers" ->
+      """WITH y96 AS (
+        |  SELECT l_partkey, l_suppkey,
+        |    CAST(floor(l_quantity * 100) AS BIGINT) AS q_e2
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE 'small%'
+        |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+        |sp AS (SELECT l_partkey, l_suppkey, CAST(sum(q_e2) AS BIGINT) AS sp_e2
+        |  FROM y96 GROUP BY 1, 2),
+        |tp AS (SELECT l_partkey, CAST(sum(q_e2) AS BIGINT) AS total_e2
+        |  FROM y96 GROUP BY 1)
+        |SELECT s_suppkey, s_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_5'
+        |  AND s_suppkey IN (SELECT sp.l_suppkey FROM sp
+        |    JOIN tp ON sp.l_partkey = tp.l_partkey
+        |    WHERE sp_e2 * 2 > total_e2)""".stripMargin,
+
+    "q21_waiting_suppliers" ->
+      """WITH lo AS (
+        |  SELECT l_orderkey, l_suppkey,
+        |    (l_shipdate > o_orderdate + INTERVAL 90 DAY) AS late
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE o_orderstatus = 'F')
+        |SELECT s_name, count(*) AS numwait
+        |FROM lo l1 JOIN supplier ON l1.l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |WHERE n_name = 'NATION_1' AND l1.late
+        |  AND EXISTS (SELECT 1 FROM lo l2
+        |    WHERE l2.l_orderkey = l1.l_orderkey
+        |      AND l2.l_suppkey <> l1.l_suppkey)
+        |  AND NOT EXISTS (SELECT 1 FROM lo l3
+        |    WHERE l3.l_orderkey = l1.l_orderkey
+        |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+        |GROUP BY 1""".stripMargin,
 
     "ev_hourly_agg" ->
       """SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events,

@@ -470,6 +470,12 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
       val out = AnnotationJoin.annotatePartition(m, ann, job.date)
       if (dryRun) { out.queryExecution.analyzed; OpStats(0, 0) }
       else {
+        // reference parity: the join table is BORN with
+        // requirePartitionFilter (cloud/bq/ops.go:283-287) — its whole
+        // access pattern is per-day, and the flag turns an accidental
+        // full scan into an error instead of a 100 TB bill
+        if (!wh.exists(spark, joinPath))
+          wh.setRequirePartitionFilter(spark, joinPath)
         val n = wh.overwritePartition(spark, out, joinPath, job.date)
         OpStats(n, n)
       }

@@ -63,6 +63,19 @@ trait Warehouse {
 
   def exists(spark: SparkSession, path: String): Boolean
 
+  /** BigQuery-dual `requirePartitionFilter` (set on the reference's
+    * join table at creation, cloud/bq/ops.go:283-287): a flagged table
+    * refuses unscoped reads. Backends without a property mechanism
+    * (the plain path warehouse) treat it as a no-op — their physical
+    * date-directory layout already makes the partition the natural
+    * access grain.
+    */
+  def setRequirePartitionFilter(spark: SparkSession, path: String,
+      required: Boolean = true): Unit = ()
+
+  def requiresPartitionFilter(spark: SparkSession, path: String): Boolean =
+    false
+
   /** Distinct partition dates of the table, from METADATA only
     * (partition directory names / the manifest) — never a data or
     * footer scan. Empty set when the table does not exist.
@@ -1016,9 +1029,19 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   }
 
   def read(spark: SparkSession, path: String): DataFrame = {
-    val (_, live) = state(spark, path)
-    require(live.nonEmpty || exists(spark, path), s"no such table: $path")
-    readFiles(spark, path, live.keys)
+    val (_, st) = replay(spark, path)
+    require(st.live.nonEmpty || exists(spark, path), s"no such table: $path")
+    // BigQuery-style RequirePartitionFilter (the reference sets it on
+    // the materialized join table, cloud/bq/ops.go:283-287): a flagged
+    // table refuses the unscoped full scan — at archive scale the
+    // costly mistake this property exists to prevent. Scoped reads
+    // (readPartition, readWhere with a date predicate) and
+    // manifest-only probes (dates, fastRowCount) are unaffected.
+    require(!st.props.get(RequireFilterKey).exists(_ == "true"),
+      s"table $path sets requirePartitionFilter: read through " +
+        "readPartition/readWhere with a date predicate, or unset the " +
+        "property (setRequirePartitionFilter(path, required = false))")
+    readFiles(spark, path, st.live.keys)
   }
 
   /** Stats-pruned predicate read (manifest-level data skipping): every
@@ -1042,6 +1065,13 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val (_, st) = replay(spark, path)
     require(st.live.nonEmpty || exists(spark, path), s"no such table: $path")
     val pred = org.apache.spark.sql.graftshim.PredicateBridge.normalize(predicate)
+    // RequirePartitionFilter: a flagged table demands the predicate
+    // CONSTRAIN the partition column — the same syntactic contract as
+    // BigQuery's flag (the partition column must appear in the WHERE).
+    require(!st.props.get(RequireFilterKey).exists(_ == "true") ||
+        mentionsPartitionCol(pred),
+      s"table $path sets requirePartitionFilter: the readWhere " +
+        "predicate must reference the `date` partition column")
     val kept = st.live.keys.filter { rel =>
       (st.stats.get(rel).flatMap(FileStats.decode) match {
         case Some(payload) => FileStats.mayMatch(payload, pred)
@@ -1077,7 +1107,9 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
               spark.read.schema(tableSchema)
                 .parquet(kept.map(r => s"$path/$r"): _*)
                 .filter(predicate)
-            case _ => read(spark, path).filter(predicate)
+            // readFiles, not read(): the partition-filter guard already
+            // passed above — the internal fallback must not re-trip it
+            case _ => readFiles(spark, path, st.live.keys).filter(predicate)
           }
       }
   }
@@ -1232,6 +1264,40 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   def dropCheckConstraint(spark: SparkSession, path: String,
       name: String): Unit =
     commitProperty(spark, path, s"check.$name", "-")
+
+  /** BigQuery-dual `requirePartitionFilter` (the reference sets it when
+    * creating the materialized join table, cloud/bq/ops.go:283-287):
+    * once flagged, [[read]] throws and [[readWhere]] demands a
+    * predicate referencing the `date` partition column, so no query can
+    * accidentally full-scan a table whose access pattern is meant to be
+    * per-day. [[readPartition]], [[dates]] and the manifest-only fast
+    * counts are unaffected. Rides the same last-one-wins `P` property
+    * mechanism as blooms/CHECK constraints, so it survives checkpoints
+    * and replicates to every reader.
+    */
+  override def setRequirePartitionFilter(spark: SparkSession, path: String,
+      required: Boolean): Unit =
+    commitProperty(spark, path, RequireFilterKey,
+      if (required) "true" else "-")
+
+  override def requiresPartitionFilter(spark: SparkSession,
+      path: String): Boolean =
+    tableProperty(spark, path, RequireFilterKey).contains("true")
+
+  /** Syntactic partition-filter check, the same contract BigQuery
+    * enforces: the predicate tree mentions the partition column
+    * somewhere. Leaf-level soundness (does it actually PRUNE?) is the
+    * skipping layers' job; the guard only rules out the predicate that
+    * never names `date` at all.
+    */
+  private def mentionsPartitionCol(
+      e: org.apache.spark.sql.catalyst.expressions.Expression): Boolean =
+    e.collectFirst {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if a.name.equalsIgnoreCase("date") => ()
+      case a: org.apache.spark.sql.catalyst.expressions.AttributeReference
+          if a.name.equalsIgnoreCase("date") => ()
+    }.isDefined
 
   private def commitProperty(spark: SparkSession, path: String,
       key: String, value: String): Unit = {
@@ -1755,6 +1821,7 @@ object TxWarehouse {
   private val LogDir = "_graft_log"
   private val DataDir = "_graft_data"
   private val PartCol = "__p_date"
+  private val RequireFilterKey = "requirePartitionFilter"
 
   /** Reference-counted session override of
     * `spark.sql.parquet.outputTimestampType`: the conf is SESSION-wide,

@@ -121,8 +121,17 @@ class GardenerE2ESpec extends SparkTestBase {
       assert(wh.readPartition(spark, wh.tablePath("tmp_exp", "ndt7"),
         java.time.LocalDate.parse("2024-01-01")).count() === 0)
 
-    // join ran AFTER annotation2 completed and used the ±1-day window
-    val joined = wh.read(spark, wh.tablePath("joined", "ndt7"))
+    // join ran AFTER annotation2 completed and used the ±1-day window.
+    // The tx join table is born with requirePartitionFilter (reference:
+    // cloud/bq/ops.go:283-287) — an unscoped read throws; read per-day.
+    val joinTbl = wh.tablePath("joined", "ndt7")
+    val joined =
+      if (backend == "tx") {
+        intercept[IllegalArgumentException] { wh.read(spark, joinTbl) }
+        wh.readWhere(spark, joinTbl,
+          $"date".between(java.sql.Date.valueOf("2024-01-01"),
+            java.sql.Date.valueOf("2024-01-02")))
+      } else wh.read(spark, joinTbl)
     assert(joined.filter($"id" === "m1").select("geo").as[String].collect().toSet
       === Set("US", "DE")) // date and date-1 annotation rows both matched
     assert(joined.filter($"id" === "m9").select("geo").as[String].head() === "FR")

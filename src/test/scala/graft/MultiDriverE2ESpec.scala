@@ -83,6 +83,72 @@ class MultiDriverE2ESpec extends SparkTestBase {
     assert(sweepWh.read(spark, rawNdt).count() == 3)
   }
 
+  test("composed worst case: the two-driver race through the " +
+    "conditional-put publisher WITH the sweeper churning the same tx " +
+    "root — reads stay correct (and their latency bounded) during the " +
+    "race, and the export ends exact") {
+    spark.sparkContext.hadoopConfiguration.set("fs.casobj.impl",
+      classOf[graft.tableops.CasObjectStoreFileSystem].getName)
+    graft.tableops.LogPublisher.register("casobj",
+      new graft.tableops.ConditionalPutPublisher(
+        new graft.tableops.InMemoryCasKeySpace))
+    val root = "casobj:" + Files.createTempDirectory("graft-mdrv-cassweep")
+    val exportDir = Files.createTempDirectory("graft-mdrv-casexp").toString
+    val sweepWh = new graft.tableops.TxWarehouse(root)
+    val rawNdt = sweepWh.tablePath("raw_exp", "ndt7")
+
+    // snapshot-isolation probe: sample full reads of the raw table
+    // WHILE both drivers commit through the CAS and the sweeper
+    // compacts/vacuums/truncates it. Every read must either succeed on
+    // a consistent snapshot or be the benign "table not created yet" —
+    // any other failure means maintenance broke a reader mid-replay.
+    val latencies = new java.util.concurrent.ConcurrentLinkedQueue[Double]()
+    val readErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val sampler = new Thread(() => {
+      while (!stop.get()) {
+        val t0 = System.nanoTime()
+        try {
+          sweepWh.read(spark, rawNdt).count(): Unit
+          latencies.add((System.nanoTime() - t0) / 1e9): Unit
+        } catch {
+          case e: IllegalArgumentException
+              if e.getMessage != null &&
+                e.getMessage.contains("no such table") => () // pre-create
+          case e: Throwable =>
+            readErrors.add(s"${e.getClass.getSimpleName}: ${e.getMessage}"): Unit
+        }
+        Thread.sleep(100)
+      }
+    })
+    sampler.start()
+    var sweeper: graft.gardenerops.MaintenanceSweeper = null
+    try {
+      race(root, attachSweeper = tracker => {
+        sweeper = new graft.gardenerops.MaintenanceSweeper(spark, sweepWh,
+          tracker, targetFileBytes = 1L,
+          exportRoots = Map(rawNdt -> exportDir))
+        () => { sweeper.sweep(): Unit }
+      })
+    } finally { stop.set(true); sampler.join() }
+
+    assert(readErrors.isEmpty,
+      s"reads failed during the composed race: ${readErrors.asScala.toSeq.take(3)}")
+    val ls = latencies.asScala.toSeq.sorted
+    assert(ls.nonEmpty, "the latency probe never completed a read")
+    // BASELINE row: read latency under the composed churn
+    println(f"[probe] cas+sweeper race reads: n=${ls.size} " +
+      f"p50=${ls(ls.size / 2)}%.3fs max=${ls.last}%.3fs")
+
+    // maintenance quiesced: the export holds exactly the converged table
+    sweeper.sweep()
+    val exported = graft.tableops.IncrementalExport.readExport(spark, exportDir)
+    assert(exported.count() == 3)
+    assert(exported.filter($"id" === "m1").select("val").as[Long]
+      .collect().toSet == Set(2L))
+    assert(sweepWh.read(spark, rawNdt).count() == 3)
+  }
+
   private def race(root: String,
       attachSweeper: Tracker => (() => Unit) = _ => () => ()): Unit = {
     val archive = Files.createTempDirectory("graft-mdrv-arc")
@@ -211,7 +277,12 @@ class MultiDriverE2ESpec extends SparkTestBase {
       assert(wh.readPartition(spark, wh.tablePath("tmp_exp", "ndt7"),
         java.time.LocalDate.parse(d)).count() == 0)
     }
-    val joined = wh.read(spark, wh.tablePath("joined", "ndt7"))
+    // requirePartitionFilter on the join table: read through a
+    // date-constrained predicate (the readWhere contract a flagged
+    // table demands)
+    val joined = wh.readWhere(spark, wh.tablePath("joined", "ndt7"),
+      $"date".between(java.sql.Date.valueOf("2024-01-01"),
+        java.sql.Date.valueOf("2024-01-02")))
     assert(joined.filter($"id" === "m1").select("geo").as[String]
       .collect().toSet == Set("US", "DE"))
     assert(joined.filter($"id" === "m9").select("geo").as[String].head() == "FR")

@@ -129,6 +129,91 @@ class PlanAuditSpec extends SparkTestBase {
       p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q2: the correlated min decorrelates to a per-part min joined " +
+    "back — region-scoped suppliers and the filtered part set " +
+    "broadcast; no window, no cartesian, no global sort") {
+    val p = planned("q2_min_cost_supplier")
+    assert(!p.contains("Window"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!"Sort \\[".r.findFirstIn(p).exists(_ => p.contains("global=true")), p)
+    val f = formatted("q2_min_cost_supplier")
+    assert(f.contains("EqualTo(p_size,15)"), f)
+  }
+
+  test("q8: one grouped pass computes the nation slice AND the per-year " +
+    "total (conditional sum, no second aggregation); part/supplier/" +
+    "nation/region all broadcast; no cartesian") {
+    val p = planned("q8_market_share")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val f = formatted("q8_market_share")
+    assert(f.contains("EqualTo(p_type,PROMO)"), f)
+    assert(f.contains("GreaterThanOrEqual(o_orderdate"), f)
+  }
+
+  test("q9: both dimension sides (name-filtered part, supplier→nation) " +
+    "broadcast against the fact; the name filter pushes to the part " +
+    "scan; no cartesian, no window") {
+    val p = planned("q9_product_profit")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    val f = formatted("q9_product_profit")
+    assert(f.contains("StringContains(p_name,red)") ||
+      f.contains("p_name"), f)
+  }
+
+  test("q11: the HAVING-vs-scalar-subquery threshold rides a one-row " +
+    "broadcast next to the per-part aggregate — no second scan-side " +
+    "shuffle, nation-scoped suppliers broadcast") {
+    val p = planned("q11_important_parts")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    // the scoped frame is scanned twice (per-part + grand total): both
+    // aggregates partial-aggregate before their exchange
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("q12: the late-shipment CASE aggregation partial-aggregates; the " +
+    "ship-date year pushes into the lineitem scan; no cartesian") {
+    val p = planned("q12_late_shipments")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val f = formatted("q12_late_shipments")
+    assert(f.contains("GreaterThanOrEqual(l_shipdate"), f)
+  }
+
+  test("q16: the supplier deny-list is a broadcast LEFT ANTI (NOT IN " +
+    "dual); the filtered part set broadcasts; the distinct count is " +
+    "the two-phase aggregate, not a window") {
+    val p = planned("q16_supplier_cnt")
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q20: the excess-share chain ends in a LEFT SEMI into supplier; " +
+    "the name-filtered part set broadcasts; no cartesian, no window") {
+    val p = planned("q20_excess_suppliers")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q21: the only-late-supplier condition is semi + anti self-join " +
+    "arms on the same order key; the nation-scoped supplier dim " +
+    "broadcasts; no cartesian") {
+    val p = planned("q21_waiting_suppliers")
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q1: aggregation is partial before the exchange (two HashAggregate levels)") {
     val p = planned("q1_pricing_summary")
     assert("HashAggregate".r.findAllIn(p).size >= 2)

@@ -111,7 +111,10 @@ class TableOpsSpec extends SparkTestBase {
       // multiplication), m2 gets nulls
       val jn = ops.join()
       assert(jn.rowsOut == 4) // m1 x2 + m2 tie rows x1 each (null ann)
-      val joined = table("joined", "ndt7")
+      // the tx join table is born with requirePartitionFilter
+      // (reference: cloud/bq/ops.go:283-287) — read it per-day
+      val joined = wh.readPartition(spark, wh.tablePath("joined", "ndt7"),
+        java.time.LocalDate.parse("2024-01-01"))
       assert(joined.filter($"id" === "m1").count() == 2)
       assert(joined.filter($"id" === "m2" && $"geo".isNull).count() == 2)
       // key-columns-first output order (cloud/bq/ops.go:250-251). `date`

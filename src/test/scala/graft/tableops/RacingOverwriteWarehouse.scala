@@ -36,10 +36,18 @@ final class RacingOverwriteWarehouse(root: String,
     inner.tablePath(dataset, datatype)
   def read(spark: SparkSession, path: String): DataFrame =
     inner.read(spark, path)
+  override def readWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): DataFrame =
+    inner.readWhere(spark, path, predicate)
   override def readPartition(spark: SparkSession, path: String,
       date: LocalDate): DataFrame = inner.readPartition(spark, path, date)
   def exists(spark: SparkSession, path: String): Boolean =
     inner.exists(spark, path)
+  override def setRequirePartitionFilter(spark: SparkSession, path: String,
+      required: Boolean): Unit =
+    inner.setRequirePartitionFilter(spark, path, required)
+  override def requiresPartitionFilter(spark: SparkSession,
+      path: String): Boolean = inner.requiresPartitionFilter(spark, path)
   def dates(spark: SparkSession, path: String): Set[LocalDate] =
     inner.dates(spark, path)
   def append(spark: SparkSession, df: DataFrame, path: String): Unit =
