@@ -9,12 +9,13 @@ import org.apache.spark.sql.functions._
   * claim matters most to TWO decades (the largest factor the 128 GiB
   * sandbox sustains for them comfortably):
   *
-  *  1. keep-set dedup wide tier (`w1_dedup_keepset`, the reference's
-  *     §7.3 core): lineitem replicated 100× with an orderkey offset
-  *     that is NOT a multiple of 1000, so the `id = orderkey % 1000`
-  *     key space spreads — ~100× GROUPS of the same depth, the shape a
-  *     growing archive actually produces (more keys/days, not deeper
-  *     ties; the deeper-ties/hot-key regime is [[SkewProbe]]'s).
+  *  1. keep-set dedup wide tier (`Dedup.keepLatest`, the reference's
+  *     §7.3 core): the measurement frame replicated 100× with a
+  *     per-replica id suffix — ~100× GROUPS of the original depth, the
+  *     shape a growing archive actually produces (more keys/days, not
+  *     deeper ties; the deeper-ties/hot-key regime is [[SkewProbe]]'s).
+  *     Both tiers are MATERIALIZED to parquet first so the probe pays
+  *     the real scan, not a cached union plan.
   *  2. indexed incremental dedup: a FIXED daily batch probed against a
   *     materialized signature index of a 100× near-duplicate corpus —
   *     the O(batch + probes), not O(archive), claim at two decades.
@@ -62,22 +63,29 @@ object Scale100Probe {
     }
 
     // ---- 1. keep-set dedup, 100x groups ----
-    val li = spark.read.parquet(s"$sf/lineitem.parquet")
-    val li100Path = s"$outDir/lineitem100"
-    val li100 = (0 until 100).map { r =>
-      li.select((col("l_orderkey") + lit(r * ReplicaOffset)).as("l_orderkey"),
-        col("l_partkey"), col("l_suppkey"), col("l_linenumber"),
-        col("l_quantity"), col("l_extendedprice"), col("l_discount"),
-        col("l_tax"), col("l_returnflag"), col("l_linestatus"),
-        col("l_shipdate"))
-    }.reduce(_ unionAll _)
-    li100.write.mode(SaveMode.Overwrite).parquet(s"$li100Path/lineitem.parquet")
-    def w1(dir: String): () => Long =
-      () => SparkEntry.queries("w1_dedup_keepset")(spark, dir).count()
-    val (w1t1, w1n1) = timed(w1(sf))
-    val (w1t100, w1n100) = timed(w1(li100Path))
+    // The query-map form derives id = l_orderkey % 1000, which caps the
+    // key space at 1000 no matter how lineitem is replicated (offsets
+    // only DEEPEN groups — SkewProbe's regime, not this one). The wide
+    // tier replicates the measurement frame itself with a per-replica
+    // id suffix: 100x groups of the original depth, materialized so the
+    // probe pays the real parquet scan.
+    val m1 = graft.sources.Tables.measurementsMonthly(spark, sf)
+    def stageWide(n: Int, tag: String): String = {
+      val p = s"$outDir/__meas_$tag"
+      (0 until n).map(r =>
+        m1.withColumn("id", concat(col("id"), lit(s"_$r"))))
+        .reduce(_ unionAll _)
+        .write.mode(SaveMode.Overwrite).parquet(p)
+      p
+    }
+    val (m1Path, m100Path) = (stageWide(1, "1x"), stageWide(100, "100x"))
+    def w1(path: String): () => Long = () =>
+      graft.operators.Dedup.keepLatest(spark.read.parquet(path),
+        Seq("id", "date"), col("parser_time")).count()
+    val (w1t1, w1n1) = timed(w1(m1Path))
+    val (w1t100, w1n100) = timed(w1(m100Path))
     require(w1n100 > 50L * w1n1,
-      s"group spread failed: $w1n1 -> $w1n100 (offset must shift ids)")
+      s"group spread failed: $w1n1 -> $w1n100 (suffix must widen ids)")
 
     // ---- 2. indexed incremental dedup vs a 100x archive ----
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -100,7 +108,8 @@ object Scale100Probe {
 
     // ---- 3. stats+bloom point reads over a 100x manifest ----
     import graft.tableops.TxWarehouse
-    val liCols = li.select(col("l_orderkey"), col("l_quantity"))
+    val liCols = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"), col("l_quantity"))
     def stageTx(days: Int, tag: String): (TxWarehouse, String) = {
       val root = s"$outDir/__tx_$tag"
       val hp = new org.apache.hadoop.fs.Path(root)

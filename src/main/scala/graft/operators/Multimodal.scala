@@ -6,12 +6,17 @@ import org.apache.spark.sql.functions._
 /** Multimodal-column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata, processed in partition-local batches.
   *
-  * The DECODE STEP IS A STUB: real image/audio codecs are not available in
-  * this environment, so `decodeStub` derives deterministic fake dimensions/
-  * features from the bytes. Everything around it — the schema, the batched
-  * mapPartitions shape (the Scala analog of mapInPandas: bounded batches,
-  * columnar-friendly), size-aware repartitioning — is real and tested, so
-  * swapping `decodeStub` for a codec is a one-function change.
+  * IMAGE decode is REAL: `javax.imageio` ships with every JVM
+  * (PNG/JPEG/GIF/BMP), so [[decodeImage]] returns actual dimensions and
+  * an 8-bucket luma-histogram feature, and [[resizeEncode]] performs an
+  * actual pixel resize + PNG re-encode — no external dependency, and the
+  * same code runs on any executor. Bytes NO installed reader accepts
+  * (audio/video codecs are genuinely absent in this environment, as is
+  * anything exotic) fall back to [[decodeStub]]'s deterministic
+  * pseudo-features, so the batched pipeline shape — bounded
+  * mapPartitions batches (the mapInPandas analog), size-aware
+  * repartitioning, typed schema — processes every modality uniformly
+  * and adding a codec never changes the plumbing.
   */
 object Multimodal {
 
@@ -24,8 +29,9 @@ object Multimodal {
       media_id: Long, sizeBytes: Long, width: Int, height: Int,
       nFrames: Int, feature: Array[Float])
 
-  /** STUB decode: deterministic pseudo-dimensions and a tiny feature vector
-    * derived from the raw bytes. Replace with a real codec off-container.
+  /** STUB decode for modalities with no in-JVM codec (audio/video):
+    * deterministic pseudo-dimensions and a tiny feature vector derived
+    * from the raw bytes.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val n = bytes.length
@@ -36,6 +42,44 @@ object Multimodal {
     val feature = Array.tabulate(8)(i => ((n * (i + 1) + first) % 997) / 997.0f)
     (width, height, nFrames, feature)
   }
+
+  /** REAL image decode through the JDK's own `javax.imageio`
+    * (PNG/JPEG/GIF/BMP — present on every JVM, no dependency): actual
+    * (width, height, 1 frame) plus an 8-bucket luma histogram sampled on
+    * a ≤64×64 grid, so the feature stays O(1) per image regardless of
+    * resolution. None when no installed reader accepts the bytes
+    * (corrupt payload, non-image modality) — callers fall back to the
+    * stub and the pipeline shape is unchanged.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val hist = new Array[Float](8)
+        val sx = math.max(1, w / 64)
+        val sy = math.max(1, h / 64)
+        var n = 0
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = (((rgb >> 16) & 0xff) * 299 + ((rgb >> 8) & 0xff) * 587 +
+              (rgb & 0xff) * 114) / 1000
+            hist(lum >> 5) += 1f
+            n += 1
+            x += sx
+          }
+          y += sy
+        }
+        if (n > 0) { var i = 0; while (i < 8) { hist(i) /= n; i += 1 } }
+        Some((w, h, 1, hist))
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Build a media table from any (id, payload-string) source — used by
     * tests/fixtures since no binary table ships in testdata. Bytes are the
@@ -68,16 +112,75 @@ object Multimodal {
       .as[(Long, Array[Byte], Long)]
     src.mapPartitions { rows =>
       rows.grouped(batchSize).flatMap { batch =>
-        // per-batch setup would init the codec here (stubbed)
+        // per-batch setup point: a stateful codec would init here once
+        // per batch; ImageIO is stateless so decode is per-row
         batch.iterator.map { case (id, bytes, size) =>
-          val (w, h, f, feat) = decodeStub(bytes)
+          val (w, h, f, feat) =
+            decodeImage(bytes).getOrElse(decodeStub(bytes))
           DecodedMedia(id, size, w, h, f, feat)
         }
       }
     }
   }
 
-  /** STUB resize: metadata-only transform (real resize would re-encode). */
+  final case class ResizedMedia(
+      media_id: Long, out_width: Int, out_height: Int, resized: Boolean,
+      media: Array[Byte])
+
+  /** REAL resize + re-encode for image payloads: decode via ImageIO,
+    * scale the longest side down to `maxDim` (never upscale) with
+    * bilinear interpolation, re-encode PNG (lossless, always writable).
+    * Non-image payloads pass through byte-identical with `resized =
+    * false` and zeroed dimensions — a mixed-modality table keeps every
+    * row, and downstream stages key on the flag. Batched mapPartitions,
+    * same shape as [[extractFeatures]].
+    */
+  def resizeEncode(media: DataFrame, maxDim: Int,
+      batchSize: Int = 64): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    require(maxDim > 0, "maxDim must be positive")
+    media.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, bytes) =>
+            val img = try Option(javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes)))
+            catch { case scala.util.control.NonFatal(_) => None }
+            img match {
+              case Some(src) =>
+                val w = src.getWidth
+                val h = src.getHeight
+                val long = math.max(w, h)
+                if (long <= maxDim) ResizedMedia(id, w, h, resized = false, bytes)
+                else {
+                  val ow = math.max(1, w * maxDim / long)
+                  val oh = math.max(1, h * maxDim / long)
+                  val dst = new java.awt.image.BufferedImage(ow, oh,
+                    java.awt.image.BufferedImage.TYPE_INT_RGB)
+                  val g = dst.createGraphics()
+                  try {
+                    g.setRenderingHint(
+                      java.awt.RenderingHints.KEY_INTERPOLATION,
+                      java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+                    g.drawImage(src, 0, 0, ow, oh, null): Unit
+                  } finally g.dispose()
+                  val bos = new java.io.ByteArrayOutputStream()
+                  javax.imageio.ImageIO.write(dst, "png", bos)
+                  ResizedMedia(id, ow, oh, resized = true, bos.toByteArray)
+                }
+              case None => // not an image: pass through untouched
+                ResizedMedia(id, 0, 0, resized = false, bytes)
+            }
+          }
+        }
+      }
+  }
+
+  /** STUB resize plan: metadata-only transform over already-decoded
+    * dimensions (the real pixel path is [[resizeEncode]]).
+    */
   def resize(decoded: Dataset[DecodedMedia], maxDim: Int): DataFrame =
     decoded.toDF().withColumn("scale_e4",
       when(greatest(col("width"), col("height")) <= maxDim, lit(10000L))

@@ -957,6 +957,58 @@ class ExtensionsSpec extends SparkTestBase {
     assert(resized.filter(col("out_width") > 256 || col("out_height") > 256).count() == 0)
   }
 
+  test("multimodal REAL image path: ImageIO decode returns actual " +
+    "dimensions + luma features distributed; resizeEncode scales the " +
+    "long side down, never upscales, and passes non-images through " +
+    "byte-identical") {
+    import spark.implicits._
+    // in-memory PNG/JPEG fixtures: a 200x100 gradient and a 40x60 solid
+    def png(w: Int, h: Int, solid: Option[Int]): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, solid.getOrElse((x * 255 / w) << 16 | (y * 255 / h)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val garbage = "definitely not an image".getBytes("UTF-8")
+    val media = Seq(
+      (1L, png(200, 100, None)),
+      (2L, png(40, 60, Some(0xffffff))),
+      (3L, garbage)
+    ).toDF("media_id", "media")
+      .withColumn("meta", org.apache.spark.sql.functions.struct(
+        org.apache.spark.sql.functions.lit("image/png").as("mimeType"),
+        org.apache.spark.sql.functions.octet_length(col("media"))
+          .cast("long").as("sizeBytes")))
+
+    val decoded = Multimodal.extractFeatures(media, batchSize = 2)
+      .collect().map(r => r.media_id -> r).toMap
+    // real dimensions, not the stub's byte-derived pseudo-dims
+    assert((decoded(1L).width, decoded(1L).height) == (200, 100))
+    assert((decoded(2L).width, decoded(2L).height) == (40, 60))
+    // the all-white image's luma histogram concentrates in the top bucket
+    assert(decoded(2L).feature(7) > 0.99f)
+    // non-image bytes fall back to the stub (pipeline keeps every row)
+    assert(decoded.contains(3L))
+
+    val resized = Multimodal.resizeEncode(media, maxDim = 100)
+      .collect().map(r => r.media_id -> r).toMap
+    assert((resized(1L).out_width, resized(1L).out_height) == (100, 50))
+    assert(resized(1L).resized)
+    // re-encoded bytes decode to the claimed dimensions
+    val round = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(resized(1L).media))
+    assert(round.getWidth == 100 && round.getHeight == 50)
+    // already-small image: untouched bytes, real dims, no upscale
+    assert(!resized(2L).resized &&
+      (resized(2L).out_width, resized(2L).out_height) == (40, 60))
+    // non-image: byte-identical pass-through, flagged
+    assert(!resized(3L).resized &&
+      java.util.Arrays.equals(resized(3L).media, garbage))
+  }
+
   test("multimodal near-dup: identical payloads pair at cos 1.0 via the feature path") {
     import spark.implicits._
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")

@@ -322,6 +322,32 @@ class MergeIntoSpec extends graft.SparkTestBase {
     assert(wh.fastRowCount(spark, path).nonEmpty)
   }
 
+  test("replay cache stays coherent: a commit through ANOTHER warehouse " +
+    "handle is visible to a handle that already cached the prior " +
+    "version, and time travel across cached versions resolves each " +
+    "version's own state") {
+    val (whA, path) = fresh("mgrc")
+    whA.append(spark, base(0 until 10), path) // v1
+    // populate A's cache at v1, twice (second read is the cache hit)
+    assert(whA.read(spark, path).count() == 10L)
+    assert(whA.read(spark, path).count() == 10L)
+    // an independent handle on the same root commits v2
+    val whB = new TxWarehouse(whA.root)
+    whB.append(spark, base(10 until 25), path) // v2
+    // A's next read must see v2 — the per-call log listing is the
+    // invalidation check; the (path, version) cache key must not pin v1
+    assert(whA.read(spark, path).count() == 25L)
+    assert(whA.currentVersion(spark, path) == 2L)
+    // time travel back to v1 through the SAME handle that has both
+    // versions cached: distinct keys, distinct states
+    assert(whA.readAt(spark, path, 1L).count() == 10L)
+    assert(whA.readAt(spark, path, 2L).count() == 25L)
+    // merge through B (rewrites files), then A again — no stale file list
+    val changes = Seq((3L, "X", D, true)).toDF("k", "s", "date", "del")
+    whB.mergeInto(spark, changes, path, Seq("k"), Some("del")) // v3
+    assert(whA.read(spark, path).count() == 24L)
+  }
+
   test("fastRowCount: exact counts from the manifest alone, tracking " +
     "appends, merges and deletes without a data read") {
     val (wh, path) = fresh("mgf")
