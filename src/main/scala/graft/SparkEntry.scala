@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{AnnotationJoin, Curation, Dedup, EventAnalytics, Multimodal, Packing, ProductQuantization, Sampling, Sessions, Similarity, TextAnalysis, TextDedup}
+import graft.operators.{AnnotationJoin, Curation, Dedup, EventAnalytics, GraphAlgos, Multimodal, Packing, ProductQuantization, Sampling, Sessions, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1296,6 +1296,18 @@ object SparkEntry {
       EventAnalytics.transitionCounts(Tables.events(s, dir), "user_id",
         "ts", "event_type", "event_id")),
 
+    // ---- PageRank over the event-type transition graph: 3 integer-
+    //      exact power iterations on the Markov edges above (weight =
+    //      transition count) — the authority score a curation mixture
+    //      would weight journeys by. Bit-exact in any engine: all
+    //      arithmetic on a 1e12 fixed-point grid ----
+    "ev_pagerank" -> ((s, dir) =>
+      GraphAlgos.pageRank(
+        EventAnalytics.transitionCounts(Tables.events(s, dir), "user_id",
+          "ts", "event_type", "event_id"),
+        "src", "dst", "n_transitions", iters = 3)
+        .select(col("node").as("event_type"), col("rank").as("rank_e12"))),
+
     // ---- top event paths: most frequent consecutive length-3
     //      event-type sequences with distinct-user reach — one user-key
     //      exchange, |types|³-bounded aggregate, bounded top-k ----
@@ -1886,6 +1898,12 @@ object SparkEntry {
       TextAnalysis.duplicateChunks(Tables.documents(s, dir), "doc_id", "text",
         chunkTokens = 32, stride = 24)),
 
+    // ---- C4-style boilerplate excision: rewrite every document with
+    //      its cross-document-repeated 16-token windows removed ----
+    "dd_boilerplate_strip" -> ((s, dir) =>
+      TextAnalysis.boilerplateStrip(Tables.documents(s, dir), "doc_id",
+        "text", chunkTokens = 16, minDocs = 2)),
+
     // ---- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ----
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -2414,6 +2432,70 @@ object SparkEntry {
          |      GROUP BY chunk_fp HAVING count(DISTINCT doc_id) >= 2)
          |SELECT ch.doc_id, ch.chunk_idx, ch.chunk_fp, g.n_docs
          |FROM ch JOIN g USING (chunk_fp)""".stripMargin,
+
+    "dd_boilerplate_strip" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |c AS (SELECT doc_id, len(w) AS nw, w,
+         |        unnest(list_transform(
+         |          range(0, CAST(floor((len(w) - 1) / 16) AS BIGINT) + 1),
+         |          i -> i * 16)) AS s
+         |      FROM t),
+         |ch AS (SELECT doc_id, CAST(s // 16 AS BIGINT) AS idx,
+         |         CAST(least(nw - s, 16) AS BIGINT) AS ntok,
+         |         array_to_string(w[s + 1 : s + 16], ' ') AS ctext
+         |       FROM c),
+         |hot AS (SELECT md5(ctext) AS fp FROM ch
+         |        GROUP BY md5(ctext)
+         |        HAVING count(DISTINCT doc_id) >= 2),
+         |f AS (SELECT ch.*, (hot.fp IS NOT NULL) AS is_hot
+         |      FROM ch LEFT JOIN hot ON hot.fp = md5(ch.ctext))
+         |SELECT doc_id, count(*) AS n_chunks,
+         |       CAST(sum(CASE WHEN NOT is_hot THEN 1 ELSE 0 END) AS BIGINT)
+         |         AS n_kept_chunks,
+         |       CAST(coalesce(sum(CASE WHEN NOT is_hot THEN ntok END), 0)
+         |         AS BIGINT) AS n_kept_tokens,
+         |       coalesce(string_agg(CASE WHEN NOT is_hot THEN ctext END,
+         |         ' ' ORDER BY idx), '') AS clean_text
+         |FROM f GROUP BY doc_id""".stripMargin,
+
+    "ev_pagerank" ->
+      """WITH o AS (SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+        |  FROM events),
+        |e AS (SELECT src, dst, count(*) AS w FROM o
+        |      WHERE dst IS NOT NULL GROUP BY src, dst),
+        |nodes AS (SELECT DISTINCT src AS node FROM e
+        |          UNION SELECT DISTINCT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+        |r0 AS (SELECT node, (1000000000000 // nn.n) AS r
+        |       FROM nodes CROSS JOIN nn),
+        |c1 AS (SELECT e.dst AS node, CAST(sum((r.r * e.w) // ow.outw) AS BIGINT) AS s
+        |       FROM e JOIN r0 r ON r.node = e.src
+        |       JOIN ow ON ow.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         (15 * (1000000000000 // nn.n)) // 100
+        |           + (85 * coalesce(c1.s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN nn
+        |       LEFT JOIN c1 ON c1.node = nodes.node),
+        |c2 AS (SELECT e.dst AS node, CAST(sum((r.r * e.w) // ow.outw) AS BIGINT) AS s
+        |       FROM e JOIN r1 r ON r.node = e.src
+        |       JOIN ow ON ow.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         (15 * (1000000000000 // nn.n)) // 100
+        |           + (85 * coalesce(c2.s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN nn
+        |       LEFT JOIN c2 ON c2.node = nodes.node),
+        |c3 AS (SELECT e.dst AS node, CAST(sum((r.r * e.w) // ow.outw) AS BIGINT) AS s
+        |       FROM e JOIN r2 r ON r.node = e.src
+        |       JOIN ow ON ow.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |         (15 * (1000000000000 // nn.n)) // 100
+        |           + (85 * coalesce(c3.s, 0)) // 100 AS r
+        |       FROM nodes CROSS JOIN nn
+        |       LEFT JOIN c3 ON c3.node = nodes.node)
+        |SELECT node AS event_type, r AS rank_e12 FROM r3""".stripMargin,
 
     "w3_dedup_concat_key" ->
       s"""WITH r AS (SELECT *, row_number() OVER (

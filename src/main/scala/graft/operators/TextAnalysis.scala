@@ -594,6 +594,67 @@ object TextAnalysis {
       .select(col(idCol), col("chunk_idx"), col("chunk_fp"), col("n_docs"))
   }
 
+  /** C4-style boilerplate excision (Raffel et al. 2020 §2.2 — C4 drops
+    * any three-sentence span that occurs more than once in the corpus):
+    * REWRITES each document with every cross-document-repeated span
+    * removed, where a span is a fixed non-overlapping `chunkTokens`
+    * window (sentence boundaries don't survive tokenized corpora — the
+    * same granularity argument as [[duplicateChunks]], which only
+    * REPORTS the spans; this is the cleaning step that consumes them).
+    * A window is boilerplate iff its exact text occurs in ≥ `minDocs`
+    * DISTINCT documents; surviving windows are re-joined in original
+    * order. Documents that lose every window survive with empty
+    * `clean_text` (the caller decides whether to drop them — C4 does).
+    *
+    * Scale shape: the corpus explodes ONCE into non-overlapping windows
+    * and is consumed twice — (a) the window-frequency aggregate,
+    * map-side combined down to |distinct window fps| and filtered to
+    * the (small) hot set, (b) the annotate join back, keyed by the md5
+    * fingerprint so the probe side never carries window text into the
+    * exchange. The rewrite itself is one groupBy(doc) whose collect_list
+    * holds only the document's OWN windows (bounded by document length,
+    * not corpus size) re-ordered by a local array_sort. A corpus-wide
+    * boilerplate fp is a hot join key; the build side is the filtered
+    * aggregate, so AQE's skew split applies. No window text ever sorts
+    * globally.
+    *
+    * @return idCol, n_chunks, n_kept_chunks, n_kept_tokens, clean_text
+    */
+  def boilerplateStrip(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Int, minDocs: Int = 2): DataFrame = {
+    require(chunkTokens > 0, "chunkTokens must be positive")
+    require(minDocs >= 2, "minDocs < 2 would strip every window")
+    val ch = df
+      .select(col(idCol), tokens(coalesce(col(textCol), lit(""))).as("__w"))
+      .select(col(idCol), col("__w"),
+        posexplode(sequence(lit(0), size(col("__w")) - 1, lit(chunkTokens))))
+      .select(col(idCol),
+        col("pos").cast("long").as("chunk_idx"),
+        least(size(col("__w")) - col("col"), lit(chunkTokens))
+          .cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", slice(col("__w"), col("col") + 1, lit(chunkTokens)))
+          .as("chunk_text"))
+      .withColumn("chunk_fp", md5(col("chunk_text")))
+    val hot = ch.groupBy(col("chunk_fp"))
+      .agg(countDistinct(col(idCol)).as("__n_docs"))
+      .filter(col("__n_docs") >= minDocs)
+      .select(col("chunk_fp"), lit(true).as("__hot"))
+    ch.join(hot, Seq("chunk_fp"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        count(when(col("__hot").isNull, 1)).as("n_kept_chunks"),
+        coalesce(sum(when(col("__hot").isNull, col("n_chunk_tokens"))),
+          lit(0L)).as("n_kept_tokens"),
+        // when() without otherwise is NULL on hot rows; collect_list
+        // drops nulls, so the array holds exactly the kept windows.
+        array_join(transform(
+          array_sort(collect_list(
+            when(col("__hot").isNull,
+              struct(col("chunk_idx"), col("chunk_text"))))),
+          x => x.getField("chunk_text")), " ").as("clean_text"))
+  }
+
   /** 64-bit rolling fingerprint over tokens — Spark-side (not portable
     * SQL, so not oracled). The fold chains xxhash64(acc, tok) rather than
     * the classic acc*31+h polynomial: under ANSI mode (Spark 4's default)

@@ -446,6 +446,46 @@ class ExtensionsSpec extends SparkTestBase {
       chunkTokens = 6, stride = 6).count() == 0)
   }
 
+  test("boilerplateStrip rewrites docs without their cross-document " +
+    "windows, preserving order across the gap") {
+    val d = Seq(
+      (1L, "w x y z aa bb cc dd m n o p"), // boiler in the MIDDLE
+      (2L, "aa bb cc dd q r s t"),
+      (3L, "unique content here only")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.boilerplateStrip(d, "doc_id", "text",
+      chunkTokens = 4, minDocs = 2)
+      .select("doc_id", "n_chunks", "n_kept_chunks", "n_kept_tokens",
+        "clean_text")
+      .as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(out == Set(
+      (1L, 3L, 2L, 8L, "w x y z m n o p"),
+      (2L, 2L, 1L, 4L, "q r s t"),
+      (3L, 1L, 1L, 4L, "unique content here only")))
+  }
+
+  test("boilerplateStrip: an all-boilerplate doc survives with empty " +
+    "clean_text; a window repeated WITHIN one doc is not boilerplate") {
+    val d = Seq(
+      (1L, "aa bb cc dd tail one two three"),
+      (2L, "aa bb cc dd other body here now"),
+      (4L, "aa bb cc dd") // nothing but the shared window
+    ).toDF("doc_id", "text")
+    val gone = TextAnalysis.boilerplateStrip(d, "doc_id", "text",
+      chunkTokens = 4, minDocs = 2)
+      .filter(col("doc_id") === 4L)
+      .select("n_chunks", "n_kept_chunks", "n_kept_tokens", "clean_text")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(gone == Seq((1L, 0L, 0L, "")))
+    // self-repetition alone (one distinct doc) keeps both windows
+    val selfRep = Seq((9L, "aa bb cc dd aa bb cc dd")).toDF("doc_id", "text")
+    val kept = TextAnalysis.boilerplateStrip(selfRep, "doc_id", "text",
+      chunkTokens = 4, minDocs = 2)
+      .select("n_kept_chunks", "clean_text")
+      .as[(Long, String)].collect().toSeq
+    assert(kept == Seq((2L, "aa bb cc dd aa bb cc dd")))
+  }
+
   test("semanticDedup keeps the lowest id per in-cluster near pair, " +
     "and never drops across clusters") {
     val emb = Seq(

@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.GraphAlgos
+
+/** Integer-exact PageRank power iteration (hand-computed expectations). */
+class GraphAlgosSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val S = 1000000000000L
+
+  private def ranks(edges: Seq[(String, String, Long)], iters: Int) =
+    GraphAlgos.pageRank(edges.toDF("src", "dst", "w"), "src", "dst", "w",
+      iters = iters)
+      .as[(String, Long)].collect().toMap
+
+  test("symmetric 2-cycle is a fixed point at rank = scale/2") {
+    val r = ranks(Seq(("a", "b", 1L), ("b", "a", 1L)), iters = 3)
+    assert(r == Map("a" -> S / 2, "b" -> S / 2))
+  }
+
+  test("single edge: source decays to teleport, sink follows one step " +
+    "behind (hand-computed, dangling mass dropped)") {
+    // N=2: base = 5e11, teleport = (15 * 5e11) div 100 = 7.5e10
+    val r1 = ranks(Seq(("a", "b", 1L)), iters = 1)
+    assert(r1 == Map("a" -> 75000000000L, "b" -> 500000000000L))
+    // iter 2: contrib(b) = rank(a) = 7.5e10;
+    // rank(b) = 7.5e10 + (85 * 7.5e10) div 100 = 138_750_000_000
+    val r2 = ranks(Seq(("a", "b", 1L)), iters = 2)
+    assert(r2 == Map("a" -> 75000000000L, "b" -> 138750000000L))
+  }
+
+  test("weights split a node's rank proportionally, truncating — " +
+    "hand-computed 3-node fan-out") {
+    // a->b w=3, a->c w=1. N=3: base = 333_333_333_333,
+    // teleport = (15 * base) div 100 = 49_999_999_999.
+    // contrib(b) = (base*3) div 4 = 249_999_999_999 -> damped 212_499_999_999
+    // contrib(c) =  base    div 4 =  83_333_333_333 -> damped  70_833_333_333
+    val r = ranks(Seq(("a", "b", 3L), ("a", "c", 1L)), iters = 1)
+    assert(r == Map(
+      "a" -> 49999999999L,
+      "b" -> 262499999998L,
+      "c" -> 120833333332L))
+  }
+
+  test("parallel edges add their weights; non-positive weights drop") {
+    // duplicate a->b rows act as one edge of weight 2 out of outw 4:
+    // same split as the fan-out test's w=3/w=1 replaced by 2/2.
+    val r = ranks(Seq(("a", "b", 1L), ("a", "b", 1L), ("a", "c", 2L),
+      ("a", "c", 0L), ("a", "c", -5L)), iters = 1)
+    // contrib each = (base*2) div 4 = 166_666_666_666 -> damped
+    // (85 * 166_666_666_666) div 100 = 141_666_666_666
+    assert(r("b") == 49999999999L + 141666666666L)
+    assert(r("b") == r("c"))
+  }
+
+  test("total rank mass never exceeds scale and is conserved up to " +
+    "truncation + dangling decay") {
+    val edges = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 4L),
+      ("b", "a", 3L), ("d", "a", 1L)) // d is a source-only node
+    for (it <- Seq(1, 3, 5)) {
+      val total = ranks(edges, it).values.sum
+      assert(total <= S && total > S / 2)
+    }
+  }
+}
