@@ -43,15 +43,25 @@ object GraphAlgos {
     * combined sum keyed by dst, then a left join back onto the node set
     * so zero-indegree nodes survive. The edge list (with its
     * pre-computed out-weight) and the node set are persisted once and
-    * re-read by every iteration instead of being re-derived; plan depth
-    * grows linearly in `iters`, so callers running dozens of iterations
-    * should checkpoint ranks every ~10 (convergence for ranking use is
-    * typically ≤ a few dozen). N itself is one scalar aggregate, never
-    * a row collect. The two persisted frames have no unpersist handle
-    * through this API (the [[TextAnalysis.percentileRankByValue]]
-    * trade-off): they are |V|- and |E|-bounded, and long-lived sessions
-    * calling this repeatedly should `spark.catalog.clearCache()`
-    * between runs.
+    * re-read by every iteration instead of being re-derived. N itself
+    * is one scalar aggregate, never a row collect.
+    *
+    * Lifecycle: with `checkpointEvery` = 0 (default) the result is a
+    * LAZY frame whose plan nests all `iters` iterations and whose two
+    * support frames stay cached — fine for the oracled few-iteration
+    * query shape, and the caller controls evaluation. With
+    * `checkpointEvery` = k > 0 the ranks are eagerly local-checkpointed
+    * every k iterations (lineage truncated, so analysis cost and plan
+    * depth stay O(k) instead of O(iters)), each checkpoint's blocks are
+    * released as soon as the next one is materialized, and on return
+    * the node/edge caches and every intermediate checkpoint are
+    * unpersisted — the ONLY retained storage is the final result's own
+    * checkpoint blocks, and the returned plan is a single leaf. This is
+    * the production knob for dozens-of-iterations runs on big graphs
+    * (convergence for ranking use is typically ≤ a few dozen); local
+    * checkpoints live in executor storage, so a cluster run that must
+    * survive executor loss should still write ranks to a table between
+    * restarts.
     *
     * Overflow: rankₖ ≤ scale, so the hottest product rankₖ·w needs
     * scale · max(w) < 2⁶³ — the default 10¹² supports edge weights to
@@ -68,10 +78,11 @@ object GraphAlgos {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, iters: Int, scale: Long = 1000000000000L,
-      dampE2: Int = 85): DataFrame = {
+      dampE2: Int = 85, checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampE2 >= 0 && dampE2 <= 100, "dampE2 is a percentage")
     require(scale > 0, "scale must be positive")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
 
     val e = edges.select(col(srcCol).cast("string").as("__src"),
         col(dstCol).cast("string").as("__dst"),
@@ -91,8 +102,18 @@ object GraphAlgos {
     val edgesN = e.join(outw, "__src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
+    // release a local checkpoint's storage once it is no longer the
+    // live seed — lineage is truncated, so an unpersisted checkpoint is
+    // unrecoverable by design; callers only ever hold the final one
+    def releaseCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false); ()
+      case _ => ()
+    }
+
     var ranks = nodes.select(col("node"), lit(base).as("rank"))
-    for (_ <- 0 until iters) {
+    var lastCp: Option[DataFrame] = None
+    for (i <- 1 to iters) {
       val contrib = ranks
         .join(edgesN, ranks("node") === edgesN("__src"))
         .select(col("__dst").as("node"),
@@ -102,6 +123,22 @@ object GraphAlgos {
         .select(col("node"),
           (lit(teleport) +
             expr(s"($dampE2 * coalesce(__s, 0L)) div 100")).as("rank"))
+      if (checkpointEvery > 0 &&
+        (i % checkpointEvery == 0 || i == iters)) {
+        // eager: materializes the k iterations since the previous
+        // checkpoint (no recomputation — the seed's blocks are live),
+        // then the previous checkpoint's blocks can go
+        val cp = ranks.localCheckpoint(true)
+        lastCp.foreach(releaseCheckpoint)
+        lastCp = Some(cp)
+        ranks = cp
+      }
+    }
+    if (checkpointEvery > 0) {
+      // the result is materialized in its own checkpoint blocks: the
+      // support caches are dead weight from here on
+      nodes.unpersist(false)
+      edgesN.unpersist(false)
     }
     ranks
   }

@@ -395,6 +395,45 @@ object Streams {
       }
   }
 
+  /** Streaming feed for [[graft.operators.GraphAlgos.pageRank]]'s edge
+    * list — the dual of the `ev_pagerank` query's batch edge build
+    * ([[graft.operators.EventAnalytics.transitionCounts]] feeding the
+    * power iteration): [[transitionState]] emits each consecutive
+    * src→dst step as it becomes known, and this maintains the running
+    * (src, dst, n_transitions) edge-weight table as an Update-mode
+    * aggregation (fMGWS in Append mode composes with a downstream
+    * streaming agg; the counts state is |types|²-bounded, so no
+    * watermark eviction is needed on the aggregate itself).
+    *
+    * PageRank stays a BATCH power iteration by design — it is a
+    * whole-graph fixed point, not an incremental fold — so the
+    * deployment shape is: this stream keeps the edge table current
+    * (memory sink, or [[exactlyOnceSink]] into a tx table), and
+    * `pageRank` re-runs over the materialized counts on whatever cadence
+    * ranking freshness demands. On an in-order stream the maintained
+    * table equals the batch `transitionCounts` output exactly (minus
+    * `n_users`, which an Update aggregate over steps cannot carry —
+    * distinct users per edge would need its own keyed state), so the
+    * ranks computed from it are bit-identical to `ev_pagerank`'s.
+    *
+    * Running this query requires
+    * `spark.sql.streaming.statefulOperator.checkCorrectness.enabled=false`:
+    * Spark's cross-operator watermark check conservatively rejects ANY
+    * aggregation after flatMapGroupsWithState because a downstream
+    * stateful operator COULD discard the late rows fMGWS may emit. It
+    * cannot happen here — the count aggregate carries no watermark and
+    * never evicts (its state is |types|²-bounded by design, not by
+    * eviction), so a late-emitted step is still counted, exactly like
+    * the batch operator would.
+    */
+  def pageRankEdgeCounts(
+      events: Dataset[(Long, java.sql.Timestamp, Long, String)],
+      lateness: String = "1 hour",
+      stateTtlMs: Long = 24L * 3600 * 1000): DataFrame =
+    transitionState(events, lateness, stateTtlMs)
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_transitions"))
+
   /** Run a streaming DataFrame to a date-partitioned parquet sink with
     * Trigger.AvailableNow — one checkpointed batch over whatever input
     * exists, then stop. This is the reference's daily job as a stream:

@@ -44,27 +44,42 @@ final class InMemoryCasKeySpace extends CasKeySpace {
 }
 
 /** [[LogPublisher]] over a [[CasKeySpace]]: the key space decides, the
-  * winner writes through. The write-through uses create(overwrite =
-  * false) as a belt-and-braces second fence: a destination that already
-  * exists on the underlying store (e.g. committed by an earlier process
-  * the in-memory key space never saw) turns the claim into a loss
-  * instead of an overwrite — a lost update is the one unrecoverable
-  * outcome and both fences must fail for one to happen.
+  * winner writes through. Two invariants, both load-bearing:
+  *
+  *  1. SECOND FENCE: a destination that already exists on the
+  *     underlying store (e.g. committed by an earlier process the
+  *     in-memory key space never saw) turns a fresh claim into a loss
+  *     instead of an overwrite — a lost update is the one unrecoverable
+  *     outcome and both fences must fail for one to happen.
+  *  2. ATOMIC VISIBILITY: `dest` is either absent or COMPLETE, never
+  *     empty/partial. A native conditional PUT gives whole-object-or-
+  *     nothing visibility; the old create(dest)-then-copyBytes shape
+  *     here did not — on any store whose create is immediately listable
+  *     the destination was visible EMPTY mid-copy, and a concurrent
+  *     manifest replay parsed the truncated text into a state missing
+  *     the commit's files (a committed partition silently vanished —
+  *     the round-12 lost-partition regression, made permanent by the
+  *     replay state cache). Now the winner stages the full bytes under
+  *     a dot-name the commit-log listing never matches, then renames
+  *     over `dest`: post-CAS the winner is exclusive on `dest`, so the
+  *     rename can never clobber a racing commit, and rename on the
+  *     local stores backing the test schemes is a single atomic
+  *     metadata op — `dest` appears with all its bytes or not at all.
   */
 final class ConditionalPutPublisher(space: CasKeySpace) extends LogPublisher {
   def publish(f: FileSystem, tmp: Path, dest: Path): Boolean = {
     if (!space.claim(dest.toUri.toString)) false
+    else if (f.exists(dest)) false // second fence: earlier-process commit
     else {
-      val out =
-        try f.create(dest, /* overwrite = */ false)
-        catch { case _: java.io.IOException => null } // pre-existing dest
-      if (out == null) false
-      else {
-        val in = f.open(tmp)
-        try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, true)
-        finally { /* streams closed by copyBytes(close = true) */ }
-        true
-      }
+      val stage =
+        new Path(dest.getParent, s".put-${java.util.UUID.randomUUID()}")
+      val out = f.create(stage, /* overwrite = */ false)
+      val in = f.open(tmp)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 8192, true)
+      finally { /* streams closed by copyBytes(close = true) */ }
+      val won = f.rename(stage, dest)
+      if (!won) f.delete(stage, false) // defensive: post-CAS this is ours
+      won
     }
   }
 }

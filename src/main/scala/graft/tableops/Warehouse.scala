@@ -618,42 +618,89 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     if (!f.exists(logDir)) return (0L, TxState.empty)
     val names = f.listStatus(logDir).map(_.getPath.getName)
     def num(name: String) = name.substring(1, 21).toLong
-    val cp = names.filter(_.matches("c\\d{20}\\.txt")).filter(num(_) <= upTo)
-      .sorted.lastOption
-    val cpVersion = cp.map(num).getOrElse(0L)
-    val versions = names.filter(_.matches("v\\d{20}\\.txt"))
-      .filter(n => num(n) > cpVersion && num(n) <= upTo).sorted
-    val v = versions.lastOption.map(num).getOrElse(cpVersion)
-    val key = (path, v)
-    stateCache.synchronized(Option(stateCache.get(key))) match {
-      case Some(cached) => (v, cached)
+    def readText(name: String): String = {
+      val in = f.open(new Path(logDir, name))
+      try new String(in.readAllBytes(), UTF_8) finally in.close()
+    }
+    val cpsDesc = names.filter(_.matches("c\\d{20}\\.txt"))
+      .filter(num(_) <= upTo).sorted.reverse
+    val allVersions = names.filter(_.matches("v\\d{20}\\.txt"))
+      .filter(num(_) <= upTo).sorted
+    // the version the LISTING claims; the parse below may resolve lower
+    // if the tail file turns out to be a truncated in-flight write
+    val listed = allVersions.lastOption.map(num)
+      .getOrElse(cpsDesc.headOption.map(num).getOrElse(0L))
+    // fast path: only states built from TERMINATED manifests are ever
+    // cached, so a hit needs no per-file validation
+    stateCache.synchronized(Option(stateCache.get((path, listed)))) match {
+      case Some(cached) => (listed, cached)
       case None =>
+        // Newest checkpoint whose snapshot is COMPLETE ([[isTerminated]]
+        // — an unterminated checkpoint is a partially visible derived
+        // write; its info is subsumed by an older checkpoint + deltas,
+        // so fall back rather than trust it). Reading candidates costs
+        // IO only on this cache-miss path, and checkpoint publishes are
+        // atomic-visible on every registered scheme, so in practice the
+        // first candidate wins.
+        var cpName: Option[String] = None
+        var cpText: String = ""
+        val cpIt = cpsDesc.iterator
+        while (cpName.isEmpty && cpIt.hasNext) {
+          val c = cpIt.next()
+          val t = readText(c)
+          if (isTerminated(t)) { cpName = Some(c); cpText = t }
+        }
+        val cpVersion = cpName.map(num).getOrElse(0L)
+        val versions = allVersions.filter(n => num(n) > cpVersion)
         // Incremental seed: state at a version is a deterministic left
         // fold over the commit sequence, so the newest cached
-        // predecessor in [cpVersion, v) is a valid starting point — a
-        // polling reader of a hot table then folds only the NEW deltas
-        // per call, O(delta) instead of O(manifest).
+        // predecessor in [cpVersion, listed) is a valid starting
+        // point — a polling reader of a hot table then folds only the
+        // NEW deltas per call, O(delta) instead of O(manifest).
         val seed = stateCache.synchronized {
           import scala.jdk.CollectionConverters._
           stateCache.entrySet().asScala.iterator
             .filter { e =>
               e.getKey._1 == path && e.getKey._2 >= cpVersion &&
-                e.getKey._2 < v
+                e.getKey._2 < listed
             }
             .map(e => (e.getKey._2, e.getValue))
             .reduceOption((a, b) => if (a._1 >= b._1) a else b)
         }
-        val (toParse, st0) = seed match {
-          case Some((cv, s)) => (versions.filter(num(_) > cv).toSeq, s)
-          case None => (cp.toSeq ++ versions, TxState.empty)
+        val (toParse, st0, v0) = seed match {
+          case Some((cv, s)) => (versions.filter(num(_) > cv).toSeq, s, cv)
+          case None =>
+            (versions.toSeq,
+              if (cpName.isDefined) parseInto(cpText, TxState.empty)
+              else TxState.empty,
+              cpVersion)
         }
         var st = st0
+        var v = v0
         toParse.foreach { name =>
-          val in = f.open(new Path(logDir, name))
-          val text = try new String(in.readAllBytes(), UTF_8) finally in.close()
-          st = parseInto(text, st)
+          val text = readText(name)
+          if (isTerminated(text)) { st = parseInto(text, st); v = num(name) }
+          else if (num(name) == listed) {
+            // truncated TAIL: an in-flight commit whose bytes are not
+            // all visible yet — NOT a committed state. Resolve to the
+            // last terminated version; the cache below is keyed at the
+            // resolved version, so a poisoned (path, listed) entry can
+            // never exist and the next call re-reads the tail until the
+            // terminator lands. (The round-12 lost-partition bug was
+            // exactly a truncated tail parsed as committed and cached.)
+          } else {
+            // truncated NON-tail with later versions listed: later
+            // commits can only exist once this version was terminated
+            // and immutable (their writers would otherwise have
+            // resolved below it and retried THIS number), so a still-
+            // truncated read here means the file was never a real
+            // commit (a squatter / dead winner's leavings). Skip its
+            // content but consume its number, exactly as the writers
+            // that committed past it did.
+            v = num(name)
+          }
         }
-        if (v > 0L) stateCache.synchronized(stateCache.put(key, st)): Unit
+        if (v > 0L) stateCache.synchronized(stateCache.put((path, v), st)): Unit
         (v, st)
     }
   }
@@ -1850,11 +1897,16 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     // manifest; then publish with the scheme's atomic create-if-absent
     // (link(2) locally, no-overwrite rename on HDFS, a registered
     // conditional-put committer on object stores — see [[LogPublisher]];
-    // unknown schemes fail loudly there instead of losing a race)
+    // unknown schemes fail loudly there instead of losing a race).
+    // The payload ends with the `E` terminator line: [[replay]] treats a
+    // manifest without it as a truncated in-flight write, never a
+    // committed state — so even a publisher that exposes partial bytes
+    // (a store without atomic whole-object visibility) cannot make a
+    // reader silently lose the commit's files.
     val publisher = LogPublisher.forScheme(f.getScheme) // fail fast
     val tmp = new Path(logDir, s".tmp-${UUID.randomUUID()}")
     val out = f.create(tmp, false)
-    try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
+    try out.write(((lines :+ Terminator).mkString("\n") + "\n").getBytes(UTF_8))
     finally out.close()
     val won = publisher.publish(f, tmp, dest)
     // on a hard-link win or any loss the temp name still exists; a
@@ -1867,6 +1919,19 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
 object TxWarehouse {
   private val LogDir = "_graft_log"
   private val DataDir = "_graft_data"
+
+  /** Final line of every committed manifest (delta or checkpoint).
+    * [[parseInto]] skips it like any unknown line type (old readers of
+    * a terminated log behave identically); `replay` requires it before
+    * treating a file's content as committed — a manifest whose visible
+    * bytes do not end in the terminator is an in-flight write, not a
+    * state. A truncation that happens to cut exactly at the terminator
+    * boundary yields a file that IS complete, so there is no
+    * false-accept window.
+    */
+  private val Terminator = "E"
+  private def isTerminated(text: String): Boolean =
+    text == "E\n" || text.endsWith("\nE\n")
   private val PartCol = "__p_date"
   private val RequireFilterKey = "requirePartitionFilter"
 

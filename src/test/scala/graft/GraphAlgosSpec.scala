@@ -62,4 +62,31 @@ class GraphAlgosSpec extends SparkTestBase {
       assert(total <= S && total > S / 2)
     }
   }
+
+  test("checkpointEvery: a 30-iteration run is bit-identical to the lazy " +
+    "plan, returns a single-leaf plan, and leaves only its own " +
+    "checkpoint cached") {
+    val edges = Seq(("a", "b", 2L), ("b", "c", 1L), ("c", "a", 4L),
+      ("b", "a", 3L), ("d", "a", 1L), ("c", "d", 2L))
+    val df = edges.toDF("src", "dst", "w")
+    // integer-exactness means the checkpointed run must be BIT-equal —
+    // any partitioning/lineage effect would show up here
+    val lazyRanks = GraphAlgos.pageRank(df, "src", "dst", "w", iters = 30)
+      .as[(String, Long)].collect().toMap
+    spark.catalog.clearCache() // drop the lazy run's support caches
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val cpDf = GraphAlgos.pageRank(df, "src", "dst", "w", iters = 30,
+      checkpointEvery = 5)
+    val cpRanks = cpDf.as[(String, Long)].collect().toMap
+    assert(cpRanks == lazyRanks)
+    // plan depth bounded: after the final checkpoint the plan is one leaf
+    assert(cpDf.queryExecution.logical
+      .isInstanceOf[org.apache.spark.sql.execution.LogicalRDD],
+      s"plan not truncated:\n${cpDf.queryExecution.logical.treeString}")
+    // lifecycle: the node/edge caches and every intermediate checkpoint
+    // were released — at most the final checkpoint's RDD is new
+    val leaked = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(leaked.size <= 1,
+      s"cached frames left behind: ${leaked.size} new persistent RDDs")
+  }
 }

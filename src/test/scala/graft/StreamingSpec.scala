@@ -594,4 +594,60 @@ class StreamingSpec extends SparkTestBase {
         graft.streaming.TransitionStep(3L, "view", "purchase", ts("2024-01-02 08:00:00").getTime)))
     q.stop()
   }
+
+  test("streaming pagerank feed: the maintained edge-count table on an " +
+    "in-order stream yields ranks bit-identical to the batch " +
+    "ev_pagerank shape") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (1L, ts("2024-01-01 10:05:00"), 3L, "purchase"),
+      (2L, ts("2024-01-01 10:00:00"), 4L, "view"),
+      (2L, ts("2024-01-01 10:06:00"), 5L, "click"),
+      (2L, ts("2024-01-01 10:07:00"), 6L, "view"),
+      (3L, ts("2024-01-01 11:00:00"), 7L, "view"),
+      (3L, ts("2024-01-01 11:02:00"), 8L, "click"))
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    // the documented requirement: the cross-operator watermark check is
+    // conservative — the downstream count state never evicts, so fMGWS
+    // late emissions are still counted (see pageRankEdgeCounts scaladoc)
+    val checkKey = "spark.sql.streaming.statefulOperator.checkCorrectness.enabled"
+    val prevCheck = spark.conf.getOption(checkKey)
+    spark.conf.set(checkKey, "false")
+    try {
+      val q = Streams.pageRankEdgeCounts(mem.toDS(), lateness = "1 hour")
+        .writeStream.format("memory").queryName("pr_edges")
+        .outputMode(OutputMode.Update).start()
+      mem.addData(rows.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(rows.drop(3): _*)
+      q.processAllAvailable()
+      q.stop()
+    } finally prevCheck match {
+      case Some(v) => spark.conf.set(checkKey, v)
+      case None => spark.conf.unset(checkKey)
+    }
+
+    // Update-mode memory sink holds every emitted revision of a key;
+    // counts are monotone, so current = max per (src, dst)
+    val current = spark.table("pr_edges")
+      .groupBy($"src", $"dst")
+      .agg(org.apache.spark.sql.functions.max($"n_transitions")
+        .as("n_transitions"))
+
+    val streamRanks = graft.operators.GraphAlgos.pageRank(
+      current, "src", "dst", "n_transitions", iters = 3)
+      .as[(String, Long)].collect().toMap
+    val batchRanks = graft.operators.GraphAlgos.pageRank(
+      graft.operators.EventAnalytics.transitionCounts(
+        rows.toDF("user_id", "ts", "event_id", "event_type"),
+        "user_id", "ts", "event_type", "event_id"),
+      "src", "dst", "n_transitions", iters = 3)
+      .as[(String, Long)].collect().toMap
+    assert(streamRanks == batchRanks)
+    assert(streamRanks.nonEmpty)
+  }
 }

@@ -473,7 +473,9 @@ class TableOpsSpec extends SparkTestBase {
     val versions0 = Files.list(logDir).iterator().asScala
       .map(_.getFileName.toString).filter(_.startsWith("v")).toSeq.sorted
     val next = versions0.last.stripPrefix("v").stripSuffix(".txt").toLong + 1
-    Files.writeString(logDir.resolve(f"v$next%020d.txt"), "")  // squatter
+    // squatter: a committed (terminated) no-op manifest occupying the
+    // version number the next commit will try first
+    Files.writeString(logDir.resolve(f"v$next%020d.txt"), "E\n")
     ops.loadToTmp(s"$src/m.json")                       // must retry past it
     assert(wh.read(spark, tablePath)
       .filter($"date" === lit(java.sql.Date.valueOf("2024-07-01"))).count() == 1)

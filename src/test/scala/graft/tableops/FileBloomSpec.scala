@@ -192,6 +192,45 @@ class FileBloomSpec extends graft.SparkTestBase {
     } finally spark.conf.set(tzKey, prevTz)
   }
 
+  test("timestamp blooms' recorded build zone survives checkpoint + " +
+    "truncateLog: the foreign-zone probe after a full log rewrite still " +
+    "returns the rows and still prunes") {
+    val root = Files.createTempDirectory("graft-bltzcp").toString
+    val wh = new TxWarehouse(root, checkpointEvery = 2)
+    val path = wh.tablePath("m", "t")
+    wh.setBloomFilter(spark, path, "t", 1000, 0.01)
+    val rows = (0 until 800).map { k =>
+      (k.toLong, new java.sql.Timestamp(1725148800000L + k * 1000L), D)
+    }.toDF("k", "t", "date").repartition(8, col("k") % 8)
+    val tzKey = "spark.sql.session.timeZone"
+    val prevTz = spark.conf.get(tzKey) // UTC (SparkTestBase)
+    assert(prevTz == "UTC")
+    wh.append(spark, rows, path) // v2 after the property commit → checkpoint
+    wh.append(spark,
+      Seq((900L, new java.sql.Timestamp(1725500000000L), D))
+        .toDF("k", "t", "date"), path)
+    wh.append(spark,
+      Seq((901L, new java.sql.Timestamp(1725500001000L), D))
+        .toDF("k", "t", "date"), path) // v4 → second checkpoint
+    // force a REAL rewrite: pre-checkpoint deltas (the commits whose `B`
+    // lines carried the build zone) are deleted; only the checkpoint's
+    // re-serialized payloads remain
+    val deleted = wh.truncateLog(spark, path, keepCheckpoints = 1,
+      minAgeMillis = 0L)
+    assert(deleted > 0, "truncation must actually rewrite the log")
+    val target = new java.sql.Timestamp(1725148800000L + 10 * 1000L)
+    try {
+      spark.conf.set(tzKey, "Asia/Tokyo")
+      val p = wh.readWhere(spark, path, col("t") === lit(target))
+      assert(p.select("k").as[Long].collect().toSeq == Seq(10L),
+        "recorded build zone lost across checkpoint+truncation — " +
+          "cross-zone probe dropped rows")
+      val all = wh.read(spark, path).inputFiles.length
+      assert(p.inputFiles.length <= 3 && all >= 4,
+        s"bloom no longer prunes after log rewrite: ${p.inputFiles.length}/$all")
+    } finally spark.conf.set(tzKey, prevTz)
+  }
+
   test("legacy two-field payloads (no recorded zone): timestamp probes " +
     "keep the file; zone-insensitive probes still prune") {
     import java.nio.charset.StandardCharsets.UTF_8

@@ -290,7 +290,8 @@ class FileStatsSpec extends SparkTestBase {
     val v = wh.currentVersion(spark, path)
     Files.write(java.nio.file.Paths.get(
       s"$path/_graft_log/" + "v%020d.txt".format(v + 1)),
-      java.util.Arrays.asList("H @@not-base64@@"))
+      java.util.Arrays.asList("H @@not-base64@@", "E")) // terminated commit
+
     assert(wh.currentVersion(spark, path) == v + 1)
     // the schema-evolution fallback still prunes (recorded schema
     // survived), exactly like the uncorrupted table above

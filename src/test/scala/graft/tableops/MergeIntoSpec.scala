@@ -314,7 +314,7 @@ class MergeIntoSpec extends graft.SparkTestBase {
     val sPayload = v1.linesIterator.find(_.startsWith("S "))
       .map(_.substring(2).split(" ")(0)).get
     java.nio.file.Files.writeString(logDir.resolve(f"v${2L}%020d.txt"),
-      s"A not-a-date forged.parquet\nS $sPayload forged.parquet\n")
+      s"A not-a-date forged.parquet\nS $sPayload forged.parquet\nE\n")
     assert(wh.fastPartitionRowCounts(spark, path).isEmpty,
       "an unparsable date must degrade the fast path, not drop the file")
     // the total (date-free) fast count still works: every live file has
