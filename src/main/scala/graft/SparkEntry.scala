@@ -1876,6 +1876,13 @@ object SparkEntry {
     "tx_tfidf_topk" -> ((s, dir) =>
       TextAnalysis.tfidfTopK(Tables.documents(s, dir), "doc_id", "text", k = 3)),
 
+    // ---- RAKE keyword extraction: corpus top-25 candidate phrases
+    //      scored by degree/frequency on the e6 integer grid (word
+    //      scores broadcast; top-k via TakeOrdered) ----
+    "tx_rake_keywords" -> ((s, dir) =>
+      TextAnalysis.keywordsRake(Tables.documents(s, dir), "doc_id", "text",
+        k = 25)),
+
     // ---- PII scrub: email/IPv4 counts + redacted-text fingerprint ----
     "tx_pii_redact" -> ((s, dir) =>
       TextAnalysis.piiRedact(Tables.documents(s, dir), "text")
@@ -1897,6 +1904,13 @@ object SparkEntry {
     "dd_chunk_dups" -> ((s, dir) =>
       TextAnalysis.duplicateChunks(Tables.documents(s, dir), "doc_id", "text",
         chunkTokens = 32, stride = 24)),
+
+    // ---- shift-robust span dedup: content-defined chunk boundaries
+    //      (rolling-window fingerprint cuts), duplicate chunks across
+    //      ≥2 distinct documents ----
+    "dd_cdc_chunks" -> ((s, dir) =>
+      TextAnalysis.cdcDuplicateChunks(Tables.documents(s, dir), "doc_id",
+        "text")),
 
     // ---- C4-style boilerplate excision: rewrite every document with
     //      its cross-document-repeated 16-token windows removed ----
@@ -2416,6 +2430,43 @@ object SparkEntry {
 
     "s1_load_json_bz2" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+
+    "dd_cdc_chunks" -> {
+      // the SAME window dot product the Spark expression computes —
+      // powers shared via TextAnalysis.CdcPowers, so cuts agree bit-exactly
+      val terms = TextAnalysis.CdcPowers.zipWithIndex.map { case (p, j) =>
+        s"CAST(ascii(substr(text, i + $j, 1)) AS BIGINT) * $p"
+      }.mkString(" + ")
+      val w = TextAnalysis.CdcWindow
+      s"""WITH d AS (SELECT doc_id, coalesce(text, '') AS text,
+         |    length(coalesce(text, '')) AS n FROM documents),
+         |pos AS (SELECT doc_id, text, n,
+         |          unnest(range(1, n - $w + 2)) AS i FROM d WHERE n >= $w),
+         |h AS (SELECT doc_id, i, ($terms) AS s FROM pos),
+         |cuts AS (SELECT doc_id, i + $w - 1 AS cut FROM h WHERE s % 32 = 0),
+         |ca AS (SELECT doc_id, list_sort(list(cut)) AS cl FROM cuts
+         |       GROUP BY doc_id),
+         |bounds AS (SELECT d.doc_id, d.text,
+         |             -- list_distinct does NOT preserve order: re-sort
+         |             list_sort(list_distinct(
+         |               list_append(coalesce(ca.cl, []), d.n))) AS ends
+         |           FROM d LEFT JOIN ca USING (doc_id)),
+         |ch AS (SELECT doc_id, text, ends,
+         |         unnest(range(1, len(ends) + 1)) AS ci FROM bounds),
+         |chunks AS (SELECT doc_id,
+         |             CASE WHEN ci = 1 THEN 1 ELSE ends[ci - 1] + 1 END
+         |               AS cstart,
+         |             ends[ci] AS cend, text FROM ch),
+         |fp AS (SELECT doc_id,
+         |         md5(substr(text, cstart, cend - cstart + 1)) AS chunk_fp,
+         |         CAST(cend - cstart + 1 AS BIGINT) AS chunk_len
+         |       FROM chunks WHERE cend >= cstart)
+         |SELECT chunk_fp, CAST(max(chunk_len) AS BIGINT) AS chunk_len,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(count(*) AS BIGINT) AS n_occurrences
+         |FROM fp GROUP BY chunk_fp
+         |HAVING count(DISTINCT doc_id) >= 2 AND max(chunk_len) >= 8""".stripMargin
+    },
 
     "dd_chunk_dups" ->
       s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
@@ -4180,6 +4231,48 @@ object SparkEntry {
          |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
          |        ORDER BY score_e4 DESC, token ASC) AS INT) AS rank FROM sc)
          |SELECT doc_id, token, tf, score_e4, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    "tx_rake_keywords" -> {
+      // the SAME stopword set the Spark operator defaults to
+      val stop = TextAnalysis.langMarkers.values.flatten.toSeq.distinct
+        .map(w => s"'$w'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id,
+         |    string_split_regex(lower(coalesce(text, '')), '[^a-z0-9 ]+')
+         |      AS segs
+         |  FROM documents),
+         |seg AS (SELECT doc_id, unnest(range(1, len(segs) + 1)) AS seg_pos,
+         |          segs FROM t),
+         |sw AS (SELECT doc_id, seg_pos,
+         |         string_split_regex(segs[seg_pos], ' +') AS ws0 FROM seg),
+         |w0 AS (SELECT doc_id, seg_pos,
+         |         unnest(range(1, len(ws0) + 1)) AS word_pos, ws0 FROM sw),
+         |w1 AS (SELECT doc_id, seg_pos, word_pos, ws0[word_pos] AS w
+         |       FROM w0 WHERE ws0[word_pos] <> ''),
+         |w2 AS (SELECT *, CASE WHEN w IN ($stop) THEN 1 ELSE 0 END AS is_stop
+         |       FROM w1),
+         |w3 AS (SELECT *, sum(is_stop) OVER (PARTITION BY doc_id, seg_pos
+         |         ORDER BY word_pos) AS island FROM w2),
+         |pw AS (SELECT doc_id, seg_pos, island, word_pos, w FROM w3
+         |       WHERE is_stop = 0),
+         |ph AS (SELECT doc_id, seg_pos, island,
+         |         array_to_string(list(w ORDER BY word_pos), ' ') AS phrase,
+         |         CAST(count(*) AS BIGINT) AS plen
+         |       FROM pw GROUP BY doc_id, seg_pos, island),
+         |wstat AS (SELECT pw.w, CAST(count(*) AS BIGINT) AS freq,
+         |            CAST(sum(ph.plen) AS BIGINT) AS deg
+         |          FROM pw JOIN ph USING (doc_id, seg_pos, island)
+         |          GROUP BY pw.w),
+         |wsc AS (SELECT w, (deg * 1000000) // freq AS wscore FROM wstat),
+         |occ AS (SELECT ph.doc_id, ph.seg_pos, ph.island, ph.phrase,
+         |          CAST(sum(wsc.wscore) AS BIGINT) AS score_e6
+         |        FROM pw JOIN ph USING (doc_id, seg_pos, island)
+         |          JOIN wsc ON pw.w = wsc.w
+         |        GROUP BY 1, 2, 3, 4)
+         |SELECT phrase, CAST(count(*) AS BIGINT) AS n_occurrences,
+         |  CAST(max(score_e6) AS BIGINT) AS score_e6
+         |FROM occ GROUP BY phrase
+         |ORDER BY score_e6 DESC, phrase ASC LIMIT 25""".stripMargin
+    },
 
     "tx_pii_redact" ->
       s"""SELECT doc_id,

@@ -209,6 +209,13 @@ object GraftFunctions {
         "token under a 'lhs rhs'-formatted merge-list literal") {
       case Seq(t, m) => BpeEncode(t, mergesArg(m, "bpe_encode"))
     },
+    desc("cdc_cuts", classOf[CdcCuts],
+      "cdc_cuts(text, w, m) - content-defined chunk cut END positions " +
+        "(1-based code points): w-wide windows whose Rabin-style " +
+        "fingerprint is 0 mod m") {
+      case Seq(text, w, m) => CdcCuts(text,
+        intArg(w, "cdc_cuts", "w"), intArg(m, "cdc_cuts", "m"))
+    },
     desc("frequent_items", classOf[FrequentItems],
       "frequent_items(item, capacity) - bounded-memory Misra-Gries " +
         "frequent-items sketch: array<struct<item, cnt_lo, cnt_hi>> " +

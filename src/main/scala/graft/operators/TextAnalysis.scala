@@ -412,6 +412,87 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("score_e4"), col("rank"))
   }
 
+  /** RAKE keyword extraction (Rose et al. 2010, "Automatic Keyword
+    * Extraction from Individual Documents"): candidate phrases are the
+    * maximal runs of non-stopword words between punctuation/stopword
+    * delimiters; each word scores `deg(w)/freq(w)` where `freq` counts
+    * the word's occurrences in candidate phrases and `deg` sums the
+    * lengths of the phrases containing it (co-occurrence degree,
+    * including self); a phrase scores the sum of its words' scores.
+    * Corpus-level ranking: identical phrase text always carries the
+    * same (global) score, so phrases aggregate to
+    * (phrase, n_occurrences, score_e6) and the top-k by
+    * (score desc, phrase asc) — a total order after the group-by, so
+    * deterministic. Scores are kept on an e6 fixed-point grid with
+    * truncating division (`(deg·10⁶) div freq`), bit-identical in any
+    * engine — the same exactness contract as the rest of the suite.
+    *
+    * Segmentation is shared with the oracle: lowercase, split into
+    * segments on `[^a-z0-9 ]+` (punctuation delimits phrases), words on
+    * spaces, and phrase islands break at stopwords — the island id is a
+    * running count of stopwords seen in the segment. The stopword set
+    * defaults to the [[langMarkers]] union (tiny, deterministic,
+    * SQL-expressible); production callers pass a real per-language list.
+    *
+    * Scale shape: both explodes are map-side generators in the scan
+    * stage; the island window partitions by (doc, segment) — bounded by
+    * segment length, one user-key-style exchange; the word-stat
+    * aggregate is vocabulary-bounded and map-side combined, and its
+    * score table joins back by BROADCAST; the phrase-occurrence and
+    * phrase-distinct aggregates key on (doc, segment, island) / phrase;
+    * the final top-k plans as TakeOrderedAndProject (per-partition
+    * heaps, no global sort). The phrase frame is persisted across its
+    * two consumers (word stats, occurrence scoring) — same no-handle
+    * trade as [[tfidfTopK]]'s tf cache.
+    *
+    * @return phrase, n_occurrences, score_e6 — the corpus top-k
+    */
+  def keywordsRake(docs: DataFrame, idCol: String, textCol: String,
+      k: Int,
+      stopwords: Seq[String] =
+        langMarkers.values.flatten.toSeq.distinct): DataFrame = {
+    require(k >= 1)
+    val segs = docs.select(col(idCol).as("__doc"),
+      posexplode(split(lower(coalesce(col(textCol), lit(""))),
+        "[^a-z0-9 ]+")).as(Seq("seg_pos", "seg")))
+    val words = segs.select(col("__doc"), col("seg_pos"),
+        posexplode(split(col("seg"), " +")).as(Seq("word_pos", "w")))
+      .filter(col("w") =!= "")
+    val stopArr = array(stopwords.map(lit): _*)
+    val flagged = words.withColumn("is_stop",
+      when(array_contains(stopArr, col("w")), 1L).otherwise(0L))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__doc"), col("seg_pos")).orderBy(col("word_pos"))
+    val islands = flagged
+      .withColumn("island", sum(col("is_stop")).over(win))
+      .filter(col("is_stop") === 0L)
+    val phrases = islands
+      .groupBy(col("__doc"), col("seg_pos"), col("island"))
+      .agg(sort_array(collect_list(struct(col("word_pos"), col("w"))))
+        .as("ww"))
+      .withColumn("ws", expr("transform(ww, x -> x.w)"))
+      .select(col("__doc"), col("seg_pos"), col("island"),
+        concat_ws(" ", col("ws")).as("phrase"),
+        size(col("ws")).cast("long").as("plen"), col("ws"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val wordScores = phrases
+      .select(explode(col("ws")).as("w"), col("plen"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"), expr("(deg * 1000000L) div freq").as("wscore"))
+    val occ = phrases
+      .select(col("__doc"), col("seg_pos"), col("island"), col("phrase"),
+        explode(col("ws")).as("w"))
+      .join(broadcast(wordScores), "w")
+      .groupBy(col("__doc"), col("seg_pos"), col("island"), col("phrase"))
+      .agg(sum(col("wscore")).as("score_e6"))
+    occ.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_occurrences"),
+        max(col("score_e6")).as("score_e6")) // identical per phrase text
+      .orderBy(col("score_e6").desc, col("phrase").asc)
+      .limit(k)
+  }
+
   /** Exact content fingerprint: md5 of the normalized text (lower + trim).
     * Identical hex in every engine.
     */
@@ -592,6 +673,83 @@ object TextAnalysis {
       .filter(col("n_docs") >= minDocs)
     chunks.join(byFp, "chunk_fp")
       .select(col(idCol), col("chunk_idx"), col("chunk_fp"), col("n_docs"))
+  }
+
+  /** Powers of 257 mod (2³¹−1) for the CDC window fingerprint, highest
+    * power first (j-th element multiplies the j-th char of the window).
+    * Shared with the oracle SQL so both engines hash identically.
+    */
+  val CdcWindow = 8
+  val CdcPowers: Seq[Long] = {
+    val p = 2147483647L
+    (0 until CdcWindow).map { j =>
+      var acc = 1L
+      (0 until (CdcWindow - 1 - j)).foreach(_ => acc = acc * 257L % p)
+      acc
+    }
+  }
+
+  /** Content-defined chunking dedup (the FastCDC/LBFS idea —
+    * Muthitacharoen et al. 2001, "A Low-Bandwidth Network File System";
+    * rsync's rolling-window cut) applied to corpus text: chunk
+    * boundaries are chosen by the CONTENT — cut after any 8-char window
+    * whose Rabin-style fingerprint ≡ 0 (mod `avgChunk`) — so an
+    * insertion or deletion only re-chunks its local neighborhood, where
+    * [[duplicateChunks]]'s fixed-stride windows desynchronize for the
+    * whole rest of the document. This is the shift-ROBUST span-dedup
+    * tier: boilerplate that migrates position across documents still
+    * lands in byte-identical chunks. Reports chunks whose exact text
+    * recurs in ≥ `minDocs` distinct documents (length ≥ `minLen` to
+    * mute sub-word noise chunks).
+    *
+    * Determinism contract: the window fingerprint is an exact 64-bit
+    * dot product of the window's code points with [[CdcPowers]]
+    * (≤ 16·2¹⁶·2³¹ < 2⁵², never overflows, no float anywhere) — the
+    * same value in any engine, so the DuckDB oracle reproduces the cut
+    * positions bit-exactly.
+    *
+    * Scale shape: fully MAP-SIDE until the final fingerprint group-by —
+    * the cut list per document comes from the codegen'd
+    * [[graft.functions.CdcCuts]] expression (one straight-line O(n·w)
+    * JVM pass per row inside whole-stage codegen; the declarative
+    * split+transform+filter formulation re-expands its char-code
+    * projection into the lambda and goes O(n²) interpreted — measured
+    * ~100 ms/doc), and only the chunk generator and the md5 group-by
+    * (map-side combined; chunk text never crosses the exchange) touch
+    * the engine's shuffle machinery.
+    *
+    * @return chunk_fp, chunk_len, n_docs, n_occurrences
+    */
+  def cdcDuplicateChunks(df: DataFrame, idCol: String, textCol: String,
+      avgChunk: Int = 32, minDocs: Int = 2, minLen: Int = 8): DataFrame = {
+    require(avgChunk >= 2 && minDocs >= 1 && minLen >= 1)
+    val w = CdcWindow
+    val d = df.select(col(idCol).as("__doc"),
+      coalesce(col(textCol), lit("")).as("__t"),
+      length(coalesce(col(textCol), lit(""))).as("__n"))
+    val bounds = d
+      .withColumn("cl",
+        graft.functions.CdcCuts.cdcCuts(col("__t"), w, avgChunk))
+      .select(col("__doc"), col("__t"),
+        array_distinct(concat(col("cl"), array(col("__n")))).as("ends"))
+    val chunks = bounds
+      .select(col("__doc"), col("__t"), col("ends"),
+        posexplode(col("ends")).as(Seq("ci", "cend")))
+      .select(col("__doc"),
+        when(col("ci") === 0, lit(1))
+          .otherwise(element_at(col("ends"), col("ci")) + lit(1))
+          .as("cstart"),
+        col("cend"), col("__t"))
+      .filter(col("cend") >= col("cstart"))
+      .select(col("__doc"),
+        md5(col("__t").substr(col("cstart"),
+          col("cend") - col("cstart") + lit(1))).as("chunk_fp"),
+        (col("cend") - col("cstart") + lit(1)).cast("long").as("chunk_len"))
+    chunks.groupBy(col("chunk_fp"))
+      .agg(max(col("chunk_len")).as("chunk_len"),
+        countDistinct(col("__doc")).as("n_docs"),
+        count(lit(1)).as("n_occurrences"))
+      .filter(col("n_docs") >= minDocs && col("chunk_len") >= minLen)
   }
 
   /** C4-style boilerplate excision (Raffel et al. 2020 §2.2 — C4 drops

@@ -446,6 +446,50 @@ class ExtensionsSpec extends SparkTestBase {
       chunkTokens = 6, stride = 6).count() == 0)
   }
 
+  test("keywordsRake: hand-computed degree/frequency scores; stopwords " +
+    "and punctuation break phrases; identical phrases aggregate " +
+    "corpus-wide") {
+    val d = Seq(
+      (1L, "The quick brown fox, and a quick fox."),
+      (2L, "quick fox!")
+    ).toDF("doc_id", "text")
+    // phrases: d1 "quick brown fox" (len 3), "quick fox" (len 2);
+    //          d2 "quick fox" (len 2).
+    // freq/deg: quick 3/7, fox 3/7 -> (7e6 div 3) = 2_333_333;
+    //           brown 1/3 -> 3_000_000.
+    // scores: "quick brown fox" = 2_333_333 + 3_000_000 + 2_333_333;
+    //         "quick fox" = 2 * 2_333_333, twice in the corpus.
+    val out = TextAnalysis.keywordsRake(d, "doc_id", "text", k = 25)
+      .as[(String, Long, Long)].collect().toSeq
+    assert(out == Seq(
+      ("quick brown fox", 1L, 7666666L),
+      ("quick fox", 2L, 4666666L)))
+  }
+
+  test("cdcDuplicateChunks: content-defined cuts re-synchronize after a " +
+    "prefix shift, so a shared tail dedups where fixed strides desync; " +
+    "identical docs share every chunk") {
+    // non-periodic shared tail (numbered tokens: no window of it ever
+    // equals another at a different offset)
+    val tail = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val d = Seq(
+      (1L, "XX " + tail),    // prefixes differ in BOTH token count (1 vs
+      (2L, "y y y " + tail)  // 3) and char length: fixed token strides
+    ).toDF("doc_id", "text") // and fixed char strides both desynchronize
+    val dup = TextAnalysis.cdcDuplicateChunks(d, "doc_id", "text")
+    assert(dup.filter(col("n_docs") === 2L).count() >= 1,
+      "the shared shifted tail produced no common chunk")
+    // the fixed-stride counterpart misses ALL of it at these offsets
+    assert(TextAnalysis.duplicateChunks(d, "doc_id", "text",
+      chunkTokens = 8, stride = 8).count() == 0)
+    // identical documents agree on every chunk
+    val same = Seq((1L, tail), (2L, tail)).toDF("doc_id", "text")
+    val allDup = TextAnalysis.cdcDuplicateChunks(same, "doc_id", "text",
+      minLen = 1)
+    assert(allDup.count() >= 1)
+    assert(allDup.filter(col("n_docs") =!= 2L).count() == 0)
+  }
+
   test("boilerplateStrip rewrites docs without their cross-document " +
     "windows, preserving order across the gap") {
     val d = Seq(

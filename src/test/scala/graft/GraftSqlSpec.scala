@@ -218,6 +218,6 @@ class GraftSqlSpec extends SparkTestBase {
     assert(reg != null)
     val ids = GraftFunctions.descriptors.map(_._1.funcName)
     assert(ids.distinct.size == ids.size)
-    assert(ids.size == 15)
+    assert(ids.size == 16) // + cdc_cuts (round 13)
   }
 }

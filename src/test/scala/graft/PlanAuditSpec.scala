@@ -478,4 +478,26 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("RAKE keywords: word scores broadcast back onto the phrase " +
+    "frame, the only window is the per-(doc, segment) island scan, and " +
+    "the corpus top-k is a bounded TakeOrdered, never a global sort") {
+    val p = planned("tx_rake_keywords")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    // exactly one Window (the stopword-island cumsum), keyed by doc+seg
+    assert("(?<!Spec)Window".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("CDC chunk dedup: the cut list is the codegen'd cdc_cuts " +
+    "expression — no join anywhere, no window, no sort; the only " +
+    "exchange is the map-side-combined fingerprint aggregate") {
+    val p = planned("dd_cdc_chunks")
+    assert(p.contains("cdc_cuts"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
+  }
 }
