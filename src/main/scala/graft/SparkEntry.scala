@@ -960,6 +960,16 @@ object SparkEntry {
       TextAnalysis.repetitionFeatures(Tables.documents(s, dir), "text")
         .select("doc_id", "rep2_e4", "rep3_e4")),
 
+    // ---- the published Gopher rule-set FILTER (Rae et al. 2021 A1.1):
+    //      named per-rule flags + keep verdict, exact integer
+    //      comparisons throughout — map-only, fused into the scan ----
+    "tx_gopher_quality" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(Tables.documents(s, dir), "text")
+        .select(Seq(col("doc_id"), col("n_tokens"), col("mean_word_len_e2")) ++
+          Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+            "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words",
+            "r_stopwords", "keep").map(f => col(f).cast("long").as(f)): _*)),
+
     "tx_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"))),
@@ -1106,6 +1116,13 @@ object SparkEntry {
     // ---- similarity search ----
     "sim_cosine_topk" -> ((s, dir) =>
       Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") < 10, k = 5)),
+
+    // ---- SQ8 scalar quantization: 4×-compressed byte codes, ranking by
+    //      EXACT integer code distance (dim-bounded driver collect for
+    //      the per-dimension bounds; everything else map-side) ----
+    "sim_sq8_topk" -> ((s, dir) =>
+      Similarity.sq8TopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vec_id") < 10, k = 5)),
 
     "sim_ivf_topk" -> ((s, dir) => {
@@ -1617,6 +1634,17 @@ object SparkEntry {
           "text", "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L),
         pairsDistinct = true)),
 
+    // ---- the same clustering through large-star/small-star contraction
+    //      (GraphAlgos.connectedComponents) — O(log n) shuffle rounds vs
+    //      the min-label sweep's O(diameter), the variant that survives
+    //      chain-shaped near-dup clusters at corpus scale. Value-identical
+    //      output contract, shared oracle ----
+    "dd_cluster_cc" -> ((s, dir) =>
+      graft.operators.GraphAlgos.connectedComponents(
+        TextDedup.lengthBandedJaccardPairs(Tables.documents(s, dir), "doc_id",
+          "text", "n_chars", bucketWidth = 32, maxDelta = 32,
+          minJaccardE4 = 5000L))),
+
     // ---- dedup tier REPORT: what each tier would remove (docs +
     //      characters) — the decision table for choosing which tiers
     //      pay their cost on a given corpus. Pure composition of the
@@ -1848,6 +1876,13 @@ object SparkEntry {
     "ds_domain_mix" -> ((s, dir) =>
       Curation.domainMixture(Tables.documents(s, dir), "source", "lang",
         TextAnalysis.tokenCount(col("text")))),
+
+    // ---- DSIR importance weights: hashed-unigram distribution match
+    //      against the English subset as target — two corpus passes,
+    //      one 4096-row bucket shuffle, ratio table broadcast back ----
+    "ds_dsir_weights" -> ((s, dir) =>
+      Curation.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
+        col("lang") === "en")),
 
     // ---- canonical normalization: NFC (custom codegen'd expression) +
     //      lowercase + whitespace collapse ----
@@ -2368,6 +2403,23 @@ object SparkEntry {
        |  FROM bl a JOIN bl b ON a.bucket = b.bucket
        |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 32
        |    AND a.bucket = greatest(a.b0, b.b0))""".stripMargin
+
+  /** Connected components of the jaccard pair graph: min reachable id
+    * per node via a recursive CTE. Shared by dd_cluster_minlabel (Spark
+    * side: min-label sweep) and dd_cluster_cc (Spark side: large-star/
+    * small-star contraction) — the label is a property of the graph.
+    */
+  private lazy val minReachableLabelSql: String =
+    s"""WITH RECURSIVE ${jaccardPairCtes("documents")},
+       |pr AS (SELECT id_a, id_b FROM p WHERE jaccard_e4 >= 5000),
+       |e AS (SELECT id_a AS a, id_b AS b FROM pr
+       |      UNION SELECT id_b AS a, id_a AS b FROM pr),
+       |reach(n, m) AS (
+       |  SELECT a, a FROM e
+       |  UNION
+       |  SELECT r.n, e2.b FROM reach r JOIN e e2 ON e2.a = r.m)
+       |SELECT n AS id, CAST(min(m) AS BIGINT) AS label
+       |FROM reach GROUP BY n""".stripMargin
 
   private val mCols =
     """id, "date", parser_time, l_orderkey, l_partkey, l_suppkey, l_linenumber,
@@ -3070,6 +3122,55 @@ object SparkEntry {
          |        THEN 1000 ELSE 0 END) AS BIGINT) AS quality_e4
          |FROM documents""".stripMargin,
 
+    // Gopher rule-set filter: every rule re-derived in DuckDB from the
+    // same splits/regexes, flags on an exact 0/1 integer grid
+    "tx_gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, text, $W AS w,
+         |             string_split(text, chr(10)) AS l FROM documents),
+         |f AS (SELECT doc_id,
+         |  CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(floor(list_sum(list_transform(w, x -> len(x))) * 100.0
+         |    / len(w)) AS BIGINT) AS mean_word_len_e2,
+         |  CAST(len(text) - len(replace(text, '#', '')) AS BIGINT)
+         |    + CAST((len(text) - len(replace(text, '...', ''))) // 3 AS BIGINT)
+         |    AS symbols,
+         |  CAST(len(list_filter(l, x -> regexp_matches(x, '^[-*•]')))
+         |    AS BIGINT) AS bullet_lines,
+         |  CAST(len(list_filter(l, x -> regexp_matches(x, '\\.\\.\\.$$')))
+         |    AS BIGINT) AS ellipsis_lines,
+         |  CAST(len(l) AS BIGINT) AS n_lines,
+         |  CAST(len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))
+         |    AS BIGINT) AS alpha_words,
+         |  CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+         |    s -> list_contains(w, s))) AS BIGINT) AS stop_hits
+         | FROM t),
+         |r AS (SELECT doc_id, n_tokens, mean_word_len_e2,
+         |  CASE WHEN n_tokens >= 50 AND n_tokens <= 100000 THEN 1 ELSE 0 END
+         |    AS r_word_count,
+         |  CASE WHEN mean_word_len_e2 >= 300 AND mean_word_len_e2 <= 1000
+         |    THEN 1 ELSE 0 END AS r_mean_word_len,
+         |  CASE WHEN symbols * 10 <= n_tokens THEN 1 ELSE 0 END AS r_symbol_ratio,
+         |  CASE WHEN bullet_lines * 10 <= n_lines * 9 THEN 1 ELSE 0 END
+         |    AS r_bullet_lines,
+         |  CASE WHEN ellipsis_lines * 10 <= n_lines * 3 THEN 1 ELSE 0 END
+         |    AS r_ellipsis_lines,
+         |  CASE WHEN alpha_words * 5 >= n_tokens * 4 THEN 1 ELSE 0 END
+         |    AS r_alpha_words,
+         |  CASE WHEN stop_hits >= 2 THEN 1 ELSE 0 END AS r_stopwords
+         | FROM f)
+         |SELECT doc_id, n_tokens, mean_word_len_e2,
+         |  CAST(r_word_count AS BIGINT) AS r_word_count,
+         |  CAST(r_mean_word_len AS BIGINT) AS r_mean_word_len,
+         |  CAST(r_symbol_ratio AS BIGINT) AS r_symbol_ratio,
+         |  CAST(r_bullet_lines AS BIGINT) AS r_bullet_lines,
+         |  CAST(r_ellipsis_lines AS BIGINT) AS r_ellipsis_lines,
+         |  CAST(r_alpha_words AS BIGINT) AS r_alpha_words,
+         |  CAST(r_stopwords AS BIGINT) AS r_stopwords,
+         |  CAST(r_word_count * r_mean_word_len * r_symbol_ratio *
+         |       r_bullet_lines * r_ellipsis_lines * r_alpha_words *
+         |       r_stopwords AS BIGINT) AS keep
+         |FROM r""".stripMargin,
+
     "tx_fingerprint" ->
       "SELECT doc_id, md5(lower(trim(text))) AS fp FROM documents",
 
@@ -3153,17 +3254,12 @@ object SparkEntry {
     // connected components of the jaccard pair graph: min reachable id
     // per node via a recursive CTE (the Spark side iterates min-label
     // propagation to the same fixpoint)
-    "dd_cluster_minlabel" ->
-      s"""WITH RECURSIVE ${jaccardPairCtes("documents")},
-         |pr AS (SELECT id_a, id_b FROM p WHERE jaccard_e4 >= 5000),
-         |e AS (SELECT id_a AS a, id_b AS b FROM pr
-         |      UNION SELECT id_b AS a, id_a AS b FROM pr),
-         |reach(n, m) AS (
-         |  SELECT a, a FROM e
-         |  UNION
-         |  SELECT r.n, e2.b FROM reach r JOIN e e2 ON e2.a = r.m)
-         |SELECT n AS id, CAST(min(m) AS BIGINT) AS label
-         |FROM reach GROUP BY n""".stripMargin,
+    "dd_cluster_minlabel" -> minReachableLabelSql,
+
+    // identical contract computed by star contraction on the Spark side:
+    // same recursive-CTE oracle — labels are a property of the GRAPH,
+    // not the algorithm
+    "dd_cluster_cc" -> minReachableLabelSql,
 
     // tier report: the four tiers' oracle chains composed, each reduced
     // to its drop set and joined to the doc lengths
@@ -3735,6 +3831,32 @@ object SparkEntry {
          |WHERE $cos >= 350000""".stripMargin
     },
 
+    // SQ8: DuckDB retrains the per-dim bounds and replays the affine
+    // byte quantization; distances are pure integers from there on
+    "sim_sq8_topk" ->
+      s"""WITH d AS (SELECT CAST(e.embedding[t.i] AS DOUBLE) AS x, t.i
+         |           FROM embeddings e, range(1, 65) t(i)),
+         |st AS (SELECT i, min(x) AS mn, max(x) AS mx FROM d GROUP BY i),
+         |bounds AS (SELECT list(mn ORDER BY i) AS m,
+         |             list(mx - mn ORDER BY i) AS s FROM st),
+         |q8 AS (SELECT vec_id,
+         |         [CASE WHEN b.s[i] <= 0 THEN 0
+         |               ELSE least(255, greatest(0,
+         |                 CAST(floor((CAST(embedding[i] AS DOUBLE) - b.m[i])
+         |                   * 255.0 / b.s[i]) AS BIGINT))) END
+         |          for i in range(1, len(embedding) + 1)] AS code
+         |       FROM embeddings, bounds b),
+         |sc AS (SELECT q.vec_id AS query_id, e.vec_id AS nbr_id,
+         |         CAST(list_sum([(q.code[i] - e.code[i]) * (q.code[i] - e.code[i])
+         |           for i in range(1, 65)]) AS BIGINT) AS sqdist_q8
+         |       FROM q8 q JOIN q8 e ON e.vec_id <> q.vec_id
+         |       WHERE q.vec_id < 10),
+         |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |             ORDER BY sqdist_q8 ASC, nbr_id ASC) AS INT) AS rank
+         |           FROM sc)
+         |SELECT query_id, nbr_id, sqdist_q8, rank FROM ranked
+         |WHERE rank <= 5""".stripMargin,
+
     "sim_cosine_topk" -> {
       val cos = cosE6Sql("q.qv", "e.embedding")
       s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
@@ -4198,6 +4320,28 @@ object SparkEntry {
          |SELECT source, lang, n_docs, n_tokens,
          |  CAST(floor(n_tokens * 1000000.0 / total) AS BIGINT) AS share_e6
          |FROM a, t""".stripMargin,
+
+    // DSIR weights: identical smoothed e9/e4 integer grids, identical
+    // md5 bucket hash, truncating division — `//` floors and every
+    // operand is nonnegative, so it matches Spark's `div` exactly
+    "ds_dsir_weights" ->
+      s"""WITH tok AS (SELECT doc_id, lang = 'en' AS tgt, unnest($W) AS tok
+         |            FROM documents),
+         |bk AS (SELECT doc_id, tgt, ${md5LongSql("tok")} % 4096 AS b FROM tok),
+         |c AS (SELECT b, CAST(count(*) AS BIGINT) AS r,
+         |        CAST(sum(CASE WHEN tgt THEN 1 ELSE 0 END) AS BIGINT) AS t
+         |      FROM bk GROUP BY b),
+         |tot AS (SELECT CAST(sum(r) AS BIGINT) AS rr,
+         |          CAST(sum(t) AS BIGINT) AS tt FROM c),
+         |rt AS (SELECT b,
+         |         (((t + 1) * 1000000000) // (tt + 4096)) * 10000
+         |           // greatest((((r + 1) * 1000000000) // (rr + 4096)), 1)
+         |           AS ratio_e4
+         |       FROM c, tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(ratio_e4) AS BIGINT) AS dsir_sum_e4,
+         |  CAST(sum(ratio_e4) // count(*) AS BIGINT) AS dsir_avg_e4
+         |FROM bk JOIN rt USING (b) GROUP BY doc_id""".stripMargin,
 
     "tx_normalize" -> {
       val norm =

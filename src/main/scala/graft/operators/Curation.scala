@@ -60,6 +60,75 @@ object Curation {
     df.withColumn("split", expr)
   }
 
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every
+    * document by how much its hashed-token distribution looks like a
+    * TARGET subset relative to the raw corpus. The published method
+    * weights w(x) = Π p_target(b)/p_raw(b) over hashed n-gram buckets
+    * (computed as a sum of logs); this implementation keeps the
+    * log-free SUM-of-ratios form on an exact integer grid — smoothed
+    * bucket probabilities on an e9 grid, per-occurrence ratio on an e4
+    * grid, truncating division throughout — so the score is
+    * bit-identical in any engine at any partitioning (the same trade
+    * every oracled operator here makes; ranking quality is equivalent,
+    * only the scale of the score changes).
+    *
+    *   p_t(b) = (t_b + 1)·10⁹ div (T + nBuckets)      (add-1 smoothing)
+    *   p_r(b) = (r_b + 1)·10⁹ div (R + nBuckets)
+    *   ratio_e4(b) = p_t(b)·10⁴ div max(p_r(b), 1)
+    *   dsir_sum_e4(doc) = Σ_tokens ratio_e4(bucket(token))
+    *
+    * Scale shape — exactly two corpus passes, which is DSIR's floor:
+    * pass 1 is one explode + one map-side-combined groupBy into
+    * `nBuckets` rows (the ONLY shuffle keyed by bucket; both raw and
+    * target counts come out of the same aggregate via a conditional
+    * sum). The bucket-ratio table is O(nBuckets) — broadcast — so pass
+    * 2 is a map-side join + per-doc sum, shuffling one row per
+    * document. Nothing in the plan grows with corpus size except the
+    * two scans.
+    *
+    * @param targetPred row predicate defining the target distribution
+    *        (e.g. `col("lang") === "en"`); target rows also count
+    *        toward raw
+    * @param hash token hasher — md5Long default for oracle parity;
+    *        production swaps `xxhash64` (same API, 5-10× faster)
+    * @return (idCol, n_tokens, dsir_sum_e4, dsir_avg_e4). NOTE: the
+    *         ≤ nBuckets-row bucket-count frame stays persisted (it
+    *         seeds both the totals and the ratio table; without it
+    *         pass 1 would run twice) — long-lived callers unpersist
+    *         via `spark.catalog.clearCache()` or accept the KB-scale
+    *         residue, the [[TextDedup.minLabelClusters]] trade.
+    */
+  def dsirWeights(docs: DataFrame, idCol: String, textCol: String,
+      targetPred: Column, nBuckets: Int = 4096,
+      hash: Column => Column = TextDedup.md5Long): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val toks = docs.select(col(idCol).as("__id"), targetPred.as("__tgt"),
+        explode(TextAnalysis.tokens(coalesce(col(textCol), lit("")))).as("__tok"))
+      .withColumn("__b", pmod(hash(col("__tok")), lit(nBuckets.toLong)))
+    // pass 1: raw + target counts from ONE aggregate (≤ nBuckets rows out)
+    val counts = toks.groupBy(col("__b"))
+      .agg(count(lit(1)).as("__r"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__t"))
+      .persist()
+    // distinct names from the per-bucket columns: SQL identifier
+    // resolution is case-insensitive, so __R/__r would be ambiguous
+    val totals = counts.agg(sum(col("__r")).as("__rtot"),
+      sum(col("__t")).as("__ttot"))
+    val ratios = counts.crossJoin(broadcast(totals))
+      .select(col("__b"),
+        expr(s"(((__t + 1L) * 1000000000L) div (__ttot + ${nBuckets}L)) * 10000L " +
+          s"div greatest((((__r + 1L) * 1000000000L) div (__rtot + ${nBuckets}L)), 1L)")
+          .as("__ratio_e4"))
+    // pass 2: broadcast the O(nBuckets) ratio table back onto the stream
+    val out = toks.join(broadcast(ratios), "__b")
+      .groupBy(col("__id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__ratio_e4")).as("dsir_sum_e4"))
+      .select(col("__id").as(idCol), col("n_tokens"), col("dsir_sum_e4"),
+        expr("dsir_sum_e4 div n_tokens").as("dsir_avg_e4"))
+    out
+  }
+
   /** Mixture report: token and document share per (domain, stratum) —
     * the observability step behind data-mixture decisions (and the input
     * to reweighted sampling). One map-side-combined aggregate over the

@@ -16,6 +16,17 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphAlgos {
 
+  /** Release a local checkpoint's storage once it is no longer the live
+    * seed — lineage is truncated, so an unpersisted checkpoint is
+    * unrecoverable by design; callers only ever hold the final one.
+    */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(false); ()
+      case _ => ()
+    }
+
   /** Weighted PageRank by integer-exact power iteration (Page et al.
     * 1999, "The PageRank Citation Ranking"), damping d = `dampE2`/100:
     *
@@ -102,14 +113,8 @@ object GraphAlgos {
     val edgesN = e.join(outw, "__src")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // release a local checkpoint's storage once it is no longer the
-    // live seed — lineage is truncated, so an unpersisted checkpoint is
-    // unrecoverable by design; callers only ever hold the final one
-    def releaseCheckpoint(df: DataFrame): Unit = df.queryExecution.logical match {
-      case l: org.apache.spark.sql.execution.LogicalRDD =>
-        l.rdd.unpersist(false); ()
-      case _ => ()
-    }
+    def releaseCheckpoint(df: DataFrame): Unit =
+      GraphAlgos.releaseLocalCheckpoint(df)
 
     var ranks = nodes.select(col("node"), lit(base).as("rank"))
     var lastCp: Option[DataFrame] = None
@@ -141,5 +146,117 @@ object GraphAlgos {
       edgesN.unpersist(false)
     }
     ranks
+  }
+
+  /** Connected components by alternating large-star / small-star
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond"): every node labeled with its component's MINIMUM id —
+    * the same output contract as [[TextDedup.minLabelClusters]], but
+    * converging in O(log n) rounds instead of O(diameter) sweeps. At
+    * 100 TB the difference is the whole ballgame: near-dup clusters of
+    * chain-shaped similarity (doc A ~ B ~ C ~ ... through sliding
+    * boilerplate) have diameter proportional to cluster SIZE, so a
+    * label-propagation sweep does thousands of shuffle rounds where
+    * star-contraction does ~40 for 2⁴⁰ nodes.
+    *
+    * Round k: large-star points every node's LARGER neighbors at the
+    * minimum of its closed neighborhood (one symmetrize-explode + one
+    * map-side-combined min + one join), then small-star re-points each
+    * child's parent set at the overall min (one min + one join). Both
+    * halves preserve connectivity and strictly shrink a potential
+    * function, so the edge set reaches a fixpoint: a forest of stars
+    * (child → component-min). Convergence is tested EXACTLY — equal
+    * cardinality plus an empty anti-join — never by a hash signature
+    * that could terminate early on a collision.
+    *
+    * Output rows cover exactly the nodes that appear in `pairs` —
+    * singleton documents never enter the pair graph, matching
+    * [[TextDedup.minLabelClusters]]. The returned frame is small
+    * (one row per clustered node) and fully materialized by the
+    * convergence loop's final comparison.
+    *
+    * @param pairs (id_a, id_b) rows, any orderable id type; need not
+    *        be distinct or oriented
+    * @param maxRounds star-contraction rounds before giving up —
+    *        components of 2^maxRounds nodes converge comfortably
+    *        (the bound is logarithmic with small constants)
+    * @return (id, label) — label = min id of the node's component. The
+    *         frame is an eager local checkpoint (single-leaf plan, own
+    *         storage blocks); long-lived callers release it with
+    *         `spark.catalog.clearCache()` when done.
+    */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    // Lineage discipline: every round's edge set is an EAGER local
+    // checkpoint. Each round consumes the previous set at least three
+    // times (symmetrize, re-point join, fixpoint anti-join), so a lazy
+    // plan would double in size per reuse — exponential tree growth that
+    // overflows plan analysis within ~10 rounds. Checkpointing makes
+    // each round's plan O(1) deep and the convergence counts free
+    // (the blocks are already materialized). Previous rounds' blocks
+    // are released as soon as they stop being the live seed — the same
+    // contract as [[pageRank]]'s checkpointEvery.
+    //
+    // Orient the input once: (child = max, parent = min), no self
+    // loops; both star phases maintain this orientation, so the
+    // fixpoint comparison is over canonical directed edges.
+    var edges = pairs
+      .filter(col("id_a") =!= col("id_b"))
+      .select(greatest(col("id_a"), col("id_b")).as("c"),
+        least(col("id_a"), col("id_b")).as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < maxRounds) {
+      // ---- large-star: for each node u, m = min(Γ(u) ∪ {u}); emit
+      //      (v, m) for every neighbor v > u. Every edge is emitted by
+      //      its smaller endpoint, so no adjacency is lost; outputs stay
+      //      (bigger, smaller)-oriented because m ≤ u < v.
+      val sym = edges.select(explode(array(
+          struct(col("c").as("u"), col("p").as("v")),
+          struct(col("p").as("u"), col("c").as("v")))).as("e"))
+        .select(col("e.u"), col("e.v"))
+      val mins = sym.groupBy("u")
+        .agg(min(col("v")).as("mv"))
+        .select(col("u"), least(col("u"), col("mv")).as("m"))
+      // checkpointed: consumed twice below (per-child min + re-point
+      // join) — lazily the whole large-star chain would run twice
+      val ls = sym.join(mins, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("c"), col("m").as("p"))
+        .distinct()
+        .localCheckpoint(true)
+      // ---- small-star: per child c over its parent set P(c) (all < c),
+      //      m = min(P(c)); re-point c and every non-min parent at m.
+      val pmins = ls.groupBy("c").agg(min(col("p")).as("m"))
+      val next = ls.join(pmins, "c")
+        .select(explode(array(
+          struct(col("c").as("c2"), col("m").as("p2")),
+          struct(col("p").as("c2"), col("m").as("p2")))).as("e"))
+        .select(col("e.c2").as("c"), col("e.p2").as("p"))
+        .filter(col("c") =!= col("p"))
+        .distinct()
+        .localCheckpoint(true)
+      // exact fixpoint test: |next| == |edges| AND next \ edges = ∅ —
+      // never a hash signature that could converge early on a collision
+      converged = next.count() == edges.count() &&
+        next.join(edges, Seq("c", "p"), "left_anti").isEmpty
+      releaseLocalCheckpoint(ls)
+      releaseLocalCheckpoint(edges)
+      edges = next
+      round += 1
+    }
+    if (!converged)
+      System.err.println(s"[connectedComponents] WARNING: not converged " +
+        s"after $maxRounds rounds — labels are an upper bound, not minima")
+    // at the fixpoint every non-min node points DIRECTLY at its
+    // component min; the mins label themselves
+    val labels = edges.select(col("c").as("id"), col("p").as("label"))
+      .union(edges.select(col("p").as("id"), col("p").as("label")).distinct())
+      .distinct()
+      .localCheckpoint(true)
+    releaseLocalCheckpoint(edges)
+    labels
   }
 }

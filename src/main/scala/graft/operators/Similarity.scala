@@ -82,6 +82,71 @@ object Similarity {
       .select(col("query_id"), col("col.id").as("nbr_id"),
         col("col.score").as("cos_e6"), (col("pos") + 1).cast("int").as("rank"))
 
+  /** Scalar-quantization (SQ8) top-k: every dimension is affinely mapped
+    * to an unsigned byte code (the FAISS `ScalarQuantizer` QT_8bit
+    * scheme), and neighbors rank by INTEGER squared distance between
+    * code vectors — symmetric SDC ranking. The decisive property at
+    * scale: the quantized corpus is 4× smaller than float32 (64 bytes a
+    * vector), distances are exact int64 arithmetic (bit-identical in any
+    * engine at any partitioning — float dot products are not), and the
+    * scan is pure codegen.
+    *
+    *   code_i = clamp(floor((x_i − mn_i) · 255 / (mx_i − mn_i)), 0, 255)
+    *
+    * Training the per-dimension [mn, mx] is one posexplode +
+    * map-side-combined min/max — `dim` rows collected to the driver
+    * (bounded by the embedding dimension, the same contract as the PCA
+    * Jacobi and gradient collects) and folded back into the quantizer
+    * as literal arrays, so quantization itself is map-only expression
+    * work fused into the scan. The query set broadcasts; candidates
+    * reduce through the bounded-heap TopKByScore aggregate (k rows per
+    * query per partition cross the shuffle).
+    *
+    * Determinism note: (x−mn)·255/(mx−mn) is IEEE-double arithmetic in
+    * this exact association on both engines; the boundary x = mx lands
+    * on 255 via the clamp regardless of rounding.
+    *
+    * @return (query_id, nbr_id, sqdist_q8, rank) — rank 1-based by
+    *         (sqdist ASC, nbr_id ASC)
+    */
+  def sq8TopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int
+  ): DataFrame = {
+    // train: per-dimension bounds, `dim` rows — a bounded driver collect
+    val stats = embeddings
+      .select(posexplode(col(vecCol)).as(Seq("pos", "x")))
+      .groupBy(col("pos"))
+      .agg(min(col("x").cast("double")).as("mn"),
+        max(col("x").cast("double")).as("mx"))
+      .collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val dim = stats.size
+    val mnA = array((0 until dim).map(i => lit(stats(i)._1)): _*)
+    val spanA = array((0 until dim).map(i => lit(stats(i)._2 - stats(i)._1)): _*)
+    def q8(vec: Column): Column = transform(vec, (x, i) =>
+      when(element_at(spanA, (i + 1).cast("int")) <= 0.0, lit(0L))
+        .otherwise(least(lit(255L), greatest(lit(0L),
+          floor((x.cast("double") - element_at(mnA, (i + 1).cast("int")))
+            * 255.0 / element_at(spanA, (i + 1).cast("int")))))))
+    val corpus = embeddings.select(col(idCol).as("nbr_id"),
+      q8(col(vecCol)).as("nbr_code"))
+    val queries = broadcast(embeddings.filter(queryPred)
+      .select(col(idCol).as("query_id"), q8(col(vecCol)).as("q_code")))
+    val scored = corpus.join(queries, col("query_id") =!= col("nbr_id"))
+      .withColumn("__negdist",
+        -aggregate(zip_with(col("q_code"), col("nbr_code"),
+          (a, b) => (a - b) * (a - b)), lit(0L), (acc, x) => acc + x))
+    // TopKByScore orders (score DESC, id ASC): negate to rank ASC distance
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topKByScore(
+        struct(col("__negdist"), col("nbr_id")), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("nbr_id"),
+        (-col("col.score")).as("sqdist_q8"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs, exact: every (id_a < id_b)
     * pair with cosine ≥ threshold. Quadratic — restrict with `pred` or use
     * [[embedNearDupPairs]] at scale. One side broadcasts (the pair space

@@ -116,6 +116,76 @@ object TextAnalysis {
       .drop("__w")
   }
 
+  /** The eight Gopher "required words" (Rae et al. 2021, A1.1): a
+    * document must contain at least two of them to pass the stopword
+    * rule — a cheap English-ness / natural-prose gate.
+    */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher rule-set quality FILTER (Rae et al. 2021, Appendix A1.1) —
+    * the published decision rules composed into per-document named
+    * flags plus the overall keep verdict, where [[qualityFeatures]]
+    * gives raw scoring features. Every rule is an exact integer
+    * comparison (cross-multiplied thresholds, no float ratios), so the
+    * DuckDB oracle reproduces each flag bit-for-bit:
+    *
+    *   r_word_count     50 ≤ |words| ≤ 100,000
+    *   r_mean_word_len  3 ≤ mean word length ≤ 10 (e2 grid, exact
+    *                    per-token length sum — no whitespace guess)
+    *   r_symbol_ratio   (# chars + "..." occurrences) ≤ 0.1·|words|
+    *   r_bullet_lines   ≤ 90% of lines start with a bullet (-, *, •)
+    *   r_ellipsis_lines ≤ 30% of lines end with "..."
+    *   r_alpha_words    ≥ 80% of words contain an alphabetic char
+    *   r_stopwords      ≥ 2 distinct [[GopherStopwords]] present
+    *   keep             AND of all rules
+    *
+    * Map-only: token and line arrays are materialized once per row and
+    * every rule is a codegen'd expression over them — zero shuffle at
+    * any corpus size (the 100 TB shape: this runs inside the scan
+    * stage, fused with whatever filter consumes `keep`).
+    */
+  def gopherQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = coalesce(col(textCol), lit(""))
+    val withArrays = df
+      .withColumn("__w", tokens(t))
+      .withColumn("__l", split(t, "\n"))
+    val toks = col("__w")
+    val lines = col("__l")
+    val nTok = size(toks).cast("long")
+    val nLines = size(lines).cast("long")
+    // exact character mass of the tokens themselves (not a
+    // single-space-separation approximation — tabs/multi-space safe)
+    val sumLen = aggregate(transform(toks, x => length(x).cast("long")),
+      lit(0L), (a, x) => a + x)
+    val meanE2 = floor(sumLen * lit(100.0) / nTok).cast("long")
+    val hashes = (length(t) - length(regexp_replace(t, "#", ""))).cast("long")
+    // non-overlapping left-to-right "..." occurrences in BOTH engines
+    val ellipses =
+      ((length(t) - length(regexp_replace(t, "\\.\\.\\.", ""))) / 3).cast("long")
+    val bulletLines = size(filter(lines, x => x.rlike("^[-*•]"))).cast("long")
+    val ellipsisLines = size(filter(lines, x => x.rlike("\\.\\.\\.$"))).cast("long")
+    val alphaWords = size(filter(toks, x => x.rlike("[A-Za-z]"))).cast("long")
+    val stopHits = size(filter(array(GopherStopwords.map(lit): _*),
+      sw => array_contains(toks, sw))).cast("long")
+    withArrays
+      .withColumn("n_tokens", nTok)
+      .withColumn("mean_word_len_e2", meanE2)
+      .withColumn("r_word_count", nTok >= 50L && nTok <= 100000L)
+      .withColumn("r_mean_word_len", meanE2 >= 300L && meanE2 <= 1000L)
+      .withColumn("r_symbol_ratio", (hashes + ellipses) * 10L <= nTok)
+      .withColumn("r_bullet_lines", bulletLines * 10L <= nLines * 9L)
+      .withColumn("r_ellipsis_lines", ellipsisLines * 10L <= nLines * 3L)
+      .withColumn("r_alpha_words", alphaWords * 5L >= nTok * 4L)
+      .withColumn("r_stopwords", stopHits >= 2L)
+      .withColumn("keep",
+        col("r_word_count") && col("r_mean_word_len") &&
+          col("r_symbol_ratio") && col("r_bullet_lines") &&
+          col("r_ellipsis_lines") && col("r_alpha_words") &&
+          col("r_stopwords"))
+      .drop("__w", "__l")
+  }
+
   /** N-gram repetition ratios (the Gopher-style duplicate-n-gram
     * quality signal: heavily templated/looping text repeats its n-grams;
     * pipelines drop docs above a repetition threshold). For each k,

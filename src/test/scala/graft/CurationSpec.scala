@@ -226,4 +226,97 @@ class CurationSpec extends SparkTestBase {
       .map("%02x".format(_)).mkString
     assert(out.head._4 == expected)
   }
+
+  // ---- Gopher rule-set filter ----
+
+  private def gopherRow(text: String): Map[String, Any] = {
+    val df = Seq((1L, text)).toDF("doc_id", "text")
+    val row = TextAnalysis.gopherQuality(df, "text").collect().head
+    row.schema.fieldNames.zip(row.toSeq).toMap
+  }
+
+  test("gopherQuality: a clean prose document passes every rule") {
+    // 52 alphabetic words incl. >=2 required stopwords, mean len in [3,10]
+    val words = Seq("the", "with", "have") ++
+      (1 to 49).map(i => s"word${i % 7}abc")
+    val m = gopherRow(words.mkString(" "))
+    assert(m("keep") == true, s"expected keep, got $m")
+    assert(m("n_tokens") == 52L)
+    Seq("r_word_count", "r_mean_word_len", "r_symbol_ratio",
+      "r_bullet_lines", "r_ellipsis_lines", "r_alpha_words", "r_stopwords")
+      .foreach(r => assert(m(r) == true, s"$r failed: $m"))
+  }
+
+  test("gopherQuality: each rule trips on its own violation") {
+    // too few words
+    assert(gopherRow("the with just a few little words")("r_word_count") == false)
+    // mean word length out of [3,10]
+    val longWords = (1 to 60).map(_ => "supercalifragilistic").mkString(" ")
+    assert(gopherRow(longWords)("r_mean_word_len") == false)
+    // symbol ratio: >10% hash marks
+    val hashy = (1 to 60).map(i => if (i % 2 == 0) "#" else "word").mkString(" ")
+    assert(gopherRow(hashy)("r_symbol_ratio") == false)
+    // bullet lines: every line starts with a bullet
+    val bullets = (1 to 10).map(i => s"- item $i with the usual words here")
+      .mkString("\n")
+    assert(gopherRow(bullets)("r_bullet_lines") == false)
+    // ellipsis line endings above 30%
+    val ells = (1 to 10).map(i =>
+      if (i <= 5) s"line $i trails off..." else s"line $i is complete")
+      .mkString("\n")
+    assert(gopherRow(ells)("r_ellipsis_lines") == false)
+    // alphabetic-word share below 80%
+    val nums = (1 to 60).map(i => if (i % 2 == 0) "12345" else "word").mkString(" ")
+    assert(gopherRow(nums)("r_alpha_words") == false)
+    // fewer than 2 required stopwords
+    val noStops = (1 to 60).map(i => s"token${i}xyz").mkString(" ")
+    assert(gopherRow(noStops)("r_stopwords") == false)
+  }
+
+  test("gopherQuality: ellipsis symbol counting is non-overlapping and " +
+    "exact at boundaries (exactly 10% symbols passes)") {
+    // 60 words, 6 of them "..." => 6*10 <= 60 passes; 7 would fail
+    val pass = ((1 to 54).map(_ => "word") ++ (1 to 6).map(_ => "...")).mkString(" ")
+    assert(gopherRow(pass)("r_symbol_ratio") == true)
+    val fail = ((1 to 53).map(_ => "word") ++ (1 to 7).map(_ => "...")).mkString(" ")
+    assert(gopherRow(fail)("r_symbol_ratio") == false)
+  }
+
+  // ---- DSIR importance weights ----
+
+  test("dsirWeights: target-distinctive tokens score above raw-typical " +
+    "ones, and the score is partitioning-invariant") {
+    // target (en) docs speak "alpha", raw background speaks "beta"
+    val docs = ((1L to 10L).map(i => (i, "alpha " * 20 + "shared", "en")) ++
+      (11L to 30L).map(i => (i, "beta " * 20 + "shared", "de"))).toSeq
+      .toDF("doc_id", "text", "lang")
+    val w = Curation.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en")
+    val byDoc = w.select("doc_id", "dsir_avg_e4").as[(Long, Long)]
+      .collect().toMap
+    assert(byDoc(1L) > byDoc(11L),
+      s"alpha doc should outscore beta doc: $byDoc")
+    assert(byDoc(1L) == byDoc(5L) && byDoc(11L) == byDoc(20L))
+    // exact integers => identical at any partitioning
+    val w2 = Curation.dsirWeights(docs.repartition(7), "doc_id", "text",
+      col("lang") === "en").select("doc_id", "dsir_avg_e4")
+      .as[(Long, Long)].collect().toMap
+    assert(w2 == byDoc)
+    assert(w.select("n_tokens").as[Long].collect().forall(_ == 21L))
+  }
+
+  test("dsirWeights: uniform corpus (target == raw distribution) gives " +
+    "every doc the same weight near 1e4") {
+    val docs = (1L to 20L)
+      .map(i => (i, "same text for everyone", if (i % 2 == 0) "en" else "de"))
+      .toSeq.toDF("doc_id", "text", "lang")
+    // small bucket count so add-1 smoothing doesn't dominate an
+    // 80-token corpus (production default 4096 assumes real volume)
+    val avg = Curation.dsirWeights(docs, "doc_id", "text",
+      col("lang") === "en", nBuckets = 16)
+      .select("dsir_avg_e4").as[Long].collect().distinct
+    assert(avg.length == 1, s"uniform corpus must weight uniformly: ${avg.toSeq}")
+    // p_t ≈ p_r modulo smoothing => ratio ≈ 1e4 (within smoothing slack)
+    assert(avg.head > 8000L && avg.head < 12000L, s"got ${avg.head}")
+  }
 }

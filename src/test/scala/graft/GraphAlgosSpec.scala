@@ -89,4 +89,56 @@ class GraphAlgosSpec extends SparkTestBase {
     assert(leaked.size <= 1,
       s"cached frames left behind: ${leaked.size} new persistent RDDs")
   }
+
+  // ---- connectedComponents: large-star/small-star ----
+
+  private def cc(pairs: Seq[(Long, Long)], maxRounds: Int = 30) =
+    GraphAlgos.connectedComponents(pairs.toDF("id_a", "id_b"), maxRounds)
+      .as[(Long, Long)].collect().toMap
+
+  test("connectedComponents: two components plus an isolated pair, " +
+    "labels are component minima") {
+    val got = cc(Seq((5L, 3L), (3L, 9L), (9L, 5L), (20L, 21L), (7L, 4L)))
+    assert(got == Map(3L -> 3L, 5L -> 3L, 9L -> 3L,
+      20L -> 20L, 21L -> 20L, 4L -> 4L, 7L -> 4L))
+  }
+
+  test("connectedComponents: 120-node path converges within the " +
+    "logarithmic round budget (a min-label sweep would need ~120)") {
+    val path = (0L until 119L).map(i => (i, i + 1))
+    // log2(120) ≈ 7; star contraction has small constants — 12 rounds
+    // is generous for the budget and far below the path's diameter
+    val got = cc(path, maxRounds = 12)
+    assert(got.size == 120 && got.values.forall(_ == 0L))
+  }
+
+  test("connectedComponents: matches minLabelClusters on a seeded " +
+    "random graph (duplicate and reversed input pairs included)") {
+    val rnd = new scala.util.Random(1313)
+    val base = Seq.fill(300)((rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter { case (a, b) => a != b }
+    // inject duplicates and reversals: both entry points must canonicalize
+    val pairs = base ++ base.take(40).map(_.swap) ++ base.take(20)
+    val viaCc = cc(pairs)
+    val viaSweep = graft.operators.TextDedup
+      .minLabelClusters(pairs.toDF("id_a", "id_b"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaCc == viaSweep)
+  }
+
+  test("connectedComponents: string ids order by UTF-8 bytes like the " +
+    "distributed min, and a star input is already a fixpoint") {
+    import org.apache.spark.sql.functions.col
+    val pairs = Seq(("zz", "aa"), ("aa", "mm"), ("q1", "q2"))
+      .toDF("id_a", "id_b")
+    val got = GraphAlgos.connectedComponents(pairs)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("aa" -> "aa", "mm" -> "aa", "zz" -> "aa",
+      "q1" -> "q1", "q2" -> "q1"))
+    // star input: one round to verify, nothing to contract
+    val star = Seq((10L, 1L), (5L, 1L), (7L, 1L)).toDF("id_a", "id_b")
+    val lbl = GraphAlgos.connectedComponents(star, maxRounds = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(lbl == Map(1L -> 1L, 5L -> 1L, 7L -> 1L, 10L -> 1L))
+  }
 }

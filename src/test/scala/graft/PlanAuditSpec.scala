@@ -500,4 +500,39 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
     assert("HashAggregate".r.findAllIn(p).size >= 2, p) // partial + final
   }
+
+  test("Gopher filter: pure map-side projection — no join, no window, " +
+    "no exchange of any kind; every rule fuses into the scan stage") {
+    val p = planned("tx_gopher_quality")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Sort"), p)
+  }
+
+  test("DSIR weights: the bucket-ratio table rides back as a BROADCAST " +
+    "join (never sort-merge — it is O(nBuckets) by construction), the " +
+    "per-doc sum partial-aggregates, and nothing cartesian touches the " +
+    "token stream") {
+    val p = planned("ds_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    // partial + final for the per-doc aggregate (plus the bucket pass)
+    assert("HashAggregate".r.findAllIn(p).size >= 4, p)
+  }
+
+  test("SQ8 top-k: quantization is literal-array expression work fused " +
+    "into the scan (the trained bounds fold in as literals, no stats " +
+    "join), queries broadcast, candidates reduce through the bounded " +
+    "TopKByScore aggregate — no window, no global sort") {
+    // construction runs the one dim-bounded training job; the planned
+    // search plan is what must stay shaped
+    val p = planned("sim_sq8_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p) // TopKByScore partial+final
+  }
 }

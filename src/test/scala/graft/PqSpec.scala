@@ -156,4 +156,45 @@ class PqSpec extends SparkTestBase {
     val w1 = worst(p1); val w3 = worst(run(3))
     w1.keys.foreach(q => assert(w3(q) <= w1(q), s"query $q"))
   }
+
+  // ---- SQ8 scalar quantization ----
+
+  test("sq8TopK: hand-computed codes and integer distances on a 2-dim " +
+    "corpus, constant dimensions quantize to 0") {
+    // dim0 spans [0,2] => codes 0 / 127 / 255; dim1 constant => all 0
+    val emb = Seq(
+      (0L, Array(0.0f, 7.0f)),
+      (1L, Array(1.0f, 7.0f)),
+      (2L, Array(2.0f, 7.0f))
+    ).toDF("vec_id", "embedding")
+    val out = graft.operators.Similarity
+      .sq8TopK(emb, "vec_id", "embedding", col("vec_id") === 0L, k = 2)
+      .select("query_id", "nbr_id", "sqdist_q8", "rank")
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    // codes: v0 -> 0, v1 -> floor(1*255/2)=127, v2 -> 255
+    // dist(v0,v1) = 127² = 16129; dist(v0,v2) = 255² = 65025
+    assert(out.toSeq == Seq((0L, 1L, 16129L, 1), (0L, 2L, 65025L, 2)))
+  }
+
+  test("sq8TopK: ranking is partitioning-invariant (integer distances) " +
+    "and ties break by neighbor id") {
+    val rnd = new scala.util.Random(88)
+    val emb = (0L until 40L)
+      .map(i => (i, Array.fill(8)(rnd.nextFloat() * 2f - 1f)))
+      .toDF("vec_id", "embedding")
+    def run(df: org.apache.spark.sql.DataFrame) = graft.operators.Similarity
+      .sq8TopK(df, "vec_id", "embedding", col("vec_id") < 3L, k = 5)
+      .select("query_id", "nbr_id", "sqdist_q8", "rank")
+      .as[(Long, Long, Long, Int)].collect().toSet
+    val a = run(emb)
+    val b = run(emb.repartition(11))
+    assert(a == b)
+    // mirrored duplicate vectors: equal distance, lower id must rank first
+    val dup = Seq((0L, Array(0f, 0f)), (7L, Array(1f, 1f)), (3L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding")
+    val ranks = graft.operators.Similarity
+      .sq8TopK(dup, "vec_id", "embedding", col("vec_id") === 0L, k = 2)
+      .select("nbr_id", "rank").as[(Long, Int)].collect().toMap
+    assert(ranks == Map(3L -> 1, 7L -> 2))
+  }
 }
