@@ -5,6 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.functions.HllRegisters
 import graft.operators.{AnnotationJoin, Curation, Dedup, EventAnalytics, GraphAlgos, Multimodal, Packing, ProductQuantization, Sampling, Sessions, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
@@ -1325,6 +1326,53 @@ object SparkEntry {
         "src", "dst", "n_transitions", iters = 3)
         .select(col("node").as("event_type"), col("rank").as("rank_e12"))),
 
+    // ---- community detection over the same Markov edges: 4 rounds of
+    //      deterministic synchronous weighted label propagation (struct-
+    //      max tie-break, no random sweep order) — the cheap "which
+    //      event types form one behavioral module" companion to the
+    //      PageRank authority score ----
+    "ev_label_propagation" -> ((s, dir) =>
+      GraphAlgos.labelPropagation(
+        EventAnalytics.transitionCounts(Tables.events(s, dir), "user_id",
+          "ts", "event_type", "event_id"),
+        "src", "dst", "n_transitions", iters = 4)
+        .select(col("node").as("event_type"), col("label").as("community"))),
+
+    // ---- HyperLogLog distinct-user sketch per event type (p=9, 512
+    //      byte registers per group crossing the shuffle instead of the
+    //      user stream): the nonzero registers, exploded — the sketch a
+    //      warehouse persists and re-merges across days ----
+    "ev_hll_users" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(HllRegisters.hllRegisters(col("h"), 9).as("sk"))
+        .select(col("event_type"), explode(col("sk.registers")).as("r"))
+        .select(col("event_type"), col("r.bucket").as("bucket"),
+          col("r.register").as("register"))),
+
+    // ---- the HLL estimate vs exact truth: raw integer-grid estimator
+    //      (alpha·m²·2⁶⁴ div S, all BigInteger — bit-identical in any
+    //      engine) with the exact distinct count and e4 relative error
+    //      alongside. event_id's per-type cardinality (~2000) sits
+    //      ABOVE the 2.5m linear-counting cutover at p=9, i.e. in the
+    //      raw estimator's published regime (the user_id sketch above
+    //      is the below-cutover case: apply m·ln(m/zeros) caller-side
+    //      from its nnz). The exact column is the VERIFICATION column;
+    //      a production read keeps only the sketch ----
+    "ev_hll_estimate" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), col("event_id"),
+          xxhash64(col("event_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(HllRegisters.hllRegisters(col("h"), 9).as("sk"),
+          countDistinct(col("event_id")).as("n_exact"))
+        .select(col("event_type"), col("n_exact"),
+          col("sk.nnz").cast("long").as("nnz"),
+          col("sk.est_raw").as("est_raw"))
+        .withColumn("err_e4",
+          expr("(abs(est_raw - n_exact) * 10000) div n_exact"))),
+
     // ---- top event paths: most frequent consecutive length-3
     //      event-type sequences with distinct-user reach — one user-key
     //      exchange, |types|³-bounded aggregate, bounded top-k ----
@@ -1884,12 +1932,27 @@ object SparkEntry {
       Curation.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
         col("lang") === "en")),
 
+    // ---- deterministic global training-shuffle order: rank under
+    //      (xxhash64(doc_id), doc_id) with the global index assembled
+    //      from hash-bucket offsets (64 bounded counts + a 64-way
+    //      partitioned window), never a one-partition global sort ----
+    "ds_shuffle_order" -> ((s, dir) =>
+      Curation.globalShuffleOrder(
+        Tables.documents(s, dir).select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("h"), col("pos"))),
+
     // ---- canonical normalization: NFC (custom codegen'd expression) +
     //      lowercase + whitespace collapse ----
     "tx_normalize" -> ((s, dir) =>
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.normalizeText(col("text")).as("norm_text"))
         .withColumn("n_norm_chars", length(col("norm_text")).cast("long"))),
+
+    // ---- Flesch reading-ease on the exact 10⁶ integer grid: three
+    //      regex counts + two integer divisions, map-only, whole-stage
+    //      codegen'd — the classic prose-vs-word-salad quality axis ----
+    "tx_readability" -> ((s, dir) =>
+      TextAnalysis.readability(Tables.documents(s, dir), "doc_id", "text")),
 
     // ---- corpus-adaptive quality: share of tokens in the corpus's own
     //      top-200 vocabulary (integer-exact unigram-LM stand-in) ----
@@ -2404,6 +2467,40 @@ object SparkEntry {
        |  WHERE a.doc_id < b.doc_id AND abs(a.n_chars - b.n_chars) <= 32
        |    AND a.bucket = greatest(a.b0, b.b0))""".stripMargin
 
+  /** Oracle for `ev_label_propagation`: `iters` rounds of synchronous
+    * weighted label propagation over the symmetrized Markov transition
+    * edges, unrolled (each round = score join + max-weight + max-label
+    * tie-break — the same struct-max contract as
+    * [[graft.operators.GraphAlgos.labelPropagation]]). Fixed iteration
+    * count makes the result a pure function of the input, which is what
+    * lets a SQL engine replay it at all.
+    */
+  private def labelPropagationSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"l${i - 1}"
+      s"""s$i AS (SELECT u.a AS node, l.label, sum(u.w) AS lw
+         |  FROM und u JOIN $prev l ON l.node = u.b GROUP BY u.a, l.label),
+         |m$i AS (SELECT node, max(lw) AS mw FROM s$i GROUP BY node),
+         |l$i AS (SELECT s$i.node, max(s$i.label) AS label FROM s$i
+         |  JOIN m$i ON m$i.node = s$i.node AND s$i.lw = m$i.mw
+         |  GROUP BY s$i.node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH o AS (SELECT user_id, event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+       |  FROM events),
+       |e AS (SELECT src, dst, count(*) AS w FROM o
+       |      WHERE dst IS NOT NULL GROUP BY src, dst),
+       |e2 AS (SELECT src, dst, w FROM e WHERE src <> dst),
+       |und AS (SELECT a, b, sum(w) AS w FROM (
+       |    SELECT src AS a, dst AS b, w FROM e2
+       |    UNION ALL SELECT dst AS a, src AS b, w FROM e2)
+       |  GROUP BY a, b),
+       |l0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+       |$rounds
+       |SELECT node AS event_type, label AS community FROM l$iters""".stripMargin
+  }
+
   /** Connected components of the jaccard pair graph: min reachable id
     * per node via a recursive CTE. Shared by dd_cluster_minlabel (Spark
     * side: min-label sweep) and dd_cluster_cc (Spark side: large-star/
@@ -2599,6 +2696,26 @@ object SparkEntry {
         |       FROM nodes CROSS JOIN nn
         |       LEFT JOIN c3 ON c3.node = nodes.node)
         |SELECT node AS event_type, r AS rank_e12 FROM r3""".stripMargin,
+
+    "ev_label_propagation" -> labelPropagationSql(4),
+
+    "ev_hll_users" -> XxOracleSql.hllUsers(9),
+
+    "ev_hll_estimate" -> XxOracleSql.hllEstimate(9),
+
+    "ds_shuffle_order" -> XxOracleSql.shuffleOrder(),
+
+    "tx_readability" ->
+      """WITH c AS (SELECT doc_id,
+        |    greatest(len(regexp_extract_all(text, '\S+')), 1) AS n_words,
+        |    greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS n_sentences,
+        |    len(regexp_extract_all(lower(text), '[aeiouy]+')) AS nv
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences,
+        |       greatest(nv, n_words) AS n_syllables,
+        |       206835000 - (1015000 * n_words) // n_sentences
+        |         - (84600000 * greatest(nv, n_words)) // n_words AS fre_micro
+        |FROM c""".stripMargin,
 
     "w3_dedup_concat_key" ->
       s"""WITH r AS (SELECT *, row_number() OVER (

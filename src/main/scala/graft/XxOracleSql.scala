@@ -409,4 +409,74 @@ object XxOracleSql {
         "FROM em_cand JOIN em_e a ON a.id = em_cand.id_a JOIN em_e c ON c.id = em_cand.id_b) " +
         "WHERE cos_e6 >= 450000")
   }
+
+  /** Shared register CTEs for the HLL oracles: XXH64 each distinct
+    * (event_type, user_id) via [[longChain]] (= Spark's
+    * `xxhash64(user_id)`), split UNSIGNED into bucket = top `p` bits /
+    * w = low `64-p` bits, register = (64-p+1) − bitlength(w) with the
+    * all-zero remainder pinned to 64-p+1 — exactly
+    * [[graft.functions.HllRegisters]]'s bit slicing. `bin()` gives the
+    * bitlength without a float log (w < 2^55 at p=9, BIGINT-safe).
+    */
+  private def hllRegCtes(p: Int, idCol: String): Seq[(String, String)] = {
+    val pow = java.math.BigInteger.ONE.shiftLeft(64 - p).toString
+    val rmax = 64 - p + 1
+    val (hS, hT) = longChain("hl_du", Seq("event_type", idCol),
+      s"xu_u64(CAST($idCol AS HUGEINT))", "42::HUGEINT", "hl_h_", "h")
+    Seq(
+      ("hl_du", s"SELECT DISTINCT event_type, $idCol FROM events")
+    ) ++ hS ++ Seq(
+      ("hl_r", "SELECT event_type, " +
+        s"CAST(xu_u64(CAST(h AS HUGEINT)) // $pow AS INTEGER) AS bucket, " +
+        s"xu_u64(CAST(h AS HUGEINT)) % $pow AS w FROM $hT"),
+      ("hl_reg", "SELECT event_type, bucket, " +
+        s"CAST(max(CASE WHEN w = 0 THEN $rmax " +
+        s"ELSE $rmax - length(bin(CAST(w AS BIGINT))) END) AS INTEGER) AS register " +
+        "FROM hl_r GROUP BY event_type, bucket"))
+  }
+
+  /** Full oracle for `ev_hll_users`: the nonzero HLL registers. */
+  def hllUsers(p: Int): String =
+    single(hllRegCtes(p, "user_id"),
+      "SELECT event_type, bucket, register FROM hl_reg")
+
+  /** Full oracle for `ev_hll_estimate`: the raw integer-grid HLL
+    * estimator over the registers — S = Σ 2^(64−M[j]) with empty
+    * registers contributing 2^64, est = alpha_micro·m²·2⁶⁴ div (10⁶·S),
+    * alpha_micro from the SAME exact-rational function the Spark
+    * aggregate uses ([[graft.functions.HllRegisters.alphaMicro]]), so
+    * the two engines cannot disagree on the constant.
+    */
+  def hllEstimate(p: Int): String = {
+    val m = 1 << p
+    val pow64 = java.math.BigInteger.ONE.shiftLeft(64).toString
+    val am2 = (BigInt(graft.functions.HllRegisters.alphaMicro(m)) * m * m).toString
+    val ctes = hllRegCtes(p, "event_id") ++ Seq(
+      ("hl_agg", "SELECT event_type, count(*) AS nnz, " +
+        s"sum(CAST($pow64 AS HUGEINT) // (CAST(1 AS BIGINT) << register)) AS spow " +
+        "FROM hl_reg GROUP BY event_type"),
+      ("hl_ex", "SELECT event_type, count(DISTINCT event_id) AS n_exact FROM events " +
+        "GROUP BY event_type"),
+      ("hl_est", "SELECT event_type, nnz, " +
+        s"CAST((CAST($am2 AS HUGEINT) * $pow64) // " +
+        s"(1000000 * (($m - nnz) * CAST($pow64 AS HUGEINT) + spow)) AS BIGINT) AS est_raw " +
+        "FROM hl_agg"))
+    single(ctes,
+      "SELECT e.event_type, x.n_exact, CAST(e.nnz AS BIGINT) AS nnz, e.est_raw, " +
+        "(abs(e.est_raw - x.n_exact) * 10000) // x.n_exact AS err_e4 " +
+        "FROM hl_est e JOIN hl_ex x USING (event_type)")
+  }
+
+  /** Full oracle for `ds_shuffle_order`: rank under the signed
+    * (xxhash64(doc_id), doc_id) order — one window here where the Spark
+    * side assembles the same rank from bucket offsets.
+    */
+  def shuffleOrder(): String = {
+    val (hS, hT) = longChain("so_d", Seq("doc_id"),
+      "xu_u64(CAST(doc_id AS HUGEINT))", "42::HUGEINT", "so_", "h")
+    val ctes = Seq(("so_d", "SELECT doc_id FROM documents")) ++ hS
+    single(ctes,
+      "SELECT doc_id, h, " +
+        s"CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos FROM $hT")
+  }
 }

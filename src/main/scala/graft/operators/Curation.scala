@@ -148,4 +148,47 @@ object Curation {
         floor(col("n_tokens") * lit(1000000.0) / col("__total"))
           .cast("long").as("share_e6"))
   }
+
+  /** Deterministic global training-shuffle order: every row gets a
+    * 0-based position `pos` equal to its rank under
+    * (xxhash64(id) ASC, id ASC) — the reproducible replacement for
+    * "shuffle the corpus before packing" (same corpus + same seed ⇒
+    * same epoch order on any cluster, any partitioning; a new epoch =
+    * a new id derivation, e.g. concat(id, ':', epoch) upstream).
+    *
+    * Scale shape: a single `row_number() OVER (ORDER BY h)` window is a
+    * ONE-PARTITION global sort — the classic 100 TB trap. Instead the
+    * hash's own uniformity provides a balanced pre-partition for free:
+    * the top `bucketBits` bits of h are monotone in h, so global rank =
+    * (exact count of rows in lower buckets) + (rank within my bucket).
+    * That is one 2^bucketBits-row count aggregate (collected — bounded
+    * by construction, NOT by data) plus a window partitioned 2^bucketBits
+    * ways, each partition ~N/2^bucketBits rows. No sampling-based range
+    * partitioner, so the order is a pure function of the data.
+    *
+    * @return input columns + `h` (the signed xxhash64) + `pos`.
+    */
+  def globalShuffleOrder(df: DataFrame, idCol: String,
+      bucketBits: Int = 6): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 16, "bucketBits in [1,16]")
+    val hashed = df.withColumn("h", xxhash64(col(idCol)))
+      // arithmetic shift keeps signed order: bucket ids run
+      // -(2^(b-1)) .. 2^(b-1)-1 monotonically in h
+      .withColumn("__bkt", shiftright(col("h"), 64 - bucketBits))
+    val counts = hashed.groupBy(col("__bkt")).count()
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = counts.scanLeft((Long.MinValue, 0L)) {
+      case ((_, acc), (b, c)) => (b, acc + c)
+    }
+    val offsetMap = counts.map(_._1).zip(offsets.map(_._2)).toMap
+    val offCol = counts.map(_._1).foldRight(lit(0L)) { (b, els) =>
+      when(col("__bkt") === lit(b), lit(offsetMap(b))).otherwise(els)
+    }
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("__bkt"))
+      .orderBy(col("h").asc, col(idCol).asc)
+    hashed
+      .withColumn("pos", row_number().over(w).cast("long") - 1L + offCol)
+      .drop("__bkt")
+  }
 }

@@ -259,4 +259,87 @@ object GraphAlgos {
     releaseLocalCheckpoint(edges)
     labels
   }
+
+  /** Community detection by SYNCHRONOUS weighted label propagation
+    * (Raghavan et al. 2007, "Near linear time algorithm to detect
+    * community structures in large-scale networks"), made fully
+    * deterministic: labels start as the node's own id, every iteration
+    * replaces each node's label with the label carrying the MAXIMUM
+    * incident edge weight among its neighbors' current labels — ties
+    * broken toward the LEXICOGRAPHICALLY LARGEST label (one struct-max,
+    * no random visit order, no random tie coin: the published
+    * algorithm's two nondeterminism sources are exactly what a
+    * reproducible pipeline and a cross-engine oracle cannot admit).
+    * Synchronous update (all nodes flip on the frozen previous round)
+    * rather than the paper's asynchronous sweep, for the same reason.
+    *
+    * Edges are treated as UNDIRECTED: each input row (src, dst, w)
+    * contributes w to both endpoints' views; parallel edges sum.
+    * Isolated semantics: a node with no neighbors keeps its own id as
+    * label (cannot happen on edge-derived node sets, kept total via
+    * the left join).
+    *
+    * Scale shape: state is ONE |V|-row (node, label) frame. Each
+    * iteration is label-onto-edges equi-join (keyed by the neighbor
+    * endpoint — broadcast when |V| small, AQE's call), a map-side-
+    * combined sum keyed by (node, label), a struct-max keyed by node,
+    * and a left join back onto the node set. The symmetrized weighted
+    * edge list is persisted once. Same lineage/checkpoint contract as
+    * [[pageRank]]: `checkpointEvery` = k > 0 bounds plan depth and
+    * releases support caches; 0 leaves them cached for inspection.
+    *
+    * Output: (node, label) strings. Fixed `iters` (no convergence test)
+    * so the result is a pure function of the input — unrollable by any
+    * SQL oracle.
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      wCol: String, iters: Int, checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
+
+    val e = edges.select(col(srcCol).cast("string").as("__src"),
+        col(dstCol).cast("string").as("__dst"),
+        col(wCol).cast("long").as("__w"))
+      .filter(col("__w") > 0L && col("__src") =!= col("__dst"))
+    // symmetrize + merge parallel edges once; every iteration re-reads
+    val und = e.select(explode(array(
+        struct(col("__src").as("a"), col("__dst").as("b"), col("__w").as("w")),
+        struct(col("__dst").as("a"), col("__src").as("b"), col("__w").as("w")))).as("e"))
+      .select(col("e.a"), col("e.b"), col("e.w"))
+      .groupBy(col("a"), col("b")).agg(sum(col("w")).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = und.select(col("a").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var labels = nodes.select(col("node"), col("node").as("label"))
+    var lastCp: Option[DataFrame] = None
+    for (i <- 1 to iters) {
+      // neighbor b's label flows to a with weight w(a,b)
+      val scores = und.join(labels, und("b") === labels("node"))
+        .groupBy(col("a"), col("label")).agg(sum(col("w")).as("__lw"))
+      val winners = scores
+        .groupBy(col("a"))
+        .agg(max(struct(col("__lw"), col("label"))).as("__win"))
+        .select(col("a").as("node"), col("__win.label").as("__new"))
+      // coalesce arm is provably dead on edge-derived node sets (every
+      // node has ≥ 1 neighbor) but keeps the operator total; falling
+      // back to the node's OWN id (= its initial label) instead of the
+      // previous round's label keeps `labels` single-consumption per
+      // iteration — linear lineage, not doubling
+      labels = nodes.join(winners, Seq("node"), "left")
+        .select(col("node"), coalesce(col("__new"), col("node")).as("label"))
+      if (checkpointEvery > 0 &&
+        (i % checkpointEvery == 0 || i == iters)) {
+        val cp = labels.localCheckpoint(true)
+        lastCp.foreach(releaseLocalCheckpoint)
+        lastCp = Some(cp)
+        labels = cp
+      }
+    }
+    if (checkpointEvery > 0) {
+      und.unpersist(false)
+      nodes.unpersist(false)
+    }
+    labels
+  }
 }

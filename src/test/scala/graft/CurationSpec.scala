@@ -319,4 +319,44 @@ class CurationSpec extends SparkTestBase {
     // p_t ≈ p_r modulo smoothing => ratio ≈ 1e4 (within smoothing slack)
     assert(avg.head > 8000L && avg.head < 12000L, s"got ${avg.head}")
   }
+
+  test("globalShuffleOrder: pos is exactly the rank under " +
+    "(xxhash64(id), id) — checked against a one-window formulation") {
+    val ids = spark.range(0, 1000).select(col("id").as("doc_id"))
+    val got = Curation.globalShuffleOrder(ids, "doc_id")
+      .select(col("doc_id"), col("pos"))
+      .as[(Long, Long)].collect().toMap
+    val want = ids.withColumn("h", xxhash64(col("doc_id")))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("h").asc, col("doc_id").asc)).cast("long") - 1L)
+      .select(col("doc_id"), col("pos"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == want)
+  }
+
+  test("globalShuffleOrder: pure function of the id set — bucket width " +
+    "and input partitioning change nothing; pos is a 0-based permutation") {
+    val ids = spark.range(0, 500).select(col("id").as("doc_id"))
+    val a = Curation.globalShuffleOrder(ids, "doc_id")
+      .select(col("doc_id"), col("pos")).as[(Long, Long)].collect().toMap
+    val b = Curation.globalShuffleOrder(ids.repartition(13), "doc_id",
+      bucketBits = 3)
+      .select(col("doc_id"), col("pos")).as[(Long, Long)].collect().toMap
+    assert(a == b)
+    assert(a.values.toSeq.sorted == (0L until 500L))
+  }
+
+  test("readability: hand-computed Flesch micro-grid values; total on " +
+    "empty/unpunctuated text") {
+    val df = Seq((1L, "Hello world. This is fun!"), (2L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.readability(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 1: 5 words, 2 sentences, vowel groups e|o|o|i|i|u = 6:
+    // 206835000 - (1015000*5) div 2 - (84600000*6) div 5 = 102777500
+    assert(got(1L) == ((5L, 2L, 6L, 102777500L)))
+    // doc 2: all counts floored at 1, zero vowels -> syllables = words
+    assert(got(2L) == ((1L, 1L, 1L, 206835000L - 1015000L - 84600000L)))
+  }
 }

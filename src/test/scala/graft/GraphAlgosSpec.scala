@@ -141,4 +141,43 @@ class GraphAlgosSpec extends SparkTestBase {
       .as[(Long, Long)].collect().toMap
     assert(lbl == Map(1L -> 1L, 5L -> 1L, 7L -> 1L, 10L -> 1L))
   }
+
+  private val bridgedTriangles = Seq(
+    ("a", "b", 10L), ("b", "c", 10L), ("a", "c", 10L),
+    ("d", "e", 10L), ("e", "f", 10L), ("d", "f", 10L),
+    ("c", "d", 1L))
+
+  test("labelPropagation: two heavy triangles across a weak bridge " +
+    "settle into two communities, deterministically") {
+    val got = GraphAlgos.labelPropagation(
+      bridgedTriangles.toDF("src", "dst", "w"), "src", "dst", "w", iters = 4)
+      .as[(String, String)].collect().toMap
+    // hand-rolled sync rounds (max weight, max-label ties): both
+    // triangles collapse onto their max-id member by round 3
+    assert(got == Map("a" -> "c", "b" -> "c", "c" -> "c",
+      "d" -> "f", "e" -> "f", "f" -> "f"))
+  }
+
+  test("labelPropagation: partitioning-independent, and checkpointEvery " +
+    "changes nothing but lineage") {
+    val base = bridgedTriangles.toDF("src", "dst", "w")
+    val a = GraphAlgos.labelPropagation(base, "src", "dst", "w", iters = 4)
+      .as[(String, String)].collect().toMap
+    val b = GraphAlgos.labelPropagation(base.repartition(7), "src", "dst",
+      "w", iters = 4, checkpointEvery = 2)
+      .as[(String, String)].collect().toMap
+    assert(a == b)
+  }
+
+  test("labelPropagation: self-loops and non-positive weights are " +
+    "dropped; parallel + reverse edges sum") {
+    // a<->b with two parallel halves (2+3) vs a-c with 4: b's label
+    // wins at a (5 > 4); ties elsewhere resolve to max label
+    val edges = Seq(("a", "b", 2L), ("b", "a", 3L), ("a", "c", 4L),
+      ("a", "a", 99L), ("b", "c", 0L), ("c", "b", -1L))
+      .toDF("src", "dst", "w")
+    val got = GraphAlgos.labelPropagation(edges, "src", "dst", "w", iters = 1)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "b", "b" -> "a", "c" -> "a"))
+  }
 }

@@ -535,4 +535,40 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("Window"), p)
     assert(p.contains("ObjectHashAggregate"), p) // TopKByScore partial+final
   }
+
+  test("readability: pure map-side projection — three regex counts fuse " +
+    "into the scan stage; no join, window, exchange, or sort") {
+    val p = planned("tx_readability")
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("Sort"), p)
+    val f = formatted("tx_readability")
+    val read = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("text") && !read.contains("lang"), read)
+  }
+
+  test("HLL registers: ONE aggregate pass (ObjectHashAggregate partial + " +
+    "final — m bytes per group cross the shuffle, never the id stream); " +
+    "no join, no window, no sort") {
+    val p = planned("ev_hll_users")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p) // partial+final
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("shuffle order: the global index never plans a one-partition " +
+    "sort — the window partitions by hash bucket (hash-partitioned " +
+    "exchange), and offsets fold in as a literal CASE") {
+    val p = planned("ds_shuffle_order")
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(!p.contains("rangepartitioning"), p.linesIterator
+      .filter(_.contains("rangepartitioning")).mkString("\n"))
+    assert(p.contains("hashpartitioning"), p)
+    val f = formatted("ds_shuffle_order")
+    val read = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("doc_id") && !read.contains("text"), read)
+  }
 }
