@@ -1373,6 +1373,29 @@ object SparkEntry {
         .withColumn("err_e4",
           expr("(abs(est_raw - n_exact) * 10000) div n_exact"))),
 
+    // ---- sketch RE-MERGE — the property that makes HLL a warehouse
+    //      object: the per-type sketches above are merged by register
+    //      max (HllMergeRegisters over their materialized register
+    //      arrays, exactly as day-partitioned sketches would re-merge
+    //      months later) and must equal the one global sketch — which
+    //      is what the oracle computes directly. Both frames are one
+    //      row; the crossJoin is 1×1 ----
+    "ev_hll_union" -> ((s, dir) => {
+      val perType = Tables.events(s, dir)
+        .select(col("event_type"), xxhash64(col("event_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(HllRegisters.hllRegisters(col("h"), 9).as("sk"))
+      val merged = perType
+        .agg(HllRegisters.hllMergeRegisters(col("sk.registers"), 9).as("mk"))
+        .select(col("mk.nnz").cast("long").as("nnz"),
+          col("mk.est_raw").as("est_raw"))
+      val exact = Tables.events(s, dir)
+        .agg(countDistinct(col("event_id")).as("n_exact"))
+      merged.crossJoin(exact)
+        .withColumn("err_e4",
+          expr("(abs(est_raw - n_exact) * 10000) div n_exact"))
+    }),
+
     // ---- top event paths: most frequent consecutive length-3
     //      event-type sequences with distinct-user reach — one user-key
     //      exchange, |types|³-bounded aggregate, bounded top-k ----
@@ -2702,6 +2725,8 @@ object SparkEntry {
     "ev_hll_users" -> XxOracleSql.hllUsers(9),
 
     "ev_hll_estimate" -> XxOracleSql.hllEstimate(9),
+
+    "ev_hll_union" -> XxOracleSql.hllUnion(9),
 
     "ds_shuffle_order" -> XxOracleSql.shuffleOrder(),
 

@@ -418,26 +418,29 @@ object XxOracleSql {
     * [[graft.functions.HllRegisters]]'s bit slicing. `bin()` gives the
     * bitlength without a float log (w < 2^55 at p=9, BIGINT-safe).
     */
-  private def hllRegCtes(p: Int, idCol: String): Seq[(String, String)] = {
+  private def hllRegCtes(p: Int, idCol: String,
+      grp: Seq[String]): Seq[(String, String)] = {
     val pow = java.math.BigInteger.ONE.shiftLeft(64 - p).toString
     val rmax = 64 - p + 1
-    val (hS, hT) = longChain("hl_du", Seq("event_type", idCol),
+    val g = grp.map(_ + ", ").mkString
+    val gb = (grp :+ "bucket").mkString(", ")
+    val (hS, hT) = longChain("hl_du", grp :+ idCol,
       s"xu_u64(CAST($idCol AS HUGEINT))", "42::HUGEINT", "hl_h_", "h")
     Seq(
-      ("hl_du", s"SELECT DISTINCT event_type, $idCol FROM events")
+      ("hl_du", s"SELECT DISTINCT $g$idCol FROM events")
     ) ++ hS ++ Seq(
-      ("hl_r", "SELECT event_type, " +
+      ("hl_r", s"SELECT $g" +
         s"CAST(xu_u64(CAST(h AS HUGEINT)) // $pow AS INTEGER) AS bucket, " +
         s"xu_u64(CAST(h AS HUGEINT)) % $pow AS w FROM $hT"),
-      ("hl_reg", "SELECT event_type, bucket, " +
+      ("hl_reg", s"SELECT $g bucket, " +
         s"CAST(max(CASE WHEN w = 0 THEN $rmax " +
         s"ELSE $rmax - length(bin(CAST(w AS BIGINT))) END) AS INTEGER) AS register " +
-        "FROM hl_r GROUP BY event_type, bucket"))
+        s"FROM hl_r GROUP BY $gb"))
   }
 
   /** Full oracle for `ev_hll_users`: the nonzero HLL registers. */
   def hllUsers(p: Int): String =
-    single(hllRegCtes(p, "user_id"),
+    single(hllRegCtes(p, "user_id", Seq("event_type")),
       "SELECT event_type, bucket, register FROM hl_reg")
 
   /** Full oracle for `ev_hll_estimate`: the raw integer-grid HLL
@@ -451,7 +454,7 @@ object XxOracleSql {
     val m = 1 << p
     val pow64 = java.math.BigInteger.ONE.shiftLeft(64).toString
     val am2 = (BigInt(graft.functions.HllRegisters.alphaMicro(m)) * m * m).toString
-    val ctes = hllRegCtes(p, "event_id") ++ Seq(
+    val ctes = hllRegCtes(p, "event_id", Seq("event_type")) ++ Seq(
       ("hl_agg", "SELECT event_type, count(*) AS nnz, " +
         s"sum(CAST($pow64 AS HUGEINT) // (CAST(1 AS BIGINT) << register)) AS spow " +
         "FROM hl_reg GROUP BY event_type"),
@@ -465,6 +468,31 @@ object XxOracleSql {
       "SELECT e.event_type, x.n_exact, CAST(e.nnz AS BIGINT) AS nnz, e.est_raw, " +
         "(abs(e.est_raw - x.n_exact) * 10000) // x.n_exact AS err_e4 " +
         "FROM hl_est e JOIN hl_ex x USING (event_type)")
+  }
+
+  /** Full oracle for `ev_hll_union`: the Spark side MERGES the per-type
+    * persisted sketches (register max); because max is associative, the
+    * merged registers equal the one global sketch over all user ids —
+    * which is what this oracle computes directly. A mismatch would mean
+    * the merge aggregate broke associativity.
+    */
+  def hllUnion(p: Int): String = {
+    val m = 1 << p
+    val pow64 = java.math.BigInteger.ONE.shiftLeft(64).toString
+    val am2 = (BigInt(graft.functions.HllRegisters.alphaMicro(m)) * m * m).toString
+    val ctes = hllRegCtes(p, "event_id", Nil) ++ Seq(
+      ("hl_agg", "SELECT count(*) AS nnz, " +
+        s"sum(CAST($pow64 AS HUGEINT) // (CAST(1 AS BIGINT) << register)) AS spow " +
+        "FROM hl_reg"),
+      ("hl_ex", "SELECT count(DISTINCT event_id) AS n_exact FROM events"),
+      ("hl_est", "SELECT nnz, " +
+        s"CAST((CAST($am2 AS HUGEINT) * $pow64) // " +
+        s"(1000000 * (($m - nnz) * CAST($pow64 AS HUGEINT) + spow)) AS BIGINT) AS est_raw " +
+        "FROM hl_agg"))
+    single(ctes,
+      "SELECT x.n_exact, CAST(e.nnz AS BIGINT) AS nnz, e.est_raw, " +
+        "(abs(e.est_raw - x.n_exact) * 10000) // x.n_exact AS err_e4 " +
+        "FROM hl_est e CROSS JOIN hl_ex x")
   }
 
   /** Full oracle for `ds_shuffle_order`: rank under the signed

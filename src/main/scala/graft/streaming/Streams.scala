@@ -434,6 +434,38 @@ object Streams {
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("n_transitions"))
 
+  /** Streaming distinct-count: the HyperLogLog sketch as keyed state —
+    * the streaming dual of the `ev_hll_users` batch aggregate, sharing
+    * [[graft.functions.HllRegisters.observe]]/`stats` verbatim so batch
+    * and stream CANNOT disagree on a register. Input is (key,
+    * pre-hashed 64-bit id) — pair with `xxhash64(...)` upstream like the
+    * batch side; each trigger folds the new hashes into the key's 2^p
+    * byte registers and re-emits (key, nnz, est_raw).
+    *
+    * State per key is exactly 2^p bytes FOREVER, regardless of stream
+    * length or id cardinality — the property that makes per-key distinct
+    * counting viable on an unbounded stream at all (exact distinct
+    * state grows with cardinality; watermarking can't bound it without
+    * changing the answer). No timeout: a cardinality sketch is
+    * all-time by definition; scope keys (e.g. `type:2026-08-15`) when
+    * a bounded horizon is wanted, and re-merge scoped sketches with
+    * [[graft.functions.HllRegisters.hllMergeRegisters]].
+    */
+  def hllDistinctState(hashes: Dataset[(String, Long)], p: Int = 9)(
+      implicit ek: Encoder[String], eb: Encoder[Array[Byte]],
+      eo: Encoder[(String, Int, Long)]): Dataset[(String, Int, Long)] =
+    hashes.groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (String, Int, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+            state: GroupState[Array[Byte]]) =>
+          val buf = state.getOption.getOrElse(new Array[Byte](1 << p))
+          rows.foreach(r => graft.functions.HllRegisters.observe(buf, r._2, p))
+          state.update(buf)
+          val (nnz, est) = graft.functions.HllRegisters.stats(buf, p)
+          (key, nnz, est)
+      }
+
   /** Run a streaming DataFrame to a date-partitioned parquet sink with
     * Trigger.AvailableNow — one checkpointed batch over whatever input
     * exists, then stop. This is the reference's daily job as a stream:

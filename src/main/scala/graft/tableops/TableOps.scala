@@ -123,10 +123,22 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
   // and appends normally.
   def loadToTmp(glob: String, schema: Option[org.apache.spark.sql.types.StructType] = None): OpStats = {
     val CR = "_corrupt_record"
+    // Idempotence epoch: the load txn is keyed to the DRAIN epoch (the
+    // marker deleteTmp advances in the same commit that empties this
+    // job's tmp partition), NOT to the current version. The version
+    // moves with the load commit itself, so two at-least-once deliveries
+    // of the same load (crash retry; a takeover that re-runs the action
+    // after the first commit but before the tracker state advanced)
+    // would compute DIFFERENT version-based batch ids and both append —
+    // exact-duplicate rows that the tie-preserving dedup keeps BY DESIGN
+    // and the copy then publishes. The drain epoch is identical for
+    // every delivery of one processing and moves only when the pipeline
+    // drains, which is also exactly when a reprocessing becomes
+    // legitimate again.
     val txEntry: Option[(TxWarehouse, Long)] = wh match {
       case tx: TxWarehouse =>
         Some((tx, if (tx.exists(spark, tmpPath))
-          tx.currentVersion(spark, tmpPath) else 0L))
+          tx.lastTxn(spark, tmpPath, s"drain-${job.key}") + 1L else 0L))
       case _ => None
     }
     def reader = spark.read
@@ -449,7 +461,14 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     */
   def deleteTmp(): Unit =
     wh.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
-      wh.deletePartition(spark, tmpPath, job.date)
+      wh match {
+        // advance the load-idempotence drain epoch atomically with the
+        // partition delete — see loadToTmp's txEntry comment
+        case tx: TxWarehouse =>
+          tx.deletePartitionMarking(spark, tmpPath, job.date,
+            s"drain-${job.key}")
+        case _ => wh.deletePartition(spark, tmpPath, job.date)
+      }
     }
 
   /** S4/J1: annotation LEFT JOIN materialization into the join dataset,

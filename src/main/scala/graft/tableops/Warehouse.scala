@@ -1566,6 +1566,42 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
         (Nil, live.collect { case (rel, d) if d == date.toString => rel }.toSeq)
       }
 
+  /** [[deletePartition]] that ALSO advances a txn epoch marker in the
+    * SAME commit: `T <appId> <thisVersion>`. This is the drain half of
+    * the load-idempotence contract (see [[graft.tableops.TableOps]]
+    * loadToTmp/deleteTmp): a load keyed to the drain epoch is a no-op
+    * when re-run by a crash retry or a takeover — the epoch only moves
+    * when the partition is drained, so a legitimate REPROCESSING (which
+    * always begins after the previous processing's drain) loads again
+    * while an at-least-once re-delivery of the same processing does
+    * not. The marker is written even when the partition is already
+    * empty: "this processing's drain happened" is the fact being
+    * recorded, not "files were removed" — a re-parse of a day that
+    * previously produced zero rows must still get a fresh epoch.
+    * Marker values are commit versions, so they are monotone under
+    * [[parseInto]]'s max.
+    */
+  def deletePartitionMarking(spark: SparkSession, path: String,
+      date: LocalDate, appId: String): Unit = {
+    require(!appId.exists(_.isWhitespace), "appId must not contain whitespace")
+    if (!exists(spark, path)) return
+    val f = fs(spark, path)
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val (v, st) = replay(spark, path)
+      val removes = st.live.collect {
+        case (rel, d) if d == date.toString => rel
+      }.toSeq.sorted
+      val lines = removes.map(r => s"R $r") :+ s"T $appId ${v + 1}"
+      if (tryCommit(f, path, v + 1, lines)) {
+        maybeCheckpoint(spark, path, v + 1); return
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"commit contention: $MaxCommitAttempts failed attempts on $path")
+  }
+
   /** The self-replace needs no staging swap here: the plan's reads are
     * pinned to the manifest version its construction saw, the new files
     * land in a fresh uuid dir, and publish is one metadata commit. A

@@ -50,4 +50,17 @@ class HllSketchSpec extends SparkTestBase {
     assert(HllRegisters.alphaMicro(512) == 719783L)
     assert(HllRegisters.alphaMicro(4096) == 721110L)
   }
+
+  test("re-merging persisted per-group sketches equals the one global " +
+    "sketch (register max is associative across any grouping)") {
+    val rows = (1L to 3000L).map(i => (s"g${i % 7}", i * 40503L))
+    val df = rows.toDF("g", "h")
+    val global = df.agg(hllRegisters(col("h"), 9).as("sk")).select(col("sk"))
+      .collect()(0)
+    val merged = df.groupBy(col("g"))
+      .agg(hllRegisters(col("h"), 9).as("sk"))
+      .agg(HllRegisters.hllMergeRegisters(col("sk.registers"), 9).as("sk"))
+      .select(col("sk")).collect()(0)
+    assert(merged == global)
+  }
 }

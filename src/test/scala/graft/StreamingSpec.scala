@@ -650,4 +650,48 @@ class StreamingSpec extends SparkTestBase {
     assert(streamRanks == batchRanks)
     assert(streamRanks.nonEmpty)
   }
+
+  test("streaming HLL distinct: after all triggers, every key's " +
+    "(nnz, est) equals the batch sketch over the same ids — and the " +
+    "last trigger's state saw every prefix (register monotonicity)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, xxhash64}
+
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.Streams.hllDistinctState(
+        mem.toDS().select(col("_1"),
+          xxhash64(col("_2")).as("h")).as[(String, Long)], p = 9)
+      .toDF("key", "nnz", "est_raw")
+      .writeStream.format("memory").queryName("hll_stream")
+      .outputMode(OutputMode.Update).start()
+
+    // three triggers, overlapping ids within and across keys
+    mem.addData(("a", 1L), ("a", 2L), ("b", 1L))
+    q.processAllAvailable()
+    mem.addData(("a", 2L), ("a", 3L), ("b", 100L), ("b", 1L))
+    q.processAllAvailable()
+    mem.addData((1L to 4000L).map(i => ("a", i)): _*)
+    q.processAllAvailable()
+
+    // Update mode re-emits per trigger; registers only grow, so nnz and
+    // est are monotone per key and the final state is the per-key max —
+    // no reliance on sink row order
+    val streamed = spark.table("hll_stream").as[(String, Int, Long)]
+      .collect()
+      .groupBy(_._1).map { case (k, rows) =>
+        k -> rows.maxBy(r => (r._2, r._3))
+      }
+    val batch = Seq(("a", (1L to 4000L) ++ Seq(2L, 3L)), ("b", Seq(1L, 100L, 1L)))
+      .flatMap { case (k, ids) => ids.map(k -> _) }
+      .toDF("key", "id")
+      .select(col("key"), xxhash64(col("id")).as("h"))
+      .groupBy(col("key"))
+      .agg(graft.functions.HllRegisters.hllRegisters(col("h"), 9).as("sk"))
+      .select(col("key"), col("sk.nnz"), col("sk.est_raw"))
+      .as[(String, Int, Long)].collect().map(r => r._1 -> r).toMap
+    assert(streamed("a") == batch("a"))
+    assert(streamed("b") == batch("b"))
+    q.stop()
+  }
 }

@@ -218,7 +218,9 @@ class TableOpsSpec extends SparkTestBase {
       assert(wh.read(spark, wh.tablePath("tmp_exp", "ndt7")).count() == 3)
     }
 
-    test(s"[$backend] load appends; re-load then dedup converges (idempotent redo)") {
+    test(s"[$backend] crash-retry re-load: tx fences it to the drain " +
+      "epoch (no duplicate rows); plain path appends (documented " +
+      "limitation); reprocessing after the drain loads again") {
       val root = Files.createTempDirectory("graft-wh2").toString
       val src = Files.createTempDirectory("graft-src2")
       val wh = mkWh(root)
@@ -228,14 +230,37 @@ class TableOpsSpec extends SparkTestBase {
       val job = mkJob(root, "ndt7", "2024-02-01")
       val ops = new TableOps(spark, job, wh)
       ops.loadToTmp(s"$src/m.json")
-      ops.loadToTmp(s"$src/m.json") // crash-retry double append
+      // crash-retry / takeover re-delivery of the SAME processing's load:
+      // on tx the load txn is keyed to the drain epoch, so the re-run is
+      // a no-op — an exact-duplicate append would TIE on parser.Time and
+      // the tie-preserving dedup would keep both copies into raw (the
+      // multi-driver race's lost-lease shape). Plain path has no txn
+      // markers: the duplicate lands and dedup keeps ties by design.
+      ops.loadToTmp(s"$src/m.json")
+      val expected = if (backend == "tx") 1L else 2L
       val tmp = wh.read(spark, wh.tablePath("tmp_exp", "ndt7"))
-      assert(tmp.count() == 2)
+      assert(tmp.count() == expected)
       ops.dedup() // exact duplicate rows tie on Time => keep-set keeps both
-      assert(wh.read(spark, wh.tablePath("tmp_exp", "ndt7")).count() == 2)
+      assert(wh.read(spark, wh.tablePath("tmp_exp", "ndt7")).count() == expected)
       ops.copyToRaw()
       ops.copyToRaw() // partition truncate: no double counting
-      assert(ops.rawPartitionCount() == 2)
+      assert(ops.rawPartitionCount() == expected)
+
+      // REPROCESSING: the drain (deleteTmp) advances the epoch in the
+      // same commit that empties the partition — a new end-to-end run of
+      // the same job must load again, exactly once
+      ops.deleteTmp()
+      // the tx manifest keeps the schema, so a fully-drained table is
+      // readable as empty; plain parquet with zero files cannot infer
+      if (backend == "tx")
+        assert(wh.read(spark, wh.tablePath("tmp_exp", "ndt7")).count() == 0)
+      ops.loadToTmp(s"$src/m.json")
+      assert(wh.read(spark, wh.tablePath("tmp_exp", "ndt7")).count() == 1)
+      if (backend == "tx") {
+        // and the reprocessing's own retry is fenced again
+        ops.loadToTmp(s"$src/m.json")
+        assert(wh.read(spark, wh.tablePath("tmp_exp", "ndt7")).count() == 1)
+      }
     }
 
     test(s"[$backend] opt-in content tier drops near-dup texts, keeping the min-id representative") {
