@@ -1326,6 +1326,30 @@ object SparkEntry {
         "src", "dst", "n_transitions", iters = 3)
         .select(col("node").as("event_type"), col("rank").as("rank_e12"))),
 
+    // ---- PERSONALIZED PageRank: teleport + initial mass concentrated
+    //      on the 'purchase' node — ranks become integer-exact
+    //      proximity-to-purchase scores over the journey graph (the
+    //      "which behaviors funnel into conversion" weighting). Same
+    //      fixed-point grid and iteration shape as ev_pagerank ----
+    "ev_ppr_purchase" -> ((s, dir) =>
+      GraphAlgos.pageRank(
+        EventAnalytics.transitionCounts(Tables.events(s, dir), "user_id",
+          "ts", "event_type", "event_id"),
+        "src", "dst", "n_transitions", iters = 3,
+        seedNode = Some("purchase"))
+        .select(col("node").as("event_type"), col("rank").as("ppr_e12"))),
+
+    // ---- exact triangle counts by degree-ordered orientation (Suri &
+    //      Vassilvitskii 2011): wedges generated at the low-degree
+    //      endpoint so no hub node fans out quadratically — the
+    //      clustering-coefficient numerator per event type ----
+    "ev_triangles" -> ((s, dir) =>
+      GraphAlgos.triangleCounts(
+        EventAnalytics.transitionCounts(Tables.events(s, dir), "user_id",
+          "ts", "event_type", "event_id"),
+        "src", "dst")
+        .select(col("node").as("event_type"), col("n_triangles"))),
+
     // ---- community detection over the same Markov edges: 4 rounds of
     //      deterministic synchronous weighted label propagation (struct-
     //      max tie-break, no random sweep order) — the cheap "which
@@ -1954,6 +1978,14 @@ object SparkEntry {
     "ds_dsir_weights" -> ((s, dir) =>
       Curation.dsirWeights(Tables.documents(s, dir), "doc_id", "text",
         col("lang") === "en")),
+
+    // ---- integer water-filling mixture balance: one common cap per
+    //      source chosen so Σ min(n_i, cap) fits the budget — caps the
+    //      dominant sources at an equal share, small sources keep
+    //      everything; all arithmetic on k stratum rows ----
+    "ds_waterfill_quota" -> ((s, dir) =>
+      Curation.waterFillAllocation(Tables.documents(s, dir), "source",
+        budget = 120L)),
 
     // ---- deterministic global training-shuffle order: rank under
     //      (xxhash64(doc_id), doc_id) with the global index assembled
@@ -2721,6 +2753,89 @@ object SparkEntry {
         |SELECT node AS event_type, r AS rank_e12 FROM r3""".stripMargin,
 
     "ev_label_propagation" -> labelPropagationSql(4),
+
+    "ev_ppr_purchase" ->
+      """WITH o AS (SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+        |  FROM events),
+        |e AS (SELECT src, dst, count(*) AS w FROM o
+        |      WHERE dst IS NOT NULL GROUP BY src, dst),
+        |nodes AS (SELECT DISTINCT src AS node FROM e
+        |          UNION SELECT DISTINCT dst FROM e),
+        |ow AS (SELECT src, sum(w) AS outw FROM e GROUP BY src),
+        |r0 AS (SELECT node, CASE WHEN node = 'purchase'
+        |         THEN 1000000000000 ELSE 0 END AS r FROM nodes),
+        |c1 AS (SELECT e.dst AS node, CAST(sum((r.r * e.w) // ow.outw) AS BIGINT) AS s
+        |       FROM e JOIN r0 r ON r.node = e.src
+        |       JOIN ow ON ow.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node,
+        |         CASE WHEN nodes.node = 'purchase'
+        |           THEN (15 * 1000000000000) // 100 ELSE 0 END
+        |           + (85 * coalesce(c1.s, 0)) // 100 AS r
+        |       FROM nodes LEFT JOIN c1 ON c1.node = nodes.node),
+        |c2 AS (SELECT e.dst AS node, CAST(sum((r.r * e.w) // ow.outw) AS BIGINT) AS s
+        |       FROM e JOIN r1 r ON r.node = e.src
+        |       JOIN ow ON ow.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node,
+        |         CASE WHEN nodes.node = 'purchase'
+        |           THEN (15 * 1000000000000) // 100 ELSE 0 END
+        |           + (85 * coalesce(c2.s, 0)) // 100 AS r
+        |       FROM nodes LEFT JOIN c2 ON c2.node = nodes.node),
+        |c3 AS (SELECT e.dst AS node, CAST(sum((r.r * e.w) // ow.outw) AS BIGINT) AS s
+        |       FROM e JOIN r2 r ON r.node = e.src
+        |       JOIN ow ON ow.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node,
+        |         CASE WHEN nodes.node = 'purchase'
+        |           THEN (15 * 1000000000000) // 100 ELSE 0 END
+        |           + (85 * coalesce(c3.s, 0)) // 100 AS r
+        |       FROM nodes LEFT JOIN c3 ON c3.node = nodes.node)
+        |SELECT node AS event_type, CAST(r AS BIGINT) AS ppr_e12 FROM r3""".stripMargin,
+
+    "ev_triangles" ->
+      """WITH o AS (SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+        |  FROM events),
+        |e0 AS (SELECT src AS a, dst AS b FROM o
+        |       WHERE dst IS NOT NULL AND src <> dst),
+        |und AS (SELECT DISTINCT u, v FROM (
+        |    SELECT a AS u, b AS v FROM e0
+        |    UNION ALL SELECT b AS u, a AS v FROM e0)),
+        |deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+        |orient AS (SELECT und.u AS lo, und.v AS hi FROM und
+        |  JOIN deg du ON du.u = und.u JOIN deg dv ON dv.u = und.v
+        |  WHERE (du.d, und.u) < (dv.d, und.v)),
+        |wed AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        |        FROM orient e1 JOIN orient e2
+        |        ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |closing AS (SELECT lo AS y, hi AS z FROM orient
+        |            UNION ALL SELECT hi, lo FROM orient),
+        |tri AS (SELECT x, y, z FROM wed JOIN closing USING (y, z)),
+        |pern AS (SELECT node, count(*) AS nt FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) GROUP BY node)
+        |SELECT deg.u AS event_type,
+        |       CAST(coalesce(pern.nt, 0) AS BIGINT) AS n_triangles
+        |FROM deg LEFT JOIN pern ON pern.node = deg.u""".stripMargin,
+
+    "ds_waterfill_quota" ->
+      """WITH c AS (SELECT source, count(*) AS n_items FROM documents
+        |           GROUP BY source),
+        |r AS (SELECT *,
+        |        row_number() OVER (ORDER BY n_items, source) AS i,
+        |        sum(n_items) OVER (ORDER BY n_items, source) AS p,
+        |        count(*) OVER () AS k FROM c),
+        |capped AS (SELECT (120 - (p - n_items)) // (k - i + 1) AS capv
+        |           FROM r WHERE (p - n_items) + (k - i + 1) * n_items > 120
+        |           ORDER BY i LIMIT 1),
+        |yfull AS (SELECT max(n_items) AS capfull FROM c),
+        |cap AS (SELECT coalesce((SELECT capv FROM capped),
+        |                        (SELECT capfull FROM yfull)) AS cap)
+        |SELECT c.source, c.n_items, CAST(cap.cap AS BIGINT) AS cap,
+        |       CAST(least(c.n_items, cap.cap) AS BIGINT) AS alloc
+        |FROM c, cap""".stripMargin,
 
     "ev_hll_users" -> XxOracleSql.hllUsers(9),
 

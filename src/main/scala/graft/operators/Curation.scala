@@ -168,6 +168,62 @@ object Curation {
     *
     * @return input columns + `h` (the signed xxhash64) + `pos`.
     */
+  /** Integer water-filling allocation: give every stratum (source,
+    * domain, language) up to a common cap `c`, chosen so the total
+    * `Σ min(n_i, c)` fits `budget` — the proportional-fair mixture
+    * balancer ("cap the dominant sources at an equal share, let small
+    * sources keep everything") that sits between quota curation and
+    * temperature sampling: unlike a fixed per-stratum quota it spends
+    * the whole budget, unlike temperature sampling it is exactly
+    * budget-bounded.
+    *
+    * Exact integer construction (no floats, bit-identical in any
+    * engine): sort strata ascending by (n, stratum); with prefix sums
+    * P_i over the first i strata and k strata total, the cap row is the
+    * FIRST i where filling everyone else to n_i overshoots
+    * (P_{i-1} + (k-i+1)·n_i > budget), and
+    * `cap = (budget − P_{i-1}) div (k−i+1)`; if no row overshoots the
+    * budget covers everything and cap = max n. Allocation is
+    * min(n, cap); the truncating division leaves ≤ k−1 budget units
+    * unspent (documented, not redistributed — determinism over the last
+    * crumbs).
+    *
+    * Scale shape: one count aggregate to strata grain, then ALL work is
+    * on k rows — the unpartitioned window is over the stratum table,
+    * never the corpus (the [[graft.operators.TextAnalysis
+    * .percentileRankByValue]] bounded-domain precedent).
+    *
+    * @return (strataCol, n_items, cap, alloc) — one row per stratum.
+    */
+  def waterFillAllocation(df: DataFrame, strataCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("n_items"))
+    val w = Window.orderBy(col("n_items"), col(strataCol))
+    val ranked = counts
+      .withColumn("__i", row_number().over(w).cast("long"))
+      .withColumn("__p", sum(col("n_items")).over(w))
+      .withColumn("__k", count(lit(1)).over(
+        Window.partitionBy(lit(1))))
+    val capRow = ranked
+      .filter(col("__p") - col("n_items") +
+        (col("__k") - col("__i") + 1L) * col("n_items") > budget)
+      .orderBy(col("__i"))
+      .limit(1)
+      .select(expr(s"($budget - (__p - n_items)) div (__k - __i + 1)")
+        .as("cap"))
+    val fullCap = counts.agg(max(col("n_items")).as("__capfull"))
+    // both frames are ≤1 row; the overshoot cap wins when it exists,
+    // else the budget covers everything and the cap is the max stratum
+    val cap = fullCap
+      .join(capRow.withColumnRenamed("cap", "__capped"), lit(true), "left")
+      .select(coalesce(col("__capped"), col("__capfull")).as("cap"))
+    counts.crossJoin(broadcast(cap))
+      .select(col(strataCol), col("n_items"), col("cap"),
+        least(col("n_items"), col("cap")).as("alloc"))
+  }
+
   def globalShuffleOrder(df: DataFrame, idCol: String,
       bucketBits: Int = 6): DataFrame = {
     require(bucketBits >= 1 && bucketBits <= 16, "bucketBits in [1,16]")

@@ -89,7 +89,8 @@ object GraphAlgos {
     */
   def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
       wCol: String, iters: Int, scale: Long = 1000000000000L,
-      dampE2: Int = 85, checkpointEvery: Int = 0): DataFrame = {
+      dampE2: Int = 85, checkpointEvery: Int = 0,
+      seedNode: Option[String] = None): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(dampE2 >= 0 && dampE2 <= 100, "dampE2 is a percentage")
     require(scale > 0, "scale must be positive")
@@ -106,6 +107,15 @@ object GraphAlgos {
     // One scalar per run — the teleport denominator, not a row collect.
     val n = nodes.count()
     require(n > 0, "graph has no edges with positive weight")
+    // PERSONALIZED variant (Page et al. §6 / Haveliwala 2002): with a
+    // seed, both the initial mass and the teleport term concentrate on
+    // the seed node — ranks become proximity-to-seed scores, the
+    // "journeys reachable from purchase" weighting. Same integer grid,
+    // same iteration shape; only the two distribution vectors change.
+    seedNode.foreach { s =>
+      require(nodes.filter(col("node") === s).count() == 1L,
+        s"seed node '$s' is not in the graph")
+    }
     val base = scale / n
     val teleport = ((100L - dampE2) * base) / 100L
 
@@ -116,7 +126,17 @@ object GraphAlgos {
     def releaseCheckpoint(df: DataFrame): Unit =
       GraphAlgos.releaseLocalCheckpoint(df)
 
-    var ranks = nodes.select(col("node"), lit(base).as("rank"))
+    def baseCol = seedNode match {
+      case Some(s) => when(col("node") === s, lit(scale)).otherwise(lit(0L))
+      case None => lit(base)
+    }
+    def teleportCol = seedNode match {
+      case Some(s) =>
+        when(col("node") === s,
+          lit(((100L - dampE2) * scale) / 100L)).otherwise(lit(0L))
+      case None => lit(teleport)
+    }
+    var ranks = nodes.select(col("node"), baseCol.as("rank"))
     var lastCp: Option[DataFrame] = None
     for (i <- 1 to iters) {
       val contrib = ranks
@@ -126,7 +146,7 @@ object GraphAlgos {
         .groupBy(col("node")).agg(sum(col("__c")).as("__s"))
       ranks = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
-          (lit(teleport) +
+          (teleportCol +
             expr(s"($dampE2 * coalesce(__s, 0L)) div 100")).as("rank"))
       if (checkpointEvery > 0 &&
         (i % checkpointEvery == 0 || i == iters)) {
@@ -341,5 +361,84 @@ object GraphAlgos {
       nodes.unpersist(false)
     }
     labels
+  }
+
+  /** Exact per-node triangle counts by degree-ordered orientation
+    * (the MapReduce-classic of Suri & Vassilvitskii 2011, "Counting
+    * Triangles and the Curse of the Last Reducer"): orient every
+    * undirected edge from its (degree, label)-SMALLER endpoint to the
+    * larger, making the graph a DAG in which each triangle {a,b,c}
+    * (ordered a<b<c) appears as exactly the wedge a→b, a→c plus the
+    * closing edge b→c — counted ONCE, with the wedge fan-out generated
+    * at the LOW-degree endpoint. That orientation is the whole
+    * scale story: a naive wedge join fans out quadratically at hub
+    * nodes (the "last reducer" holding a celebrity's neighbor list);
+    * degree-ordering bounds per-node out-degree by O(√|E|), so the
+    * wedge set — the only intermediate — is O(|E|^{3/2}) worst case
+    * and tiny in practice.
+    *
+    * Plan shape: one degree aggregate joined back (symmetrized edges,
+    * map-side combined), one self-join of the oriented edge list on the
+    * wedge apex, one semi-ish equi-join against the oriented edges to
+    * close, then an explode of each triangle to its three corners and a
+    * count keyed by node. Edge weights are ignored (a triangle is
+    * topology); self-loops and parallel/reverse duplicates collapse in
+    * the symmetrize-distinct.
+    *
+    * Output: (node, n_triangles) for EVERY node of the graph, zeros
+    * included (the left join back onto the node set).
+    *
+    * @param materialize true (default) eagerly local-checkpoints the
+    *        result and releases the two support caches — the
+    *        [[pageRank]] checkpointEvery contract; false returns the
+    *        LAZY plan with the caches left cached (plan inspection,
+    *        composition into a larger uncomputed query) — the caller
+    *        owns `spark.catalog.clearCache()`.
+    */
+  def triangleCounts(edges: DataFrame, srcCol: String,
+      dstCol: String, materialize: Boolean = true): DataFrame = {
+    val e = edges.select(col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
+    val nodes = deg.select(col("u").as("node"))
+    // orient u→v iff (deg(u), u) < (deg(v), v): struct comparison IS
+    // the lexicographic order, shared verbatim with the SQL oracle
+    val oriented = und
+      .join(deg.select(col("u"), col("d").as("du")), "u")
+      .join(deg.select(col("u").as("v"), col("d").as("dv")), "v")
+      .filter(struct(col("du"), col("u")) < struct(col("dv"), col("v")))
+      .select(col("u").as("lo"), col("v").as("hi"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"), col("e1.lo") === col("e2.lo"))
+      .filter(col("e1.hi") < col("e2.hi"))
+      .select(col("e1.lo").as("x"), col("e1.hi").as("y"),
+        col("e2.hi").as("z"))
+    // close the wedge: the (y,z) edge exists in SOME orientation — both
+    // y→z and z→y are possible since (deg,label) order need not align
+    // with the label order used to dedupe the wedge pair
+    val closing = oriented.select(col("lo").as("y"), col("hi").as("z"))
+      .union(oriented.select(col("hi").as("y"), col("lo").as("z")))
+    val triangles = wedges.join(closing, Seq("y", "z"))
+    val perNode = triangles
+      .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+    val lazyOut = nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    if (!materialize) lazyOut
+    else {
+      val out = lazyOut.localCheckpoint(true)
+      und.unpersist(false)
+      oriented.unpersist(false)
+      out
+    }
   }
 }

@@ -320,6 +320,29 @@ class CurationSpec extends SparkTestBase {
     assert(avg.head > 8000L && avg.head < 12000L, s"got ${avg.head}")
   }
 
+  test("waterFillAllocation: hand-computed cap, full-coverage branch, " +
+    "and the <= k-1 unspent remainder bound") {
+    // strata sizes 2, 5, 9, 30; budget 20:
+    // sorted prefix: i=1 (n=2,P=2): 0+4*2=8 <= 20; i=2 (n=5,P=7):
+    // 2+3*5=17 <= 20; i=3 (n=9,P=16): 7+2*9=25 > 20 -> cap=(20-7)//2=6
+    // allocs: 2, 5, 6, 6 (total 19, remainder 1 <= k-1)
+    val rows = Seq.tabulate(2)(i => ("w", i)) ++ Seq.tabulate(5)(i => ("x", i)) ++
+      Seq.tabulate(9)(i => ("y", i)) ++ Seq.tabulate(30)(i => ("z", i))
+    val df = rows.toDF("src", "j")
+    val got = Curation.waterFillAllocation(df, "src", budget = 20L)
+      .select(col("src"), col("cap"), col("alloc"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("w") == ((6L, 2L)) && got("x") == ((6L, 5L)))
+    assert(got("y") == ((6L, 6L)) && got("z") == ((6L, 6L)))
+    // full coverage: budget >= total -> cap = max stratum, alloc = n
+    val full = Curation.waterFillAllocation(df, "src", budget = 1000L)
+      .select(col("src"), col("cap"), col("alloc"))
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(full("z") == ((30L, 30L)) && full("w") == ((30L, 2L)))
+  }
+
   test("globalShuffleOrder: pos is exactly the rank under " +
     "(xxhash64(id), id) — checked against a one-window formulation") {
     val ids = spark.range(0, 1000).select(col("id").as("doc_id"))

@@ -169,6 +169,49 @@ class GraphAlgosSpec extends SparkTestBase {
     assert(a == b)
   }
 
+  test("triangleCounts: hand-built graph — one triangle, a pendant, an " +
+    "isolated edge; hubs don't inflate counts") {
+    // triangle a-b-c; pendant d off c; isolated edge e-f
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L),
+      ("c", "d", 1L), ("e", "f", 1L),
+      ("a", "a", 9L), ("b", "a", 1L)) // self-loop + reverse dup: no effect
+      .toDF("src", "dst", "w")
+    val got = GraphAlgos.triangleCounts(edges, "src", "dst")
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 1L, "b" -> 1L, "c" -> 1L, "d" -> 0L,
+      "e" -> 0L, "f" -> 0L))
+  }
+
+  test("triangleCounts: K4 has C(3,2)=3 per node and 4 total; " +
+    "partitioning-independent") {
+    val vs = Seq("p", "q", "r", "s")
+    val k4 = (for { a <- vs; b <- vs if a < b } yield (a, b, 1L))
+      .toDF("src", "dst", "w")
+    val got = GraphAlgos.triangleCounts(k4.repartition(5), "src", "dst")
+      .as[(String, Long)].collect().toMap
+    assert(got == vs.map(_ -> 3L).toMap)
+  }
+
+  test("personalized pageRank: mass concentrates at the seed; nodes " +
+    "unreachable from it hold exactly zero (hand-computed 1 iteration)") {
+    // s -> t (w=1); u -> s: u never receives anything (no in-edges from
+    // the seed side), s holds teleport + u's pushed mass
+    val edges = Seq(("s", "t", 1L), ("u", "s", 1L)).toDF("src", "dst", "w")
+    val r1 = GraphAlgos.pageRank(edges, "src", "dst", "w", iters = 1,
+      seedNode = Some("s")).as[(String, Long)].collect().toMap
+    // r0: s=1e12, t=0, u=0. contrib: t += s's 1e12; s += u's 0.
+    // r1(s) = 15e10 + 0; r1(t) = 0 + (85 * 1e12) div 100; r1(u) = 0.
+    assert(r1 == Map("s" -> 150000000000L, "t" -> 850000000000L, "u" -> 0L))
+    val r2 = GraphAlgos.pageRank(edges, "src", "dst", "w", iters = 2,
+      seedNode = Some("s")).as[(String, Long)].collect().toMap
+    // iter2: contrib(t) = r1(s) = 15e10 -> damped 1275e8; s gets u's 0
+    assert(r2 == Map("s" -> 150000000000L, "t" -> 127500000000L, "u" -> 0L))
+    intercept[IllegalArgumentException] {
+      GraphAlgos.pageRank(edges, "src", "dst", "w", iters = 1,
+        seedNode = Some("nope"))
+    }
+  }
+
   test("labelPropagation: self-loops and non-positive weights are " +
     "dropped; parallel + reverse edges sum") {
     // a<->b with two parallel halves (2+3) vs a-c with 4: b's label

@@ -559,6 +559,34 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("triangles: degree-ordered wedge join — no cartesian anywhere, " +
+    "and the corpus scan reads only the transition columns (lazy plan: " +
+    "the query form eagerly checkpoints, so inspect materialize=false)") {
+    val qe = graft.operators.GraphAlgos.triangleCounts(
+      graft.operators.EventAnalytics.transitionCounts(
+        graft.sources.Tables.events(spark, dir), "user_id", "ts",
+        "event_type", "event_id"),
+      "src", "dst", materialize = false).queryExecution
+    val p = qe.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    val f = qe.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    val read = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("event_type") && !read.contains("props"), read)
+    spark.catalog.clearCache()
+  }
+
+  test("water-fill quota: the corpus is touched by exactly one " +
+    "count aggregate — every window and join runs on the k-row stratum " +
+    "table; the scan prunes to the stratum column") {
+    val p = planned("ds_waterfill_quota")
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    val f = formatted("ds_waterfill_quota")
+    val read = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("source") && !read.contains("text"), read)
+  }
+
   test("shuffle order: the global index never plans a one-partition " +
     "sort — the window partitions by hash bucket (hash-partitioned " +
     "exchange), and offsets fold in as a literal CASE") {
