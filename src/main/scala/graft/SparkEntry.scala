@@ -1350,6 +1350,16 @@ object SparkEntry {
         "src", "dst")
         .select(col("node").as("event_type"), col("n_triangles"))),
 
+    // ---- local clustering coefficient per event type: 2·T(v)·10⁶ div
+    //      (d·(d−1)) on the same degree-ordered triangle pipeline ----
+    "ev_clustering_coef" -> ((s, dir) =>
+      GraphAlgos.clusteringCoefficients(
+        EventAnalytics.transitionCounts(Tables.events(s, dir), "user_id",
+          "ts", "event_type", "event_id"),
+        "src", "dst")
+        .select(col("node").as("event_type"), col("degree"),
+          col("n_triangles"), col("cc_e6"))),
+
     // ---- community detection over the same Markov edges: 4 rounds of
     //      deterministic synchronous weighted label propagation (struct-
     //      max tie-break, no random sweep order) — the cheap "which
@@ -2002,6 +2012,23 @@ object SparkEntry {
       Tables.documents(s, dir).select(col("doc_id"),
         TextAnalysis.normalizeText(col("text")).as("norm_text"))
         .withColumn("n_norm_chars", length(col("norm_text")).cast("long"))),
+
+    // ---- bigram collocations by integer LIFT (log-free PMI surrogate
+    //      — same ranking, no cross-engine float): bigrams built inside
+    //      the token array (zip_with of shifted slices, no positional
+    //      self-join), hapax tail pruned before the word-count join,
+    //      top-k via the bounded TakeOrdered ----
+    "tx_bigram_lift" -> ((s, dir) =>
+      TextAnalysis.bigramLift(Tables.documents(s, dir), "doc_id", "text",
+        minCount = 5L, k = 25)),
+
+    // ---- vocabulary coverage curve: share of all corpus tokens
+    //      covered by the top-k vocab for k ∈ {100, 1k, 10k} — the
+    //      tokenizer-vocab sizing table; one count aggregate, a bounded
+    //      TakeOrdered, rank window on ≤ 10k rows ----
+    "tx_vocab_coverage" -> ((s, dir) =>
+      TextAnalysis.vocabCoverage(Tables.documents(s, dir), "text",
+        ks = Seq(100, 1000, 10000))),
 
     // ---- Flesch reading-ease on the exact 10⁶ integer grid: three
     //      regex counts + two integer divisions, map-only, whole-stage
@@ -2820,6 +2847,37 @@ object SparkEntry {
         |       CAST(coalesce(pern.nt, 0) AS BIGINT) AS n_triangles
         |FROM deg LEFT JOIN pern ON pern.node = deg.u""".stripMargin,
 
+    "ev_clustering_coef" ->
+      """WITH o AS (SELECT user_id, event_type AS src,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+        |  FROM events),
+        |e0 AS (SELECT src AS a, dst AS b FROM o
+        |       WHERE dst IS NOT NULL AND src <> dst),
+        |und AS (SELECT DISTINCT u, v FROM (
+        |    SELECT a AS u, b AS v FROM e0
+        |    UNION ALL SELECT b AS u, a AS v FROM e0)),
+        |deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+        |orient AS (SELECT und.u AS lo, und.v AS hi FROM und
+        |  JOIN deg du ON du.u = und.u JOIN deg dv ON dv.u = und.v
+        |  WHERE (du.d, und.u) < (dv.d, und.v)),
+        |wed AS (SELECT e1.lo AS x, e1.hi AS y, e2.hi AS z
+        |        FROM orient e1 JOIN orient e2
+        |        ON e1.lo = e2.lo AND e1.hi < e2.hi),
+        |closing AS (SELECT lo AS y, hi AS z FROM orient
+        |            UNION ALL SELECT hi, lo FROM orient),
+        |tri AS (SELECT x, y, z FROM wed JOIN closing USING (y, z)),
+        |pern AS (SELECT node, count(*) AS nt FROM (
+        |    SELECT x AS node FROM tri
+        |    UNION ALL SELECT y FROM tri
+        |    UNION ALL SELECT z FROM tri) GROUP BY node)
+        |SELECT deg.u AS event_type, CAST(deg.d AS BIGINT) AS degree,
+        |       CAST(coalesce(pern.nt, 0) AS BIGINT) AS n_triangles,
+        |       CAST(CASE WHEN deg.d < 2 THEN 0
+        |         ELSE (2 * coalesce(pern.nt, 0) * 1000000)
+        |              // (deg.d * (deg.d - 1)) END AS BIGINT) AS cc_e6
+        |FROM deg LEFT JOIN pern ON pern.node = deg.u""".stripMargin,
+
     "ds_waterfill_quota" ->
       """WITH c AS (SELECT source, count(*) AS n_items FROM documents
         |           GROUP BY source),
@@ -2844,6 +2902,41 @@ object SparkEntry {
     "ev_hll_union" -> XxOracleSql.hllUnion(9),
 
     "ds_shuffle_order" -> XxOracleSql.shuffleOrder(),
+
+    "tx_bigram_lift" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> x <> '') AS w FROM documents),
+        |u AS (SELECT unnest(w) AS tok FROM t),
+        |cx AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+        |nn AS (SELECT count(*) AS n FROM u),
+        |bg AS (SELECT unnest(list_transform(range(1, len(w)),
+        |         i -> w[i] || ' ' || w[i + 1])) AS b FROM t),
+        |cxy AS (SELECT b, count(*) AS n_pair FROM bg GROUP BY b
+        |        HAVING count(*) >= 5),
+        |j AS (SELECT cxy.b, cxy.n_pair, x1.c AS c1, x2.c AS c2 FROM cxy
+        |      JOIN cx x1 ON x1.tok = split_part(cxy.b, ' ', 1)
+        |      JOIN cx x2 ON x2.tok = split_part(cxy.b, ' ', 2))
+        |SELECT b AS bigram, n_pair,
+        |       CAST((n_pair * 1000000 * nn.n) // (c1 * c2) AS BIGINT)
+        |         AS lift_e6
+        |FROM j, nn ORDER BY lift_e6 DESC, bigram LIMIT 25""".stripMargin,
+
+    "tx_vocab_coverage" ->
+      """WITH u AS (SELECT unnest(list_filter(
+        |    string_split_regex(lower(text), '\s+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT tok, count(*) AS c FROM u GROUP BY tok),
+        |nn AS (SELECT count(*) AS n FROM u),
+        |r AS (SELECT c, row_number() OVER (ORDER BY c DESC, tok ASC) AS rnk
+        |      FROM c),
+        |ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+        |SELECT CAST(ks.k AS INT) AS k,
+        |       CAST(sum(r.c) AS BIGINT) AS covered_tokens,
+        |       CAST(nn.n AS BIGINT) AS total_tokens,
+        |       CAST((sum(r.c) * 1000000) // nn.n AS BIGINT) AS coverage_e6
+        |FROM ks, r, nn WHERE r.rnk <= ks.k
+        |GROUP BY ks.k, nn.n""".stripMargin,
 
     "tx_readability" ->
       """WITH c AS (SELECT doc_id,

@@ -396,7 +396,30 @@ object GraphAlgos {
     *        owns `spark.catalog.clearCache()`.
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
-      dstCol: String, materialize: Boolean = true): DataFrame = {
+      dstCol: String, materialize: Boolean = true): DataFrame =
+    triangleCore(edges, srcCol, dstCol, materialize,
+      _.select(col("node"), col("n_triangles")))
+
+  /** Local clustering coefficient per node on the e6 integer grid:
+    * `cc_e6 = 2·T(v)·10⁶ div (d(v)·(d(v)−1))`, zero for degree < 2 —
+    * how close each node's neighborhood is to a clique, the standard
+    * companion statistic to [[triangleCounts]] (same pipeline, the
+    * degree table joined back instead of dropped).
+    *
+    * @return (node, degree, n_triangles, cc_e6).
+    */
+  def clusteringCoefficients(edges: DataFrame, srcCol: String,
+      dstCol: String, materialize: Boolean = true): DataFrame =
+    triangleCore(edges, srcCol, dstCol, materialize,
+      _.select(col("node"), col("degree"), col("n_triangles"),
+        when(col("degree") < 2L, lit(0L))
+          .otherwise(expr(
+            "(2 * n_triangles * 1000000) div (degree * (degree - 1))"))
+          .as("cc_e6")))
+
+  private def triangleCore(edges: DataFrame, srcCol: String,
+      dstCol: String, materialize: Boolean,
+      shape: DataFrame => DataFrame): DataFrame = {
     val e = edges.select(col(srcCol).cast("string").as("a"),
         col(dstCol).cast("string").as("b"))
       .filter(col("a") =!= col("b"))
@@ -407,7 +430,7 @@ object GraphAlgos {
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
-    val nodes = deg.select(col("u").as("node"))
+    val nodes = deg.select(col("u").as("node"), col("d").as("degree"))
     // orient u→v iff (deg(u), u) < (deg(v), v): struct comparison IS
     // the lexicographic order, shared verbatim with the SQL oracle
     val oriented = und
@@ -430,9 +453,9 @@ object GraphAlgos {
     val perNode = triangles
       .select(explode(array(col("x"), col("y"), col("z"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
-    val lazyOut = nodes.join(perNode, Seq("node"), "left")
-      .select(col("node"),
-        coalesce(col("n_triangles"), lit(0L)).as("n_triangles"))
+    val lazyOut = shape(nodes.join(perNode, Seq("node"), "left")
+      .select(col("node"), col("degree"),
+        coalesce(col("n_triangles"), lit(0L)).as("n_triangles")))
     if (!materialize) lazyOut
     else {
       val out = lazyOut.localCheckpoint(true)

@@ -893,6 +893,94 @@ object TextAnalysis {
     aggregate(tokens(text), lit(1125899906842597L),
       (acc, tok) => xxhash64(acc, tok))
 
+  /** Corpus bigram collocations by integer LIFT — the log-free PMI
+    * surrogate `lift = P(xy) / (P(x)·P(y)) = c_xy·N / (c_x·c_y)` on an
+    * e6 grid (taking the log would order identically and cost the
+    * cross-engine float; the RANKING is the deliverable). The classic
+    * "which token pairs are units" signal a tokenizer/phrase-mining
+    * pass runs corpus-side.
+    *
+    * Plan shape: bigrams are built INSIDE the token array (zip_with of
+    * the two shifted slices — map-only, no positional self-join), so
+    * the corpus is scanned once for unigrams and once for bigrams; the
+    * two count tables join on the bigram's words and the top-k resolves
+    * as TakeOrderedAndProject under the (lift DESC, bigram ASC) total
+    * order. `minCount` prunes the hapax tail before the join — at
+    * corpus scale the bigram long tail is most of the table and all of
+    * it is noise at support < minCount.
+    *
+    * Grid bound: `c_xy·10^6·N` must fit int64 — fine to N ≈ 9·10^6 at
+    * worst-case c_xy = N; far beyond that, swap the product order or
+    * widen to decimal (documented, not silently wrong: the multiply
+    * would overflow loudly under ANSI mode).
+    */
+  def bigramLift(docs: DataFrame, idCol: String, textCol: String,
+      minCount: Long, k: Int): DataFrame = {
+    val toks = expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')")
+    val t = docs.select(toks.as("w"))
+    val uni = t.select(explode(col("w")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // N = Σ unigram counts — derived from the count table itself, so it
+    // rides a one-row broadcast instead of an eager driver count; the
+    // uni subtree is identical across its consumers, so AQE reuses its
+    // shuffle stage at runtime (pinned on the final plan in
+    // PlanAuditSpec — the corpus tokenizes once per side, not per use)
+    val total = uni.agg(sum(col("c")).as("__n"))
+    val bg = t.select(explode(expr(
+        "zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1), " +
+          "(a, b) -> concat(a, ' ', b))")).as("b"))
+      .groupBy(col("b")).agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minCount)
+    bg
+      .join(uni.select(col("tok").as("__w1"), col("c").as("__c1")),
+        expr("split(b, ' ')[0] = __w1"))
+      .join(uni.select(col("tok").as("__w2"), col("c").as("__c2")),
+        expr("split(b, ' ')[1] = __w2"))
+      .crossJoin(broadcast(total))
+      .select(col("b").as("bigram"), col("n_pair"),
+        expr("(n_pair * 1000000 * __n) div (__c1 * __c2)").as("lift_e6"))
+      .orderBy(col("lift_e6").desc, col("bigram").asc)
+      .limit(k)
+  }
+
+  /** Vocabulary coverage curve: for each k in `ks`, the share of ALL
+    * corpus tokens covered by the top-k vocabulary under the
+    * (count DESC, token ASC) total order — the "how big must the
+    * tokenizer vocab be" sizing curve.
+    *
+    * Scale shape: the corpus is reduced once to token counts; the only
+    * ordered structure is a TakeOrdered of max(ks) rows (bounded heap,
+    * never a vocabulary-wide sort), and the rank window runs on that
+    * ≤ max(ks)-row frame (the bounded-domain window precedent). The
+    * total N rides a one-row broadcast.
+    */
+  def vocabCoverage(docs: DataFrame, textCol: String,
+      ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ > 0), "ks must be positive")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val toks = expr(s"filter(split(lower($textCol), '\\\\s+'), x -> x != '')")
+    val counts = docs.select(explode(toks).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    // Σ counts = N, one-row broadcast; the counts subtree is IDENTICAL
+    // in both consumers, so AQE reuses its shuffle stage at runtime
+    // (pinned on the final plan in PlanAuditSpec)
+    val total = counts.agg(sum(col("c")).as("total_tokens"))
+    val top = counts.orderBy(col("c").desc, col("tok").asc)
+      .limit(ks.max)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("c").desc, col("tok").asc)).cast("long"))
+    ks.toDF("k").crossJoin(top)
+      .filter(col("rank") <= col("k"))
+      .groupBy(col("k"))
+      .agg(sum(col("c")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .withColumn("coverage_e6",
+        expr("(covered_tokens * 1000000) div total_tokens"))
+      .orderBy(col("k"))
+  }
+
   /** Flesch reading-ease readability on an exact integer micro grid —
     * the classic "is this prose or word salad" quality feature
     * (Flesch 1948; the public formula: 206.835 − 1.015·(words/sentences)

@@ -320,6 +320,33 @@ class CurationSpec extends SparkTestBase {
     assert(avg.head > 8000L && avg.head < 12000L, s"got ${avg.head}")
   }
 
+  test("bigramLift: hand-computed lift on a toy corpus; hapax pruning; " +
+    "tie-break on bigram text") {
+    // corpus: "a b" x3, "a c" x2, "c c" x1  -> N = 12 tokens
+    // counts: a=5, b=3, c=4; bigrams: "a b"=3, "a c"=2, "c c"=1
+    val df = (Seq.fill(3)("a b") ++ Seq.fill(2)("a c") ++ Seq("c c"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.bigramLift(df, "doc_id", "text",
+      minCount = 2L, k = 10)
+      .as[(String, Long, Long)].collect()
+    // lift(a b) = 3*1e6*12 div (5*3) = 2400000
+    // lift(a c) = 2*1e6*12 div (5*4) = 1200000; "c c" pruned (support 1)
+    assert(got.toSeq == Seq(("a b", 3L, 2400000L), ("a c", 2L, 1200000L)))
+  }
+
+  test("vocabCoverage: hand-computed curve with rank ties broken by " +
+    "token text; ks larger than the vocab saturate") {
+    // tokens: x x x y y z -> counts x=3, y=2, z=1; N=6
+    val df = Seq((1L, "x x x y y z")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabCoverage(df, "text", ks = Seq(1, 2, 100))
+      .as[(Int, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, 3L, 6L, 500000L),
+      (2, 5L, 6L, 833333L),
+      (100, 6L, 6L, 1000000L)))
+  }
+
   test("waterFillAllocation: hand-computed cap, full-coverage branch, " +
     "and the <= k-1 unspent remainder bound") {
     // strata sizes 2, 5, 9, 30; budget 20:

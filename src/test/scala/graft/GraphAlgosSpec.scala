@@ -192,6 +192,22 @@ class GraphAlgosSpec extends SparkTestBase {
     assert(got == vs.map(_ -> 3L).toMap)
   }
 
+  test("clusteringCoefficients: hand-computed non-clique graph — " +
+    "partial neighborhoods, degree-1 zeros, truncating e6 grid") {
+    // triangle a-b-c plus pendant d off a: deg a=3,b=2,c=2,d=1
+    // cc(a) = 2*1*1e6 div (3*2) = 333333; cc(b)=cc(c)=1e6; cc(d)=0
+    val edges = Seq(("a", "b", 1L), ("b", "c", 1L), ("c", "a", 1L),
+      ("a", "d", 1L)).toDF("src", "dst", "w")
+    val got = GraphAlgos.clusteringCoefficients(edges, "src", "dst")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      "a" -> ((3L, 1L, 333333L)),
+      "b" -> ((2L, 1L, 1000000L)),
+      "c" -> ((2L, 1L, 1000000L)),
+      "d" -> ((1L, 0L, 0L))))
+  }
+
   test("personalized pageRank: mass concentrates at the seed; nodes " +
     "unreachable from it hold exactly zero (hand-computed 1 iteration)") {
     // s -> t (w=1); u -> s: u never receives anything (no in-edges from

@@ -587,6 +587,33 @@ class PlanAuditSpec extends SparkTestBase {
     assert(read.contains("source") && !read.contains("text"), read)
   }
 
+  private def finalPlan(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, dir)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("bigram lift: the shared unigram-count stage is REUSED at " +
+    "runtime (AQE defers exchange reuse to stage materialization, so " +
+    "the pin reads the final plan); top-k is the bounded TakeOrdered, " +
+    "no cartesian on the bigram stream") {
+    val p = finalPlan("tx_bigram_lift")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("vocab coverage: one count aggregate feeds both the total and " +
+    "the top-k (runtime stage reuse); the ordered structure is a " +
+    "bounded TakeOrdered, and the rank window runs post-limit") {
+    val p = finalPlan("tx_vocab_coverage")
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage"),
+      p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("shuffle order: the global index never plans a one-partition " +
     "sort — the window partitions by hash bucket (hash-partitioned " +
     "exchange), and offsets fold in as a literal CASE") {
