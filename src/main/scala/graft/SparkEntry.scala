@@ -297,6 +297,35 @@ object SparkEntry {
     //      pruning wrongly skipped all break the hash. Staged once per
     //      root (committed version ≥2 guards); the steady-state run is
     //      the read of the merged table ----
+    // ---- S15: copy-on-write predicate DELETE (the GDPR/right-to-
+    //      erasure path): orders staged range-clustered (8 files), then
+    //      deleteWhere removes one status' residue class — stats prune
+    //      the untouched key ranges, only hit files rewrite, and the
+    //      readback must equal the oracle's NOT(predicate) over raw
+    //      parquet. Snapshot/conflict semantics spec'd in
+    //      DeleteWhereSpec; staged once per root ----
+    "s15_delete_where" -> ((s, dir) => {
+      val root = s"/root/repo/target/s15_delete/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "orders")
+      if (wh.currentVersion(s, tbl) < 2L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+        wh.append(s, o.repartitionByRange(8, col("o_orderkey")), tbl) // v1
+        wh.deleteWhere(s, tbl, // v2
+          col("o_orderstatus") === "F" &&
+            pmod(col("o_orderkey"), lit(10)) === 3)
+      }
+      wh.read(s, tbl)
+        .groupBy(col("o_orderstatus").as("o_status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
+    }),
+
     "s11_merge_upsert" -> ((s, dir) => {
       val (wh, tbl) = stageMergeTable(s, dir)
       wh.read(s, tbl)
@@ -3025,6 +3054,15 @@ object SparkEntry {
         |  count(*) AS n_rows,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1""".stripMargin,
+
+    "s15_delete_where" ->
+      """SELECT o_orderstatus AS o_status, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_e2
+        |FROM orders
+        |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+        |GROUP BY o_orderstatus""".stripMargin,
 
     "s11_merge_upsert" ->
       """WITH f AS (

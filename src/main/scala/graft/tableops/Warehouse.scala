@@ -1602,6 +1602,100 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       s"commit contention: $MaxCommitAttempts failed attempts on $path")
   }
 
+  /** Copy-on-write predicate DELETE — the row-level "remove every row
+    * matching `predicate` wherever it lives" path (the GDPR/right-to-
+    * erasure operation; [[mergeInto]] covers KEYED deletes, this covers
+    * arbitrary predicates across all partitions). SQL DELETE
+    * semantics: a row is removed iff the predicate is TRUE — NULL
+    * keeps the row.
+    *
+    * Cost model, in three strictly narrowing tiers:
+    *  1. manifest-only: stats ranges + per-file blooms prune the
+    *     candidate set exactly as [[readWhere]] does — a delete keyed
+    *     to a bloom'd column opens O(files that can match), not the
+    *     table;
+    *  2. one pruned scan finds which candidates ACTUALLY hold matching
+    *     rows (file grain, `input_file_name`) — candidates whose rows
+    *     all survive are NOT rewritten;
+    *  3. only the hit files are re-read and their surviving rows
+    *     rewritten; untouched files keep their stats, blooms, and
+    *     z-order layout byte-for-byte (rewritten files get fresh
+    *     stats; bloom re-install is the caller's periodic maintenance,
+    *     absence only costs skipping, never correctness).
+    *
+    * Isolation: snapshot (WriteSerializable) — the delete operates on
+    * the manifest version it replayed; rows committed concurrently
+    * survive. The commit verifies every hit file is STILL LIVE and
+    * throws [[ConcurrentCommitException]] when a compaction/another
+    * rewrite retired one mid-flight (retry against fresh state). The
+    * driver-side state is file NAMES only (hit-file list — bounded by
+    * the candidate count; a predicate matching the whole table rewrites
+    * the whole table, which is inherent to copy-on-write, not to this
+    * implementation). Time travel keeps the deleted rows readable at
+    * prior versions until [[vacuum]].
+    *
+    * @return number of rows deleted.
+    */
+  def deleteWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val (_, st0) = replay(spark, path)
+    require(st0.live.nonEmpty || exists(spark, path), s"no such table: $path")
+    val pred = org.apache.spark.sql.graftshim.PredicateBridge.normalize(predicate)
+    // same syntactic contract as readWhere: a flagged table demands the
+    // DML constrain the partition column (BigQuery requires it on DML
+    // too)
+    require(!st0.props.get(RequireFilterKey).exists(_ == "true") ||
+        mentionsPartitionCol(pred),
+      s"table $path sets requirePartitionFilter: the deleteWhere " +
+        "predicate must reference the `date` partition column")
+    if (st0.live.isEmpty) return 0L
+    val candidates = st0.live.keys.filter { rel =>
+      (st0.stats.get(rel).flatMap(FileStats.decode) match {
+        case Some(payload) => FileStats.mayMatch(payload, pred)
+        case None => true
+      }) && st0.blooms.get(rel).forall(FileBloom.mayMatch(_, pred))
+    }.toSeq.sorted
+    if (candidates.isEmpty) return 0L
+    // tier 2: which candidates actually hold TRUE-predicate rows
+    val hitCounts = readFiles(spark, path, candidates)
+      .withColumn("__f", input_file_name())
+      .filter(predicate)
+      .groupBy(col("__f")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (hitCounts.isEmpty) return 0L
+    val deleted = hitCounts.map(_._2).sum
+    // input_file_name URIs differ from rel paths in scheme spelling;
+    // rel paths (uuid-dir/part-file) are unique suffixes under the table
+    val hitRels = hitCounts.map { case (uri, _) =>
+      candidates.find(rel => uri.endsWith("/" + rel) || uri.endsWith(rel))
+        .getOrElse(throw new IllegalStateException(
+          s"cannot map scanned file back to a manifest entry: $uri"))
+    }.distinct.sorted
+    // tier 3: rewrite ONLY the hit files, keeping NULL-predicate rows
+    val survivors = readFiles(spark, path, hitRels)
+      .filter(!coalesce(predicate, lit(false)))
+    val (adds, _) = writeData(spark, survivors, path)
+    val f = fs(spark, path)
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val (v, st) = replay(spark, path)
+      val retired = hitRels.filterNot(st.live.contains)
+      if (retired.nonEmpty)
+        throw new ConcurrentCommitException(
+          s"deleteWhere on $path planned against ${hitRels.size} files " +
+            s"of which ${retired.size} were retired by a concurrent " +
+            "rewrite — re-run against fresh state")
+      val lines = addLines(adds) ++ hitRels.map(r => s"R $r")
+      if (tryCommit(f, path, v + 1, lines)) {
+        maybeCheckpoint(spark, path, v + 1)
+        return deleted
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"commit contention: $MaxCommitAttempts failed attempts on $path")
+  }
+
   /** The self-replace needs no staging swap here: the plan's reads are
     * pinned to the manifest version its construction saw, the new files
     * land in a fresh uuid dir, and publish is one metadata commit. A
