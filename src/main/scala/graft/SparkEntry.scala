@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.HllRegisters
+import graft.functions.{CmsCounters, HllRegisters}
 import graft.operators.{AnnotationJoin, Curation, Dedup, EventAnalytics, GraphAlgos, Multimodal, Packing, ProductQuantization, Sampling, Sessions, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
@@ -318,6 +318,67 @@ object SparkEntry {
         wh.deleteWhere(s, tbl, // v2
           col("o_orderstatus") === "F" &&
             pmod(col("o_orderkey"), lit(10)) === 3)
+      }
+      wh.read(s, tbl)
+        .groupBy(col("o_orderstatus").as("o_status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
+    }),
+
+    // ---- S16: copy-on-write predicate UPDATE (deleteWhere's sibling):
+    //      orders staged range-clustered, then updateWhere rewrites one
+    //      status' residue class (two SET columns, old-row scope) —
+    //      stats prune untouched key ranges, only hit files rewrite,
+    //      readback equals the oracle's CASE-mapped raw parquet. SET
+    //      scope/typing/partition-move semantics in UpdateWhereSpec ----
+    "s16_update_where" -> ((s, dir) => {
+      val root = s"/root/repo/target/s16_update/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "orders")
+      if (wh.currentVersion(s, tbl) < 2L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+        wh.append(s, o.repartitionByRange(8, col("o_orderkey")), tbl) // v1
+        wh.updateWhere(s, tbl, // v2
+          col("o_orderstatus") === "O" &&
+            pmod(col("o_orderkey"), lit(7)) === 2,
+          Map("o_orderstatus" -> lit("U"),
+            "o_totalprice" -> (col("o_totalprice") + lit(5.0))))
+      }
+      wh.read(s, tbl)
+        .groupBy(col("o_orderstatus").as("o_status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
+    }),
+
+    // ---- S17: bin-packing compaction (OPTIMIZE): orders land as 16
+    //      small appends (the streaming-ingest small-file shape), then
+    //      compact packs each partition manifest-only-planned +
+    //      coalesce (no shuffle) — the readback must equal raw parquet,
+    //      proving the swap is rows-identical. Layout/fence/time-travel
+    //      invariants in CompactSpec ----
+    "s17_compact" -> ((s, dir) => {
+      val root = s"/root/repo/target/s17_compact/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "orders")
+      if (wh.currentVersion(s, tbl) < 17L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+          .cache()
+        (0 until 16).foreach { i => // v1..v16: 16 small files
+          wh.append(s,
+            o.filter(pmod(col("o_orderkey"), lit(16)) === i).coalesce(1), tbl)
+        }
+        o.unpersist()
+        wh.compact(s, tbl) // v17: one packed file
       }
       wh.read(s, tbl)
         .groupBy(col("o_orderstatus").as("o_status"))
@@ -1400,6 +1461,49 @@ object SparkEntry {
           "ts", "event_type", "event_id"),
         "src", "dst", "n_transitions", iters = 4)
         .select(col("node").as("event_type"), col("label").as("community"))),
+
+    // ---- Count-min frequency sketch per event type (d=4 × w=1024
+    //      long counters per group crossing the shuffle instead of the
+    //      user stream; merge = elementwise add): build the grid over
+    //      user ids, then point-estimate the true top-5 users per type
+    //      by the min-over-rows rule — plain codegen'd probe arithmetic
+    //      (Kirsch–Mitzenmacher indexes from the same xxhash64), est ≥
+    //      exact always, within 2n/w whp. The exact column is the
+    //      verification column; a production read keeps the sketch ----
+    "ev_cms_freq" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      val grid = ev
+        .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(CmsCounters.cmsCounters(col("h"), 4, 10).as("sk"))
+        .select(col("event_type"), explode(col("sk.counters")).as("c"))
+        .select(col("event_type"), col("c.row").as("row"),
+          col("c.idx").as("idx"), col("c.cnt").as("cnt"))
+      val probes = ev.groupBy(col("event_type"), col("user_id"))
+        .agg(count(lit(1)).as("n_exact"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("event_type"))
+            .orderBy(col("n_exact").desc, col("user_id"))))
+        .filter(col("rk") <= 5).drop("rk")
+        .withColumn("h", xxhash64(col("user_id")))
+        .withColumn("a", shiftrightunsigned(col("h"), 32))
+        .withColumn("b",
+          col("h").bitwiseAND(lit(0xffffffffL)).bitwiseOR(lit(1L)))
+        .select(col("event_type"), col("user_id"), col("n_exact"),
+          explode(array((0 until 4).map { i =>
+            struct(lit(i).as("row"),
+              (col("a") + lit(i.toLong) * col("b"))
+                .bitwiseAND(lit(1023L)).cast("int").as("idx"))
+          }: _*)).as("pi"))
+        .select(col("event_type"), col("user_id"), col("n_exact"),
+          col("pi.row").as("row"), col("pi.idx").as("idx"))
+      // broadcast the PROBE side (k·d rows per group); the grid side is
+      // bounded too (d·w per group) but is the larger stream at scale
+      grid.join(broadcast(probes), Seq("event_type", "row", "idx"))
+        .groupBy(col("event_type"), col("user_id"), col("n_exact"))
+        .agg(min(col("cnt")).as("est"))
+    }),
 
     // ---- HyperLogLog distinct-user sketch per event type (p=9, 512
     //      byte registers per group crossing the shuffle instead of the
@@ -2924,6 +3028,7 @@ object SparkEntry {
         |       CAST(least(c.n_items, cap.cap) AS BIGINT) AS alloc
         |FROM c, cap""".stripMargin,
 
+    "ev_cms_freq" -> XxOracleSql.cmsFreq(4, 10),
     "ev_hll_users" -> XxOracleSql.hllUsers(9),
 
     "ev_hll_estimate" -> XxOracleSql.hllEstimate(9),
@@ -3063,6 +3168,29 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
         |GROUP BY o_orderstatus""".stripMargin,
+
+    "s17_compact" ->
+      """SELECT o_orderstatus AS o_status, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_e2
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    "s16_update_where" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN o_orderstatus = 'O' AND o_orderkey % 7 = 2
+        |              THEN 'U' ELSE o_orderstatus END AS o_status,
+        |         o_orderkey,
+        |         CASE WHEN o_orderstatus = 'O' AND o_orderkey % 7 = 2
+        |              THEN o_totalprice + 5.0
+        |              ELSE o_totalprice END AS p
+        |  FROM orders
+        |)
+        |SELECT o_status, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(floor(p * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_e2
+        |FROM f GROUP BY o_status""".stripMargin,
 
     "s11_merge_upsert" ->
       """WITH f AS (

@@ -438,6 +438,45 @@ object XxOracleSql {
         s"FROM hl_r GROUP BY $gb"))
   }
 
+  /** Full oracle for `ev_cms_freq`: unroll the count-min grid exactly —
+    * per-(type, user) xxhash64 via the XXH64 chain, Kirsch–Mitzenmacher
+    * row indexes (a = top 32 bits, b = low 32 bits forced odd, row i →
+    * (a + i·b) mod w), grid cell = Σ n over colliding users, probes =
+    * true top-5 users per type (n DESC, user_id ASC), estimate =
+    * min over rows. Integer-exact end to end, so the two engines'
+    * grids are bit-identical.
+    */
+  def cmsFreq(d: Int, logW: Int): String = {
+    val w = 1 << logW
+    val (hS, hT) = longChain("cm_n", Seq("event_type", "user_id", "n"),
+      "xu_u64(CAST(user_id AS HUGEINT))", "42::HUGEINT", "cm_h_", "h")
+    val ctes = Seq(
+      ("cm_n",
+        "SELECT event_type, user_id, count(*) AS n FROM events GROUP BY 1, 2")
+    ) ++ hS ++ Seq(
+      ("cm_ab", "SELECT event_type, user_id, n, " +
+        s"xu_u64(CAST(h AS HUGEINT)) // 4294967296 AS a, " +
+        s"(xu_u64(CAST(h AS HUGEINT)) % 4294967296) " +
+        s"- (xu_u64(CAST(h AS HUGEINT)) % 2) + 1 AS b FROM $hT"),
+      ("cm_idx", "SELECT event_type, user_id, n, i, " +
+        s"CAST((a + i * b) % $w AS INTEGER) AS idx " +
+        s"FROM cm_ab, range(0, $d) r(i)"),
+      ("cm_grid", "SELECT event_type, i, idx, sum(n) AS cnt " +
+        "FROM cm_idx GROUP BY 1, 2, 3"),
+      ("cm_probe", "SELECT event_type, user_id, n FROM (" +
+        "SELECT event_type, user_id, n, row_number() OVER (" +
+        "PARTITION BY event_type ORDER BY n DESC, user_id) AS rk " +
+        "FROM cm_n) WHERE rk <= 5"),
+      ("cm_pidx", "SELECT p.event_type, p.user_id, p.n, a.i, a.idx " +
+        "FROM cm_probe p JOIN cm_idx a " +
+        "ON a.event_type = p.event_type AND a.user_id = p.user_id"))
+    single(ctes,
+      "SELECT p.event_type, p.user_id, CAST(p.n AS BIGINT) AS n_exact, " +
+        "CAST(min(g.cnt) AS BIGINT) AS est " +
+        "FROM cm_pidx p JOIN cm_grid g ON g.event_type = p.event_type " +
+        "AND g.i = p.i AND g.idx = p.idx GROUP BY 1, 2, 3")
+  }
+
   /** Full oracle for `ev_hll_users`: the nonzero HLL registers. */
   def hllUsers(p: Int): String =
     single(hllRegCtes(p, "user_id", Seq("event_type")),

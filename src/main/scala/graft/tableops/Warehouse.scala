@@ -1649,21 +1649,148 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       s"table $path sets requirePartitionFilter: the deleteWhere " +
         "predicate must reference the `date` partition column")
     if (st0.live.isEmpty) return 0L
+    val (hitRels, deleted) = dmlHits(spark, path, st0, predicate, pred)
+    if (hitRels.isEmpty) return 0L
+    // tier 3: rewrite ONLY the hit files, keeping NULL-predicate rows
+    val survivors = readFiles(spark, path, hitRels)
+      .filter(!coalesce(predicate, lit(false)))
+    val (adds, _) = writeData(spark, survivors, path)
+    dmlCommit(spark, path, "deleteWhere", hitRels, addLines(adds))
+    deleted
+  }
+
+  /** Copy-on-write predicate UPDATE — [[deleteWhere]]'s sibling for
+    * `UPDATE t SET c = expr, … WHERE p`. Same three narrowing tiers
+    * (manifest stats+bloom pruning → one pruned scan for the files that
+    * actually hold TRUE-predicate rows → rewrite only those files), same
+    * SQL semantics: a row is updated iff the predicate is TRUE — NULL
+    * leaves it unchanged. All SET right-hand sides evaluate against the
+    * OLD row (one projection; a SET of `a = b, b = a` swaps, it does
+    * not chain), and each value is cast to the column's recorded type so
+    * an update can never widen the table schema out from under readers.
+    * Updating the `date` partition column is legal and moves the row to
+    * its new partition (the rewrite's writer re-derives partition dirs
+    * from the data). Rewritten files get fresh stats; bloom re-install
+    * is periodic maintenance (absence only costs pruning). Snapshot
+    * isolation and conflict fencing are [[deleteWhere]]'s, verbatim.
+    *
+    * @param sets column name → new-value expression (old-row scope).
+    * @return number of rows updated.
+    */
+  def updateWhere(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      sets: Map[String, org.apache.spark.sql.Column]): Long = {
+    val (_, st0) = replay(spark, path)
+    require(st0.live.nonEmpty || exists(spark, path), s"no such table: $path")
+    require(sets.nonEmpty, "updateWhere requires at least one SET column")
+    val pred = org.apache.spark.sql.graftshim.PredicateBridge.normalize(predicate)
+    require(!st0.props.get(RequireFilterKey).exists(_ == "true") ||
+        mentionsPartitionCol(pred),
+      s"table $path sets requirePartitionFilter: the updateWhere " +
+        "predicate must reference the `date` partition column")
+    if (st0.live.isEmpty) return 0L
+    val (hitRels, updated) = dmlHits(spark, path, st0, predicate, pred)
+    if (hitRels.isEmpty) return 0L
+    val src = readFiles(spark, path, hitRels)
+    val schema = src.schema
+    sets.keys.foreach(k => require(schema.fieldNames.contains(k),
+      s"updateWhere SET references a column not in $path: $k"))
+    val hit = coalesce(predicate, lit(false))
+    val rewritten = src.withColumns(sets.map { case (name, value) =>
+      name -> when(hit, value.cast(schema(name).dataType))
+        .otherwise(col(name))
+    })
+    val (adds, _) = writeData(spark, rewritten, path)
+    dmlCommit(spark, path, "updateWhere", hitRels, addLines(adds))
+    updated
+  }
+
+  /** Bin-packing compaction — the OPTIMIZE / rewrite-small-files
+    * maintenance op that keeps a 100 TB table's file count sane under
+    * streaming/micro-batch appends. Planning is MANIFEST-ONLY (the
+    * per-file sizes and partition dates are already recorded; no
+    * listing, no scan): per partition date, live files smaller than
+    * `smallBytes` are grouped and rewritten into
+    * ceil(Σbytes / targetBytes) outputs via `coalesce` — a pure
+    * read-and-concatenate with NO shuffle. Files at/above `smallBytes`
+    * and partitions with fewer than `minFiles` small files keep their
+    * bytes, stats, blooms, and z-order layout untouched.
+    *
+    * The swap is one metadata commit (adds + retirements): rows are
+    * identical at the new version, time travel still reads the
+    * pre-compaction layout, and the commit fences on every retired
+    * file still being live — [[ConcurrentCommitException]] when a
+    * concurrent rewrite (deleteWhere/merge/replace) got one first, so
+    * compaction can never resurrect rows such a rewrite removed.
+    * Rewritten outputs get fresh stats; blooms are periodic
+    * maintenance ([[setBloomFilter]] re-install), absence only costs
+    * pruning. At scale, pass `date` to compact the partition the
+    * ingest just touched instead of sweeping the table (the per-date
+    * rewrite is one Spark job each, driver loop bounded by the date
+    * count).
+    *
+    * @return (files retired, files added) — (0, 0) when nothing
+    *         qualified.
+    */
+  def compact(spark: SparkSession, path: String,
+      date: Option[LocalDate] = None, targetBytes: Long = 128L << 20,
+      smallBytes: Long = 0L, minFiles: Int = 2): (Int, Int) =
+    compactHooked(spark, path, date, targetBytes, smallBytes, minFiles,
+      () => ())
+
+  /** Test seam: `afterPlan` runs between the manifest plan and the
+    * commit — the window [[dmlCommit]]'s fence protects.
+    */
+  private[tableops] def compactHooked(spark: SparkSession, path: String,
+      date: Option[LocalDate], targetBytes: Long, smallBytes: Long,
+      minFiles: Int, afterPlan: () => Unit): (Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val small = if (smallBytes > 0L) smallBytes else targetBytes / 2
+    val (_, st0) = replay(spark, path)
+    val byDate: Map[String, Seq[String]] = st0.live.toSeq
+      .filter { case (rel, d) =>
+        date.forall(_.toString == d) &&
+          st0.sizes.get(rel).exists(_ < small)
+      }
+      .groupBy(_._2)
+      .collect { case (d, files) if files.size >= minFiles =>
+        d -> files.map(_._1).sorted
+      }
+    if (byDate.isEmpty) return (0, 0)
+    val adds = byDate.toSeq.sortBy(_._1).flatMap { case (_, rels) =>
+      val bytes = rels.map(r => st0.sizes.getOrElse(r, 0L)).sum
+      val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      writeData(spark, readFiles(spark, path, rels).coalesce(nOut), path)._1
+    }
+    val retiring = byDate.values.flatten.toSeq.sorted
+    afterPlan()
+    dmlCommit(spark, path, "compact", retiring, addLines(adds))
+    (retiring.size, adds.size)
+  }
+
+  /** Shared tier-1/tier-2 planning for predicate DML: manifest-only
+    * stats+bloom candidate pruning, then ONE pruned scan mapping each
+    * scanned URI back to its manifest entry. Returns (files that hold
+    * at least one TRUE-predicate row, total TRUE-row count).
+    */
+  private def dmlHits(spark: SparkSession, path: String, st0: TxState,
+      predicate: org.apache.spark.sql.Column,
+      pred: org.apache.spark.sql.catalyst.expressions.Expression):
+      (Seq[String], Long) = {
     val candidates = st0.live.keys.filter { rel =>
       (st0.stats.get(rel).flatMap(FileStats.decode) match {
         case Some(payload) => FileStats.mayMatch(payload, pred)
         case None => true
       }) && st0.blooms.get(rel).forall(FileBloom.mayMatch(_, pred))
     }.toSeq.sorted
-    if (candidates.isEmpty) return 0L
+    if (candidates.isEmpty) return (Nil, 0L)
     // tier 2: which candidates actually hold TRUE-predicate rows
     val hitCounts = readFiles(spark, path, candidates)
       .withColumn("__f", input_file_name())
       .filter(predicate)
       .groupBy(col("__f")).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
-    if (hitCounts.isEmpty) return 0L
-    val deleted = hitCounts.map(_._2).sum
+    if (hitCounts.isEmpty) return (Nil, 0L)
     // input_file_name URIs differ from rel paths in scheme spelling;
     // rel paths (uuid-dir/part-file) are unique suffixes under the table
     val hitRels = hitCounts.map { case (uri, _) =>
@@ -1671,10 +1798,16 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
         .getOrElse(throw new IllegalStateException(
           s"cannot map scanned file back to a manifest entry: $uri"))
     }.distinct.sorted
-    // tier 3: rewrite ONLY the hit files, keeping NULL-predicate rows
-    val survivors = readFiles(spark, path, hitRels)
-      .filter(!coalesce(predicate, lit(false)))
-    val (adds, _) = writeData(spark, survivors, path)
+    (hitRels, hitCounts.map(_._2).sum)
+  }
+
+  /** Shared DML commit loop: verify every planned hit file is STILL
+    * LIVE (throw [[ConcurrentCommitException]] when a concurrent
+    * rewrite retired one — the caller re-plans against fresh state),
+    * then commit `adds` + retirements with the usual CAS retry.
+    */
+  private def dmlCommit(spark: SparkSession, path: String, opName: String,
+      hitRels: Seq[String], adds: Seq[String]): Unit = {
     val f = fs(spark, path)
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
@@ -1682,13 +1815,13 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       val retired = hitRels.filterNot(st.live.contains)
       if (retired.nonEmpty)
         throw new ConcurrentCommitException(
-          s"deleteWhere on $path planned against ${hitRels.size} files " +
+          s"$opName on $path planned against ${hitRels.size} files " +
             s"of which ${retired.size} were retired by a concurrent " +
             "rewrite — re-run against fresh state")
-      val lines = addLines(adds) ++ hitRels.map(r => s"R $r")
+      val lines = adds ++ hitRels.map(r => s"R $r")
       if (tryCommit(f, path, v + 1, lines)) {
         maybeCheckpoint(spark, path, v + 1)
-        return deleted
+        return
       }
       attempts += 1
     }
