@@ -1505,6 +1505,22 @@ object SparkEntry {
         .agg(min(col("cnt")).as("est"))
     }),
 
+    // ---- CMS re-merge: the per-type sketches UNION back into the
+    //      global grid by counter addition (associative+commutative) —
+    //      the property that makes the sketch a warehouse object.
+    //      Oracle computes the global grid directly from the raw
+    //      stream; a mismatch would mean the merge aggregate broke
+    //      additivity ----
+    "ev_cms_union" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_type"), xxhash64(col("user_id")).as("h"))
+        .groupBy(col("event_type"))
+        .agg(CmsCounters.cmsCounters(col("h"), 4, 10).as("sk"))
+        .agg(CmsCounters.cmsMergeCounters(col("sk.counters"), 4, 10).as("m"))
+        .select(explode(col("m.counters")).as("c"))
+        .select(col("c.row").as("row"), col("c.idx").as("idx"),
+          col("c.cnt").as("cnt"))),
+
     // ---- HyperLogLog distinct-user sketch per event type (p=9, 512
     //      byte registers per group crossing the shuffle instead of the
     //      user stream): the nonzero registers, exploded — the sketch a
@@ -3029,6 +3045,7 @@ object SparkEntry {
         |FROM c, cap""".stripMargin,
 
     "ev_cms_freq" -> XxOracleSql.cmsFreq(4, 10),
+    "ev_cms_union" -> XxOracleSql.cmsUnion(4, 10),
     "ev_hll_users" -> XxOracleSql.hllUsers(9),
 
     "ev_hll_estimate" -> XxOracleSql.hllEstimate(9),

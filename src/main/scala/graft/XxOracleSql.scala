@@ -477,6 +477,31 @@ object XxOracleSql {
         "AND g.i = p.i AND g.idx = p.idx GROUP BY 1, 2, 3")
   }
 
+  /** Full oracle for `ev_cms_union`: the GLOBAL count-min grid computed
+    * directly from the raw stream. The Spark side re-merges the
+    * per-type sketches by counter addition; because the row indexes
+    * depend only on user_id, the merged grid must equal the grid built
+    * over per-user TOTAL counts — which is what this computes.
+    */
+  def cmsUnion(d: Int, logW: Int): String = {
+    val w = 1 << logW
+    val (hS, hT) = longChain("cu_n", Seq("user_id", "n"),
+      "xu_u64(CAST(user_id AS HUGEINT))", "42::HUGEINT", "cu_h_", "h")
+    val ctes = Seq(
+      ("cu_n", "SELECT user_id, count(*) AS n FROM events GROUP BY 1")
+    ) ++ hS ++ Seq(
+      ("cu_ab", "SELECT user_id, n, " +
+        s"xu_u64(CAST(h AS HUGEINT)) // 4294967296 AS a, " +
+        s"(xu_u64(CAST(h AS HUGEINT)) % 4294967296) " +
+        s"- (xu_u64(CAST(h AS HUGEINT)) % 2) + 1 AS b FROM $hT"),
+      ("cu_idx", "SELECT user_id, n, i, " +
+        s"CAST((a + i * b) % $w AS INTEGER) AS idx " +
+        s"FROM cu_ab, range(0, $d) r(i)"))
+    single(ctes,
+      "SELECT CAST(i AS INTEGER) AS \"row\", idx, " +
+        "CAST(sum(n) AS BIGINT) AS cnt FROM cu_idx GROUP BY 1, 2")
+  }
+
   /** Full oracle for `ev_hll_users`: the nonzero HLL registers. */
   def hllUsers(p: Int): String =
     single(hllRegCtes(p, "user_id", Seq("event_type")),

@@ -77,25 +77,7 @@ case class CmsCounters(
     buf
   }
 
-  override def eval(buf: Array[Long]): Any = {
-    var nTotal = 0L
-    var j = 0
-    while (j < w) { nTotal += buf(j); j += 1 } // row 0 sums the stream
-    var nnz = 0
-    var i = 0
-    while (i < buf.length) { if (buf(i) != 0L) nnz += 1; i += 1 }
-    val triples = new Array[Any](nnz)
-    i = 0
-    var k = 0
-    while (i < buf.length) {
-      if (buf(i) != 0L) {
-        triples(k) = InternalRow(i / w, i % w, buf(i))
-        k += 1
-      }
-      i += 1
-    }
-    InternalRow(nTotal, new GenericArrayData(triples))
-  }
+  override def eval(buf: Array[Long]): Any = CmsCounters.evalRow(buf, w)
 
   override def serialize(buf: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
@@ -125,6 +107,29 @@ object CmsCounters {
     * unsigned hash, b = low 32 bits forced odd, row i increments
     * column (a + i·b) mod 2^logW.
     */
+  /** The aggregates' shared output row: (n_total from row 0's sum,
+    * nonzero (row, idx, cnt) triples in (row, idx) order).
+    */
+  private[functions] def evalRow(buf: Array[Long], w: Int): InternalRow = {
+    var nTotal = 0L
+    var j = 0
+    while (j < w) { nTotal += buf(j); j += 1 } // row 0 sums the stream
+    var nnz = 0
+    var i = 0
+    while (i < buf.length) { if (buf(i) != 0L) nnz += 1; i += 1 }
+    val triples = new Array[Any](nnz)
+    i = 0
+    var k = 0
+    while (i < buf.length) {
+      if (buf(i) != 0L) {
+        triples(k) = InternalRow(i / w, i % w, buf(i))
+        k += 1
+      }
+      i += 1
+    }
+    InternalRow(nTotal, new GenericArrayData(triples))
+  }
+
   def observe(buf: Array[Long], h: Long, d: Int, logW: Int): Unit = {
     val w = 1 << logW
     val mask = w - 1
@@ -144,4 +149,83 @@ object CmsCounters {
     ColumnBridge.column(
       CmsCounters(ColumnBridge.expression(hash64), d, logW)
         .toAggregateExpression())
+
+  /** Column form: re-merge PERSISTED sketches — input is the
+    * `counters` array<struct<row,idx,cnt>> the main aggregate emitted
+    * (e.g. one row per day/group read back from a table), output the
+    * same (n_total, counters) struct over the union. Counter addition
+    * is associative and commutative, so frequency grids compose across
+    * days/sources without re-reading the streams — the property that
+    * makes the sketch a warehouse object like [[HllRegisters]]'.
+    */
+  def cmsMergeCounters(counters: Column, d: Int, logW: Int): Column =
+    ColumnBridge.column(
+      CmsMergeCounters(ColumnBridge.expression(counters), d, logW)
+        .toAggregateExpression())
+}
+
+/** Merge aggregate over already-materialized counter triples — same
+  * state, same output row as [[CmsCounters]]; update folds each input
+  * row's (row, idx, cnt) triples by addition.
+  */
+case class CmsMergeCounters(
+    child: Expression,
+    d: Int,
+    logW: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0
+) extends TypedImperativeAggregate[Array[Long]] {
+
+  require(d >= 1 && d <= 16, "depth d must be in [1, 16]")
+  require(logW >= 4 && logW <= 24, "logW must be in [4, 24]")
+  private def w: Int = 1 << logW
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = CmsCounters(child, d, logW).dataType
+  override def prettyName: String = "cms_merge_counters"
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](d * w)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val arr = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      var i = 0
+      while (i < arr.numElements()) {
+        val t = arr.getStruct(i, 3)
+        buf(t.getInt(0) * w + t.getInt(1)) += t.getLong(2)
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = CmsCounters.evalRow(buf, w)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(buf.length * 8)
+    bb.asLongBuffer().put(buf)
+    bb.array()
+  }
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](bytes.length / 8)
+    java.nio.ByteBuffer.wrap(bytes).asLongBuffer().get(out)
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CmsMergeCounters =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CmsMergeCounters =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): CmsMergeCounters =
+    copy(child = newChildren.head)
 }

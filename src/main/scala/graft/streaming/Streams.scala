@@ -466,6 +466,45 @@ object Streams {
           (key, nnz, est)
       }
 
+  /** Streaming frequency sketch: the count-min grid as keyed state —
+    * the streaming dual of the `ev_cms_freq` batch aggregate, sharing
+    * [[graft.functions.CmsCounters.observe]] verbatim so batch and
+    * stream CANNOT disagree on a counter. Input is (key, pre-hashed
+    * 64-bit id); each trigger folds the new hashes into the key's d×2^w
+    * long grid and re-emits (key, n_total, nonzero (row, idx, cnt)
+    * triples) — the same persistable unit the batch aggregate emits,
+    * re-mergeable across scopes with
+    * [[graft.functions.CmsCounters.cmsMergeCounters]].
+    *
+    * State per key is exactly 8·d·2^logW bytes FOREVER, regardless of
+    * stream length or item cardinality — same argument as
+    * [[hllDistinctState]]: exact per-item counting state grows with
+    * cardinality; the sketch's is pinned.
+    */
+  def cmsFreqState(hashes: Dataset[(String, Long)], d: Int = 4,
+      logW: Int = 10)(
+      implicit ek: Encoder[String], eb: Encoder[Array[Long]],
+      eo: Encoder[(String, Long, Seq[(Int, Int, Long)])]):
+      Dataset[(String, Long, Seq[(Int, Int, Long)])] =
+    hashes.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Long, Seq[(Int, Int, Long)])](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+            state: GroupState[Array[Long]]) =>
+          val w = 1 << logW
+          val buf = state.getOption.getOrElse(new Array[Long](d * w))
+          rows.foreach(r =>
+            graft.functions.CmsCounters.observe(buf, r._2, d, logW))
+          state.update(buf)
+          var n = 0L
+          var j = 0
+          while (j < w) { n += buf(j); j += 1 }
+          val triples = (0 until buf.length).collect {
+            case i if buf(i) != 0L => (i / w, i % w, buf(i))
+          }
+          (key, n, triples)
+      }
+
   /** Run a streaming DataFrame to a date-partitioned parquet sink with
     * Trigger.AvailableNow — one checkpointed batch over whatever input
     * exists, then stop. This is the reference's daily job as a stream:

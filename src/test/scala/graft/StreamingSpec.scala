@@ -694,4 +694,50 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed("b") == batch("b"))
     q.stop()
   }
+
+  test("streaming CMS frequency: after all triggers, every key's grid " +
+    "equals the batch sketch over the same ids (shared observe => " +
+    "counters cannot drift)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, xxhash64}
+
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.Streams.cmsFreqState(
+        mem.toDS().select(col("_1"),
+          xxhash64(col("_2")).as("h")).as[(String, Long)], d = 4, logW = 6)
+      .toDF("key", "n_total", "counters")
+      .writeStream.format("memory").queryName("cms_stream")
+      .outputMode(OutputMode.Update).start()
+
+    mem.addData(("a", 1L), ("a", 2L), ("b", 1L))
+    q.processAllAvailable()
+    mem.addData(("a", 2L), ("b", 7L), ("b", 1L))
+    q.processAllAvailable()
+    mem.addData((1L to 900L).map(i => ("a", i % 50)): _*)
+    q.processAllAvailable()
+
+    // counters only grow, so the final state per key is the row with
+    // max n_total — no reliance on sink row order
+    val streamed = spark.table("cms_stream")
+      .as[(String, Long, Seq[(Int, Int, Long)])].collect()
+      .groupBy(_._1).map { case (k, rows) =>
+        val last = rows.maxBy(_._2)
+        k -> (last._2, last._3.toSet)
+      }
+    val batch = Seq(
+      ("a", Seq(1L, 2L, 2L) ++ (1L to 900L).map(_ % 50)),
+      ("b", Seq(1L, 7L, 1L)))
+      .flatMap { case (k, ids) => ids.map(k -> _) }
+      .toDF("key", "id")
+      .select(col("key"), xxhash64(col("id")).as("h"))
+      .groupBy(col("key"))
+      .agg(graft.functions.CmsCounters.cmsCounters(col("h"), 4, 6).as("sk"))
+      .select(col("key"), col("sk.n_total"), col("sk.counters"))
+      .as[(String, Long, Seq[(Int, Int, Long)])].collect()
+      .map(r => r._1 -> (r._2, r._3.toSet)).toMap
+    assert(streamed("a") == batch("a"))
+    assert(streamed("b") == batch("b"))
+    q.stop()
+  }
 }
