@@ -1966,6 +1966,18 @@ object SparkEntry {
         "lang", "n_chars",
         Seq("median_chars" -> 0.5, "p90_chars" -> 0.9), "n_docs")),
 
+    // ---- the scale-path dual of tx_len_quantiles: HDR log-histogram
+    //      quantiles — ≤ ~1,900 counters per group regardless of value
+    //      range (exact rank state is one row per distinct value), rel
+    //      err ≤ 1/32, integer-exact bucket arithmetic both engines
+    //      replay from the value's binary digits ----
+    "tx_len_hdr" -> ((s, dir) =>
+      TextAnalysis.hdrQuantiles(
+        Tables.documents(s, dir).select(col("lang"), col("n_chars")),
+        "lang", "n_chars",
+        Seq("p50_lb" -> 5000, "p90_lb" -> 9000, "p99_lb" -> 9900),
+        "n_docs")),
+
     // ---- deterministic stratified sampling (down-sample dominant lang) ----
     "ds_stratified_sample" -> ((s, dir) =>
       Sampling.stratifiedSample(Tables.documents(s, dir), "doc_id", "lang",
@@ -4644,6 +4656,31 @@ object SparkEntry {
         |    AS p90_chars,
         |  CAST(max(n) AS BIGINT) AS n_docs
         |FROM r GROUP BY lang""".stripMargin,
+
+    "tx_len_hdr" ->
+      """WITH v AS (SELECT lang, CAST(n_chars AS BIGINT) AS v FROM documents),
+        |b AS (SELECT lang,
+        |    CASE WHEN v < 64 THEN v
+        |         ELSE (length(bin(v)) - 5) * 32
+        |              + (v >> (length(bin(v)) - 6)) - 32 END AS b
+        |  FROM v),
+        |h AS (SELECT lang, b, count(*) AS c FROM b GROUP BY 1, 2),
+        |cum AS (SELECT lang, b, c,
+        |    sum(c) OVER (PARTITION BY lang ORDER BY b) AS cum,
+        |    sum(c) OVER (PARTITION BY lang) AS n,
+        |    CASE WHEN b < 64 THEN b
+        |         ELSE (32 + b % 32)
+        |              * (1::BIGINT << CAST(b // 32 - 1 AS INTEGER)) END AS lb
+        |  FROM h)
+        |SELECT lang,
+        |  CAST(min(CASE WHEN cum * 10000 >= n * 5000 THEN lb END) AS BIGINT)
+        |    AS p50_lb,
+        |  CAST(min(CASE WHEN cum * 10000 >= n * 9000 THEN lb END) AS BIGINT)
+        |    AS p90_lb,
+        |  CAST(min(CASE WHEN cum * 10000 >= n * 9900 THEN lb END) AS BIGINT)
+        |    AS p99_lb,
+        |  CAST(max(n) AS BIGINT) AS n_docs
+        |FROM cum GROUP BY lang""".stripMargin,
 
     "ds_stratified_sample" ->
       s"""SELECT doc_id, lang, source FROM documents

@@ -1734,16 +1734,18 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     */
   def compact(spark: SparkSession, path: String,
       date: Option[LocalDate] = None, targetBytes: Long = 128L << 20,
-      smallBytes: Long = 0L, minFiles: Int = 2): (Int, Int) =
+      smallBytes: Long = 0L, minFiles: Int = 2,
+      zorderCols: Seq[String] = Nil): (Int, Int) =
     compactHooked(spark, path, date, targetBytes, smallBytes, minFiles,
-      () => ())
+      zorderCols, () => ())
 
   /** Test seam: `afterPlan` runs between the manifest plan and the
     * commit — the window [[dmlCommit]]'s fence protects.
     */
   private[tableops] def compactHooked(spark: SparkSession, path: String,
       date: Option[LocalDate], targetBytes: Long, smallBytes: Long,
-      minFiles: Int, afterPlan: () => Unit): (Int, Int) = {
+      minFiles: Int, zorderCols: Seq[String],
+      afterPlan: () => Unit): (Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val small = if (smallBytes > 0L) smallBytes else targetBytes / 2
     val (_, st0) = replay(spark, path)
@@ -1760,7 +1762,15 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val adds = byDate.toSeq.sortBy(_._1).flatMap { case (_, rels) =>
       val bytes = rels.map(r => st0.sizes.getOrElse(r, 0L)).sum
       val nOut = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-      writeData(spark, readFiles(spark, path, rels).coalesce(nOut), path)._1
+      val src = readFiles(spark, path, rels)
+      // packing alone is a shuffle-free concatenate; with zorderCols the
+      // rewrite ALSO re-clusters (quantile-bucketed Morton layout — one
+      // range exchange), turning compaction into the periodic OPTIMIZE
+      // ZORDER BY pass. Re-cluster a whole partition by passing
+      // smallBytes = Long.MaxValue so every file qualifies.
+      val packed = if (zorderCols.isEmpty) src.coalesce(nOut)
+        else ZOrder.layout(src, zorderCols, nOut)
+      writeData(spark, packed, path)._1
     }
     val retiring = byDate.values.flatten.toSeq.sorted
     afterPlan()

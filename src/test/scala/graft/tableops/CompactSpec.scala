@@ -99,6 +99,38 @@ class CompactSpec extends graft.SparkTestBase {
     assert(probed.count() == 1)
   }
 
+  test("zorderCols: compaction doubles as OPTIMIZE ZORDER BY — the " +
+    "rewrite re-clusters so a 2-D box probe prunes files the random " +
+    "layout could not; rows identical") {
+    val (wh, path) = fresh("cp6")
+    // 8 small files, each spanning the FULL (x, y) range — the
+    // worst-case layout: every file's min/max covers every probe
+    val rnd = new scala.util.Random(7)
+    (0 until 8).foreach { _ =>
+      val rows = (1 to 250).map { _ =>
+        (rnd.nextInt(1000).toLong, rnd.nextInt(1000).toLong, D1)
+      }
+      wh.append(spark, rows.toDF("x", "y", "date").coalesce(1), path)
+    }
+    val boxBefore = wh.readWhere(spark, path,
+      col("x").between(100L, 200L) && col("y").between(100L, 200L))
+    assert(boxBefore.inputFiles.length == 8, "pre: no file prunable")
+    val total = wh.read(spark, path).count()
+    val bytes = wh.read(spark, path).inputFiles.map(f =>
+      Files.size(java.nio.file.Paths.get(new java.net.URI(f).getPath))).sum
+    val (retired, added) = wh.compact(spark, path,
+      targetBytes = bytes / 4, smallBytes = Long.MaxValue,
+      zorderCols = Seq("x", "y"))
+    assert(retired == 8 && added >= 3)
+    assert(wh.read(spark, path).count() == total)
+    val boxAfter = wh.readWhere(spark, path,
+      col("x").between(100L, 200L) && col("y").between(100L, 200L))
+    assert(boxAfter.inputFiles.length < added,
+      s"post: z-layout must make the box prunable " +
+        s"(${boxAfter.inputFiles.length} of $added files opened)")
+    assert(boxAfter.count() == boxBefore.count())
+  }
+
   test("conflict fence: a small file retired by a concurrent rewrite " +
     "between plan and commit raises ConcurrentCommitException; the " +
     "retry against fresh state is a clean no-op") {
@@ -112,7 +144,7 @@ class CompactSpec extends graft.SparkTestBase {
     // the fence must see its planned files retired and refuse — a blind
     // commit here would resurrect the deleted partition's rows
     intercept[ConcurrentCommitException] {
-      wh.compactHooked(spark, path, None, 128L << 20, 0L, 2,
+      wh.compactHooked(spark, path, None, 128L << 20, 0L, 2, Nil,
         () => wh.deletePartition(spark, path, D1.toLocalDate))
     }
     assert(wh.read(spark, path).count() == 0L)
