@@ -326,6 +326,48 @@ object SparkEntry {
           sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
     }),
 
+    // ---- S18: incremental view maintenance: a grouped sum/count view
+    //      kept current across append -> predicate DELETE -> predicate
+    //      UPDATE by applying O(changed files) deltas (diffSnapshots
+    //      CDC; file-granular insert/delete pairs cancel in linear
+    //      aggregates), each application one atomic exactly-once
+    //      mergeIntoTxn commit. The readback must equal the oracle's
+    //      from-scratch aggregate over the final state ----
+    "s18_incr_agg" -> ((s, dir) => {
+      val root = s"/root/repo/target/s18_ivm/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val src = wh.tablePath("bench", "orders")
+      val view = wh.tablePath("bench", "orders_by_status")
+      val D = LocalDate.parse("2024-01-01")
+      if (wh.currentVersion(s, view) < 3L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            floor(col("o_totalprice") * 100).cast("long").as("p_e2"))
+          .withColumn("date", lit(java.sql.Date.valueOf(D)))
+        def maintain(): Unit = {
+          graft.tableops.IncrementalAgg.maintainSumView(s, wh, src, view,
+            Seq("o_orderstatus"), "n_rows",
+            Seq("sum_key" -> "o_orderkey", "sum_price_e2" -> "p_e2"),
+            "ivm_s18", D)
+          ()
+        }
+        wh.append(s, o.repartitionByRange(8, col("o_orderkey")), src) // v1
+        maintain() // bootstrap
+        wh.deleteWhere(s, src, col("o_orderstatus") === "F" && // v2
+          pmod(col("o_orderkey"), lit(10)) === 3)
+        maintain() // incremental: one partition's churn
+        wh.updateWhere(s, src, col("o_orderstatus") === "O" && // v3
+          pmod(col("o_orderkey"), lit(7)) === 2,
+          Map("o_orderstatus" -> lit("U")))
+        maintain() // group-moving churn; survivors cancel
+      }
+      wh.read(s, view)
+        .select(col("o_orderstatus").as("o_status"), col("n_rows"),
+          col("sum_key"), col("sum_price_e2"))
+    }),
+
     // ---- S16: copy-on-write predicate UPDATE (deleteWhere's sibling):
     //      orders staged range-clustered, then updateWhere rewrites one
     //      status' residue class (two SET columns, old-row scope) —
@@ -3197,6 +3239,20 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
         |GROUP BY o_orderstatus""".stripMargin,
+
+    "s18_incr_agg" ->
+      """WITH f AS (
+        |  SELECT CASE WHEN o_orderstatus = 'O' AND o_orderkey % 7 = 2
+        |              THEN 'U' ELSE o_orderstatus END AS o_status,
+        |         o_orderkey,
+        |         CAST(floor(o_totalprice * 100) AS BIGINT) AS p_e2
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+        |)
+        |SELECT o_status, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(p_e2) AS BIGINT) AS sum_price_e2
+        |FROM f GROUP BY o_status""".stripMargin,
 
     "s17_compact" ->
       """SELECT o_orderstatus AS o_status, count(*) AS n_rows,
