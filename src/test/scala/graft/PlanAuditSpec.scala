@@ -614,6 +614,36 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("cms frequency: the sketch is an object-hash aggregate (fixed " +
+    "grid buffer crossing the shuffle, partial+final), the probe join " +
+    "broadcasts, and nothing degenerates to cartesian/sort-merge") {
+    val p = planned("ev_cms_freq")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("cms union: per-type sketches and the re-merge are both " +
+    "object-hash aggregates; no join at all in the plan") {
+    val p = planned("ev_cms_union")
+    assert("ObjectHashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("hdr quantiles: the bucket histogram partial-aggregates before " +
+    "its exchange, the cumulative window is hash-partitioned by group " +
+    "(never a single-partition sort), and the scan reads only the two " +
+    "referenced columns") {
+    val p = planned("tx_len_hdr")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("hashpartitioning"), p)
+    val f = formatted("tx_len_hdr")
+    val read = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("n_chars") && !read.contains("text"), read)
+  }
+
   test("shuffle order: the global index never plans a one-partition " +
     "sort — the window partitions by hash bucket (hash-partitioned " +
     "exchange), and offsets fold in as a literal CASE") {
