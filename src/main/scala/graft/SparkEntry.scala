@@ -326,6 +326,39 @@ object SparkEntry {
           sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
     }),
 
+    // ---- S19: zero-rewrite schema evolution (column mapping): half
+    //      the orders land, the price column is RENAMED (metadata-only
+    //      — no file rewritten), the other half lands under the NEW
+    //      name, a scratch column is DROPPED (tombstoned) — and the
+    //      readback under the final names must equal raw parquet.
+    //      Physical-name invariants, time travel, tombstones, pruning
+    //      under rename: ColumnMappingSpec ----
+    "s19_rename_evolve" -> ((s, dir) => {
+      val root = s"/root/repo/target/s19_ddl/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "orders")
+      if (wh.currentVersion(s, tbl) < 4L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("scratch", lit("tmp"))
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+        wh.append(s, // v1: first half under the ORIGINAL name
+          o.filter(pmod(col("o_orderkey"), lit(2)) === 0), tbl)
+        wh.renameColumn(s, tbl, "o_totalprice", "price_usd") // v2
+        wh.append(s, // v3: second half under the NEW logical name
+          o.filter(pmod(col("o_orderkey"), lit(2)) === 1)
+            .withColumnRenamed("o_totalprice", "price_usd"), tbl)
+        wh.dropColumn(s, tbl, "scratch") // v4
+      }
+      wh.read(s, tbl)
+        .groupBy(col("o_orderstatus").as("o_status"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(floor(col("price_usd") * 100).cast("long")).as("sum_price_e2"))
+    }),
+
     // ---- S18: incremental view maintenance: a grouped sum/count view
     //      kept current across append -> predicate DELETE -> predicate
     //      UPDATE by applying O(changed files) deltas (diffSnapshots
@@ -3239,6 +3272,13 @@ object SparkEntry {
         |FROM orders
         |WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
         |GROUP BY o_orderstatus""".stripMargin,
+
+    "s19_rename_evolve" ->
+      """SELECT o_orderstatus AS o_status, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_e2
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "s18_incr_agg" ->
       """WITH f AS (

@@ -105,9 +105,31 @@ final class Monitor(
   }
 
   private def applyAction(key: String, job: Job, action: Action): Unit = {
+    // EXECUTION-TIME claim re-validation: under load an action can sit
+    // in the pool queue long past its claim lease — long enough for a
+    // takeover to run the whole remaining pipeline (including the tmp
+    // DRAIN that re-arms the load's idempotence epoch). Running the
+    // action then is not merely wasted work: a post-drain stale LOAD
+    // looks exactly like a legitimate reprocessing to the warehouse's
+    // txn fence and re-appends rows the pipeline already archived. The
+    // stale-OUTCOME guard below cannot help — it drops the status
+    // update, not the side effects — so re-check the state and the
+    // claim at thread start and skip the run entirely when either moved
+    // on. (Best-effort like the outcome guard: the warehouse's commit
+    // fencing stays the correctness backstop for actions that go stale
+    // MID-run; this closes the arbitrarily-wide queued window.)
+    if (!tracker.getState().get(key).exists(_._2.state == action.from) ||
+        tracker.claimedByOther(key, name)) {
+      graft.tableops.TableOps.tr(
+        s"monitor $name skip-stale ${action.from.name} $key")
+      tracker.releaseClaim(key, name): Unit
+      return
+    }
     // in-flight accounting lives at the dispatch site (tick), which
     // covers the queued-but-not-yet-started window too
     val t0 = clock()
+    graft.tableops.TableOps.tr(
+      s"monitor $name start ${action.from.name} $key")
     val outcome = Try(action.run(job)) match {
       case TSuccess(o) => o
       case TFailure(e) => Outcome.Failure(s"${e.getClass.getSimpleName}: ${e.getMessage}")
@@ -135,6 +157,8 @@ final class Monitor(
     // re-runs the idempotent action.)
     val stale = !tracker.getState().get(key).exists(_._2.state == action.from) ||
       tracker.claimedByOther(key, name)
+    graft.tableops.TableOps.tr(
+      s"monitor $name done ${action.from.name} $key outcome=$outcome stale=$stale")
     outcome match {
       case _ if stale => ()
       case Outcome.Success(detail) =>

@@ -141,6 +141,7 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
           tx.lastTxn(spark, tmpPath, s"drain-${job.key}") + 1L else 0L))
       case _ => None
     }
+    TableOps.tr(s"load ${job.key} entry batch=${txEntry.map(_._2)}")
     def reader = spark.read
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss[.SSSSSS]XXX")
       .option("columnNameOfCorruptRecord", CR)
@@ -178,7 +179,10 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
                  else observed
       txEntry match {
         case Some((tx, v)) =>
-          tx.appendTxn(spark, good, tmpPath, s"load-${job.key}", batchId = v)
+          val landed =
+            tx.appendTxn(spark, good, tmpPath, s"load-${job.key}", batchId = v)
+          TableOps.tr(s"load ${job.key} appendTxn batch=$v landed=$landed")
+          landed
         case None => wh.append(spark, good, tmpPath); true
       }
     }
@@ -451,6 +455,7 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
           wh.overwritePartition(spark, idx, indexPath, job.date): Unit
         }
         val n = wh.overwritePartition(spark, part, rawPath, job.date)
+        TableOps.tr(s"copyToRaw ${job.key} published rows=$n")
         OpStats(n, n)
       }
     }
@@ -461,6 +466,7 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     */
   def deleteTmp(): Unit =
     wh.withTableLocks(reads = Nil, writes = Seq(tmpPath)) {
+      TableOps.tr(s"deleteTmp ${job.key}")
       wh match {
         // advance the load-idempotence drain epoch atomically with the
         // partition delete — see loadToTmp's txEntry comment
@@ -604,6 +610,7 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
     case Left(stats) => stats
     case Right((stats, token)) =>
       wh.publishSelfReplace(spark, path, job.date, token)
+      TableOps.tr(s"dedup ${job.key} published token=$token rows=${stats.rowsOut}")
       stats
   }
 
@@ -617,6 +624,15 @@ final class TableOps(spark: SparkSession, job: Job, wh: Warehouse,
 }
 
 object TableOps {
+  /** Race-investigation tracing (set GRAFT_TRACE=1): timestamped,
+    * thread-tagged prints from the pipeline's commit decision points.
+    * Zero cost when off (message is by-name).
+    */
+  private[graft] val trace: Boolean = sys.env.get("GRAFT_TRACE").contains("1")
+  private[graft] def tr(msg: => String): Unit =
+    if (trace) println(
+      s"[trace ${System.currentTimeMillis()} ${Thread.currentThread.getName}] $msg")
+
   /** Sibling-table suffix of the materialized near-dup signature index
     * (maintained by copyToRaw, probed by dedup, maintained-for by the
     * sweeper).

@@ -795,7 +795,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   def readAt(spark: SparkSession, path: String, version: Long): DataFrame = {
     val (v, live) = state(spark, path, upTo = version)
     require(v == version, s"no version $version of $path (latest ≤ is $v)")
-    readFiles(spark, path, live.keys)
+    readFiles(spark, path, live.keys, upTo = version)
   }
 
   /** Version committed at-or-before `ts` (epoch millis) — the Delta
@@ -999,14 +999,35 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     if (!f.exists(dataDir)) return 0L
     val prefix = f.makeQualified(new Path(path)).toString + "/"
     val cutoff = System.currentTimeMillis() - minAgeMillis
-    val it = f.listFiles(dataDir, true)
+    // Manual walk instead of listFiles(recursive): vacuum RACES live
+    // writers by design (at archive scale it always does), and a
+    // recursive LocatedFileStatus listing both descends into their
+    // `_temporary` task dirs (whose entries vanish at task commit —
+    // on a local scheme the eager permission load then throws on the
+    // gone file and kills the sweep) and pays an eager stat per file.
+    // Skipping `_temporary` subtrees is also the correctness-polite
+    // choice: their files belong to an in-flight write no manifest
+    // references yet — the age guard is what protects them today, the
+    // skip makes it structural. Per-dir listings tolerate vanishing
+    // dirs (the writer committed/aborted mid-sweep; next vacuum
+    // converges).
     var deleted = 0L
-    while (it.hasNext) {
-      val st = it.next()
-      val rel = st.getPath.toString.stripPrefix(prefix)
-      if (st.isFile && !retained.contains(rel) &&
-          st.getModificationTime < cutoff) {
-        if (f.delete(st.getPath, false)) deleted += 1
+    val stack = scala.collection.mutable.Stack(dataDir)
+    while (stack.nonEmpty) {
+      val d = stack.pop()
+      val entries =
+        try f.listStatus(d)
+        catch { case _: java.io.FileNotFoundException =>
+          Array.empty[org.apache.hadoop.fs.FileStatus] }
+      entries.foreach { st =>
+        if (st.isDirectory) {
+          if (st.getPath.getName != "_temporary") stack.push(st.getPath)
+        } else {
+          val rel = st.getPath.toString.stripPrefix(prefix)
+          if (!retained.contains(rel) && st.getModificationTime < cutoff) {
+            if (f.delete(st.getPath, false)) deleted += 1
+          }
+        }
       }
     }
     deleted
@@ -1111,13 +1132,27 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   }
 
   private def readFiles(spark: SparkSession, path: String,
-      rels: Iterable[String]): DataFrame = {
+      rels: Iterable[String], upTo: Long = Long.MaxValue): DataFrame = {
     // an emptied (but existing) table reads as zero rows; schemaless is
     // fine — every caller either counts or guards with exists()
     if (rels.isEmpty) spark.emptyDataFrame
-    else spark.read.option("mergeSchema", "true")
-      .parquet(rels.map(r => s"$path/$r").toSeq: _*)
+    else {
+      val raw = spark.read.option("mergeSchema", "true")
+        .parquet(rels.map(r => s"$path/$r").toSeq: _*)
+      // column-mapping reconciliation (zero-rewrite rename/drop): data
+      // files carry PHYSICAL names forever; present the LOGICAL view as
+      // of `upTo` (current by default; a time-travel read shows the
+      // names that version had). One global projection — the scan stays
+      // a single parquet relation, pushdown intact.
+      DdlOps.reconcileRead(raw,
+        DdlOps.mappingAt(
+          DdlOps.decode(replay(spark, path, upTo)._2.props.get(DdlOps.Key)),
+          upTo))
+    }
   }
+
+  private def ddlMapping(st: TxState): DdlOps.Mapping =
+    DdlOps.mappingAt(DdlOps.decode(st.props.get(DdlOps.Key)), Long.MaxValue)
 
   def read(spark: SparkSession, path: String): DataFrame = {
     val (_, st) = replay(spark, path)
@@ -1163,14 +1198,18 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
         mentionsPartitionCol(pred),
       s"table $path sets requirePartitionFilter: the readWhere " +
         "predicate must reference the `date` partition column")
+    // stats/blooms are recorded under PHYSICAL names; rewrite the
+    // predicate's attributes logical→physical so pruning survives
+    // renames (unmapped names pass through; a miss only costs keeping)
+    val statsPred = DdlOps.toPhysicalPred(pred, ddlMapping(st))
     val kept = st.live.keys.filter { rel =>
       (st.stats.get(rel).flatMap(FileStats.decode) match {
-        case Some(payload) => FileStats.mayMatch(payload, pred)
+        case Some(payload) => FileStats.mayMatch(payload, statsPred)
         case None => true
       }) &&
       // second skipping layer: equality/IN probes on the bloom column
       // prune the files min/max ranges can't (scattered keys)
-      st.blooms.get(rel).forall(FileBloom.mayMatch(_, pred))
+      st.blooms.get(rel).forall(FileBloom.mayMatch(_, statsPred))
     }.toSeq.sorted
     if (kept.isEmpty)
       // preserve the table's merged schema without opening data: the
@@ -1195,8 +1234,10 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
               .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
           match {
             case Some(tableSchema) if kept.nonEmpty =>
-              spark.read.schema(tableSchema)
-                .parquet(kept.map(r => s"$path/$r"): _*)
+              DdlOps.reconcileRead(
+                spark.read.schema(tableSchema)
+                  .parquet(kept.map(r => s"$path/$r"): _*),
+                ddlMapping(st))
                 .filter(predicate)
             // readFiles, not read(): the partition-filter guard already
             // passed above — the internal fallback must not re-trip it
@@ -1249,8 +1290,13 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     // still observes TIMESTAMP_MICROS. Callers wanting conf isolation
     // must use separate sessions (`spark.newSession()` shares the
     // context, not the conf).
+    // column mapping: the caller writes LOGICAL names; files land under
+    // the table's PHYSICAL names so every file (pre- and post-rename)
+    // shares one schema namespace. Tombstoned names are rejected here.
+    val phys = DdlOps.translateWrite(df,
+      ddlMapping(replay(spark, path)._2))
     TsTypeOverride.acquire(spark)
-    try writeDataInner(spark, df, path, dir)
+    try writeDataInner(spark, phys, path, dir)
     finally TsTypeOverride.release(spark)
   }
 
@@ -1355,6 +1401,88 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   def dropCheckConstraint(spark: SparkSession, path: String,
       name: String): Unit =
     commitProperty(spark, path, s"check.$name", "-")
+
+  /** ZERO-REWRITE column rename (column mapping — see [[DdlOps]]): one
+    * metadata commit; no data file is touched, at any table size. Data
+    * files keep their PHYSICAL names; reads reconcile to the logical
+    * view, writes translate back, and time travel shows each version
+    * under the names it had then. Stats/bloom pruning keeps working
+    * (predicates are rewritten to physical names at the manifest
+    * check). The `date` partition column cannot be renamed, and a
+    * column referenced by a CHECK constraint must shed the constraint
+    * first (constraints evaluate on physical frames).
+    */
+  def renameColumn(spark: SparkSession, path: String, oldName: String,
+      newName: String): Unit =
+    ddlCommit(spark, path, oldName, newName, "rename")
+
+  /** ZERO-REWRITE column drop — same mechanism as [[renameColumn]].
+    * The physical name is TOMBSTONED: old files still carry the bytes
+    * (hidden at read; reclaimed physically only by a rewriting pass
+    * like [[compact]] over those files), and a later write
+    * re-introducing the name is rejected, because it would un-hide the
+    * old values. Time travel before the drop still reads the column.
+    */
+  def dropColumn(spark: SparkSession, path: String, name: String): Unit =
+    ddlCommit(spark, path, name, "", "drop")
+
+  private def ddlCommit(spark: SparkSession, path: String, oldName: String,
+      newName: String, kind: String): Unit = {
+    require(oldName != "date" && newName != "date",
+      "the date partition column cannot be renamed or dropped")
+    require(kind == "drop" || oldName != newName,
+      "rename to the same name is a no-op")
+    val f = fs(spark, path)
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val (v, st) = replay(spark, path)
+      require(st.live.nonEmpty || exists(spark, path),
+        s"no such table: $path")
+      val ops = DdlOps.decode(st.props.get(DdlOps.Key))
+      val m = DdlOps.mappingAt(ops, Long.MaxValue)
+      val logical = logicalColumns(spark, path, st, m)
+      require(logical.contains(oldName), s"no such column: $oldName")
+      if (kind == "rename") {
+        require(!logical.contains(newName),
+          s"column already exists: $newName")
+        require(!m.dropped.contains(newName),
+          s"$newName is a tombstoned (dropped) name — it stays retired")
+      }
+      val offending = checkConstraints(spark, path).collect {
+        case (n, sql) if sql.matches(s"(?s).*\\b$oldName\\b.*") => n
+      }
+      require(offending.isEmpty,
+        s"column $oldName is referenced by CHECK constraint(s) " +
+          s"${offending.mkString(", ")} — drop them first")
+      val physical = m.toPhysical.getOrElse(oldName, oldName)
+      val op = DdlOps.Op(v + 1, kind, physical, newName)
+      if (tryCommit(f, path, v + 1,
+          Seq(s"P ${DdlOps.Key} ${DdlOps.encode(ops :+ op)}"))) {
+        maybeCheckpoint(spark, path, v + 1)
+        return
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"commit contention: $MaxCommitAttempts failed attempts on $path")
+  }
+
+  /** The table's current LOGICAL column set: the manifest-recorded
+    * cumulative (physical) schema under the ddl mapping, falling back
+    * to a reconciled footer merge when no schema is recorded.
+    */
+  private def logicalColumns(spark: SparkSession, path: String,
+      st: TxState, m: DdlOps.Mapping): Set[String] =
+    st.schemaJson.flatMap(j => scala.util.Try(
+      org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+    match {
+      case Some(ts) =>
+        (ts.fieldNames.toSet -- m.dropped)
+          .map(p => m.toLogical.getOrElse(p, p))
+      case None =>
+        readFiles(spark, path, st.live.keys).columns.toSet
+    }
 
   /** BigQuery-dual `requirePartitionFilter` (the reference sets it when
     * creating the materialized join table, cloud/bq/ops.go:283-287):
@@ -1787,11 +1915,12 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       predicate: org.apache.spark.sql.Column,
       pred: org.apache.spark.sql.catalyst.expressions.Expression):
       (Seq[String], Long) = {
+    val statsPred = DdlOps.toPhysicalPred(pred, ddlMapping(st0))
     val candidates = st0.live.keys.filter { rel =>
       (st0.stats.get(rel).flatMap(FileStats.decode) match {
-        case Some(payload) => FileStats.mayMatch(payload, pred)
+        case Some(payload) => FileStats.mayMatch(payload, statsPred)
         case None => true
-      }) && st0.blooms.get(rel).forall(FileBloom.mayMatch(_, pred))
+      }) && st0.blooms.get(rel).forall(FileBloom.mayMatch(_, statsPred))
     }.toSeq.sorted
     if (candidates.isEmpty) return (Nil, 0L)
     // tier 2: which candidates actually hold TRUE-predicate rows

@@ -271,7 +271,9 @@ class MultiDriverE2ESpec extends SparkTestBase {
     // latest wins), tmp drained, join used the d-1..d window
     val wh = a.wh
     val rawNdt = wh.read(spark, wh.tablePath("raw_exp", "ndt7"))
-    assert(rawNdt.count() == 3)
+    assert(rawNdt.count() == 3, s"raw rows: ${rawNdt
+      .select("id", "val", "date").collect().toSeq.sortBy(_.toString)
+      .mkString("; ")}")
     assert(rawNdt.filter($"id" === "m1").select("val").as[Long].head() == 2L)
     Seq("2024-01-01", "2024-01-02").foreach { d =>
       assert(wh.readPartition(spark, wh.tablePath("tmp_exp", "ndt7"),
