@@ -107,6 +107,35 @@ object PqOracleSql {
        |    ORDER BY adist_e6, nbr_id) AS rn FROM pq_sc) WHERE rn <= $k""".stripMargin
   }
 
+  /** Oracle for `sim_pq_rerank`: ADC shortlist of `shortlist`
+    * candidates per query (same arithmetic as [[topK]]), then EXACT
+    * full-dimension e6-floored distances over the shortlist alone,
+    * re-ranked to top-k. Both cuts tie-break (distance asc, nbr asc).
+    */
+  def rerankTopK(m: Int, dsub: Int, ksub: Int, nQueries: Int, k: Int,
+      shortlist: Int): String = {
+    val dLut = distE6("q.sv", "c.cv", dsub)
+    val dEx = distE6("q.v", "n.v", m * dsub)
+    s"""${prelude(m, dsub, ksub)},
+       |pq_q AS (SELECT id AS query_id, sub, sv FROM pq_subs WHERE id < $nQueries),
+       |pq_lut AS (SELECT q.query_id, q.sub, c.code, $dLut AS d_e6
+       |  FROM pq_q q JOIN pq_cbl c ON c.sub = q.sub),
+       |pq_sc AS (SELECT l.query_id, kk.id AS nbr_id,
+       |    CAST(sum(l.d_e6) AS BIGINT) AS adist_e6
+       |  FROM pq_codes kk JOIN pq_lut l ON l.sub = kk.sub AND l.code = kk.code
+       |  WHERE l.query_id <> kk.id GROUP BY l.query_id, kk.id),
+       |pq_sh AS (SELECT query_id, nbr_id FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adist_e6, nbr_id) AS rn FROM pq_sc) WHERE rn <= $shortlist),
+       |pq_ex AS (SELECT s.query_id, s.nbr_id, $dEx AS dist_e6
+       |  FROM pq_sh s
+       |  JOIN pq_e q ON q.id = s.query_id
+       |  JOIN pq_e n ON n.id = s.nbr_id)
+       |SELECT query_id, nbr_id, dist_e6, CAST(rn AS INT) AS rank FROM (
+       |  SELECT *, row_number() OVER (PARTITION BY query_id
+       |    ORDER BY dist_e6, nbr_id) AS rn FROM pq_ex) WHERE rn <= $k""".stripMargin
+  }
+
   /** Oracle for `sim_ivfpq_topk`: coarse IVF assignment (max cosine,
     * `centMod`-strided centroids), PQ trained/encoded on RESIDUALS, and
     * per-probe residual LUTs for queries `id < nQueries` probing their

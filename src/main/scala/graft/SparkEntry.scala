@@ -1408,6 +1408,22 @@ object SparkEntry {
         col("vec_id") < 10, k = 5, m = 8, dim = 64)
     }),
 
+    // ---- two-stage retrieval: ADC shortlist (compressed-domain, no
+    //      corpus vector math) -> exact e6 distances on the shortlist
+    //      only -> final top-k. The production ANN split: full vectors
+    //      read for |queries|x shortlist rows, never the corpus ----
+    "sim_pq_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val cb = ProductQuantization.assembleCodebook(
+        ProductQuantization.trainCodebookComponents(emb, "vec_id", "embedding",
+          m = 8, dim = 64, ksub = 16, iters = 1))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val codes = ProductQuantization.encode(emb, "vec_id", "embedding", cb,
+        m = 8, dim = 64)
+      ProductQuantization.pqRerankTopK(emb, "vec_id", "embedding", codes, cb,
+        col("vec_id") < 10, k = 5, shortlist = 20, m = 8, dim = 64)
+    }),
+
     // ---- IVF-PQ: coarse max-cosine buckets + PQ on residuals, queries
     //      probe their 2 nearest buckets with per-probe residual LUTs —
     //      the inverted-file-with-ADC layout (billion-scale ANN) ----
@@ -4515,6 +4531,8 @@ object SparkEntry {
     "emb_pq_codebooks" -> PqOracleSql.codebooks(m = 8, dsub = 8, ksub = 16),
     "sim_pq_codes" -> PqOracleSql.codes(m = 8, dsub = 8, ksub = 16),
     "sim_pq_topk" -> PqOracleSql.topK(m = 8, dsub = 8, ksub = 16, nQueries = 10, k = 5),
+    "sim_pq_rerank" -> PqOracleSql.rerankTopK(m = 8, dsub = 8, ksub = 16,
+      nQueries = 10, k = 5, shortlist = 20),
     "sim_ivfpq_topk" -> PqOracleSql.ivfPqTopK(m = 8, dsub = 8, ksub = 16,
       dim = 64, centMod = 50, nQueries = 10, k = 5, nprobe = 2),
 

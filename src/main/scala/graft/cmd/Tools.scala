@@ -278,6 +278,75 @@ object ExportTool {
   * cadence instead of the chain's lifetime; the cursor chain itself is
   * untouched.
   */
+/** Usage: DeleteWhereTool <warehouseRoot> <dataset> <datatype> <sqlPredicate>
+  *
+  * Copy-on-write predicate DELETE (TxWarehouse.deleteWhere) — the
+  * right-to-erasure path. Stats/bloom pruning decides the candidate
+  * files manifest-only; only files actually holding matching rows
+  * rewrite. SQL semantics: NULL predicate keeps the row.
+  */
+object DeleteWhereTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, dataset, datatype, predicate) = args.take(4)
+    val wh = new graft.tableops.TxWarehouse(whRoot)
+    val spark = ToolSession.spark()
+    val n = wh.deleteWhere(spark, wh.tablePath(dataset, datatype),
+      org.apache.spark.sql.functions.expr(predicate))
+    println(s"deleted $n rows matching: $predicate")
+  }
+}
+
+/** Usage: UpdateWhereTool <warehouseRoot> <dataset> <datatype>
+  *                        <sqlPredicate> <col=expr>[,<col=expr>…]
+  *
+  * Copy-on-write predicate UPDATE (TxWarehouse.updateWhere). All SET
+  * right-hand sides evaluate against the OLD row; values cast to the
+  * column's recorded type.
+  */
+object UpdateWhereTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, dataset, datatype, predicate, sets) = args.take(5)
+    val wh = new graft.tableops.TxWarehouse(whRoot)
+    val spark = ToolSession.spark()
+    val assignments = sets.split(',').toSeq.filter(_.nonEmpty).map { kv =>
+      val eq = kv.indexOf('=')
+      require(eq > 0, s"SET clause must be col=expr, got: $kv")
+      kv.substring(0, eq).trim ->
+        org.apache.spark.sql.functions.expr(kv.substring(eq + 1))
+    }.toMap
+    val n = wh.updateWhere(spark, wh.tablePath(dataset, datatype),
+      org.apache.spark.sql.functions.expr(predicate), assignments)
+    println(s"updated $n rows matching: $predicate")
+  }
+}
+
+/** Usage: RenameColumnTool <warehouseRoot> <dataset> <datatype> <old> <new>
+  *        DropColumnTool   <warehouseRoot> <dataset> <datatype> <column>
+  *
+  * Zero-rewrite schema evolution (column mapping): one metadata
+  * commit, no data file touched at any table size. Time travel shows
+  * each version under its then-current names; dropped names stay
+  * tombstoned.
+  */
+object RenameColumnTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, dataset, datatype, oldName, newName) = args.take(5)
+    val wh = new graft.tableops.TxWarehouse(whRoot)
+    wh.renameColumn(ToolSession.spark(), wh.tablePath(dataset, datatype),
+      oldName, newName)
+    println(s"renamed $oldName -> $newName (metadata-only)")
+  }
+}
+
+object DropColumnTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, dataset, datatype, column) = args.take(4)
+    val wh = new graft.tableops.TxWarehouse(whRoot)
+    wh.dropColumn(ToolSession.spark(), wh.tablePath(dataset, datatype), column)
+    println(s"dropped $column (tombstoned; bytes reclaimed by a rewrite pass)")
+  }
+}
+
 object CompactExportTool {
   def main(args: Array[String]): Unit = {
     val exportRoot = args(0)

@@ -179,6 +179,47 @@ object ProductQuantization {
     rankByAdist(scored, k)
   }
 
+  /** Two-stage retrieval — the production ANN shape at corpus scale
+    * (Jégou et al. 2011 §V): the compressed-domain ADC pass shortlists
+    * `shortlist` candidates per query (only code joins, no vector
+    * math on the corpus), then EXACT distances are computed for the
+    * shortlist alone and re-ranked to the final top-k. At 100 TB the
+    * cost split is the whole point: the corpus-wide stage touches
+    * m-byte codes, the full-precision vectors are read only for
+    * |queries|·shortlist rows (the shortlist frame broadcasts onto the
+    * embedding scan — the corpus never shuffles).
+    *
+    * Integer-exact like the rest of the family: exact distances are
+    * the same ascending-index e6-floored fold as the LUT entries, and
+    * both cut boundaries tie-break (distance asc, nbr asc) — so the
+    * result is a pure function of the data, replayed verbatim by the
+    * DuckDB oracle.
+    */
+  def pqRerankTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      codes: DataFrame, codebook: DataFrame,
+      queryPred: Column, k: Int, shortlist: Int, m: Int, dim: Int): DataFrame = {
+    require(shortlist >= k, "shortlist must be at least k")
+    val short = adcTopK(embeddings, idCol, vecCol, codes, codebook,
+      queryPred, shortlist, m, dim)
+      .select(col("query_id"), col("nbr_id"))
+    val qs = embeddings.filter(queryPred)
+      .select(col(idCol).as("query_id"), asDouble(col(vecCol)).as("qv"))
+    val exact = embeddings
+      .select(col(idCol).as("nbr_id"), asDouble(col(vecCol)).as("nv"))
+      .join(broadcast(short), Seq("nbr_id"))
+      .join(broadcast(qs), Seq("query_id"))
+      .select(col("query_id"), col("nbr_id"),
+        floor(sqDist(col("qv"), col("nv")) * 1e6).cast("long").as("dist_e6"))
+    exact.groupBy(col("query_id"))
+      .agg(graft.functions.TopKByScore.topKByScore(
+        struct((-col("dist_e6")).as("score"), col("nbr_id")), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")))
+      .select(col("query_id"), col("col.id").as("nbr_id"),
+        (-col("col.score")).as("dist_e6"),
+        (col("pos") + 1).cast("int").as("rank"))
+  }
+
   /** Per-query (adist asc, nbr asc) top-k through the bounded-heap
     * aggregate — k rows per query per map partition cross the shuffle.
     */

@@ -1,0 +1,54 @@
+package graft.cmd
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+/** The new DML/DDL ops CLIs end-to-end through their main()s (the
+  * underlying APIs carry their own specs; this pins the argv parsing
+  * and wiring — SQL predicate strings, col=expr SET clauses, the
+  * metadata-only rename path).
+  */
+class DmlToolsSpec extends graft.SparkTestBase {
+  import spark.implicits._
+
+  private val D1 = java.sql.Date.valueOf("2024-09-01")
+
+  private def fresh(tag: String): (graft.tableops.TxWarehouse, String) = {
+    val root = Files.createTempDirectory(s"graft-$tag").toString
+    val wh = new graft.tableops.TxWarehouse(root)
+    wh.append(spark, Seq(
+      (1L, "keep", 10L, D1), (2L, "drop", 20L, D1), (3L, "bump", 30L, D1)
+    ).toDF("k", "s", "v", "date"), wh.tablePath("d", "t"))
+    (wh, root)
+  }
+
+  test("DeleteWhereTool: SQL predicate string deletes the matching rows") {
+    val (wh, root) = fresh("dtool")
+    DeleteWhereTool.main(Array(root, "d", "t", "s = 'drop'"))
+    assert(wh.read(spark, wh.tablePath("d", "t"))
+      .select("k").as[Long].collect().toSet == Set(1L, 3L))
+  }
+
+  test("UpdateWhereTool: col=expr SET clauses apply with old-row scope") {
+    val (wh, root) = fresh("utool")
+    UpdateWhereTool.main(Array(root, "d", "t", "s = 'bump'",
+      "v=v + 5,s='bumped'"))
+    val got = wh.read(spark, wh.tablePath("d", "t"))
+      .filter(col("k") === 3L).select("s", "v")
+      .as[(String, Long)].head()
+    assert(got == (("bumped", 35L)))
+  }
+
+  test("Rename/DropColumnTool: metadata-only evolution through argv") {
+    val (wh, root) = fresh("rtool")
+    val tbl = wh.tablePath("d", "t")
+    val files = wh.read(spark, tbl).inputFiles.toSet
+    RenameColumnTool.main(Array(root, "d", "t", "v", "value"))
+    DropColumnTool.main(Array(root, "d", "t", "s"))
+    val df = wh.read(spark, tbl)
+    assert(df.columns.toSet == Set("k", "value", "date"))
+    assert(df.inputFiles.toSet == files, "no data file may be rewritten")
+    assert(df.select("value").as[Long].collect().toSet == Set(10L, 20L, 30L))
+  }
+}
