@@ -46,6 +46,25 @@ object SparkEntry {
     "j2_dedup_deleted_set" -> ((s, dir) =>
       Dedup.deletedSet(mMonthly(s, dir), Seq("id", "date"), col("parser_time"))),
 
+    // ---- J3: explicit runtime bloom-filter semi join — the 100 TB
+    //      fact-reduction shape. The urgent-order key set is too big to
+    //      broadcast at scale, so a 1 MiB deterministic bloom of its
+    //      keys pre-filters the lineitem scan BEFORE the exchange; the
+    //      exact semi join on the survivors removes false positives, so
+    //      rows are bit-identical to the plain semi join while the
+    //      fact-side shuffle shrinks to ~the dim selectivity ----
+    "j3_bloom_semijoin" -> ((s, dir) =>
+      graft.operators.RuntimeFilter.bloomSemiJoin(
+        Tables.lineitem(s, dir),
+        Tables.orders(s, dir).filter(col("o_orderpriority") === "1-URGENT")
+          .select(col("o_orderkey")),
+        "l_orderkey", "o_orderkey")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(floor(col("l_quantity") * 100).cast("long")).cast("long")
+            .as("sum_qty_e2"),
+          count(lit(1)).as("n_lines"))),
+
     // same keep-set semantics, skew-resistant physical shape
     // (agg + AQE-splittable semi-join instead of a window sort)
     "w1_dedup_keepset_skew" -> ((s, dir) =>
@@ -1284,6 +1303,26 @@ object SparkEntry {
       Similarity.cosineTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
         col("vec_id") < 10, k = 5)),
 
+    // ---- multi-probe sign-LSH top-k (Lv et al. 2007): each query
+    //      probes its band buckets plus all Hamming-1 bit flips —
+    //      recall bought with query-side probes instead of more
+    //      corpus-side tables; candidates exact-re-ranked. The
+    //      candidate set itself is deterministic and replayed by the
+    //      oracle, not just the final ranks ----
+    "sim_lsh_multiprobe" -> ((s, dir) =>
+      Similarity.lshMultiprobeTopK(Tables.embeddings(s, dir), "vec_id",
+        "embedding", col("vec_id") < 10, k = 5)),
+
+    // ---- MMR diversified top-k (Carbonell & Goldstein 1998): greedy
+    //      λ·relevance − (1−λ)·max-sim-to-selected re-selection of 5
+    //      from the 20-nearest shortlist — the retrieval-side dual of
+    //      near-dup dedup (each pick must differ from what's shown).
+    //      k unrolled distributed rounds over the persisted m²-pair
+    //      sims; corpus touched only by the shortlist phase ----
+    "sim_mmr_topk" -> ((s, dir) =>
+      Similarity.mmrTopK(Tables.embeddings(s, dir), "vec_id", "embedding",
+        col("vec_id") < 10, m = 20, k = 5, lambdaPct = 70)),
+
     // ---- SQ8 scalar quantization: 4×-compressed byte codes, ranking by
     //      EXACT integer code distance (dim-bounded driver collect for
     //      the per-dimension bounds; everything else map-side) ----
@@ -1989,6 +2028,22 @@ object SparkEntry {
         TextDedup.lengthBandedJaccardPairs(Tables.documents(s, dir), "doc_id",
           "text", "n_chars", bucketWidth = 32, maxDelta = 32,
           minJaccardE4 = 5000L))),
+
+    // ---- k-core decomposition of the same near-dup graph: coreness
+    //      by 6 synchronous neighborhood-H-index rounds (Lü et al.
+    //      2016; starts at degree, converges to true coreness — spec'd
+    //      at fixpoint by round 6 at test scale). Coreness separates
+    //      DENSE duplicate templates (every member similar to every
+    //      member — boilerplate farms, coreness ≈ clique size) from
+    //      CHAINS of pairwise-similar revisions (coreness 1), a split
+    //      component labels cannot see ----
+    "dd_kcoreness" -> ((s, dir) =>
+      graft.operators.GraphAlgos.kCoreness(
+        TextDedup.lengthBandedJaccardPairs(Tables.documents(s, dir), "doc_id",
+          "text", "n_chars", bucketWidth = 32, maxDelta = 32,
+          minJaccardE4 = 5000L),
+        "id_a", "id_b", iters = 6)
+        .select(col("node").cast("long").as("doc_id"), col("coreness"))),
 
     // ---- dedup tier REPORT: what each tier would remove (docs +
     //      characters) — the decision table for choosing which tiers
@@ -2809,6 +2864,86 @@ object SparkEntry {
     * count makes the result a pure function of the input, which is what
     * lets a SQL engine replay it at all.
     */
+  /** Oracle for `sim_mmr_topk`: the greedy MMR selection unrolled to
+    * `k` picks — shortlist by brute cosine rank, precomputed candidate-
+    * pair sims, then per pick an anti-join against the cumulative
+    * selected set, the max-sim penalty, and a (mmr DESC, id ASC)
+    * row_number argmax. Integer λ-percent arithmetic matches
+    * [[graft.operators.Similarity.mmrTopK]] exactly.
+    */
+  private def mmrSql(m: Int, k: Int, lambdaPct: Int): String = {
+    val lam = lambdaPct
+    val oml = 100 - lambdaPct
+    val rounds = (1 to k).map { i =>
+      val prev = s"s${i - 1}"
+      s"""cand$i AS (SELECT s.* FROM sh s WHERE NOT EXISTS (
+         |  SELECT 1 FROM $prev p
+         |  WHERE p.query_id = s.query_id AND p.nbr_id = s.nbr_id)),
+         |ms$i AS (SELECT ps.query_id, ps.id_x AS nbr_id,
+         |    max(ps.sim_e6) AS msim
+         |  FROM ps JOIN $prev p ON p.query_id = ps.query_id
+         |    AND p.nbr_id = ps.id_y
+         |  GROUP BY ps.query_id, ps.id_x),
+         |sc$i AS (SELECT c.query_id, c.nbr_id,
+         |    $lam * c.cos_e6 - $oml * coalesce(m.msim, 0) AS mmr_e8
+         |  FROM cand$i c LEFT JOIN ms$i m
+         |    ON m.query_id = c.query_id AND m.nbr_id = c.nbr_id),
+         |s$i AS (SELECT * FROM $prev UNION ALL
+         |  SELECT query_id, nbr_id, mmr_e8, CAST($i AS INT) AS rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY mmr_e8 DESC, nbr_id ASC) AS rn FROM sc$i)
+         |  WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+       |           WHERE vec_id < 10),
+       |scored AS (SELECT q.qid AS query_id, e.vec_id AS nbr_id,
+       |    ${cosE6Sql("q.qv", "e.embedding")} AS cos_e6
+       |  FROM embeddings e JOIN q ON q.qid <> e.vec_id),
+       |sh AS (SELECT query_id, nbr_id, cos_e6 FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_e6 DESC, nbr_id ASC) AS rn FROM scored)
+       |  WHERE rn <= $m),
+       |ps AS (SELECT x.query_id, x.nbr_id AS id_x, y.nbr_id AS id_y,
+       |    ${cosE6Sql("ex.embedding", "ey.embedding")} AS sim_e6
+       |  FROM sh x JOIN sh y ON x.query_id = y.query_id
+       |    AND x.nbr_id <> y.nbr_id
+       |  JOIN embeddings ex ON ex.vec_id = x.nbr_id
+       |  JOIN embeddings ey ON ey.vec_id = y.nbr_id),
+       |s0 AS (SELECT query_id, nbr_id, CAST(0 AS BIGINT) AS mmr_e8,
+       |         CAST(0 AS INT) AS rank FROM sh WHERE false),
+       |$rounds
+       |SELECT query_id, nbr_id, CAST(mmr_e8 AS BIGINT) AS mmr_e8, rank
+       |FROM s$k""".stripMargin
+  }
+
+  /** Oracle for `dd_kcoreness`: `iters` unrolled neighborhood-H-index
+    * rounds over the symmetrized near-dup pair graph — each round ranks
+    * a node's incoming neighbor estimates descending and takes
+    * `max(least(rank, est))`, exactly
+    * [[graft.operators.GraphAlgos.kCoreness]]'s window form. Fixed
+    * round count = pure function of the input, replayable by any SQL
+    * engine.
+    */
+  private def kCorenessSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"c${i - 1}"
+      s"""s$i AS (SELECT und.u, c.est AS nest FROM und
+         |  JOIN $prev c ON c.node = und.v),
+         |r$i AS (SELECT u, nest, row_number() OVER (PARTITION BY u
+         |  ORDER BY nest DESC) AS rn FROM s$i),
+         |c$i AS (SELECT u AS node, max(least(rn, nest)) AS est
+         |  FROM r$i GROUP BY u)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH ${jaccardPairCtes("documents")},
+       |pr AS (SELECT id_a, id_b FROM p WHERE jaccard_e4 >= 5000),
+       |und AS (SELECT id_a AS u, id_b AS v FROM pr
+       |        UNION SELECT id_b AS u, id_a AS v FROM pr),
+       |c0 AS (SELECT u AS node, count(*) AS est FROM und GROUP BY u),
+       |$rounds
+       |SELECT CAST(node AS BIGINT) AS doc_id, CAST(est AS BIGINT) AS coreness
+       |FROM c$iters""".stripMargin
+  }
+
   private def labelPropagationSql(iters: Int): String = {
     val rounds = (1 to iters).map { i =>
       val prev = s"l${i - 1}"
@@ -2866,6 +3001,17 @@ object SparkEntry {
       s"""WITH m AS ($M),
          |r AS (SELECT *, max(parser_time) OVER (PARTITION BY id, "date") AS max_t FROM m)
          |SELECT $mCols FROM r WHERE parser_time <> max_t""".stripMargin,
+
+    "j3_bloom_semijoin" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_e2,
+        |  count(*) AS n_lines
+        |FROM lineitem
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_orderkey = lineitem.l_orderkey
+        |                AND o.o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "w1_dedup_keepset_skew" ->
       s"""WITH m AS ($M),
@@ -3913,6 +4059,8 @@ object SparkEntry {
     // propagation to the same fixpoint)
     "dd_cluster_minlabel" -> minReachableLabelSql,
 
+    "dd_kcoreness" -> kCorenessSql(6),
+
     // identical contract computed by star contraction on the Spark side:
     // same recursive-CTE oracle — labels are a property of the GRAPH,
     // not the algorithm
@@ -4524,6 +4672,12 @@ object SparkEntry {
          |             ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank FROM scored)
          |SELECT query_id, nbr_id, cos_e6, rank FROM ranked WHERE rank <= 5""".stripMargin
     },
+
+    "sim_mmr_topk" -> mmrSql(m = 20, k = 5, lambdaPct = 70),
+
+    "sim_lsh_multiprobe" ->
+      XxOracleSql.embedMultiprobeTopK(cosE6Sql("a.v", "c.v"),
+        nQueries = 10, k = 5),
 
     // product quantization: DuckDB replays train/encode/ADC with the
     // same e6-canonical centroids and ascending-index distance folds

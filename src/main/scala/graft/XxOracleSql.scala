@@ -375,12 +375,17 @@ object XxOracleSql {
     * caller's proven verify-cosine fragment over aliases a/c with
     * vector column v.
     */
-  def embedNearDup(cosE6: String): String = {
+  /** Shared sign-LSH band-bucket CTE chain ending in
+    * `em_bb(id, band, bucket)` + the raw-vector view `em_e(id, v)` —
+    * the SQL replay of [[graft.functions.SignBands]] (nBits=224 planes
+    * over dim 64, 28 bands × 8 bits).
+    */
+  private def signBandCtes: Seq[(String, String)] = {
     // SignBands.planes constants (SignBands.scala:67-68), unsigned
     val a = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)
     val b = java.lang.Long.toUnsignedString(0xC2B2AE3D27D4EB4FL)
     val c = java.lang.Long.toUnsignedString(0x165667B19E3779F9L)
-    val ctes = Seq(
+    Seq(
       ("em_pl0", "SELECT i, j, " +
         s"xor(xu_mul(CAST(i AS HUGEINT), $a), xu_mul(CAST(j AS HUGEINT), $b)) AS x0 " +
         "FROM range(0, 224) a(i), range(0, 64) b(j)"),
@@ -401,13 +406,42 @@ object XxOracleSql {
       ("em_bb", "SELECT id, i // 8 AS band, " +
         "sum(CASE WHEN d >= 0 THEN (1 << (i % 8)) ELSE 0 END) AS bucket " +
         "FROM em_dots GROUP BY id, i // 8"),
-      ("em_cand", "SELECT DISTINCT a.id AS id_a, c.id AS id_b " +
-        "FROM em_bb a JOIN em_bb c ON a.band = c.band AND a.bucket = c.bucket AND a.id < c.id"),
       ("em_e", "SELECT vec_id AS id, embedding AS v FROM embeddings"))
+  }
+
+  def embedNearDup(cosE6: String): String = {
+    val ctes = signBandCtes :+
+      (("em_cand", "SELECT DISTINCT a.id AS id_a, c.id AS id_b " +
+        "FROM em_bb a JOIN em_bb c ON a.band = c.band AND a.bucket = c.bucket AND a.id < c.id"))
     single(ctes,
       s"SELECT id_a, id_b, cos_e6 FROM (SELECT em_cand.id_a, em_cand.id_b, $cosE6 AS cos_e6 " +
         "FROM em_cand JOIN em_e a ON a.id = em_cand.id_a JOIN em_e c ON c.id = em_cand.id_b) " +
         "WHERE cos_e6 >= 450000")
+  }
+
+  /** Oracle for `sim_lsh_multiprobe`: queries (vec_id < nQueries) probe
+    * each band's own bucket plus all 8 Hamming-1 bit flips; candidates
+    * from any probed bucket are exact-cosine re-ranked to top-k — the
+    * SQL replay of [[graft.operators.Similarity.lshMultiprobeTopK]].
+    */
+  def embedMultiprobeTopK(cosE6: String, nQueries: Int, k: Int): String = {
+    val flips = (Seq(0) ++ (0 until 8).map(1 << _)).mkString(", ")
+    val ctes = signBandCtes ++ Seq(
+      ("em_probe", s"SELECT q.id AS query_id, q.band, " +
+        s"xor(q.bucket, CAST(f.f AS BIGINT)) AS bucket " +
+        s"FROM em_bb q, unnest([$flips]) AS f(f) WHERE q.id < $nQueries"),
+      ("em_mpc", "SELECT DISTINCT p.query_id, c.id AS nbr_id " +
+        "FROM em_probe p JOIN em_bb c ON c.band = p.band " +
+        "AND c.bucket = p.bucket WHERE c.id <> p.query_id"))
+    single(ctes,
+      s"""SELECT query_id, nbr_id, cos_e6, rank FROM (
+         |  SELECT query_id, nbr_id, cos_e6,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos_e6 DESC, nbr_id ASC) AS INT) AS rank
+         |  FROM (SELECT em_mpc.query_id, em_mpc.nbr_id, $cosE6 AS cos_e6
+         |        FROM em_mpc JOIN em_e a ON a.id = em_mpc.query_id
+         |        JOIN em_e c ON c.id = em_mpc.nbr_id))
+         |WHERE rank <= $k""".stripMargin)
   }
 
   /** Shared register CTEs for the HLL oracles: XXH64 each distinct

@@ -464,4 +464,73 @@ object GraphAlgos {
       out
     }
   }
+
+  /** k-core decomposition by iterated neighborhood H-index (Lü, Zhou,
+    * Zhang & Stanley 2016, "The H-index of a network node and its
+    * relation to degree and coreness"): every node starts at its
+    * degree and each synchronous round replaces its estimate with the
+    * H-index of its neighbors' current estimates — the largest h such
+    * that ≥ h neighbors hold an estimate ≥ h. The sequence is
+    * non-increasing and converges to the node's CORENESS (the largest
+    * k for which the node survives k-core peeling). Unlike the
+    * textbook sequential min-degree peel, every round here is a pure
+    * function of the previous one — synchronous, order-free — which is
+    * what makes it both shuffle-parallel and replayable by a SQL
+    * oracle at a FIXED round count.
+    *
+    * H-index per node without materializing neighbor lists: rank each
+    * node's incoming estimates descending (`row_number`) and take
+    * `max(least(rank, est))` — correct for any tie permutation because
+    * tied estimates are interchangeable under `least`.
+    *
+    * Edges are undirected and deduplicated; self-loops dropped. Output
+    * covers nodes with ≥ 1 edge (an isolated node's coreness is 0 and
+    * it never appears in an edge-derived node set).
+    *
+    * Scale shape: state is ONE |V|-row (node, est) frame; each round is
+    * an estimate-onto-edges equi-join, a per-node window rank (the
+    * sessionize sort shape — keyed exchange bounded by |E|), and a
+    * max aggregate. The dedup'd edge list is persisted once. Same
+    * lineage/checkpoint contract as [[pageRank]].
+    *
+    * @return (node, coreness) — exact coreness once `iters` reaches the
+    *         fixpoint (small: the H-operator contracts in a handful of
+    *         rounds on real graphs; specs assert fixpoint at test scale).
+    */
+  def kCoreness(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
+    val e = edges.select(col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var est = und.groupBy(col("u")).agg(count(lit(1)).as("est"))
+      .select(col("u").as("node"), col("est"))
+    var lastCp: Option[DataFrame] = None
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("u")).orderBy(col("nest").desc)
+    for (i <- 1 to iters) {
+      est = und.join(est, und("v") === est("node"))
+        .select(col("u"), col("est").as("nest"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy(col("u"))
+        .agg(max(least(col("rn").cast("long"), col("nest"))).as("est"))
+        .select(col("u").as("node"), col("est"))
+      if (checkpointEvery > 0 &&
+        (i % checkpointEvery == 0 || i == iters)) {
+        val cp = est.localCheckpoint(true)
+        lastCp.foreach(releaseLocalCheckpoint)
+        lastCp = Some(cp)
+        est = cp
+      }
+    }
+    if (checkpointEvery > 0) und.unpersist(false)
+    est.select(col("node"), col("est").as("coreness"))
+  }
 }

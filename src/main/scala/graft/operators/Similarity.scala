@@ -68,6 +68,154 @@ object Similarity {
     rankedTopK(scored, k)
   }
 
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein 1998): from a relevance SHORTLIST of the `m` nearest
+    * neighbors per query, greedily select `k` results maximizing
+    *
+    *   mmr_e8 = λ·rel_e6 − (100−λ)·max_{s ∈ selected} sim_e6(c, s)
+    *
+    * (λ in percent — integer arithmetic end to end; the first pick's
+    * penalty term is an empty max, defined 0). Plain cosine top-k
+    * returns near-duplicate result sets when the corpus has them; MMR
+    * is the standard retrieval-side counterpart of the near-dup dedup
+    * tiers — each further pick must EARN its place against what is
+    * already shown.
+    *
+    * Greediness is inherently sequential in k, so the operator unrolls
+    * exactly k rounds of distributed work (never a per-query driver
+    * loop over rows): each round anti-joins the shortlist against the
+    * (≤ |Q|·k-row, broadcast) selected set, computes the max-similarity
+    * penalty from the PRECOMPUTED m²-per-query candidate-pair sims, and
+    * takes one struct-min argmax per query. Shortlist and pair sims are
+    * persisted once; picks are local-checkpointed so plan depth stays
+    * O(1) per round. At 100 TB the brute shortlist phase would be
+    * replaced by [[ivfTopKIndexed]] — the MMR rounds' cost depends only
+    * on |Q|·m² and never touches the corpus again.
+    *
+    * Determinism: ties break by (mmr DESC, nbr_id ASC); all scores are
+    * e6-floored integers, so cross-engine replay is exact.
+    *
+    * @return (query_id, nbr_id, mmr_e8, rank) — rank 1..k in pick order
+    */
+  def mmrTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, m: Int, k: Int, lambdaPct: Int = 70
+  ): DataFrame = {
+    require(m >= k && k >= 1, "need m >= k >= 1")
+    require(lambdaPct >= 0 && lambdaPct <= 100, "lambdaPct in [0,100]")
+    val shortlist = cosineTopK(embeddings, idCol, vecCol, queryPred, m)
+      .select(col("query_id"), col("nbr_id"), col("cos_e6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val vecs = embeddings.select(col(idCol).as("nbr_id"),
+        asDouble(col(vecCol)).as("v"))
+      .withColumn("nrm", norm(col("v")))
+    val cands = shortlist.join(vecs, "nbr_id")
+      .select(col("query_id"), col("nbr_id"), col("v"), col("nrm"))
+    val pairSims = cands.as("x").join(cands.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.nbr_id") =!= col("y.nbr_id"))
+      .select(col("x.query_id").as("query_id"),
+        col("x.nbr_id").as("id_x"), col("y.nbr_id").as("id_y"),
+        floor(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) * 1e6)
+          .cast("long").as("sim_e6"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val lam = lit(lambdaPct.toLong)
+    val oneMinusLam = lit((100 - lambdaPct).toLong)
+    var selected: DataFrame = null
+    for (i <- 1 to k) {
+      val remaining =
+        if (selected == null) shortlist
+        else shortlist.join(broadcast(selected),
+          Seq("query_id", "nbr_id"), "left_anti")
+      val scored =
+        if (selected == null)
+          remaining.withColumn("mmr_e8", lam * col("cos_e6"))
+        else {
+          val penalty = pairSims.join(
+              broadcast(selected.select(col("query_id"),
+                col("nbr_id").as("id_y"))),
+              Seq("query_id", "id_y"))
+            .groupBy(col("query_id"), col("id_x").as("nbr_id"))
+            .agg(max(col("sim_e6")).as("max_sim_e6"))
+          remaining.join(penalty, Seq("query_id", "nbr_id"), "left")
+            .withColumn("mmr_e8", lam * col("cos_e6") -
+              oneMinusLam * coalesce(col("max_sim_e6"), lit(0L)))
+        }
+      val pick = scored.groupBy(col("query_id"))
+        .agg(min(struct((-col("mmr_e8")).as("ns"), col("nbr_id"))).as("win"))
+        .select(col("query_id"), col("win.nbr_id").as("nbr_id"),
+          (-col("win.ns")).as("mmr_e8"), lit(i).cast("int").as("rank"))
+        .localCheckpoint(true)
+      selected = if (selected == null) pick else selected.union(pick)
+    }
+    shortlist.unpersist(false)
+    pairSims.unpersist(false)
+    selected
+  }
+
+  /** Multi-probe sign-LSH top-k (Lv et al. 2007, "Multi-probe LSH",
+    * adapted to the binary random-hyperplane family): each vector gets
+    * `bands` bucket codes of `nBits/bands` sign bits
+    * ([[graft.functions.SignBands]] — one codegen'd expression); a query
+    * probes each band's own bucket PLUS its single-bit flips (the
+    * Hamming-1 perturbations — for sign LSH these are exactly the "most
+    * likely to also contain near neighbors" buckets, since flipping one
+    * hyperplane sign is the smallest possible code perturbation).
+    * Candidates from any probed bucket are exact-cosine re-ranked to
+    * top-k.
+    *
+    * vs single-probe banding: (bitsPerBand+1)× the probe joins buy the
+    * recall that otherwise costs MORE TABLES (more bands = more
+    * corpus-side explode rows at every scale); the corpus-side index is
+    * unchanged. vs brute force: the corpus is touched only through the
+    * (band, bucket) equi-join — candidate volume, not |corpus|, prices
+    * the exact re-rank.
+    *
+    * Deterministic end to end (hash planes are pseudo-random from fixed
+    * mixing constants; ranking ties break by neighbor id), so the
+    * candidate set — not just the final ranks — replays exactly in the
+    * SQL oracle.
+    *
+    * @return (query_id, nbr_id, cos_e6, rank) — top-k among LSH
+    *         candidates, rank 1-based by (cos DESC, id ASC)
+    */
+  def lshMultiprobeTopK(
+      embeddings: DataFrame, idCol: String, vecCol: String,
+      queryPred: Column, k: Int, nBits: Int = 224, bands: Int = 28
+  ): DataFrame = {
+    require(nBits % bands == 0, "bands must divide nBits")
+    val bitsPerBand = nBits / bands
+    require(bitsPerBand <= 16, "flip fan-out is per band bit; keep bands wide")
+    val base = embeddings.select(col(idCol).as("id"),
+      asDouble(col(vecCol)).as("v"))
+    val banded = base.select(col("id"),
+      posexplode(graft.functions.SignBands.signBands(col("v"), nBits, bands))
+        .as(Seq("band", "bucket")))
+    val flips = typedLit[Seq[Long]](0L +: (0 until bitsPerBand).map(1L << _))
+    val probes = banded
+      .join(broadcast(embeddings.filter(queryPred)
+        .select(col(idCol).as("id"))), "id")
+      .select(col("id").as("query_id"), col("band"),
+        explode(flips).as("f"), col("bucket"))
+      .select(col("query_id"), col("band"),
+        col("bucket").bitwiseXOR(col("f")).as("bucket"))
+    val cand = probes.join(banded, Seq("band", "bucket"))
+      .filter(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("nbr_id"))
+      .distinct()
+    val vecs = base.withColumn("nrm", norm(col("v")))
+    val scored = cand
+      .join(vecs.select(col("id").as("query_id"), col("v").as("q_vec"),
+        col("nrm").as("q_nrm")), "query_id")
+      .join(vecs.select(col("id").as("nbr_id"), col("v").as("nbr_vec"),
+        col("nrm").as("nbr_nrm")), "nbr_id")
+      .withColumn("cos_e6",
+        floor(dot(col("q_vec"), col("nbr_vec")) / (col("q_nrm") * col("nbr_nrm")) * 1e6)
+          .cast("long"))
+    rankedTopK(scored, k)
+  }
+
   /** Per-query top-k of scored candidates via the map-side-combining
     * [[graft.functions.TopKByScore]] aggregate: only k rows per query per
     * map partition cross the shuffle, where a row_number window would

@@ -48,6 +48,20 @@ object AggBridge {
       new BloomFilterAggregate(
         new XxHash64(Seq(ColumnBridge.expression(child))),
         Literal(items), Literal(bits)).toAggregateExpression())
+
+  /** Probe side of [[bloomAgg]]: `might_contain(bloom, xxhash64(value))`.
+    * [[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain]]
+    * is the codegen'd predicate Spark's own runtime row-level filtering
+    * injects; constructing it over a serialized-bloom LITERAL makes the
+    * injection explicit and deterministic (no size/selectivity heuristics
+    * deciding whether the filter exists). Hashing matches [[bloomAgg]]:
+    * XxHash64 seed 42 of the key, probed with `mightContainLong`.
+    */
+  def bloomMightContain(bloomBytes: Array[Byte], value: Column): Column =
+    ColumnBridge.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        Literal(bloomBytes, org.apache.spark.sql.types.BinaryType),
+        new XxHash64(Seq(ColumnBridge.expression(value)))))
 }
 
 /** BaseRelation → DataFrame for library-built relations (the

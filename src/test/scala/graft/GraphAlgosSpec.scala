@@ -239,4 +239,83 @@ class GraphAlgosSpec extends SparkTestBase {
       .as[(String, String)].collect().toMap
     assert(got == Map("a" -> "b", "b" -> "a", "c" -> "a"))
   }
+
+  private def coreness(edges: Seq[(String, String)], iters: Int = 8) =
+    GraphAlgos.kCoreness(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(String, Long)].collect().toMap
+
+  test("kCoreness: K4 with a pendant tail — clique members sit in the " +
+    "3-core, the attachment survives only the 1-core") {
+    // K4 on a,b,c,d; tail d-e-f
+    val k4 = for {
+      x <- Seq("a", "b", "c", "d"); y <- Seq("a", "b", "c", "d")
+      if x < y
+    } yield (x, y)
+    val got = coreness(k4 ++ Seq(("d", "e"), ("e", "f")))
+    assert(got == Map("a" -> 3L, "b" -> 3L, "c" -> 3L, "d" -> 3L,
+      "e" -> 1L, "f" -> 1L))
+  }
+
+  test("kCoreness: a path is everywhere coreness 1 but needs one round " +
+    "per layer from the ends (the H-iteration's worst case); a cycle " +
+    "is everywhere 2 and a fixpoint from round 1") {
+    val path = (0 until 30).map(i => (f"n$i%02d", f"n${i + 1}%02d"))
+    // 31 nodes: the center is 15 hops from an end — 8 rounds is NOT
+    // enough (inner estimates stay 2), 16 is
+    assert(coreness(path, iters = 8).values.toSet == Set(1L, 2L))
+    assert(coreness(path, iters = 16).values.toSet == Set(1L))
+    val cycle = (0 until 12).map(i => (f"c$i%02d", f"c${(i + 1) % 12}%02d"))
+    assert(coreness(cycle, iters = 2).values.toSet == Set(2L))
+  }
+
+  test("kCoreness: matches the sequential min-degree peel on a seeded " +
+    "random graph, and 8 rounds reach the fixpoint (round 8 == round 12)") {
+    val rnd = new scala.util.Random(7)
+    val n = 40
+    val edges = (for (_ <- 0 until 160) yield {
+      val a = rnd.nextInt(n); val b = rnd.nextInt(n)
+      (f"v$a%02d", f"v$b%02d")
+    }).filter { case (a, b) => a != b }.distinct
+    // reference: textbook peel — repeatedly remove min-degree nodes
+    val und = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }.distinct
+    var adj = und.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+    var want = Map.empty[String, Long]
+    var k = 0L
+    while (adj.nonEmpty) {
+      val peel = adj.filter(_._2.size <= k).keySet
+      if (peel.isEmpty) k += 1
+      else {
+        want = want ++ peel.map(_ -> k)
+        adj = (adj -- peel).map { case (v, ns) => v -> (ns -- peel) }
+      }
+    }
+    assert(coreness(edges, iters = 8) == want)
+    assert(coreness(edges, iters = 12) == want)
+  }
+
+  test("kCoreness: 6 rounds reach the fixpoint on the real sf0.001 " +
+    "near-dup graph (dd_kcoreness's round budget is not a truncation)") {
+    val pairs = graft.operators.TextDedup.lengthBandedJaccardPairs(
+      graft.sources.Tables.documents(spark, "/root/testdata/sf0.001"),
+      "doc_id", "text", "n_chars", bucketWidth = 32, maxDelta = 32,
+      minJaccardE4 = 5000L)
+      .select("id_a", "id_b").localCheckpoint(true)
+    val at6 = GraphAlgos.kCoreness(pairs, "id_a", "id_b", iters = 6)
+      .as[(String, Long)].collect().toMap
+    val at12 = GraphAlgos.kCoreness(pairs, "id_a", "id_b", iters = 12)
+      .as[(String, Long)].collect().toMap
+    assert(at6 == at12)
+    assert(at6.nonEmpty)
+  }
+
+  test("kCoreness: checkpointEvery run is bit-identical, self-loops " +
+    "and duplicate/reverse edge rows collapse") {
+    val edges = Seq(("a", "b"), ("b", "a"), ("a", "b"), ("a", "a"),
+      ("b", "c"), ("c", "a"))
+    val lazyRun = coreness(edges, iters = 6)
+    val cpRun = GraphAlgos.kCoreness(edges.toDF("src", "dst"), "src", "dst",
+      iters = 6, checkpointEvery = 2).as[(String, Long)].collect().toMap
+    assert(lazyRun == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
+    assert(cpRun == lazyRun)
+  }
 }
