@@ -378,6 +378,34 @@ object SparkEntry {
           sum(floor(col("price_usd") * 100).cast("long")).as("sum_price_e2"))
     }),
 
+    // ---- S20: RESTORE TABLE — the metadata-only undo. History: v1 =
+    //      even-key day 1, v2 = odd-key day 2, v3 = day 1 deleted (the
+    //      "oops"), v4 = restoreTo(2) resurrecting it in one manifest
+    //      commit, no data rewrite. The current read must equal the
+    //      FULL key set again; the undone delete stays visible to time
+    //      travel underneath ----
+    "s20_restore" -> ((s, dir) => {
+      val root = s"/root/repo/target/s20_restore/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "orders")
+      if (wh.currentVersion(s, tbl) < 4L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        wh.append(s, o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01"))), tbl)
+        wh.append(s, o.filter(col("o_orderkey") % 2 =!= 0)
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-02"))), tbl)
+        wh.deletePartition(s, tbl, LocalDate.parse("2024-01-01")) // v3
+        wh.restoreTo(s, tbl, 2L) // v4: undo the delete, zero rewrite
+      }
+      wh.read(s, tbl)
+        .groupBy(col("date"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_key"),
+          sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
+    }),
+
     // ---- S18: incremental view maintenance: a grouped sum/count view
     //      kept current across append -> predicate DELETE -> predicate
     //      UPDATE by applying O(changed files) deltas (diffSnapshots
@@ -3424,6 +3452,17 @@ object SparkEntry {
         |            ELSE 'insert' END AS _change_type,
         |  count(*) AS n_rows,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
+        |FROM orders GROUP BY 1""".stripMargin,
+
+    // post-restore the table holds BOTH days again — same shape as s9's
+    // oracle but over the current read, proving the delete was undone
+    "s20_restore" ->
+      """SELECT CASE WHEN o_orderkey % 2 = 0 THEN DATE '2024-01-01'
+        |            ELSE DATE '2024-01-02' END AS date,
+        |  count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_e2
         |FROM orders GROUP BY 1""".stripMargin,
 
     "s15_delete_where" ->

@@ -347,6 +347,22 @@ object DropColumnTool {
   }
 }
 
+/** `restore <whRoot> <dataset> <datatype> <version>` — RESTORE TABLE to
+  * a prior version: one metadata-only commit, no data movement; refuses
+  * if the target's files were vacuumed.
+  */
+object RestoreTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, dataset, datatype, version) = args.take(4)
+    val wh = new graft.tableops.TxWarehouse(whRoot)
+    val spark = ToolSession.spark()
+    val tbl = wh.tablePath(dataset, datatype)
+    wh.restoreTo(spark, tbl, version.toLong)
+    println(s"restored $tbl to v$version " +
+      s"(now v${wh.currentVersion(spark, tbl)})")
+  }
+}
+
 object CompactExportTool {
   def main(args: Array[String]): Unit = {
     val exportRoot = args(0)

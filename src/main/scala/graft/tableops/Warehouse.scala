@@ -832,6 +832,71 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     readAt(spark, path, v)
   }
 
+  /** RESTORE TABLE to `version` — the WRITE companion of [[readAt]]:
+    * one metadata-only commit whose live file set (plus per-file
+    * stats/sizes/blooms and the recorded schema) becomes exactly the
+    * target snapshot's. No data moves: files are immutable, so undoing
+    * k versions of damage (a bad merge, an over-eager deleteWhere, a
+    * wrong-day overwrite) costs one manifest write regardless of table
+    * size — at 100 TB THAT asymmetry is the whole point of keeping the
+    * log.
+    *
+    * History is preserved, not rewritten: the restore is a NEW version
+    * on top, so [[readAt]] still sees the undone versions,
+    * [[rowDiff]]/[[readChangesBetween]] across the restore commit emit
+    * the expected inserts (resurrected rows) and deletes (undone rows),
+    * and a second restore can undo the first.
+    *
+    * Deliberately NOT rolled back: table properties (governance knobs
+    * like requirePartitionFilter or CHECK constraints must not be
+    * silently re-loosened by a data rollback) and streaming txn
+    * watermarks (regressing them would re-admit already-committed
+    * micro-batches as duplicates). Both match Delta's RESTORE contract.
+    *
+    * Fails if any to-be-resurrected file was [[vacuum]]ed away —
+    * retention bounds restore depth exactly as it bounds [[readAt]].
+    */
+  def restoreTo(spark: SparkSession, path: String, version: Long): Unit = {
+    val f = fs(spark, path)
+    val (vt, target) = replay(spark, path, upTo = version)
+    require(vt == version,
+      s"no version $version of $path (latest ≤ is $vt)")
+    // resurrection needs the physical files: verify before committing
+    val (_, liveNow0) = replay(spark, path)
+    val toAdd0 = target.live.keySet -- liveNow0.live.keySet
+    val missing = toAdd0.filterNot(r => f.exists(new Path(s"$path/$r")))
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"cannot restore $path to v$version: ${missing.size} file(s) " +
+          s"vacuumed away (first: ${missing.head})")
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val (v, cur) = replay(spark, path)
+      val toAdd = (target.live.keySet -- cur.live.keySet).toSeq.sorted
+      val toRemove = (cur.live.keySet -- target.live.keySet).toSeq.sorted
+      val schemaLine =
+        if (target.schemaJson == cur.schemaJson) Nil
+        else target.schemaJson match {
+          case Some(j) => Seq(s"H ${b64(j)}")
+          case None => Seq("H -")
+        }
+      if (toAdd.isEmpty && toRemove.isEmpty && schemaLine.isEmpty) return
+      val lines = toAdd.flatMap { rel =>
+        Seq(s"A ${target.live(rel)} $rel") ++
+          target.stats.get(rel).map(s => s"S $s $rel") ++
+          target.sizes.get(rel).map(n => s"F $n $rel") ++
+          target.blooms.get(rel).map(b => s"B $b $rel")
+      } ++ toRemove.map(r => s"R $r") ++ schemaLine
+      if (tryCommit(f, path, v + 1, lines)) {
+        maybeCheckpoint(spark, path, v + 1)
+        return
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"commit contention: $MaxCommitAttempts failed attempts on $path")
+  }
+
   /** Incremental consumption (the change-data-feed the manifest gives
     * for free): the rows live at `toVersion` that were NOT live at
     * `fromVersion` — i.e. every file that appends/replaces in the range

@@ -40,6 +40,16 @@ class DmlToolsSpec extends graft.SparkTestBase {
     assert(got == (("bumped", 35L)))
   }
 
+  test("RestoreTool: version argv restores the pre-DML snapshot") {
+    val (wh, root) = fresh("restool")
+    val tbl = wh.tablePath("d", "t")
+    val want = wh.read(spark, tbl).select("k").as[Long].collect().toSet
+    DeleteWhereTool.main(Array(root, "d", "t", "k > 0"))
+    assert(wh.read(spark, tbl).count() == 0)
+    RestoreTool.main(Array(root, "d", "t", "1"))
+    assert(wh.read(spark, tbl).select("k").as[Long].collect().toSet == want)
+  }
+
   test("Rename/DropColumnTool: metadata-only evolution through argv") {
     val (wh, root) = fresh("rtool")
     val tbl = wh.tablePath("d", "t")
