@@ -1701,6 +1701,21 @@ object SparkEntry {
     //      is the below-cutover case: apply m·ln(m/zeros) caller-side
     //      from its nnz). The exact column is the VERIFICATION column;
     //      a production read keeps only the sketch ----
+    // ---- KMV/theta sketch: bounded-size distinct sketches that can
+    //      INTERSECT (the set op HLL cannot give without error-
+    //      amplifying inclusion-exclusion). Estimates "active user-days
+    //      doing BOTH purchase and view" from two 256-value bottom-k
+    //      sketches on the integer 2⁵² grid — sample counts, θ, the
+    //      four estimates and the exact-truth calibration all
+    //      bit-exact in any engine ----
+    "ev_theta_intersect" -> ((s, dir) =>
+      graft.operators.ThetaSketch.intersectEstimate(
+        Tables.events(s, dir).select(col("event_type"),
+          (col("user_id") * 100000L +
+            datediff(to_date(col("ts")),
+              lit(java.sql.Date.valueOf("1970-01-01")))).as("user_day")),
+        "event_type", "user_day", "purchase", "view", k = 256)),
+
     "ev_hll_estimate" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_type"), col("event_id"),
@@ -3324,6 +3339,9 @@ object SparkEntry {
     "ev_cms_freq" -> XxOracleSql.cmsFreq(4, 10),
     "ev_cms_union" -> XxOracleSql.cmsUnion(4, 10),
     "ev_hll_users" -> XxOracleSql.hllUsers(9),
+
+    "ev_theta_intersect" ->
+      XxOracleSql.thetaIntersect(256, "purchase", "view"),
 
     "ev_hll_estimate" -> XxOracleSql.hllEstimate(9),
 

@@ -605,4 +605,62 @@ object XxOracleSql {
       "SELECT doc_id, h, " +
         s"CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos FROM $hT")
   }
+
+  /** Oracle for `ev_theta_intersect`: the KMV/theta sketch replayed in
+    * SQL — XXH64 of the user-day key ([[longChain]] = Spark's
+    * `xxhash64(long)`), masked to 52 bits, bottom-k per event type,
+    * θ = k-th value (domain when exhaustive), every estimate the same
+    * `count·2⁵² // θ` integer arithmetic as
+    * [[graft.operators.ThetaSketch.intersectEstimate]].
+    */
+  def thetaIntersect(k: Int, groupA: String, groupB: String): String = {
+    val dom = "4503599627370496" // 2^52
+    val (hS, hT) = longChain("th_du", Seq("event_type", "kk"),
+      "xu_u64(CAST(kk AS HUGEINT))", "42::HUGEINT", "th_h_", "h")
+    val ctes = Seq(
+      ("th_k", "SELECT event_type, user_id * 100000 + " +
+        "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS kk " +
+        s"FROM events WHERE event_type IN ('$groupA', '$groupB')"),
+      ("th_du", "SELECT DISTINCT event_type, kk FROM th_k")
+    ) ++ hS ++ Seq(
+      ("th_v", "SELECT DISTINCT event_type, " +
+        s"CAST(xu_u64(CAST(h AS HUGEINT)) % $dom AS BIGINT) AS v FROM $hT"),
+      ("th_rk", "SELECT event_type, v, row_number() OVER " +
+        "(PARTITION BY event_type ORDER BY v) AS rn FROM th_v"),
+      ("th_n", "SELECT event_type, count(*) AS nd FROM th_v GROUP BY event_type"),
+      ("th_sk", s"SELECT event_type, v FROM th_rk WHERE rn <= $k"),
+      ("th_th", "SELECT s.event_type, " +
+        s"CASE WHEN max(n.nd) >= $k THEN max(s.v) ELSE $dom END AS theta, " +
+        "max(n.nd) AS nd FROM th_sk s JOIN th_n n USING (event_type) " +
+        "GROUP BY s.event_type"),
+      ("th_t", "SELECT least(a.theta, b.theta) AS theta, " +
+        "a.theta AS theta_a, b.theta AS theta_b, a.nd AS n_a, b.nd AS n_b " +
+        s"FROM th_th a, th_th b WHERE a.event_type = '$groupA' " +
+        s"AND b.event_type = '$groupB'"),
+      ("th_m", "SELECT count(*) AS n_matched FROM th_sk x, th_sk y, th_t t " +
+        s"WHERE x.event_type = '$groupA' AND y.event_type = '$groupB' " +
+        "AND x.v = y.v AND x.v < t.theta"),
+      ("th_ca", "SELECT count(*) AS ca FROM th_sk, th_t " +
+        s"WHERE event_type = '$groupA' AND v < theta"),
+      ("th_cb", "SELECT count(*) AS cb FROM th_sk, th_t " +
+        s"WHERE event_type = '$groupB' AND v < theta"),
+      ("th_caa", "SELECT count(*) AS caa FROM th_sk, th_t " +
+        s"WHERE event_type = '$groupA' AND v < theta_a"),
+      ("th_cbb", "SELECT count(*) AS cbb FROM th_sk, th_t " +
+        s"WHERE event_type = '$groupB' AND v < theta_b"),
+      ("th_ex", "SELECT count(*) AS exact_intersect FROM th_du a " +
+        "JOIN th_du b ON a.kk = b.kk " +
+        s"WHERE a.event_type = '$groupA' AND b.event_type = '$groupB'"))
+    single(ctes,
+      s"""SELECT t.n_a, t.n_b, t.theta, m.n_matched,
+         |  (caa * $dom) // t.theta_a AS est_a,
+         |  (cbb * $dom) // t.theta_b AS est_b,
+         |  (m.n_matched * $dom) // t.theta AS est_intersect,
+         |  ((ca + cb - m.n_matched) * $dom) // t.theta AS est_union,
+         |  ex.exact_intersect,
+         |  abs((m.n_matched * $dom) // t.theta - ex.exact_intersect)
+         |    * 10000 // nullif(ex.exact_intersect, 0) AS err_e4
+         |FROM th_t t, th_m m, th_ca, th_cb, th_caa, th_cbb, th_ex ex"""
+        .stripMargin)
+  }
 }

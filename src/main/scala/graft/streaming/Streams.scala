@@ -285,6 +285,38 @@ object Streams {
     dropSeenStatic(batch, fp,
       batch.sparkSession.read.parquet(seenFpsPath).select(col("__fp")))
 
+  /** Stream-static BLOOM-prefiltered semi join — the streaming dual of
+    * [[graft.operators.RuntimeFilter.bloomSemiJoin]]: each stream row
+    * must have a key in the static dim table. The dim keys fold into a
+    * fixed-size bloom ONCE at query build; every micro-batch then runs
+    * the codegen'd `might_contain` predicate BEFORE the stream-static
+    * semi join, so non-matching rows (the overwhelming majority in a
+    * funnel-shaped pipeline) die in the map stage without touching the
+    * join at all. Exactness is the batch operator's: the semi join
+    * removes the bloom's false positives, rows are bit-identical to the
+    * plain stream-static semi join.
+    *
+    * Same snapshot caveat as [[dropSeenStatic]]: both the bloom and the
+    * join's static side pin the dim at stream start; a growing dim
+    * wants the foreachBatch form (rebuild per trigger via
+    * [[graft.operators.RuntimeFilter.bloomSemiJoin]] directly — it is
+    * batch-shaped already).
+    */
+  def bloomSemiJoinStream(stream: DataFrame, dim: DataFrame,
+      streamKey: String, dimKey: String,
+      expectedItems: Long = 1L << 20, numBits: Long = 1L << 23): DataFrame = {
+    val bloomBytes = dim
+      .select(org.apache.spark.sql.graftshim.AggBridge
+        .bloomAgg(col(dimKey), expectedItems, numBits).as("bf"))
+      .head.getAs[Array[Byte]](0)
+    val pre =
+      if (bloomBytes == null) stream
+      else stream.filter(org.apache.spark.sql.graftshim.AggBridge
+        .bloomMightContain(bloomBytes, col(streamKey)))
+    pre.join(dim.select(col(dimKey)),
+      col(streamKey) === col(dimKey), "left_semi")
+  }
+
   /** Streaming gap-based sessionization ≙ the batch
     * [[graft.operators.Sessions.sessionize]]: keyed state holds each
     * user's open session; events within `gapMs` of the open session
@@ -464,6 +496,41 @@ object Streams {
           state.update(buf)
           val (nnz, est) = graft.functions.HllRegisters.stats(buf, p)
           (key, nnz, est)
+      }
+
+  /** Streaming KMV/theta sketch: the bottom-k distinct-hash sample as
+    * keyed state — the streaming dual of the `ev_theta_intersect` batch
+    * sketch ([[graft.operators.ThetaSketch]]). Input is (key, 52-bit
+    * masked hash — pair with `xxhash64(...) & (2^52−1)` upstream like
+    * the batch side); each trigger folds the new values into the key's
+    * sorted bottom-k array and re-emits (key, vals, θ, est). KMV merge
+    * is LOSSLESS (the bottom-k of unioned bottom-k samples IS the
+    * bottom-k of the union), so on any split of the stream the final
+    * state is bit-identical to the batch sketch of the same rows, and
+    * emitted sketches from scoped keys re-merge downstream by the same
+    * rule — including into INTERSECTIONS, the set op that makes this
+    * sketch worth its state over HLL's.
+    *
+    * State per key is ≤ k longs forever — same bounded-state contract
+    * as [[hllDistinctState]], with est = |{v < θ}|·2⁵² div θ on the
+    * integer grid (exact count while the key has < k distinct values).
+    */
+  def kmvState(hashes: Dataset[(String, Long)], k: Int = 256)(
+      implicit ek: Encoder[String], eb: Encoder[Array[Long]],
+      eo: Encoder[(String, Array[Long], Long, Long)])
+      : Dataset[(String, Array[Long], Long, Long)] =
+    hashes.groupByKey(_._1)
+      .mapGroupsWithState[Array[Long], (String, Array[Long], Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)],
+            state: GroupState[Array[Long]]) =>
+          val merged = (state.getOption.getOrElse(Array.empty[Long]).toSet
+            ++ rows.map(_._2)).toArray.sorted.take(k)
+          state.update(merged)
+          val domain = graft.operators.ThetaSketch.Domain
+          val theta = if (merged.length >= k) merged.last else domain
+          val below = merged.count(_ < theta).toLong
+          (key, merged, theta, below * domain / theta)
       }
 
   /** Streaming frequency sketch: the count-min grid as keyed state —

@@ -644,6 +644,31 @@ class PlanAuditSpec extends SparkTestBase {
     assert(read.contains("n_chars") && !read.contains("text"), read)
   }
 
+  test("multi-probe LSH: the query-side probe set broadcasts onto the " +
+    "banded corpus (equi-join on band+bucket, never cartesian), and " +
+    "the final top-k is the bounded-heap aggregate, not a window sort") {
+    val p = planned("sim_lsh_multiprobe")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), p)
+    assert(p.contains("ObjectHashAggregate"), p)
+  }
+
+  test("k-coreness: every H-index round is an equi-join + a window " +
+    "HASH-KEYED by node (no global sort, no cartesian); the only " +
+    "single-partition exchange in the whole plan is the pair miner's " +
+    "one-row corpus-stats aggregate") {
+    val p = planned("dd_kcoreness")
+    assert(!p.contains("CartesianProduct"), p)
+    assert("windowspecdefinition\\(u#".r.findAllIn(p).nonEmpty, p)
+    assert(p.contains("hashpartitioning(u#"), p)
+    // exactly one distinct single-partition exchange, and it is the
+    // support pipeline's scalar aggregate, not a per-round funnel
+    val spIds = "Exchange SinglePartition[^\\[]*\\[plan_id=(\\d+)\\]".r
+      .findAllMatchIn(p).map(_.group(1)).toSet
+    assert(spIds.size <= 1, s"single-partition exchanges: $spIds")
+  }
+
   test("shuffle order: the global index never plans a one-partition " +
     "sort — the window partitions by hash bucket (hash-partitioned " +
     "exchange), and offsets fold in as a literal CASE") {

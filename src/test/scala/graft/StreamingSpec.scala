@@ -261,6 +261,29 @@ class StreamingSpec extends SparkTestBase {
     q.stop()
   }
 
+  test("stream-static bloom semi join: batch ≡ stream on the same rows, " +
+    "non-matching keys die at the map-side bloom, false positives are " +
+    "removed by the exact join") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = (1L to 200L by 13L).toDF("dk")
+    val mem = MemoryStream[Long]
+    val out = Streams.bloomSemiJoinStream(
+      mem.toDF().withColumnRenamed("value", "k"), dim, "k", "dk")
+    val q = out.writeStream.format("memory").queryName("bloomsemi")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(1L to 100L: _*)
+    q.processAllAvailable()
+    mem.addData(101L to 200L: _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("bloomsemi").as[Long].collect().toSet
+    val want = graft.operators.RuntimeFilter.bloomSemiJoin(
+      (1L to 200L).toDF("k"), dim, "k", "dk").as[Long].collect().toSet
+    assert(got == want)
+    assert(want == (1L to 200L by 13L).toSet)
+  }
+
   test("first-seen state dedups across triggers: earlier batches are the " +
     "seen corpus for later ones") {
     import spark.implicits._
@@ -649,6 +672,49 @@ class StreamingSpec extends SparkTestBase {
       .as[(String, Long)].collect().toMap
     assert(streamRanks == batchRanks)
     assert(streamRanks.nonEmpty)
+  }
+
+  test("streaming KMV theta sketch: after all triggers, every key's " +
+    "bottom-k state is bit-identical to the batch sketch over the same " +
+    "ids (KMV merge is lossless), estimates included") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+
+    val mask = lit((1L << 52) - 1L)
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.Streams.kmvState(
+        mem.toDS().select(col("_1"),
+          xxhash64(col("_2")).bitwiseAND(mask).as("v")).as[(String, Long)],
+        k = 64)
+      .toDF("key", "vals", "theta", "est")
+      .writeStream.format("memory").queryName("kmv_stream")
+      .outputMode(OutputMode.Update).start()
+
+    mem.addData(("a", 5L), ("a", 6L), ("b", 5L))
+    q.processAllAvailable()
+    mem.addData((1L to 3000L).map(i => ("a", i)) :+ (("b", 9L)): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    // per key: the LAST emitted row (largest vals set — bottom-k only
+    // tightens) must equal the batch sketch of all that key's ids
+    val streamed = spark.table("kmv_stream")
+      .as[(String, Seq[Long], Long, Long)].collect()
+      .groupBy(_._1).map { case (k, rows) => k -> rows.maxBy(_._2.size) }
+    val batch = Seq(("a", (1L to 3000L) ++ Seq(5L, 6L)), ("b", Seq(5L, 9L)))
+      .flatMap { case (k, ids) => ids.map(k -> _) }.toDF("g", "kk")
+    val bsk = graft.operators.ThetaSketch.kmvSketch(batch, "g", "kk", k = 64)
+      .as[(String, Seq[Long], Long)].collect().map(r => r._1 -> r).toMap
+    assert(streamed("a")._2 == bsk("a")._2)
+    assert(streamed("b")._2 == bsk("b")._2)
+    // exhaustive key: est is the exact distinct count
+    assert(streamed("b")._4 == 2L)
+    // sketched key: same integer estimate the batch grid would give
+    val domain = graft.operators.ThetaSketch.Domain
+    val thetaA = streamed("a")._2.last
+    assert(streamed("a")._3 == thetaA)
+    assert(streamed("a")._4 == 63L * domain / thetaA)
   }
 
   test("streaming HLL distinct: after all triggers, every key's " +
