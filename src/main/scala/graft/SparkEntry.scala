@@ -1608,6 +1608,19 @@ object SparkEntry {
         .select(col("node").as("event_type"), col("degree"),
           col("n_triangles"), col("cc_e6"))),
 
+    // ---- harmonic centrality over the same journey graph: Σ 10⁶ div
+    //      hop-distance via 6 synchronous min-plus BFS rounds (exact
+    //      once rounds cover the diameter; spec'd at fixpoint) — the
+    //      disconnected-safe closeness (Boldi & Vigna 2014), ranking
+    //      which event types sit nearest to ALL journey behavior ----
+    "ev_harmonic" -> ((s, dir) =>
+      GraphAlgos.harmonicCentrality(
+        EventAnalytics.transitionCounts(Tables.events(s, dir), "user_id",
+          "ts", "event_type", "event_id"),
+        "src", "dst", iters = 6)
+        .select(col("node").as("event_type"), col("n_reachable"),
+          col("harmonic_e6"))),
+
     // ---- community detection over the same Markov edges: 4 rounds of
     //      deterministic synchronous weighted label propagation (struct-
     //      max tie-break, no random sweep order) — the cheap "which
@@ -2959,6 +2972,38 @@ object SparkEntry {
        |FROM s$k""".stripMargin
   }
 
+  /** Oracle for `ev_harmonic`: `iters` unrolled synchronous min-plus
+    * BFS rounds over the symmetrized transition edges, then
+    * Σ 10⁶ div d per node — the SQL replay of
+    * [[graft.operators.GraphAlgos.harmonicCentrality]].
+    */
+  private def harmonicSql(iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      val prev = s"d${i - 1}"
+      s"""d$i AS (SELECT src, node, min(d) AS d FROM (
+         |  SELECT src, node, d FROM $prev
+         |  UNION ALL
+         |  SELECT p.src, und.v AS node, p.d + 1 AS d
+         |  FROM $prev p JOIN und ON und.u = p.node)
+         |  GROUP BY src, node)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH o AS (SELECT user_id, event_type AS src,
+       |    lead(event_type) OVER (PARTITION BY user_id
+       |      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst
+       |  FROM events),
+       |e0 AS (SELECT src AS a, dst AS b FROM o
+       |       WHERE dst IS NOT NULL AND src <> dst),
+       |und AS (SELECT DISTINCT u, v FROM (
+       |    SELECT a AS u, b AS v FROM e0
+       |    UNION ALL SELECT b AS u, a AS v FROM e0)),
+       |d0 AS (SELECT DISTINCT u AS src, u AS node, CAST(0 AS BIGINT) AS d
+       |       FROM und),
+       |$rounds
+       |SELECT node AS event_type, count(*) AS n_reachable,
+       |  CAST(sum(1000000 // d) AS BIGINT) AS harmonic_e6
+       |FROM d$iters WHERE d > 0 GROUP BY node""".stripMargin
+  }
+
   /** Oracle for `dd_kcoreness`: `iters` unrolled neighborhood-H-index
     * rounds over the symmetrized near-dup pair graph — each round ranks
     * a node's incoming neighbor estimates descending and takes
@@ -3221,6 +3266,8 @@ object SparkEntry {
         |SELECT node AS event_type, r AS rank_e12 FROM r3""".stripMargin,
 
     "ev_label_propagation" -> labelPropagationSql(4),
+
+    "ev_harmonic" -> harmonicSql(6),
 
     "ev_ppr_purchase" ->
       """WITH o AS (SELECT user_id, event_type AS src,

@@ -497,6 +497,68 @@ object GraphAlgos {
     *         fixpoint (small: the H-operator contracts in a handful of
     *         rounds on real graphs; specs assert fixpoint at test scale).
     */
+  /** Harmonic centrality (Marchiori & Latora 2000; the closeness
+    * variant Boldi & Vigna 2014 recommend precisely because it is
+    * well-defined on DISCONNECTED graphs): for every node,
+    *
+    *   harmonic_e6(v) = Σ_{u ≠ v reachable} 10⁶ div d(u, v)
+    *
+    * over unweighted undirected hop distances. Distances come from
+    * `iters` rounds of synchronous min-plus frontier expansion — the
+    * all-pairs BFS as a relational fixpoint: the (src, node, dist)
+    * table starts at d(v,v) = 0 and each round min-merges
+    * d(src, w) ≤ d(src, v) + 1 over edges (v, w). After `iters` rounds
+    * the table holds exact distances up to `iters` hops; pairs farther
+    * apart contribute nothing yet, so `iters` must cover the diameter
+    * for exactness (specs assert the fixpoint at test scale — the
+    * reduction-oriented use cases here run on small quotient graphs
+    * like event types or near-dup clusters, never raw 100 TB rows).
+    *
+    * Scale shape: state is the reachable-pairs table — O(Σ component²)
+    * rows, the inherent APSP output size; each round is one equi-join
+    * onto the (persisted) edge list + a min aggregate keyed by (src,
+    * node). Same checkpoint contract as [[pageRank]]. Integer division
+    * keeps every contribution exact cross-engine.
+    *
+    * @return (node, n_reachable, harmonic_e6) — n_reachable excludes
+    *         the node itself
+    */
+  def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
+    val e = edges.select(col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = und.select(col("u").as("src")).distinct()
+      .select(col("src"), col("src").as("node"), lit(0L).as("d"))
+    var lastCp: Option[DataFrame] = None
+    for (i <- 1 to iters) {
+      val expanded = dist.join(und, dist("node") === und("u"))
+        .select(col("src"), col("v").as("node"), (col("d") + 1L).as("d"))
+      dist = dist.unionByName(expanded)
+        .groupBy(col("src"), col("node")).agg(min(col("d")).as("d"))
+      if (checkpointEvery > 0 &&
+        (i % checkpointEvery == 0 || i == iters)) {
+        val cp = dist.localCheckpoint(true)
+        lastCp.foreach(releaseLocalCheckpoint)
+        lastCp = Some(cp)
+        dist = cp
+      }
+    }
+    if (checkpointEvery > 0) und.unpersist(false)
+    dist.filter(col("d") > 0L)
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_reachable"),
+        sum(expr("1000000 div d")).as("harmonic_e6"))
+  }
+
   def kCoreness(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, "iters must be >= 1")

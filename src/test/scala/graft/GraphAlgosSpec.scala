@@ -240,6 +240,45 @@ class GraphAlgosSpec extends SparkTestBase {
     assert(got == Map("a" -> "b", "b" -> "a", "c" -> "a"))
   }
 
+  private def harmonic(edges: Seq[(String, String)], iters: Int = 8) =
+    GraphAlgos.harmonicCentrality(edges.toDF("src", "dst"), "src", "dst", iters)
+      .as[(String, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+
+  test("harmonicCentrality: hand-computed path a-b-c — the center is " +
+    "most central; contributions are exact integer divisions") {
+    val got = harmonic(Seq(("a", "b"), ("b", "c")))
+    // b: two at distance 1 → 2_000_000; a,c: 1 + 1/2 → 1_500_000
+    assert(got == Map("a" -> ((2L, 1500000L)), "b" -> ((2L, 2000000L)),
+      "c" -> ((2L, 1500000L))))
+  }
+
+  test("harmonicCentrality: disconnected components never contribute — " +
+    "well-defined where closeness is not; n_reachable counts only the " +
+    "component") {
+    val got = harmonic(Seq(("a", "b"), ("x", "y"), ("y", "z")))
+    assert(got("a") == ((1L, 1000000L)))
+    assert(got("y") == ((2L, 2000000L)))
+    assert(got("x") == ((2L, 1500000L)))
+  }
+
+  test("harmonicCentrality: rounds below the diameter truncate the " +
+    "horizon; at the diameter the fixpoint is exact and further rounds " +
+    "change nothing (checkpointEvery bit-identical)") {
+    val path = (0 until 6).map(i => (s"n$i", s"n${i + 1}")) // diameter 6
+    val at2 = harmonic(path, iters = 2)
+    // n0 at 2 rounds: sees n1 (1) and n2 (1/2) only
+    assert(at2("n0") == ((2L, 1500000L)))
+    val at6 = harmonic(path, iters = 6)
+    assert(at6("n0") == ((6L,
+      1000000L + 500000L + 333333L + 250000L + 200000L + 166666L)))
+    assert(harmonic(path, iters = 9) == at6)
+    val cp = GraphAlgos.harmonicCentrality(path.toDF("src", "dst"),
+      "src", "dst", iters = 6, checkpointEvery = 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(cp == at6)
+  }
+
   private def coreness(edges: Seq[(String, String)], iters: Int = 8) =
     GraphAlgos.kCoreness(edges.toDF("src", "dst"), "src", "dst", iters)
       .as[(String, Long)].collect().toMap
