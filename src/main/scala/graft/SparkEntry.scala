@@ -1991,6 +1991,17 @@ object SparkEntry {
     //      so the oracle recomputes it value-identically from raw
     //      parquet. Pca.fit eigensolves this same statistic driver-side
     //      (PcaSpec) ----
+    // ---- JL random projection 64→16: the TRAINING-FREE dimension
+    //      reducer (PCA's stable, shuffle-free, map-only dual — the
+    //      projection of a vector never changes as the corpus grows).
+    //      Deterministic planes from the sign-LSH generator; components
+    //      e6-floored and exploded so the oracle value-compares every
+    //      coordinate ----
+    "emb_rp_project" -> ((s, dir) =>
+      graft.operators.RandomProjection.projectE6(
+        Tables.embeddings(s, dir), "vec_id", "embedding",
+        outDim = 16, dim = 64)),
+
     "emb_covariance" -> ((s, dir) => {
       val d = 64
       val iIdx = (0 until d).flatMap(i => (i until d).map(_ => i)).toArray
@@ -4556,6 +4567,8 @@ object SparkEntry {
          |FROM assign, range(1, 65) r(i)
          |GROUP BY cent_id, dim""".stripMargin
     },
+
+    "emb_rp_project" -> XxOracleSql.rpProject(outDim = 16, dim = 64),
 
     "emb_covariance" ->
       """WITH q AS (SELECT list_transform(embedding,

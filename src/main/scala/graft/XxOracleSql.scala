@@ -606,6 +606,37 @@ object XxOracleSql {
         s"CAST(row_number() OVER (ORDER BY h, doc_id) - 1 AS BIGINT) AS pos FROM $hT")
   }
 
+  /** Oracle for `emb_rp_project`: regenerate the deterministic JL
+    * plane matrix (the [[graft.functions.SignBands.planes]] formula,
+    * parameterized to outDim × dim) and replay each component as the
+    * same ascending-index left-fold dot, e6-floored —
+    * [[graft.operators.RandomProjection.projectE6]] bit for bit.
+    */
+  def rpProject(outDim: Int, dim: Int): String = {
+    val a = java.lang.Long.toUnsignedString(0x9E3779B97F4A7C15L)
+    val b = java.lang.Long.toUnsignedString(0xC2B2AE3D27D4EB4FL)
+    val c = java.lang.Long.toUnsignedString(0x165667B19E3779F9L)
+    val ctes = Seq(
+      ("rp_pl0", "SELECT i, j, " +
+        s"xor(xu_mul(CAST(i AS HUGEINT), $a), xu_mul(CAST(j AS HUGEINT), $b)) AS x0 " +
+        s"FROM range(0, $outDim) a(i), range(0, $dim) b(j)"),
+      ("rp_pl1", "SELECT i, j, " +
+        s"xu_mul(xu_rot(x0, 2147483648, 8589934592), $c) AS h FROM rp_pl0"),
+      ("rp_pl2", "SELECT i, j, " +
+        "CAST(h // 2048 AS DOUBLE) / 4503599627370496.0 - 1.0 AS comp FROM rp_pl1"),
+      ("rp_ev", "SELECT vec_id AS id, " +
+        "unnest(list_transform(embedding, x -> CAST(x AS DOUBLE))) AS x, " +
+        "unnest(range(0, len(embedding))) AS j FROM embeddings"),
+      ("rp_prod", "SELECT ev.id, pl.i, ev.j, " +
+        "ev.x * pl.comp AS prod FROM rp_ev ev JOIN rp_pl2 pl USING (j)"),
+      ("rp_dots", "SELECT id, i, " +
+        "list_reduce(list(prod ORDER BY j), (x, y) -> x + y) AS d " +
+        "FROM rp_prod GROUP BY id, i"))
+    single(ctes,
+      "SELECT id AS vec_id, CAST(i AS INTEGER) AS dim_idx, " +
+        "CAST(floor(d * 1000000.0) AS BIGINT) AS component_e6 FROM rp_dots")
+  }
+
   /** Oracle for `ev_theta_intersect`: the KMV/theta sketch replayed in
     * SQL — XXH64 of the user-day key ([[longChain]] = Spark's
     * `xxhash64(long)`), masked to 52 bits, bottom-k per event type,
