@@ -540,17 +540,30 @@ object GraphAlgos {
       .select(col("src"), col("src").as("node"), lit(0L).as("d"))
     var lastCp: Option[DataFrame] = None
     for (i <- 1 to iters) {
+      // each round references `dist` TWICE (carry-over ∪ expansion), so
+      // an unmaterialized lineage doubles per round — 2^iters copies of
+      // every earlier join/agg as tiny shuffle stages (measured 10 s on
+      // a 5-node graph at 6 rounds). Persisting the round's frame makes
+      // both references share one InMemoryRelation: 1 join + 1 agg per
+      // round, period. The cache is the O(Σ component²) pairs table the
+      // algorithm carries anyway; the previous round's cache is released
+      // as soon as it is superseded (unless it IS the live checkpoint).
       val expanded = dist.join(und, dist("node") === und("u"))
         .select(col("src"), col("v").as("node"), (col("d") + 1L).as("d"))
-      dist = dist.unionByName(expanded)
+      val prev = dist
+      var next = dist.unionByName(expanded)
         .groupBy(col("src"), col("node")).agg(min(col("d")).as("d"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
       if (checkpointEvery > 0 &&
         (i % checkpointEvery == 0 || i == iters)) {
-        val cp = dist.localCheckpoint(true)
+        val cp = next.localCheckpoint(true)
+        next.unpersist(false) // cp owns its own (rdd-level) storage
         lastCp.foreach(releaseLocalCheckpoint)
         lastCp = Some(cp)
-        dist = cp
+        next = cp
       }
+      if (!lastCp.exists(_ eq prev)) prev.unpersist(false)
+      dist = next
     }
     if (checkpointEvery > 0) und.unpersist(false)
     dist.filter(col("d") > 0L)
