@@ -406,6 +406,52 @@ object SparkEntry {
           sum(floor(col("o_totalprice") * 100).cast("long")).as("sum_price_e2"))
     }),
 
+    // ---- S22: zero-copy SHALLOW CLONE + fork isolation: clone the
+    //      staged table AT v1 (before day 2 existed), run a predicate
+    //      DELETE on the fork — the rewrite lands in the fork's own
+    //      dir, the source keeps every row. One row proves both: the
+    //      fork's surviving aggregate AND the untouched source count ----
+    "s22_shallow_clone" -> ((s, dir) => {
+      val root = s"/root/repo/target/s22_clone/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val src = wh.tablePath("bench", "orders")
+      val fork = wh.tablePath("bench", "orders_fork")
+      if (wh.currentVersion(s, fork) < 2L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val o = Tables.orders(s, dir).select(col("o_orderkey"),
+          col("o_orderstatus"), col("o_totalprice"))
+        wh.append(s, o.filter(col("o_orderkey") % 2 === 0)
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01"))), src)
+        wh.append(s, o.filter(col("o_orderkey") % 2 =!= 0)
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-02"))), src)
+        wh.cloneTo(s, src, fork, version = 1L) // day-1 snapshot, no copy
+        wh.deleteWhere(s, fork, col("o_orderkey") % 3 === 0) // fork-only
+      }
+      val srcRows = wh.read(s, src).count()
+      wh.read(s, fork)
+        .agg(count(lit(1)).as("fork_rows"),
+          sum(col("o_orderkey")).as("fork_sum_key"),
+          sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("fork_sum_price_e2"))
+        .withColumn("src_rows", lit(srcRows))
+    }),
+
+    // ---- S21: aggregate pushdown to METADATA — count(*)/count(col)/
+    //      min/max answered from the manifest's per-file footer stats
+    //      alone (zero file opens at any table size; the planner/ops
+    //      "what key range does this table span" question for free).
+    //      Runs over s9's staged history, so the numbers must reflect
+    //      the LIVE set only (day 1 was deleted) ----
+    "s21_fast_minmax" -> ((s, dir) => {
+      val (wh, tbl) = stageTimeTravelTable(s, dir)
+      val st = wh.fastColumnStats(s, tbl, "o_orderkey")
+        .getOrElse(sys.error("manifest stats must cover the staged table"))
+      import s.implicits._
+      Seq((st.rows, st.nonNull, st.min.get, st.max.get))
+        .toDF("n_rows", "n_keys", "min_key", "max_key")
+    }),
+
     // ---- S18: incremental view maintenance: a grouped sum/count view
     //      kept current across append -> predicate DELETE -> predicate
     //      UPDATE by applying O(changed files) deltas (diffSnapshots
@@ -3529,6 +3575,24 @@ object SparkEntry {
         |  count(*) AS n_rows,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // fork = day-1 snapshot (even keys) minus the fork-side delete
+    // (%3); src_rows = the full staged table, untouched by the fork DML
+    "s22_shallow_clone" ->
+      """SELECT count(*) AS fork_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS fork_sum_key,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS fork_sum_price_e2,
+        |  (SELECT count(*) FROM orders) AS src_rows
+        |FROM orders
+        |WHERE o_orderkey % 2 = 0 AND o_orderkey % 3 <> 0""".stripMargin,
+
+    // the staged table's live set is day 2 only (odd keys)
+    "s21_fast_minmax" ->
+      """SELECT count(*) AS n_rows, count(o_orderkey) AS n_keys,
+        |  CAST(min(o_orderkey) AS BIGINT) AS min_key,
+        |  CAST(max(o_orderkey) AS BIGINT) AS max_key
+        |FROM orders WHERE o_orderkey % 2 <> 0""".stripMargin,
 
     // post-restore the table holds BOTH days again — same shape as s9's
     // oracle but over the current read, proving the delete was undone

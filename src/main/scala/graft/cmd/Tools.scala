@@ -347,6 +347,22 @@ object DropColumnTool {
   }
 }
 
+/** `clone <whRoot> <srcDataset> <srcDatatype> <destDataset>
+  * <destDatatype> [version]` — zero-copy shallow clone (fork) of a
+  * table at its latest or a time-travelable version.
+  */
+object CloneTool {
+  def main(args: Array[String]): Unit = {
+    val Array(whRoot, sd, st, dd, dt) = args.take(5)
+    val version = if (args.length > 5) args(5).toLong else -1L
+    val wh = new graft.tableops.TxWarehouse(whRoot)
+    val spark = ToolSession.spark()
+    val v = wh.cloneTo(spark, wh.tablePath(sd, st), wh.tablePath(dd, dt),
+      version)
+    println(s"cloned $sd/$st@v$v -> $dd/$dt (zero bytes copied)")
+  }
+}
+
 /** `restore <whRoot> <dataset> <datatype> <version>` — RESTORE TABLE to
   * a prior version: one metadata-only commit, no data movement; refuses
   * if the target's files were vacuumed.

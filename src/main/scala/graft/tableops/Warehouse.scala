@@ -897,6 +897,70 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       s"commit contention: $MaxCommitAttempts failed attempts on $path")
   }
 
+  /** Zero-copy SHALLOW CLONE: create `destPath` as a new table whose
+    * first commit references the SOURCE's data files (relative
+    * traversal entries — no byte is copied), at the source's latest
+    * version or any time-travelable one. The clone is a real table
+    * from that moment on: writes, DML, compaction land in its OWN data
+    * dir (a rewrite simply retires the source-referenced entries from
+    * the clone's live set), so "fork the 100 TB table, experiment,
+    * throw it away" costs one manifest write — the dev/test workflow
+    * Delta's SHALLOW CLONE exists for, and the natural companion of
+    * [[restoreTo]] (restore rewinds in place; clone forks).
+    *
+    * Carried over: per-file stats/sizes/blooms (pruning works on the
+    * clone immediately), the recorded schema, and ALL table properties
+    * — including the ddl column mapping (data files carry physical
+    * names; the clone must present the same logical view), bloom
+    * specs, constraints, and requirePartitionFilter. NOT carried:
+    * streaming txn watermarks — the clone is a new sink; inheriting
+    * the source's batch-id fences would silently skip the first
+    * micro-batches written to it.
+    *
+    * The shared-bytes hazard is the same as every shallow-clone
+    * implementation's and is one-directional: [[vacuum]] on the CLONE
+    * only walks the clone's directory (source bytes are unreachable by
+    * construction), but vacuum on the SOURCE does not know about
+    * clone references — keep source retention ≥ clone lifetime, or
+    * compact the clone (rewriting makes it self-contained).
+    *
+    * Local/HDFS path layout (relative traversal between the two table
+    * dirs); an object-store deployment would store absolute URIs here.
+    *
+    * @return the source version the clone was taken at
+    */
+  def cloneTo(spark: SparkSession, srcPath: String, destPath: String,
+      version: Long = -1L): Long = {
+    val f = fs(spark, destPath)
+    require(replay(spark, destPath)._1 == 0L,
+      s"clone destination already has commits: $destPath")
+    val (v, st) =
+      if (version < 0L) replay(spark, srcPath)
+      else {
+        val r = replay(spark, srcPath, upTo = version)
+        require(r._1 == version,
+          s"no version $version of $srcPath (latest ≤ is ${r._1})")
+        r
+      }
+    require(v > 0L, s"cannot clone an uncommitted table: $srcPath")
+    val prefix = java.nio.file.Paths.get(destPath).normalize()
+      .relativize(java.nio.file.Paths.get(srcPath).normalize()).toString
+    def reref(rel: String): String = s"$prefix/$rel"
+    val lines =
+      st.live.toSeq.sortBy(_._1).flatMap { case (rel, d) =>
+        Seq(s"A $d ${reref(rel)}") ++
+          st.stats.get(rel).map(s => s"S $s ${reref(rel)}") ++
+          st.sizes.get(rel).map(n => s"F $n ${reref(rel)}") ++
+          st.blooms.get(rel).map(b => s"B $b ${reref(rel)}")
+      } ++
+        st.props.toSeq.sortBy(_._1).map { case (k, vv) => s"P $k $vv" } ++
+        st.schemaJson.map(j => s"H ${b64(j)}").toSeq
+    if (!tryCommit(f, destPath, 1L, lines))
+      throw new ConcurrentCommitException(
+        s"clone lost the v1 race on $destPath — another writer created it")
+    v
+  }
+
   /** Incremental consumption (the change-data-feed the manifest gives
     * for free): the rows live at `toVersion` that were NOT live at
     * `fromVersion` — i.e. every file that appends/replaces in the range
@@ -1194,6 +1258,83 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     if (rows.exists(r => r._1.isEmpty || r._2.isEmpty)) None
     else Some(rows.collect { case (Some(d), Some(n)) => (d, n) }
       .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum })
+  }
+
+  /** Manifest-only exact `count(*)`, `count(col)`, `min(col)`,
+    * `max(col)` for a LONG-DOMAIN column (ints/longs/dates — the 'l'
+    * stats tag, whose per-file footer min/max are exact values, unlike
+    * string stats which parquet may truncate to bounds) — aggregate
+    * pushdown all the way to METADATA: the answer costs one manifest
+    * replay, zero file opens, at any table size. This is the 100 TB
+    * dual of [[fastRowCount]]: "what key range does this table span"
+    * is a planner/ops question asked constantly and answerable for
+    * free, because every commit already recorded the footer stats.
+    *
+    * Soundness rules (any violation degrades to None = pay the scan,
+    * never a wrong answer):
+    *  - every live file must carry a stats payload;
+    *  - a file whose payload lacks the column contributes nothing (the
+    *    column is absent from that file's schema → all-null under
+    *    mergeSchema);
+    *  - a file with the column tagged non-'l' → None (not exact);
+    *  - a file with the column but no min/max must be provably
+    *    all-null (nulls == rows), else None;
+    *  - null counts must be known (≥ 0) to answer `nonNull`.
+    *
+    * @return rows = count(*), nonNull = count(col), min/max = None when
+    *         the column holds no non-null value in any live file
+    */
+  def fastColumnStats(spark: SparkSession, path: String,
+      column: String): Option[TxWarehouse.FastColumnStats] = {
+    val st = replay(spark, path)._2
+    // `column` is the LOGICAL name; stats payloads record PHYSICAL
+    // names (zero-rewrite rename never touches footers), so resolve
+    // through the ddl mapping like every read does. A tombstoned
+    // (dropped) name answers None, same as reading it would fail.
+    val ops = DdlOps.decode(st.props.get(DdlOps.Key))
+    val m = DdlOps.mappingAt(ops, Long.MaxValue)
+    // a tombstoned column must answer None like reading it would fail;
+    // drop ops record the PHYSICAL name, so replay the chain to learn
+    // what each drop's LOGICAL name was at drop time (rename a→b then
+    // drop b tombstones physical "a" — the user-facing dead name is "b")
+    var byPhysical = Map.empty[String, String]
+    var droppedLogical = Set.empty[String]
+    ops.sortBy(_.v).foreach {
+      case DdlOps.Op(_, "rename", p, l) => byPhysical += (p -> l)
+      case DdlOps.Op(_, "drop", p, _) =>
+        droppedLogical += byPhysical.getOrElse(p, p)
+        byPhysical -= p
+      case _ => ()
+    }
+    if (droppedLogical.contains(column)) return None
+    val key = m.toPhysical.getOrElse(column, column)
+      .toLowerCase(java.util.Locale.ROOT)
+    val perFile = st.live.keys.toSeq.map(rel =>
+      st.stats.get(rel).flatMap(FileStats.decode).flatMap { p =>
+        p.cols.get(key) match {
+          case None => // column absent from this file: all-null here
+            Some((p.rows, 0L, None: Option[Long], None: Option[Long]))
+          case Some(c) if c.tag == 'l' && c.nulls >= 0 =>
+            (c.min.flatMap(s => scala.util.Try(s.toLong).toOption),
+              c.max.flatMap(s => scala.util.Try(s.toLong).toOption)) match {
+              case (Some(mn), Some(mx)) =>
+                Some((p.rows, p.rows - c.nulls, Some(mn), Some(mx)))
+              case _ if c.nulls == p.rows =>
+                Some((p.rows, 0L, None, None))
+              case _ => None
+            }
+          case _ => None
+        }
+      })
+    if (perFile.exists(_.isEmpty)) None
+    else {
+      val fs = perFile.flatten
+      val mins = fs.flatMap(_._3)
+      val maxs = fs.flatMap(_._4)
+      Some(TxWarehouse.FastColumnStats(fs.map(_._1).sum, fs.map(_._2).sum,
+        if (mins.isEmpty) None else Some(mins.min),
+        if (maxs.isEmpty) None else Some(maxs.max)))
+    }
   }
 
   private def readFiles(spark: SparkSession, path: String,
@@ -1995,12 +2136,16 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       .groupBy(col("__f")).agg(count(lit(1)).as("__n"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
     if (hitCounts.isEmpty) return (Nil, 0L)
-    // input_file_name URIs differ from rel paths in scheme spelling;
-    // rel paths (uuid-dir/part-file) are unique suffixes under the table
+    // input_file_name URIs differ from rel paths in scheme spelling,
+    // and a shallow clone's rel entries contain `..` traversal the
+    // scanner's URI has already resolved — compare NORMALIZED path
+    // parts, not suffixes
+    def normPath(p: String): String =
+      java.nio.file.Paths.get(new Path(p).toUri.getPath).normalize().toString
+    val byNorm = candidates.map(rel => normPath(s"$path/$rel") -> rel).toMap
     val hitRels = hitCounts.map { case (uri, _) =>
-      candidates.find(rel => uri.endsWith("/" + rel) || uri.endsWith(rel))
-        .getOrElse(throw new IllegalStateException(
-          s"cannot map scanned file back to a manifest entry: $uri"))
+      byNorm.getOrElse(normPath(uri), throw new IllegalStateException(
+        s"cannot map scanned file back to a manifest entry: $uri"))
     }.distinct.sorted
     (hitRels, hitCounts.map(_._2).sum)
   }
@@ -2386,6 +2531,13 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
 object TxWarehouse {
   private val LogDir = "_graft_log"
   private val DataDir = "_graft_data"
+
+  /** [[TxWarehouse.fastColumnStats]] result: manifest-only exact
+    * aggregates. min/max None ⇔ the column holds no non-null value in
+    * any live file.
+    */
+  final case class FastColumnStats(rows: Long, nonNull: Long,
+      min: Option[Long], max: Option[Long])
 
   /** Final line of every committed manifest (delta or checkpoint).
     * [[parseInto]] skips it like any unknown line type (old readers of

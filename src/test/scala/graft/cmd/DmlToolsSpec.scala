@@ -40,6 +40,17 @@ class DmlToolsSpec extends graft.SparkTestBase {
     assert(got == (("bumped", 35L)))
   }
 
+  test("CloneTool: argv fork at a version, fully isolated from source") {
+    val (wh, root) = fresh("ctool")
+    val tbl = wh.tablePath("d", "t")
+    DeleteWhereTool.main(Array(root, "d", "t", "s = 'drop'")) // v2
+    CloneTool.main(Array(root, "d", "t", "d", "t2", "1"))
+    val fork = wh.tablePath("d", "t2")
+    assert(wh.read(spark, fork).count() == 3L, "fork is the v1 snapshot")
+    UpdateWhereTool.main(Array(root, "d", "t2", "k = 1", "s='forked'"))
+    assert(wh.read(spark, tbl).filter(col("s") === "forked").count() == 0)
+  }
+
   test("RestoreTool: version argv restores the pre-DML snapshot") {
     val (wh, root) = fresh("restool")
     val tbl = wh.tablePath("d", "t")

@@ -300,4 +300,54 @@ class FileStatsSpec extends SparkTestBase {
     assert(nullRead.inputFiles.length == 1,
       "corrupt H cleared the recorded schema: fallback went unpruned")
   }
+
+  test("fastColumnStats: exact count/nonNull/min/max from the manifest " +
+    "ALONE — answers survive physically deleting every data file") {
+    val (wh, path) = fresh()
+    appendRange(wh, path, 10, 50, "2024-06-01")
+    appendRange(wh, path, 100, 130, "2024-06-02")
+    val st = wh.fastColumnStats(spark, path, "id").get
+    assert(st == TxWarehouse.FastColumnStats(70L, 70L, Some(10L), Some(129L)))
+    // the proof it never opens data: remove the parquet, ask again
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+      .foreach(f => assert(f.delete()))
+    assert(wh.fastColumnStats(spark, path, "id").get == st)
+  }
+
+  test("fastColumnStats soundness: string/float columns answer None, " +
+    "an all-null file folds as zero contribution, a column absent from " +
+    "one file's schema is all-null there, deletes shrink the range") {
+    val (wh, path) = fresh()
+    appendRange(wh, path, 10, 50, "2024-06-01")
+    assert(wh.fastColumnStats(spark, path, "name").isEmpty,
+      "string stats are truncatable bounds, not exact values")
+    // a second file where id is entirely null and a new column appears
+    wh.append(spark, Seq((null.asInstanceOf[java.lang.Long], 7L,
+      java.sql.Date.valueOf("2024-06-02")))
+      .toDF("id", "extra", "date"), path)
+    val st = wh.fastColumnStats(spark, path, "id").get
+    assert(st == TxWarehouse.FastColumnStats(41L, 40L, Some(10L), Some(49L)))
+    // extra exists only in file 2: file 1 contributes rows, no values
+    val ex = wh.fastColumnStats(spark, path, "extra").get
+    assert(ex == TxWarehouse.FastColumnStats(41L, 1L, Some(7L), Some(7L)))
+    // delete the first partition: range must follow the LIVE set
+    wh.deletePartition(spark, path, java.time.LocalDate.parse("2024-06-01"))
+    val after = wh.fastColumnStats(spark, path, "id").get
+    assert(after == TxWarehouse.FastColumnStats(1L, 0L, None, None))
+  }
+
+  test("fastColumnStats follows zero-rewrite renames (logical name in, " +
+    "physical stats consulted) and refuses tombstoned columns") {
+    val (wh, path) = fresh()
+    appendRange(wh, path, 5, 25, "2024-06-01")
+    wh.renameColumn(spark, path, "id", "key_id")
+    val st = wh.fastColumnStats(spark, path, "key_id").get
+    assert(st.min.contains(5L) && st.max.contains(24L))
+    wh.dropColumn(spark, path, "key_id")
+    assert(wh.fastColumnStats(spark, path, "key_id").isEmpty)
+  }
+
+  private def fresh(): (TxWarehouse, String) = freshTable()
 }
