@@ -222,6 +222,31 @@ object GraftFunctions {
         "sorted (cnt_lo DESC, item ASC)") {
       case Seq(item, cap) =>
         FrequentItems(item, intArg(cap, "frequent_items", "capacity"))
+    },
+    desc("hll_registers", classOf[HllRegisters],
+      "hll_registers(hash64, p) - HyperLogLog sketch over pre-hashed " +
+        "64-bit ids: struct<registers array<struct<bucket, register>>, " +
+        "nnz, est_raw>") {
+      case Seq(h, p) => HllRegisters(h, intArg(p, "hll_registers", "p"))
+    },
+    desc("hll_merge_registers", classOf[HllMergeRegisters],
+      "hll_merge_registers(registers, p) - re-merge persisted HLL " +
+        "register arrays (elementwise max) into one sketch") {
+      case Seq(r, p) =>
+        HllMergeRegisters(r, intArg(p, "hll_merge_registers", "p"))
+    },
+    desc("cms_counters", classOf[CmsCounters],
+      "cms_counters(hash64, d, logW) - count-min sketch grid over " +
+        "pre-hashed 64-bit ids: struct<n_total, counters>") {
+      case Seq(h, d, w) => CmsCounters(h,
+        intArg(d, "cms_counters", "d"), intArg(w, "cms_counters", "logW"))
+    },
+    desc("cms_merge_counters", classOf[CmsMergeCounters],
+      "cms_merge_counters(counters, d, logW) - re-merge persisted " +
+        "count-min grids (elementwise add) into one sketch") {
+      case Seq(c, d, w) => CmsMergeCounters(c,
+        intArg(d, "cms_merge_counters", "d"),
+        intArg(w, "cms_merge_counters", "logW"))
     }
   )
 

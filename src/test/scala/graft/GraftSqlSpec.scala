@@ -29,10 +29,39 @@ class GraftSqlSpec extends SparkTestBase {
       "shingle_md5_hashes", "minhash_md5_signature", "simhash_md5",
       "nfc_normalize", "vector_dot", "vector_sqdist", "sign_bands",
       "top_k_by_score", "gram_matrix", "bpe_segment", "bpe_encode",
-      "frequent_items")
+      "frequent_items", "hll_registers", "hll_merge_registers",
+      "cms_counters", "cms_merge_counters")
     names.foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n not registered")
     }
+  }
+
+  test("sketch aggregates from SQL: hll build+re-merge and cms " +
+    "build+re-merge equal the Column forms") {
+    import spark.implicits._
+    (1L to 500L).map(i => (s"g${i % 3}", i)).toDF("g", "id")
+      .createOrReplaceTempView("sk_in")
+    // per-group sketches, then re-merge to one global sketch — all SQL
+    val viaSql = spark.sql(
+      """WITH per AS (SELECT g, hll_registers(xxhash64(id), 9) AS sk
+        |             FROM sk_in GROUP BY g)
+        |SELECT hll_merge_registers(sk.registers, 9).est_raw AS est
+        |FROM per""".stripMargin).as[Long].head()
+    val perCol = (1L to 500L).map(i => (s"g${i % 3}", i)).toDF("g", "id")
+      .selectExpr("g", "xxhash64(id) AS h")
+      .groupBy("g")
+      .agg(graft.functions.HllRegisters.hllRegisters(col("h"), 9).as("sk"))
+    val viaCol = perCol
+      .agg(graft.functions.HllRegisters
+        .hllMergeRegisters(col("sk.registers"), 9).as("m"))
+      .select(col("m.est_raw")).as[Long].head()
+    assert(viaSql == viaCol)
+    val cmsSql = spark.sql(
+      """WITH per AS (SELECT g, cms_counters(xxhash64(id), 4, 10) AS sk
+        |             FROM sk_in GROUP BY g)
+        |SELECT cms_merge_counters(sk.counters, 4, 10).n_total AS n
+        |FROM per""".stripMargin).as[Long].head()
+    assert(cmsSql == 500L)
   }
 
   test("bpe_encode from SQL equals the Column form; gram_matrix aggregates") {
@@ -218,6 +247,6 @@ class GraftSqlSpec extends SparkTestBase {
     assert(reg != null)
     val ids = GraftFunctions.descriptors.map(_._1.funcName)
     assert(ids.distinct.size == ids.size)
-    assert(ids.size == 16) // + cdc_cuts (round 13)
+    assert(ids.size == 20) // + cdc_cuts, hll/cms build+merge (round 13)
   }
 }
