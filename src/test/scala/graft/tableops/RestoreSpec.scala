@@ -118,6 +118,34 @@ class RestoreSpec extends graft.SparkTestBase {
     assert(opened(wh) == before, "restored manifest must keep S/F/B lines")
   }
 
+  test("restore racing a concurrent append LINEARIZES: the outcome is " +
+    "one of the two serial orders, never a torn mix, across 6 rounds") {
+    for (round <- 1 to 6) {
+      val (wh, path) = fresh(s"rsrace$round")
+      wh.append(spark, Seq((1L, "base", D1)).toDF("k", "s", "date"), path) // v1
+      wh.append(spark, Seq((2L, "damage", D2)).toDF("k", "s", "date"), path) // v2
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      try {
+        val restore = pool.submit(new Runnable {
+          def run(): Unit = wh.restoreTo(spark, path, 1L)
+        })
+        val append = pool.submit(new Runnable {
+          def run(): Unit = wh.append(spark,
+            Seq((3L, "racer", D2)).toDF("k", "s", "date"), path)
+        })
+        restore.get(); append.get()
+      } finally pool.shutdown()
+      val got = rows(wh, path)
+      val restoreWonLast = Set((1L, "base"), (3L, "racer")) // restore; append
+      val appendWonLast = Set((1L, "base"))                 // append; restore
+      assert(got == restoreWonLast || got == appendWonLast,
+        s"round $round: non-linearizable state $got")
+      // the log itself stayed consistent: every version replays
+      val latest = wh.currentVersion(spark, path)
+      (1L to latest).foreach(v => wh.readAt(spark, path, v).count())
+    }
+  }
+
   test("a vacuumed target is refused with a clear error; restore above " +
     "the latest version is refused") {
     val (wh, path) = fresh("rs7")
