@@ -1257,6 +1257,14 @@ object SparkEntry {
       TextDedup.simhashPairs(Tables.documents(s, dir), "doc_id", "text",
         maxHamming = 6)),
 
+    // ---- minhash sketch CALIBRATION: every LSH candidate pair with
+    //      exact jaccard AND the 32-lane agreement estimate + abs
+    //      error — the empirical 1/√n sketch-noise check on the corpus
+    //      the tier dedups (the minhash analog of sim_ann_recall) ----
+    "dd_minhash_calibration" -> ((s, dir) =>
+      TextDedup.minhashCalibrationPairs(Tables.documents(s, dir), "doc_id",
+        "text", numHashes = 32, bands = 8)),
+
     // ---- curation QA: near-dup rate per source — which source is
     //      duplicate-heavy (docs appearing in ≥1 qualifying pair / docs) ----
     "dd_dup_rate_by_source" -> ((s, dir) => {
@@ -4686,6 +4694,9 @@ object SparkEntry {
     // via the staged HUGEINT arithmetic in XxOracleSql (multi-statement
     // scripts: macro prelude + temp-table stages + final SELECT)
     "dd_minhash_lsh" -> XxOracleSql.minhash(W, ShingleSql),
+
+    "dd_minhash_calibration" ->
+      XxOracleSql.minhashCalibration(W, ShingleSql),
     "dd_simhash" -> XxOracleSql.simhash(W, ShingleSql),
     "dd_embed_neardup_lsh" -> XxOracleSql.embedNearDup(cosE6Sql("a.v", "c.v")),
 

@@ -307,12 +307,16 @@ object XxOracleSql {
     * >= 5000 on the xx-hashed shingle sets). `w`/`shingle` are the
     * DuckDB token/3-gram-shingle fragments shared with the md5 twins.
     */
-  def minhash(w: String, shingle: String): String = {
+  /** Shared xx-minhash CTE chain: signatures (`mh_sig(doc_id, sig)`),
+    * distinct shingle lists (`mh_hl(doc_id, hl)`), and LSH candidate
+    * pairs (`mh_cand(id_a, id_b)`).
+    */
+  private def minhashCtes(w: String, shingle: String): Seq[(String, String)] = {
     val (h0S, h0T) = strChain("mh_u0", Seq("doc_id", "sg"), "sg", "42::HUGEINT", "mh_h_", "h0")
     val (mhS, mhT) = longChain("mh_lx0", Seq("doc_id", "i"),
       "xu_u64(CAST(h0 AS HUGEINT))", "lseed", "mh_m_", "mh")
     val (bkS, bkT) = strChain("mh_bd0", Seq("doc_id", "b"), "bs", "bseed", "mh_k_", "bkt")
-    val ctes = Seq(
+    Seq(
       ("mh_u0", s"WITH t AS (SELECT doc_id, $w AS w FROM documents), " +
         s"s AS (SELECT doc_id, $shingle AS sh FROM t) SELECT doc_id, unnest(sh) AS sg FROM s")
     ) ++ h0S ++ Seq(
@@ -330,13 +334,36 @@ object XxOracleSql {
     ) ++ bkS ++ Seq(
       ("mh_cand", "SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b " +
         s"FROM $bkT a JOIN $bkT c ON a.b = c.b AND a.bkt = c.bkt AND a.doc_id < c.doc_id"))
-    single(ctes,
+  }
+
+  def minhash(w: String, shingle: String): String =
+    single(minhashCtes(w, shingle),
       "SELECT id_a, id_b, jaccard_e4 FROM (SELECT mh_cand.id_a, mh_cand.id_b, " +
         "CAST(floor(len(list_intersect(ha.hl, hb.hl)) * 10000.0 / " +
         "(len(ha.hl) + len(hb.hl) - len(list_intersect(ha.hl, hb.hl)))) AS BIGINT) AS jaccard_e4 " +
         "FROM mh_cand JOIN mh_hl ha ON ha.doc_id = mh_cand.id_a " +
         "JOIN mh_hl hb ON hb.doc_id = mh_cand.id_b) WHERE jaccard_e4 >= 5000")
-  }
+
+  /** Oracle for `dd_minhash_calibration`: every LSH candidate pair with
+    * its EXACT jaccard and the 32-lane signature-agreement ESTIMATE —
+    * the measurement row pinning how well the sketch tracks the truth
+    * ([[graft.operators.TextDedup]] computes the same two numbers).
+    */
+  def minhashCalibration(w: String, shingle: String): String =
+    single(minhashCtes(w, shingle),
+      """SELECT id_a, id_b, jaccard_e4, est_e4,
+        |  abs(est_e4 - jaccard_e4) AS abs_err_e4
+        |FROM (SELECT mh_cand.id_a, mh_cand.id_b,
+        |  CAST(floor(len(list_intersect(ha.hl, hb.hl)) * 10000.0 /
+        |    (len(ha.hl) + len(hb.hl) - len(list_intersect(ha.hl, hb.hl))))
+        |    AS BIGINT) AS jaccard_e4,
+        |  CAST((len([i for i in range(1, 33)
+        |    if sa.sig[i] = sb.sig[i]]) * 10000) // 32 AS BIGINT) AS est_e4
+        |  FROM mh_cand
+        |  JOIN mh_hl ha ON ha.doc_id = mh_cand.id_a
+        |  JOIN mh_hl hb ON hb.doc_id = mh_cand.id_b
+        |  JOIN mh_sig sa ON sa.doc_id = mh_cand.id_a
+        |  JOIN mh_sig sb ON sb.doc_id = mh_cand.id_b)""".stripMargin)
 
   /** Full oracle for `dd_simhash` (64-bit fingerprint, 4 bands x 16
     * bits, hamming <= 6). Bit i votes via (h0u >> i) & 1 on the

@@ -478,6 +478,40 @@ object TextDedup {
       .select("id_a", "id_b", "jaccard_e4")
   }
 
+  /** Sketch-calibration pairs: every LSH candidate pair carrying BOTH
+    * the exact shingle Jaccard and the minhash-signature estimate
+    * (agreeing lanes / numHashes, e4 grid) plus their absolute error —
+    * the measurement row for the minhash tier, the way `sim_ann_recall`
+    * measures the IVF probe. E[est] = true Jaccard per lane (the
+    * classic MinHash identity), so the error column is the direct
+    * empirical check of the 1/√numHashes sketch noise on the corpus the
+    * tier actually dedups. Candidates only (not all pairs): the
+    * calibration question is "how well does the sketch rank what the
+    * LSH surfaced", bounded by the banding like the dedup tier itself.
+    */
+  def minhashCalibrationPairs(
+      docs: DataFrame, idCol: String, textCol: String,
+      numHashes: Int = 32, bands: Int = 8
+  ): DataFrame = {
+    val sigs = minhashSignatures(docs, idCol, textCol, numHashes)
+    val cands = lshCandidates(sigs, idCol, bands, numHashes)
+    val sh = withHashedShingles(docs, Seq(idCol), textCol)
+    val inter = size(array_intersect(col("sh_a"), col("sh_b")))
+    cands
+      .join(sh.select(col(idCol).as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("sh").as("sh_b")), "id_b")
+      .join(sigs.select(col(idCol).as("id_a"), col("sig").as("sig_a")), "id_a")
+      .join(sigs.select(col(idCol).as("id_b"), col("sig").as("sig_b")), "id_b")
+      .withColumn("jaccard_e4",
+        floor(inter * lit(10000.0) /
+          (size(col("sh_a")) + size(col("sh_b")) - inter)).cast("long"))
+      .withColumn("est_e4", expr(
+        "(aggregate(zip_with(sig_a, sig_b, (x, y) -> IF(x = y, 1, 0)), " +
+          s"0, (a, x) -> a + x) * 10000) div $numHashes").cast("long"))
+      .select(col("id_a"), col("id_b"), col("jaccard_e4"), col("est_e4"),
+        abs(col("est_e4") - col("jaccard_e4")).as("abs_err_e4"))
+  }
+
   // ---------- tier 4: SimHash ----------
 
   /** Near-dup pairs from fingerprints: candidates share at least one

@@ -117,4 +117,25 @@ class DedupSpec extends SparkTestBase {
       (1L, 2L, 40L, 3L), // 2 and 3 tie at 40 -> lowest id 2 wins
       (7L, 7L, 5L, 2L)))
   }
+
+  test("minhashCalibrationPairs: exact duplicates estimate 10000 " +
+    "exactly; near-dups' 32-lane estimate tracks true jaccard within " +
+    "the sketch's statistical noise") {
+    import graft.operators.TextDedup
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = ((1 to 55).map(i => s"tok$i") ++
+      (100 to 104).map(i => s"alt$i")).mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, near))
+      .toDF("doc_id", "text")
+    val rows = TextDedup.minhashCalibrationPairs(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    val (j12, e12, err12) = rows((1L, 2L))
+    assert(j12 == 10000L && e12 == 10000L && err12 == 0L)
+    val (j13, e13, err13) = rows((1L, 3L))
+    assert(j13 > 7000L && j13 < 10000L)
+    // 32 lanes: sigma ~ sqrt(p(1-p)/32) ~ 0.06 -> allow 4 sigma
+    assert(err13 <= 2500L, s"est $e13 vs true $j13")
+    assert(err13 == math.abs(e13 - j13))
+  }
 }
