@@ -2393,6 +2393,28 @@ object SparkEntry {
         Seq("train" -> 9000L, "val" -> 500L, "test" -> 500L))
         .select("doc_id", "lang", "split")),
 
+    // ---- LEAKAGE-SAFE splits: hash-split on the near-dup CLUSTER
+    //      label instead of the doc id, so every member of a near-dup
+    //      cluster lands in the SAME split — the guard against the
+    //      classic contamination where a test document's near-copy
+    //      sits in train and the eval silently measures memorization.
+    //      Composition of the oracled cluster components and the
+    //      oracled split hash; singletons behave exactly like
+    //      ds_split_assign ----
+    "ds_leakage_safe_split" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = graft.operators.GraphAlgos.connectedComponents(
+        TextDedup.lengthBandedJaccardPairs(docs, "doc_id", "text",
+          "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L))
+      Curation.assignSplits(
+        docs.select(col("doc_id"))
+          .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+          .withColumn("leak_key", coalesce(col("label"), col("doc_id"))),
+        "leak_key",
+        Seq("train" -> 9000L, "val" -> 500L, "test" -> 500L))
+        .select("doc_id", "leak_key", "split")
+    }),
+
     // ---- curated-corpus export: the split assignment written out
     //      partitioned by split (the training-delivery layout) and read
     //      back — the S4 partitioned-sink path for the curation layer ----
@@ -5340,6 +5362,28 @@ object SparkEntry {
          |       WHEN ($h % 10000) < 9500 THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents""".stripMargin
+    },
+
+    "ds_leakage_safe_split" -> {
+      val h = md5LongSql("concat('split#', CAST(leak_key AS VARCHAR))")
+      s"""WITH RECURSIVE ${jaccardPairCtes("documents")},
+         |pr AS (SELECT id_a, id_b FROM p WHERE jaccard_e4 >= 5000),
+         |e AS (SELECT id_a AS a, id_b AS b FROM pr
+         |      UNION SELECT id_b AS a, id_a AS b FROM pr),
+         |reach(n, m) AS (
+         |  SELECT a, a FROM e
+         |  UNION
+         |  SELECT r.n, e2.b FROM reach r JOIN e e2 ON e2.a = r.m),
+         |lbl AS (SELECT n AS id, CAST(min(m) AS BIGINT) AS label
+         |        FROM reach GROUP BY n),
+         |lk AS (SELECT d.doc_id,
+         |         coalesce(l.label, d.doc_id) AS leak_key
+         |       FROM documents d LEFT JOIN lbl l ON l.id = d.doc_id)
+         |SELECT doc_id, leak_key,
+         |  CASE WHEN ($h % 10000) < 9000 THEN 'train'
+         |       WHEN ($h % 10000) < 9500 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM lk""".stripMargin
     },
 
     "ds_domain_mix" ->

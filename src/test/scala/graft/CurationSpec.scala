@@ -409,4 +409,45 @@ class CurationSpec extends SparkTestBase {
     // doc 2: all counts floored at 1, zero vowels -> syllables = words
     assert(got(2L) == ((1L, 1L, 1L, 206835000L - 1015000L - 84600000L)))
   }
+
+  test("leakage-safe split: every near-dup pair lands in ONE split " +
+    "(no cluster ever spans splits), singletons split like the plain " +
+    "doc-id assignment would on their own key") {
+    import graft.operators.{GraphAlgos, TextDedup}
+    // three near-dup clusters of 3 + 20 singletons, all same length band
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    def mutate(seed: Int) = ((1 to 37).map(i => s"w$i") ++
+      (1 to 3).map(i => s"m$seed$i")).mkString(" ")
+    val docs = (
+      (0 until 3).flatMap(c => (0 until 3).map(m =>
+        (c * 10L + m, if (m == 0) base + s" c$c c$c c$c" else mutate(c) + s" c$c c$c c$c"))) ++
+      (100L until 120L).map(i => (i, (1 to 40).map(j => s"u${i}x$j").mkString(" ")))
+    ).toDF("doc_id", "text").withColumn("n_chars", length(col("text")))
+    val pairs = TextDedup.lengthBandedJaccardPairs(docs, "doc_id", "text",
+      "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L)
+      .localCheckpoint(true)
+    assert(pairs.count() >= 3, "fixture must produce near-dup pairs")
+    val labels = GraphAlgos.connectedComponents(pairs)
+    val assigned = graft.operators.Curation.assignSplits(
+      docs.select(col("doc_id"))
+        .join(labels.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .withColumn("leak_key", coalesce(col("label"), col("doc_id"))),
+      "leak_key", Seq("train" -> 9000L, "val" -> 500L, "test" -> 500L))
+      .select("doc_id", "leak_key", "split")
+      .localCheckpoint(true)
+    // THE property: both endpoints of every pair share one split
+    val crossSplit = pairs
+      .join(assigned.select(col("doc_id").as("id_a"), col("split").as("sa")), "id_a")
+      .join(assigned.select(col("doc_id").as("id_b"), col("split").as("sb")), "id_b")
+      .filter(col("sa") =!= col("sb")).count()
+    assert(crossSplit == 0L, "a near-dup pair crossed splits")
+    // singletons: leak_key == own id, so the split equals the plain form
+    val single = assigned.filter(col("doc_id") >= 100L)
+    assert(single.filter(col("leak_key") =!= col("doc_id")).count() == 0)
+    val plain = graft.operators.Curation.assignSplits(
+      docs.filter(col("doc_id") >= 100L).select("doc_id"), "doc_id",
+      Seq("train" -> 9000L, "val" -> 500L, "test" -> 500L))
+    assert(single.select("doc_id", "split").as[(Long, String)].collect().toSet
+      == plain.select("doc_id", "split").as[(Long, String)].collect().toSet)
+  }
 }
