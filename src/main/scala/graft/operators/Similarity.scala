@@ -193,14 +193,18 @@ object Similarity {
       posexplode(graft.functions.SignBands.signBands(col("v"), nBits, bands))
         .as(Seq("band", "bucket")))
     val flips = typedLit[Seq[Long]](0L +: (0 until bitsPerBand).map(1L << _))
-    val probes = banded
-      .join(broadcast(embeddings.filter(queryPred)
-        .select(col(idCol).as("id"))), "id")
-      .select(col("id").as("query_id"), col("band"),
+    // band the QUERY subset directly — same expression, same codes as
+    // the corpus side, but the probe branch scans |Q| rows instead of
+    // re-deriving the full corpus banding a second time
+    val probes = embeddings.filter(queryPred)
+      .select(col(idCol).as("query_id"),
+        posexplode(graft.functions.SignBands.signBands(
+          asDouble(col(vecCol)), nBits, bands)).as(Seq("band", "bucket")))
+      .select(col("query_id"), col("band"),
         explode(flips).as("f"), col("bucket"))
       .select(col("query_id"), col("band"),
         col("bucket").bitwiseXOR(col("f")).as("bucket"))
-    val cand = probes.join(banded, Seq("band", "bucket"))
+    val cand = broadcast(probes).join(banded, Seq("band", "bucket"))
       .filter(col("query_id") =!= col("id"))
       .select(col("query_id"), col("id").as("nbr_id"))
       .distinct()
