@@ -715,6 +715,8 @@ object XxOracleSql {
          |  (cbb * $dom) // t.theta_b AS est_b,
          |  (m.n_matched * $dom) // t.theta AS est_intersect,
          |  ((ca + cb - m.n_matched) * $dom) // t.theta AS est_union,
+         |  ((ca - m.n_matched) * $dom) // t.theta AS est_diff_ab,
+         |  ((cb - m.n_matched) * $dom) // t.theta AS est_diff_ba,
          |  ex.exact_intersect,
          |  abs((m.n_matched * $dom) // t.theta - ex.exact_intersect)
          |    * 10000 // nullif(ex.exact_intersect, 0) AS err_e4

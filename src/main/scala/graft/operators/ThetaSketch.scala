@@ -61,12 +61,15 @@ object ThetaSketch {
         col("n_distinct"))
   }
 
-  /** Theta-sketch intersection (and union, for calibration) of two
-    * groups' key sets, with the exact intersection alongside — one
-    * result row:
+  /** Theta-sketch set algebra between two groups' key sets —
+    * intersection, union, and BOTH directed differences (every op
+    * evaluated on the same {v < θ} sample, so the four estimates are
+    * mutually consistent: intersect + diff_ab = |sample_A| scaled) —
+    * with the exact intersection alongside for calibration. One result
+    * row:
     *
     *   (n_a, n_b, theta, n_matched, est_a, est_b, est_intersect,
-    *    est_union, exact_intersect, err_e4)
+    *    est_union, est_diff_ab, est_diff_ba, exact_intersect, err_e4)
     *
     * The two sketch rows and the exact-intersect count are one-row
     * frames crossed together (broadcast, no data movement); every
@@ -108,6 +111,10 @@ object ThetaSketch {
           .as("est_intersect"),
         expr(s"(n_union_sample * cast(${Domain}L as bigint)) div theta")
           .as("est_union"),
+        expr("((size(filter(vals_a, v -> v < theta)) - n_matched) * " +
+          s"cast(${Domain}L as bigint)) div theta").as("est_diff_ab"),
+        expr("((size(filter(vals_b, v -> v < theta)) - n_matched) * " +
+          s"cast(${Domain}L as bigint)) div theta").as("est_diff_ba"),
         col("exact_intersect"),
         expr(s"abs((n_matched * cast(${Domain}L as bigint)) div theta " +
           "- exact_intersect) * 10000 div nullif(exact_intersect, 0)")

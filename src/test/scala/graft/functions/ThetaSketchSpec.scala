@@ -44,6 +44,8 @@ class ThetaSketchSpec extends SparkTestBase {
     assert(row.getAs[Long]("est_b") == 40L)
     assert(row.getAs[Long]("est_intersect") == 20L)
     assert(row.getAs[Long]("est_union") == 60L)
+    assert(row.getAs[Long]("est_diff_ab") == 20L)
+    assert(row.getAs[Long]("est_diff_ba") == 20L)
     assert(row.getAs[Long]("exact_intersect") == 20L)
     assert(row.getAs[Long]("err_e4") == 0L)
   }
@@ -62,6 +64,14 @@ class ThetaSketchSpec extends SparkTestBase {
     assert(within(row.getAs[Long]("est_b"), 5000.0), row)
     assert(within(row.getAs[Long]("est_intersect"), 2000.0), row)
     assert(within(row.getAs[Long]("est_union"), 8000.0), row)
+    assert(within(row.getAs[Long]("est_diff_ab"), 3000.0), row)
+    assert(within(row.getAs[Long]("est_diff_ba"), 3000.0), row)
+    // sample-level consistency: the algebra adds up EXACTLY, not just
+    // in expectation (same {v < theta} sample under every op)
+    assert(row.getAs[Long]("est_intersect") + row.getAs[Long]("est_diff_ab")
+      + row.getAs[Long]("est_diff_ba") <= row.getAs[Long]("est_union") + 2
+      && row.getAs[Long]("est_intersect") + row.getAs[Long]("est_diff_ab")
+      + row.getAs[Long]("est_diff_ba") >= row.getAs[Long]("est_union") - 2)
     assert(row.getAs[Long]("exact_intersect") == 2000L)
   }
 
