@@ -1662,6 +1662,33 @@ object SparkEntry {
         .select(col("node").as("event_type"), col("degree"),
           col("n_triangles"), col("cc_e6"))),
 
+    // ---- last-touch attribution with a 7-day lookback: each purchase
+    //      credits the user's most recent non-purchase event, 'direct'
+    //      when none lands inside the window. ONE window pass per user
+    //      (running last-touch via IGNORE NULLS last_value) — never the
+    //      purchase×touch interval join, which materializes every
+    //      same-user pair before the range filter (the AnnotationJoin
+    //      degenerate-pair trap, fatal at 100 TB event volume) ----
+    "ev_attribution" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      Tables.events(s, dir)
+        .withColumn("lt", last(
+          when(col("event_type") =!= "purchase",
+            struct(col("ts").as("t_ts"), col("event_id").as("t_id"),
+              col("event_type").as("t_type"))),
+          ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .withColumn("channel",
+          when(col("lt").isNull ||
+            col("lt.t_ts") < col("ts") - expr("INTERVAL 7 DAYS"), lit("direct"))
+            .otherwise(col("lt.t_type")))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_conversions"))
+    }),
+
     // ---- harmonic centrality over the same journey graph: Σ 10⁶ div
     //      hop-distance via 6 synchronous min-plus BFS rounds (exact
     //      once rounds cover the diameter; spec'd at fixpoint) — the
@@ -3355,6 +3382,23 @@ object SparkEntry {
     "ev_label_propagation" -> labelPropagationSql(4),
 
     "ev_harmonic" -> harmonicSql(6),
+
+    "ev_attribution" ->
+      """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
+        |    event_id, event_type,
+        |    last_value(CASE WHEN event_type <> 'purchase' THEN
+        |        struct_pack(t_ts := CAST(ts AS TIMESTAMP),
+        |          t_id := event_id, t_type := event_type) END
+        |      IGNORE NULLS)
+        |      OVER (PARTITION BY user_id
+        |        ORDER BY CAST(ts AS TIMESTAMP), event_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS lt
+        |  FROM events)
+        |SELECT CASE WHEN lt IS NULL
+        |         OR lt.t_ts < ts2 - INTERVAL 7 DAY THEN 'direct'
+        |       ELSE lt.t_type END AS channel,
+        |  count(*) AS n_conversions
+        |FROM o WHERE event_type = 'purchase' GROUP BY 1""".stripMargin,
 
     "ev_ppr_purchase" ->
       """WITH o AS (SELECT user_id, event_type AS src,

@@ -717,6 +717,42 @@ class StreamingSpec extends SparkTestBase {
     assert(streamed("a")._4 == 63L * domain / thetaA)
   }
 
+  test("streaming KMV states INTERSECT downstream: the emitted per-key " +
+    "sketches fed through the batch theta formula give the same " +
+    "estimate the batch operator computes on the same rows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions.{col, lit, xxhash64}
+
+    val mask = lit((1L << 52) - 1L)
+    val aIds = (1L to 900L); val bIds = (601L to 1500L) // overlap 300
+    val mem = MemoryStream[(String, Long)]
+    val q = graft.streaming.Streams.kmvState(
+        mem.toDS().select(col("_1"),
+          xxhash64(col("_2")).bitwiseAND(mask).as("v")).as[(String, Long)],
+        k = 128)
+      .toDF("key", "vals", "theta", "est")
+      .writeStream.format("memory").queryName("kmv_isect")
+      .outputMode(OutputMode.Update).start()
+    mem.addData(aIds.map("a" -> _) ++ bIds.map("b" -> _): _*)
+    q.processAllAvailable()
+    q.stop()
+
+    val st = spark.table("kmv_isect")
+      .as[(String, Seq[Long], Long, Long)].collect()
+      .groupBy(_._1).map { case (k, r) => k -> r.maxBy(_._2.size) }
+    val theta = math.min(st("a")._3, st("b")._3)
+    val bSet = st("b")._2.toSet
+    val matched = st("a")._2.count(v => v < theta && bSet(v)).toLong
+    val domain = graft.operators.ThetaSketch.Domain
+    val streamedEst = matched * domain / theta
+    val batchRow = graft.operators.ThetaSketch.intersectEstimate(
+      (aIds.map("a" -> _) ++ bIds.map("b" -> _)).toDF("g", "kk"),
+      "g", "kk", "a", "b", k = 128).collect().head
+    assert(streamedEst == batchRow.getAs[Long]("est_intersect"))
+    assert(batchRow.getAs[Long]("exact_intersect") == 300L)
+  }
+
   test("streaming HLL distinct: after all triggers, every key's " +
     "(nnz, est) equals the batch sketch over the same ids — and the " +
     "last trigger's state saw every prefix (register monotonicity)") {
