@@ -49,10 +49,12 @@ object RuntimeFilterProbe {
       val dim = spark.read.parquet(dimDir)
 
       def timed(mk: () => DataFrame): (Double, Long) = {
+        // timer starts BEFORE mk(): bloomSemiJoin runs the dim scan +
+        // bloom aggregate eagerly inside construction, so excluding it
+        // would overstate the operator's end-to-end win
         def once(): (Double, Long) = {
-          val d = mk()
           val t0 = System.nanoTime()
-          val c = d.count()
+          val c = mk().count()
           ((System.nanoTime() - t0) / 1e9, c)
         }
         once() // warm

@@ -67,6 +67,10 @@ object RuntimeFilter {
     val pre =
       if (bloomBytes == null) fact
       else fact.filter(AggBridge.bloomMightContain(bloomBytes, col(factKey)))
-    pre.join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "left_semi")
+    // alias the dim key to a reserved name: with a shared key name (or a
+    // fact column named dimKey) bare col(factKey) === col(dimKey) is
+    // ambiguous and fails analysis despite valid inputs
+    pre.join(dim.select(col(dimKey).as("__graft_dim_key")),
+      pre(factKey) === col("__graft_dim_key"), "left_semi")
   }
 }

@@ -313,8 +313,10 @@ object Streams {
       if (bloomBytes == null) stream
       else stream.filter(org.apache.spark.sql.graftshim.AggBridge
         .bloomMightContain(bloomBytes, col(streamKey)))
-    pre.join(dim.select(col(dimKey)),
-      col(streamKey) === col(dimKey), "left_semi")
+    // reserved-name alias: same ambiguity guard as the batch operator
+    // (shared key names would otherwise fail analysis)
+    pre.join(dim.select(col(dimKey).as("__graft_dim_key")),
+      pre(streamKey) === col("__graft_dim_key"), "left_semi")
   }
 
   /** Streaming gap-based sessionization ≙ the batch
@@ -518,7 +520,9 @@ object Streams {
   def kmvState(hashes: Dataset[(String, Long)], k: Int = 256)(
       implicit ek: Encoder[String], eb: Encoder[Array[Long]],
       eo: Encoder[(String, Array[Long], Long, Long)])
-      : Dataset[(String, Array[Long], Long, Long)] =
+      : Dataset[(String, Array[Long], Long, Long)] = {
+    // same bound as ThetaSketch.kmvSketch: count·2⁵² stays in int64
+    require(k >= 2 && k <= 1024, "k in [2, 1024] keeps count*2^52 in int64")
     hashes.groupByKey(_._1)
       .mapGroupsWithState[Array[Long], (String, Array[Long], Long, Long)](
         GroupStateTimeout.NoTimeout) {
@@ -532,6 +536,7 @@ object Streams {
           val below = merged.count(_ < theta).toLong
           (key, merged, theta, below * domain / theta)
       }
+  }
 
   /** Streaming frequency sketch: the count-min grid as keyed state —
     * the streaming dual of the `ev_cms_freq` batch aggregate, sharing

@@ -28,7 +28,18 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   * conditional PUT has on the client side.
   */
 trait CasKeySpace {
-  /** Atomically claim `key`: true for exactly one caller ever. */
+  /** Atomically claim `key`: true for exactly one caller ever.
+    *
+    * PRODUCTION BINDING CONTRACT: implement `claim` AS the destination
+    * object's native conditional PUT (claim succeeds ⇔ the commit bytes
+    * land), never as a separate key/marker. Under a split binding a
+    * winner that dies between claiming and writing the destination
+    * wedges that version forever — the claim is burned, so every later
+    * publish of the same dest returns false while replay still resolves
+    * v−1: a livelock no retry escapes. The two-step
+    * [[ConditionalPutPublisher]] below is a TEST vehicle only, safe
+    * because its in-memory key space dies with the crashed process.
+    */
   def claim(key: String): Boolean
 }
 

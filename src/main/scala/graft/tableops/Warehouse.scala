@@ -852,6 +852,10 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     * silently re-loosened by a data rollback) and streaming txn
     * watermarks (regressing them would re-admit already-committed
     * micro-batches as duplicates). Both match Delta's RESTORE contract.
+    * Consequence for zero-rewrite DDL: since the column mapping is a
+    * property, restoring below a rename/drop keeps the POST-rename
+    * logical view — the recorded schema is then not rolled back either
+    * (data rewinds; names stay current; `readAt` shows the old names).
     *
     * Fails if any to-be-resurrected file was [[vacuum]]ed away —
     * retention bounds restore depth exactly as it bounds [[readAt]].
@@ -874,8 +878,19 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       val (v, cur) = replay(spark, path)
       val toAdd = (target.live.keySet -- cur.live.keySet).toSeq.sorted
       val toRemove = (cur.live.keySet -- target.live.keySet).toSeq.sorted
+      // table properties are deliberately NOT rolled back (see scaladoc)
+      // — and that includes the DdlOps column mapping. Rolling the
+      // recorded schema below a zero-rewrite rename/drop would therefore
+      // make the H line name columns the still-active mapping renames or
+      // tombstones (recorded schema and read view disagreeing). When any
+      // ddl op postdates the restore target, keep the CURRENT schemaJson:
+      // the restore rewinds the DATA to v`version` but presents it under
+      // the post-rename logical view (the view every current read uses;
+      // readAt(version) remains the way to see the old names).
+      val ddlAfterTarget = DdlOps
+        .decode(cur.props.get(DdlOps.Key)).exists(_.v > version)
       val schemaLine =
-        if (target.schemaJson == cur.schemaJson) Nil
+        if (ddlAfterTarget || target.schemaJson == cur.schemaJson) Nil
         else target.schemaJson match {
           case Some(j) => Seq(s"H ${b64(j)}")
           case None => Seq("H -")
@@ -1309,6 +1324,21 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     if (droppedLogical.contains(column)) return None
     val key = m.toPhysical.getOrElse(column, column)
       .toLowerCase(java.util.Locale.ROOT)
+    // a name that exists NOWHERE (typo, never-written column) must
+    // answer None, not a confident all-null: resolve against the
+    // recorded schema first; the absent-from-SOME-files all-null rule
+    // below is only for schema-evolved columns that exist in the schema
+    // but predate some files. Without a recorded schema, require the
+    // physical key in at least one stats payload.
+    val inSchema = st.schemaJson.exists(j =>
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(j))
+        .toOption.collect { case s: org.apache.spark.sql.types.StructType =>
+          s.fieldNames.exists(_.equalsIgnoreCase(column))
+        }.getOrElse(false))
+    val inAnyStats = st.live.keys.exists(rel =>
+      st.stats.get(rel).flatMap(FileStats.decode)
+        .exists(_.cols.contains(key)))
+    if (!inSchema && !inAnyStats) return None
     val perFile = st.live.keys.toSeq.map(rel =>
       st.stats.get(rel).flatMap(FileStats.decode).flatMap { p =>
         p.cols.get(key) match {
