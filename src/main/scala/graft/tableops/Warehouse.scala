@@ -1195,7 +1195,9 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     * ≥ H and never opens them. After truncation [[readAt]] works for
     * every version ≥ the oldest retained checkpoint and fails below it
     * with the clean "no version" message HistoryTool degrades on.
-    * Returns deleted file count.
+    * Also reclaims aged `.put-*`/`.tmp-*` orphans left in the log dir
+    * by writers that crashed between staging and publish (see the
+    * body comment). Returns deleted file count.
     */
   def truncateLog(spark: SparkSession, path: String, keepCheckpoints: Int = 1,
       minAgeMillis: Long = 7L * 24 * 3600 * 1000): Long = {
@@ -1204,19 +1206,34 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val logDir = new Path(s"$path/$LogDir")
     if (!f.exists(logDir)) return 0L
     val sts = f.listStatus(logDir).filter(_.isFile)
+    val cutoff = System.currentTimeMillis() - minAgeMillis
+    // ORPHAN RECLAMATION: a commit attempt that dies before publishing
+    // leaves its `.tmp-<uuid>` payload, and a conditional-put winner
+    // that dies between staging and rename leaves `.put-<uuid>` — both
+    // invisible to replay (the version regex never matches them) but
+    // accreted unboundedly by a crash-prone fleet. Age-delete them
+    // under the same retention guard as data [[vacuum]]: a LIVE publish
+    // owns its stage/tmp file for the duration of one copy (seconds),
+    // so a file older than the retention window can only belong to a
+    // crashed writer — never an in-flight commit.
+    var deleted = 0L
+    sts.foreach { st =>
+      val n = st.getPath.getName
+      if ((n.startsWith(".put-") || n.startsWith(".tmp-")) &&
+          st.getModificationTime < cutoff &&
+          f.delete(st.getPath, false)) deleted += 1
+    }
     def num(name: String) = name.substring(1, 21).toLong
     val cps = sts.filter(_.getPath.getName.matches("c\\d{20}\\.txt"))
-    if (cps.isEmpty) return 0L
+    if (cps.isEmpty) return deleted
     val cpNums = cps.map(st => num(st.getPath.getName)).sorted
-    val cutoff = System.currentTimeMillis() - minAgeMillis
     val aged = cps.filter(_.getModificationTime < cutoff)
       .map(st => num(st.getPath.getName)).toSet
     cpNums.filter(v =>
       aged.contains(v) && cpNums.count(_ >= v) >= keepCheckpoints)
       .lastOption match {
-      case None => 0L
+      case None => deleted
       case Some(horizon) =>
-        var deleted = 0L
         sts.foreach { st =>
           val n = st.getPath.getName
           val eligible =

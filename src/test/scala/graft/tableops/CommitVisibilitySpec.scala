@@ -202,4 +202,86 @@ class CommitVisibilitySpec extends graft.SparkTestBase {
     assert(wh.currentVersion(spark, path) == (writers * perWriter).toLong)
     assert(wh.read(spark, path).select("v").as[Long].collect().toSet == model)
   }
+
+  test("log orphan reclamation: a publisher killed between stage and " +
+    "rename leaves .put-*; truncateLog reclaims it only past the age " +
+    "window, and the zombie writer cannot resurrect the commit") {
+    val root = Files.createTempDirectory("graft-orphan").toString
+    val wh = new TxWarehouse(root)
+    val tablePath = wh.tablePath("o", "t")
+    val entered = new CountDownLatch(1)
+    val release = new CountDownLatch(1)
+    // same stall harness as the atomic-visibility test: stage-file
+    // writes block until released — the publisher "dies" there (we
+    // never release until the sweep has run)
+    val fs = new RawLocalFileSystem() {
+      private def stalled(f: Path, inner: FSDataOutputStream) =
+        if (f.getName.startsWith(".put-")) {
+          new FSDataOutputStream(new java.io.FilterOutputStream(inner) {
+            override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+              entered.countDown()
+              release.await()
+              out.write(b, off, len)
+            }
+          }, null)
+        } else inner
+      override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+          replication: Short, blockSize: Long,
+          progress: org.apache.hadoop.util.Progressable): FSDataOutputStream =
+        stalled(f, super.create(f, overwrite, bufferSize, replication,
+          blockSize, progress))
+      override def create(f: Path,
+          permission: org.apache.hadoop.fs.permission.FsPermission,
+          overwrite: Boolean, bufferSize: Int, replication: Short,
+          blockSize: Long,
+          progress: org.apache.hadoop.util.Progressable): FSDataOutputStream =
+        stalled(f, super.create(f, permission, overwrite, bufferSize,
+          replication, blockSize, progress))
+    }
+    fs.initialize(URI.create("file:///"), new Configuration())
+    val logDir = new Path(s"$tablePath/_graft_log")
+    fs.mkdirs(logDir)
+    val tmp = new Path(logDir, ".tmp-src")
+    val o = fs.create(tmp, false)
+    o.write("A 2024-01-01 part-0.parquet\nE\n".getBytes("UTF-8")); o.close()
+    val dest = new Path(logDir, "v%020d.txt".format(1L))
+    val publisher = new ConditionalPutPublisher(new InMemoryCasKeySpace)
+    // a reclaimed-from-under zombie either returns false or throws from
+    // the doomed rename (Hadoop's local rename falls back to a copy
+    // that stats the gone source) — both are "publish did not happen"
+    @volatile var won = true
+    val t = new Thread(() => {
+      won = try publisher.publish(fs, tmp, dest)
+      catch { case _: java.io.IOException => false }
+    })
+    t.setDaemon(true)
+    t.start()
+    assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS),
+      "publisher never reached its stage write")
+
+    def dotFiles = fs.listStatus(logDir).map(_.getPath.getName)
+      .filter(_.startsWith(".")).toSeq.sorted
+    assert(dotFiles.count(_.startsWith(".put-")) == 1,
+      s"expected one orphaned stage file, got $dotFiles")
+    assert(dotFiles.contains(".tmp-src"))
+
+    // NEVER BEFORE the age window: both dot-files are fresh — a live
+    // publish could still own them
+    assert(wh.truncateLog(spark, tablePath,
+      minAgeMillis = 3600L * 1000) == 0L)
+    assert(dotFiles.size == 2, s"young orphans were reclaimed: $dotFiles")
+
+    // AFTER the age window (test clock: everything qualifies): both the
+    // stage file and the commit tmp are reclaimed
+    assert(wh.truncateLog(spark, tablePath, minAgeMillis = 0L) == 2L)
+    assert(dotFiles.isEmpty, s"orphans survived the sweep: $dotFiles")
+
+    // the zombie wakes up: its copy writes to an unlinked inode and the
+    // stage->dest rename finds no source — the publish must FAIL, never
+    // materialize a half-resurrected commit
+    release.countDown()
+    t.join(10000)
+    assert(!won, "a reclaimed publisher still claimed the publish")
+    assert(!fs.exists(dest), "a reclaimed stage file reappeared as dest")
+  }
 }
