@@ -78,6 +78,55 @@ object GraphProbe {
     println(tier("e100k", 100000L))
     println(tier("e1m", 1000000L))
     println(tier("e10m", 10000000L))
+
+    // HUB TIER: one node owns 30% of all edges — the shape that made
+    // the old row_number k-coreness pay an O(d log d) single-task sort
+    // per round on the hub's neighbor list. The histogram H-index form
+    // ships only the hub's distinct-estimate histogram through the
+    // exchange, so hub_sec should track the SAME-|E| uniform tier
+    // (ratio ~1x), not blow up on the last reducer.
+    def hubTier(name: String, nEdges: Long): String = {
+      val nNodes = nEdges / 8
+      val dir = s"/root/repo/target/graphprobe_hub_$name"
+      spark.range(nEdges).selectExpr(
+        s"CASE WHEN id % 10 < 3 THEN 'hub' " +
+          s"ELSE concat('n', (id * id) % ${nNodes / 16}) END AS src",
+        s"concat('n', (id * 2654435761) % $nNodes) AS dst")
+        .write.mode("overwrite").parquet(dir)
+      val hub = spark.read.parquet(dir)
+      val (tHub, nHub) = timed(() => graft.operators.GraphAlgos
+        .kCoreness(hub, "src", "dst", iters = 6))
+      s"""{"tier":"$name","edges":$nEdges,"kcore_nodes":$nHub,""" +
+        f""""kcore_hub_sec":$tHub%.2f}"""
+    }
+    println(hubTier("hub1m", 1000000L))
+    println(hubTier("hub10m", 10000000L))
+
+    // HYPERBALL TIER: approximate harmonic centrality on ONE giant
+    // component whose exact APSP pairs table cannot exist (|V|² pairs:
+    // 1.6e10 rows at the first tier, 1.6e12 at the second — the exact
+    // form's state). HyperBall state is |V|·2^p bytes (8 MB / 80 MB at
+    // p=6); each round is one join + one register-max re-merge, so the
+    // decade-over-decade cost should track |E|, not |V|².
+    def hyperballTier(name: String, nEdges: Long): String = {
+      val nNodes = nEdges / 8
+      val dir = s"/root/repo/target/graphprobe_b_$name"
+      // ring backbone (id % nNodes covers every node) + Knuth-walk
+      // chords: one giant component, deterministically
+      spark.range(nEdges).selectExpr(
+        s"concat('n', id % $nNodes) AS src",
+        s"concat('n', (id * 2654435761) % $nNodes) AS dst")
+        .write.mode("overwrite").parquet(dir)
+      val g = spark.read.parquet(dir)
+      val (tHb, nHb) = timed(() => graft.operators.GraphAlgos
+        .harmonicHyperBall(g, "src", "dst", iters = 3, p = 6,
+          checkpointEvery = 1))
+      s"""{"tier":"$name","edges":$nEdges,"hyperball_nodes":$nHb,""" +
+        f""""hyperball_sec":$tHb%.2f,""" +
+        s""""exact_pairs_would_be":${nHb * nHb}}"""
+    }
+    println(hyperballTier("b1m", 1000000L))
+    println(hyperballTier("b10m", 10000000L))
     spark.stop()
   }
 }

@@ -5,7 +5,7 @@ import java.time.LocalDate
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{CmsCounters, HllRegisters}
+import graft.functions.{CmsCounters, HllRegisters, KmvMergeVals}
 import graft.operators.{AnnotationJoin, Curation, Dedup, EventAnalytics, GraphAlgos, Multimodal, Packing, ProductQuantization, Sampling, Sessions, Similarity, TextAnalysis, TextDedup}
 import graft.sources.Tables
 
@@ -1702,6 +1702,21 @@ object SparkEntry {
         .select(col("node").as("event_type"), col("n_reachable"),
           col("harmonic_e6"))),
 
+    // ---- HyperBall approximate harmonic centrality over the SAME
+    //      journey graph — the 100 TB path the exact form cannot take
+    //      (exact APSP state is O(Σ component²) pairs; HyperBall is one
+    //      2^p-byte HLL ball per node at any component size). Oracled
+    //      on the integer register grid: per-round ball estimates and
+    //      the Σ increment/t accumulation are BigInteger-exact, so the
+    //      approximation itself is bit-reproducible cross-engine ----
+    "ev_harmonic_approx" -> ((s, dir) =>
+      GraphAlgos.harmonicHyperBall(
+        EventAnalytics.transitionCounts(Tables.events(s, dir), "user_id",
+          "ts", "event_type", "event_id"),
+        "src", "dst", iters = 6, p = 6, checkpointEvery = 2)
+        .select(col("node").as("event_type"), col("est_ball"),
+          col("harmonic_e6"))),
+
     // ---- community detection over the same Markov edges: 4 rounds of
     //      deterministic synchronous weighted label propagation (struct-
     //      max tie-break, no random sweep order) — the cheap "which
@@ -1809,6 +1824,33 @@ object SparkEntry {
             datediff(to_date(col("ts")),
               lit(java.sql.Date.valueOf("1970-01-01")))).as("user_day")),
         "event_type", "user_day", "purchase", "view", k = 256)),
+
+    // ---- theta-sketch RE-MERGE — the property that completes the
+    //      sketch family's warehouse story (HLL re-merges by register
+    //      max, CMS by counter add, KMV by union + retain-k-smallest,
+    //      which is LOSSLESS): the per-type persisted `vals` arrays
+    //      merge into the global sketch, which must bit-equal the one
+    //      sketch DuckDB builds directly over all distinct user-days.
+    //      Emits the full merged sample (pos, v) plus θ/estimate/exact
+    //      so the oracle pins the sketch content, not just the scalar ----
+    "ev_theta_union" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select(col("event_type"),
+        (col("user_id") * 100000L +
+          datediff(to_date(col("ts")),
+            lit(java.sql.Date.valueOf("1970-01-01")))).as("user_day"))
+      val perType =
+        graft.operators.ThetaSketch.kmvSketch(ev, "event_type", "user_day", 256)
+      val merged = perType
+        .agg(KmvMergeVals.kmvMergeVals(col("vals"), 256).as("mk"))
+      val exact = ev.agg(countDistinct(col("user_day")).as("n_exact"))
+      merged.crossJoin(exact)
+        .select(posexplode(col("mk.vals")).as(Seq("pos", "v")),
+          col("mk.theta").as("theta"), col("mk.est").as("est_union"),
+          col("n_exact"))
+        .select(col("pos").cast("long").as("pos"), col("v"), col("theta"),
+          col("est_union"), col("n_exact"),
+          expr("(abs(est_union - n_exact) * 10000) div n_exact").as("err_e4"))
+    }),
 
     "ev_hll_estimate" -> ((s, dir) =>
       Tables.events(s, dir)
@@ -3382,6 +3424,7 @@ object SparkEntry {
     "ev_label_propagation" -> labelPropagationSql(4),
 
     "ev_harmonic" -> harmonicSql(6),
+    "ev_harmonic_approx" -> XxOracleSql.harmonicApprox(6, 6),
 
     "ev_attribution" ->
       """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,
@@ -3520,6 +3563,8 @@ object SparkEntry {
 
     "ev_theta_intersect" ->
       XxOracleSql.thetaIntersect(256, "purchase", "view"),
+
+    "ev_theta_union" -> XxOracleSql.thetaUnion(256),
 
     "ev_hll_estimate" -> XxOracleSql.hllEstimate(9),
 

@@ -671,6 +671,102 @@ object XxOracleSql {
     * `count·2⁵² // θ` integer arithmetic as
     * [[graft.operators.ThetaSketch.intersectEstimate]].
     */
+  /** Full oracle for `ev_harmonic_approx`: HyperBall replayed in SQL —
+    * per-node HLL register sets over the symmetrized journey graph,
+    * each round register-maxing neighbor sets into each node
+    * ([[graft.operators.GraphAlgos.harmonicHyperBall]] round for
+    * round), with the per-round ball estimate on the same integer grid
+    * as [[hllUnion]] (alpha·m²·2⁶⁴ // (10⁶·S), HUGEINT) and
+    * harmonic_e6 = Σ_t (est_t − est_{t−1})·10⁶ // t. Node hashes via
+    * [[strChain]] (= Spark's `xxhash64(string)`), bit-sliced exactly
+    * like the `ev_hll` oracles.
+    */
+  def harmonicApprox(iters: Int, p: Int): String = {
+    val m = 1 << p
+    val pow = java.math.BigInteger.ONE.shiftLeft(64 - p).toString
+    val pow64 = java.math.BigInteger.ONE.shiftLeft(64).toString
+    val am2 = (BigInt(graft.functions.HllRegisters.alphaMicro(m)) * m * m).toString
+    val rmax = 64 - p + 1
+    val (hS, hT) = strChain("hb_nodes", Seq("node"), "node",
+      "42::HUGEINT", "hb_h_", "h")
+    def estCte(i: Int) = (s"hb_e$i",
+      s"SELECT node, CAST((CAST($am2 AS HUGEINT) * $pow64) // " +
+        s"(1000000 * (($m - count(*)) * CAST($pow64 AS HUGEINT) + " +
+        s"sum(CAST($pow64 AS HUGEINT) // (CAST(1 AS BIGINT) << register)))) " +
+        s"AS BIGINT) AS est FROM hb_r$i GROUP BY node")
+    val rounds = (1 to iters).flatMap { i =>
+      Seq((s"hb_r$i",
+        s"SELECT node, bucket, max(register) AS register FROM (" +
+          s"SELECT e.u AS node, s.bucket, s.register FROM hb_r${i - 1} s " +
+          s"JOIN und e ON e.v = s.node " +
+          s"UNION ALL SELECT node, bucket, register FROM hb_r${i - 1}) " +
+          "GROUP BY node, bucket"),
+        estCte(i))
+    }
+    val ctes = Seq(
+      ("o", "SELECT user_id, event_type AS src, " +
+        "lead(event_type) OVER (PARTITION BY user_id " +
+        "ORDER BY CAST(ts AS TIMESTAMP), event_id) AS dst FROM events"),
+      ("e0", "SELECT src AS a, dst AS b FROM o " +
+        "WHERE dst IS NOT NULL AND src <> dst"),
+      ("und", "SELECT DISTINCT u, v FROM (" +
+        "SELECT a AS u, b AS v FROM e0 " +
+        "UNION ALL SELECT b AS u, a AS v FROM e0)"),
+      ("hb_nodes", "SELECT DISTINCT u AS node FROM und")
+    ) ++ hS ++ Seq(
+      ("hb_r0", "SELECT node, " +
+        s"CAST(xu_u64(CAST(h AS HUGEINT)) // $pow AS INTEGER) AS bucket, " +
+        s"CAST(CASE WHEN xu_u64(CAST(h AS HUGEINT)) % $pow = 0 THEN $rmax " +
+        s"ELSE $rmax - length(bin(CAST(xu_u64(CAST(h AS HUGEINT)) % $pow " +
+        s"AS BIGINT))) END AS INTEGER) AS register FROM $hT"),
+      estCte(0)
+    ) ++ rounds
+    val harm = (1 to iters).map(i =>
+      s"((e$i.est - e${i - 1}.est) * 1000000) // $i").mkString(" + ")
+    val joins = (0 to iters).map(i =>
+      s"JOIN hb_e$i e$i ON e$i.node = n.node").mkString(" ")
+    single(ctes,
+      s"SELECT n.node AS event_type, e$iters.est AS est_ball, " +
+        s"CAST($harm AS BIGINT) AS harmonic_e6 FROM hb_nodes n $joins")
+  }
+
+  /** Full oracle for `ev_theta_union`: the GLOBAL KMV sketch built
+    * directly — distinct user-day keys over ALL event types, XXH64 via
+    * [[longChain]], 52-bit mask, bottom-k, θ and the integer-grid
+    * estimate. The Spark side re-merges the per-type persisted `vals`
+    * arrays ([[graft.functions.KmvMergeVals]]); because KMV union is
+    * lossless, the merged sample must be bit-identical to this direct
+    * construction — a mismatch means the merge aggregate broke the
+    * retain-k-smallest rule.
+    */
+  def thetaUnion(k: Int): String = {
+    val dom = "4503599627370496" // 2^52
+    val (hS, hT) = longChain("tu_du", Seq("kk"),
+      "xu_u64(CAST(kk AS HUGEINT))", "42::HUGEINT", "tu_h_", "h")
+    val ctes = Seq(
+      ("tu_k", "SELECT user_id * 100000 + " +
+        "datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS kk " +
+        "FROM events"),
+      ("tu_du", "SELECT DISTINCT kk FROM tu_k")
+    ) ++ hS ++ Seq(
+      ("tu_v", "SELECT DISTINCT " +
+        s"CAST(xu_u64(CAST(h AS HUGEINT)) % $dom AS BIGINT) AS v FROM $hT"),
+      ("tu_rk", "SELECT v, row_number() OVER (ORDER BY v) AS rn FROM tu_v"),
+      ("tu_n", "SELECT count(*) AS nd FROM tu_v"),
+      ("tu_sk", s"SELECT v, rn FROM tu_rk WHERE rn <= $k"),
+      ("tu_th", s"SELECT CASE WHEN max(n.nd) >= $k THEN max(s.v) " +
+        s"ELSE $dom END AS theta FROM tu_sk s, tu_n n"),
+      ("tu_c", "SELECT count(*) AS below FROM tu_sk, tu_th WHERE v < theta"),
+      ("tu_ex", "SELECT count(*) AS n_exact FROM tu_du"))
+    single(ctes,
+      s"""SELECT CAST(s.rn - 1 AS BIGINT) AS pos, s.v, t.theta,
+         |  (c.below * $dom) // t.theta AS est_union,
+         |  CAST(x.n_exact AS BIGINT) AS n_exact,
+         |  abs((c.below * $dom) // t.theta - x.n_exact) * 10000
+         |    // x.n_exact AS err_e4
+         |FROM tu_sk s, tu_th t, tu_c c, tu_ex x""".stripMargin)
+  }
+
   def thetaIntersect(k: Int, groupA: String, groupB: String): String = {
     val dom = "4503599627370496" // 2^52
     val (hS, hT) = longChain("th_du", Seq("event_type", "kk"),

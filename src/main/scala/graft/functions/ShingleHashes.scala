@@ -247,6 +247,12 @@ object GraftFunctions {
       case Seq(c, d, w) => CmsMergeCounters(c,
         intArg(d, "cms_merge_counters", "d"),
         intArg(w, "cms_merge_counters", "logW"))
+    },
+    desc("kmv_merge_vals", classOf[KmvMergeVals],
+      "kmv_merge_vals(vals, k) - re-merge persisted KMV/theta bottom-k " +
+        "hash arrays (union + retain k smallest) into one sketch: " +
+        "struct<vals, theta, est>") {
+      case Seq(v, k) => KmvMergeVals(v, intArg(k, "kmv_merge_vals", "k"))
     }
   )
 

@@ -478,20 +478,33 @@ object GraphAlgos {
     * what makes it both shuffle-parallel and replayable by a SQL
     * oracle at a FIXED round count.
     *
-    * H-index per node without materializing neighbor lists: rank each
-    * node's incoming estimates descending (`row_number`) and take
-    * `max(least(rank, est))` — correct for any tie permutation because
-    * tied estimates are interchangeable under `least`.
+    * H-index per node via the (node, estimate)-HISTOGRAM, never a
+    * per-neighbor ranking: count neighbors per distinct estimate value
+    * (map-side combining — a hub's degree collapses before the
+    * exchange), then H = max over distinct values t of
+    * `least(t, cum(t))` where `cum(t)` = neighbors holding ≥ t,
+    * computed by one descending fold over the ≤ max-coreness distinct
+    * values. Equivalent to ranking each estimate descending and taking
+    * `max(least(rank, est))` (the identity both directions of the
+    * H-index definition satisfy; the SQL oracle replays that rank
+    * form), but the per-node work is O(distinct estimates), not
+    * O(degree) in one task — the earlier `row_number` form sorted a
+    * hub's full neighbor list in a single window partition every
+    * round, the same last-reducer [[triangleCounts]] engineers away
+    * with degree orientation.
     *
     * Edges are undirected and deduplicated; self-loops dropped. Output
     * covers nodes with ≥ 1 edge (an isolated node's coreness is 0 and
     * it never appears in an edge-derived node set).
     *
     * Scale shape: state is ONE |V|-row (node, est) frame; each round is
-    * an estimate-onto-edges equi-join, a per-node window rank (the
-    * sessionize sort shape — keyed exchange bounded by |E|), and a
-    * max aggregate. The dedup'd edge list is persisted once. Same
-    * lineage/checkpoint contract as [[pageRank]].
+    * an estimate-onto-edges equi-join, a partially-aggregated
+    * (node, est)-histogram count, and one fold over each node's
+    * histogram array (rows per node bounded by distinct estimate
+    * values ≤ max coreness — a 10⁸-degree hub contributes 10⁸ rows to
+    * the map side but only its distinct-value histogram to the
+    * exchange and NO sort anywhere). The dedup'd edge list is
+    * persisted once. Same lineage/checkpoint contract as [[pageRank]].
     *
     * @return (node, coreness) — exact coreness once `iters` reaches the
     *         fixpoint (small: the H-operator contracts in a handful of
@@ -572,6 +585,94 @@ object GraphAlgos {
         sum(expr("1000000 div d")).as("harmonic_e6"))
   }
 
+  /** APPROXIMATE harmonic centrality via HyperBall (Boldi & Vigna
+    * 2013/2014, "In-core computation of geometric centralities with
+    * HyperBall: a hundred billion nodes and beyond") — the scale path
+    * [[harmonicCentrality]]'s exact form cannot take: the exact APSP
+    * state is O(Σ component²) pairs (inherent — it IS the output), so
+    * a 10⁸-node component is simply unrepresentable. HyperBall
+    * replaces each node's reachable-set with one HLL register array:
+    *
+    *   B₀(v)   = sketch({v})
+    *   Bₜ(v)   = merge(Bₜ₋₁(v), Bₜ₋₁(w) for (v,w) ∈ E)   — register max
+    *   harmonic_e6(v) ≈ Σ_t (|Bₜ(v)| − |Bₜ₋₁(v)|) · 10⁶ div t
+    *
+    * using the raw integer-grid estimator |B| = est_raw of
+    * [[graft.functions.HllRegisters]] — registers only grow, S only
+    * shrinks, so the floored estimate is monotone non-decreasing and
+    * every per-round increment is a non-negative int64. The whole
+    * round is ONE join + ONE register-max re-merge aggregate
+    * ([[graft.functions.HllMergeRegisters]] — the same merge a
+    * warehouse applies to persisted day sketches), and state is
+    * |V| · 2^p bytes at ANY component size or diameter — at p=6 that
+    * is 64 registers/node, 6.4 GB for 10⁸ nodes, vs the exact form's
+    * 10¹⁶ pairs. Standard error ≈ 1.04/√2^p per ball (13% at p=6);
+    * estimates — not just samples — are bit-reproducible in any
+    * engine because the estimator never leaves the integer grid
+    * (BigInteger division, exactly the `ev_hll` family's rule).
+    *
+    * Same symmetrized-dedup'd edge handling and checkpoint/lineage
+    * contract as [[harmonicCentrality]]; `iters` must cover the
+    * diameter for the ball to saturate (the sum simply stops growing
+    * after that).
+    *
+    * @return (node, est_ball — the final ball-size estimate,
+    *         harmonic_e6 — the accumulated estimate increments)
+    */
+  def harmonicHyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, p: Int = 6, checkpointEvery: Int = 0): DataFrame = {
+    require(iters >= 1, "iters must be >= 1")
+    require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
+    val e = edges.select(col(srcCol).cast("string").as("a"),
+        col(dstCol).cast("string").as("b"))
+      .filter(col("a") =!= col("b"))
+    val und = e.select(explode(array(
+        struct(col("a").as("u"), col("b").as("v")),
+        struct(col("b").as("u"), col("a").as("v")))).as("e"))
+      .select(col("e.u"), col("e.v"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var st = und.select(col("u").as("node")).distinct()
+      .select(col("node"), xxhash64(col("node")).as("h"))
+      .groupBy(col("node"))
+      .agg(graft.functions.HllRegisters.hllRegisters(col("h"), p).as("sk"))
+      .withColumn("harm", lit(0L))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var lastCp: Option[DataFrame] = None
+    for (t <- 1 to iters) {
+      // the round references `st` three times (neighbor contributions,
+      // own sketch, previous estimate) — persist keeps them one
+      // InMemoryRelation, same lineage discipline as harmonicCentrality
+      val nbr = und.join(st, und("v") === st("node"))
+        .select(col("u").as("node"), col("sk.registers").as("regs"))
+      val own = st.select(col("node"), col("sk.registers").as("regs"))
+      val prevSt = st
+      val prev = st.select(col("node").as("pn"),
+        col("sk.est_raw").as("prev_est"), col("harm"))
+      var next = nbr.unionByName(own)
+        .groupBy(col("node"))
+        .agg(graft.functions.HllRegisters
+          .hllMergeRegisters(col("regs"), p).as("sk"))
+        .join(prev, col("node") === col("pn"))
+        .select(col("node"), col("sk"),
+          (col("harm") +
+            expr(s"((sk.est_raw - prev_est) * 1000000) div $t")).as("harm"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      if (checkpointEvery > 0 &&
+        (t % checkpointEvery == 0 || t == iters)) {
+        val cp = next.localCheckpoint(true)
+        next.unpersist(false)
+        lastCp.foreach(releaseLocalCheckpoint)
+        lastCp = Some(cp)
+        next = cp
+      }
+      if (!lastCp.exists(_ eq prevSt)) prevSt.unpersist(false)
+      st = next
+    }
+    if (checkpointEvery > 0) und.unpersist(false)
+    st.select(col("node"), col("sk.est_raw").as("est_ball"), col("harm").as("harmonic_e6"))
+  }
+
   def kCoreness(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, checkpointEvery: Int = 0): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
@@ -588,15 +689,20 @@ object GraphAlgos {
     var est = und.groupBy(col("u")).agg(count(lit(1)).as("est"))
       .select(col("u").as("node"), col("est"))
     var lastCp: Option[DataFrame] = None
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("u")).orderBy(col("nest").desc)
     for (i <- 1 to iters) {
       est = und.join(est, und("v") === est("node"))
         .select(col("u"), col("est").as("nest"))
-        .withColumn("rn", row_number().over(w))
+        .groupBy(col("u"), col("nest")).agg(count(lit(1)).as("c"))
         .groupBy(col("u"))
-        .agg(max(least(col("rn").cast("long"), col("nest"))).as("est"))
-        .select(col("u").as("node"), col("est"))
+        .agg(collect_list(struct(col("nest"), col("c"))).as("h"))
+        .select(col("u").as("node"),
+          // descending fold over the distinct-estimate histogram:
+          // H = max over values t of least(t, #neighbors holding >= t)
+          expr("aggregate(sort_array(h, false), " +
+            "struct(cast(0 as bigint) as cum, cast(0 as bigint) as best), " +
+            "(acc, x) -> struct(acc.cum + x.c, " +
+            "greatest(acc.best, least(x.nest, acc.cum + x.c))), " +
+            "acc -> acc.best)").as("est"))
       if (checkpointEvery > 0 &&
         (i % checkpointEvery == 0 || i == iters)) {
         val cp = est.localCheckpoint(true)

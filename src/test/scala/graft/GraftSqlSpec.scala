@@ -30,7 +30,7 @@ class GraftSqlSpec extends SparkTestBase {
       "nfc_normalize", "vector_dot", "vector_sqdist", "sign_bands",
       "top_k_by_score", "gram_matrix", "bpe_segment", "bpe_encode",
       "frequent_items", "hll_registers", "hll_merge_registers",
-      "cms_counters", "cms_merge_counters")
+      "cms_counters", "cms_merge_counters", "kmv_merge_vals")
     names.foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n not registered")
     }
@@ -62,6 +62,19 @@ class GraftSqlSpec extends SparkTestBase {
         |SELECT cms_merge_counters(sk.counters, 4, 10).n_total AS n
         |FROM per""".stripMargin).as[Long].head()
     assert(cmsSql == 500L)
+    // kmv: per-group bottom-k sketches re-merge to the direct global
+    // sketch — all SQL, against the Column-form direct construction
+    val kmvSql = spark.sql(
+      """WITH h AS (SELECT g, xxhash64(id) & 4503599627370495 AS v
+        |           FROM sk_in),
+        |per AS (SELECT g, sort_array(collect_set(v)) AS allv FROM h GROUP BY g),
+        |sk AS (SELECT g, slice(allv, 1, 64) AS vals FROM per)
+        |SELECT kmv_merge_vals(vals, 64).theta AS theta FROM sk"""
+        .stripMargin).as[Long].head()
+    val kmvCol = graft.operators.ThetaSketch.kmvSketch(
+      (1L to 500L).map(i => ("all", i)).toDF("g", "kk"), "g", "kk", k = 64)
+      .select(element_at(col("vals"), 64)).as[Long].head()
+    assert(kmvSql == kmvCol)
   }
 
   test("bpe_encode from SQL equals the Column form; gram_matrix aggregates") {
@@ -247,6 +260,6 @@ class GraftSqlSpec extends SparkTestBase {
     assert(reg != null)
     val ids = GraftFunctions.descriptors.map(_._1.funcName)
     assert(ids.distinct.size == ids.size)
-    assert(ids.size == 20) // + cdc_cuts, hll/cms build+merge (round 13)
+    assert(ids.size == 21) // + cdc_cuts, hll/cms build+merge, kmv_merge_vals
   }
 }

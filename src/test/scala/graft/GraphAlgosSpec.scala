@@ -357,4 +357,44 @@ class GraphAlgosSpec extends SparkTestBase {
     assert(lazyRun == Map("a" -> 2L, "b" -> 2L, "c" -> 2L))
     assert(cpRun == lazyRun)
   }
+
+  test("harmonicHyperBall: on a 400-node star (balls well above the " +
+    "linear-counting cutover) the estimates land within the published " +
+    "HLL error of the exact harmonic; output is partition-independent " +
+    "and saturates bit-identically past the diameter") {
+    // star: hub h — leaf li. Exact: hub sees 400 at d=1 -> 400e6;
+    // each leaf sees 1 at d=1 + 399 at d=2 -> 1e6 + 199.5e6
+    val edges = (0 until 400).map(i => ("h", s"l$i"))
+    val df = edges.toDF("src", "dst")
+    val got = GraphAlgos.harmonicHyperBall(df, "src", "dst",
+      iters = 2, p = 6, checkpointEvery = 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val exact = GraphAlgos.harmonicCentrality(df, "src", "dst", iters = 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // est_ball approximates the component size (401); harmonic within
+    // ~2.7 sigma of the 1.04/sqrt(64)=13% HLL error at p=6. The small
+    // round-0/round-1 balls sit in the raw estimator's biased low-
+    // cardinality regime (the class doc's documented caller-side
+    // correction zone), so the tolerance covers bias + sampling.
+    def within(est: Long, truth: Long, tol: Double) =
+      math.abs(est - truth) <= tol * truth
+    assert(within(got("h")._1, 401L, 0.35), got("h"))
+    assert(within(got("h")._2, exact("h")._2, 0.35), (got("h"), exact("h")))
+    assert(within(got("l7")._1, 401L, 0.35), got("l7"))
+    assert(within(got("l7")._2, exact("l7")._2, 0.45), (got("l7"), exact("l7")))
+    // deterministic + partition-independent: bit-identical on a reshuffle
+    val got7 = GraphAlgos.harmonicHyperBall(df.repartition(7), "src", "dst",
+      iters = 2, p = 6, checkpointEvery = 2)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got7 == got)
+    // past the diameter the registers are saturated: rounds add nothing
+    val got4 = GraphAlgos.harmonicHyperBall(df, "src", "dst",
+      iters = 4, p = 6)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got4 == got)
+  }
 }

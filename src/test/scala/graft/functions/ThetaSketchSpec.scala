@@ -90,6 +90,42 @@ class ThetaSketchSpec extends SparkTestBase {
     assert(remerged == direct._2)
   }
 
+  test("KmvMergeVals aggregate: associative + commutative — any " +
+    "grouping/order of per-scope sketches merges to the SAME sketch, " +
+    "which equals the direct sketch of the union, with theta/est on " +
+    "the integer grid") {
+    val df = (1L to 4000L).map(i => (s"day${i % 7}", i)).toDF("g", "kk")
+    val perDay = ThetaSketch.kmvSketch(df, "g", "kk", k = 128)
+      .persist()
+    def mergeOf(scopes: Seq[String]) = perDay
+      .filter(col("g").isin(scopes: _*))
+      .agg(KmvMergeVals.kmvMergeVals(col("vals"), 128).as("mk"))
+      .select(col("mk.vals"), col("mk.theta"), col("mk.est"))
+      .as[(Seq[Long], Long, Long)].head()
+    val all = (0 until 7).map(i => s"day$i")
+    // ((0..3) already merged) + (4..6): the aggregate re-merges its own
+    // output arrays — associativity over PERSISTED intermediate sketches
+    val left = mergeOf(all.take(4))
+    val right = mergeOf(all.drop(4))
+    val nested = Seq(left, right).map(_._1).toDF("vals")
+      .agg(KmvMergeVals.kmvMergeVals(col("vals"), 128).as("mk"))
+      .select(col("mk.vals"), col("mk.theta"), col("mk.est"))
+      .as[(Seq[Long], Long, Long)].head()
+    val flat = mergeOf(all)
+    val flatReversed = mergeOf(all.reverse)
+    assert(nested == flat)
+    assert(flatReversed == flat)
+    // equals the direct sketch of the union: lossless re-merge
+    val direct = ThetaSketch.kmvSketch(
+      df.select(lit("all").as("g"), col("kk")), "g", "kk", k = 128)
+      .as[(String, Seq[Long], Long)].head()
+    assert(flat._1 == direct._2)
+    assert(flat._2 == direct._2.last) // full sketch: theta = k-th value
+    // est = (k-1)*2^52 div theta on the same grid
+    assert(flat._3 == 127L * (1L << 52) / flat._2)
+    perDay.unpersist()
+  }
+
   test("disjoint sets: intersection estimate is exactly zero (no false " +
     "sample matches), union estimate still calibrated") {
     val a = (1L to 3000L).map(i => ("a", i))
