@@ -55,6 +55,13 @@ final case class TransitionStep(user_id: Long, src: String, dst: String,
 
 private[streaming] final case class LastEvent(tsMs: Long, id: Long, typ: String)
 
+/** One attributed conversion (streaming dual of the `ev_attribution`
+  * batch query's pre-aggregation rows). Top-level for the same
+  * encoder-codegen reason as [[UserSession]].
+  */
+final case class AttributedConversion(user_id: Long, conversion_id: Long,
+    ts_ms: Long, channel: String)
+
 object Streams {
 
   /** Newline-delimited-JSON archive stream with an explicit schema (schema
@@ -425,6 +432,67 @@ object Streams {
               state.setTimeoutTimestamp(chain.last.tsMs + stateTtlMs)
             }
             steps.iterator
+          }
+      }
+  }
+
+  /** Streaming dual of the `ev_attribution` batch query's per-purchase
+    * attribution rows: keyed per-user state holding the most recent
+    * NON-conversion touch; each trigger sorts the on-hand rows by
+    * (ts, event id) — the batch window's exact order — walks the
+    * chain updating the touch, and emits one [[AttributedConversion]]
+    * per conversion event: the touch's type when it lands inside
+    * `lookbackMs`, else 'direct'. A downstream
+    * `groupBy(channel).count` in Update mode reproduces the batch
+    * report; on an in-order stream the emitted rows equal the batch
+    * query's pre-aggregation rows exactly (spec-pinned batch≡stream).
+    *
+    * Same state/divergence contract as [[transitionState]]: state is
+    * ONE [[LastEvent]] per user regardless of event volume, evicted
+    * `stateTtlMs` past the user's last on-hand event; append mode
+    * cannot retract, so a late-but-in-watermark touch that arrives in
+    * a trigger AFTER a conversion it should have claimed leaves the
+    * earlier 'direct' attribution standing — the batch query remains
+    * the retrospective truth, this is the online feed.
+    */
+  def lastTouchState(
+      events: Dataset[(Long, java.sql.Timestamp, Long, String)],
+      conversionType: String = "purchase",
+      lookbackMs: Long = 7L * 24 * 3600 * 1000,
+      lateness: String = "1 hour",
+      stateTtlMs: Long = 24L * 3600 * 1000): Dataset[AttributedConversion] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.toDF("user_id", "ts", "event_id", "event_type")
+      .withWatermark("ts", lateness)
+      .as[(Long, java.sql.Timestamp, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[LastEvent, AttributedConversion](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        (user, rows, state) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val chain = rows.toVector.sortBy(r => (r._2.getTime, r._3))
+            var touch = state.getOption
+            val out = Vector.newBuilder[AttributedConversion]
+            chain.foreach { r =>
+              val tsMs = r._2.getTime
+              if (r._4 == conversionType) {
+                val channel = touch match {
+                  // batch rule: direct iff no touch or t_ts < ts − lookback
+                  case Some(t) if t.tsMs >= tsMs - lookbackMs => t.typ
+                  case _ => "direct"
+                }
+                out += AttributedConversion(user, r._3, tsMs, channel)
+              } else touch = Some(LastEvent(tsMs, r._3, r._4))
+            }
+            touch.foreach { t =>
+              val horizon = chain.lastOption.map(_._2.getTime)
+                .getOrElse(t.tsMs)
+              state.update(t)
+              state.setTimeoutTimestamp(math.max(t.tsMs, horizon) + stateTtlMs)
+            }
+            out.result().iterator
           }
       }
   }

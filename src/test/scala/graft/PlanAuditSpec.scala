@@ -654,19 +654,75 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("ObjectHashAggregate"), p)
   }
 
-  test("k-coreness: every H-index round is an equi-join + a window " +
-    "HASH-KEYED by node (no global sort, no cartesian); the only " +
-    "single-partition exchange in the whole plan is the pair miner's " +
-    "one-row corpus-stats aggregate") {
+  test("k-coreness: every H-index round is hub-safe — an equi-join + " +
+    "a partially-aggregated (node, est)-histogram + a histogram fold; " +
+    "NO per-neighbor-list sort survives anywhere (no Window, no Sort " +
+    "keyed by node), and the only single-partition exchange in the " +
+    "whole plan is the pair miner's one-row corpus-stats aggregate") {
     val p = planned("dd_kcoreness")
     assert(!p.contains("CartesianProduct"), p)
-    assert("windowspecdefinition\\(u#".r.findAllIn(p).nonEmpty, p)
+    // the old row_number form put a window (and its per-node sort) in
+    // every round — a degree-d hub paid an O(d log d) single-task sort;
+    // the histogram form must plan NO window and NO node-keyed sort
+    assert(!"windowspecdefinition\\(u#".r.findAllIn(p).nonEmpty, p)
+    assert(!"Sort \\[u#".r.findAllIn(p).nonEmpty,
+      p.linesIterator.filter(_.contains("Sort ")).mkString("\n"))
+    assert(!"Sort \\[node#".r.findAllIn(p).nonEmpty,
+      p.linesIterator.filter(_.contains("Sort ")).mkString("\n"))
+    // the histogram count keys by (node, est): partial aggregation
+    // collapses a hub's degree map-side before the exchange
     assert(p.contains("hashpartitioning(u#"), p)
+    assert("HashAggregate\\(keys=\\[u#\\d+, nest#".r.findAllIn(p).nonEmpty, p)
     // exactly one distinct single-partition exchange, and it is the
     // support pipeline's scalar aggregate, not a per-round funnel
     val spIds = "Exchange SinglePartition[^\\[]*\\[plan_id=(\\d+)\\]".r
       .findAllMatchIn(p).map(_.group(1)).toSet
     assert(spIds.size <= 1, s"single-partition exchanges: $spIds")
+  }
+
+  test("attribution: last-touch runs as ONE user-key window pass — a " +
+    "single user_id exchange feeds the window, never the purchase x " +
+    "touch interval self-join (no cartesian, no extra join), and the " +
+    "scan reads only the four event columns") {
+    val p = planned("ev_attribution")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Join"), p) // one window pass, zero joins
+    assert("windowspecdefinition\\(user_id#".r.findAllIn(p).nonEmpty, p)
+    // exactly one user-key exchange (the window's); the only other
+    // exchange is the final tiny channel aggregate
+    assert("hashpartitioning\\(user_id#".r.findAllIn(p).size >= 1, p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    val f = formatted("ev_attribution")
+    val read = f.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(read.contains("user_id") && read.contains("event_type") &&
+      !read.contains("props") && !read.contains("value"), read)
+  }
+
+  test("leakage-safe split: near-dup pair mining stays BANDED — " +
+    "equi-joins only, never an all-pairs cartesian or nested-loop; the " +
+    "final split hash rides the cluster label with no global sort") {
+    // the CC labels are eagerly checkpointed inside the query, so the
+    // pair miner's plan must be pinned at its own boundary
+    val docs = graft.sources.Tables.documents(spark, dir)
+    val miner = graft.operators.TextDedup.lengthBandedJaccardPairs(
+      docs, "doc_id", "text", "n_chars",
+      bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L)
+    val mp = miner.queryExecution.executedPlan.toString
+    assert(!mp.contains("CartesianProduct"), mp)
+    // the only nested-loop is the ONE-ROW doc-freq stop-list broadcast
+    // (hot_hs) crossed onto the scan — never a doc x doc pair join
+    val bnlj = mp.linesIterator
+      .filter(_.contains("BroadcastNestedLoopJoin")).toSeq
+    assert(bnlj.size <= 1 && bnlj.forall(_.contains("hot_hs")), mp)
+    assert(mp.contains("hashpartitioning"), mp)
+    // the visible tail: labels join back by doc_id and the split CASE
+    // folds in — no cartesian, no sort of any kind
+    val p = planned("ds_leakage_safe_split")
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!"rangepartitioning".r.findAllIn(p).nonEmpty, p.linesIterator
+      .filter(_.contains("rangepartitioning")).mkString("\n"))
+    assert(!"Sort \\[".r.findAllIn(p).nonEmpty, p)
   }
 
   test("shuffle order: the global index never plans a one-partition " +

@@ -674,6 +674,58 @@ class StreamingSpec extends SparkTestBase {
     assert(streamRanks.nonEmpty)
   }
 
+  test("streaming last-touch attribution: on an in-order stream the " +
+    "emitted attributions equal the batch ev_attribution window rows " +
+    "exactly (channel per conversion, 7-day lookback, direct fallback)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 1L, "view"),
+      (1L, ts("2024-01-01 10:01:00"), 2L, "click"),
+      (3L, ts("2024-01-01 08:00:00"), 6L, "view"),
+      // trigger 2: the conversions
+      (1L, ts("2024-01-01 10:05:00"), 3L, "purchase"), // click claims it
+      (1L, ts("2024-01-01 10:06:00"), 4L, "purchase"), // same touch again
+      (2L, ts("2024-01-01 09:30:00"), 5L, "purchase"), // no touch: direct
+      (3L, ts("2024-01-10 09:00:00"), 7L, "purchase")) // 9 days: direct
+
+    val mem = MemoryStream[(Long, Timestamp, Long, String)]
+    val q = Streams.lastTouchState(mem.toDS(), lateness = "1 hour")
+      .writeStream.format("memory").queryName("attrib")
+      .outputMode(OutputMode.Append).start()
+    mem.addData(rows.take(3): _*)
+    q.processAllAvailable()
+    mem.addData(rows.drop(3): _*)
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("attrib")
+      .as[graft.streaming.AttributedConversion].collect().toSet
+
+    // the batch ev_attribution window, verbatim, over the same rows
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"ts", $"event_id")
+      .rowsBetween(
+        org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val batch = rows.toDF("user_id", "ts", "event_id", "event_type")
+      .withColumn("lt", last(
+        when($"event_type" =!= "purchase",
+          struct($"ts".as("t_ts"), $"event_id".as("t_id"),
+            $"event_type".as("t_type"))),
+        ignoreNulls = true).over(w))
+      .filter($"event_type" === "purchase")
+      .withColumn("channel",
+        when($"lt".isNull ||
+          $"lt.t_ts" < $"ts" - expr("INTERVAL 7 DAYS"), lit("direct"))
+          .otherwise($"lt.t_type"))
+      .select($"user_id", $"event_id", $"ts", $"channel")
+      .as[(Long, Long, Timestamp, String)].collect()
+      .map(r => graft.streaming.AttributedConversion(
+        r._1, r._2, r._3.getTime, r._4)).toSet
+    assert(got == batch)
+    assert(got.map(c => c.conversion_id -> c.channel).toMap ==
+      Map(3L -> "click", 4L -> "click", 5L -> "direct", 7L -> "direct"))
+  }
+
   test("streaming KMV theta sketch: after all triggers, every key's " +
     "bottom-k state is bit-identical to the batch sketch over the same " +
     "ids (KMV merge is lossless), estimates included") {
