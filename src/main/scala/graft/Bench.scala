@@ -29,6 +29,9 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // listener-bus plan strings are diagnostics; cap them so a deep
+      // iterative plan cannot OOM the driver rendering its own explain
+      .config("spark.sql.maxPlanStringLength", (4 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Debug mode: `runMain graft.Bench <query> [reps]` times one query

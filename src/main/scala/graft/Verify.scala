@@ -15,6 +15,9 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // listener-bus plan strings are diagnostics; cap them so a deep
+      // iterative plan cannot OOM the driver rendering its own explain
+      .config("spark.sql.maxPlanStringLength", (4 * 1024 * 1024).toString)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

@@ -20,6 +20,15 @@ object SparkTestBase {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // Every action serializes its plan string for the listener bus
+      // (SQLExecution.explainString). Deep iterative test plans (the
+      // property-check fixpoints) can render to 100s of MB each; with
+      // 50 suites sharing one 8g fork, an uncapped render OOMed the
+      // whole suite (round 14). Listener strings are diagnostics, not
+      // semantics — cap them. Plan ASSERTIONS are unaffected:
+      // PlanAuditSpec reads executedPlan.toString, which does not go
+      // through this conf.
+      .config("spark.sql.maxPlanStringLength", (4 * 1024 * 1024).toString)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
