@@ -531,7 +531,9 @@ object GraphAlgos {
     * rows, the inherent APSP output size; each round is one equi-join
     * onto the (persisted) edge list + a min aggregate keyed by (src,
     * node). Same checkpoint contract as [[pageRank]]. Integer division
-    * keeps every contribution exact cross-engine.
+    * keeps every contribution exact cross-engine. For components too
+    * large to hold the pairs table, use [[harmonicHyperBall]] — the
+    * approximate form whose state is one HLL ball per node.
     *
     * @return (node, n_reachable, harmonic_e6) — n_reachable excludes
     *         the node itself

@@ -767,6 +767,18 @@ class StreamingSpec extends SparkTestBase {
     val thetaA = streamed("a")._2.last
     assert(streamed("a")._3 == thetaA)
     assert(streamed("a")._4 == 63L * domain / thetaA)
+    // the emitted per-key state sketches RE-MERGE downstream through
+    // the warehouse aggregate: kmv_merge_vals over the final vals
+    // arrays equals the direct batch sketch of the GLOBAL key union —
+    // streaming state, persisted sketches, and batch construction are
+    // one family
+    val remerged = streamed.values.toSeq.map(_._2).toDF("vals")
+      .agg(graft.functions.KmvMergeVals.kmvMergeVals(col("vals"), 64).as("mk"))
+      .select(col("mk.vals")).as[Seq[Long]].head()
+    val global = graft.operators.ThetaSketch.kmvSketch(
+      batch.select(lit("all").as("g"), col("kk")), "g", "kk", k = 64)
+      .as[(String, Seq[Long], Long)].head()
+    assert(remerged == global._2)
   }
 
   test("streaming KMV states INTERSECT downstream: the emitted per-key " +
