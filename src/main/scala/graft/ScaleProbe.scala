@@ -81,6 +81,24 @@ object ScaleProbe {
       f""""$n":[$t1%.3f,$t10%.3f,${t10 / t1}%.2f]"""
     }
 
+    // ---- exact-substring dedup: duplicated-window growth ----
+    // The k-gram-anchor claim: marked (duplicate) windows grow LINEARLY
+    // with the corpus — the duplicate set is an aggregate per
+    // fingerprint, never a pair expansion, so 10x replicas (every
+    // window now occurs ~10x) multiply the marked-window count by ~10,
+    // not 100 (a pair-based formulation would square it). The count
+    // probed is sum(n_windows) over the reported spans = the total
+    // duplicated-window stream the island merge consumes.
+    def substr(dir: String): () => Long = () =>
+      SparkEntry.queries("dd_substring")(spark, dir)
+        .agg(coalesce(sum("n_windows"), lit(0L))).head().getLong(0)
+    val (bt1, bc1) = timed(substr(sf))
+    val (bt10, bc10) = timed(substr(outDir))
+    val substrRow =
+      f""""dd_substring":[$bt1%.3f,$bt10%.3f,${bt10 / bt1}%.2f]"""
+    val substrCands =
+      f""""substr_dup_windows":[$bc1,$bc10,${bc10.toDouble / bc1}%.2f]"""
+
     // ---- embedding-LSH tier: sized per the operator's scaling law ----
     // Bits-per-band must track log2(N) (Similarity.embedNearDupPairs
     // scaladoc): 8 bits/band at 1x (20k vectors), 12 at 10x (200k), so
@@ -171,7 +189,7 @@ object ScaleProbe {
       f""""s6_stats_prune":[$st1%.3f,$st10%.3f,${st10 / st1}%.2f]"""
     val statsFiles = s""""stats_files_opened":[$sf1,$sf10]"""
 
-    println(s"""{"metric":"scale10","queries":{${(rows :+ lshRow :+ idxRow :+ statsRow).mkString(",")}},$lshCands,$statsFiles}""")
+    println(s"""{"metric":"scale10","queries":{${(rows :+ substrRow :+ lshRow :+ idxRow :+ statsRow).mkString(",")}},$substrCands,$lshCands,$statsFiles}""")
     spark.stop()
   }
 }

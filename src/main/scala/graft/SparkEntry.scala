@@ -728,6 +728,35 @@ object SparkEntry {
           .cast("long")).as("revenue_e2"))
     }),
 
+    // ---- multi-grain OLAP rollup: revenue at (nation, year, month),
+    //      (nation, year), (nation), and grand-total grain in ONE pass —
+    //      Catalyst plans Expand (4 grouping sets per input row) with
+    //      partial aggregation BEFORE the exchange, so the shuffle
+    //      carries pre-combined group cells, not the fact stream ×4.
+    //      Per-row floor-to-cents before the sum keeps every grain an
+    //      exact integer; explicit grouping flags disambiguate a rolled
+    //      NULL from a data NULL ----
+    "q23_rollup_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      n.join(c, col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name"),
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          month(col("o_orderdate")).cast("int").as("o_month"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("rev"))
+        .rollup(col("n_name"), col("o_year"), col("o_month"))
+        .agg(sum(col("rev")).as("revenue_e2"),
+          count(lit(1)).as("n_rows"),
+          grouping(col("n_name")).cast("int").as("g_nation"),
+          grouping(col("o_year")).cast("int").as("g_year"),
+          grouping(col("o_month")).cast("int").as("g_month"))
+    }),
+
     // ---- TPC-H Q6 analog: the pure scan-efficiency headliner — every
     //      predicate pushes into the parquet scan (PushedFilters), only
     //      two columns are read, and the single global sum partial-
@@ -2617,6 +2646,20 @@ object SparkEntry {
       TextAnalysis.boilerplateStrip(Tables.documents(s, dir), "doc_id",
         "text", chunkTokens = 16, minDocs = 2)),
 
+    // ---- EXACT-substring dedup (Lee et al. 2022 ExactSubstr, k-gram-
+    //      anchor form): maximal spans of ≥8 tokens whose text occurs
+    //      anywhere else in the corpus ----
+    "dd_substring" -> ((s, dir) =>
+      TextDedup.duplicateSubstringSpans(Tables.documents(s, dir), "doc_id",
+        "text", k = 8)),
+
+    // ---- EXACT-substring dedup, keep-one rewrite: strip every token
+    //      covered by a non-canonical duplicated 8-token window (the
+    //      canonical occurrence = corpus-min (doc, pos) survives) ----
+    "dd_substring_strip" -> ((s, dir) =>
+      TextDedup.duplicateSubstringStrip(Tables.documents(s, dir), "doc_id",
+        "text", k = 8)),
+
     // ---- multimodal plumbing (decode stubbed; see Multimodal scaladoc) ----
     "mm_decode_meta" -> ((s, dir) =>
       Multimodal.extractFeatures(
@@ -3382,6 +3425,49 @@ object SparkEntry {
          |         ' ' ORDER BY idx), '') AS clean_text
          |FROM f GROUP BY doc_id""".stripMargin,
 
+    "dd_substring" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |p AS (SELECT doc_id, unnest(range(0, len(w) - 8 + 1)) AS pos, w
+         |      FROM t WHERE len(w) >= 8),
+         |wf AS (SELECT doc_id, pos,
+         |         md5(array_to_string(w[pos + 1 : pos + 8], ' ')) AS fp
+         |       FROM p),
+         |hot AS (SELECT fp FROM wf GROUP BY fp HAVING count(*) >= 2),
+         |dd AS (SELECT doc_id, pos FROM wf JOIN hot USING (fp)),
+         |g AS (SELECT doc_id, pos,
+         |        CASE WHEN pos - lag(pos) OVER
+         |          (PARTITION BY doc_id ORDER BY pos) <= 8
+         |        THEN 0 ELSE 1 END AS brk FROM dd),
+         |i AS (SELECT doc_id, pos, sum(brk) OVER
+         |        (PARTITION BY doc_id ORDER BY pos) AS isl FROM g)
+         |SELECT doc_id, min(pos) + 1 AS span_start,
+         |  max(pos) - min(pos) + 8 AS span_len,
+         |  CAST(count(*) AS BIGINT) AS n_windows
+         |FROM i GROUP BY doc_id, isl""".stripMargin,
+
+    "dd_substring_strip" ->
+      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+         |p AS (SELECT doc_id, unnest(range(0, len(w) - 8 + 1)) AS pos, w
+         |      FROM t WHERE len(w) >= 8),
+         |wf AS (SELECT doc_id, pos,
+         |         md5(array_to_string(w[pos + 1 : pos + 8], ' ')) AS fp
+         |       FROM p),
+         |c AS (SELECT fp, count(*) AS cnt, min(ROW(doc_id, pos)) AS canon
+         |      FROM wf GROUP BY fp HAVING count(*) >= 2),
+         |nc AS (SELECT wf.doc_id, wf.pos FROM wf JOIN c USING (fp)
+         |       WHERE ROW(wf.doc_id, wf.pos) <> c.canon),
+         |cov AS (SELECT DISTINCT doc_id,
+         |          unnest(range(pos + 1, pos + 8 + 1)) AS ti FROM nc),
+         |ca AS (SELECT doc_id, list_sort(list(ti)) AS cl FROM cov
+         |       GROUP BY doc_id)
+         |SELECT t.doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+         |  CAST(coalesce(len(ca.cl), 0) AS BIGINT) AS n_removed_tokens,
+         |  coalesce(array_to_string(
+         |    [w[CAST(i AS INT)] for i in range(1, len(w) + 1)
+         |     if NOT list_contains(coalesce(ca.cl, []), i)], ' '), '')
+         |    AS clean_text
+         |FROM t LEFT JOIN ca USING (doc_id)""".stripMargin,
+
     "ev_pagerank" ->
       """WITH o AS (SELECT user_id, event_type AS src,
         |    lead(event_type) OVER (PARTITION BY user_id
@@ -3863,6 +3949,24 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
         |GROUP BY n_name""".stripMargin,
+
+    "q23_rollup_revenue" ->
+      """WITH f AS (SELECT n_name,
+        |    CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(month(o_orderdate) AS INT) AS o_month,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT) AS rev
+        |  FROM nation
+        |  JOIN customer ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey)
+        |SELECT n_name, o_year, o_month,
+        |  CAST(sum(rev) AS BIGINT) AS revenue_e2,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |  CAST(GROUPING(o_year) AS INT) AS g_year,
+        |  CAST(GROUPING(o_month) AS INT) AS g_month
+        |FROM f GROUP BY ROLLUP(n_name, o_year, o_month)""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)

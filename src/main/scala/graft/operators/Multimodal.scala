@@ -192,4 +192,154 @@ object Multimodal {
   def frameSamplePlan(decoded: Dataset[DecodedMedia], stride: Int): DataFrame =
     decoded.toDF().select(col("media_id"),
       sequence(lit(0), col("nFrames") - 1, lit(stride)).as("frame_indices"))
+
+  // ---------- audio: REAL RIFF/WAV PCM decode (pure JVM) ----------
+
+  /** Parsed WAV metadata + integer-grid waveform statistics. Every
+    * field is exact integer arithmetic over the decoded samples, so the
+    * decode is verifiable in any engine.
+    */
+  final case class WavMeta(
+      sampleRate: Int, nChannels: Int, bitsPerSample: Int, nSamples: Long,
+      durationMs: Long, sumSq: Long, zeroCrossings: Long, peakAbs: Int)
+
+  /** REAL RIFF/WAVE parser — pure JVM, no codec dependency: validates
+    * the RIFF/WAVE container, then WALKS the chunk list (word-aligned,
+    * skipping unknown chunks like LIST/INFO) to find `fmt ` (must be
+    * PCM, format tag 1) and `data`, and decodes the 16-bit
+    * little-endian PCM samples. Returns None for anything that is not
+    * a well-formed PCM16 WAV (truncated header, missing chunks,
+    * compressed format) — callers fall back to [[decodeStub]], keeping
+    * the mixed-modality pipeline total. This replaces the audio half
+    * of the decode stub; video remains the one stubbed modality (no
+    * pure-JVM codec exists).
+    *
+    * Statistics are exact integers: `sumSq` = Σ s², `zeroCrossings` =
+    * #{i : s_i·s_{i+1} < 0} over the channel-interleaved stream,
+    * `peakAbs` = max |s|, `durationMs` = frames·1000 div rate.
+    */
+  def decodeWav(bytes: Array[Byte]): Option[WavMeta] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = u8(i) | (u8(i + 1) << 8)
+    def u32(i: Int): Long =
+      (u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16)).toLong |
+        (u8(i + 3).toLong << 24)
+    def tag(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    if (bytes.length < 12 || tag(0) != "RIFF" || tag(8) != "WAVE") return None
+    var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
+    var data: Option[(Int, Int)] = None // (offset, size)
+    var p = 12
+    while (p + 8 <= bytes.length) {
+      val id = tag(p)
+      val size = u32(p + 4)
+      if (size < 0 || p + 8 + size > bytes.length) return None
+      val sz = size.toInt
+      if (id == "fmt " && sz >= 16)
+        fmt = Some((u16(p + 8), u16(p + 10), u32(p + 12).toInt, u16(p + 22)))
+      else if (id == "data") data = Some((p + 8, sz))
+      p += 8 + sz + (sz & 1) // chunks are word-aligned
+    }
+    (fmt, data) match {
+      case (Some((1, ch, rate, 16)), Some((off, sz)))
+          if ch >= 1 && rate > 0 && sz % 2 == 0 =>
+        val n = sz / 2
+        var sumSq = 0L
+        var zc = 0L
+        var peak = 0
+        var prev = 0
+        var i = 0
+        while (i < n) {
+          val s = (u16(off + 2 * i) << 16) >> 16 // sign-extend LE int16
+          sumSq += s.toLong * s
+          if (i > 0 && prev.toLong * s < 0) zc += 1
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          prev = s
+          i += 1
+        }
+        val frames = n.toLong / ch
+        Some(WavMeta(rate, ch, 16, n.toLong, frames * 1000L / rate,
+          sumSq, zc, peak))
+      case _ => None
+    }
+  }
+
+  /** Serialize PCM16 samples into a REAL WAV container — RIFF header,
+    * `fmt ` chunk, a LIST/INFO chunk (so [[decodeWav]] genuinely has
+    * to walk and skip unknown chunks — a fixed-offset "parser" fails
+    * on it), then `data`.
+    */
+  def encodeWav(samples: Array[Short], sampleRate: Int,
+      nChannels: Int = 1): Array[Byte] = {
+    val info = "GRFT".getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val dataSz = samples.length * 2
+    val listSz = 4 + info.length // "INFO" + payload
+    val riffSz = 4 + (8 + 16) + (8 + listSz + (listSz & 1)) + (8 + dataSz)
+    val bb = java.nio.ByteBuffer.allocate(8 + riffSz)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes).putInt(riffSz).put("WAVE".getBytes)
+    bb.put("fmt ".getBytes).putInt(16)
+      .putShort(1.toShort).putShort(nChannels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * nChannels * 2) // byte rate
+      .putShort((nChannels * 2).toShort)  // block align
+      .putShort(16.toShort)
+    bb.put("LIST".getBytes).putInt(listSz).put("INFO".getBytes).put(info)
+    if ((listSz & 1) == 1) bb.put(0.toByte)
+    bb.put("data".getBytes).putInt(dataSz)
+    samples.foreach(bb.putShort)
+    bb.array()
+  }
+
+  /** Build a REAL WAV media table from any (id, payload-string) source
+    * (no binary audio ships in testdata): sample i is the i-th code
+    * point of the text, centered and scaled to int16
+    * (`(cp mod 256 − 128)·256`), at a per-row sample rate
+    * `8000 + (id mod 8)·1000` Hz mono — a pure integer function of the
+    * row, so an independent engine can verify the DECODER by computing
+    * the expected statistics from the text directly. Batched
+    * mapPartitions, the same shape as [[extractFeatures]].
+    */
+  def wavFromText(df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, text) =>
+            val cps = text.codePoints().toArray
+            val samples = cps.map(cp => (((cp % 256) - 128) * 256).toShort)
+            val rate = 8000 + (((id % 8) + 8) % 8).toInt * 1000
+            (id, encodeWav(samples, rate))
+          }
+        }
+      }.toDF("media_id", "media")
+  }
+
+  /** Batched WAV decode over a binary media column: REAL parse via
+    * [[decodeWav]]; rows whose payload is not a PCM16 WAV are DROPPED
+    * (the caller's non-audio stream goes through [[extractFeatures]]'s
+    * image/stub path instead — modality dispatch by decode success,
+    * the same contract as [[resizeEncode]]'s pass-through).
+    */
+  def extractAudioMeta(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            decodeWav(bytes).map(m => (id, m.sampleRate, m.nChannels,
+              m.bitsPerSample, m.nSamples, m.durationMs, m.sumSq,
+              m.zeroCrossings, m.peakAbs))
+          }
+        }
+      }.toDF("media_id", "sample_rate", "n_channels", "bits", "n_samples",
+        "duration_ms", "sum_sq", "zero_crossings", "peak_abs")
+  }
 }

@@ -916,4 +916,139 @@ object TextDedup {
         count(lit(1)).as("cluster_size"))
       .select(col("label"), col("best.id").as("keep_id"),
         col("best.score").as("score"), col("cluster_size"))
+
+  // ---------- exact-substring dedup (k-gram anchors) ----------
+
+  /** `(doc, window-start, fingerprint)` for EVERY k-token window of every
+    * document — the k-gram anchor stream behind [[duplicateSubstringSpans]]
+    * and [[duplicateSubstringStrip]]. The token array is materialized in
+    * its own projection first (the [[shingles]] performance-trap note),
+    * and only the 32-hex md5 anchor — never window text — crosses any
+    * exchange.
+    */
+  private def kgramAnchors(df: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val d = df.select(col(idCol).as("__doc"),
+        split(coalesce(col(textCol), lit("")), "\\s+").as("__w"))
+      .filter(size(col("__w")) >= k)
+    d.select(col("__doc"),
+        posexplode(transform(sequence(lit(0), size(col("__w")) - k),
+          i => md5(concat_ws(" ", slice(col("__w"), i + 1, lit(k)))))))
+      .select(col("__doc"), col("pos").cast("long").as("pos"),
+        col("col").as("fp"))
+  }
+
+  /** EXACT-substring dedup, the reporting half (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499 — ExactSubstr): every maximal span of ≥ k tokens
+    * whose text occurs elsewhere in the corpus (any other position, same
+    * or different document), as (doc, span_start, span_len) — the
+    * modality BETWEEN chunk-grain dedup ([[TextAnalysis.duplicateChunks]]
+    * misses spans that straddle chunk boundaries) and whole-doc near-dup
+    * (minhash misses a duplicated paragraph inside an otherwise-unique
+    * document). Lee et al. build a corpus suffix array; the equivalent
+    * k-gram-anchor form used here marks every k-token window whose
+    * fingerprint occurs ≥ `minOcc` times and merges overlapping/adjacent
+    * marked windows per document into maximal spans — every duplicated
+    * substring of length ≥ k is covered by ≥ 1 duplicated window and is
+    * therefore inside a reported span (windows shorter than k are below
+    * the dedup threshold by definition, exactly the suffix-array
+    * `min-match-length` knob).
+    *
+    * Scale shape — banded, never all-pairs: the anchor stream is one
+    * explode of the corpus (O(total tokens) rows of (doc, pos, 16-byte
+    * fp)); the duplicate-anchor set comes from a map-side-combined
+    * count per fp (corpus-hot boilerplate fps collapse map-side — no
+    * hot-key window, no pair expansion; the ≥minOcc filter is applied
+    * to the AGGREGATE, so a fp duplicated a million times costs one
+    * count row); the join back is fp-keyed (AQE skew-split applies,
+    * build side is the filtered aggregate); and the island merge sorts
+    * only each document's OWN duplicated positions (bounded by document
+    * length, not corpus size). Nothing is ever quadratic in occurrences.
+    *
+    * @return idCol, span_start (1-based token index), span_len (tokens),
+    *         n_windows (duplicated k-windows merged into the span)
+    */
+  def duplicateSubstringSpans(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, minOcc: Int = 2): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    require(minOcc >= 2, "minOcc < 2 would mark every window")
+    val wf = kgramAnchors(df, idCol, textCol, k)
+    val hot = wf.groupBy(col("fp")).agg(count(lit(1)).as("n_occ"))
+      .filter(col("n_occ") >= minOcc)
+      .select(col("fp"))
+    val dup = wf.join(hot, "fp").select(col("__doc"), col("pos"))
+    // gaps-and-islands over each doc's duplicated window positions:
+    // windows at p and q overlap or touch when q - p <= k, so a gap
+    // > k starts a new maximal span. Both window functions share one
+    // (partition, order) spec — a single per-doc sort.
+    val byDoc = Window.partitionBy(col("__doc")).orderBy(col("pos"))
+    dup
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(byDoc) <= k, lit(0L))
+          .otherwise(lit(1L)))
+      .withColumn("isl", sum(col("brk")).over(byDoc))
+      .groupBy(col("__doc"), col("isl"))
+      .agg((min(col("pos")) + 1).as("span_start"),
+        (max(col("pos")) - min(col("pos")) + k).as("span_len"),
+        count(lit(1)).as("n_windows"))
+      .select(col("__doc").as(idCol), col("span_start"), col("span_len"),
+        col("n_windows"))
+  }
+
+  /** EXACT-substring dedup, the rewriting half: strip from every
+    * document each token covered by a NON-CANONICAL duplicated k-window,
+    * where the canonical occurrence of a window fingerprint is its
+    * corpus-wide minimum (doc, pos) — so exactly one copy of every
+    * duplicated substring survives (Lee et al. 2022 §3.2 keep-one
+    * semantics; contrast [[TextAnalysis.boilerplateStrip]], whose
+    * C4-style rule excises EVERY copy at fixed-chunk grain).
+    * Deterministic: the canonical choice is a pure function of the
+    * corpus, no sampling, no float.
+    *
+    * Scale shape: same anchor stream as [[duplicateSubstringSpans]]; the
+    * canonical occurrence per fp is a map-side-combined `min(struct(doc,
+    * pos))` — deliberately NOT a row_number window, which would sort a
+    * corpus-hot boilerplate fp's million occurrences in one task. The
+    * covered-token expansion (k rows per window) runs only on the
+    * duplicate-occurrence stream — output-sized, not corpus-sized — and
+    * the rewrite groups each doc's own covered indices (bounded by doc
+    * length).
+    *
+    * @return idCol, n_tokens, n_removed_tokens, clean_text
+    */
+  def duplicateSubstringStrip(df: DataFrame, idCol: String, textCol: String,
+      k: Int = 8): DataFrame = {
+    require(k >= 2, "k must be >= 2")
+    val d = df.select(col(idCol).as("__doc"),
+      split(coalesce(col(textCol), lit("")), "\\s+").as("__w"))
+    val wf = kgramAnchors(df, idCol, textCol, k)
+    val canon = wf.groupBy(col("fp"))
+      .agg(count(lit(1)).as("cnt"),
+        min(struct(col("__doc"), col("pos"))).as("canon"))
+      .filter(col("cnt") >= 2)
+      .select(col("fp"), col("canon"))
+    val nonCanonical = wf.join(canon, "fp")
+      .filter(struct(col("__doc"), col("pos")) =!= col("canon"))
+      .select(col("__doc"), col("pos"))
+    val covered = nonCanonical
+      .select(col("__doc"),
+        explode(sequence(col("pos") + 1, col("pos") + k)).as("ti"))
+      .distinct()
+      .groupBy(col("__doc"))
+      .agg(sort_array(collect_list(col("ti"))).as("cl"))
+    d.join(covered, Seq("__doc"), "left")
+      .select(col("__doc").as(idCol),
+        size(col("__w")).cast("long").as("n_tokens"),
+        coalesce(size(col("cl")), lit(0)).cast("long")
+          .as("n_removed_tokens"),
+        array_join(transform(
+          filter(
+            transform(col("__w"),
+              (x, i) => struct(x.as("t"), (i + 1).cast("long").as("i"))),
+            s => !array_contains(
+              coalesce(col("cl"), array().cast("array<long>")),
+              s.getField("i"))),
+          s => s.getField("t")), " ").as("clean_text"))
+  }
 }

@@ -725,6 +725,55 @@ class PlanAuditSpec extends SparkTestBase {
     assert(!"Sort \\[".r.findAllIn(p).nonEmpty, p)
   }
 
+  test("rollup revenue: one Expand feeds a partial+final aggregate — " +
+    "the shuffle carries pre-combined grouping-set cells (never the " +
+    "fact stream ×4), and no join degenerates") {
+    val p = planned("q23_rollup_revenue")
+    assert(p.contains("Expand"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    // partial aggregation must sit BETWEEN the grouping-set exchange
+    // (above) and Expand (below) in the printed top-down plan — i.e.
+    // the map side combines expanded cells before they cross the wire
+    val lines = p.linesIterator.toSeq
+    val expandIdx = lines.indexWhere(_.contains("Expand"))
+    val exchangeAbove = lines.take(expandIdx).lastIndexWhere(
+      _.contains("Exchange"))
+    assert(exchangeAbove >= 0, p)
+    assert(lines.slice(exchangeAbove + 1, expandIdx)
+      .exists(_.contains("HashAggregate")), p)
+  }
+
+  test("exact-substring spans: anchor dedup is aggregate-gated — the " +
+    "duplicate set comes from a partial+final count per fingerprint " +
+    "(map-side combine collapses corpus-hot boilerplate anchors), the " +
+    "join back is an equi-join, the island window partitions by doc " +
+    "(never one partition), and no pair expansion exists anywhere") {
+    val p = planned("dd_substring")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.contains("Window"), p)
+    // the anchor stream shuffles 16-byte md5 fingerprints, not window
+    // text: every exchange keys on fp or doc, none carries `text`
+    assert(!p.linesIterator.filter(_.contains("Exchange"))
+      .exists(_.contains("text")), p)
+  }
+
+  test("exact-substring strip: the canonical occurrence is a map-side-" +
+    "combined min(struct) aggregate — NO window function in the whole " +
+    "plan (a row_number over a corpus-hot fingerprint would sort its " +
+    "million occurrences in one task), and no cartesian/nested-loop") {
+    val p = planned("dd_substring_strip")
+    assert(!p.contains("Window"), p)
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("shuffle order: the global index never plans a one-partition " +
     "sort — the window partitions by hash bucket (hash-partitioned " +
     "exchange), and offsets fold in as a literal CASE") {
