@@ -2703,7 +2703,18 @@ object SparkEntry {
           Multimodal.mediaFromText(Tables.documents(s, dir), "doc_id", "text")),
         stride = 3)
         .select(col("media_id"), explode(col("frame_indices")).as("frame_idx"))
-        .withColumn("frame_idx", col("frame_idx").cast("long")))
+        .withColumn("frame_idx", col("frame_idx").cast("long"))),
+
+    // ---- REAL audio decode: the fixture builder serializes genuine
+    //      RIFF/WAVE containers (fmt + LIST/INFO + data chunks) whose
+    //      PCM16 samples are a pure integer function of each doc's
+    //      text; the operator chunk-walks and decodes them. The oracle
+    //      computes the SAME statistics directly from the text — so a
+    //      parser bug (wrong chunk offset, endianness, sign extension)
+    //      hash-fails, which is what makes the decode verifiable ----
+    "mm_audio_meta" -> ((s, dir) =>
+      Multimodal.extractAudioMeta(
+        Multimodal.wavFromText(Tables.documents(s, dir), "doc_id", "text")))
   )
 
   private val M = Tables.measurementsMonthlySql
@@ -5762,6 +5773,40 @@ object SparkEntry {
          |SELECT media_id, width, height, scale_e4,
          |  CAST(floor(width * scale_e4 / 10000.0) AS INT) AS out_width,
          |  CAST(floor(height * scale_e4 / 10000.0) AS INT) AS out_height
-         |FROM s""".stripMargin
+         |FROM s""".stripMargin,
+
+    // verifies the REAL WAV decoder end-to-end: the Spark side round-
+    // trips text -> PCM16 WAV container -> chunk-walking parser ->
+    // integer stats; the oracle computes the same stats from the text
+    // directly (sample i = ((codepoint_i mod 256) - 128) * 256, rate =
+    // 8000 + (id mod 8) * 1000 Hz mono), so any parser defect diverges
+    "mm_audio_meta" ->
+      """WITH t AS (SELECT doc_id AS media_id, coalesce(text, '') AS tx
+        |           FROM documents),
+        |sq AS (SELECT media_id,
+        |         unnest(range(1, len(tx) + 1)) AS i, tx FROM t),
+        |sm AS (SELECT media_id, i,
+        |         ((unicode(tx[CAST(i AS INT)]) % 256) - 128) * 256 AS s
+        |       FROM sq),
+        |w AS (SELECT media_id, s, i,
+        |        lag(s) OVER (PARTITION BY media_id ORDER BY i) AS prev
+        |      FROM sm),
+        |z AS (SELECT media_id,
+        |        CAST(sum(CAST(s AS BIGINT) * s) AS BIGINT) AS sum_sq,
+        |        CAST(coalesce(sum(CASE WHEN prev * s < 0 THEN 1 ELSE 0
+        |          END), 0) AS BIGINT) AS zc,
+        |        CAST(max(abs(s)) AS INT) AS peak,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM w GROUP BY media_id)
+        |SELECT t.media_id,
+        |  CAST(8000 + (t.media_id % 8) * 1000 AS INT) AS sample_rate,
+        |  CAST(1 AS INT) AS n_channels, CAST(16 AS INT) AS bits,
+        |  coalesce(z.n, 0) AS n_samples,
+        |  coalesce(z.n, 0) * 1000
+        |    // (8000 + (t.media_id % 8) * 1000) AS duration_ms,
+        |  coalesce(z.sum_sq, 0) AS sum_sq,
+        |  coalesce(z.zc, 0) AS zero_crossings,
+        |  coalesce(z.peak, 0) AS peak_abs
+        |FROM t LEFT JOIN z USING (media_id)""".stripMargin
   )
 }

@@ -1093,6 +1093,62 @@ class ExtensionsSpec extends SparkTestBase {
       java.util.Arrays.equals(resized(3L).media, garbage))
   }
 
+  test("multimodal REAL audio path: RIFF/WAV chunk walk decodes exact " +
+    "integer stats, skips unknown (and odd-sized) chunks, rejects " +
+    "malformed containers, and the distributed operator drops non-WAV " +
+    "rows") {
+    import spark.implicits._
+    // hand-computed: sumSq = 100²+200²+300²+0+1 = 140001; sign changes
+    // at (100,-200) and (-200,300) only (zero never crosses); peak 300;
+    // 5 mono frames at 8 kHz floor to 0 ms
+    val samples = Array[Short](100, -200, 300, 0, -1)
+    val wav = Multimodal.encodeWav(samples, sampleRate = 8000)
+    val m = Multimodal.decodeWav(wav).get
+    assert((m.sampleRate, m.nChannels, m.bitsPerSample) == (8000, 1, 16))
+    assert((m.nSamples, m.durationMs) == (5L, 0L))
+    assert((m.sumSq, m.zeroCrossings, m.peakAbs) == (140001L, 2L, 300))
+
+    // stereo: frames = samples / channels drives duration
+    val st = Multimodal.decodeWav(
+      Multimodal.encodeWav(Array.fill[Short](44100 * 2)(7), 44100,
+        nChannels = 2)).get
+    assert((st.nChannels, st.nSamples, st.durationMs) == (2, 88200L, 1000L))
+
+    // odd-sized unknown chunk before `data`: the walker must consume
+    // the word-alignment pad byte or it misreads everything after it
+    def splice(base: Array[Byte]): Array[Byte] = {
+      val junk = Array[Byte]('j', 'u', 'n', 'k', 3, 0, 0, 0, 1, 2, 3, 0)
+      val dataAt = base.indexOfSlice("data".getBytes)
+      val out = base.take(dataAt) ++ junk ++ base.drop(dataAt)
+      val riffSz = out.length - 8
+      java.nio.ByteBuffer.wrap(out)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(4, riffSz)
+      out
+    }
+    assert(Multimodal.decodeWav(splice(wav)).get.sumSq == 140001L)
+
+    // malformed: truncated header, wrong magic, compressed format tag,
+    // and a chunk whose declared size overruns the payload
+    assert(Multimodal.decodeWav(wav.take(8)).isEmpty)
+    assert(Multimodal.decodeWav("RIFFxxxxJUNK".getBytes).isEmpty)
+    val mulaw = wav.clone() // format tag 7 at fmt offset 20
+    mulaw(20) = 7
+    assert(Multimodal.decodeWav(mulaw).isEmpty)
+    val overrun = wav.clone()
+    java.nio.ByteBuffer.wrap(overrun)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(wav.indexOfSlice("data".getBytes) + 4, Int.MaxValue)
+    assert(Multimodal.decodeWav(overrun).isEmpty)
+
+    // distributed: WAV rows decode, garbage rows drop (modality dispatch)
+    val media = Seq((1L, wav), (2L, "not audio".getBytes("UTF-8")))
+      .toDF("media_id", "media")
+    val out = Multimodal.extractAudioMeta(media)
+      .select("media_id", "sum_sq", "zero_crossings", "peak_abs")
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    assert(out == Seq((1L, 140001L, 2L, 300)))
+  }
+
   test("multimodal near-dup: identical payloads pair at cos 1.0 via the feature path") {
     import spark.implicits._
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")
