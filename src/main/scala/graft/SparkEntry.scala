@@ -2101,6 +2101,42 @@ object SparkEntry {
       graft.operators.TextBpe.pairCountsTopK(Tables.documents(s, dir),
         "text", k = 50)),
 
+    // ---- UNIGRAM-LM tokenizer training (Kudo 2018, SentencePiece
+    //      family), value-level oracled: the full learned vocabulary
+    //      after 2 deterministic Viterbi-EM rounds over the bounded
+    //      word-frequency table (UnigramLm.learnUnigram — the
+    //      TextBpe.learnBpe driver-loop architecture). The oracle
+    //      UNROLLS the same rounds as recursive-CTE Viterbi passes
+    //      (forward DP + largest-k traceback) over the same quantized
+    //      integer cost grid, so every learned (piece, cnt, lp_e4) row
+    //      is checked against an independent implementation ----
+    "tx_unigram_learn" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.UnigramLm.learnUnigram(Tables.documents(s, dir),
+          "text", rounds = 2, maxLen = UnigramMaxLen, seedSize = 400,
+          vocabSize = 80)
+        .zipWithIndex
+        .map { case (p, i) => (i + 1, p.piece, p.cnt, p.lpE4) }
+        .toDF("rank", "piece", "cnt", "lp_e4")
+    }),
+
+    // ---- unigram application through the codegen'd unigram_encode
+    //      expression under the fixed piece-cost table (every DP
+    //      tie-break exercised — see UnigramFixedPieces). Map-only
+    //      encode; the ranking window's input is the aggregated
+    //      subword table. The oracle replays the Viterbi as a
+    //      recursive CTE over distinct words ----
+    "tx_unigram_encode" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.orderBy(col("freq").desc, col("piece").asc)
+      Tables.documents(s, dir)
+        .select(explode(graft.operators.UnigramLm.encode(col("text"),
+          UnigramFixedPieces, UnigramMaxLen, UnigramCharCost)).as("piece"))
+        .groupBy("piece").agg(count(lit(1)).as("freq"))
+        .withColumn("rank", row_number().over(w).cast("int"))
+        .filter(col("rank") <= 40)
+    }),
+
     // ---- frequency spectrum ("frequency of frequencies"): how many
     //      tokens occur exactly n times — the Zipf curve behind vocab
     //      sizing and Good-Turing smoothing. Two map-side-combined
@@ -2737,6 +2773,26 @@ object SparkEntry {
     ("e", "s"), ("es", "t"), ("t", "h"), ("th", "e"),
     ("i", "n"), ("a", "n"), ("an", "d"), ("e", "r"))
 
+  /** Fixed unigram piece-cost table for the encode query (costs are
+    * `-floor(10⁴·ln p)`-scale integers, hand-set to exercise every
+    * tie-break on the real corpus): "table" at 75000 exactly equals
+    * tab+le (36000+39000) so the fewer-pieces rule decides; "small"
+    * segments [sm][all] vs [sma][ll] at identical (cost, n) so the
+    * longest-LAST-piece traceback decides; "e" is in-vocabulary at
+    * 60000, COSTLIER than the 50000 character fallback, so the
+    * fallback arm must compete even for known characters; "dup" is
+    * fully out-of-vocabulary and segments as characters.
+    */
+  private[graft] val UnigramFixedPieces: Seq[(String, Long)] = Seq(
+    ("table", 75000L), ("tab", 36000L), ("le", 39000L),
+    ("sm", 40000L), ("all", 45000L), ("sma", 45000L), ("ll", 40000L),
+    ("a", 30000L), ("e", 60000L), ("row", 33000L),
+    ("win", 37000L), ("dow", 37000L), ("or", 41000L), ("der", 43000L),
+    ("qu", 42000L), ("ery", 44000L), ("join", 28000L),
+    ("ha", 46000L), ("sh", 46000L))
+  private[graft] val UnigramCharCost = 50000L
+  private[graft] val UnigramMaxLen = 5
+
   /** Fixed audit/eval query set for the BM25 retrieval query — terms
     * drawn from the synthetic corpus vocabulary.
     */
@@ -2898,6 +2954,128 @@ object SparkEntry {
        |       CAST(row_number() OVER (ORDER BY freq DESC, subword) AS INT)
        |         AS rank
        |FROM c QUALIFY rank <= 40""".stripMargin
+  }
+
+  /** Recursive-CTE Viterbi (forward DP + largest-k traceback) over the
+    * distinct-word table `wc(word, wfreq)` under the piece-cost map CTE
+    * `pm(m)` — the DuckDB replay of [[graft.functions.UnigramSegment]]'s
+    * DP spec: state list `d` holds `best(i) = {c, n}` structs (struct
+    * comparison is lexicographic, exactly the (cost, nPieces) order),
+    * candidates are in-map pieces of length 1..maxLen PLUS the always-
+    * present k=1 fallback at `charCost`, and the traceback takes the
+    * LARGEST k whose candidate reproduces `best(i)`. Emits
+    * `cnt$tag(piece, cnt)` = frequency-weighted piece counts.
+    */
+  private def unigramViterbiCtes(tag: String, pm: String, maxLen: Int,
+      charCost: Long): String =
+    s"""dp$tag(word, wfreq, i, d) AS (
+       |  SELECT word, wfreq, 0,
+       |         [{'c': CAST(0 AS BIGINT), 'n': CAST(0 AS BIGINT)}] FROM wc
+       |  UNION ALL
+       |  SELECT word, wfreq, i+1,
+       |    list_append(d, list_min(
+       |      [{'c': d[i-k+2].c + map_extract(m, substr(word, i-k+2, k))[1],
+       |        'n': d[i-k+2].n + 1}
+       |       for k in range(1, least($maxLen, i+1)+1)
+       |       if len(map_extract(m, substr(word, i-k+2, k))) > 0] ||
+       |      [{'c': d[i+1].c + $charCost, 'n': d[i+1].n + 1}]))
+       |  FROM dp$tag, $pm WHERE i < length(word)
+       |),
+       |fdp$tag AS (SELECT word, wfreq, d FROM dp$tag
+       |            WHERE i = length(word)),
+       |tb$tag(word, wfreq, i, piece) AS (
+       |  SELECT word, wfreq, CAST(length(word) AS INT),
+       |         CAST(NULL AS VARCHAR) FROM fdp$tag
+       |  UNION ALL
+       |  SELECT s.word, s.wfreq, CAST(s.i - s.kstar AS INT),
+       |         substr(s.word, CAST(s.i - s.kstar + 1 AS INT),
+       |                CAST(s.kstar AS INT))
+       |  FROM (SELECT t.word, t.wfreq, t.i,
+       |          list_max(
+       |            [k for k in range(1, least($maxLen, t.i)+1)
+       |             if (len(map_extract(m, substr(t.word, t.i-k+1, k))) > 0
+       |                 AND f.d[t.i-k+1].c + map_extract(m,
+       |                       substr(t.word, t.i-k+1, k))[1] = f.d[t.i+1].c
+       |                 AND f.d[t.i-k+1].n + 1 = f.d[t.i+1].n)
+       |                OR (k = 1 AND f.d[t.i].c + $charCost = f.d[t.i+1].c
+       |                    AND f.d[t.i].n + 1 = f.d[t.i+1].n)]) AS kstar
+       |        FROM tb$tag t JOIN fdp$tag f USING (word) CROSS JOIN $pm
+       |        WHERE t.i > 0) s
+       |),
+       |cnt$tag AS (SELECT piece, CAST(sum(wfreq) AS BIGINT) AS cnt
+       |            FROM tb$tag WHERE piece IS NOT NULL GROUP BY piece)""".stripMargin
+
+  /** DuckDB unigram-EM replay: seed substring counts → quantized cost
+    * map → (Viterbi E-step, capped+smoothed M-step) × `rounds` — each
+    * round one [[unigramViterbiCtes]] block, each M-step the exact
+    * top-`vocabSize`-plus-character-coverage rule of
+    * `UnigramLm.learnUnigram`, every log-prob on the shared
+    * `floor(10⁴·ln(cnt/total))` integer grid.
+    */
+  private def unigramLearnSql(rounds: Int, maxLen: Int, seedSize: Int,
+      vocabSize: Int): String = {
+    val unk = graft.functions.UnigramSegment.UnkCost
+    def lp(tbl: String) =
+      s"CAST(floor(1e4 * ln(CAST(cnt AS DOUBLE) / " +
+        s"(SELECT CAST(sum(cnt) AS BIGINT) FROM $tbl))) AS BIGINT)"
+    def pmOf(v: String, pm: String) =
+      s"$pm AS (SELECT map(list(piece ORDER BY piece), " +
+        s"list(cost ORDER BY piece)) AS m FROM $v)"
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = r - 1
+      s"""${unigramViterbiCtes(r.toString, s"pm$prev", maxLen, unk)},
+         |top$r AS (SELECT piece, cnt FROM cnt$r
+         |  QUALIFY row_number() OVER (ORDER BY cnt DESC, piece)
+         |    <= $vocabSize),
+         |vc$r AS (SELECT coalesce(t.piece, c.piece) AS piece,
+         |    CAST(coalesce(t.cnt, 0) +
+         |      CASE WHEN length(coalesce(t.piece, c.piece)) = 1
+         |           THEN 1 ELSE 0 END AS BIGINT) AS cnt
+         |  FROM top$r t FULL JOIN chars c ON t.piece = c.piece),
+         |v$r AS (SELECT piece, cnt, -${lp(s"vc$r")} AS cost FROM vc$r),
+         |${pmOf(s"v$r", s"pm$r")}""".stripMargin
+    }.mkString(",\n")
+    s"""WITH RECURSIVE
+       |w AS (SELECT unnest($W) AS word FROM documents),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wfreq FROM w
+       |       WHERE length(word) > 0 GROUP BY word),
+       |pos AS (SELECT word, wfreq,
+       |          unnest(range(1, length(word) + 1)) AS i FROM wc),
+       |sub AS (SELECT word, wfreq, i, unnest(range(1,
+       |          least($maxLen, length(word) - i + 1) + 1)) AS k FROM pos),
+       |seedc AS (SELECT substr(word, CAST(i AS INT), CAST(k AS INT))
+       |            AS piece, CAST(sum(wfreq) AS BIGINT) AS cnt
+       |          FROM sub GROUP BY piece),
+       |seed AS (SELECT piece, cnt FROM seedc
+       |  WHERE cnt >= 2 OR length(piece) = 1
+       |  QUALIFY row_number() OVER (ORDER BY cnt DESC, piece) <= $seedSize
+       |          OR length(piece) = 1),
+       |chars AS (SELECT piece FROM seed WHERE length(piece) = 1),
+       |v0 AS (SELECT piece, cnt, -${lp("seed")} AS cost FROM seed),
+       |${pmOf("v0", "pm0")},
+       |$roundCtes
+       |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT)
+       |    AS rank, piece, cnt, ${lp(s"vc$rounds")} AS lp_e4
+       |FROM vc$rounds""".stripMargin
+  }
+
+  /** DuckDB unigram application under the fixed literal piece table —
+    * one [[unigramViterbiCtes]] Viterbi over DISTINCT words, regrouped
+    * by corpus word frequency.
+    */
+  private def unigramEncodeSql: String = {
+    val keys = UnigramFixedPieces.map(p => s"'${p._1}'").mkString(", ")
+    val costs = UnigramFixedPieces
+      .map(p => s"CAST(${p._2} AS BIGINT)").mkString(", ")
+    s"""WITH RECURSIVE
+       |w AS (SELECT unnest($W) AS word FROM documents),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wfreq FROM w
+       |       WHERE length(word) > 0 GROUP BY word),
+       |pmf AS (SELECT map([$keys], [$costs]) AS m),
+       |${unigramViterbiCtes("F", "pmf", UnigramMaxLen, UnigramCharCost)}
+       |SELECT piece, cnt AS freq,
+       |  CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT) AS rank
+       |FROM cntF QUALIFY rank <= 40""".stripMargin
   }
 
   /** DuckDB 3-gram shingle expression over a token-list column `w`
@@ -4824,6 +5002,12 @@ object SparkEntry {
     "tx_bpe_encode" -> bpeEncodeSql,
 
     "tx_bpe_learn" -> bpeLearnSql(8),
+
+    "tx_unigram_learn" ->
+      unigramLearnSql(rounds = 2, maxLen = UnigramMaxLen, seedSize = 400,
+        vocabSize = 80),
+
+    "tx_unigram_encode" -> unigramEncodeSql,
 
     "tx_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($W) AS word FROM documents),

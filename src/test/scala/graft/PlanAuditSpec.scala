@@ -425,6 +425,24 @@ class PlanAuditSpec extends SparkTestBase {
       "window must sit above the pair aggregation, not the raw scan")
   }
 
+  test("unigram encode: map-only application — the codegen'd expression " +
+    "carries the piece table as a plan reference (no join anywhere), " +
+    "and the ranking window's input is the aggregated subword table") {
+    val p = planned("tx_unigram_encode")
+    assert(!p.contains("Join"), p)
+    assert(p.contains("unigram_encode"), p)
+    // partial+final aggregate below the window: the shuffle carries
+    // combined (piece, count) cells, never the exploded subword stream
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    val winIdx = p.linesIterator.indexWhere(_.contains("Window"))
+    assert(winIdx >= 0, p)
+    assert(p.linesIterator.drop(winIdx).mkString("\n")
+      .contains("HashAggregate"), p)
+    // the top-40 filter plans as a bounded TakeOrderedAndProject under
+    // the window, never a global sort of the piece table
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("n-gram LM: count tables broadcast into the scoring joins — the " +
     "corpus trigram stream never sort-merges") {
     val p = planned("tx_ngram_lm")
