@@ -1746,6 +1746,28 @@ object SparkEntry {
         .select(col("node").as("event_type"), col("est_ball"),
           col("harmonic_e6"))),
 
+    // ---- closeness centrality from the SAME HyperBall registers
+    //      (Boldi-Vigna: harmonic, closeness, and the neighbourhood
+    //      function are all readouts of one ball evolution) — sum of
+    //      distances as Σ t·(ball growth at t), integer grid ----
+    "ev_closeness_approx" -> ((s, dir) =>
+      GraphAlgos.hyperBallCloseness(
+        EventAnalytics.transitionCounts(Tables.events(s, dir), "user_id",
+          "ts", "event_type", "event_id"),
+        "src", "dst", iters = 6, p = 6, checkpointEvery = 2)
+        .select(col("node").as("event_type"), col("est_ball"),
+          col("sum_dist"), col("closeness_e6"))),
+
+    // ---- neighbourhood function + effective diameter (HyperBall's
+    //      headline readout): nf(t) = Σ ball sizes per round, effective
+    //      diameter = min t with 10·nf(t) ≥ 9·nf(last) — the "how far
+    //      apart is this graph" scalar at |V|·2^p state ----
+    "ev_diameter_approx" -> ((s, dir) =>
+      GraphAlgos.hyperBallNeighborhood(
+        EventAnalytics.transitionCounts(Tables.events(s, dir), "user_id",
+          "ts", "event_type", "event_id"),
+        "src", "dst", iters = 6, p = 6, checkpointEvery = 2)),
+
     // ---- community detection over the same Markov edges: 4 rounds of
     //      deterministic synchronous weighted label propagation (struct-
     //      max tie-break, no random sweep order) — the cheap "which
@@ -3700,6 +3722,10 @@ object SparkEntry {
 
     "ev_harmonic" -> harmonicSql(6),
     "ev_harmonic_approx" -> XxOracleSql.harmonicApprox(6, 6),
+
+    "ev_closeness_approx" -> XxOracleSql.closenessApprox(6, 6),
+
+    "ev_diameter_approx" -> XxOracleSql.diameterApprox(6, 6),
 
     "ev_attribution" ->
       """WITH o AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts2,

@@ -682,6 +682,56 @@ object XxOracleSql {
     * like the `ev_hll` oracles.
     */
   def harmonicApprox(iters: Int, p: Int): String = {
+    val (ctes, joins) = hyperBallCtes(iters, p)
+    val harm = (1 to iters).map(i =>
+      s"((e$i.est - e${i - 1}.est) * 1000000) // $i").mkString(" + ")
+    single(ctes,
+      s"SELECT n.node AS event_type, e$iters.est AS est_ball, " +
+        s"CAST($harm AS BIGINT) AS harmonic_e6 FROM hb_nodes n $joins")
+  }
+
+  /** Oracle for `ev_closeness_approx`: the [[harmonicApprox]] ball
+    * evolution with the closeness readout — `sum_dist = Σ_t t·(est_t −
+    * est_{t−1})` and `(est_ball − 1)·10⁶ // sum_dist`, all on the same
+    * integer grid ([[graft.operators.GraphAlgos.hyperBallCloseness]]).
+    */
+  def closenessApprox(iters: Int, p: Int): String = {
+    val (ctes, joins) = hyperBallCtes(iters, p)
+    val sd = (1 to iters).map(i =>
+      s"$i * (e$i.est - e${i - 1}.est)").mkString(" + ")
+    single(ctes,
+      s"SELECT n.node AS event_type, e$iters.est AS est_ball, " +
+        s"CAST($sd AS BIGINT) AS sum_dist, " +
+        s"CAST(CASE WHEN ($sd) > 0 THEN ((e$iters.est - 1) * 1000000) " +
+        s"// ($sd) ELSE 0 END AS BIGINT) AS closeness_e6 " +
+        s"FROM hb_nodes n $joins")
+  }
+
+  /** Oracle for `ev_diameter_approx`: the neighbourhood function
+    * `nf(t) = Σ_v est_t(v)` per round plus the effective diameter —
+    * min t with `10·nf(t) ≥ 9·nf(last)`, exact integers
+    * ([[graft.operators.GraphAlgos.hyperBallNeighborhood]]).
+    */
+  def diameterApprox(iters: Int, p: Int): String = {
+    val (ctes, _) = hyperBallCtes(iters, p)
+    val union = (0 to iters).map(i =>
+      s"SELECT CAST($i AS BIGINT) AS t, est FROM hb_e$i")
+      .mkString(" UNION ALL ")
+    val all = ctes ++ Seq(
+      ("hb_nf", s"SELECT t, CAST(sum(est) AS BIGINT) AS nf " +
+        s"FROM ($union) GROUP BY t"),
+      ("hb_nfl", "SELECT nf AS nf_last FROM hb_nf " +
+        "ORDER BY t DESC LIMIT 1"),
+      ("hb_eff", "SELECT CAST(min(t) AS BIGINT) AS eff_diam " +
+        "FROM hb_nf, hb_nfl WHERE nf * 10 >= nf_last * 9"))
+    single(all,
+      "SELECT f.t, f.nf, e.eff_diam FROM hb_nf f, hb_eff e")
+  }
+
+  /** The shared HyperBall CTE chain (register evolution + per-round
+    * estimates `hb_e0..hb_e$iters`) and the readout join string.
+    */
+  private def hyperBallCtes(iters: Int, p: Int): (Seq[(String, String)], String) = {
     val m = 1 << p
     val pow = java.math.BigInteger.ONE.shiftLeft(64 - p).toString
     val pow64 = java.math.BigInteger.ONE.shiftLeft(64).toString
@@ -721,13 +771,9 @@ object XxOracleSql {
         s"AS BIGINT))) END AS INTEGER) AS register FROM $hT"),
       estCte(0)
     ) ++ rounds
-    val harm = (1 to iters).map(i =>
-      s"((e$i.est - e${i - 1}.est) * 1000000) // $i").mkString(" + ")
     val joins = (0 to iters).map(i =>
       s"JOIN hb_e$i e$i ON e$i.node = n.node").mkString(" ")
-    single(ctes,
-      s"SELECT n.node AS event_type, e$iters.est AS est_ball, " +
-        s"CAST($harm AS BIGINT) AS harmonic_e6 FROM hb_nodes n $joins")
+    (ctes, joins)
   }
 
   /** Full oracle for `ev_theta_union`: the GLOBAL KMV sketch built

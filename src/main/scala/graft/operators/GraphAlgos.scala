@@ -622,7 +622,65 @@ object GraphAlgos {
     *         harmonic_e6 — the accumulated estimate increments)
     */
   def harmonicHyperBall(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, p: Int = 6, checkpointEvery: Int = 0): DataFrame =
+    hyperBallState(edges, srcCol, dstCol, iters, p, checkpointEvery)
+      .select(col("node"), col("sk.est_raw").as("est_ball"),
+        col("harm").as("harmonic_e6"))
+
+  /** APPROXIMATE closeness centrality from the SAME HyperBall registers
+    * (Boldi & Vigna 2014 §3 — harmonic, closeness, and the
+    * neighbourhood function are all readouts of one ball evolution):
+    * `sum_dist(v) = Σ_t t·(|Bₜ(v)| − |Bₜ₋₁(v)|)` approximates the sum
+    * of distances from v, and `closeness_e6 = (|B∞(v)| − 1)·10⁶ div
+    * sum_dist` is Lin-style reachable-count-over-distance-sum closeness
+    * on the integer grid (0 for isolated nodes). Every term derives
+    * from the per-round floored estimates, so the approximation is
+    * bit-reproducible cross-engine — same contract as
+    * [[harmonicHyperBall]], same O(|V|·2^p) state.
+    */
+  def hyperBallCloseness(edges: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, p: Int = 6, checkpointEvery: Int = 0): DataFrame =
+    hyperBallState(edges, srcCol, dstCol, iters, p, checkpointEvery)
+      .select(col("node"), col("sk.est_raw").as("est_ball"),
+        expr("aggregate(sequence(1, size(ests) - 1), 0L, " +
+          "(acc, t) -> acc + t * (ests[t] - ests[t-1]))").as("sum_dist"))
+      .withColumn("closeness_e6",
+        when(col("sum_dist") > 0,
+          expr("((est_ball - 1) * 1000000) div sum_dist"))
+          .otherwise(lit(0L)))
+
+  /** APPROXIMATE neighbourhood function + effective diameter from the
+    * HyperBall ball evolution (Boldi & Vigna's headline readout): one
+    * row per round t with `nf = Σ_v |Bₜ(v)|` (the number of reachable
+    * pairs within distance t, self-pairs included) and the EFFECTIVE
+    * DIAMETER — the smallest t whose nf reaches 90% of the saturated
+    * value, compared in exact integers (`10·nf_t ≥ 9·nf_last`) —
+    * repeated on every row. `iters` must exceed the true diameter for
+    * the 90% quantile to be meaningful (nf stops growing at
+    * saturation, which is itself visible in the output).
+    */
+  def hyperBallNeighborhood(edges: DataFrame, srcCol: String, dstCol: String,
       iters: Int, p: Int = 6, checkpointEvery: Int = 0): DataFrame = {
+    val nf = hyperBallState(edges, srcCol, dstCol, iters, p, checkpointEvery)
+      .select(posexplode(col("ests")).as(Seq("t", "est")))
+      .groupBy(col("t").cast("long").as("t"))
+      .agg(sum(col("est")).as("nf"))
+    val last = nf.agg(max(struct(col("t"), col("nf"))).as("m"))
+      .select(col("m.nf").as("nf_last"))
+    val eff = nf.join(broadcast(last))
+      .filter(col("nf") * 10 >= col("nf_last") * 9)
+      .agg(min(col("t")).as("eff_diam"))
+    nf.join(broadcast(eff))
+  }
+
+  /** The shared HyperBall loop: one register-max re-merge per round,
+    * |V|·2^p bytes of state; `ests` accumulates the per-round floored
+    * ball estimates (index 0 = the singleton ball), `harm` the
+    * harmonic increments — both exact-integer readouts of the same
+    * register evolution.
+    */
+  private def hyperBallState(edges: DataFrame, srcCol: String,
+      dstCol: String, iters: Int, p: Int, checkpointEvery: Int): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
     val e = edges.select(col(srcCol).cast("string").as("a"),
@@ -639,6 +697,7 @@ object GraphAlgos {
       .groupBy(col("node"))
       .agg(graft.functions.HllRegisters.hllRegisters(col("h"), p).as("sk"))
       .withColumn("harm", lit(0L))
+      .withColumn("ests", array(col("sk.est_raw")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var lastCp: Option[DataFrame] = None
     for (t <- 1 to iters) {
@@ -650,7 +709,7 @@ object GraphAlgos {
       val own = st.select(col("node"), col("sk.registers").as("regs"))
       val prevSt = st
       val prev = st.select(col("node").as("pn"),
-        col("sk.est_raw").as("prev_est"), col("harm"))
+        col("sk.est_raw").as("prev_est"), col("harm"), col("ests"))
       var next = nbr.unionByName(own)
         .groupBy(col("node"))
         .agg(graft.functions.HllRegisters
@@ -658,7 +717,8 @@ object GraphAlgos {
         .join(prev, col("node") === col("pn"))
         .select(col("node"), col("sk"),
           (col("harm") +
-            expr(s"((sk.est_raw - prev_est) * 1000000) div $t")).as("harm"))
+            expr(s"((sk.est_raw - prev_est) * 1000000) div $t")).as("harm"),
+          concat(col("ests"), array(col("sk.est_raw"))).as("ests"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       if (checkpointEvery > 0 &&
         (t % checkpointEvery == 0 || t == iters)) {
@@ -672,7 +732,7 @@ object GraphAlgos {
       st = next
     }
     if (checkpointEvery > 0) und.unpersist(false)
-    st.select(col("node"), col("sk.est_raw").as("est_ball"), col("harm").as("harmonic_e6"))
+    st
   }
 
   def kCoreness(edges: DataFrame, srcCol: String, dstCol: String,
