@@ -378,6 +378,43 @@ object SparkEntry {
           sum(floor(col("price_usd") * 100).cast("long")).as("sum_price_e2"))
     }),
 
+    // ---- S23: PARTITION-SPEC EVOLUTION (day→month, zero rewrite):
+    //      v1 = January orders at DAY grain (one file per day), v2 =
+    //      setPartitionSpec month (one metadata commit, no file
+    //      touched), v3 = February orders at MONTH grain (one file).
+    //      The readback is a date-range query SPANNING both
+    //      generations — each file prunes under its own then-spec
+    //      (files-opened pinned in PartitionEvolveSpec) and the result
+    //      must equal the raw-parquet replay ----
+    "s23_partition_evolve" -> ((s, dir) => {
+      val root = s"/root/repo/target/s23_evolve/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "orders")
+      if (wh.currentVersion(s, tbl) < 3L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"),
+            col("o_totalprice"))
+          .withColumn("date",
+            date_add(lit(java.sql.Date.valueOf("2024-01-01")),
+              pmod(col("o_orderkey"), lit(59)).cast("int")))
+        wh.append(s, // v1: January generation, day grain
+          o.filter(pmod(col("o_orderkey"), lit(59)) < 31), tbl)
+        wh.setPartitionSpec(s, tbl, "month") // v2: evolve, no rewrite
+        wh.append(s, // v3: February generation, month grain
+          o.filter(pmod(col("o_orderkey"), lit(59)) >= 31), tbl)
+      }
+      wh.readWhere(s, tbl, col("date").between(
+          lit(java.sql.Date.valueOf("2024-01-30")),
+          lit(java.sql.Date.valueOf("2024-02-03"))))
+        .groupBy(col("date"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("o_orderkey")).as("sum_key"),
+          sum(floor(col("o_totalprice") * 100).cast("long"))
+            .as("sum_price_e2"))
+    }),
+
     // ---- S20: RESTORE TABLE — the metadata-only undo. History: v1 =
     //      even-key day 1, v2 = odd-key day 2, v3 = day 1 deleted (the
     //      "oops"), v4 = restoreTo(2) resurrecting it in one manifest
@@ -4105,6 +4142,18 @@ object SparkEntry {
         |      FROM orders)
         |WHERE _change_type IS NOT NULL
         |GROUP BY _change_type""".stripMargin,
+
+    "s23_partition_evolve" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice,
+        |    DATE '2024-01-01' + CAST(o_orderkey % 59 AS INT) AS date
+        |  FROM orders)
+        |SELECT date, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_e2
+        |FROM o
+        |WHERE date BETWEEN DATE '2024-01-30' AND DATE '2024-02-03'
+        |GROUP BY date""".stripMargin,
 
     "s14_time_prune" ->
       """SELECT o_orderstatus, count(*) AS n_rows,

@@ -441,13 +441,17 @@ object PathWarehouse {
   *   <path>/_graft_data/<uuid>/__p_date=<date>/part-*.parquet
   * }}}
   *
-  * Each log entry is a text manifest delta: `A <date> <relpath>` adds a
-  * live file, `R <relpath>` retires one. The live set at version v is the
-  * replay of entries 1..v. Data files are immutable and single-date by
-  * construction (writes re-partition on a duplicated `__p_date` dir
-  * column, so the real `date` column stays IN the data and each physical
-  * file belongs to exactly one partition — the manifest prunes partitions
-  * without touching footers).
+  * Each log entry is a text manifest delta: `A <value> <relpath>` adds a
+  * live file under its partition VALUE, `R <relpath>` retires one. The
+  * live set at version v is the replay of entries 1..v. Data files are
+  * immutable and single-partition by construction (writes re-partition
+  * on a duplicated `__p_date` dir column, so the real `date` column
+  * stays IN the data and each physical file belongs to exactly one
+  * partition — the manifest prunes partitions without touching
+  * footers). The value's GRAIN is the spec in force when the file was
+  * written ([[setPartitionSpec]]): day `yyyy-MM-dd` by default, month
+  * `yyyy-MM` after evolution — mixed generations coexist and each file
+  * prunes under its own then-spec.
   *
   * Commit = write the delta to a temp name, then rename to the next
   * version number; the rename fails if the version exists (optimistic
@@ -1253,7 +1257,15 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     */
   def dates(spark: SparkSession, path: String): Set[LocalDate] =
     state(spark, path)._2.values.toSet
-      .flatMap((d: String) => scala.util.Try(LocalDate.parse(d)).toOption)
+      .flatMap((d: String) => parseGrain(d))
+
+  /** Manifest value → representative date: day values parse directly,
+    * month-generation values (spec evolution) map to the month's first
+    * day.
+    */
+  private def parseGrain(d: String): Option[LocalDate] =
+    scala.util.Try(LocalDate.parse(d)).toOption
+      .orElse(scala.util.Try(java.time.YearMonth.parse(d).atDay(1)).toOption)
 
   /** EXACT row count from the manifest alone — each live file's `S`
     * payload records its row count, so COUNT(*) is an O(checkpoint)
@@ -1506,7 +1518,13 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   override def readPartition(spark: SparkSession, path: String,
       date: LocalDate): DataFrame = {
     val (_, live) = state(spark, path)
-    val mine = live.collect { case (rel, d) if d == date.toString => rel }
+    // spec evolution: the date's own day-generation files plus any
+    // month-generation file covering it — the row filter below is the
+    // correctness belt for the month file's other days
+    val m = monthTok(date)
+    val mine = live.collect {
+      case (rel, d) if d == date.toString || d == m => rel
+    }
     // no files for the date: keep the table's FULL merged schema so
     // downstream plans (dedup keys, evolved columns) still analyze —
     // read all live files and let the filter yield zero rows. Cost is
@@ -1546,15 +1564,16 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     // column mapping: the caller writes LOGICAL names; files land under
     // the table's PHYSICAL names so every file (pre- and post-rename)
     // shares one schema namespace. Tombstoned names are rejected here.
-    val phys = DdlOps.translateWrite(df,
-      ddlMapping(replay(spark, path)._2))
+    val st = replay(spark, path)._2
+    val phys = DdlOps.translateWrite(df, ddlMapping(st))
     TsTypeOverride.acquire(spark)
-    try writeDataInner(spark, phys, path, dir)
+    try writeDataInner(spark, phys, path, dir,
+      st.props.getOrElse(PartitionSpecKey, "day"))
     finally TsTypeOverride.release(spark)
   }
 
   private def writeDataInner(spark: SparkSession, df: DataFrame,
-      path: String, dir: String): (Seq[AddEntry], String) = {
+      path: String, dir: String, spec: String): (Seq[AddEntry], String) = {
     // CHECK constraints validate DURING the write pass (observe counts
     // rows whose predicate is FALSE — SQL semantics: null passes), so
     // enforcement costs zero extra scans. A violation aborts before the
@@ -1574,7 +1593,17 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
         }.toSeq: _*)
       case None => df
     }
-    checked.withColumn(PartCol, col("date").cast("string"))
+    // partition-spec evolution (Iceberg-style, zero-rewrite): the dir
+    // token — and therefore the file's manifest `A` value — is the
+    // partition value at the spec IN FORCE AT WRITE TIME (day
+    // `yyyy-MM-dd` or month `yyyy-MM`, distinguishable by shape), so a
+    // table carries mixed generations and each file prunes under its
+    // own then-spec forever. The real `date` column stays IN the data
+    // either way: row filters and min/max stats skipping are
+    // grain-agnostic.
+    val partTok = if (spec == "month") date_format(col("date"), "yyyy-MM")
+                  else col("date").cast("string")
+    checked.withColumn(PartCol, partTok)
       .write.partitionBy(PartCol).parquet(s"$path/$dir")
     obs.foreach { o =>
       val bad = checks.flatMap { case (name, sql) =>
@@ -1755,6 +1784,58 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     commitProperty(spark, path, RequireFilterKey,
       if (required) "true" else "-")
 
+  /** PARTITION-SPEC EVOLUTION (Iceberg v2-style, reference point: the
+    * Iceberg spec's "partition evolution" — public design): change the
+    * table's partition granularity WITHOUT rewriting a single file.
+    * One metadata commit flips the spec; files written before keep
+    * their day-grain manifest values, files written after carry
+    * month-grain values, and every read path handles the mix:
+    *
+    *  - [[readWhere]] prunes each generation under its own grain via
+    *    the per-file min/max stats (a day file prunes to its day, a
+    *    month file to its month — stats are over the real `date`
+    *    column, which stays in the data at any grain);
+    *  - [[readPartition]] opens the date's day files plus any month
+    *    file COVERING the date, with the existing row filter as the
+    *    correctness belt;
+    *  - time travel shows each version under its then-spec, because
+    *    the grain rides in each file's own manifest value.
+    *
+    * Day-grain partition MUTATIONS (deletePartition /
+    * overwritePartition) refuse dates covered by a month-generation
+    * file — dropping part of a file is a rewrite, not metadata; use
+    * the predicate DELETE for that. This is the day→month compaction
+    * story at 100 TB: old days stay metadata-addressable, new data
+    * stops exploding into per-day small files.
+    */
+  def setPartitionSpec(spark: SparkSession, path: String,
+      spec: String): Unit = {
+    require(spec == "day" || spec == "month",
+      s"unsupported partition spec '$spec' (day | month)")
+    commitProperty(spark, path, PartitionSpecKey, spec)
+  }
+
+  /** The spec new writes will use (`day` unless evolved). */
+  def partitionSpec(spark: SparkSession, path: String): String =
+    tableProperty(spark, path, PartitionSpecKey).getOrElse("day")
+
+  /** The month-grain manifest token covering `date`. */
+  private def monthTok(date: LocalDate): String =
+    f"${date.getYear}%04d-${date.getMonthValue}%02d"
+
+  /** Guard for day-grain partition mutations: a month-generation file
+    * covering the date cannot be retired by metadata alone.
+    */
+  private def requireDayGrain(live: Map[String, String], path: String,
+      date: LocalDate, op: String): Unit = {
+    val m = monthTok(date)
+    require(!live.values.exists(_ == m),
+      s"$op(date=$date) on $path: a month-generation file covers this " +
+        "date (partition-spec evolution); retiring part of a file is a " +
+        "rewrite, not metadata — use deleteWhere, or compact the month " +
+        "back to day grain first")
+  }
+
   override def requiresPartitionFilter(spark: SparkSession,
       path: String): Boolean =
     tableProperty(spark, path, RequireFilterKey).contains("true")
@@ -1914,6 +1995,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     while (attempts < MaxCommitAttempts) {
       val (v, st) = replay(spark, path)
       val live = st.live
+      requireDayGrain(live, path, date, "overwritePartition")
       val current = live.collect {
         case (rel, d) if d == date.toString => rel
       }.toSet
@@ -1944,6 +2026,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   def deletePartition(spark: SparkSession, path: String, date: LocalDate): Unit =
     if (exists(spark, path))
       commitRetry(spark, path) { live =>
+        requireDayGrain(live, path, date, "deletePartition")
         (Nil, live.collect { case (rel, d) if d == date.toString => rel }.toSeq)
       }
 
@@ -1970,6 +2053,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
       val (v, st) = replay(spark, path)
+      requireDayGrain(st.live, path, date, "deletePartitionMarking")
       val removes = st.live.collect {
         case (rel, d) if d == date.toString => rel
       }.toSeq.sorted
@@ -2497,7 +2581,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   def partitionFileCounts(spark: SparkSession,
       path: String): Map[LocalDate, Int] =
     state(spark, path)._2.values.groupBy(identity).flatMap { case (d, fs) =>
-      scala.util.Try(LocalDate.parse(d)).toOption.map(_ -> fs.size)
+      parseGrain(d).map(_ -> fs.size)
     }
 
   /** Nothing to recover: uncommitted files are invisible by design. */
@@ -2600,6 +2684,7 @@ object TxWarehouse {
     text == "E\n" || text.endsWith("\nE\n")
   private val PartCol = "__p_date"
   private val RequireFilterKey = "requirePartitionFilter"
+  private val PartitionSpecKey = "graft.partitionSpec"
 
   /** Reference-counted session override of
     * `spark.sql.parquet.outputTimestampType`: the conf is SESSION-wide,
