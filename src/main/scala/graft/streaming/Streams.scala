@@ -710,4 +710,44 @@ object Streams {
         appId, batchId)
       ()
     }
+
+  /** Streaming INCREMENTAL VIEW MAINTENANCE for `foreachBatch`: each
+    * micro-batch lands in the source tx table exactly-once
+    * ([[exactlyOnceSink]]'s appendTxn pattern, `appId.load` marker),
+    * then [[graft.tableops.IncrementalAgg.maintainSumView]] advances
+    * the materialized grouped aggregate to the source's new version —
+    * so the view continuously tracks a continuously-loaded table, at
+    * O(churn) per batch, never O(table).
+    *
+    * Exactly-once across BOTH halves, with no two-phase anything —
+    * each half carries its own txn marker in its own atomic commit and
+    * the composition self-heals:
+    *
+    *  - crash AFTER the load, BEFORE the maintain: the replayed batch's
+    *    load is skipped by the `(appId.load, batchId)` marker, and the
+    *    maintain diffs from the VIEW's own `(appId.ivm, srcVersion)`
+    *    watermark to the source head — the orphaned append is inside
+    *    that window, nothing is lost;
+    *  - replay of a FULLY completed batch: the load skips, the
+    *    maintain sees the source version unchanged and no-ops;
+    *  - a maintain crash mid-merge: mergeIntoTxn is atomic, so the
+    *    view either reflects the source version and carries its
+    *    marker, or neither.
+    *
+    * The view equals the batch recompute (`GROUP BY` over the full
+    * source) after every batch — the IVM invariant, spec-verified
+    * including the injected-crash windows.
+    */
+  def ivmSink(wh: graft.tableops.TxWarehouse, srcPath: String,
+      viewPath: String, keyCols: Seq[String], countCol: String,
+      sumCols: Seq[(String, String)], appId: String,
+      viewDate: java.time.LocalDate): (DataFrame, Long) => Unit =
+    (batch, batchId) => {
+      wh.appendTxn(batch.sparkSession, batch, srcPath,
+        s"$appId.load", batchId)
+      graft.tableops.IncrementalAgg.maintainSumView(batch.sparkSession, wh,
+        srcPath, viewPath, keyCols, countCol, sumCols, s"$appId.ivm",
+        viewDate)
+      ()
+    }
 }

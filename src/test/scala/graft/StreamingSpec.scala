@@ -537,6 +537,75 @@ class StreamingSpec extends SparkTestBase {
     assert(snap() === Map(1L -> "A", 3L -> "C"))
   }
 
+  test("streaming IVM sink: the materialized aggregate tracks the " +
+    "continuously-loaded table (view == batch recompute after every " +
+    "batch), exactly-once under a replayed batch AND under a crash " +
+    "between the load half and the maintain half") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val root = Files.createTempDirectory("graft_stream_ivm").toString
+    val wh = new graft.tableops.TxWarehouse(root)
+    val src = wh.tablePath("raw", "meas")
+    val view = wh.tablePath("views", "by_k")
+    val d = java.time.LocalDate.parse("2024-01-01")
+    val sink = Streams.ivmSink(wh, src, view, Seq("k"), "n",
+      Seq(("sum_v", "v")), "ivq", d)
+
+    def viewSnap(): Map[String, (Long, Long)] =
+      wh.read(spark, view).select("k", "n", "sum_v")
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+        .toMap
+    def recompute(): Map[String, (Long, Long)] =
+      wh.read(spark, src).groupBy("k")
+        .agg(count(lit(1)).as("n"), sum("v").as("sum_v"))
+        .as[(String, Long, Long)].collect().map(r => r._1 -> (r._2, r._3))
+        .toMap
+
+    val mem = MemoryStream[(String, Long)]
+    val rows = mem.toDF().toDF("k", "v")
+      .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+    val q = rows.writeStream.foreachBatch(sink)
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_stream_ivm_ckpt").toString)
+      .start()
+    mem.addData(("a", 10L), ("b", 1L))
+    q.processAllAvailable()
+    assert(viewSnap() === Map("a" -> (1L, 10L), "b" -> (1L, 1L)))
+    mem.addData(("a", 5L), ("c", 7L))
+    q.processAllAvailable()
+    mem.addData(("b", 2L), ("b", 3L))
+    q.processAllAvailable()
+    q.stop()
+    assert(viewSnap() === recompute())
+    assert(viewSnap() === Map("a" -> (2L, 15L), "b" -> (3L, 6L),
+      "c" -> (1L, 7L)))
+
+    // replay of a fully completed batch: both halves no-op
+    val srcV = wh.currentVersion(spark, src)
+    val viewV = wh.currentVersion(spark, view)
+    sink(Seq(("b", 2L), ("b", 3L)).toDF("k", "v")
+      .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01"))), 2L)
+    assert(wh.currentVersion(spark, src) === srcV)
+    assert(wh.currentVersion(spark, view) === viewV)
+    assert(viewSnap() === recompute())
+
+    // injected crash BETWEEN the halves: batch 3's load lands (direct
+    // appendTxn, as the sink's first half would), the maintain never
+    // runs — the view is now STALE. The engine replays batch 3 through
+    // the full sink: the load skips on its marker, the maintain
+    // catches the view up over the orphaned append's version window.
+    val b3 = Seq(("a", 100L), ("d", 4L)).toDF("k", "v")
+      .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+    wh.appendTxn(spark, b3, src, "ivq.load", 3L)
+    assert(viewSnap() !== recompute()) // stale: crash window visible
+    val loadedV = wh.currentVersion(spark, src)
+    sink(b3, 3L)
+    assert(wh.currentVersion(spark, src) === loadedV) // load skipped
+    assert(viewSnap() === recompute()) // maintain healed
+    assert(viewSnap()("a") === (3L, 115L))
+    assert(viewSnap()("d") === (1L, 4L))
+  }
+
   test("streaming transitions emit consecutive steps per user and match " +
     "the batch operator on an in-order stream") {
     import spark.implicits._
