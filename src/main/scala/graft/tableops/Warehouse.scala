@@ -1832,8 +1832,8 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     require(!live.values.exists(_ == m),
       s"$op(date=$date) on $path: a month-generation file covers this " +
         "date (partition-spec evolution); retiring part of a file is a " +
-        "rewrite, not metadata — use deleteWhere, or compact the month " +
-        "back to day grain first")
+        "rewrite, not metadata — use deleteWhere, or re-grain via " +
+        "setPartitionSpec(day) + compactMonth first")
   }
 
   override def requiresPartitionFilter(spark: SparkSession,
@@ -2241,6 +2241,44 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     afterPlan()
     dmlCommit(spark, path, "compact", retiring, addLines(adds))
     (retiring.size, adds.size)
+  }
+
+  /** Re-grain one month: rewrite EVERY live file covering `ym` —
+    * whatever generation it was written under — into files at the
+    * table's CURRENT partition spec, in one fenced metadata swap. This
+    * is the rewrite path [[setPartitionSpec]]'s mutation guards point
+    * at, in both directions:
+    *
+    *  - spec = month: consolidates the month's per-day small files
+    *    into month-grain files (the day→month compaction that
+    *    motivates evolving at all — [[compact]] packs WITHIN a
+    *    manifest value and cannot merge across days);
+    *  - spec = day: splits a month-generation file back into per-day
+    *    files, restoring metadata-only [[deletePartition]] /
+    *    [[overwritePartition]] for its dates.
+    *
+    * Rows are identical at the new version; time travel still reads
+    * the pre-rewrite layout; the commit fences on every retired file
+    * still being live ([[ConcurrentCommitException]] otherwise, the
+    * [[compact]] discipline).
+    *
+    * @return (files retired, files added); (0, 0) when the month is
+    *         empty or already a single file at the current grain.
+    */
+  def compactMonth(spark: SparkSession, path: String,
+      ym: java.time.YearMonth): (Int, Int) = {
+    val mTok = f"${ym.getYear}%04d-${ym.getMonthValue}%02d"
+    val (_, st0) = replay(spark, path)
+    val rels = st0.live.toSeq.collect {
+      case (rel, d) if d == mTok || d.startsWith(s"$mTok-") => rel
+    }.sorted
+    val spec = st0.props.getOrElse(PartitionSpecKey, "day")
+    if (rels.isEmpty ||
+      (rels.size == 1 && spec == "month" && st0.live(rels.head) == mTok))
+      return (0, 0)
+    val (adds, _) = writeData(spark, readFiles(spark, path, rels), path)
+    dmlCommit(spark, path, "compactMonth", rels, addLines(adds))
+    (rels.size, adds.size)
   }
 
   /** Shared tier-1/tier-2 planning for predicate DML: manifest-only

@@ -124,6 +124,49 @@ class PartitionEvolveSpec extends graft.SparkTestBase {
       Set(2L, 3L, 4L, 5L, 7L, 8L, 9L))
   }
 
+  test("compactMonth re-grains in both directions: day files " +
+    "consolidate to the month generation under spec=month, a month " +
+    "file splits back to per-day files under spec=day (restoring " +
+    "metadata-only deletes), rows identical throughout, time travel " +
+    "keeps the old layout") {
+    val (wh, path) = evolved("pe6")
+    def ks(): Set[Long] =
+      wh.read(spark, path).select("k").as[Long].collect().toSet
+    val before = ks()
+
+    // day → month: January's 4 day files become month-generation files
+    val (ret1, add1) = wh.compactMonth(spark, path,
+      java.time.YearMonth.parse("2024-01"))
+    assert(ret1 == 4 && add1 >= 1)
+    assert(ks() == before)
+    assert(wh.partitionFileCounts(spark, path)
+      .contains(LocalDate.parse("2024-01-01")))
+    // Jan days are now month-covered: metadata-only delete refuses
+    intercept[IllegalArgumentException] {
+      wh.deletePartition(spark, path, LocalDate.parse("2024-01-02"))
+    }
+    // idempotence guard: a single-file month at month grain is a no-op
+    if (add1 == 1)
+      assert(wh.compactMonth(spark, path,
+        java.time.YearMonth.parse("2024-01")) == (0, 0))
+    // time travel still reads the pre-rewrite day layout
+    assert(wh.readAt(spark, path, 3L).select("k").as[Long].collect().toSet
+      == before)
+
+    // month → day: flip the spec back and split February
+    wh.setPartitionSpec(spark, path, "day")
+    val (ret2, add2) = wh.compactMonth(spark, path,
+      java.time.YearMonth.parse("2024-02"))
+    assert(ret2 >= 1 && add2 == 4) // one file per February day
+    assert(ks() == before)
+    // metadata-only day delete works again
+    wh.deletePartition(spark, path, LocalDate.parse("2024-02-02"))
+    assert(ks() == before - 6L)
+    // an empty month is a no-op
+    assert(wh.compactMonth(spark, path,
+      java.time.YearMonth.parse("2024-07")) == (0, 0))
+  }
+
   test("an invalid spec is rejected") {
     val (wh, path) = fresh("pe5")
     wh.append(spark, Seq((1L, day("2024-01-01"))).toDF("k", "date"), path)
