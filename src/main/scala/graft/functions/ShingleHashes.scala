@@ -253,6 +253,16 @@ object GraftFunctions {
         "hash arrays (union + retain k smallest) into one sketch: " +
         "struct<vals, theta, est>") {
       case Seq(v, k) => KmvMergeVals(v, intArg(k, "kmv_merge_vals", "k"))
+    },
+    desc("unigram_encode", classOf[UnigramEncode],
+      "unigram_encode(text, pieces, maxLen, charCost) - whitespace " +
+        "tokenize + unigram-LM Viterbi-segment each token under a " +
+        "'piece cost'-formatted literal piece table (integer costs; " +
+        "charCost = the always-available single-character fallback)") {
+      case Seq(t, p, maxLen, charCost) => UnigramEncode(t,
+        piecesArg(p, "unigram_encode"),
+        intArg(maxLen, "unigram_encode", "maxLen"),
+        intArg(charCost, "unigram_encode", "charCost").toLong)
     }
   )
 
@@ -274,6 +284,31 @@ object GraftFunctions {
         }
       case other => throw new IllegalArgumentException(
         s"$fn: merges must be an array<string> literal, got $other")
+    }
+  }
+
+  /** Piece-table argument: a foldable `array<string>` literal of
+    * space-separated (piece, integer cost) pairs
+    * (`array('table 75000', 'le 39000', ...)`).
+    */
+  private def piecesArg(e: Expression, fn: String): Seq[(String, Long)] = {
+    require(e.foldable, s"$fn: pieces must be a literal array<string>")
+    e.eval() match {
+      case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+        (0 until a.numElements()).map { i =>
+          val s = a.getUTF8String(i).toString
+          val sp = s.lastIndexOf(' ')
+          require(sp > 0 && sp < s.length - 1,
+            s"$fn: each piece must be 'piece cost', got '$s'")
+          val cost = try s.substring(sp + 1).toLong catch {
+            case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"$fn: cost must be an integer, got '$s'")
+          }
+          (s.substring(0, sp), cost)
+        }
+      case other => throw new IllegalArgumentException(
+        s"$fn: pieces must be an array<string> literal, got $other")
     }
   }
 

@@ -30,9 +30,34 @@ class GraftSqlSpec extends SparkTestBase {
       "nfc_normalize", "vector_dot", "vector_sqdist", "sign_bands",
       "top_k_by_score", "gram_matrix", "bpe_segment", "bpe_encode",
       "frequent_items", "hll_registers", "hll_merge_registers",
-      "cms_counters", "cms_merge_counters", "kmv_merge_vals")
+      "cms_counters", "cms_merge_counters", "kmv_merge_vals",
+      "unigram_encode")
     names.foreach { n =>
       assert(spark.catalog.functionExists(n), s"$n not registered")
+    }
+  }
+
+  test("unigram_encode from SQL matches the Column form and enforces " +
+    "the literal piece-table contract") {
+    import spark.implicits._
+    val viaSql = spark.sql(
+      """SELECT unigram_encode('small table dup',
+        |  array('sm 40000', 'all 45000', 'sma 45000', 'll 40000',
+        |        'table 75000', 'tab 36000', 'le 39000'),
+        |  5, 50000) AS p""".stripMargin)
+      .as[Seq[String]].head()
+    assert(viaSql == Seq("sm", "all", "table", "d", "u", "p"))
+    val viaCol = Seq(("small table dup")).toDF("t")
+      .select(graft.operators.UnigramLm.encode(col("t"),
+        Seq(("sm", 40000L), ("all", 45000L), ("sma", 45000L),
+          ("ll", 40000L), ("table", 75000L), ("tab", 36000L),
+          ("le", 39000L)), 5, 50000L).as("p"))
+      .as[Seq[String]].head()
+    assert(viaSql == viaCol)
+    // malformed piece rows fail loudly, not silently
+    intercept[Exception] {
+      spark.sql("SELECT unigram_encode('x', array('nocost'), 5, 50000)")
+        .collect()
     }
   }
 
@@ -260,6 +285,6 @@ class GraftSqlSpec extends SparkTestBase {
     assert(reg != null)
     val ids = GraftFunctions.descriptors.map(_._1.funcName)
     assert(ids.distinct.size == ids.size)
-    assert(ids.size == 21) // + cdc_cuts, hll/cms build+merge, kmv_merge_vals
+    assert(ids.size == 22) // + cdc_cuts, sketch build+merge, unigram_encode
   }
 }
