@@ -82,22 +82,34 @@ object ScaleProbe {
     }
 
     // ---- exact-substring dedup: duplicated-window growth ----
-    // The k-gram-anchor claim: marked (duplicate) windows grow LINEARLY
-    // with the corpus — the duplicate set is an aggregate per
-    // fingerprint, never a pair expansion, so 10x replicas (every
-    // window now occurs ~10x) multiply the marked-window count by ~10,
-    // not 100 (a pair-based formulation would square it). The count
-    // probed is sum(n_windows) over the reported spans = the total
-    // duplicated-window stream the island merge consumes.
+    // The k-gram-anchor claim: the duplicated-window stream the island
+    // merge consumes is BOUNDED BY THE CORPUS WINDOW COUNT (each
+    // window is marked at most once — the duplicate set is an
+    // aggregate per fingerprint, never a pair expansion), so it grows
+    // LINEARLY with the corpus no matter how duplicated the corpus
+    // is. The 10x table is the adversarial case: every window occurs
+    // ~10x (replicas), so a pair formulation would emit ~45 rows per
+    // window (C(10,2)) — ~10x the whole corpus — where this one's
+    // marked set stays ≤ total windows. Reported per scale:
+    // [marked, total] windows; the claim is marked10 ≤ total10 with
+    // total growing 10x. (marked10/marked1 is NOT the scaling law —
+    // the 1x corpus is mostly unique, so its marked set is small.)
     def substr(dir: String): () => Long = () =>
       SparkEntry.queries("dd_substring")(spark, dir)
         .agg(coalesce(sum("n_windows"), lit(0L))).head().getLong(0)
+    def totalWindows(dir: String): Long =
+      spark.read.parquet(s"$dir/documents.parquet")
+        .select(greatest(lit(0L),
+          (size(split(coalesce(col("text"), lit("")), "\\s+")) - 7)
+            .cast("long")).as("w"))
+        .agg(sum("w")).head().getLong(0)
     val (bt1, bc1) = timed(substr(sf))
     val (bt10, bc10) = timed(substr(outDir))
+    val (btot1, btot10) = (totalWindows(sf), totalWindows(outDir))
     val substrRow =
       f""""dd_substring":[$bt1%.3f,$bt10%.3f,${bt10 / bt1}%.2f]"""
     val substrCands =
-      f""""substr_dup_windows":[$bc1,$bc10,${bc10.toDouble / bc1}%.2f]"""
+      f""""substr_windows_marked_vs_total":[[$bc1,$btot1],[$bc10,$btot10]]"""
 
     // ---- embedding-LSH tier: sized per the operator's scaling law ----
     // Bits-per-band must track log2(N) (Similarity.embedNearDupPairs
