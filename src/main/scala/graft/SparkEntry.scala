@@ -2196,6 +2196,21 @@ object SparkEntry {
         .filter(col("rank") <= 40)
     }),
 
+    // ---- per-document unigram-LM cost (the quality-signal readout of
+    //      the unigram family, tx_ngram_lm's map-only dual): total
+    //      Viterbi segmentation cost of each doc under the fixed piece
+    //      table — one codegen'd expression per row, no join, no
+    //      shuffle before the (absent) aggregate. The oracle reuses
+    //      the recursive forward-DP CTE and joins each doc's words to
+    //      their DP values ----
+    "tx_unigram_score" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+        size(filter(split(coalesce(col("text"), lit("")), "\\s+"),
+          w => length(w) > 0)).cast("long").as("n_words"),
+        graft.operators.UnigramLm.scoreCost(col("text"),
+          UnigramFixedPieces, UnigramMaxLen, UnigramCharCost)
+          .as("cost"))),
+
     // ---- frequency spectrum ("frequency of frequencies"): how many
     //      tokens occur exactly n times — the Zipf curve behind vocab
     //      sizing and Good-Turing smoothing. Two map-side-combined
@@ -3116,6 +3131,33 @@ object SparkEntry {
        |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, piece) AS INT)
        |    AS rank, piece, cnt, ${lp(s"vc$rounds")} AS lp_e4
        |FROM vc$rounds""".stripMargin
+  }
+
+  /** DuckDB per-document unigram cost: the same forward-DP CTE chain
+    * (the traceback CTEs go unreferenced and unevaluated), each word's
+    * DP value joined back to the document's word stream.
+    */
+  private def unigramScoreSql: String = {
+    val keys = UnigramFixedPieces.map(p => s"'${p._1}'").mkString(", ")
+    val costs = UnigramFixedPieces
+      .map(p => s"CAST(${p._2} AS BIGINT) ").mkString(", ")
+    s"""WITH RECURSIVE
+       |w AS (SELECT unnest($W) AS word FROM documents),
+       |wc AS (SELECT word, CAST(count(*) AS BIGINT) AS wfreq FROM w
+       |       WHERE length(word) > 0 GROUP BY word),
+       |pmf AS (SELECT map([$keys], [$costs]) AS m),
+       |${unigramViterbiCtes("S", "pmf", UnigramMaxLen, UnigramCharCost)},
+       |wcost AS (SELECT word,
+       |            d[CAST(length(word) AS INT) + 1].c AS c FROM fdpS),
+       |docw AS (SELECT doc_id, unnest($W) AS word FROM documents),
+       |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |          CAST(sum(c) AS BIGINT) AS cost
+       |        FROM (SELECT doc_id, word FROM docw WHERE length(word) > 0)
+       |        JOIN wcost USING (word) GROUP BY doc_id)
+       |SELECT d.doc_id, coalesce(agg.n_words, 0) AS n_words,
+       |       coalesce(agg.cost, 0) AS cost
+       |FROM (SELECT DISTINCT doc_id FROM documents) d
+       |LEFT JOIN agg USING (doc_id)""".stripMargin
   }
 
   /** DuckDB unigram application under the fixed literal piece table —
@@ -5083,6 +5125,8 @@ object SparkEntry {
         vocabSize = 80),
 
     "tx_unigram_encode" -> unigramEncodeSql,
+
+    "tx_unigram_score" -> unigramScoreSql,
 
     "tx_bpe_pairs" ->
       s"""WITH w AS (SELECT unnest($W) AS word FROM documents),

@@ -47,6 +47,46 @@ object UnigramSegment {
     m
   }
 
+  /** The DP value alone — the word's minimal total segmentation cost
+    * (the unigram-LM negative log-likelihood on the integer grid, the
+    * per-document quality signal). Same forward recurrence as
+    * [[segment]], no traceback.
+    */
+  def cost(s: String, costs: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, charCost: Long): Long = {
+    val starts = new Array[Int](s.length + 1)
+    var n = 0
+    var off = 0
+    while (off < s.length) {
+      starts(n) = off
+      off += Character.charCount(s.codePointAt(off))
+      n += 1
+    }
+    starts(n) = s.length
+    val cost = new Array[Long](n + 1)
+    val ntok = new Array[Long](n + 1)
+    var i = 1
+    while (i <= n) {
+      var bc = cost(i - 1) + charCost
+      var bn = ntok(i - 1) + 1
+      var k = 1
+      val kMax = math.min(maxLen, i)
+      while (k <= kMax) {
+        val c = costs.get(s.substring(starts(i - k), starts(i)))
+        if (c != null) {
+          val cc = cost(i - k) + c.longValue
+          val cn = ntok(i - k) + 1
+          if (cc < bc || (cc == bc && cn < bn)) { bc = cc; bn = cn }
+        }
+        k += 1
+      }
+      cost(i) = bc
+      ntok(i) = bn
+      i += 1
+    }
+    cost(n)
+  }
+
   /** Viterbi-segment one word. `charCost` is the fallback cost for the
     * k=1 arm (pass [[UnkCost]] when the vocabulary is seeded with every
     * corpus character, so the arm exists but never wins).
@@ -153,5 +193,50 @@ object UnigramEncode {
       i += 1
     }
     BpeSegment.toArrayData(out)
+  }
+}
+
+/** Codegen'd Catalyst expression: the whole TEXT column's unigram-LM
+  * segmentation cost — Σ over whitespace tokens of each word's Viterbi
+  * DP value ([[UnigramSegment.cost]]). The per-document negative
+  * log-likelihood on the integer grid, i.e. the corpus-statistics
+  * quality signal of the unigram family (the [[BpeEncode]]-shaped
+  * map-only dual of [[graft.operators.NgramLm]]'s trigram score).
+  */
+case class UnigramCost(child: Expression, pieces: Seq[(String, Long)],
+    maxLen: Int, charCost: Long) extends UnaryExpression {
+
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "unigram_cost"
+
+  @transient private lazy val costs: java.util.HashMap[String, java.lang.Long] =
+    UnigramSegment.costMap(pieces)
+
+  override protected def nullSafeEval(input: Any): Any =
+    UnigramCost.compute(input.asInstanceOf[UTF8String], costs, maxLen, charCost)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("unigramCosts", costs, "java.util.HashMap")
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.UnigramCost.compute($c, $ref, $maxLen, ${charCost}L)")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): UnigramCost =
+    copy(child = newChild)
+}
+
+object UnigramCost {
+  /** Java entry point used by both interpreted and generated code. */
+  def compute(text: UTF8String, costs: java.util.HashMap[String, java.lang.Long],
+      maxLen: Int, charCost: Long): Long = {
+    val toks = text.toString.split("\\s+", -1)
+    var sum = 0L
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).nonEmpty)
+        sum += UnigramSegment.cost(toks(i), costs, maxLen, charCost)
+      i += 1
+    }
+    sum
   }
 }

@@ -142,4 +142,14 @@ object UnigramLm {
     ColumnBridge.column(graft.functions.UnigramEncode(
       ColumnBridge.expression(coalesce(text, lit(""))),
       pieces, maxLen, charCost))
+
+  /** `text → long` total unigram-LM segmentation cost (Σ per-word
+    * Viterbi DP values) — the per-document quality signal, codegen'd
+    * and map-only ([[graft.functions.UnigramCost]]).
+    */
+  def scoreCost(text: Column, pieces: Seq[(String, Long)], maxLen: Int,
+      charCost: Long): Column =
+    ColumnBridge.column(graft.functions.UnigramCost(
+      ColumnBridge.expression(coalesce(text, lit(""))),
+      pieces, maxLen, charCost))
 }

@@ -443,6 +443,15 @@ class PlanAuditSpec extends SparkTestBase {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("unigram score: pure map — one Project over the pruned scan, " +
+    "no join, no exchange, no aggregate") {
+    val p = planned("tx_unigram_score")
+    assert(p.contains("unigram_cost"), p)
+    assert(!p.contains("Join"), p)
+    assert(!p.contains("Exchange"), p)
+    assert(!p.contains("HashAggregate"), p)
+  }
+
   test("n-gram LM: count tables broadcast into the scoring joins — the " +
     "corpus trigram stream never sort-merges") {
     val p = planned("tx_ngram_lm")

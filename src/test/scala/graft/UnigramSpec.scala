@@ -95,6 +95,24 @@ class UnigramSpec extends SparkTestBase {
       seedSize = 400, vocabSize = 80) == vocab)
   }
 
+  test("cost expression: per-doc cost equals the sum of each word's DP " +
+    "value, including the fallback-beats-map case") {
+    val pieces = SparkEntry.UnigramFixedPieces
+    val costs = UnigramSegment.costMap(pieces)
+    // "small table dup" = sm+all (85000) + table (75000) + 3 chars
+    // (150000); "line" exercises 'e' via the 50000 fallback (its map
+    // cost is 60000): l+i+n (150000) + e (50000) = 200000
+    assert(UnigramSegment.cost("small", costs, 5, 50000L) == 85000L)
+    assert(UnigramSegment.cost("line", costs, 5, 50000L) == 200000L)
+    val docs = Seq((1L, "small table dup"), (2L, ""), (3L, "line"))
+      .toDF("doc_id", "text")
+    val out = docs.select(col("doc_id"),
+        UnigramLm.scoreCost(col("text"), pieces,
+          SparkEntry.UnigramMaxLen, SparkEntry.UnigramCharCost).as("c"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 310000L, 2L -> 0L, 3L -> 200000L))
+  }
+
   test("encode expression matches the driver-side segmenter and is " +
     "codegen-compatible") {
     val docs = Seq((1L, "small table dup"), (2L, "")).toDF("doc_id", "text")
