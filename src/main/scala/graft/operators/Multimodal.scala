@@ -34,12 +34,18 @@ object Multimodal {
     * from the raw bytes.
     */
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
-    val n = bytes.length
-    val first = if (n > 0) bytes(0) & 0xff else 0
-    val width = 16 + (n % 640)
-    val height = 16 + ((n * 31 + first) % 480)
-    val nFrames = 1 + (first % 30)
-    val feature = Array.tabulate(8)(i => ((n * (i + 1) + first) % 997) / 997.0f)
+    // Long arithmetic + floorMod: the products overflow Int for
+    // payloads past ~69 MB, where Scala's % would then yield NEGATIVE
+    // pseudo-dimensions/features. Identical values in the non-overflow
+    // regime (all operands non-negative), so the oracle grid is
+    // unchanged.
+    val n = bytes.length.toLong
+    val first = if (bytes.nonEmpty) (bytes(0) & 0xff).toLong else 0L
+    val width = (16 + n % 640).toInt
+    val height = (16 + Math.floorMod(n * 31 + first, 480L)).toInt
+    val nFrames = (1 + first % 30).toInt
+    val feature = Array.tabulate(8)(i =>
+      Math.floorMod(n * (i + 1) + first, 997L) / 997.0f)
     (width, height, nFrames, feature)
   }
 

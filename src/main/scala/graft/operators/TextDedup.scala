@@ -836,7 +836,11 @@ object TextDedup {
         val es = edges.select(col("src").cast("long"), col("dst").cast("long"))
           .as[(Long, Long)].collect()
         edges.unpersist()
+        // cast back to the INPUT's integral type: the distributed path
+        // preserves it, and the two paths must return one schema — which
+        // branch fires is an edge-count heuristic, not a contract
         TextDedup.unionFindMinLabel(es).toDF("id", "label")
+          .select(col("id").cast(idType), col("label").cast(idType))
       }
     } else {
       var labels = edges.select(col("src").as("id")).distinct()

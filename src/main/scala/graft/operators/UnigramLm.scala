@@ -45,6 +45,24 @@ object UnigramLm {
   /** Code-point count (DuckDB `length()` parity). */
   private def cpLen(s: String): Int = s.codePointCount(0, s.length)
 
+  /** UTF-8-BYTE string order for count-tie ranking: Spark's string
+    * min/ORDER BY and DuckDB's `ORDER BY piece` both compare UTF-8
+    * bytes, while Java's `compareTo` compares UTF-16 units — they
+    * disagree on supplementary (non-BMP) characters, which would rank
+    * tied pieces differently cross-engine and break the bit-exact
+    * oracle contract (the same hazard `TextDedup.minLabelClusters`
+    * orders its string branch around).
+    */
+  private val utf8Order: Ordering[String] =
+    (a: String, b: String) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a)
+        .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+
+  /** (count desc, piece asc-by-UTF-8-bytes) rank order. */
+  private val rankOrder: Ordering[(String, Long)] =
+    Ordering.by[(String, Long), Long] { case (_, c) => -c }
+      .orElse(Ordering.by[(String, Long), String](_._1)(utf8Order))
+
   /** Quantized log-prob table from integer counts. */
   private def quantize(counts: Seq[(String, Long)]): Seq[Piece] = {
     val total = counts.map(_._2).sum
@@ -107,7 +125,7 @@ object UnigramLm {
     import scala.jdk.CollectionConverters._
     val eligible = seedCnt.asScala.toSeq
       .filter { case (p, c) => c >= 2 || cpLen(p) == 1 }
-      .sortBy { case (p, c) => (-c, p) }
+      .sorted(rankOrder)
     val kept = eligible.zipWithIndex
       .filter { case ((p, _), i) => i < seedSize || cpLen(p) == 1 }
       .map(_._1)
@@ -123,11 +141,11 @@ object UnigramLm {
         UnigramSegment.segment(w, costs, maxLen, UnigramSegment.UnkCost)
           .forEach(p => used.merge(p, f, _ + _))
       }
-      val top = used.asScala.toSeq.sortBy { case (p, c) => (-c, p) }
+      val top = used.asScala.toSeq.sorted(rankOrder)
         .take(vocabSize).toMap
       val next = (top.keySet ++ chars).toSeq.map { p =>
         (p, top.getOrElse(p, 0L) + (if (cpLen(p) == 1) 1L else 0L))
-      }.sortBy { case (p, c) => (-c, p) }
+      }.sorted(rankOrder)
       vocab = quantize(next)
       r += 1
     }
