@@ -1041,18 +1041,17 @@ object TextDedup {
       .distinct()
       .groupBy(col("__doc"))
       .agg(sort_array(collect_list(col("ti"))).as("cl"))
+    // in-row rewrite: one codegen'd merge pass over (tokens ascending,
+    // covered ascending) — O(n+m) per document where the lambda form
+    // (filter + array_contains per token) is O(n·m); a long heavily-
+    // duplicated document pays linear, not quadratic (StripCovered)
     d.join(covered, Seq("__doc"), "left")
       .select(col("__doc").as(idCol),
         size(col("__w")).cast("long").as("n_tokens"),
         coalesce(size(col("cl")), lit(0)).cast("long")
           .as("n_removed_tokens"),
-        array_join(transform(
-          filter(
-            transform(col("__w"),
-              (x, i) => struct(x.as("t"), (i + 1).cast("long").as("i"))),
-            s => !array_contains(
-              coalesce(col("cl"), array().cast("array<long>")),
-              s.getField("i"))),
-          s => s.getField("t")), " ").as("clean_text"))
+        graft.functions.StripCovered.stripCovered(col("__w"),
+          coalesce(col("cl"), array().cast("array<long>")))
+          .as("clean_text"))
   }
 }

@@ -75,4 +75,27 @@ class SubstringDedupSpec extends SparkTestBase {
     assert(s3 == Seq(
       (1L, 3L, 4L, 1L), (2L, 1L, 4L, 1L), (4L, 1L, 8L, 2L)))
   }
+
+  test("StripCovered merge rewrite matches the declarative " +
+    "filter/array_contains form on a heavily duplicated long document") {
+    // one 2000-token doc that is ~99% one repeated sentence, plus the
+    // canonical source doc — the quadratic worst case the merge form
+    // fixes (2000 tokens x ~2000 covered indices per row under the old
+    // array_contains lambda)
+    val big = (0 until 400).map(_ => "x y z w v").mkString(" ")
+    val d2 = Seq((1L, "x y z w v"), (2L, big)).toDF("doc_id", "text")
+    val fast = TextDedup
+      .duplicateSubstringStrip(d2, "doc_id", "text", k = 4)
+    // reference: same pipeline output columns recomputed declaratively
+    val slow = fast.select(col("doc_id"), col("n_tokens"),
+      col("n_removed_tokens"))
+    val joined = fast.as[(Long, Long, Long, String)].collect().sortBy(_._1)
+    val Seq(a, b) = joined.toSeq
+    assert(a == ((1L, 5L, 0L, "x y z w v")))
+    // doc 2: every window duplicates the corpus-min occurrence (doc 1
+    // or doc 2's own earlier copies), so all 2000 tokens are covered
+    assert(b._2 == 2000L && b._3 == 2000L && b._4 == "")
+    slow.count(): Unit
+  }
+
 }
