@@ -10,11 +10,15 @@ import org.apache.spark.sql.functions._
   * (PNG/JPEG/GIF/BMP), so [[decodeImage]] returns actual dimensions and
   * an 8-bucket luma-histogram feature, and [[resizeEncode]] performs an
   * actual pixel resize + PNG re-encode — no external dependency, and the
-  * same code runs on any executor. Bytes NO installed reader accepts
-  * (audio/video codecs are genuinely absent in this environment, as is
-  * anything exotic) fall back to [[decodeStub]]'s deterministic
-  * pseudo-features, so the batched pipeline shape — bounded
-  * mapPartitions batches (the mapInPandas analog), size-aware
+  * same code runs on any executor. AUDIO decode is REAL ([[decodeWav]]
+  * chunk-walks RIFF/WAVE and decodes PCM16), and VIDEO container
+  * metadata is REAL ([[decodeMp4]] box-walks ISO-BMFF/MP4 for
+  * timescale/duration/tracks/dimensions/codec — frame PIXEL decode is
+  * out of scope pure-JVM, exactly as it is for Delta/Iceberg-hosted
+  * corpora, where frame extraction runs in a codec UDF). Bytes NO
+  * installed reader accepts fall back to [[decodeStub]]'s
+  * deterministic pseudo-features, so the batched pipeline shape —
+  * bounded mapPartitions batches (the mapInPandas analog), size-aware
   * repartitioning, typed schema — processes every modality uniformly
   * and adding a codec never changes the plumbing.
   */
@@ -216,9 +220,8 @@ object Multimodal {
     * little-endian PCM samples. Returns None for anything that is not
     * a well-formed PCM16 WAV (truncated header, missing chunks,
     * compressed format) — callers fall back to [[decodeStub]], keeping
-    * the mixed-modality pipeline total. This replaces the audio half
-    * of the decode stub; video remains the one stubbed modality (no
-    * pure-JVM codec exists).
+    * the mixed-modality pipeline total. [[decodeMp4]] is the video
+    * counterpart (container metadata; no pure-JVM pixel codec exists).
     *
     * Statistics are exact integers: `sumSq` = Σ s², `zeroCrossings` =
     * #{i : s_i·s_{i+1} < 0} over the channel-interleaved stream,
@@ -324,6 +327,212 @@ object Multimodal {
           }
         }
       }.toDF("media_id", "media")
+  }
+
+  // ---------- video: REAL ISO-BMFF/MP4 container metadata (pure JVM) ----------
+
+  /** Parsed MP4 container metadata: movie-header timescale/duration,
+    * track count, the first track's presentation dimensions (tkhd
+    * 16.16 fixed-point, integer part) and sample-description codec
+    * fourcc. Pure integer arithmetic — verifiable in any engine.
+    */
+  final case class Mp4Meta(timescale: Int, durationUnits: Long,
+      durationMs: Long, nTracks: Int, width: Int, height: Int,
+      codec: String)
+
+  /** REAL ISO-BMFF (MP4) box walker — pure JVM, no codec dependency
+    * (the [[decodeWav]] playbook applied to the last stubbed modality):
+    * validates the `ftyp` brand box, then WALKS the top-level box list
+    * (skipping `free`/`mdat`/unknown boxes, including 64-bit
+    * largesize boxes) to `moov`, and within it parses
+    *
+    *  - `mvhd` (version 0): movie timescale and duration;
+    *  - each `trak`'s `tkhd` (version 0): the track's presentation
+    *    width/height — 16.16 fixed-point at payload offsets 76/80;
+    *  - each `trak`'s `mdia`/`minf`/`stbl`/`stsd`: the first sample
+    *    entry's codec fourcc (`avc1`, `hev1`, `mp4a`, …).
+    *
+    * Returns the movie header fields, the track count, and the FIRST
+    * track's dimensions + fourcc (our synthesizer and real muxers both
+    * put the primary video track first); None for anything that is not
+    * a well-formed version-0 MP4 (missing ftyp/moov/mvhd, truncated
+    * box, nested overrun) — callers fall back to [[decodeStub]],
+    * keeping the mixed-modality pipeline total.
+    */
+  def decodeMp4(bytes: Array[Byte]): Option[Mp4Meta] = {
+    def u8(i: Int): Int = bytes(i) & 0xff
+    def u16(i: Int): Int = (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def u64(i: Int): Long = (u32(i) << 32) | u32(i + 4)
+    def tag(i: Int): String =
+      new String(bytes, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+    // walk the children of [start, end): (type, payloadStart, payloadEnd)
+    def children(start: Int, end: Int): Option[List[(String, Int, Int)]] = {
+      var p = start
+      val out = scala.collection.mutable.ListBuffer[(String, Int, Int)]()
+      while (p < end) {
+        if (p + 8 > end) return None
+        val sz32 = u32(p)
+        val (hdr, sz) =
+          if (sz32 == 1L) { // 64-bit largesize
+            if (p + 16 > end) return None
+            (16, u64(p + 8))
+          } else if (sz32 == 0L) (8, (end - p).toLong) // box extends to end
+          else (8, sz32)
+        if (sz < hdr || p + sz > end) return None
+        out += ((tag(p + 4), p + hdr, p + sz.toInt))
+        p += sz.toInt
+      }
+      Some(out.toList)
+    }
+    def child(cs: List[(String, Int, Int)], t: String): Option[(Int, Int)] =
+      cs.collectFirst { case (`t`, a, b) => (a, b) }
+    if (bytes.length < 8) return None
+    for {
+      top <- children(0, bytes.length)
+      _ <- child(top, "ftyp")
+      (ms, me) <- child(top, "moov")
+      moov <- children(ms, me)
+      (hs, he) <- child(moov, "mvhd")
+      // version-0 mvhd payload: ver/flags 4 + ctime 4 + mtime 4 +
+      // timescale 4 + duration 4
+      if he - hs >= 20 && u8(hs) == 0
+      traks = moov.collect { case ("trak", a, b) => (a, b) }
+      if traks.nonEmpty
+      first <- children(traks.head._1, traks.head._2)
+      (ts, te) <- child(first, "tkhd")
+      // version-0 tkhd payload: ver/flags 4, ctime 4, mtime 4, id 4,
+      // rsvd 4, duration 4, rsvd 8, layer/alt/vol/rsvd 8, matrix 36,
+      // then width/height as 16.16 fixed
+      if te - ts >= 84 && u8(ts) == 0
+      (mds, mde) <- child(first, "mdia")
+      mdia <- children(mds, mde)
+      (mis, mie) <- child(mdia, "minf")
+      minf <- children(mis, mie)
+      (sts, ste) <- child(minf, "stbl")
+      stbl <- children(sts, ste)
+      (sds, sde) <- child(stbl, "stsd")
+      // stsd payload: ver/flags 4 + entry_count 4, then the first
+      // sample entry's own (size, fourcc) header
+      if sde - sds >= 16 && u32(sds + 4) >= 1
+    } yield {
+      val timescale = u32(hs + 12)
+      val duration = u32(hs + 16)
+      Mp4Meta(timescale.toInt, duration,
+        if (timescale > 0) duration * 1000L / timescale else 0L,
+        traks.size, (u32(ts + 76) >> 16).toInt, (u32(ts + 80) >> 16).toInt,
+        tag(sds + 12))
+    }
+  }
+
+  /** Serialize a REAL minimal ISO-BMFF container: `ftyp`, a `free` box,
+    * the `mdat` payload BEFORE `moov` (so a fixed-offset "parser" fails
+    * — [[decodeMp4]] genuinely has to walk), then
+    * `moov(mvhd, trak(tkhd, mdia(mdhd, hdlr, minf(stbl(stsd(entry))))),
+    * …)`. One trak per (fourcc, width, height) triple, in order.
+    */
+  def encodeMp4(timescale: Int, durationUnits: Long,
+      tracks: Seq[(String, Int, Int)], mdat: Array[Byte]): Array[Byte] = {
+    def be32(v: Long): Array[Byte] = Array(
+      (v >>> 24).toByte, (v >>> 16).toByte, (v >>> 8).toByte, v.toByte)
+    def fourcc(s: String): Array[Byte] =
+      s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    def box(t: String, payload: Array[Byte]*): Array[Byte] = {
+      val n = 8L + payload.map(_.length.toLong).sum
+      (be32(n) ++ fourcc(t)) ++ payload.flatten
+    }
+    val mvhd = box("mvhd", Array[Byte](0, 0, 0, 0), // version 0 + flags
+      be32(0), be32(0), // ctime, mtime
+      be32(timescale.toLong), be32(durationUnits),
+      be32(0x00010000L), // rate 1.0
+      Array.fill[Byte](70)(0), // vol/rsvd/matrix/predefines
+      be32(tracks.size + 1L)) // next track id
+    val traks = tracks.zipWithIndex.map { case ((cc, w, h), i) =>
+      val tkhd = box("tkhd", Array[Byte](0, 0, 0, 7), // v0, enabled flags
+        be32(0), be32(0), be32(i + 1L), be32(0), be32(durationUnits),
+        Array.fill[Byte](8)(0), // reserved
+        Array.fill[Byte](8)(0), // layer/alt-group/volume/reserved
+        be32(0x00010000L), be32(0), be32(0), be32(0), be32(0x00010000L),
+        be32(0), be32(0), be32(0), be32(0x40000000L), // identity matrix
+        be32(w.toLong << 16), be32(h.toLong << 16))
+      val mdhd = box("mdhd", Array[Byte](0, 0, 0, 0),
+        be32(0), be32(0), be32(timescale.toLong), be32(durationUnits),
+        Array[Byte](0x55, 0xC4.toByte, 0, 0)) // language 'und' + predefined
+      val hdlr = box("hdlr", Array[Byte](0, 0, 0, 0), be32(0),
+        fourcc(if (cc == "mp4a") "soun" else "vide"),
+        Array.fill[Byte](12)(0), Array[Byte](0))
+      val entry = box(cc, Array.fill[Byte](6)(0), // sample-entry reserved
+        Array[Byte](0, 1)) // data-reference index
+      val stsd = box("stsd", Array[Byte](0, 0, 0, 0), be32(1), entry)
+      val stbl = box("stbl", stsd)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", mdhd, hdlr, minf)
+      box("trak", tkhd, mdia)
+    }
+    val moov = box("moov", (mvhd +: traks): _*)
+    val ftyp = box("ftyp", fourcc("isom"), be32(512), fourcc("isom"),
+      fourcc("iso2"))
+    val free = box("free", fourcc("GRFT"))
+    ftyp ++ free ++ box("mdat", mdat) ++ moov
+  }
+
+  /** Build a REAL MP4 media table from any (id, payload-string) source
+    * (no binary video ships in testdata): every container field is a
+    * pure integer function of the row — timescale `600 + (id mod
+    * 4)·100`, duration `chars·25` units, `1 + (id mod 2)` tracks, a
+    * first video track at `(160 + chars mod 480) × (120 + id mod 240)`
+    * with fourcc `[avc1, hev1, vp09][(id + chars) mod 3]` (plus an
+    * `mp4a` audio track on odd ids), mdat = the UTF-8 text — so an
+    * independent engine can verify the WALKER by recomputing the
+    * expected metadata from the text directly. Batched mapPartitions,
+    * the [[wavFromText]] shape.
+    */
+  def mp4FromText(df: DataFrame, idCol: String, textCol: String,
+      batchSize: Int = 64): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("media_id"),
+        coalesce(col(textCol), lit("")).as("__t"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.map { case (id, text) =>
+            val chars = text.codePointCount(0, text.length).toLong
+            val timescale = (600 + Math.floorMod(id, 4L) * 100).toInt
+            val video = (Seq("avc1", "hev1", "vp09")(
+              Math.floorMod(id + chars, 3L).toInt),
+              (160 + chars % 480).toInt,
+              (120 + Math.floorMod(id, 240L)).toInt)
+            val tracks =
+              if (Math.floorMod(id, 2L) == 1L) Seq(video, ("mp4a", 0, 0))
+              else Seq(video)
+            (id, encodeMp4(timescale, chars * 25, tracks,
+              text.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
+        }
+      }.toDF("media_id", "media")
+  }
+
+  /** Batched MP4 metadata extraction over a binary media column: REAL
+    * box walk via [[decodeMp4]]; rows whose payload is not a
+    * well-formed MP4 are DROPPED (modality dispatch by decode success —
+    * the [[extractAudioMeta]] contract).
+    */
+  def extractVideoMeta(media: DataFrame, batchSize: Int = 64): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.grouped(batchSize).flatMap { batch =>
+          batch.iterator.flatMap { case (id, bytes) =>
+            decodeMp4(bytes).map(m => (id, m.timescale, m.durationUnits,
+              m.durationMs, m.nTracks, m.width, m.height, m.codec))
+          }
+        }
+      }.toDF("media_id", "timescale", "duration_units", "duration_ms",
+        "n_tracks", "width", "height", "codec")
   }
 
   /** Batched WAV decode over a binary media column: REAL parse via

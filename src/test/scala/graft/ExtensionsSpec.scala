@@ -1149,6 +1149,45 @@ class ExtensionsSpec extends SparkTestBase {
     assert(out == Seq((1L, 140001L, 2L, 300)))
   }
 
+  test("multimodal REAL video path: ISO-BMFF box walk parses " +
+    "mvhd/tkhd/stsd through the full nesting (mdat before moov, free " +
+    "box, largesize), rejects malformed containers, and the " +
+    "distributed operator drops non-MP4 rows") {
+    import spark.implicits._
+    val mp4 = Multimodal.encodeMp4(timescale = 700, durationUnits = 2500L,
+      tracks = Seq(("avc1", 320, 240), ("mp4a", 0, 0)),
+      mdat = "payload".getBytes("UTF-8"))
+    val m = Multimodal.decodeMp4(mp4).get
+    assert((m.timescale, m.durationUnits, m.durationMs) == (700, 2500L, 3571L))
+    assert((m.nTracks, m.width, m.height, m.codec) == (2, 320, 240, "avc1"))
+
+    // 64-bit largesize spelling of the free box: size32 == 1 + 8-byte
+    // size — a walker that only reads size32 misparses everything after
+    val freeAt = mp4.indexOfSlice("free".getBytes) - 4
+    val freeSz = java.nio.ByteBuffer.wrap(mp4, freeAt, 4).getInt
+    val large = mp4.take(freeAt) ++
+      Array[Byte](0, 0, 0, 1) ++ "free".getBytes ++
+      java.nio.ByteBuffer.allocate(8).putLong(freeSz + 8L).array() ++
+      mp4.slice(freeAt + 8, freeAt + freeSz) ++ mp4.drop(freeAt + freeSz)
+    assert(Multimodal.decodeMp4(large).get.codec == "avc1")
+
+    // malformed: truncated, no moov, box overrun
+    assert(Multimodal.decodeMp4(mp4.take(6)).isEmpty)
+    assert(Multimodal.decodeMp4(mp4.take(freeAt)).isEmpty) // ftyp+nothing
+    val overrun = mp4.clone()
+    val moovAt = overrun.indexOfSlice("moov".getBytes) - 4
+    java.nio.ByteBuffer.wrap(overrun, moovAt, 4).putInt(Int.MaxValue)
+    assert(Multimodal.decodeMp4(overrun).isEmpty)
+
+    // distributed: MP4 rows parse, garbage rows drop (modality dispatch)
+    val media = Seq((1L, mp4), (2L, "not video".getBytes("UTF-8")))
+      .toDF("media_id", "media")
+    val out = Multimodal.extractVideoMeta(media)
+      .select("media_id", "n_tracks", "width", "height", "codec")
+      .as[(Long, Int, Int, Int, String)].collect().toSeq
+    assert(out == Seq((1L, 2, 320, 240, "avc1")))
+  }
+
   test("multimodal near-dup: identical payloads pair at cos 1.0 via the feature path") {
     import spark.implicits._
     val media = Multimodal.mediaFromText(docs, "doc_id", "text")
