@@ -794,6 +794,62 @@ object SparkEntry {
           grouping(col("o_month")).cast("int").as("g_month"))
     }),
 
+    // ---- CUBE: all 2³ grain combinations of (nation, year, month) in
+    //      ONE pass — same Expand-feeds-partial-aggregate plan shape as
+    //      q23's ROLLUP (plan-pinned), 8 grouping sets instead of 4.
+    //      Exact-integer measures; grouping flags disambiguate a real
+    //      NULL from a rolled-up level ----
+    "q24_cube_revenue" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      n.join(c, col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name"),
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          month(col("o_orderdate")).cast("int").as("o_month"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("rev"))
+        .cube(col("n_name"), col("o_year"), col("o_month"))
+        .agg(sum(col("rev")).as("revenue_e2"),
+          count(lit(1)).as("n_rows"),
+          grouping(col("n_name")).cast("int").as("g_nation"),
+          grouping(col("o_year")).cast("int").as("g_year"),
+          grouping(col("o_month")).cast("int").as("g_month"))
+    }),
+
+    // ---- arbitrary GROUPING SETS: the exact grain list a reporting
+    //      layer asks for — (nation, year), (nation), (month), () —
+    //      declared in SQL (the Dataset API exposes only rollup/cube;
+    //      grouping-set lists are a SQL surface in Spark as in every
+    //      engine), still one Expand + one aggregate, no self-union ----
+    "q25_grouping_sets" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val o = Tables.orders(s, dir)
+      val c = Tables.customer(s, dir)
+      val n = Tables.nation(s, dir)
+      n.join(c, col("c_nationkey") === col("n_nationkey"))
+        .join(o, col("o_custkey") === col("c_custkey"))
+        .join(li, col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name"),
+          year(col("o_orderdate")).cast("int").as("o_year"),
+          month(col("o_orderdate")).cast("int").as("o_month"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
+            .cast("long").as("rev"))
+        .createOrReplaceTempView("q25_f")
+      s.sql(
+        """SELECT n_name, o_year, o_month,
+          |  sum(rev) AS revenue_e2, count(1) AS n_rows,
+          |  CAST(grouping(n_name) AS INT) AS g_nation,
+          |  CAST(grouping(o_year) AS INT) AS g_year,
+          |  CAST(grouping(o_month) AS INT) AS g_month
+          |FROM q25_f
+          |GROUP BY GROUPING SETS ((n_name, o_year), (n_name),
+          |  (o_month), ())""".stripMargin)
+    }),
+
     // ---- TPC-H Q6 analog: the pure scan-efficiency headliner — every
     //      predicate pushes into the parquet scan (PushedFilters), only
     //      two columns are read, and the single global sum partial-
@@ -2824,7 +2880,18 @@ object SparkEntry {
     //      hash-fails, which is what makes the decode verifiable ----
     "mm_audio_meta" -> ((s, dir) =>
       Multimodal.extractAudioMeta(
-        Multimodal.wavFromText(Tables.documents(s, dir), "doc_id", "text")))
+        Multimodal.wavFromText(Tables.documents(s, dir), "doc_id", "text"))),
+
+    // ---- REAL video container metadata: the fixture builder
+    //      serializes genuine ISO-BMFF/MP4 containers (ftyp + free +
+    //      mdat-before-moov + full moov/trak/mdia/minf/stbl box trees)
+    //      whose every field is a pure integer function of the doc;
+    //      the operator box-walks them. The oracle recomputes the same
+    //      metadata from the text — a walker bug (wrong nesting, bad
+    //      offset, endianness, 16.16 fixed-point) hash-fails ----
+    "mm_video_meta" -> ((s, dir) =>
+      Multimodal.extractVideoMeta(
+        Multimodal.mp4FromText(Tables.documents(s, dir), "doc_id", "text")))
   )
 
   private val M = Tables.measurementsMonthlySql
@@ -4273,6 +4340,43 @@ object SparkEntry {
         |  CAST(GROUPING(o_year) AS INT) AS g_year,
         |  CAST(GROUPING(o_month) AS INT) AS g_month
         |FROM f GROUP BY ROLLUP(n_name, o_year, o_month)""".stripMargin,
+
+    "q24_cube_revenue" ->
+      """WITH f AS (SELECT n_name,
+        |    CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(month(o_orderdate) AS INT) AS o_month,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT) AS rev
+        |  FROM nation
+        |  JOIN customer ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey)
+        |SELECT n_name, o_year, o_month,
+        |  CAST(sum(rev) AS BIGINT) AS revenue_e2,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |  CAST(GROUPING(o_year) AS INT) AS g_year,
+        |  CAST(GROUPING(o_month) AS INT) AS g_month
+        |FROM f GROUP BY CUBE(n_name, o_year, o_month)""".stripMargin,
+
+    "q25_grouping_sets" ->
+      """WITH f AS (SELECT n_name,
+        |    CAST(year(o_orderdate) AS INT) AS o_year,
+        |    CAST(month(o_orderdate) AS INT) AS o_month,
+        |    CAST(floor(l_extendedprice * (1.0 - l_discount) * 100)
+        |      AS BIGINT) AS rev
+        |  FROM nation
+        |  JOIN customer ON c_nationkey = n_nationkey
+        |  JOIN orders ON o_custkey = c_custkey
+        |  JOIN lineitem ON l_orderkey = o_orderkey)
+        |SELECT n_name, o_year, o_month,
+        |  CAST(sum(rev) AS BIGINT) AS revenue_e2,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(GROUPING(n_name) AS INT) AS g_nation,
+        |  CAST(GROUPING(o_year) AS INT) AS g_year,
+        |  CAST(GROUPING(o_month) AS INT) AS g_month
+        |FROM f GROUP BY GROUPING SETS ((n_name, o_year), (n_name),
+        |  (o_month), ())""".stripMargin,
 
     "q6_forecast_revenue" ->
       """SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100)
@@ -6110,6 +6214,27 @@ object SparkEntry {
         |  coalesce(z.sum_sq, 0) AS sum_sq,
         |  coalesce(z.zc, 0) AS zero_crossings,
         |  coalesce(z.peak, 0) AS peak_abs
-        |FROM t LEFT JOIN z USING (media_id)""".stripMargin
+        |FROM t LEFT JOIN z USING (media_id)""".stripMargin,
+
+    // verifies the REAL MP4 box walker end-to-end: the Spark side
+    // round-trips text -> ISO-BMFF container -> box-walking parser ->
+    // integer metadata; the oracle recomputes the same fields from the
+    // text directly (every field is a pure integer function of
+    // (doc_id, length(text)) by the fixture's construction)
+    "mm_video_meta" ->
+      """WITH t AS (SELECT doc_id AS media_id,
+        |             length(coalesce(text, '')) AS n FROM documents)
+        |SELECT media_id,
+        |  CAST(600 + (media_id % 4) * 100 AS INT) AS timescale,
+        |  CAST(n * 25 AS BIGINT) AS duration_units,
+        |  CAST((n * 25 * 1000) // (600 + (media_id % 4) * 100)
+        |    AS BIGINT) AS duration_ms,
+        |  CAST(1 + (media_id % 2) AS INT) AS n_tracks,
+        |  CAST(160 + (n % 480) AS INT) AS width,
+        |  CAST(120 + (media_id % 240) AS INT) AS height,
+        |  CASE CAST((media_id + n) % 3 AS INT)
+        |    WHEN 0 THEN 'avc1' WHEN 1 THEN 'hev1' ELSE 'vp09'
+        |  END AS codec
+        |FROM t""".stripMargin
   )
 }

@@ -772,6 +772,26 @@ class PlanAuditSpec extends SparkTestBase {
       .exists(_.contains("HashAggregate")), p)
   }
 
+  test("cube + grouping sets share the rollup plan shape: one Expand " +
+    "feeds a map-side-combined partial aggregate (8 resp. 4 grouping " +
+    "sets in one pass, never a self-union per grain), no degenerate join") {
+    Seq("q24_cube_revenue", "q25_grouping_sets").foreach { q =>
+      val p = planned(q)
+      assert(p.contains("Expand"), p)
+      assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+      assert(!p.contains("CartesianProduct"), p)
+      assert(!p.contains("BroadcastNestedLoopJoin"), p)
+      assert(!p.contains("Union"), p)
+      val lines = p.linesIterator.toSeq
+      val expandIdx = lines.indexWhere(_.contains("Expand"))
+      val exchangeAbove = lines.take(expandIdx).lastIndexWhere(
+        _.contains("Exchange"))
+      assert(exchangeAbove >= 0, p)
+      assert(lines.slice(exchangeAbove + 1, expandIdx)
+        .exists(_.contains("HashAggregate")), p)
+    }
+  }
+
   test("exact-substring spans: anchor dedup is aggregate-gated — the " +
     "duplicate set comes from a partial+final count per fingerprint " +
     "(map-side combine collapses corpus-hot boilerplate anchors), the " +
