@@ -34,7 +34,7 @@ final class TxFileIndex(spark: SparkSession, wh: TxWarehouse, path: String)
   @volatile private var snap: Snap = load()
 
   private def load(): Snap = {
-    val (live, stats, blooms, sizes) = wh.indexSnapshot(spark, path)
+    val (live, stats, blooms, sizes, _) = wh.indexSnapshot(spark, path)
     // files lacking an `F` length (pre-F commits) pay one status call —
     // they age out with their next rewrite
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -85,13 +85,24 @@ object TxFileIndex {
     * without a footer sweep — else one footer-merging read), stock
     * parquet format underneath.
     */
-  def relation(spark: SparkSession, wh: TxWarehouse,
-      path: String): DataFrame = {
+  def relation(spark: SparkSession, wh: TxWarehouse, path: String,
+      bucketSpec: Option[org.apache.spark.sql.catalyst.catalog.BucketSpec] =
+        None): DataFrame = {
     val idx = new TxFileIndex(spark, wh, path)
     val schema = wh.recordedSchema(spark, path)
       .getOrElse(wh.read(spark, path).schema)
-    val rel = HadoopFsRelation(idx, new StructType(), schema, None,
+    // with a bucketSpec the scan DECLARES HashPartitioning(col, n) and
+    // groups files into one task per bucket via their name suffix —
+    // the stock storage-partitioned-join seam (readBucketed validates
+    // every live file was written under the spec before calling)
+    val rel = HadoopFsRelation(idx, new StructType(), schema, bucketSpec,
       new ParquetFileFormat, Map.empty[String, String])(spark)
-    org.apache.spark.sql.graftshim.RelationBridge.toDataFrame(spark, rel)
+    val df =
+      org.apache.spark.sql.graftshim.RelationBridge.toDataFrame(spark, rel)
+    // merge-on-read: subtract the snapshot's deletion vectors — same
+    // (basename, row ordinal) anti-join as every warehouse read; the
+    // DV-free table adds nothing to the plan
+    val (live, _, _, _, dvs) = wh.indexSnapshot(spark, path)
+    wh.applyDv(spark, df, dvs.view.filterKeys(live).toMap)
   }
 }

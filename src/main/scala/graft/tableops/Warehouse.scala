@@ -482,6 +482,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     var blooms = st0.blooms
     var props = st0.props
     var schemaJson = st0.schemaJson
+    var dvs = st0.dvs
     text.linesIterator.filter(_.nonEmpty).foreach { line =>
       if (line.startsWith("A ")) {
         val rest = line.substring(2)
@@ -493,6 +494,20 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
         stats -= rel
         sizes -= rel
         blooms -= rel
+        dvs -= rel
+      } else if (line.startsWith("D ")) {
+        // `D <payload> <rel>`: the file's DELETION VECTOR ([[FileDv]])
+        // — sorted deleted row ordinals, applied at every read. Same
+        // token-then-rel shape as `S`/`B`, last-one-wins per rel
+        // (each commit re-encodes the full merged vector); `D - rel`
+        // clears it (restore to a DV-free snapshot).
+        val rest = line.substring(2)
+        val sp = rest.indexOf(' ')
+        if (sp > 0) {
+          val payload = rest.substring(0, sp)
+          val rel = rest.substring(sp + 1)
+          if (payload == "-") dvs -= rel else dvs += (rel -> payload)
+        }
       } else if (line.startsWith("B ")) {
         // `B <payload> <rel>`: the file's bloom filter over the table's
         // bloom property column (FileBloom) — same token-then-rel shape
@@ -542,7 +557,7 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
             .orElse(schemaJson)
       }
     }
-    TxState(live, txns, stats, sizes, blooms, props, schemaJson)
+    TxState(live, txns, stats, sizes, blooms, props, schemaJson, dvs)
   }
 
   private def b64(s: String): String =
@@ -726,6 +741,8 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
         st.sizes.get(rel).map(len => s"F $len $rel")) ++
       st.live.keys.toSeq.sorted.flatMap(rel =>
         st.blooms.get(rel).map(b => s"B $b $rel")) ++
+      st.live.keys.toSeq.sorted.flatMap(rel =>
+        st.dvs.get(rel).map(d => s"D $d $rel")) ++
       st.props.toSeq.sorted.map { case (k, v) => s"P $k $v" } ++
       st.schemaJson.map(j => s"H ${b64(j)}").toSeq ++
       st.txns.toSeq.sorted.map { case (app, b) => s"T $app $b" }
@@ -899,13 +916,26 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
           case Some(j) => Seq(s"H ${b64(j)}")
           case None => Seq("H -")
         }
-      if (toAdd.isEmpty && toRemove.isEmpty && schemaLine.isEmpty) return
+      // deletion vectors are DATA state, not a property: files live in
+      // both snapshots must carry the TARGET's vector (or none) after
+      // the restore, or the rollback silently keeps later deletes
+      val dvLines = (target.live.keySet & cur.live.keySet).toSeq.sorted
+        .flatMap { rel =>
+          (target.dvs.get(rel), cur.dvs.get(rel)) match {
+            case (t, c) if t == c => Nil
+            case (Some(t), _) => Seq(s"D $t $rel")
+            case (None, Some(_)) => Seq(s"D - $rel")
+          }
+        }
+      if (toAdd.isEmpty && toRemove.isEmpty && schemaLine.isEmpty &&
+        dvLines.isEmpty) return
       val lines = toAdd.flatMap { rel =>
         Seq(s"A ${target.live(rel)} $rel") ++
           target.stats.get(rel).map(s => s"S $s $rel") ++
           target.sizes.get(rel).map(n => s"F $n $rel") ++
-          target.blooms.get(rel).map(b => s"B $b $rel")
-      } ++ toRemove.map(r => s"R $r") ++ schemaLine
+          target.blooms.get(rel).map(b => s"B $b $rel") ++
+          target.dvs.get(rel).map(d => s"D $d $rel")
+      } ++ toRemove.map(r => s"R $r") ++ dvLines ++ schemaLine
       if (tryCommit(f, path, v + 1, lines)) {
         maybeCheckpoint(spark, path, v + 1)
         return
@@ -970,7 +1000,8 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
         Seq(s"A $d ${reref(rel)}") ++
           st.stats.get(rel).map(s => s"S $s ${reref(rel)}") ++
           st.sizes.get(rel).map(n => s"F $n ${reref(rel)}") ++
-          st.blooms.get(rel).map(b => s"B $b ${reref(rel)}")
+          st.blooms.get(rel).map(b => s"B $b ${reref(rel)}") ++
+          st.dvs.get(rel).map(dd => s"D $dd ${reref(rel)}")
       } ++
         st.props.toSeq.sortBy(_._1).map { case (k, vv) => s"P $k $vv" } ++
         st.schemaJson.map(j => s"H ${b64(j)}").toSeq
@@ -999,8 +1030,13 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     */
   def readChangesBetween(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
-    val (liveFrom, liveTo) = liveSetsAt(spark, path, fromVersion, toVersion)
-    readFiles(spark, path, (liveTo.keySet -- liveFrom.keySet).toSeq.sorted)
+    val (stFrom, stTo) = statesAt(spark, path, fromVersion, toVersion)
+    // added files read under TO-version vectors (rows deleted again
+    // later must still appear to a consumer of THIS range; the later
+    // DV surfaces as a dvChanged delete in the next range's rowDiff)
+    readFilesDv(spark, path,
+      (stTo.live.keySet -- stFrom.live.keySet).toSeq.sorted, stTo.dvs,
+      ddlMapping(replay(spark, path)._2))
   }
 
   /** The RETRACTION-aware dual of [[readChangesBetween]]: both sides of
@@ -1020,13 +1056,22 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     */
   def diffSnapshots(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long): DataFrame = {
-    val (liveFrom, liveTo) = liveSetsAt(spark, path, fromVersion, toVersion)
-    val added = (liveTo.keySet -- liveFrom.keySet).toSeq.sorted
-    val removed = (liveFrom.keySet -- liveTo.keySet).toSeq.sorted
-    def side(rels: Seq[String], tag: String): Option[DataFrame] =
+    val (stFrom, stTo) = statesAt(spark, path, fromVersion, toVersion)
+    val dvChanged = dvChangedBetween(stFrom, stTo)
+    // a file whose deletion vector changed is a changed file: its rows
+    // appear on BOTH sides, each under that side's vector — survivors
+    // cancel in the consumer's own key diff exactly like a rewrite's
+    val added = (stTo.live.keySet -- stFrom.live.keySet).toSeq.sorted ++
+      dvChanged
+    val removed = (stFrom.live.keySet -- stTo.live.keySet).toSeq.sorted ++
+      dvChanged
+    val mapping = ddlMapping(replay(spark, path)._2)
+    def side(rels: Seq[String], tag: String, dvs: Map[String, String]):
+        Option[DataFrame] =
       if (rels.isEmpty) None
-      else Some(readFiles(spark, path, rels).withColumn("_change_type", lit(tag)))
-    (side(added, "insert"), side(removed, "delete")) match {
+      else Some(readFilesDv(spark, path, rels, dvs, mapping)
+        .withColumn("_change_type", lit(tag)))
+    (side(added, "insert", stTo.dvs), side(removed, "delete", stFrom.dvs)) match {
       case (Some(a), Some(d)) => a.unionByName(d, allowMissingColumns = true)
       case (Some(a), None) => a
       case (None, Some(d)) => d
@@ -1051,9 +1096,15 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   def rowDiff(spark: SparkSession, path: String, fromVersion: Long,
       toVersion: Long, keyCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "rowDiff needs at least one key column")
-    val (liveFrom, liveTo) = liveSetsAt(spark, path, fromVersion, toVersion)
-    val added = (liveTo.keySet -- liveFrom.keySet).toSeq.sorted
-    val removed = (liveFrom.keySet -- liveTo.keySet).toSeq.sorted
+    val (stFrom, stTo) = statesAt(spark, path, fromVersion, toVersion)
+    val liveFrom = stFrom.live
+    val liveTo = stTo.live
+    val dvChanged = dvChangedBetween(stFrom, stTo)
+    // DV-changed files enter both sides under their side's vector: a
+    // newly-vectored row keys only the FROM side -> 'delete', exactly
+    // the retraction a merge-on-read delete is
+    val added = (liveTo.keySet -- liveFrom.keySet).toSeq.sorted ++ dvChanged
+    val removed = (liveFrom.keySet -- liveTo.keySet).toSeq.sorted ++ dvChanged
     if (added.isEmpty && removed.isEmpty) {
       // honor the documented output schema even when no files changed:
       // key columns typed as in the table (falling back to string ONLY
@@ -1074,8 +1125,11 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       return keyed.withColumn("_change_type", lit(null).cast("string"))
         .limit(0)
     }
-    val dfA = if (removed.isEmpty) None else Some(readFiles(spark, path, removed))
-    val dfB = if (added.isEmpty) None else Some(readFiles(spark, path, added))
+    val mapping = ddlMapping(replay(spark, path)._2)
+    val dfA = if (removed.isEmpty) None
+      else Some(readFilesDv(spark, path, removed, stFrom.dvs, mapping))
+    val dfB = if (added.isEmpty) None
+      else Some(readFilesDv(spark, path, added, stTo.dvs, mapping))
     // the comparison struct spans the UNION of both sides' non-key
     // columns (absent = null), so a rewrite that merely ADDS an
     // all-null evolved column compares equal on every survivor instead
@@ -1110,21 +1164,35 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   private def liveSetsAt(spark: SparkSession, path: String,
       fromVersion: Long, toVersion: Long):
       (Map[String, String], Map[String, String]) = {
+    val (a, b) = statesAt(spark, path, fromVersion, toVersion)
+    (a.live, b.live)
+  }
+
+  private def statesAt(spark: SparkSession, path: String,
+      fromVersion: Long, toVersion: Long): (TxState, TxState) = {
     require(fromVersion <= toVersion,
       s"fromVersion $fromVersion > toVersion $toVersion")
-    val liveFrom: Map[String, String] =
-      if (fromVersion == 0L) Map.empty
+    val stFrom: TxState =
+      if (fromVersion == 0L) TxState.empty
       else {
-        val (vF, l) = state(spark, path, upTo = fromVersion)
+        val (vF, st) = replay(spark, path, upTo = fromVersion)
         require(vF == fromVersion,
           s"no version $fromVersion of $path (latest ≤ is $vF)")
-        l
+        st
       }
-    val (vT, liveTo) = state(spark, path, upTo = toVersion)
+    val (vT, stTo) = replay(spark, path, upTo = toVersion)
     require(vT == toVersion,
       s"no version $toVersion of $path (latest ≤ is $vT)")
-    (liveFrom, liveTo)
+    (stFrom, stTo)
   }
+
+  /** Files live at BOTH versions whose deletion vector changed in the
+    * range — merge-on-read's "changed file" for the CDC surfaces: no
+    * manifest membership moved, but the file's LOGICAL rows did.
+    */
+  private def dvChangedBetween(stFrom: TxState, stTo: TxState): Seq[String] =
+    (stFrom.live.keySet & stTo.live.keySet).toSeq.sorted
+      .filter(rel => stFrom.dvs.get(rel) != stTo.dvs.get(rel))
 
   /** Reclaim storage: delete data files that (a) are not referenced by
     * any of the newest `keepVersions` manifests — retired by rewrites/
@@ -1279,8 +1347,11 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val st = replay(spark, path)._2
     // keys is a SET — map to a Seq first or equal per-file counts
     // collapse before the sum
+    // merge-on-read: a file's logical rows = footer rows minus its
+    // deletion-vector cardinality — still exact, still metadata-only
     val counts = st.live.keys.toSeq.map(rel =>
-      st.stats.get(rel).flatMap(FileStats.decode).map(_.rows))
+      st.stats.get(rel).flatMap(FileStats.decode).map(_.rows -
+        st.dvs.get(rel).map(FileDv.cardinality).getOrElse(0L)))
     if (counts.exists(_.isEmpty)) None
     else Some(counts.flatten.sum)
   }
@@ -1297,7 +1368,8 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val st = replay(spark, path)._2
     val rows = st.live.toSeq.map { case (rel, d) =>
       (scala.util.Try(LocalDate.parse(d)).toOption,
-        st.stats.get(rel).flatMap(FileStats.decode).map(_.rows))
+        st.stats.get(rel).flatMap(FileStats.decode).map(_.rows -
+          st.dvs.get(rel).map(FileDv.cardinality).getOrElse(0L)))
     }
     if (rows.exists(r => r._1.isEmpty || r._2.isEmpty)) None
     else Some(rows.collect { case (Some(d), Some(n)) => (d, n) }
@@ -1331,6 +1403,10 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   def fastColumnStats(spark: SparkSession, path: String,
       column: String): Option[TxWarehouse.FastColumnStats] = {
     val st = replay(spark, path)._2
+    // merge-on-read: a deletion vector invalidates the footer's
+    // min/max/null proof (the extreme row may be the deleted one) —
+    // degrade to the scan, never answer from stale stats
+    if (st.live.keys.exists(st.dvs.contains)) return None
     // `column` is the LOGICAL name; stats payloads record PHYSICAL
     // names (zero-rewrite rename never touches footers), so resolve
     // through the ddl mapping like every read does. A tombstoned
@@ -1402,18 +1478,73 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     // fine — every caller either counts or guards with exists()
     if (rels.isEmpty) spark.emptyDataFrame
     else {
-      val raw = spark.read.option("mergeSchema", "true")
-        .parquet(rels.map(r => s"$path/$r").toSeq: _*)
-      // column-mapping reconciliation (zero-rewrite rename/drop): data
-      // files carry PHYSICAL names forever; present the LOGICAL view as
-      // of `upTo` (current by default; a time-travel read shows the
-      // names that version had). One global projection — the scan stays
-      // a single parquet relation, pushdown intact.
-      DdlOps.reconcileRead(raw,
-        DdlOps.mappingAt(
-          DdlOps.decode(replay(spark, path, upTo)._2.props.get(DdlOps.Key)),
-          upTo))
+      val st = replay(spark, path, upTo)._2
+      readFilesDv(spark, path, rels, st.dvs,
+        DdlOps.mappingAt(DdlOps.decode(st.props.get(DdlOps.Key)), upTo))
     }
+  }
+
+  /** [[readFiles]] with the deletion-vector map and ddl mapping chosen
+    * by the caller — the CDC diff reads each SIDE under its own
+    * version's vectors while keeping one (current) logical view.
+    */
+  private def readFilesDv(spark: SparkSession, path: String,
+      rels: Iterable[String], dvs: Map[String, String],
+      mapping: DdlOps.Mapping): DataFrame = {
+    if (rels.isEmpty) return spark.emptyDataFrame
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(rels.map(r => s"$path/$r").toSeq: _*)
+    // merge-on-read: subtract each file's deletion vector BEFORE the
+    // logical-view projection (metadata columns resolve only directly
+    // above the file relation)
+    val dvApplied = applyDv(spark, raw,
+      rels.flatMap(r => dvs.get(r).map(r -> _)).toMap)
+    // column-mapping reconciliation (zero-rewrite rename/drop): data
+    // files carry PHYSICAL names forever; present the LOGICAL view as
+    // of `upTo` (current by default; a time-travel read shows the
+    // names that version had). One global projection — the scan stays
+    // a single parquet relation, pushdown intact.
+    DdlOps.reconcileRead(dvApplied, mapping)
+  }
+
+  /** Apply deletion vectors to a raw file-source frame: anti-join on
+    * (file basename, row ordinal) against the decoded position set.
+    * `dvs` must already be restricted to the files being scanned —
+    * the common DV-free read adds NOTHING to the plan. Basenames are
+    * globally unique (every data file carries its write's UUID), so
+    * the key is exact; `_metadata.row_index` is the parquet reader's
+    * physical row ordinal — precisely the domain [[FileDv]] records.
+    * The deleted set is deleted-rows-sized (the merge-on-read
+    * contract), rides a broadcast below ~4M positions, and degrades to
+    * a shuffle anti-join above rather than a driver/executor OOM.
+    */
+  private[tableops] def applyDv(spark: SparkSession, raw: DataFrame,
+      dvs: Map[String, String]): DataFrame = {
+    if (dvs.isEmpty) raw
+    else {
+      val dvDf = dvPositions(spark, dvs)
+      val total = dvs.valuesIterator.map(FileDv.cardinality).sum
+      val keyed = raw
+        .withColumn("__graft_dv_file", col("_metadata.file_name"))
+        .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+      val joined =
+        if (total <= 4000000L)
+          keyed.join(broadcast(dvDf),
+            Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
+        else keyed.join(dvDf,
+          Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
+      joined.drop("__graft_dv_file", "__graft_dv_pos")
+    }
+  }
+
+  /** The decoded (file basename, row ordinal) frame of a DV map. */
+  private def dvPositions(spark: SparkSession,
+      dvs: Map[String, String]): DataFrame = {
+    import spark.implicits._
+    dvs.iterator.flatMap { case (rel, payload) =>
+      val base = rel.substring(rel.lastIndexOf('/') + 1)
+      FileDv.decode(payload).iterator.map(p => (base, p))
+    }.toSeq.toDF("__graft_dv_file", "__graft_dv_pos")
   }
 
   private def ddlMapping(st: TxState): DdlOps.Mapping =
@@ -1500,8 +1631,10 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
           match {
             case Some(tableSchema) if kept.nonEmpty =>
               DdlOps.reconcileRead(
-                spark.read.schema(tableSchema)
-                  .parquet(kept.map(r => s"$path/$r"): _*),
+                applyDv(spark,
+                  spark.read.schema(tableSchema)
+                    .parquet(kept.map(r => s"$path/$r"): _*),
+                  kept.flatMap(r => st.dvs.get(r).map(r -> _)).toMap),
                 ddlMapping(st))
                 .filter(predicate)
             // readFiles, not read(): the partition-filter guard already
@@ -1568,12 +1701,14 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     val phys = DdlOps.translateWrite(df, ddlMapping(st))
     TsTypeOverride.acquire(spark)
     try writeDataInner(spark, phys, path, dir,
-      st.props.getOrElse(PartitionSpecKey, "day"))
+      st.props.getOrElse(PartitionSpecKey, "day"),
+      st.props.get(BucketSpecKey).flatMap(decodeBucketSpec))
     finally TsTypeOverride.release(spark)
   }
 
   private def writeDataInner(spark: SparkSession, df: DataFrame,
-      path: String, dir: String, spec: String): (Seq[AddEntry], String) = {
+      path: String, dir: String, spec: String,
+      bucketSpec: Option[(Int, String)]): (Seq[AddEntry], String) = {
     // CHECK constraints validate DURING the write pass (observe counts
     // rows whose predicate is FALSE — SQL semantics: null passes), so
     // enforcement costs zero extra scans. A violation aborts before the
@@ -1603,8 +1738,25 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     // grain-agnostic.
     val partTok = if (spec == "month") date_format(col("date"), "yyyy-MM")
                   else col("date").cast("string")
-    checked.withColumn(PartCol, partTok)
-      .write.partitionBy(PartCol).parquet(s"$path/$dir")
+    // bucketed layout ([[setBucketSpec]]): cluster rows into n hash
+    // buckets of the bucket column — `pmod(hash(c), n)` is EXACTLY the
+    // partition-id expression of Spark's own HashPartitioning (Murmur3,
+    // seed 42), so a file's rows land where a shuffle on that key
+    // would, which is what lets the bucketed scan DECLARE the hash
+    // partitioning and joins skip their Exchange. The id rides a
+    // `__p_bucket=` dir level (manifest-parseable for point-lookup
+    // pruning) AND, post-write, the bucket file-name suffix the stock
+    // FileSourceScanExec derives bucket membership from.
+    val withDirs = bucketSpec match {
+      case Some((n, c)) =>
+        checked.withColumn(PartCol, partTok)
+          .withColumn(BucketCol, pmod(hash(col(c)), lit(n)))
+          .write.partitionBy(PartCol, BucketCol)
+      case None =>
+        checked.withColumn(PartCol, partTok).write.partitionBy(PartCol)
+    }
+    withDirs.parquet(s"$path/$dir")
+    if (bucketSpec.isDefined) renameBucketFiles(spark, s"$path/$dir")
     obs.foreach { o =>
       val bad = checks.flatMap { case (name, sql) =>
         val n = Option(o.get(s"__chk_$name")).map(_.asInstanceOf[Long])
@@ -1618,11 +1770,14 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     (listData(spark, path, dir), dir)
   }
 
-  /** Snapshot for [[TxFileIndex]]: (live rels, stats, blooms, sizes). */
+  /** Snapshot for [[TxFileIndex]]: (live rels, stats, blooms, sizes,
+    * deletion vectors).
+    */
   private[tableops] def indexSnapshot(spark: SparkSession, path: String):
-      (Set[String], Map[String, String], Map[String, String], Map[String, Long]) = {
+      (Set[String], Map[String, String], Map[String, String],
+        Map[String, Long], Map[String, String]) = {
     val st = replay(spark, path)._2
-    (st.live.keySet, st.stats, st.blooms, st.sizes)
+    (st.live.keySet, st.stats, st.blooms, st.sizes, st.dvs)
   }
 
   /** The manifest-recorded cumulative table schema, if any. */
@@ -1818,6 +1973,118 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
   /** The spec new writes will use (`day` unless evolved). */
   def partitionSpec(spark: SparkSession, path: String): String =
     tableProperty(spark, path, PartitionSpecKey).getOrElse("day")
+
+  /** BUCKETED LAYOUT (hash clustering — the Iceberg `bucket(n, col)`
+    * partition transform / Spark bucketBy, as a table property like the
+    * partition spec): every SUBSEQUENT write clusters its rows into
+    * `n` Murmur3 hash buckets of `col`, one `__p_bucket=` dir level
+    * under each date, file names carrying the bucket suffix Spark's
+    * scan convention expects. What it buys at 100 TB:
+    *
+    *  - [[readBucketed]] exposes the table as a relation that DECLARES
+    *    `HashPartitioning(col, n)` — a join of two tables bucketed to
+    *    the same n on their join keys runs with NO Exchange on either
+    *    side (storage-partitioned join): the shuffle was paid once at
+    *    write, not on every query;
+    *  - [[readBucketKey]] prunes a point lookup to the one bucket's
+    *    files from the MANIFEST alone (the rel path carries the
+    *    bucket), before stats/blooms even apply.
+    *
+    * Like [[setPartitionSpec]], flipping the property is one metadata
+    * commit and rewrites nothing: pre-existing files simply lack
+    * bucket ids, and [[readBucketed]] refuses mixed tables with a
+    * pointer at [[compact]] (a full-partition rewrite re-clusters
+    * under the current spec, the [[compactMonth]] discipline).
+    * The bucket column must be a top-level column; re-setting replaces
+    * n. Changing n orphans the old generation's ids the same way —
+    * rewrite before relying on the scan property.
+    */
+  def setBucketSpec(spark: SparkSession, path: String, col: String,
+      n: Int): Unit = {
+    require(n >= 2 && n <= 65536, s"bucket count out of range: $n")
+    require(col.nonEmpty && !col.exists(_.isWhitespace) && !col.contains(":"),
+      s"bad bucket column name: $col")
+    commitProperty(spark, path, BucketSpecKey, s"$n:$col")
+  }
+
+  /** The (n, col) bucket spec in force for new writes, if set. */
+  def bucketSpec(spark: SparkSession, path: String): Option[(Int, String)] =
+    tableProperty(spark, path, BucketSpecKey).flatMap(decodeBucketSpec)
+
+  /** The bucket id a rel path was written under, from its
+    * `__p_bucket=` segment (None for pre-spec generations).
+    */
+  private def bucketOf(rel: String): Option[Int] =
+    rel.split('/').collectFirst {
+      case seg if seg.startsWith(s"$BucketCol=") =>
+        seg.stripPrefix(s"$BucketCol=")
+    }.flatMap(t => scala.util.Try(t.toInt).toOption)
+
+  /** Inject the Spark bucket-file suffix (`_00003` before the
+    * extension chain) into every just-written file under `dir`, from
+    * its `__p_bucket=` dir — files are uncommitted, so the rename is
+    * invisible. The stock FileSourceScanExec derives bucket membership
+    * from exactly this name shape.
+    */
+  private def renameBucketFiles(spark: SparkSession, dir: String): Unit = {
+    val f = fs(spark, dir)
+    val it = f.listFiles(new Path(dir), true)
+    while (it.hasNext) {
+      val st = it.next()
+      val name = st.getPath.getName
+      if (st.isFile && name.endsWith(".parquet")) {
+        bucketOf(st.getPath.toString) foreach { b =>
+          val renamed = name.replaceFirst("\\.", f"_$b%05d.")
+          if (renamed != name)
+            require(f.rename(st.getPath,
+              new Path(st.getPath.getParent, renamed)),
+              s"bucket rename failed: ${st.getPath}")
+        }
+      }
+    }
+  }
+
+  /** The table as a BUCKET-AWARE relation: a [[TxFileIndex]] scan that
+    * declares `HashPartitioning(col, n)`, so Catalyst elides the
+    * Exchange under joins/aggregations keyed on the bucket column —
+    * the storage-partitioned join. Requires every live file to carry
+    * the current spec's bucket id (mixed generations would silently
+    * mis-bucket; rewrite first). Deletion vectors apply as everywhere.
+    */
+  def readBucketed(spark: SparkSession, path: String): DataFrame = {
+    val (_, st) = replay(spark, path)
+    val (n, c) = st.props.get(BucketSpecKey).flatMap(decodeBucketSpec)
+      .getOrElse(throw new IllegalStateException(
+        s"$path has no bucket spec — setBucketSpec first"))
+    val unbucketed = st.live.keys.filterNot(r => bucketOf(r).exists(_ < n))
+    require(unbucketed.isEmpty,
+      s"$path has ${unbucketed.size} live file(s) not written under the " +
+        s"current bucket spec ($n buckets on $c) — rewrite them first " +
+        "(compact with smallBytes = Long.MaxValue re-clusters a partition)")
+    TxFileIndex.relation(spark, this, path,
+      Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(n, Seq(c), Nil)))
+  }
+
+  /** Manifest-only bucket pruning for a point lookup: read ONLY the
+    * files of `value`'s bucket (then stats/blooms/row filters apply as
+    * usual on that slice). The bucket id is computed with the SAME
+    * catalyst expression the writer used, so it is exact by
+    * construction.
+    */
+  def readBucketKey(spark: SparkSession, path: String,
+      value: Any): DataFrame = {
+    val (_, st) = replay(spark, path)
+    val (n, c) = st.props.get(BucketSpecKey).flatMap(decodeBucketSpec)
+      .getOrElse(throw new IllegalStateException(
+        s"$path has no bucket spec — setBucketSpec first"))
+    val b = spark.range(1)
+      .select(pmod(hash(lit(value)), lit(n)).cast("int")).head().getInt(0)
+    // pre-spec files (no bucket id) must stay in scope — the key could
+    // live anywhere in them
+    val mine = st.live.keys.filter(r =>
+      bucketOf(r).forall(_ == b)).toSeq.sorted
+    readFiles(spark, path, mine).filter(col(c) === lit(value))
+  }
 
   /** The month-grain manifest token covering `date`. */
   private def monthTok(date: LocalDate): String =
@@ -2124,6 +2391,114 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     deleted
   }
 
+  /** MERGE-ON-READ predicate DELETE — [[deleteWhere]]'s deletion-vector
+    * sibling (Delta DV / Iceberg position-delete semantics, both public
+    * designs): instead of rewriting every file that holds a matching
+    * row, commit each hit file's matching ROW ORDINALS as a `D`
+    * manifest line ([[FileDv]]). Write cost is O(deleted rows) — a
+    * 10-row GDPR delete into a 1 GB file writes a ~15-byte vector, not
+    * a gigabyte — at the price of one (file, ordinal) anti-join on
+    * subsequent reads of the vectored files, until a rewrite
+    * ([[compact]], [[compactMonth]], merge, CoW DML) folds the vector
+    * back into data bytes and retires it with the file.
+    *
+    * Every read path honors vectors: read/readWhere/readPartition,
+    * time travel (a vector is versioned state — [[readAt]] below the
+    * delete still sees the rows; [[restoreTo]] rolls vectors back),
+    * CDC ([[rowDiff]]/[[diffSnapshots]] treat a vector change as a
+    * changed file), [[cloneTo]], the manifest fast counts (exact
+    * cardinality subtraction), and [[readRelation]].
+    *
+    * Same tiers 1–2 as [[deleteWhere]] (stats+bloom manifest pruning,
+    * then ONE pruned scan); tier 3 collects the matching ordinals —
+    * bounded by `maxDeleteRows`, because the position set is
+    * driver-held commit state by design (the merge-on-read contract:
+    * SMALL deletes; a predicate matching half the table wants the CoW
+    * [[deleteWhere]], and the guard says so rather than OOM). Vectors
+    * are CUMULATIVE: a second delete on the same file re-encodes the
+    * union inside the optimistic-commit retry loop, so concurrent DV
+    * commits on one file converge instead of last-writer-losing-rows.
+    * Snapshot isolation and liveness fencing are [[deleteWhere]]'s.
+    *
+    * @return number of rows deleted.
+    */
+  def deleteWhereMor(spark: SparkSession, path: String,
+      predicate: org.apache.spark.sql.Column,
+      maxDeleteRows: Long = 10000000L): Long = {
+    val (_, st0) = replay(spark, path)
+    require(st0.live.nonEmpty || exists(spark, path), s"no such table: $path")
+    val pred = org.apache.spark.sql.graftshim.PredicateBridge.normalize(predicate)
+    require(!st0.props.get(RequireFilterKey).exists(_ == "true") ||
+        mentionsPartitionCol(pred),
+      s"table $path sets requirePartitionFilter: the deleteWhereMor " +
+        "predicate must reference the `date` partition column")
+    if (st0.live.isEmpty) return 0L
+    val (hitRels, deleted) = dmlHits(spark, path, st0, predicate, pred)
+    if (hitRels.isEmpty) return 0L
+    require(deleted <= maxDeleteRows,
+      s"deleteWhereMor on $path matches $deleted rows (> maxDeleteRows " +
+        s"$maxDeleteRows): a delete this large wants the copy-on-write " +
+        "deleteWhere (rewrite cost ≈ vector cost there), or raise the cap")
+    // tier 3 (merge-on-read): the matching ordinals per hit file — the
+    // SAME (basename, row_index) key applyDv subtracts on. Key the scan
+    // ONCE (metadata columns resolve only directly above the file
+    // relation), subtract each file's EXISTING vector with the same
+    // anti-join, so the collected positions are only the newly-deleted.
+    val keyed = spark.read.option("mergeSchema", "true")
+        .parquet(hitRels.map(r => s"$path/$r"): _*)
+      .withColumn("__graft_dv_file", col("_metadata.file_name"))
+      .withColumn("__graft_dv_pos", col("_metadata.row_index"))
+    val existing = hitRels.flatMap(r => st0.dvs.get(r).map(r -> _)).toMap
+    val minus =
+      if (existing.isEmpty) keyed
+      else keyed.join(broadcast(dvPositions(spark, existing)),
+        Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
+    val collected = DdlOps.reconcileRead(minus, ddlMapping(st0))
+      .filter(predicate)
+      .select(col("__graft_dv_file"), col("__graft_dv_pos"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val byBase = collected.groupBy(_._1).map { case (b, xs) =>
+      b -> xs.map(_._2).sorted
+    }
+    val relOfBase = hitRels.map(r =>
+      r.substring(r.lastIndexOf('/') + 1) -> r).toMap
+    // commit loop: re-merge with the CURRENT vector each attempt (a
+    // concurrent DV commit on the same file is absorbed, not clobbered)
+    val f = fs(spark, path)
+    var attempts = 0
+    while (attempts < MaxCommitAttempts) {
+      val (v, st) = replay(spark, path)
+      val retired = hitRels.filterNot(st.live.contains)
+      if (retired.nonEmpty)
+        throw new ConcurrentCommitException(
+          s"deleteWhereMor on $path planned against ${hitRels.size} " +
+            s"files of which ${retired.size} were retired by a " +
+            "concurrent rewrite — re-run against fresh state")
+      val lines = byBase.toSeq.sortBy(_._1).map { case (base, ps) =>
+        val rel = relOfBase.getOrElse(base, throw new IllegalStateException(
+          s"cannot map scanned file back to a manifest entry: $base"))
+        s"D ${FileDv.merge(st.dvs.get(rel), ps)} $rel"
+      }
+      if (tryCommit(f, path, v + 1, lines)) {
+        maybeCheckpoint(spark, path, v + 1)
+        return deleted
+      }
+      attempts += 1
+    }
+    throw new IllegalStateException(
+      s"commit contention: $MaxCommitAttempts failed attempts on $path")
+  }
+
+  /** Per-file deletion-vector cardinalities of the current snapshot —
+    * the maintenance probe's view of outstanding merge-on-read debt
+    * (a compaction sweep folds it back to zero).
+    */
+  def deletionVectorStats(spark: SparkSession,
+      path: String): Map[String, Long] =
+    replay(spark, path)._2.dvs.map { case (rel, p) =>
+      rel -> FileDv.cardinality(p)
+    }
+
   /** Copy-on-write predicate UPDATE — [[deleteWhere]]'s sibling for
     * `UPDATE t SET c = expr, … WHERE p`. Same three narrowing tiers
     * (manifest stats+bloom pruning → one pruned scan for the files that
@@ -2214,13 +2589,18 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
     require(targetBytes > 0, "targetBytes must be positive")
     val small = if (smallBytes > 0L) smallBytes else targetBytes / 2
     val (_, st0) = replay(spark, path)
+    // a file carrying a deletion vector qualifies REGARDLESS of size
+    // (and alone): compaction is what folds merge-on-read debt back
+    // into data bytes — Delta's OPTIMIZE does the same with its DVs
     val byDate: Map[String, Seq[String]] = st0.live.toSeq
       .filter { case (rel, d) =>
         date.forall(_.toString == d) &&
-          st0.sizes.get(rel).exists(_ < small)
+          (st0.sizes.get(rel).exists(_ < small) || st0.dvs.contains(rel))
       }
       .groupBy(_._2)
-      .collect { case (d, files) if files.size >= minFiles =>
+      .collect { case (d, files)
+          if files.size >= minFiles ||
+            files.exists(f => st0.dvs.contains(f._1)) =>
         d -> files.map(_._1).sorted
       }
     if (byDate.isEmpty) return (0, 0)
@@ -2723,6 +3103,16 @@ object TxWarehouse {
   private val PartCol = "__p_date"
   private val RequireFilterKey = "requirePartitionFilter"
   private val PartitionSpecKey = "graft.partitionSpec"
+  private val BucketCol = "__p_bucket"
+  private val BucketSpecKey = "graft.bucketSpec"
+
+  /** `<n>:<col>` property token -> (n, col); None on malformed. */
+  private def decodeBucketSpec(tok: String): Option[(Int, String)] = {
+    val i = tok.indexOf(':')
+    if (i <= 0 || i == tok.length - 1) None
+    else scala.util.Try(tok.substring(0, i).toInt).toOption
+      .map(n => (n, tok.substring(i + 1)))
+  }
 
   /** Reference-counted session override of
     * `spark.sql.parquet.outputTimestampType`: the conf is SESSION-wide,
@@ -2777,11 +3167,12 @@ object TxWarehouse {
   private final case class TxState(live: Map[String, String],
       txns: Map[String, Long], stats: Map[String, String],
       sizes: Map[String, Long], blooms: Map[String, String],
-      props: Map[String, String], schemaJson: Option[String])
+      props: Map[String, String], schemaJson: Option[String],
+      dvs: Map[String, String])
   private object TxState {
     val empty: TxState =
       TxState(Map.empty, Map.empty, Map.empty, Map.empty, Map.empty,
-        Map.empty, None)
+        Map.empty, None, Map.empty)
   }
 
   /** One to-be-committed file: manifest `A` entry + optional `S` stats

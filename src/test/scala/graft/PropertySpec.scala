@@ -605,4 +605,75 @@ class PropertySpec extends SparkTestBase {
       }
     }
   }
+
+  test("deletion-vector model check: interleaved MoR deletes, CoW " +
+    "deletes, merges, and compaction folds match a key-value model at " +
+    "every step, and time travel replays every intermediate state") {
+    import graft.tableops.TxWarehouse
+    val D = Date.valueOf("2024-01-01")
+    sealed trait Op
+    case class MorDel(keys: Set[Long]) extends Op
+    case class CowDel(keys: Set[Long]) extends Op
+    case class Ups(kv: Map[Long, Long]) extends Op
+    case object Fold extends Op
+    val keys = 0L until 60L
+    val genOp: Gen[Op] = Gen.frequency(
+      3 -> Gen.someOf(keys).map(ks => MorDel(ks.toSet)),
+      2 -> Gen.someOf(keys).map(ks => CowDel(ks.toSet)),
+      2 -> (for {
+        ks <- Gen.someOf(keys)
+        vs <- Gen.listOfN(ks.size, Gen.choose(0L, 999L))
+      } yield Ups(ks.zip(vs).toMap)),
+      1 -> Gen.const(Fold))
+    val genRun = Gen.choose(3, 5).flatMap(n => Gen.listOfN(n, genOp))
+
+    samples(genRun, 3).zipWithIndex.foreach { case (ops, i) =>
+      val root =
+        java.nio.file.Files.createTempDirectory(s"graft-dvmodel$i").toString
+      val wh = new TxWarehouse(root)
+      val path = wh.tablePath("m", "t")
+      var model: Map[Long, Long] = keys.map(_ -> 0L).toMap
+      wh.append(spark,
+        model.toSeq.map { case (k, v) => (k, v, D) }.toDF("k", "v", "date")
+          .repartition(4, col("k") % 4), path)
+      def readBack(): Map[Long, Long] =
+        wh.read(spark, path).select("k", "v").as[(Long, Long)]
+          .collect().toMap
+      var history = List(wh.currentVersion(spark, path) -> model)
+      ops.foreach { op =>
+        val v0 = wh.currentVersion(spark, path)
+        op match {
+          case MorDel(ks) if ks.nonEmpty =>
+            wh.deleteWhereMor(spark, path,
+              col("k").isin(ks.toSeq.map(x => x: Any): _*))
+            model = model -- ks
+          case CowDel(ks) if ks.nonEmpty =>
+            wh.deleteWhere(spark, path,
+              col("k").isin(ks.toSeq.map(x => x: Any): _*))
+            model = model -- ks
+          case Ups(kv) if kv.nonEmpty =>
+            wh.mergeInto(spark,
+              kv.toSeq.map { case (k, v) => (k, v, D) }
+                .toDF("k", "v", "date"), path, Seq("k"))
+            model = model ++ kv
+          case Fold =>
+            wh.compact(spark, path, smallBytes = 1L): Unit
+            assert(wh.deletionVectorStats(spark, path).isEmpty,
+              s"fold left vectors standing (ops=$ops)")
+          case _ => () // empty key set: no-op
+        }
+        if (wh.currentVersion(spark, path) != v0)
+          history ::= wh.currentVersion(spark, path) -> model
+        assert(readBack() == model, s"ops so far: $ops")
+        // the manifest fast count must track the model exactly
+        assert(wh.fastRowCount(spark, path).forall(_ == model.size.toLong),
+          s"fastRowCount diverged (ops=$ops)")
+      }
+      history.foreach { case (v, m) =>
+        val got = wh.readAt(spark, path, v).select("k", "v")
+          .as[(Long, Long)].collect().toMap
+        assert(got == m, s"time travel to v$v diverged (ops=$ops)")
+      }
+    }
+  }
 }
