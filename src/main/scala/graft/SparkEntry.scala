@@ -415,6 +415,79 @@ object SparkEntry {
             .as("sum_price_e2"))
     }),
 
+    // ---- S24: merge-on-read DELETION VECTORS — the O(deleted rows)
+    //      predicate delete. History: v1 = append, v2 = deleteWhereMor
+    //      commits each hit file's row ordinals as a `D` manifest line
+    //      (no data file touched), v3 = compact folds the vectors back
+    //      into data bytes. The query reads BOTH states — time travel
+    //      to v2 exercises the read-time (file, ordinal) anti-join,
+    //      the current read proves the fold is row-identical — so one
+    //      oracle gate pins vector application AND compaction folding ----
+    "s24_delete_vectors" -> ((s, dir) => {
+      val root = s"/root/repo/target/s24_dv/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val tbl = wh.tablePath("bench", "orders")
+      if (wh.currentVersion(s, tbl) < 3L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val o = Tables.orders(s, dir)
+          .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01")))
+        wh.append(s, o.repartitionByRange(8, col("o_orderkey")), tbl) // v1
+        wh.deleteWhereMor(s, tbl, // v2: vectors only, zero rewrite
+          col("o_orderstatus") === "F" &&
+            pmod(col("o_orderkey"), lit(10)) === 3)
+        wh.compact(s, tbl, smallBytes = 1L): Unit // v3: fold vectors
+      }
+      def agg(df: org.apache.spark.sql.DataFrame, stage: String) =
+        df.groupBy(col("o_orderstatus").as("o_status"))
+          .agg(count(lit(1)).as("n_rows"),
+            sum(col("o_orderkey")).as("sum_key"),
+            sum(floor(col("o_totalprice") * 100).cast("long"))
+              .as("sum_price_e2"))
+          .withColumn("stage", lit(stage))
+      agg(wh.readAt(s, tbl, 2L), "mor")
+        .unionByName(agg(wh.read(s, tbl), "folded"))
+    }),
+
+    // ---- S25: bucketed layout + STORAGE-PARTITIONED JOIN — both
+    //      tables hash-clustered on their join key at write time
+    //      (setBucketSpec: pmod(murmur3, 8) dir level + Spark's bucket
+    //      file-name convention), so the fact-fact join runs with NO
+    //      Exchange on either side: the shuffle was paid once at
+    //      ingest, not per query. The plan pin asserts the elision;
+    //      this oracle gate pins the VALUES (co-bucketing must place
+    //      every key on both sides in the same bucket id or rows
+    //      silently vanish — the hash-function-parity hazard) ----
+    "s25_bucket_join" -> ((s, dir) => {
+      val root = s"/root/repo/target/s25_bucket/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val to = wh.tablePath("bench", "orders")
+      val tl = wh.tablePath("bench", "lineitem")
+      if (wh.currentVersion(s, to) < 2L || wh.currentVersion(s, tl) < 2L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val d = java.sql.Date.valueOf("2024-01-01")
+        wh.setBucketSpec(s, to, "o_orderkey", 8) // v1
+        wh.append(s, Tables.orders(s, dir) // v2
+          .select(col("o_orderkey"), col("o_orderstatus"))
+          .withColumn("date", lit(d)), to)
+        wh.setBucketSpec(s, tl, "l_orderkey", 8) // v1
+        wh.append(s, Tables.lineitem(s, dir) // v2
+          .select(col("l_orderkey"), col("l_quantity"),
+            col("l_extendedprice"))
+          .withColumn("date", lit(d)), tl)
+      }
+      wh.readBucketed(s, to)
+        .join(wh.readBucketed(s, tl),
+          col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderstatus").as("o_status"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(floor(col("l_quantity") * 100).cast("long")).as("sum_qty_e2"),
+          sum(floor(col("l_extendedprice") * 100).cast("long"))
+            .as("sum_price_e2"))
+    }),
+
     // ---- S20: RESTORE TABLE — the metadata-only undo. History: v1 =
     //      even-key day 1, v2 = odd-key day 2, v3 = day 1 deleted (the
     //      "oops"), v4 = restoreTo(2) resurrecting it in one manifest
@@ -2131,6 +2204,46 @@ object SparkEntry {
         Bm25Queries, k = 10)
     }),
 
+    // ---- CHANGE-FEED-DRIVEN index maintenance: the postings/stats
+    //      index tracks a LIVE tx docs table through its manifest
+    //      diff — day-2 append, then a deletion-vector correction —
+    //      each increment merging only the changed documents'
+    //      postings (O(changed files), watermarked exactly-once on
+    //      both tables). The oracle recomputes BM25 over the FINAL
+    //      corpus from scratch, so an increment that missed a
+    //      vanished term, double-counted a stats delta, or leaked a
+    //      deleted doc's postings hash-fails ----
+    "tx_bm25_incremental" -> ((s, dir) => {
+      val root = s"/root/repo/target/bm25_incr/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val docsT = wh.tablePath("corpus", "docs")
+      val post = wh.tablePath("index", "postings")
+      val stat = wh.tablePath("index", "stats")
+      val App = "bm25incr"
+      if (wh.lastTxn(s, post, App) < 3L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+        wh.append(s, docs.filter(col("doc_id") < 300) // v1: day 1
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01"))),
+          docsT)
+        graft.operators.Retrieval.indexDocsIncremental(s, wh, post, stat,
+          docsT, "doc_id", "text", App,
+          java.time.LocalDate.parse("2024-01-01")) // full build
+        wh.append(s, // v2: day 2
+          docs.filter(col("doc_id") >= 300 && col("doc_id") < 500)
+            .withColumn("date", lit(java.sql.Date.valueOf("2024-01-02"))),
+          docsT)
+        wh.deleteWhereMor(s, docsT, // v3: MoR correction across days
+          pmod(col("doc_id"), lit(7)) === 0)
+        graft.operators.Retrieval.indexDocsIncremental(s, wh, post, stat,
+          docsT, "doc_id", "text", App,
+          java.time.LocalDate.parse("2024-01-02")) // v1 -> v3 increment
+      }
+      graft.operators.Retrieval.bm25TopKIndexed(s, wh, post, stat,
+        Bm25Queries, k = 10)
+    }),
+
     // ---- hybrid retrieval: reciprocal-rank fusion of the BM25 arm
     //      (probe document's own text as the query, self excluded) and
     //      the dense cosine arm (probe's embedding) — RRF k₀ = 60,
@@ -2946,15 +3059,17 @@ object SparkEntry {
     * literals so DuckDB computes in DOUBLE, not DECIMAL) — the
     * quantize-before-sum contributions then match bit-for-bit.
     */
-  private def bm25Sql(k: Int, k1: String = "1.2e0", b: String = "0.75e0"): String = {
+  private def bm25Sql(k: Int, k1: String = "1.2e0", b: String = "0.75e0",
+      corpus: String = "documents"): String = {
     val qvals = Bm25Queries.flatMap { case (qid, text) =>
       text.split("\\s+").filter(_.nonEmpty).distinct.map(t => s"($qid, '$t')")
     }.mkString(", ")
-    s"""WITH t AS (SELECT doc_id, unnest($W) AS term FROM documents),
+    s"""WITH corpus AS (SELECT * FROM $corpus),
+       |t AS (SELECT doc_id, unnest($W) AS term FROM corpus),
        |tt AS (SELECT doc_id, term FROM t WHERE length(term) > 0),
        |tf AS (SELECT doc_id, term, count(*) AS tf FROM tt GROUP BY doc_id, term),
        |dl AS (SELECT doc_id, count(*) AS dl FROM tt GROUP BY doc_id),
-       |nn AS (SELECT count(DISTINCT doc_id) AS n FROM documents),
+       |nn AS (SELECT count(DISTINCT doc_id) AS n FROM corpus),
        |al AS (SELECT count(*) AS tot FROM tt),
        |dfq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
        |q(query_id, term) AS (VALUES $qvals),
@@ -4264,6 +4379,30 @@ object SparkEntry {
         |WHERE date BETWEEN DATE '2024-01-30' AND DATE '2024-02-03'
         |GROUP BY date""".stripMargin,
 
+    "s24_delete_vectors" ->
+      """WITH base AS (SELECT o_orderstatus AS o_status,
+        |    count(*) AS n_rows,
+        |    CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
+        |    CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS sum_price_e2
+        |  FROM orders
+        |  WHERE NOT (o_orderstatus = 'F' AND o_orderkey % 10 = 3)
+        |  GROUP BY o_orderstatus)
+        |SELECT o_status, n_rows, sum_key, sum_price_e2, 'mor' AS stage
+        |FROM base
+        |UNION ALL
+        |SELECT o_status, n_rows, sum_key, sum_price_e2, 'folded' AS stage
+        |FROM base""".stripMargin,
+
+    "s25_bucket_join" ->
+      """SELECT o_orderstatus AS o_status, count(*) AS n_lines,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_qty_e2,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_price_e2
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+
     "s14_time_prune" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
         |  CAST(sum(o_orderkey) AS BIGINT) AS sum_key,
@@ -5217,6 +5356,11 @@ object SparkEntry {
     // the indexed variant must reproduce the inline ranking EXACTLY —
     // one oracle serves both
     "tx_bm25_indexed" -> bm25Sql(10),
+
+    // the incrementally-maintained index must equal a from-scratch
+    // BM25 over the FINAL corpus: days 1+2 minus the MoR-deleted ids
+    "tx_bm25_incremental" -> bm25Sql(10, corpus =
+      "(SELECT * FROM documents WHERE doc_id < 500 AND doc_id % 7 <> 0)"),
 
     "tx_hybrid_rrf" -> hybridRrfSql(probeMax = 8L, kEach = 10, kOut = 10),
 

@@ -142,6 +142,108 @@ object Retrieval {
     wh.overwritePartition(spark, stats, statsPath, date): Unit
   }
 
+  /** CHANGE-FEED-DRIVEN index maintenance — [[indexDocs]]'s incremental
+    * dual: instead of re-deriving a whole day when anything in it
+    * changes, consume the docs table's manifest diff since the last
+    * indexed version and merge only the CHANGED documents' postings.
+    * A mid-day correction (a deletion-vector GDPR delete, a merge
+    * upsert, a dedup rewrite) then costs O(changed files), never a
+    * day — the `s18_incr_agg` exactly-once pattern applied to the
+    * retrieval index family.
+    *
+    * Mechanics per increment (docs table moved v₀ → v₁, where v₀ is
+    * the watermark the LAST increment committed under `appId`):
+    *
+    *  - `diffSnapshots(v₀, v₁)` yields insert/delete-tagged rows of
+    *    exactly the changed files — deletion-vector changes included
+    *    (each side reads under its own version's vectors);
+    *  - both sides re-tokenize INTO postings; the delta change set is
+    *    (all insert-side postings as upserts) ∪ (delete-side keys with
+    *    no insert-side counterpart as deletes) — so a rewritten doc's
+    *    vanished terms are deleted, surviving terms upserted with
+    *    fresh tf/dl, and untouched documents never appear;
+    *  - [[graft.tableops.TxWarehouse.mergeIntoTxn]] applies the delta
+    *    keyed (term, doc_id) carrying `T appId v₁` — a crashed/
+    *    replayed increment is a no-op (exactly-once index contents);
+    *  - the stats table gets a DELTA row (Δn_docs, Δterm_tot) via
+    *    `appendTxn` under the same watermark: [[bm25TopKIndexed]] SUMS
+    *    stats rows, so deltas compose with the full-build rows.
+    *
+    * First call (no watermark) degenerates to the full build. Assumes
+    * the docs table's `idCol` is unique per snapshot (the mergeInto
+    * invariant the warehouse already enforces for keyed tables).
+    *
+    * @return true when an increment was applied, false when the index
+    *         was already at the docs table's head.
+    */
+  def indexDocsIncremental(spark: SparkSession,
+      wh: graft.tableops.TxWarehouse, postingsPath: String,
+      statsPath: String, docsPath: String, idCol: String, textCol: String,
+      appId: String, statsDate: java.time.LocalDate): Boolean = {
+    val v1 = wh.currentVersion(spark, docsPath)
+    // resume point = the LAGGING of the two watermarks: a crash between
+    // the postings merge and the stats append re-runs the increment,
+    // the merge skips on ITS watermark, and the stats delta lands —
+    // exactly-once on both tables without a cross-table transaction
+    val v0 = math.max(0L, math.min(
+      wh.lastTxn(spark, postingsPath, appId),
+      wh.lastTxn(spark, statsPath, appId)))
+    if (v1 <= v0) return false
+    val changes = wh.diffSnapshots(spark, docsPath, v0, v1)
+      .select(col(idCol).as("doc_id"), col(textCol).as("__text"),
+        col("date"), col("_change_type"))
+      .persist()
+    try {
+      def postingsOf(side: String): DataFrame = {
+        val terms = changes.filter(col("_change_type") === side)
+          .select(col("doc_id"), col("date"),
+            explode(toks("__text")).as("term"))
+          .filter(length(col("term")) > 0)
+        val tf = terms.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"), first(col("date")).as("date"))
+        val dl = terms.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        tf.join(dl, Seq("doc_id"))
+          .select(col("term"), col("doc_id"), col("tf"), col("dl"),
+            col("date"))
+      }
+      val newPost = postingsOf("insert").persist()
+      val oldPost = postingsOf("delete")
+      try {
+        // keys present before but not after: DELETE (covers vanished
+        // docs AND vanished terms of rewritten docs)
+        val gone = oldPost.select(col("term"), col("doc_id"))
+          .join(newPost.select(col("term"), col("doc_id")),
+            Seq("term", "doc_id"), "left_anti")
+          .select(col("term"), col("doc_id"),
+            lit(null).cast("long").as("tf"),
+            lit(null).cast("long").as("dl"),
+            lit(null).cast("date").as("date"),
+            lit(true).as("__del"))
+        val delta = newPost.withColumn("__del", lit(false))
+          .unionByName(gone)
+        wh.mergeIntoTxn(spark, delta, postingsPath,
+          Seq("term", "doc_id"), Some("__del"), appId, v1): Unit
+        // stats delta: net document count (rewrite survivors cancel)
+        // and net token count — bm25TopKIndexed sums stats rows, so a
+        // delta row composes with full-build rows
+        val insD = changes.filter(col("_change_type") === "insert")
+          .select(col("doc_id")).distinct()
+        val delD = changes.filter(col("_change_type") === "delete")
+          .select(col("doc_id")).distinct()
+        val nNew = insD.join(delD, Seq("doc_id"), "left_anti").count()
+        val nGone = delD.join(insD, Seq("doc_id"), "left_anti").count()
+        val tokIns = newPost.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+        val tokDel = oldPost.agg(coalesce(sum(col("tf")), lit(0L))).head().getLong(0)
+        import spark.implicits._
+        val statsDelta = Seq((nNew - nGone, tokIns - tokDel,
+            java.sql.Date.valueOf(statsDate)))
+          .toDF("n_docs", "term_tot", "date")
+        wh.appendTxn(spark, statsDelta, statsPath, appId, v1): Unit
+        true
+      } finally { newPost.unpersist(): Unit }
+    } finally { changes.unpersist(): Unit }
+  }
+
   /** BM25 top-k over the MATERIALIZED index — value-identical to
     * [[bm25TopK]] on the same corpus (same statistics, same float
     * evaluation order, same quantize-before-sum), but the corpus text

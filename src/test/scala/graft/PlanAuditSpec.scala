@@ -772,6 +772,34 @@ class PlanAuditSpec extends SparkTestBase {
       .exists(_.contains("HashAggregate")), p)
   }
 
+  test("storage-partitioned join: the co-bucketed scans declare the " +
+    "hash partitioning — NO Exchange on either join key anywhere in " +
+    "the plan (the only shuffle is the group-by above the join)") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = planned("s25_bucket_join")
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"), p)
+      assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey"), p)
+      // exactly the aggregation's exchange survives
+      assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+      assert(p.contains("Bucketed: true"), p)
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("deletion-vector read: a DV-free table plans the IDENTICAL scan " +
+    "(no anti-join, no metadata columns) — merge-on-read costs nothing " +
+    "until a vector exists") {
+    val p = planned("s15_delete_where") // CoW table: never has vectors
+    assert(!p.contains("__graft_dv"), p)
+    // the DV query's vectored stage reads through the anti-join; its
+    // folded stage must NOT (compaction retired the vectors)
+    val q = planned("s24_delete_vectors")
+    assert(q.contains("_metadata") || !q.contains("__graft_dv"), q)
+  }
+
   test("cube + grouping sets share the rollup plan shape: one Expand " +
     "feeds a map-side-combined partial aggregate (8 resp. 4 grouping " +
     "sets in one pass, never a self-union per grain), no degenerate join") {

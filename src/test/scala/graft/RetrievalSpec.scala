@@ -143,4 +143,52 @@ class RetrievalSpec extends SparkTestBase {
     assert(rows(Retrieval.bm25TopKIndexed(spark, wh, post, stat, qs, 3))
       == inline, "re-ingest must be idempotent")
   }
+
+  test("change-feed-driven maintenance: increments through appends, a " +
+    "rewrite, and a deletion-vector correction equal a from-scratch " +
+    "index of the final corpus; replays are no-ops") {
+    val D1 = java.sql.Date.valueOf("2024-01-01")
+    val day = java.time.LocalDate.parse("2024-01-01")
+    val root = java.nio.file.Files.createTempDirectory("graft-bm25inc").toString
+    val wh = new graft.tableops.TxWarehouse(root)
+    val docsT = wh.tablePath("c", "docs")
+    val post = wh.tablePath("ix", "postings")
+    val stat = wh.tablePath("ix", "stats")
+    def incr() = Retrieval.indexDocsIncremental(spark, wh, post, stat,
+      docsT, "doc_id", "text", "app", day)
+    // v1: bootstrap = full build
+    wh.append(spark, corpus.filter(col("doc_id") <= 2)
+      .withColumn("date", lit(D1)), docsT)
+    assert(incr())
+    assert(!incr(), "at head: increment must be a no-op")
+    // v2: append more docs; v3: REWRITE doc 1's text (merge upsert —
+    // old terms must vanish, new ones appear); v4: MoR-delete doc 2
+    wh.append(spark, corpus.filter(col("doc_id") > 2)
+      .withColumn("date", lit(D1)), docsT)
+    wh.mergeInto(spark,
+      Seq((1L, "melon melon fig")).toDF("doc_id", "text")
+        .withColumn("date", lit(D1)),
+      docsT, Seq("doc_id"))
+    wh.deleteWhereMor(spark, docsT, col("doc_id") === 2L)
+    assert(incr())
+    // reference: from-scratch index over the FINAL corpus
+    val finalCorpus = wh.read(spark, docsT).select("doc_id", "text")
+    val root2 = java.nio.file.Files.createTempDirectory("graft-bm25inc2").toString
+    val wh2 = new graft.tableops.TxWarehouse(root2)
+    val (post2, stat2) = (wh2.tablePath("ix", "p"), wh2.tablePath("ix", "s"))
+    Retrieval.indexDocs(spark, wh2, post2, stat2, finalCorpus,
+      "doc_id", "text", day)
+    val qs = Seq((1, "apple"), (2, "durian cherry"), (3, "melon"))
+    def rows(w: graft.tableops.TxWarehouse, p: String, st: String) =
+      Retrieval.bm25TopKIndexed(spark, w, p, st, qs, 3)
+        .select("query_id", "doc_id", "score_e4", "rank")
+        .as[(Int, Long, Long, Int)].collect().toSet
+    assert(rows(wh, post, stat) == rows(wh2, post2, stat2))
+    // the postings tables agree row-for-row, not just through the query
+    val a = wh.read(spark, post).select("term", "doc_id", "tf", "dl")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val b = wh2.read(spark, post2).select("term", "doc_id", "tf", "dl")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(a == b, s"postings diverged: ${a -- b} vs ${b -- a}")
+  }
 }
