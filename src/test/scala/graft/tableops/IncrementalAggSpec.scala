@@ -111,6 +111,25 @@ class IncrementalAggSpec extends graft.SparkTestBase {
     assert(viewRows(wh, view) == converged)
   }
 
+  test("merge-on-read retraction: a deletion-vector delete surfaces " +
+    "through diffSnapshots as a changed file and the maintained view " +
+    "converges to the model — no silent divergence, no group leak") {
+    val (wh, src, view) = fresh("ivmdv")
+    wh.append(spark, Seq(("a", 1L, D1), ("a", 2L, D1), ("b", 10L, D1),
+      ("c", 5L, D1)).toDF("g", "v", "date").coalesce(1), src)
+    maintain(wh, src, view)
+    assert(viewRows(wh, view) == model(wh, src))
+    // vector-delete one of a's rows and ALL of c's (group death via DV)
+    wh.deleteWhereMor(spark, src, col("v") === 2L || col("g") === "c")
+    maintain(wh, src, view)
+    assert(viewRows(wh, view) == model(wh, src))
+    assert(viewRows(wh, view) == Map("a" -> (1L, 1L), "b" -> (1L, 10L)))
+    // fold the vector; the rewrite churn must net to zero delta
+    wh.compact(spark, src, smallBytes = 1L): Unit
+    maintain(wh, src, view)
+    assert(viewRows(wh, view) == model(wh, src))
+  }
+
   test("rewrite cancellation: compaction churn nets to zero — maintain " +
     "returns None (no merge commit), view identical") {
     val (wh, src, view) = fresh("ivm4")
