@@ -1552,6 +1552,46 @@ object SparkEntry {
         .select("doc_id", "lang", "source", "n_chars")
     }),
 
+    // ---- the signature index as a LIVE tx table maintained by the
+    //      docs table's change feed: day-1 seed, day-2 append, then a
+    //      deletion-vector correction — each increment merges only the
+    //      changed documents' signature rows (O(changed files),
+    //      watermarked exactly-once). The probe then runs against the
+    //      maintained index; the oracle recomputes the decisions from
+    //      the FINAL seen corpus, so an index that drifted (kept a
+    //      deleted doc's signatures, missed an appended day) changes
+    //      the kept-set and hash-fails ----
+    "dd_incremental_feed" -> ((s, dir) => {
+      val root = s"/root/repo/target/dd_incr_feed/${new java.io.File(dir).getName}"
+      val wh = new graft.tableops.TxWarehouse(root)
+      val docsT = wh.tablePath("corpus", "docs")
+      val idxT = wh.tablePath("index", "signatures")
+      val App = "sigidx"
+      val docs = Tables.documents(s, dir)
+      if (wh.lastTxn(s, idxT, App) < 3L) {
+        val hp = new org.apache.hadoop.fs.Path(root)
+        hp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(hp, true)
+        val seen = docs.filter(col("doc_id") % 2 === 0)
+          .select(col("doc_id"), col("text"))
+        wh.append(s, seen.filter(col("doc_id") < 300) // v1: day 1
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-01"))),
+          docsT)
+        graft.operators.TextDedup.nearDupIndexIncremental(s, wh, idxT,
+          docsT, "doc_id", "text", App) // full build
+        wh.append(s, seen.filter(col("doc_id") >= 300) // v2: day 2
+          .withColumn("date", lit(java.sql.Date.valueOf("2024-01-02"))),
+          docsT)
+        wh.deleteWhereMor(s, docsT, // v3: MoR correction
+          pmod(col("doc_id"), lit(10)) === 6)
+        graft.operators.TextDedup.nearDupIndexIncremental(s, wh, idxT,
+          docsT, "doc_id", "text", App) // v1 -> v3 increment
+      }
+      graft.operators.TextDedup.incrementalNearDupFilterIndexed(
+        docs.filter(col("doc_id") % 2 === 1), wh.read(s, idxT),
+        "doc_id", "text")
+        .select("doc_id", "lang", "source", "n_chars")
+    }),
+
     // ---- dedup family: embedding-cosine near-dup ----
     // exact within a predicate-bounded subset (oracled); the scale path is
     // the random-hyperplane LSH below (rows-only driver check — the
@@ -3750,6 +3790,41 @@ object SparkEntry {
     """id, "date", parser_time, l_orderkey, l_partkey, l_suppkey, l_linenumber,
       | l_quantity, l_extendedprice, l_returnflag, l_linestatus""".stripMargin
 
+  /** Shared incremental-dedup oracle: odd doc_ids are the new batch;
+    * `seenCond(col)` scopes the SEEN corpus (the materialized-index
+    * variants evolve it through appends and deletes).
+    */
+  private def ddIncrementalSql(seenCond: String => String): String =
+    s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
+       |s AS (SELECT doc_id, $ShingleSql AS sh FROM t),
+       |h AS (SELECT doc_id, list_transform(sh, x -> ${md5LongSql("x")}) AS hl
+       |      FROM s),
+       |sg AS (SELECT doc_id,
+       |        [list_min(list_transform(hl, x -> CAST(concat('0x',
+       |           substr(md5(concat(CAST(i // 2 AS VARCHAR), '#',
+       |                             CAST(x AS VARCHAR))),
+       |                  1 + 15 * (i % 2), 15)) AS BIGINT)))
+       |         for i in range(0, 16)] AS sig
+       |       FROM h),
+       |b AS (SELECT doc_id, u.b AS band,
+       |        array_to_string(sig[u.b * 4 + 1 : u.b * 4 + 4], ',') AS bucket
+       |      FROM sg, unnest([0, 1, 2, 3]) AS u(b)),
+       |seenfp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
+       |           WHERE ${seenCond("doc_id")}),
+       |cand AS (SELECT DISTINCT n.doc_id AS new_id, sn.doc_id AS seen_id
+       |         FROM b n JOIN b sn ON n.band = sn.band AND n.bucket = sn.bucket
+       |         WHERE n.doc_id % 2 = 1 AND ${seenCond("sn.doc_id")}),
+       |bad AS (SELECT DISTINCT c.new_id FROM cand c
+       |        JOIN h ha ON ha.doc_id = c.new_id
+       |        JOIN h hb ON hb.doc_id = c.seen_id
+       |        WHERE CAST(floor(len(list_intersect(ha.hl, hb.hl)) * 10000.0 /
+       |          (len(ha.hl) + len(hb.hl) - len(list_intersect(ha.hl, hb.hl))))
+       |          AS BIGINT) >= 5000)
+       |SELECT doc_id, lang, source, n_chars FROM documents
+       |WHERE doc_id % 2 = 1
+       |  AND md5(lower(trim(text))) NOT IN (SELECT fp FROM seenfp)
+       |  AND doc_id NOT IN (SELECT new_id FROM bad)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "w1_dedup_keepset" ->
       s"""WITH m AS ($M),
@@ -5524,70 +5599,18 @@ object SparkEntry {
     // incremental dedup: odd doc_ids are the new batch, even the seen
     // corpus; a new doc is dropped on an exact-fingerprint match or a
     // band-bucket collision whose md5-shingle Jaccard clears the bar
-    "dd_incremental" ->
-      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
-         |s AS (SELECT doc_id, $ShingleSql AS sh FROM t),
-         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5LongSql("x")}) AS hl
-         |      FROM s),
-         |sg AS (SELECT doc_id,
-         |        [list_min(list_transform(hl, x -> CAST(concat('0x',
-         |           substr(md5(concat(CAST(i // 2 AS VARCHAR), '#',
-         |                             CAST(x AS VARCHAR))),
-         |                  1 + 15 * (i % 2), 15)) AS BIGINT)))
-         |         for i in range(0, 16)] AS sig
-         |       FROM h),
-         |b AS (SELECT doc_id, u.b AS band,
-         |        array_to_string(sig[u.b * 4 + 1 : u.b * 4 + 4], ',') AS bucket
-         |      FROM sg, unnest([0, 1, 2, 3]) AS u(b)),
-         |seenfp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
-         |           WHERE doc_id % 2 = 0),
-         |cand AS (SELECT DISTINCT n.doc_id AS new_id, sn.doc_id AS seen_id
-         |         FROM b n JOIN b sn ON n.band = sn.band AND n.bucket = sn.bucket
-         |         WHERE n.doc_id % 2 = 1 AND sn.doc_id % 2 = 0),
-         |bad AS (SELECT DISTINCT c.new_id FROM cand c
-         |        JOIN h ha ON ha.doc_id = c.new_id
-         |        JOIN h hb ON hb.doc_id = c.seen_id
-         |        WHERE CAST(floor(len(list_intersect(ha.hl, hb.hl)) * 10000.0 /
-         |          (len(ha.hl) + len(hb.hl) - len(list_intersect(ha.hl, hb.hl))))
-         |          AS BIGINT) >= 5000)
-         |SELECT doc_id, lang, source, n_chars FROM documents
-         |WHERE doc_id % 2 = 1
-         |  AND md5(lower(trim(text))) NOT IN (SELECT fp FROM seenfp)
-         |  AND doc_id NOT IN (SELECT new_id FROM bad)""".stripMargin,
+    "dd_incremental" -> ddIncrementalSql(c => s"$c % 2 = 0"),
 
     // the indexed variant makes the SAME decisions as dd_incremental (the
     // index stores exactly the signatures the inline path derives), so
     // its oracle is the same query
-    "dd_incremental_indexed" ->
-      s"""WITH t AS (SELECT doc_id, $W AS w FROM documents),
-         |s AS (SELECT doc_id, $ShingleSql AS sh FROM t),
-         |h AS (SELECT doc_id, list_transform(sh, x -> ${md5LongSql("x")}) AS hl
-         |      FROM s),
-         |sg AS (SELECT doc_id,
-         |        [list_min(list_transform(hl, x -> CAST(concat('0x',
-         |           substr(md5(concat(CAST(i // 2 AS VARCHAR), '#',
-         |                             CAST(x AS VARCHAR))),
-         |                  1 + 15 * (i % 2), 15)) AS BIGINT)))
-         |         for i in range(0, 16)] AS sig
-         |       FROM h),
-         |b AS (SELECT doc_id, u.b AS band,
-         |        array_to_string(sig[u.b * 4 + 1 : u.b * 4 + 4], ',') AS bucket
-         |      FROM sg, unnest([0, 1, 2, 3]) AS u(b)),
-         |seenfp AS (SELECT DISTINCT md5(lower(trim(text))) AS fp FROM documents
-         |           WHERE doc_id % 2 = 0),
-         |cand AS (SELECT DISTINCT n.doc_id AS new_id, sn.doc_id AS seen_id
-         |         FROM b n JOIN b sn ON n.band = sn.band AND n.bucket = sn.bucket
-         |         WHERE n.doc_id % 2 = 1 AND sn.doc_id % 2 = 0),
-         |bad AS (SELECT DISTINCT c.new_id FROM cand c
-         |        JOIN h ha ON ha.doc_id = c.new_id
-         |        JOIN h hb ON hb.doc_id = c.seen_id
-         |        WHERE CAST(floor(len(list_intersect(ha.hl, hb.hl)) * 10000.0 /
-         |          (len(ha.hl) + len(hb.hl) - len(list_intersect(ha.hl, hb.hl))))
-         |          AS BIGINT) >= 5000)
-         |SELECT doc_id, lang, source, n_chars FROM documents
-         |WHERE doc_id % 2 = 1
-         |  AND md5(lower(trim(text))) NOT IN (SELECT fp FROM seenfp)
-         |  AND doc_id NOT IN (SELECT new_id FROM bad)""".stripMargin,
+    "dd_incremental_indexed" -> ddIncrementalSql(c => s"$c % 2 = 0"),
+
+    // maintained-index variant: the seen corpus evolved through an
+    // append and a deletion-vector correction — final seen set is
+    // even ids minus (id % 10 == 6)
+    "dd_incremental_feed" ->
+      ddIncrementalSql(c => s"$c % 2 = 0 AND $c % 10 <> 6"),
 
     // DuckDB quoted strings keep backslashes literal, so the shared
     // pattern embeds verbatim

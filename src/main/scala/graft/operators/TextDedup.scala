@@ -717,6 +717,53 @@ object TextDedup {
       col("__hl"))
   }
 
+  /** CHANGE-FEED maintenance of a MATERIALIZED [[nearDupIndex]] held as
+    * a tx-warehouse table — the dedup-index analog of
+    * [[graft.operators.Retrieval.indexDocsIncremental]]: consume the
+    * docs table's manifest diff since the last indexed version
+    * (deletion-vector changes included) and merge only the CHANGED
+    * documents' signature rows, keyed on the doc id (one index row per
+    * document). A correction to the archive — a GDPR vector delete, a
+    * merge upsert, a dedup rewrite — then costs O(changed files), and
+    * [[incrementalNearDupFilterIndexed]] probes an index that TRACKS
+    * the archive instead of drifting from it (a stale index makes the
+    * incremental filter both under-delete, missing new seen docs, and
+    * over-delete against corpses). Watermarked exactly-once via the
+    * merge's `T appId version` marker; first call is the full build.
+    *
+    * @return true when an increment was applied.
+    */
+  def nearDupIndexIncremental(spark: org.apache.spark.sql.SparkSession,
+      wh: graft.tableops.TxWarehouse, indexPath: String, docsPath: String,
+      idCol: String, textCol: String, appId: String,
+      numHashes: Int = 16, bands: Int = 4): Boolean = {
+    val v1 = wh.currentVersion(spark, docsPath)
+    val v0 = math.max(0L, wh.lastTxn(spark, indexPath, appId))
+    if (v1 <= v0) return false
+    val changes = wh.diffSnapshots(spark, docsPath, v0, v1)
+      .select(col(idCol), col(textCol), col("date"), col("_change_type"))
+      .persist()
+    try {
+      val ins = changes.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      val delIds = changes.filter(col("_change_type") === "delete")
+        .select(col(idCol)).distinct()
+      // upserts: fresh signature rows for every insert-side doc (a
+      // rewritten doc's row is replaced whole — one row per doc, so no
+      // vanished-subkey bookkeeping applies); deletes: delete-side docs
+      // with no insert-side counterpart
+      val upserts = nearDupIndex(ins, idCol, textCol, numHashes, bands)
+        .join(ins.select(col(idCol), col("date")), Seq(idCol))
+        .withColumn("__del", lit(false))
+      val gone = delIds
+        .join(ins.select(col(idCol)).distinct(), Seq(idCol), "left_anti")
+        .withColumn("__del", lit(true))
+      val delta = upserts.unionByName(gone, allowMissingColumns = true)
+      wh.mergeIntoTxn(spark, delta, indexPath, Seq(idCol), Some("__del"),
+        appId, v1).isDefined
+    } finally { changes.unpersist(): Unit }
+  }
+
   /** [[incrementalNearDupFilter]] probing a materialized [[nearDupIndex]]
     * instead of the seen corpus' raw text — decision-identical for an
     * index built with the same (numHashes, bands) (spec-asserted), but

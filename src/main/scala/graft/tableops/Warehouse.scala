@@ -2439,31 +2439,109 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       s"deleteWhereMor on $path matches $deleted rows (> maxDeleteRows " +
         s"$maxDeleteRows): a delete this large wants the copy-on-write " +
         "deleteWhere (rewrite cost ≈ vector cost there), or raise the cap")
-    // tier 3 (merge-on-read): the matching ordinals per hit file — the
-    // SAME (basename, row_index) key applyDv subtracts on. Key the scan
-    // ONCE (metadata columns resolve only directly above the file
-    // relation), subtract each file's EXISTING vector with the same
-    // anti-join, so the collected positions are only the newly-deleted.
+    // tier 3 (merge-on-read): the matching ordinals per hit file
+    collectAndCommitDvs(spark, path, st0, hitRels, "deleteWhereMor",
+      _.filter(predicate))
+    deleted
+  }
+
+  /** KEYED merge-on-read DELETE — [[deleteWhereMor]] driven by a key
+    * FRAME instead of a predicate (the CDC/right-to-erasure-by-id
+    * path; [[mergeInto]]'s delete half without the file rewrite).
+    * Pruning is [[mergeInto]]'s (exact `In` on the leading key up to
+    * `maxInKeys` distinct values, [min,max] ranges on the rest, blooms
+    * when installed); the matching ordinals semi-join the broadcast
+    * key set and commit as vectors — an increment-sized delete costs
+    * O(deleted rows) regardless of how many gigabytes the hit files
+    * hold. Same cumulative-vector commit discipline and `maxDeleteRows`
+    * guard as [[deleteWhereMor]].
+    *
+    * @return number of rows deleted.
+    */
+  def deleteKeysMor(spark: SparkSession, keys: DataFrame, path: String,
+      keyCols: Seq[String], maxInKeys: Int = 10000,
+      maxDeleteRows: Long = 10000000L): Long = {
+    require(keyCols.nonEmpty, "deleteKeysMor needs at least one key column")
+    val (_, st0) = replay(spark, path)
+    require(st0.live.nonEmpty || exists(spark, path), s"no such table: $path")
+    if (st0.live.isEmpty) return 0L
+    val k = keys.select(keyCols.map(col): _*).distinct().persist()
+    try {
+      if (k.isEmpty) return 0L
+      // the mergeInto prune predicate: exact In on the lead key when
+      // small, ranges otherwise + per-trailing-column ranges
+      val lead = keyCols.head
+      val leadVals = k.select(col(lead)).distinct()
+        .limit(maxInKeys + 1).collect().map(_.get(0))
+      val leadPred =
+        if (leadVals.length <= maxInKeys) col(lead).isin(leadVals.toSeq: _*)
+        else {
+          val mm = k.agg(min(col(lead)), max(col(lead))).head()
+          col(lead).between(lit(mm.get(0)), lit(mm.get(1)))
+        }
+      val prunePred = keyCols.tail.foldLeft(leadPred) { (acc, c) =>
+        val mm = k.agg(min(col(c)), max(col(c))).head()
+        if (mm.isNullAt(0)) acc
+        else acc && col(c).between(lit(mm.get(0)), lit(mm.get(1)))
+      }
+      val pred = org.apache.spark.sql.graftshim.PredicateBridge
+        .normalize(prunePred)
+      val statsPred = DdlOps.toPhysicalPred(pred, ddlMapping(st0))
+      val candidates = st0.live.keys.filter { rel =>
+        (st0.stats.get(rel).flatMap(FileStats.decode) match {
+          case Some(p) => FileStats.mayMatch(p, statsPred)
+          case None => true
+        }) && st0.blooms.get(rel).forall(FileBloom.mayMatch(_, statsPred))
+      }.toSeq.sorted
+      if (candidates.isEmpty) return 0L
+      val deleted = collectAndCommitDvs(spark, path, st0, candidates,
+        "deleteKeysMor", df => df.join(broadcast(k), keyCols, "left_semi"),
+        maxDeleteRows = maxDeleteRows)
+      deleted
+    } finally { k.unpersist(): Unit }
+  }
+
+  /** Shared merge-on-read tier 3: key the candidate scan with
+    * (basename, row ordinal) metadata columns ONCE, subtract each
+    * file's EXISTING vector with the same anti-join every read uses
+    * (so collected positions are only the newly-deleted), apply the
+    * caller's match transform, collect, and commit `D` lines — the
+    * vector re-merged against CURRENT state inside the optimistic
+    * retry loop, so concurrent DV commits on one file converge instead
+    * of last-writer-losing-rows. Files with no matching row get no
+    * line and keep their bytes and vector untouched.
+    *
+    * @return number of rows newly deleted.
+    */
+  private def collectAndCommitDvs(spark: SparkSession, path: String,
+      st0: TxState, rels: Seq[String], opName: String,
+      matchRows: DataFrame => DataFrame,
+      maxDeleteRows: Long = Long.MaxValue): Long = {
     val keyed = spark.read.option("mergeSchema", "true")
-        .parquet(hitRels.map(r => s"$path/$r"): _*)
+        .parquet(rels.map(r => s"$path/$r"): _*)
       .withColumn("__graft_dv_file", col("_metadata.file_name"))
       .withColumn("__graft_dv_pos", col("_metadata.row_index"))
-    val existing = hitRels.flatMap(r => st0.dvs.get(r).map(r -> _)).toMap
+    val existing = rels.flatMap(r => st0.dvs.get(r).map(r -> _)).toMap
     val minus =
       if (existing.isEmpty) keyed
       else keyed.join(broadcast(dvPositions(spark, existing)),
         Seq("__graft_dv_file", "__graft_dv_pos"), "left_anti")
-    val collected = DdlOps.reconcileRead(minus, ddlMapping(st0))
-      .filter(predicate)
+    val collected = matchRows(DdlOps.reconcileRead(minus, ddlMapping(st0)))
       .select(col("__graft_dv_file"), col("__graft_dv_pos"))
       .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (collected.isEmpty) return 0L
+    require(collected.length <= maxDeleteRows,
+      s"$opName on $path matches ${collected.length} rows (> " +
+        s"maxDeleteRows $maxDeleteRows): a delete this large wants a " +
+        "copy-on-write rewrite, or raise the cap")
     val byBase = collected.groupBy(_._1).map { case (b, xs) =>
       b -> xs.map(_._2).sorted
     }
-    val relOfBase = hitRels.map(r =>
+    val relOfBase = rels.map(r =>
       r.substring(r.lastIndexOf('/') + 1) -> r).toMap
-    // commit loop: re-merge with the CURRENT vector each attempt (a
-    // concurrent DV commit on the same file is absorbed, not clobbered)
+    val hitRels = byBase.keys.map(b => relOfBase.getOrElse(b,
+      throw new IllegalStateException(
+        s"cannot map scanned file back to a manifest entry: $b"))).toSeq
     val f = fs(spark, path)
     var attempts = 0
     while (attempts < MaxCommitAttempts) {
@@ -2471,17 +2549,15 @@ final class TxWarehouse(val root: String, checkpointEvery: Int = 100)
       val retired = hitRels.filterNot(st.live.contains)
       if (retired.nonEmpty)
         throw new ConcurrentCommitException(
-          s"deleteWhereMor on $path planned against ${hitRels.size} " +
+          s"$opName on $path planned against ${hitRels.size} " +
             s"files of which ${retired.size} were retired by a " +
             "concurrent rewrite — re-run against fresh state")
       val lines = byBase.toSeq.sortBy(_._1).map { case (base, ps) =>
-        val rel = relOfBase.getOrElse(base, throw new IllegalStateException(
-          s"cannot map scanned file back to a manifest entry: $base"))
-        s"D ${FileDv.merge(st.dvs.get(rel), ps)} $rel"
+        s"D ${FileDv.merge(st.dvs.get(relOfBase(base)), ps)} ${relOfBase(base)}"
       }
       if (tryCommit(f, path, v + 1, lines)) {
         maybeCheckpoint(spark, path, v + 1)
-        return deleted
+        return collected.length.toLong
       }
       attempts += 1
     }

@@ -428,6 +428,53 @@ class ExtensionsSpec extends SparkTestBase {
       extended, "doc_id", "text").count() == 0) // now a dup of indexed 5
   }
 
+  test("change-feed signature index: increments through an append, a " +
+    "rewrite, and a deletion-vector delete track the docs table — the " +
+    "maintained index makes the same decisions as one built from the " +
+    "final corpus, and replays are no-ops") {
+    import spark.implicits._
+    val D1 = java.sql.Date.valueOf("2024-01-01")
+    val root = java.nio.file.Files.createTempDirectory("graft-sigfeed").toString
+    val wh = new graft.tableops.TxWarehouse(root)
+    val docsT = wh.tablePath("c", "docs")
+    val idxT = wh.tablePath("i", "sig")
+    def incr() = TextDedup.nearDupIndexIncremental(spark, wh, idxT,
+      docsT, "doc_id", "text", "app")
+    val seen0 = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "spark engines shuffle data between cluster racks"))
+      .toDF("doc_id", "text").withColumn("date", lit(D1))
+    wh.append(spark, seen0, docsT)
+    assert(incr())
+    assert(!incr(), "at head: no-op")
+    // append a doc, rewrite doc 2's text entirely, vector-delete doc 0
+    wh.append(spark, Seq((4L, "gardens grow vegetables in quiet rows"))
+      .toDF("doc_id", "text").withColumn("date", lit(D1)), docsT)
+    wh.mergeInto(spark,
+      Seq((2L, "entirely different content now lives here"))
+        .toDF("doc_id", "text").withColumn("date", lit(D1)),
+      docsT, Seq("doc_id"))
+    wh.deleteWhereMor(spark, docsT, col("doc_id") === 0L)
+    assert(incr())
+    // reference: index built from the FINAL corpus
+    val ref = TextDedup.nearDupIndex(
+      wh.read(spark, docsT).select("doc_id", "text"), "doc_id", "text")
+    val fresh = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // dup of DELETED 0
+      (3L, "spark engines shuffle data between cluster racks"), // dup of OLD 2
+      (5L, "gardens grow vegetables in quiet rows"), // dup of appended 4
+      (7L, "entirely different content now lives here") // dup of NEW 2
+    ).toDF("doc_id", "text")
+    def kept(ix: org.apache.spark.sql.DataFrame) =
+      TextDedup.incrementalNearDupFilterIndexed(fresh, ix, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+    val maintained = kept(wh.read(spark, idxT))
+    assert(maintained == kept(ref), s"maintained=$maintained ref=${kept(ref)}")
+    // the decisions prove each increment landed: 1 and 3 survive (their
+    // twins are gone), 5 and 7 are dropped (their twins are current)
+    assert(maintained == Set(1L, 3L))
+  }
+
   test("duplicateChunks flags shared windows and leaves unique spans alone") {
     val boiler = "standard copyright header all rights reserved"  // 6 tokens
     val d = Seq(

@@ -154,6 +154,34 @@ class DeleteVectorSpec extends graft.SparkTestBase {
     assert(rows(wh, path) == Set((3L, "y"), (4L, "new")))
   }
 
+  test("keyed MoR delete: a key frame deletes by id without rewriting, " +
+    "prunes candidates by key range, merges with existing vectors, and " +
+    "composes with bloom skipping") {
+    val (wh, path) = fresh("dvk1")
+    wh.setBloomFilter(spark, path, "k", 1000, 0.01)
+    // two files with disjoint key ranges
+    wh.append(spark, (1L to 100L).map(k => (k, s"v$k", D1))
+      .toDF("k", "s", "date").coalesce(1), path)
+    wh.append(spark, (1000L to 1100L).map(k => (k, s"v$k", D2))
+      .toDF("k", "s", "date").coalesce(1), path)
+    val before = wh.read(spark, path).inputFiles.toSet
+    // keys hitting only the first file, one absent key
+    val n = wh.deleteKeysMor(spark,
+      Seq(5L, 7L, 50L, 999999L).toDF("k"), path, Seq("k"))
+    assert(n == 3L)
+    assert(wh.read(spark, path).inputFiles.toSet == before)
+    assert(wh.fastRowCount(spark, path).contains(198L))
+    // second keyed delete on the same file merges vectors
+    assert(wh.deleteKeysMor(spark, Seq(5L, 9L).toDF("k"), path,
+      Seq("k")) == 1L) // 5 already gone
+    assert(wh.read(spark, path).filter(col("k") < 1000L).count() == 96L)
+    // empty key frame: no-op, no commit
+    val v = wh.currentVersion(spark, path)
+    assert(wh.deleteKeysMor(spark, Seq.empty[Long].toDF("k"), path,
+      Seq("k")) == 0L)
+    assert(wh.currentVersion(spark, path) == v)
+  }
+
   test("guard: a delete bigger than maxDeleteRows refuses with a " +
     "pointer at the CoW path instead of collecting the table") {
     val (wh, path) = fresh("dv7")
