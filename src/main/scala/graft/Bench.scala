@@ -25,6 +25,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // AQE size-first coalescing (coalescePartitions.parallelismFirst=
+    // false + a small advisory size) was MEASURED here in round 16 and
+    // REJECTED: the expensive queries' shuffles are compute-dense but
+    // byte-light (hashed shingle postings, pair expansion), so
+    // byte-based coalescing serialized CPU-heavy stages — top-25
+    // subset regressed 41.7 s → 52.9 s (dd_cluster_minlabel 1.93×,
+    // dd_dual_signal 1.75×). Keeping the default parallelism-first
+    // behavior preserves core-count parallelism for those stages.
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -48,6 +56,16 @@ object Bench {
       }
       spark.stop(); return
     }
+    // Optional subset filter for DIAGNOSIS runs (bisecting cross-query
+    // interference needs the suite's environment, not an isolated JVM):
+    // SPARK_GRAFT_ONLY=a,b,c restricts the suite to the named queries.
+    // Unset (the driver's path) it is a no-op — methodology unchanged.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val suite = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
     // Untimed warmup: run EVERY query once so each plan's one-time costs
     // (codegen/JIT compilation, parquet footer reads, shuffle machinery —
     // measured ~16s of JVM warmup landing on whichever query runs first,
@@ -56,7 +74,7 @@ object Bench {
     // steady state, as on a long-lived cluster. A failure here is a real
     // failure: it propagates and fails the bench loudly — a broken query
     // must never score ~0 s and "improve" the total.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    suite.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try { fn(spark, sfDir).count(); clearPersisted(spark) }
       catch { case e: Throwable =>
         throw new RuntimeException(s"bench warmup failed for $name: ${e.getMessage}", e)
@@ -94,7 +112,7 @@ object Bench {
 
     val contended = scala.collection.mutable.ListBuffer[String]()
     def timedPass(): Seq[(String, Double)] =
-      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      suite.toSeq.sortBy(_._1).map { case (name, fn) =>
         def once(): Double = {
           val t0 = System.nanoTime()
           fn(spark, sfDir).count()
@@ -108,6 +126,11 @@ object Bench {
           a = math.min(a, b); b = once(); extra += 1
         }
         clearPersisted(spark)
+        // env-gated live progress for diagnosis runs (stderr, not part
+        // of the artifact): lets an external profiler align thread
+        // dumps with the query under measurement
+        if (sys.env.contains("SPARK_GRAFT_PROGRESS"))
+          System.err.println(f"[bench-progress] $name ${math.min(a, b)}%.2f")
         name -> math.min(a, b)
       }
     // TWO full timing passes, per-query min: the back-to-back rep pair

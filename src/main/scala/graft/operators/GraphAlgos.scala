@@ -701,24 +701,34 @@ object GraphAlgos {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var lastCp: Option[DataFrame] = None
     for (t <- 1 to iters) {
-      // the round references `st` three times (neighbor contributions,
-      // own sketch, previous estimate) — persist keeps them one
-      // InMemoryRelation, same lineage discipline as harmonicCentrality
+      // the round references `st` twice (neighbor contributions + own
+      // sketch) — persist keeps them one InMemoryRelation, same lineage
+      // discipline as harmonicCentrality. The carried accumulators
+      // (harm, ests) ride THROUGH the merge aggregate on the own row
+      // (null on neighbor rows; exactly one non-null per group, so
+      // max() recovers it order-independently) instead of a second
+      // node-keyed join back onto the previous round — round-16 plan
+      // audit: 2 joins + 1 agg per round → 1 join + 1 agg, one fewer
+      // exchange+sort per round at every scale. prev_est is recovered
+      // from the carried ests tail, so nothing else crosses the round.
       val nbr = und.join(st, und("v") === st("node"))
-        .select(col("u").as("node"), col("sk.registers").as("regs"))
-      val own = st.select(col("node"), col("sk.registers").as("regs"))
+        .select(col("u").as("node"), col("sk.registers").as("regs"),
+          lit(null).cast("long").as("harm0"),
+          lit(null).cast("array<long>").as("ests0"))
+      val own = st.select(col("node"), col("sk.registers").as("regs"),
+        col("harm").as("harm0"), col("ests").as("ests0"))
       val prevSt = st
-      val prev = st.select(col("node").as("pn"),
-        col("sk.est_raw").as("prev_est"), col("harm"), col("ests"))
       var next = nbr.unionByName(own)
         .groupBy(col("node"))
         .agg(graft.functions.HllRegisters
-          .hllMergeRegisters(col("regs"), p).as("sk"))
-        .join(prev, col("node") === col("pn"))
+            .hllMergeRegisters(col("regs"), p).as("sk"),
+          max(col("harm0")).as("harm0"),
+          max(col("ests0")).as("ests0"))
         .select(col("node"), col("sk"),
-          (col("harm") +
-            expr(s"((sk.est_raw - prev_est) * 1000000) div $t")).as("harm"),
-          concat(col("ests"), array(col("sk.est_raw"))).as("ests"))
+          (col("harm0") +
+            expr(s"((sk.est_raw - element_at(ests0, -1)) * 1000000)" +
+              s" div $t")).as("harm"),
+          concat(col("ests0"), array(col("sk.est_raw"))).as("ests"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       if (checkpointEvery > 0 &&
         (t % checkpointEvery == 0 || t == iters)) {

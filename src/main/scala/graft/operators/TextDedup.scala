@@ -1024,7 +1024,16 @@ object TextDedup {
       k: Int = 8, minOcc: Int = 2): DataFrame = {
     require(k >= 2, "k must be >= 2")
     require(minOcc >= 2, "minOcc < 2 would mark every window")
+    // The anchor stream feeds BOTH the duplicate-fp aggregate and the
+    // join probe side; without a cache the corpus is tokenized and every
+    // window md5-hashed TWICE (round-16 plan audit: two Scan+Generate
+    // subtrees). MEMORY_AND_DISK: the cached rows are (id, pos, fp) —
+    // O(total tokens)·~48 B, strictly cheaper to re-read than to
+    // re-hash (k-token concat + md5 per window) at any scale. Lifetime
+    // contract = CorpusPipeline.clean's gated frame: one-shot runs let
+    // session teardown collect it.
     val wf = kgramAnchors(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val hot = wf.groupBy(col("fp")).agg(count(lit(1)).as("n_occ"))
       .filter(col("n_occ") >= minOcc)
       .select(col("fp"))
@@ -1073,7 +1082,10 @@ object TextDedup {
     require(k >= 2, "k must be >= 2")
     val d = df.select(col(idCol).as("__doc"),
       split(coalesce(col(textCol), lit("")), "\\s+").as("__w"))
+    // same two-consumer shape as duplicateSubstringSpans: cache the
+    // anchor stream so the corpus is tokenized + window-hashed once
     val wf = kgramAnchors(df, idCol, textCol, k)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val canon = wf.groupBy(col("fp"))
       .agg(count(lit(1)).as("cnt"),
         min(struct(col("__doc"), col("pos"))).as("canon"))
