@@ -49,10 +49,43 @@ object Bench {
       val reps = if (args.length > 1) args(1).toInt else 3
       if (sys.env.contains("SPARK_GRAFT_EXPLAIN"))
         SparkEntry.queries(args(0))(spark, sfDir).explain("formatted")
+      // debug-only scheduling diagnostics: stage/task counts + aggregate
+      // executor time per rep, to separate compute from per-stage latency
+      val jobs = new java.util.concurrent.atomic.AtomicLong
+      val stages = new java.util.concurrent.atomic.AtomicLong
+      val tasks = new java.util.concurrent.atomic.AtomicLong
+      val runMs = new java.util.concurrent.atomic.AtomicLong
+      val deserMs = new java.util.concurrent.atomic.AtomicLong
+      spark.sparkContext.addSparkListener(
+        new org.apache.spark.scheduler.SparkListener {
+          override def onJobStart(
+              j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+            jobs.incrementAndGet()
+          override def onStageCompleted(
+              sc: org.apache.spark.scheduler.SparkListenerStageCompleted)
+              : Unit = {
+            stages.incrementAndGet()
+            tasks.addAndGet(sc.stageInfo.numTasks.toLong)
+          }
+          override def onTaskEnd(
+              te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+            val m = te.taskMetrics
+            if (m != null) {
+              runMs.addAndGet(m.executorRunTime)
+              deserMs.addAndGet(m.executorDeserializeTime)
+            }
+          }
+        })
       (1 to reps).foreach { r =>
+        jobs.set(0); stages.set(0); tasks.set(0); runMs.set(0); deserMs.set(0)
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(args(0))(spark, sfDir).count()
-        println(f"run $r: ${(System.nanoTime() - t0) / 1e9}%.2fs rows=$n")
+        val wall = (System.nanoTime() - t0) / 1e9
+        // listener bus is async; give it a beat before reading counters
+        Thread.sleep(200)
+        println(f"run $r: $wall%.2fs rows=$n jobs=${jobs.get} " +
+          f"stages=${stages.get} tasks=${tasks.get} " +
+          f"execMs=${runMs.get} deserMs=${deserMs.get}")
       }
       spark.stop(); return
     }

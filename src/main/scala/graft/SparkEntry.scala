@@ -1933,7 +1933,11 @@ object SparkEntry {
       GraphAlgos.harmonicCentrality(
         EventAnalytics.transitionCounts(Tables.events(s, dir), "user_id",
           "ts", "event_type", "event_id"),
-        "src", "dst", iters = 6)
+        // checkpointEvery=2: without lineage truncation the 6-round
+        // unrolled plan made every task closure carry the full tree —
+        // round-16 listener audit measured 20 s of aggregate task
+        // DESERIALIZATION per warm run against 0.13 s of execution
+        "src", "dst", iters = 6, checkpointEvery = 2)
         .select(col("node").as("event_type"), col("n_reachable"),
           col("harmonic_e6"))),
 
@@ -2580,6 +2584,10 @@ object SparkEntry {
         TextDedup.lengthBandedJaccardPairs(Tables.documents(s, dir), "doc_id",
           "text", "n_chars", bucketWidth = 32, maxDelta = 32,
           minJaccardE4 = 5000L),
+        // checkpointEvery deliberately 0 (round-16 A/B): eager
+        // checkpoints at rounds 2/4/6 re-materialized the est frame as
+        // 3 extra jobs and measured 2.5 s → 3.6 s; the single lazy
+        // 6-round DAG over the persisted edge set is cheaper here
         "id_a", "id_b", iters = 6)
         .select(col("node").cast("long").as("doc_id"), col("coreness"))),
 
