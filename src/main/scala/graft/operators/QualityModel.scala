@@ -29,6 +29,26 @@ import org.apache.spark.sql.functions._
   */
 object QualityModel {
 
+  /** Per-(doc, hash-bucket) raw token counts — the feature table both
+    * [[trainLogRegE6]] and [[scoreLogRegE6]] consume. PERSISTED: the
+    * train-then-score composition otherwise tokenizes and md5-buckets
+    * the corpus twice (identical subplans, so the second `.persist()`
+    * call resolves to the same cache entry). Lifetime contract =
+    * CorpusPipeline.clean's gated frame: one-shot pipelines let session
+    * teardown collect it; long-lived callers unpersist via the session
+    * catalog or materialize features to a table.
+    */
+  private def bucketCounts(docs: DataFrame, idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("doc"),
+        explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+    toks.select(col("doc"),
+        pmod(TextDedup.md5Long(col("w")), lit(dim.toLong)).cast("int").as("j"))
+      .groupBy(col("doc"), col("j")).agg(count(lit(1)).as("x"))
+      .persist()
+  }
+
   /** Train `iters` full-batch GD steps; returns (j, w_e6) — bucket
     * weights for j in [0, dim) plus the bias at j = dim. `label` must
     * be a deterministic boolean column over `docs`.
@@ -38,37 +58,48 @@ object QualityModel {
       etaDen: Double = 1000.0): DataFrame = {
     import spark.implicits._
     require(dim >= 1 && iters >= 1)
-    val toks = docs.select(col(idCol).as("doc"),
-        explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
-    val feats = toks.select(col("doc"),
-        pmod(TextDedup.md5Long(col("w")), lit(dim.toLong)).cast("int").as("j"))
-      .groupBy(col("doc"), col("j")).agg(count(lit(1)).as("x"))
-      .unionByName(docs.select(col(idCol).as("doc"),
-        lit(dim).as("j"), lit(1L).as("x")))
+    val feats = bucketCounts(docs, idCol, textCol, dim)
     val ys = docs.select(col(idCol).as("doc"),
       (label.cast("boolean").cast("long") * lit(1000000L)).as("y_e6"))
-    val fx = feats.join(ys, Seq("doc")).persist()
+    // DENSE per-doc feature vector xs[0..dim-1] = bucket counts,
+    // xs[dim] = 1 (bias), built ONCE before the loop. The sparse
+    // (doc, j, x) layout made every GD iteration pay a weight join +
+    // per-doc margin shuffle + per-bucket gradient shuffle (3 exchanges
+    // + a broadcast per step — round-16 listener audit: 21 jobs / 238
+    // tasks for 2 iterations). With xs dense and dim fixed, an
+    // iteration is ONE map (margin/sigmoid per row, weights inlined as
+    // literals) + ONE map-side-combined single-row aggregate (dim+1
+    // sums) + a (dim+1)-column collect: zero exchanges, nothing
+    // corpus-sized moves. Same exact integers: absent buckets
+    // contribute 0 to both the margin and the gradient sums, and
+    // integer addition is order-independent, so the learned weights
+    // are bit-identical to the sparse form (the DuckDB oracle replay
+    // is unchanged).
+    val maps = feats.groupBy(col("doc"))
+      .agg(map_from_entries(collect_list(struct(col("j"), col("x")))).as("m"))
+    val fx = ys.join(maps, Seq("doc"), "left")
+      .select(col("doc"), col("y_e6"),
+        concat(
+          transform(sequence(lit(0), lit(dim - 1)),
+            jj => coalesce(element_at(col("m"), jj), lit(0L))),
+          array(lit(1L))).as("xs"))
+      .persist()
     try {
       val n = docs.count()
       var w = Array.fill(dim + 1)(0L)
       for (_ <- 0 until iters) {
-        val wDf = broadcast(
-          w.zipWithIndex.map { case (v, j) => (j, v) }.toSeq.toDF("j", "w_e6"))
-        val p = fx.join(wDf, Seq("j"))
-          .groupBy(col("doc"))
-          .agg(sum(col("w_e6") * col("x")).as("m_e6"),
-            max(col("y_e6")).as("y_e6"))
-          .withColumn("p_e6",
-            floor(lit(1000000.0) /
-              (lit(1.0) + exp(-(col("m_e6").cast("double") / lit(1000000.0)))))
-              .cast("long"))
-        val g = fx.join(p.select(col("doc"), col("p_e6")), Seq("doc"))
-          .groupBy(col("j"))
-          .agg(sum((col("p_e6") - col("y_e6")) * col("x")).as("g"))
-          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        val margin = (0 to dim)
+          .map(j => element_at(col("xs"), j + 1) * lit(w(j)))
+          .reduce(_ + _)
+        val pMinusY = floor(lit(1000000.0) /
+            (lit(1.0) + exp(-(margin.cast("double") / lit(1000000.0)))))
+          .cast("long") - col("y_e6")
+        val gRow = fx.select(col("xs"), pMinusY.as("c"))
+          .select((0 to dim).map(j =>
+            sum(element_at(col("xs"), j + 1) * col("c")).as(s"g$j")): _*)
+          .collect()(0)
         w = w.zipWithIndex.map { case (v, j) =>
-          v - math.floor(g.getOrElse(j, 0L).toDouble / (n * etaDen)).toLong
+          v - math.floor(gRow.getLong(j).toDouble / (n * etaDen)).toLong
         }
       }
       w.zipWithIndex.map { case (v, j) => (j, v) }.toSeq.toDF("j", "w_e6")
@@ -83,12 +114,7 @@ object QualityModel {
     */
   def scoreLogRegE6(docs: DataFrame, idCol: String, textCol: String,
       weights: DataFrame, dim: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
-        explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("w"))
-      .filter(length(col("w")) > 0)
-    val feats = toks.select(col("doc"),
-        pmod(TextDedup.md5Long(col("w")), lit(dim.toLong)).cast("int").as("j"))
-      .groupBy(col("doc"), col("j")).agg(count(lit(1)).as("x"))
+    val feats = bucketCounts(docs, idCol, textCol, dim)
       .unionByName(docs.select(col(idCol).as("doc"),
         lit(dim).as("j"), lit(1L).as("x")))
     feats.join(broadcast(weights), Seq("j"))
