@@ -36,6 +36,8 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .config("spark.ui.enabled", "false")
       // listener-bus plan strings are diagnostics; cap them so a deep
       // iterative plan cannot OOM the driver rendering its own explain
@@ -66,6 +68,15 @@ object Bench {
               : Unit = {
             stages.incrementAndGet()
             tasks.addAndGet(sc.stageInfo.numTasks.toLong)
+            if (sys.env.contains("SPARK_GRAFT_STAGES")) {
+              val m = sc.stageInfo.taskMetrics
+              System.err.println(f"[stage] id=${sc.stageInfo.stageId} " +
+                f"tasks=${sc.stageInfo.numTasks} " +
+                f"runMs=${m.executorRunTime} " +
+                f"sr=${m.shuffleReadMetrics.totalBytesRead} " +
+                f"sw=${m.shuffleWriteMetrics.bytesWritten} " +
+                sc.stageInfo.name.take(60))
+            }
           }
           override def onTaskEnd(
               te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {

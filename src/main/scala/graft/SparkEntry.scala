@@ -859,9 +859,16 @@ object SparkEntry {
           month(col("o_orderdate")).cast("int").as("o_month"),
           floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
             .cast("long").as("rev"))
+        // pre-aggregate to the finest grouping grain BEFORE the Expand:
+        // sum and count are re-aggregable, so rolling up partial sums is
+        // value-identical, and Expand multiplies ~|nation×year×month|
+        // grain rows instead of every join output row (guide §2.3
+        // "aggregate before you shuffle" applied to grouping sets)
+        .groupBy(col("n_name"), col("o_year"), col("o_month"))
+        .agg(sum(col("rev")).as("rev"), count(lit(1)).as("cnt"))
         .rollup(col("n_name"), col("o_year"), col("o_month"))
         .agg(sum(col("rev")).as("revenue_e2"),
-          count(lit(1)).as("n_rows"),
+          sum(col("cnt")).as("n_rows"),
           grouping(col("n_name")).cast("int").as("g_nation"),
           grouping(col("o_year")).cast("int").as("g_year"),
           grouping(col("o_month")).cast("int").as("g_month"))
@@ -885,9 +892,13 @@ object SparkEntry {
           month(col("o_orderdate")).cast("int").as("o_month"),
           floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
             .cast("long").as("rev"))
+        // same pre-aggregate-before-Expand shape as q23: the 8-way CUBE
+        // Expand multiplies grain rows, not join output rows
+        .groupBy(col("n_name"), col("o_year"), col("o_month"))
+        .agg(sum(col("rev")).as("rev"), count(lit(1)).as("cnt"))
         .cube(col("n_name"), col("o_year"), col("o_month"))
         .agg(sum(col("rev")).as("revenue_e2"),
-          count(lit(1)).as("n_rows"),
+          sum(col("cnt")).as("n_rows"),
           grouping(col("n_name")).cast("int").as("g_nation"),
           grouping(col("o_year")).cast("int").as("g_year"),
           grouping(col("o_month")).cast("int").as("g_month"))
@@ -911,10 +922,13 @@ object SparkEntry {
           month(col("o_orderdate")).cast("int").as("o_month"),
           floor(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * 100)
             .cast("long").as("rev"))
+        // same pre-aggregate-before-Expand shape as q23/q24
+        .groupBy(col("n_name"), col("o_year"), col("o_month"))
+        .agg(sum(col("rev")).as("rev"), count(lit(1)).as("cnt"))
         .createOrReplaceTempView("q25_f")
       s.sql(
         """SELECT n_name, o_year, o_month,
-          |  sum(rev) AS revenue_e2, count(1) AS n_rows,
+          |  sum(rev) AS revenue_e2, sum(cnt) AS n_rows,
           |  CAST(grouping(n_name) AS INT) AS g_nation,
           |  CAST(grouping(o_year) AS INT) AS g_year,
           |  CAST(grouping(o_month) AS INT) AS g_month

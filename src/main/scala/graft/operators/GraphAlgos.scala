@@ -205,8 +205,10 @@ object GraphAlgos {
     *         storage blocks); long-lived callers release it with
     *         `spark.catalog.clearCache()` when done.
     */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30,
+      localEdgeThreshold: Long = 1L << 20): DataFrame = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
+    val spark = pairs.sparkSession
     // Lineage discipline: every round's edge set is an EAGER local
     // checkpoint. Each round consumes the previous set at least three
     // times (symmetrize, re-point join, fixpoint anti-join), so a lazy
@@ -226,6 +228,43 @@ object GraphAlgos {
         least(col("id_a"), col("id_b")).as("p"))
       .distinct()
       .localCheckpoint(true)
+    // Hybrid fast path (the [[TextDedup.minLabelClusters]] precedent,
+    // VERDICT-audited): under the same edge threshold the oriented edge
+    // set — already materialized by the checkpoint above — collects to
+    // the driver and a union-find labels every node with its component
+    // min in one pass, instead of ~O(log n) star-contraction rounds of
+    // 4 jobs each (round-16 listener audit: 39 jobs / dd_cluster_cc).
+    // Identical output contract: same (id, label) rows, same types
+    // (integral ids round-trip through Long and cast back; strings
+    // compare by UTF-8 bytes to match Spark's min). Above the
+    // threshold — the 100 TB path — nothing changes.
+    val idType = edges.schema.fields.head.dataType
+    val localizable = Set[org.apache.spark.sql.types.DataType](
+      org.apache.spark.sql.types.LongType,
+      org.apache.spark.sql.types.IntegerType,
+      org.apache.spark.sql.types.StringType).contains(idType)
+    if (localizable && edges.count() <= localEdgeThreshold) {
+      import spark.implicits._
+      val out =
+        if (idType == org.apache.spark.sql.types.StringType) {
+          val es = edges.as[(String, String)].collect()
+          implicit val utf8Order: Ordering[String] =
+            (a: String, b: String) =>
+              org.apache.spark.unsafe.types.UTF8String.fromString(a)
+                .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+          TextDedup.unionFindMinLabel(es).toDF("id", "label")
+        } else {
+          val es = edges.select(col("c").cast("long"), col("p").cast("long"))
+            .as[(Long, Long)].collect()
+          TextDedup.unionFindMinLabel(es).toDF("id", "label")
+            .select(col("id").cast(idType), col("label").cast(idType))
+        }
+      // same return contract as the distributed path: an eager local
+      // checkpoint with single-leaf lineage and its own storage
+      val cp = out.localCheckpoint(true)
+      releaseLocalCheckpoint(edges)
+      return cp
+    }
     var converged = false
     var round = 0
     while (!converged && round < maxRounds) {

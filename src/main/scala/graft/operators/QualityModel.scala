@@ -40,7 +40,7 @@ object QualityModel {
     */
   private def bucketCounts(docs: DataFrame, idCol: String, textCol: String,
       dim: Int): DataFrame = {
-    val toks = docs.select(col(idCol).as("doc"),
+    val toks = TextDedup.ensureParallel(docs).select(col(idCol).as("doc"),
         explode(split(coalesce(col(textCol), lit("")), "\\s+")).as("w"))
       .filter(length(col("w")) > 0)
     toks.select(col("doc"),

@@ -58,10 +58,32 @@ object TextDedup {
     * that pushdown would re-expand below the projection (null text ≡
     * empty text here).
     */
+  /** Fan out an under-partitioned input before heavy per-row work
+    * (guide §2.5 "input skew: one huge unsplittable file" — the
+    * small-table limit of the same problem): a sub-split scan is ONE
+    * task, so everything Spark fuses into the scan stage — shingle
+    * hashing, per-window md5, per-token explode+aggregate — runs
+    * single-threaded while every other core idles (round-16 stage
+    * audit: the documents scan+shingle stage was 1 task × 560-900 ms
+    * inside every pair-mining query). One round-robin exchange of a
+    * few MB buys core-count parallelism for all downstream per-row
+    * compute. Applied ONLY inside the compute-heavy operators: pure
+    * map-only queries (gopher rules, readability, unigram score)
+    * measured 2× WORSE with a blanket scan fan-out — their whole
+    * compute is cheaper than the exchange. At production scale the
+    * branch never fires: any input above one split already scans in
+    * parallel. Filters/pruning push through Repartition, so
+    * PushedFilters/ReadSchema at the scan are unchanged.
+    */
+  private[operators] def ensureParallel(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   def withHashedShingles(
       docs: DataFrame, keepCols: Seq[String], textCol: String, k: Int = 3
   ): DataFrame =
-    docs.select(keepCols.map(col) :+
+    ensureParallel(docs).select(keepCols.map(col) :+
       graft.functions.GraftFunctions
         .shingleHashes(coalesce(col(textCol), lit("")), k).as("sh"): _*)
 
@@ -74,7 +96,7 @@ object TextDedup {
   def withShingleStrings(
       docs: DataFrame, keepCols: Seq[String], textCol: String, k: Int = 3
   ): DataFrame = {
-    val toks = docs.select(keepCols.map(col) :+
+    val toks = ensureParallel(docs).select(keepCols.map(col) :+
       split(coalesce(col(textCol), lit("")), "\\s+").as("__w"): _*)
     val w = col("__w")
     val shingled = transform(sequence(lit(0), size(w) - k),
@@ -924,7 +946,7 @@ object TextDedup {
     * minimum. Union always points the larger root at the smaller, so
     * find() of any node IS the component minimum.
     */
-  private def unionFindMinLabel[A](es: Array[(A, A)])(
+  private[operators] def unionFindMinLabel[A](es: Array[(A, A)])(
       implicit ord: Ordering[A]): Seq[(A, A)] = {
     val parent = scala.collection.mutable.Map[A, A]()
     def find(x: A): A = {
@@ -979,7 +1001,7 @@ object TextDedup {
     */
   private def kgramAnchors(df: DataFrame, idCol: String, textCol: String,
       k: Int): DataFrame = {
-    val d = df.select(col(idCol).as("__doc"),
+    val d = ensureParallel(df).select(col(idCol).as("__doc"),
         split(coalesce(col(textCol), lit("")), "\\s+").as("__w"))
       .filter(size(col("__w")) >= k)
     d.select(col("__doc"),
