@@ -16,6 +16,16 @@ import org.apache.spark.storage.StorageLevel
   */
 object GraphAlgos {
 
+  /** Gates for the driver fast paths of the small-quotient-graph
+    * centrality operators (harmonicCentrality, hyperBallState): under
+    * these bounds the per-round driver work is O((V+E)·state) — trivial
+    * — while the distributed form pays `iters` rounds of join + agg +
+    * persist jobs to move a few hundred rows. Above them the
+    * distributed path runs unchanged (the 100 TB shape).
+    */
+  private val smallGraphEdgeLimit = 1L << 16
+  private val smallGraphNodeLimit = 1 << 11
+
   /** Release a local checkpoint's storage once it is no longer the live
     * seed — lineage is truncated, so an unpersisted checkpoint is
     * unrecoverable by design; callers only ever hold the final one.
@@ -590,6 +600,44 @@ object GraphAlgos {
       .select(col("e.u"), col("e.v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Hybrid fast path (the connectedComponents/minLabelClusters
+    // precedent): this operator is scoped by scaladoc to SMALL quotient
+    // graphs (event types, near-dup clusters) — on one of those, the
+    // relational APSP pays ~iters rounds of join+agg+persist jobs to
+    // move a few hundred rows. Under the size gates the symmetrized
+    // edge set collects and bounded-depth BFS runs per source on the
+    // driver: same hop distances, same `10⁶ div d` integer
+    // contributions, same (node, n_reachable, harmonic_e6) rows (the
+    // pair table is symmetric, so per-source tallies equal the
+    // distributed per-destination group-by). Above the gates — the
+    // scale path — nothing changes.
+    if (und.count() <= smallGraphEdgeLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = und.as[(String, String)].collect()
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toArray.distinct
+      if (nodes.length <= smallGraphNodeLimit) {
+        val adj = es.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+        val rows = nodes.iterator.map { src =>
+          val dist = scala.collection.mutable.HashMap[String, Int](src -> 0)
+          var frontier: Array[String] = Array(src)
+          var d = 0
+          while (frontier.nonEmpty && d < iters) {
+            d += 1
+            frontier = frontier
+              .flatMap(n => adj.getOrElse(n, Array.empty[String]))
+              .distinct.filterNot(dist.contains)
+            frontier.foreach(v => dist(v) = d)
+          }
+          val reach = dist.view.filter(_._2 > 0).toSeq
+          (src, reach.size.toLong,
+            reach.iterator.map(kv => 1000000L / kv._2).sum)
+        }.toSeq
+        und.unpersist(false)
+        return rows.toDF("node", "n_reachable", "harmonic_e6")
+      }
+    }
     var dist = und.select(col("u").as("src")).distinct()
       .select(col("src"), col("src").as("node"), lit(0L).as("d"))
     var lastCp: Option[DataFrame] = None
@@ -731,6 +779,92 @@ object GraphAlgos {
       .select(col("e.u"), col("e.v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Hybrid fast path (same gates and precedent as harmonicCentrality):
+    // the register evolution is a pure function of the edge set, and
+    // every piece of its arithmetic is the SHARED implementation the
+    // distributed aggregates call — HllRegisters.observe/mergeInto/
+    // stats for the registers and the integer-grid estimator,
+    // XxHash64Function for the node hash (what Spark's xxhash64
+    // compiles to, seed 42) — so the driver evolution is bit-identical
+    // by construction, not by reimplementation. Output schema matches
+    // the distributed frame exactly: (node, sk struct, harm, ests).
+    if (und.count() <= smallGraphEdgeLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val es = und.as[(String, String)].collect()
+      val nodes = es.iterator.flatMap(e => Iterator(e._1, e._2))
+        .toArray.distinct
+      if (nodes.length <= smallGraphNodeLimit) {
+        val m = 1 << p
+        val adj = es.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+        var regs: Map[String, Array[Byte]] = nodes.iterator.map { n =>
+          val b = new Array[Byte](m)
+          graft.functions.HllRegisters.observe(b,
+            org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+              org.apache.spark.unsafe.types.UTF8String.fromString(n),
+              org.apache.spark.sql.types.StringType, 42L), p)
+          n -> b
+        }.toMap
+        val ests = scala.collection.mutable.HashMap[String,
+          scala.collection.mutable.ArrayBuffer[Long]]()
+        val harm = scala.collection.mutable.HashMap[String, Long]()
+        nodes.foreach { n =>
+          ests(n) = scala.collection.mutable.ArrayBuffer(
+            graft.functions.HllRegisters.stats(regs(n), p)._2)
+          harm(n) = 0L
+        }
+        for (t <- 1 to iters) {
+          regs = nodes.iterator.map { n =>
+            val b = regs(n).clone()
+            adj.getOrElse(n, Array.empty[String])
+              .foreach(v => graft.functions.HllRegisters.mergeInto(b, regs(v)))
+            n -> b
+          }.toMap
+          nodes.foreach { n =>
+            val est = graft.functions.HllRegisters.stats(regs(n), p)._2
+            harm(n) += (est - ests(n).last) * 1000000L / t
+            ests(n) += est
+          }
+        }
+        val skType = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("nnz",
+            org.apache.spark.sql.types.IntegerType, nullable = false),
+          org.apache.spark.sql.types.StructField("est_raw",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("registers",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("bucket",
+                  org.apache.spark.sql.types.IntegerType, nullable = false),
+                org.apache.spark.sql.types.StructField("register",
+                  org.apache.spark.sql.types.IntegerType, nullable = false))),
+              containsNull = false), nullable = false)))
+        val schema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("node",
+            org.apache.spark.sql.types.StringType, nullable = true),
+          org.apache.spark.sql.types.StructField("sk", skType,
+            nullable = false),
+          org.apache.spark.sql.types.StructField("harm",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("ests",
+            org.apache.spark.sql.types.ArrayType(
+              org.apache.spark.sql.types.LongType, containsNull = false),
+            nullable = false)))
+        val rows: java.util.List[org.apache.spark.sql.Row] =
+          new java.util.ArrayList()
+        nodes.foreach { n =>
+          val b = regs(n)
+          val pairs = (0 until m).iterator.filter(i => b(i) > 0)
+            .map(i => org.apache.spark.sql.Row(i, b(i).toInt)).toSeq
+          val (nnz, est) = graft.functions.HllRegisters.stats(b, p)
+          rows.add(org.apache.spark.sql.Row(n,
+            org.apache.spark.sql.Row(nnz, est, pairs), harm(n),
+            ests(n).toSeq))
+        }
+        und.unpersist(false)
+        return spark.createDataFrame(rows, schema)
+      }
+    }
     var st = und.select(col("u").as("node")).distinct()
       .select(col("node"), xxhash64(col("node")).as("h"))
       .groupBy(col("node"))
