@@ -478,6 +478,43 @@ object GraphAlgos {
       .select(col("e.u"), col("e.v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Hybrid fast path (the harmonicCentrality/kCoreness precedent):
+    // per-node triangle counts are a pure function of the edge set —
+    // under the size gates (plus a Σdeg² work bound, since the local
+    // count enumerates neighbor pairs) each node counts its adjacent
+    // neighbor pairs directly on the driver. Identical values: a
+    // triangle {x,y,z} increments all three members by exactly 1 in
+    // both forms; `shape` then applies the same integer-grid
+    // projection. Above the gates the degree-oriented distributed
+    // enumeration is untouched.
+    if (und.count() <= smallGraphEdgeLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val esArr = und.as[(String, String)].collect()
+      val nodesArr = esArr.iterator.map(_._1).toArray.distinct
+      val adjL: Map[String, Set[String]] =
+        esArr.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val work = adjL.valuesIterator.map(s => s.size.toLong * s.size).sum
+      if (nodesArr.length <= smallGraphNodeLimit && work <= (1L << 26)) {
+        val rows = nodesArr.toSeq.map { v =>
+          val nb = adjL(v).toArray
+          var t = 0L
+          var i = 0
+          while (i < nb.length) {
+            var j = i + 1
+            while (j < nb.length) {
+              if (adjL(nb(i)).contains(nb(j))) t += 1
+              j += 1
+            }
+            i += 1
+          }
+          (v, nb.length.toLong, t)
+        }
+        und.unpersist(false)
+        val local = shape(rows.toDF("node", "degree", "n_triangles"))
+        return if (materialize) local.localCheckpoint(true) else local
+      }
+    }
     val deg = und.groupBy(col("u")).agg(count(lit(1)).as("d"))
     val nodes = deg.select(col("u").as("node"), col("d").as("degree"))
     // orient u→v iff (deg(u), u) < (deg(v), v): struct comparison IS
@@ -931,6 +968,40 @@ object GraphAlgos {
       .select(col("e.u"), col("e.v"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Hybrid fast path (the harmonicCentrality/connectedComponents
+    // precedent): the synchronous H-index rounds are a pure integer
+    // function of the edge set — under the small-graph gates they run
+    // on the driver (sorted-neighbor-estimates form of the H-index,
+    // the identity the scaladoc cites; same fixed `iters`, same
+    // degree seed), instead of `iters` rounds of join + two aggregates.
+    // Above the gates the distributed path is untouched.
+    if (und.count() <= smallGraphEdgeLimit) {
+      val spark = edges.sparkSession
+      import spark.implicits._
+      val esArr = und.as[(String, String)].collect()
+      val nodes = esArr.iterator.map(_._1).toArray.distinct
+      if (nodes.length <= smallGraphNodeLimit) {
+        val adj = esArr.groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2) }
+        var estM: Map[String, Long] =
+          nodes.iterator.map(n => n -> adj(n).length.toLong).toMap
+        for (_ <- 1 to iters) {
+          estM = nodes.iterator.map { n =>
+            val sorted = adj(n).map(estM).sortBy(-_)
+            var h = 0L
+            var i = 0
+            while (i < sorted.length) {
+              val cand = math.min(sorted(i), i + 1L)
+              if (cand > h) h = cand
+              i += 1
+            }
+            n -> h
+          }.toMap
+        }
+        und.unpersist(false)
+        return nodes.toSeq.map(n => (n, estM(n)))
+          .toDF("node", "coreness")
+      }
+    }
     var est = und.groupBy(col("u")).agg(count(lit(1)).as("est"))
       .select(col("u").as("node"), col("est"))
     var lastCp: Option[DataFrame] = None
