@@ -253,7 +253,7 @@ object GraphAlgos {
       org.apache.spark.sql.types.LongType,
       org.apache.spark.sql.types.IntegerType,
       org.apache.spark.sql.types.StringType).contains(idType)
-    if (localizable && edges.count() <= localEdgeThreshold) {
+    if (localEdgeThreshold > 0 && localizable && edges.count() <= localEdgeThreshold) {
       import spark.implicits._
       val out =
         if (idType == org.apache.spark.sql.types.StringType) {
@@ -445,8 +445,9 @@ object GraphAlgos {
     *        owns `spark.catalog.clearCache()`.
     */
   def triangleCounts(edges: DataFrame, srcCol: String,
-      dstCol: String, materialize: Boolean = true): DataFrame =
-    triangleCore(edges, srcCol, dstCol, materialize,
+      dstCol: String, materialize: Boolean = true,
+      localEdgeThreshold: Long = smallGraphEdgeLimit): DataFrame =
+    triangleCore(edges, srcCol, dstCol, materialize, localEdgeThreshold,
       _.select(col("node"), col("n_triangles")))
 
   /** Local clustering coefficient per node on the e6 integer grid:
@@ -458,8 +459,9 @@ object GraphAlgos {
     * @return (node, degree, n_triangles, cc_e6).
     */
   def clusteringCoefficients(edges: DataFrame, srcCol: String,
-      dstCol: String, materialize: Boolean = true): DataFrame =
-    triangleCore(edges, srcCol, dstCol, materialize,
+      dstCol: String, materialize: Boolean = true,
+      localEdgeThreshold: Long = smallGraphEdgeLimit): DataFrame =
+    triangleCore(edges, srcCol, dstCol, materialize, localEdgeThreshold,
       _.select(col("node"), col("degree"), col("n_triangles"),
         when(col("degree") < 2L, lit(0L))
           .otherwise(expr(
@@ -467,7 +469,7 @@ object GraphAlgos {
           .as("cc_e6")))
 
   private def triangleCore(edges: DataFrame, srcCol: String,
-      dstCol: String, materialize: Boolean,
+      dstCol: String, materialize: Boolean, localEdgeThreshold: Long,
       shape: DataFrame => DataFrame): DataFrame = {
     val e = edges.select(col(srcCol).cast("string").as("a"),
         col(dstCol).cast("string").as("b"))
@@ -487,7 +489,7 @@ object GraphAlgos {
     // both forms; `shape` then applies the same integer-grid
     // projection. Above the gates the degree-oriented distributed
     // enumeration is untouched.
-    if (und.count() <= smallGraphEdgeLimit) {
+    if (localEdgeThreshold > 0 && und.count() <= localEdgeThreshold) {
       val spark = edges.sparkSession
       import spark.implicits._
       val esArr = und.as[(String, String)].collect()
@@ -625,7 +627,8 @@ object GraphAlgos {
     *         the node itself
     */
   def harmonicCentrality(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, checkpointEvery: Int = 0): DataFrame = {
+      iters: Int, checkpointEvery: Int = 0,
+      localEdgeThreshold: Long = smallGraphEdgeLimit): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
     val e = edges.select(col(srcCol).cast("string").as("a"),
@@ -648,7 +651,7 @@ object GraphAlgos {
     // pair table is symmetric, so per-source tallies equal the
     // distributed per-destination group-by). Above the gates — the
     // scale path — nothing changes.
-    if (und.count() <= smallGraphEdgeLimit) {
+    if (localEdgeThreshold > 0 && und.count() <= localEdgeThreshold) {
       val spark = edges.sparkSession
       import spark.implicits._
       val es = und.as[(String, String)].collect()
@@ -746,8 +749,10 @@ object GraphAlgos {
     *         harmonic_e6 — the accumulated estimate increments)
     */
   def harmonicHyperBall(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, p: Int = 6, checkpointEvery: Int = 0): DataFrame =
-    hyperBallState(edges, srcCol, dstCol, iters, p, checkpointEvery)
+      iters: Int, p: Int = 6, checkpointEvery: Int = 0,
+      localEdgeThreshold: Long = smallGraphEdgeLimit): DataFrame =
+    hyperBallState(edges, srcCol, dstCol, iters, p, checkpointEvery,
+      localEdgeThreshold)
       .select(col("node"), col("sk.est_raw").as("est_ball"),
         col("harm").as("harmonic_e6"))
 
@@ -763,8 +768,10 @@ object GraphAlgos {
     * [[harmonicHyperBall]], same O(|V|·2^p) state.
     */
   def hyperBallCloseness(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, p: Int = 6, checkpointEvery: Int = 0): DataFrame =
-    hyperBallState(edges, srcCol, dstCol, iters, p, checkpointEvery)
+      iters: Int, p: Int = 6, checkpointEvery: Int = 0,
+      localEdgeThreshold: Long = smallGraphEdgeLimit): DataFrame =
+    hyperBallState(edges, srcCol, dstCol, iters, p, checkpointEvery,
+      localEdgeThreshold)
       .select(col("node"), col("sk.est_raw").as("est_ball"),
         expr("aggregate(sequence(1, size(ests) - 1), 0L, " +
           "(acc, t) -> acc + t * (ests[t] - ests[t-1]))").as("sum_dist"))
@@ -784,8 +791,10 @@ object GraphAlgos {
     * saturation, which is itself visible in the output).
     */
   def hyperBallNeighborhood(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, p: Int = 6, checkpointEvery: Int = 0): DataFrame = {
-    val nf = hyperBallState(edges, srcCol, dstCol, iters, p, checkpointEvery)
+      iters: Int, p: Int = 6, checkpointEvery: Int = 0,
+      localEdgeThreshold: Long = smallGraphEdgeLimit): DataFrame = {
+    val nf = hyperBallState(edges, srcCol, dstCol, iters, p, checkpointEvery,
+      localEdgeThreshold)
       .select(posexplode(col("ests")).as(Seq("t", "est")))
       .groupBy(col("t").cast("long").as("t"))
       .agg(sum(col("est")).as("nf"))
@@ -804,7 +813,8 @@ object GraphAlgos {
     * register evolution.
     */
   private def hyperBallState(edges: DataFrame, srcCol: String,
-      dstCol: String, iters: Int, p: Int, checkpointEvery: Int): DataFrame = {
+      dstCol: String, iters: Int, p: Int, checkpointEvery: Int,
+      localEdgeThreshold: Long = smallGraphEdgeLimit): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
     val e = edges.select(col(srcCol).cast("string").as("a"),
@@ -825,7 +835,7 @@ object GraphAlgos {
     // compiles to, seed 42) — so the driver evolution is bit-identical
     // by construction, not by reimplementation. Output schema matches
     // the distributed frame exactly: (node, sk struct, harm, ests).
-    if (und.count() <= smallGraphEdgeLimit) {
+    if (localEdgeThreshold > 0 && und.count() <= localEdgeThreshold) {
       val spark = edges.sparkSession
       import spark.implicits._
       val es = und.as[(String, String)].collect()
@@ -956,7 +966,8 @@ object GraphAlgos {
   }
 
   def kCoreness(edges: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, checkpointEvery: Int = 0): DataFrame = {
+      iters: Int, checkpointEvery: Int = 0,
+      localEdgeThreshold: Long = smallGraphEdgeLimit): DataFrame = {
     require(iters >= 1, "iters must be >= 1")
     require(checkpointEvery >= 0, "checkpointEvery must be >= 0 (0 = off)")
     val e = edges.select(col(srcCol).cast("string").as("a"),
@@ -975,7 +986,7 @@ object GraphAlgos {
     // the identity the scaladoc cites; same fixed `iters`, same
     // degree seed), instead of `iters` rounds of join + two aggregates.
     // Above the gates the distributed path is untouched.
-    if (und.count() <= smallGraphEdgeLimit) {
+    if (localEdgeThreshold > 0 && und.count() <= localEdgeThreshold) {
       val spark = edges.sparkSession
       import spark.implicits._
       val esArr = und.as[(String, String)].collect()

@@ -589,11 +589,15 @@ class PlanAuditSpec extends SparkTestBase {
   test("triangles: degree-ordered wedge join — no cartesian anywhere, " +
     "and the corpus scan reads only the transition columns (lazy plan: " +
     "the query form eagerly checkpoints, so inspect materialize=false)") {
+    // localEdgeThreshold = 0 forces the DISTRIBUTED path — this pin
+    // audits the scale shape; the small-graph driver fast path (which
+    // the declared query takes on this fixture) has no plan to audit
     val qe = graft.operators.GraphAlgos.triangleCounts(
       graft.operators.EventAnalytics.transitionCounts(
         graft.sources.Tables.events(spark, dir), "user_id", "ts",
         "event_type", "event_id"),
-      "src", "dst", materialize = false).queryExecution
+      "src", "dst", materialize = false,
+      localEdgeThreshold = 0L).queryExecution
     val p = qe.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     val f = qe.explainString(
@@ -686,7 +690,15 @@ class PlanAuditSpec extends SparkTestBase {
     "NO per-neighbor-list sort survives anywhere (no Window, no Sort " +
     "keyed by node), and the only single-partition exchange in the " +
     "whole plan is the pair miner's one-row corpus-stats aggregate") {
-    val p = planned("dd_kcoreness")
+    // localEdgeThreshold = 0 forces the DISTRIBUTED rounds — this pin
+    // audits the scale shape; the declared query takes the small-graph
+    // driver fast path on this fixture (no distributed plan to audit)
+    val p = graft.operators.GraphAlgos.kCoreness(
+      graft.operators.TextDedup.lengthBandedJaccardPairs(
+        graft.sources.Tables.documents(spark, dir), "doc_id", "text",
+        "n_chars", bucketWidth = 32, maxDelta = 32, minJaccardE4 = 5000L),
+      "id_a", "id_b", iters = 6, localEdgeThreshold = 0L)
+      .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct"), p)
     // the old row_number form put a window (and its per-node sort) in
     // every round — a degree-d hub paid an O(d log d) single-task sort;
