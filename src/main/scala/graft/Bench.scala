@@ -216,22 +216,22 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$qs,"sf":"$sfDir","load_avg":$loadAvg,""" +
       f""""steal_pct":$stealPct%.1f,"contended":$cont}"""
-    println(json)
-    // The stdout line alone has NEVER survived the official per-round
-    // capture (BENCH_r01..r10 all "parsed": null): the driver keeps only
-    // the last ~2000 chars of stdout, and the full per-query line is
-    // ~4.5 KB, so its head is always clipped and nothing in the window
-    // parses. The file copy under target/ is the durable full artifact.
+    // The full ~4.5 KB per-query line goes ONLY to target/bench.json, never
+    // to stdout: the driver keeps the last ~2000 chars of stdout and its
+    // parser latches onto the FIRST {"metric":"total"...} it sees, so when
+    // both a (clipped) full line and the compact line were printed, parsing
+    // failed two rounds running (BENCH_r15/r16 "parsed": null). Exactly ONE
+    // metric line may reach stdout — the budget-capped compact one below.
     val out = java.nio.file.Paths.get("target/bench.json")
     java.nio.file.Files.createDirectories(out.getParent)
     java.nio.file.Files.writeString(out, json + "\n")
-    // Capture-safe final line: a compact JSON that — together with sbt's
-    // trailing "[success] Total time ..." line (~80 chars) — fits inside
-    // the 2000-char capture window, so the artifact's "parsed" is finally
-    // non-null. The full map cannot fit (150 names × ~20 chars), so this
-    // line carries the aggregates, the contention/steal sentinels, the
-    // slowest queries that fit in the budget, and a pointer to the full
-    // per-query record (also committed as BENCH_local.json).
+    // Capture-safe single stdout line: a compact JSON that — together with
+    // sbt's trailing "[success] Total time ..." line (~80 chars) — fits
+    // inside the 2000-char capture window. The full map cannot fit
+    // (211 names × ~20 chars), so this line carries the aggregates, the
+    // contention/steal sentinels, the slowest queries that fit in the
+    // budget, and a pointer to the full per-query record (also committed
+    // as BENCH_local.json).
     val budget = 1800
     val slowest = results.sortBy(-_._2)
     // contended_count, not the name list: with ~150 query names the

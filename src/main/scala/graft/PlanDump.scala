@@ -23,6 +23,10 @@ object PlanDump {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // keep the session config identical to graft.Bench (including the
+      // AQE coalescing floor) so captured plans are the bench's plans
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.maxPlanStringLength", (4 * 1024 * 1024).toString)
       .getOrCreate()

@@ -216,6 +216,16 @@ object GraftFunctions {
       case Seq(text, w, m) => CdcCuts(text,
         intArg(w, "cdc_cuts", "w"), intArg(m, "cdc_cuts", "m"))
     },
+    desc("adjacent_pairs", classOf[AdjacentPairs],
+      "adjacent_pairs(arr) - the n-1 consecutive element pairs of an " +
+        "array as array<struct<a, b>> in order") {
+      case Seq(a) => AdjacentPairs(a)
+    },
+    desc("upper_triangle_pairs", classOf[UpperTrianglePairs],
+      "upper_triangle_pairs(arr) - all i<j element pairs of an array as " +
+        "array<struct<a, b>> in i-major order") {
+      case Seq(a) => UpperTrianglePairs(a)
+    },
     desc("frequent_items", classOf[FrequentItems],
       "frequent_items(item, capacity) - bounded-memory Misra-Gries " +
         "frequent-items sketch: array<struct<item, cnt_lo, cnt_hi>> " +

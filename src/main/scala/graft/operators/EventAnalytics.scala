@@ -18,25 +18,41 @@ object EventAnalytics {
     * discovery (which ordered funnels are worth defining).
     *
     * Deterministic ordering: (ts, idCol) — the unique event id breaks
-    * timestamp ties identically in any engine.
+    * timestamp ties identically in any engine (`sort_array` on the
+    * struct compares (ts, id) first; the id is unique, so the trailing
+    * type field never decides).
     *
-    * Scale shape: ONE hash exchange on the user key + in-partition sort
-    * feeds the `lead` window (the sessionize shape — per-user streams
-    * are short, so the sort is local and spill-safe), then the count
-    * aggregates map-side into a |event_types|² -bounded result; the
-    * per-transition user reach (`n_users`) partial-aggregates its
-    * distinct over (src, dst, user) before the exchange.
+    * Scale shape: ONE hash exchange on the user key feeds a hash
+    * aggregate collecting each user's (ts, id, type) events (per-user
+    * memory — the same bound the former sessionize window's sort buffer
+    * held), sorted and paired per row by the codegen'd
+    * [[graft.functions.AdjacentPairs]] expression; the per-user
+    * (src, dst) regroup REUSES the user partitioning (no exchange), and
+    * the final count aggregates map-side into a |event_types|² -bounded
+    * result. The former `lead` window form paid the same user exchange
+    * PLUS an in-partition sort, a Window pass, and a third exchange for
+    * the countDistinct rewrite — measured as the ~0.3-0.5 s floor under
+    * every ev_ graph query at sf0.1 (round-17).
     */
   def transitionCounts(events: DataFrame, userCol: String, tsCol: String,
       typeCol: String, idCol: String): DataFrame = {
-    val w = Window.partitionBy(col(userCol)).orderBy(col(tsCol), col(idCol))
     events
-      .select(col(userCol).as("u"), col(typeCol).as("src"),
-        lead(col(typeCol), 1).over(w).as("dst"))
-      .filter(col("dst").isNotNull)
+      .groupBy(col(userCol).as("u"))
+      .agg(sort_array(collect_list(struct(
+        col(tsCol).as("t"), col(idCol).as("i"), col(typeCol).as("e"))))
+        .as("es"))
+      .select(col("u"), explode(
+        graft.functions.AdjacentPairs.adjacentPairs(col("es"))).as("p"))
+      .select(col("u"), col("p.a.e").as("src"), col("p.b.e").as("dst"))
+      // partitioned by u already ⇒ (u, src, dst) groups are co-located:
+      // this aggregate adds no exchange, and one row per (user, src, dst)
+      // is exactly the partial-distinct the old countDistinct rewrite
+      // bought with a third exchange
+      .groupBy(col("u"), col("src"), col("dst"))
+      .agg(count(lit(1)).as("c"))
       .groupBy(col("src"), col("dst"))
-      .agg(count(lit(1)).as("n_transitions"),
-        countDistinct(col("u")).as("n_users"))
+      .agg(sum(col("c")).as("n_transitions"),
+        count(col("u")).as("n_users"))
   }
 
   /** Top-k most frequent length-3 event-type PATHS (the second-order

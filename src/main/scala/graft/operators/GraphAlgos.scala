@@ -22,6 +22,15 @@ object GraphAlgos {
     * — while the distributed form pays `iters` rounds of join + agg +
     * persist jobs to move a few hundred rows. Above them the
     * distributed path runs unchanged (the 100 TB shape).
+    *
+    * LAZINESS CONTRACT (applies to every operator with a
+    * `localEdgeThreshold` parameter, and to [[connectedComponents]]'
+    * convergence loop at any size): construction is EAGER — declaring
+    * or composing the query runs the gate's edge count, and under the
+    * gate the collect + driver compute, before any action on the
+    * returned frame. Plan capture of the fast path therefore shows a
+    * LocalTableScan/LogicalRDD leaf (PlanDump documents the same).
+    * Pass `localEdgeThreshold = 0` to force the distributed plan.
     */
   private val smallGraphEdgeLimit = 1L << 16
   private val smallGraphNodeLimit = 1 << 11

@@ -87,7 +87,10 @@ object QualityModel {
     try {
       val n = docs.count()
       var w = Array.fill(dim + 1)(0L)
-      for (_ <- 0 until iters) {
+      // empty corpus: the gradient sums would be NULL and the update
+      // would divide by n = 0 — degrade to zero weights, the same
+      // graceful behavior the sparse g.getOrElse(j, 0L) form had
+      for (_ <- 0 until iters if n > 0) {
         val margin = (0 to dim)
           .map(j => element_at(col("xs"), j + 1) * lit(w(j)))
           .reduce(_ + _)

@@ -130,18 +130,26 @@ object Similarity {
         .as("pp"))
     val lam = lambdaPct.toLong
     val oneMinusLam = (100 - lambdaPct).toLong
+    // the accumulator's id type follows the shortlist schema — the fold
+    // is type-generic over any orderable id, as the round-based form was
+    // (a hardcoded bigint would silently null-coerce string ids)
+    val idSqlType = shortlist.schema("nbr_id").dataType.sql
     // the k-step greedy fold, one row per query. Every argmax and
     // penalty max is order-independent, so collect_list's arbitrary
     // array order cannot affect the result; ties break exactly as the
-    // round form did (min over (−mmr, nbr_id)). The size(sl) guard
-    // stops early when a query has fewer than k candidates (the round
-    // form's "no pick row" behavior).
+    // round form did (min over (−mmr, nbr_id)). The remaining-candidate
+    // guard stops early when a query runs out of UNSELECTED candidates
+    // (the round form's "no pick row" behavior) — robust to duplicate
+    // (query_id, nbr_id) shortlist rows, where a size(sl)-only guard
+    // would emit a null-field pick from an empty argmax.
     val greedy = expr(s"""
       aggregate(
         sequence(1, $k),
-        cast(array() as array<struct<nbr_id: bigint, mmr_e8: bigint,
+        cast(array() as array<struct<nbr_id: $idSqlType, mmr_e8: bigint,
           rank: int>>),
-        (acc, i) -> CASE WHEN size(sl) <= size(acc) THEN acc ELSE
+        (acc, i) -> CASE WHEN size(
+            filter(sl, c -> NOT exists(acc, a -> a.nbr_id = c.nbr_id))
+          ) = 0 THEN acc ELSE
           transform(
             array(array_min(transform(
               filter(sl, c -> NOT exists(acc, a -> a.nbr_id = c.nbr_id)),

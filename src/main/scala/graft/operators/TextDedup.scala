@@ -271,11 +271,11 @@ object TextDedup {
         .agg(sort_array(collect_list(struct(col("id"), col("len"),
           col("b0"), col("szf")))).as("ps"))
         .filter(size(col("ps")) > 1)
+      // codegen'd upper-triangle expansion (same pairs, same i-major
+      // order as the HOF form it replaced — see UpperTrianglePairs)
       val pairs = groups
-        .select(explode(flatten(transform(col("ps"), (x, i) =>
-          transform(slice(col("ps"), i + 2,
-            greatest(size(col("ps")) - i - 1, lit(0))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(explode(graft.functions.UpperTrianglePairs
+          .upperTrianglePairs(col("ps"))).as("p"))
         .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
           col("p.a.len").as("len_a"), col("p.b.len").as("len_b"),
           col("p.a.b0").as("b0_a"), col("p.b.b0").as("b0_b"),
@@ -344,10 +344,8 @@ object TextDedup {
         .agg(sort_array(collect_list(struct(col("id"), col("szf")))).as("ps"))
         .filter(size(col("ps")) > 1)
       val pairs = groups
-        .select(explode(flatten(transform(col("ps"), (x, i) =>
-          transform(slice(col("ps"), i + 2,
-            greatest(size(col("ps")) - i - 1, lit(0))),
-            y => struct(x.as("a"), y.as("b")))))).as("p"))
+        .select(explode(graft.functions.UpperTrianglePairs
+          .upperTrianglePairs(col("ps"))).as("p"))
         .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
           col("p.a.szf").as("sz_a"), col("p.b.szf").as("sz_b"))
       score(pairs)
@@ -472,10 +470,9 @@ object TextDedup {
           .filter(!over)
       } else grouped
     bounded
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + 2, greatest(size(col("ids")) - i - 1, lit(0))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"))
+      .select(explode(graft.functions.UpperTrianglePairs
+        .upperTrianglePairs(col("ids"))).as("p"))
+      .select(col("p.a").as("id_a"), col("p.b").as("id_b"))
   }
 
   /** Full MinHash-LSH near-dup pipeline: signatures → banded candidates →
@@ -553,11 +550,10 @@ object TextDedup {
       .agg(sort_array(collect_list(struct(col(idCol).as("id"),
         col("simhash").as("s")))).as("xs"))
       .filter(size(col("xs")) > 1)
-      .select(explode(flatten(transform(col("xs"), (x, i) =>
-        transform(slice(col("xs"), i + 2, greatest(size(col("xs")) - i - 1, lit(0))),
-          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            bit_count(x.getField("s").bitwiseXOR(y.getField("s"))).as("hamming")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      .select(explode(graft.functions.UpperTrianglePairs
+        .upperTrianglePairs(col("xs"))).as("p"))
+      .select(col("p.a.id").as("id_a"), col("p.b.id").as("id_b"),
+        bit_count(col("p.a.s").bitwiseXOR(col("p.b.s"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -285,6 +285,7 @@ class GraftSqlSpec extends SparkTestBase {
     assert(reg != null)
     val ids = GraftFunctions.descriptors.map(_._1.funcName)
     assert(ids.distinct.size == ids.size)
-    assert(ids.size == 22) // + cdc_cuts, sketch build+merge, unigram_encode
+    assert(ids.size == 24) // + cdc_cuts, sketch build+merge, unigram_encode,
+    // adjacent_pairs + upper_triangle_pairs (round-17 pair expansion)
   }
 }
