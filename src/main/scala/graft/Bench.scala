@@ -38,6 +38,21 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
         sys.env.getOrElse("SPARK_GRAFT_MIN_PARTITION_SIZE", "64k"))
+      // Round-17 thread-dump finding (guide §7.3): with the default
+      // bypassMergeThreshold=200, every no-aggregation exchange (round-
+      // robin fan-outs, join exchanges) takes BypassMergeSortShuffleWriter,
+      // which opens R per-partition files per map task and concatenates
+      // them via mmap/transferTo — at M=R=32 that is ~1000 block files
+      // and an mmap/munmap storm serializing on the process map lock
+      // (ds_corpus_clean: 25 s of 32-thread executor time for 2.7 s of
+      // 8-thread work, all in unmap0/write0). Forcing the serialized
+      // sort writer (one file per map task) removes the syscall storm.
+      // Scale note: production reduce counts are ≫ 200, where bypass
+      // never fires anyway — this only affects small-R shuffles, and for
+      // those the single-spill-file writer is the right shape at any
+      // data size that fits a map task.
+      .config("spark.shuffle.sort.bypassMergeThreshold",
+        sys.env.getOrElse("SPARK_GRAFT_BYPASS_THRESHOLD", "2"))
       .config("spark.ui.enabled", "false")
       // listener-bus plan strings are diagnostics; cap them so a deep
       // iterative plan cannot OOM the driver rendering its own explain
@@ -58,6 +73,7 @@ object Bench {
       val tasks = new java.util.concurrent.atomic.AtomicLong
       val runMs = new java.util.concurrent.atomic.AtomicLong
       val deserMs = new java.util.concurrent.atomic.AtomicLong
+      val gcMs = new java.util.concurrent.atomic.AtomicLong
       spark.sparkContext.addSparkListener(
         new org.apache.spark.scheduler.SparkListener {
           override def onJobStart(
@@ -84,11 +100,13 @@ object Bench {
             if (m != null) {
               runMs.addAndGet(m.executorRunTime)
               deserMs.addAndGet(m.executorDeserializeTime)
+              gcMs.addAndGet(m.jvmGCTime)
             }
           }
         })
       (1 to reps).foreach { r =>
         jobs.set(0); stages.set(0); tasks.set(0); runMs.set(0); deserMs.set(0)
+        gcMs.set(0)
         val t0 = System.nanoTime()
         val n = SparkEntry.queries(args(0))(spark, sfDir).count()
         val wall = (System.nanoTime() - t0) / 1e9
@@ -96,7 +114,7 @@ object Bench {
         Thread.sleep(200)
         println(f"run $r: $wall%.2fs rows=$n jobs=${jobs.get} " +
           f"stages=${stages.get} tasks=${tasks.get} " +
-          f"execMs=${runMs.get} deserMs=${deserMs.get}")
+          f"execMs=${runMs.get} deserMs=${deserMs.get} gcMs=${gcMs.get}")
       }
       spark.stop(); return
     }

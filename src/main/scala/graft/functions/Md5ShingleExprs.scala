@@ -54,53 +54,73 @@ object Md5ShingleHash {
   def hashString(s: String): Long =
     lane0(md5(s.getBytes(StandardCharsets.UTF_8)))
 
-  /** Distinct k-shingle strings in first-occurrence order — identical
-    * tokenization/shingling to TextDedup.withShingleStrings (Java regex
-    * split on \s+ with limit -1; k-gram join with " "; distinct).
+  /** md5-60-bit of a normalized-buffer shingle slice — the same bytes
+    * the shingle STRING would encode to (valid-UTF-8 contract), so the
+    * value equals hashString(shingle) without materializing it.
     */
-  def shingleStrings(text: UTF8String, k: Int): java.util.LinkedHashSet[String] = {
-    val toks = text.toString.split("\\s+", -1)
-    val seen = new java.util.LinkedHashSet[String]()
-    if (toks.length >= k) {
-      val sb = new java.lang.StringBuilder
-      var i = 0
-      while (i + k <= toks.length) {
-        sb.setLength(0)
-        var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        seen.add(sb.toString)
-        i += 1
-      }
-    } else {
-      var i = 0
-      while (i < toks.length) { seen.add(toks(i)); i += 1 }
+  private def hashSlice(buf: Array[Byte], start: Int, end: Int): Long = {
+    val md = digests.get()
+    md.reset()
+    md.update(buf, start, end - start)
+    lane0(md.digest())
+  }
+
+  /** Distinct md5-60-bit shingle hashes pushed to `f` once each, in
+    * first-occurrence order. Tokenization/shingling identical to
+    * TextDedup.withShingleStrings (Java regex split on \s+ with limit
+    * -1; k-gram join with " "); distinctness is BY CONTENT
+    * ([[ShingleWalk.Dedup]] — the distinct-string contract, exact even
+    * under probe-hash collision). The xx probe hash costs ~nothing next
+    * to md5, and md5 runs once per DISTINCT shingle, as before — but
+    * the per-window string/StringBuilder/encode churn is gone.
+    */
+  @inline private def foreachDistinctMd5(text: UTF8String, k: Int)(
+      f: Long => Unit): Unit = {
+    val norm = ShingleWalk.tokenize(text)
+    val nw = ShingleWalk.windows(norm, k)
+    val seen = new ShingleWalk.Dedup(norm, k)
+    var w = 0
+    while (w < nw) {
+      val probe = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(ShingleWalk.slice(norm, k, w),
+          org.apache.spark.sql.types.StringType, 42L)
+      if (seen.add(w, probe))
+        f(hashSlice(norm.buf, ShingleWalk.winStart(norm, k, w),
+          ShingleWalk.winEnd(norm, k, w)))
+      w += 1
     }
-    seen
   }
 
   /** Per-shingle md5-60-bit hashes, distinct, first-occurrence order. */
   def hashes(text: UTF8String, k: Int): ArrayData = {
-    val sh = shingleStrings(text, k)
-    val out = new Array[Long](sh.size)
-    val it = sh.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = hashString(it.next()); i += 1 }
-    new GenericArrayData(out)
+    val norm = ShingleWalk.tokenize(text)
+    val nw = ShingleWalk.windows(norm, k)
+    val seen = new ShingleWalk.Dedup(norm, k)
+    val out = new Array[Long](nw)
+    var n = 0
+    var w = 0
+    while (w < nw) {
+      val probe = org.apache.spark.sql.catalyst.expressions.XxHash64Function
+        .hash(ShingleWalk.slice(norm, k, w),
+          org.apache.spark.sql.types.StringType, 42L)
+      if (seen.add(w, probe)) {
+        out(n) = hashSlice(norm.buf, ShingleWalk.winStart(norm, k, w),
+          ShingleWalk.winEnd(norm, k, w))
+        n += 1
+      }
+      w += 1
+    }
+    val trimmed = new Array[Long](n)
+    System.arraycopy(out, 0, trimmed, 0, n)
+    new GenericArrayData(trimmed)
   }
 
   /** MinHash signature: lane pairs from seeded digests md5("g#" + h0
     * decimal), g = 0 until numHashes/2 — two 60-bit lanes per digest.
     */
   def signature(text: UTF8String, k: Int, numHashes: Int): ArrayData = {
-    val sh = shingleStrings(text, k)
     val mins = Array.fill(numHashes)(Long.MaxValue)
-    val it = sh.iterator()
-    while (it.hasNext) {
-      val h0 = hashString(it.next())
+    foreachDistinctMd5(text, k) { h0 =>
       val h0s = java.lang.Long.toString(h0)
       var g = 0
       while (2 * g + 1 < numHashes) {
@@ -119,11 +139,8 @@ object Md5ShingleHash {
     * md5-60-bit hash votes ±1; fingerprint bit set where positive.
     */
   def simhash(text: UTF8String, k: Int): Long = {
-    val sh = shingleStrings(text, k)
     val votes = new Array[Int](60)
-    val it = sh.iterator()
-    while (it.hasNext) {
-      val h = hashString(it.next())
+    foreachDistinctMd5(text, k) { h =>
       var i = 0
       while (i < 60) {
         if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1

@@ -45,38 +45,28 @@ case class ShingleHashes(child: Expression, k: Int)
 object ShingleHashes {
   private val Seed = 42L // xxhash64()'s fixed seed in Spark
 
-  /** Java entry point used by both interpreted and generated code. */
+  /** Java entry point used by both interpreted and generated code.
+    * Byte-level tokenize + in-place slice hashing ([[ShingleWalk]]):
+    * bit-identical to the former per-window toString/split/
+    * StringBuilder/fromString chain on valid UTF-8, minus all of its
+    * per-window allocations (round-17: this pass ran TWICE under every
+    * pair-mining query and was ~2/3 of their executor time). Dedup is
+    * by 64-bit hash, unchanged (same sequence as array_distinct over
+    * shingle strings followed by xxhash64, modulo hash collision — the
+    * contract ShingleHashesSpec pins).
+    */
   def compute(text: UTF8String, k: Int): ArrayData = {
-    // identical tokenization to split(text, "\s+") — Java regex, limit -1
-    val toks = text.toString.split("\\s+", -1)
-    val seen = new java.util.LinkedHashSet[java.lang.Long]()
-    if (toks.length >= k) {
-      val sb = new java.lang.StringBuilder
-      var i = 0
-      while (i + k <= toks.length) {
-        sb.setLength(0)
-        var j = 0
-        while (j < k) {
-          if (j > 0) sb.append(' ')
-          sb.append(toks(i + j))
-          j += 1
-        }
-        seen.add(XxHash64Function.hash(
-          UTF8String.fromString(sb.toString), org.apache.spark.sql.types.StringType, Seed))
-        i += 1
-      }
-    } else {
-      var i = 0
-      while (i < toks.length) {
-        seen.add(XxHash64Function.hash(
-          UTF8String.fromString(toks(i)), org.apache.spark.sql.types.StringType, Seed))
-        i += 1
-      }
+    val norm = ShingleWalk.tokenize(text)
+    val nw = ShingleWalk.windows(norm, k)
+    val seen = new ShingleWalk.LongSet(nw)
+    var i = 0
+    while (i < nw) {
+      seen.add(XxHash64Function.hash(ShingleWalk.slice(norm, k, i),
+        org.apache.spark.sql.types.StringType, Seed))
+      i += 1
     }
     val out = new Array[Long](seen.size)
-    val it = seen.iterator()
-    var i = 0
-    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    System.arraycopy(seen.order, 0, out, 0, seen.size)
     new GenericArrayData(out)
   }
 }

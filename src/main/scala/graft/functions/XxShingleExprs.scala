@@ -33,13 +33,30 @@ object XxShingleHash {
     Array.tabulate(numHashes)(i =>
       XxHash64Function.hash(i, IntegerType, Seed))
 
+  /** Distinct-shingle h0 stream: content-deduplicated windows
+    * ([[ShingleWalk.Dedup]] — byte equality, exact under collisions,
+    * same distinct-STRING contract shingleStrings carried), each
+    * distinct shingle's xxhash64 pushed to `f` once, in
+    * first-occurrence order. The probe hash IS h0, so every window is
+    * hashed exactly once and nothing per-window is allocated.
+    */
+  @inline private def foreachDistinctH0(text: UTF8String, k: Int)(
+      f: Long => Unit): Unit = {
+    val norm = ShingleWalk.tokenize(text)
+    val nw = ShingleWalk.windows(norm, k)
+    val seen = new ShingleWalk.Dedup(norm, k)
+    var w = 0
+    while (w < nw) {
+      val h0 = XxHash64Function.hash(ShingleWalk.slice(norm, k, w),
+        StringType, Seed)
+      if (seen.add(w, h0)) f(h0)
+      w += 1
+    }
+  }
+
   def signature(text: UTF8String, k: Int, laneSeeds: Array[Long]): ArrayData = {
-    val sh = Md5ShingleHash.shingleStrings(text, k)
     val mins = Array.fill(laneSeeds.length)(Long.MaxValue)
-    val it = sh.iterator()
-    while (it.hasNext) {
-      val h0 = XxHash64Function.hash(
-        UTF8String.fromString(it.next()), StringType, Seed)
+    foreachDistinctH0(text, k) { h0 =>
       var i = 0
       while (i < laneSeeds.length) {
         val h = XxHash64Function.hash(h0, LongType, laneSeeds(i))
@@ -51,12 +68,8 @@ object XxShingleHash {
   }
 
   def simhash(text: UTF8String, k: Int): Long = {
-    val sh = Md5ShingleHash.shingleStrings(text, k)
     val votes = new Array[Int](64)
-    val it = sh.iterator()
-    while (it.hasNext) {
-      val h = XxHash64Function.hash(
-        UTF8String.fromString(it.next()), StringType, Seed)
+    foreachDistinctH0(text, k) { h =>
       var i = 0
       while (i < 64) {
         if (((h >>> i) & 1L) == 1L) votes(i) += 1 else votes(i) -= 1

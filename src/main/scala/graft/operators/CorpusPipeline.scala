@@ -57,7 +57,16 @@ object CorpusPipeline {
     val qr0 = TextAnalysis.repetitionFeatures(q, textCol, ks = Seq(3))
       .filter(col("rep3_e4") <= maxRep3E4)
       .drop("rep3_e4")
-    val qr = if (cacheGated) qr0.persist() else qr0
+    // Fan the gated frame out ONCE, before the persist, so the cache
+    // itself holds core-count partitions: each of the five downstream
+    // consumers then starts parallel directly from the cache, where
+    // previously every consumer's own `ensureParallel` added its own
+    // round-robin exchange over the cached rows (the pair pipeline's
+    // duplicated base subtree paid it twice more). Round-17 A/B at
+    // sf0.1/32c: one exchange materialized into the cache vs 3-4
+    // re-exchanges per run. At production scale (input above one split)
+    // the branch never fires, as in TextDedup.ensureParallel.
+    val qr = if (cacheGated) TextDedup.ensureParallel(qr0).persist() else qr0
     val pairs = TextDedup.lengthBandedJaccardPairs(
       qr, idCol, textCol, lenCol, minJaccardE4 = minJaccardE4)
     val labels = TextDedup.minLabelClusters(pairs, pairsDistinct = true)
