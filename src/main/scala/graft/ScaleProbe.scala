@@ -56,11 +56,21 @@ object ScaleProbe {
     emb10.write.mode(SaveMode.Overwrite).parquet(s"$outDir/embeddings.parquet")
 
     // representative subset: scan-bound analysis, hash dedup tiers, the
-    // incremental probe, packing, vocabulary top-k, similarity
+    // incremental probe, packing, vocabulary top-k, similarity — plus
+    // (round 17) the operators the optimization rounds restructured, so
+    // their at-scale safety is probe-recorded, not argued: the dense-
+    // feature logreg (dim+1 integer sums at any corpus size), the MMR
+    // per-query fold (O(|Q|·m²) state), and the codegen'd pair miners
+    // whose stop-list guard must engage at 10× (observable via the
+    // *_stoplist observe metrics). Grouping-sets (q24) runs on lineitem,
+    // which this probe does not replicate — its grain-row Expand bound
+    // is pinned by plan evidence instead (plans/r16 q24_cube_revenue).
     val names = Seq("tx_token_count", "tx_quality", "dd_exact",
       "dd_minhash_lsh_md5", "dd_simhash_md5", "dd_incremental",
       "ds_pack_sequences", "tx_vocab_topk", "emb_kmeans_iter",
-      "ds_temperature_sample")
+      "ds_temperature_sample",
+      "tx_quality_logreg", "sim_mmr_topk", "dd_ngram_jaccard",
+      "dd_containment")
 
     def timed(q: () => Long): (Double, Long) = {
       def once(): (Double, Long) = {

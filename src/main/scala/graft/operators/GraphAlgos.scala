@@ -687,36 +687,44 @@ object GraphAlgos {
         return rows.toDF("node", "n_reachable", "harmonic_e6")
       }
     }
-    var dist = und.select(col("u").as("src")).distinct()
-      .select(col("src"), col("src").as("node"), lit(0L).as("d"))
+    // Reflexive edge set: the carry-over row (src, node, d) is exactly
+    // the min-plus expansion along a self-loop of weight 0, so adding
+    // (w, w) edges makes each round ONE join + ONE min aggregate with
+    // `dist` referenced ONCE — the former carry ∪ expansion referenced
+    // it twice, which without per-round materialization doubles the
+    // plan per round (2^iters subtree copies; the round-16 ev_harmonic
+    // 20 s-of-task-deserialization disease). Linear lineage needs no
+    // per-round persist at all; `checkpointEvery` still bounds plan
+    // depth eagerly for dozens-of-rounds production runs.
+    val nodes = und.select(col("u")).distinct()
+    val undSelf = und
+      .unionByName(nodes.select(col("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var dist = nodes
+      .select(col("u").as("src"), col("u").as("node"), lit(0L).as("d"))
     var lastCp: Option[DataFrame] = None
     for (i <- 1 to iters) {
-      // each round references `dist` TWICE (carry-over ∪ expansion), so
-      // an unmaterialized lineage doubles per round — 2^iters copies of
-      // every earlier join/agg as tiny shuffle stages (measured 10 s on
-      // a 5-node graph at 6 rounds). Persisting the round's frame makes
-      // both references share one InMemoryRelation: 1 join + 1 agg per
-      // round, period. The cache is the O(Σ component²) pairs table the
-      // algorithm carries anyway; the previous round's cache is released
-      // as soon as it is superseded (unless it IS the live checkpoint).
-      val expanded = dist.join(und, dist("node") === und("u"))
-        .select(col("src"), col("v").as("node"), (col("d") + 1L).as("d"))
-      val prev = dist
-      var next = dist.unionByName(expanded)
+      var next = dist.join(undSelf, dist("node") === undSelf("u"))
+        .select(col("src"), col("v").as("node"),
+          (col("d") + when(col("u") === col("v"), lit(0L))
+            .otherwise(lit(1L))).as("d"))
         .groupBy(col("src"), col("node")).agg(min(col("d")).as("d"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       if (checkpointEvery > 0 &&
         (i % checkpointEvery == 0 || i == iters)) {
         val cp = next.localCheckpoint(true)
-        next.unpersist(false) // cp owns its own (rdd-level) storage
         lastCp.foreach(releaseLocalCheckpoint)
         lastCp = Some(cp)
         next = cp
       }
-      if (!lastCp.exists(_ eq prev)) prev.unpersist(false)
       dist = next
     }
-    if (checkpointEvery > 0) und.unpersist(false)
+    if (checkpointEvery > 0) { und.unpersist(false); undSelf.unpersist(false) }
+    else {
+      // the returned (lazy) plan may be consumed by several actions;
+      // persist the final pairs table so they share one materialization
+      // — the same cache-lifetime contract the per-round persists had
+      dist = dist.persist(StorageLevel.MEMORY_AND_DISK)
+    }
     dist.filter(col("d") > 0L)
       .groupBy(col("node"))
       .agg(count(lit(1)).as("n_reachable"),
@@ -921,33 +929,34 @@ object GraphAlgos {
         return spark.createDataFrame(rows, schema)
       }
     }
-    var st = und.select(col("u").as("node")).distinct()
-      .select(col("node"), xxhash64(col("node")).as("h"))
+    // Reflexive edge set (the harmonicCentrality trick): the "own
+    // sketch + carried accumulators" row IS the contribution along a
+    // self-loop, so each round becomes ONE join + ONE merge aggregate
+    // with `st` referenced ONCE — the former nbr ∪ own union referenced
+    // it twice, which without per-round materialization doubles the
+    // plan per round (round-17 probe on the distributed path: 324 jobs,
+    // 8339 tasks, 45 s of task deserialization and a 9353-line plan for
+    // 6 rounds at sf0.1 — the round-16 ev_harmonic disease, inherited).
+    // The carried (harm, ests) still ride through the aggregate on the
+    // single self row (null on neighbor rows; max() recovers them
+    // order-independently); prev_est comes from the carried ests tail.
+    val nodes = und.select(col("u")).distinct()
+    val undSelf = und
+      .unionByName(nodes.select(col("u"), col("u").as("v")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var st = nodes
+      .select(col("u").as("node"), xxhash64(col("u")).as("h"))
       .groupBy(col("node"))
       .agg(graft.functions.HllRegisters.hllRegisters(col("h"), p).as("sk"))
       .withColumn("harm", lit(0L))
       .withColumn("ests", array(col("sk.est_raw")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     var lastCp: Option[DataFrame] = None
     for (t <- 1 to iters) {
-      // the round references `st` twice (neighbor contributions + own
-      // sketch) — persist keeps them one InMemoryRelation, same lineage
-      // discipline as harmonicCentrality. The carried accumulators
-      // (harm, ests) ride THROUGH the merge aggregate on the own row
-      // (null on neighbor rows; exactly one non-null per group, so
-      // max() recovers it order-independently) instead of a second
-      // node-keyed join back onto the previous round — round-16 plan
-      // audit: 2 joins + 1 agg per round → 1 join + 1 agg, one fewer
-      // exchange+sort per round at every scale. prev_est is recovered
-      // from the carried ests tail, so nothing else crosses the round.
-      val nbr = und.join(st, und("v") === st("node"))
-        .select(col("u").as("node"), col("sk.registers").as("regs"),
-          lit(null).cast("long").as("harm0"),
-          lit(null).cast("array<long>").as("ests0"))
-      val own = st.select(col("node"), col("sk.registers").as("regs"),
-        col("harm").as("harm0"), col("ests").as("ests0"))
-      val prevSt = st
-      var next = nbr.unionByName(own)
+      var next = undSelf.join(st, undSelf("v") === st("node"))
+        .select(col("u").as("n2"), col("sk.registers").as("regs"),
+          when(col("u") === col("v"), col("harm")).as("harm0"),
+          when(col("u") === col("v"), col("ests")).as("ests0"))
+        .withColumnRenamed("n2", "node")
         .groupBy(col("node"))
         .agg(graft.functions.HllRegisters
             .hllMergeRegisters(col("regs"), p).as("sk"),
@@ -958,19 +967,22 @@ object GraphAlgos {
             expr(s"((sk.est_raw - element_at(ests0, -1)) * 1000000)" +
               s" div $t")).as("harm"),
           concat(col("ests0"), array(col("sk.est_raw"))).as("ests"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
       if (checkpointEvery > 0 &&
         (t % checkpointEvery == 0 || t == iters)) {
         val cp = next.localCheckpoint(true)
-        next.unpersist(false)
         lastCp.foreach(releaseLocalCheckpoint)
         lastCp = Some(cp)
         next = cp
       }
-      if (!lastCp.exists(_ eq prevSt)) prevSt.unpersist(false)
       st = next
     }
-    if (checkpointEvery > 0) und.unpersist(false)
+    if (checkpointEvery > 0) { und.unpersist(false); undSelf.unpersist(false) }
+    else {
+      // several readouts (neighbourhood function, closeness) consume the
+      // state more than once; share one materialization, same contract
+      // as the per-round persists this replaces
+      st = st.persist(StorageLevel.MEMORY_AND_DISK)
+    }
     st
   }
 
